@@ -1,0 +1,186 @@
+"""Deduplication operators for large-scale document corpora.
+
+All hashing is md5-based (identical across Spark and the DuckDB oracle)
+rather than engine-native hash functions, so every signature below is
+exactly reproducible by the correctness oracle.
+
+Scale notes (100 TB design):
+* exact dedup — one shuffle on the 16-byte fingerprint; map-side partial
+  aggregation makes the shuffle carry one row per distinct fingerprint
+  per partition.
+* MinHash LSH — signature computation is embarrassingly parallel
+  (per-row higher-order functions, no Python); the candidate join
+  shuffles on the *band key* only, so cost is proportional to bucket
+  collisions, not |corpus|².
+* SimHash — per-token md5 once (explode → 16 nibble votes → re-group),
+  a single shuffle on doc id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from rick_and_morty_data_pipeline_project_spark.functions.textfns import (
+    fingerprint_col,
+    minhash_signature_col,
+)
+
+
+def exact_dedup_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Group identical (normalized) texts: keeper id + duplicate count."""
+    return (
+        df.withColumn("fingerprint", fingerprint_col(F.col(text_col)))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def exact_dedup_keep_first(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Drop duplicate texts, keeping the lowest id per fingerprint."""
+    w = Window.partitionBy(fingerprint_col(F.col(text_col))).orderBy(
+        F.asc(id_col)
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, sig array<string>) MinHash signatures over token shingles."""
+    return df.select(
+        F.col(id_col),
+        minhash_signature_col(F.col(text_col), num_hashes, shingle_k).alias(
+            "sig"
+        ),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash LSH.
+
+    Bands the signature (``num_hashes/band_size`` bands), buckets rows by
+    (band index, band value), self-joins inside buckets (id_a < id_b),
+    and estimates Jaccard as the fraction of agreeing signature
+    components.  The join key is the band hash, so only colliding
+    documents meet — the LSH trick that replaces the O(n²) cross join.
+    """
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
+    n_bands = num_hashes // band_size
+    band_cols = [
+        F.concat_ws(
+            "|",
+            F.lit(str(b)),
+            *[F.col("sig")[b * band_size + j] for j in range(band_size)],
+        ).alias(f"band_{b}")
+        for b in range(n_bands)
+    ]
+    banded = sigs.select(id_col, "sig", F.explode(F.array(*band_cols)).alias("band"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(b, on="band")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+            lambda m: m,
+        )
+    )
+    return pairs.select(
+        "id_a", "id_b", (agree / F.lit(num_hashes)).alias("jaccard_est")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    shingle_k: int = 3,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """Exact Jaccard over distinct token-k-gram sets, blocked by
+    ``block_col`` to bound the quadratic join (at scale the block key is
+    an LSH bucket; here any coarse partition works)."""
+    from rick_and_morty_data_pipeline_project_spark.functions.textfns import shingles_col
+
+    sh = df.select(
+        F.col(id_col),
+        F.col(block_col).alias("_block"),
+        F.array_distinct(shingles_col(F.col(text_col), shingle_k)).alias("sh"),
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
+    return (
+        a.join(b, on="_block")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            (inter / union).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def _nibble_topbit(md5_col: Column, j: int) -> Column:
+    """Top bit of hex nibble j (1-indexed) of an md5 hex string."""
+    return F.substring(md5_col, j, 1).isin("8", "9", "a", "b", "c", "d", "e", "f")
+
+
+def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """16-bit SimHash from per-token md5 nibble top-bits.
+
+    bit_j = sign( Σ_tokens (top-bit of md5(token) nibble j ? +1 : −1) );
+    value = Σ bit_j · 2^j.  Uses only md5 + string ops so the DuckDB
+    oracle reproduces it exactly.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    ).withColumn("h", F.md5("tok"))
+    votes = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(_nibble_topbit(F.col("h"), j + 1), 1).otherwise(-1)
+            ).alias(f"v{j}")
+            for j in range(16)
+        ]
+    )
+    bits = [
+        F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        for j in range(16)
+    ]
+    total = bits[0]
+    for b in bits[1:]:
+        total = total + b
+    return votes.select(F.col(id_col), total.cast("long").alias("simhash"))

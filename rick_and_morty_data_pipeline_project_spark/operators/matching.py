@@ -1,0 +1,145 @@
+"""Bidirectional best-match operators — the reference's flagship analytics.
+
+EP-2 (Project_Overview.ipynb cell-12, SURVEY.md §3): for each episode in
+ascending id order, find the best strain by a two-stage Top-K over the
+episode's top-2 emotions, then *remove* the claimed strain (MUT-1,
+matching **without** replacement — `DELETE FROM strain_review_table
+WHERE strain_id=…`, ipynb:185).  The greedy order-dependence is part of
+the semantics, so it is inherently a sequential driver-side loop around
+otherwise-declarative distributed Top-K queries.  Unlike the reference we
+never mutate the base table: claims accumulate in a driver-side exclusion
+set and are anti-applied per iteration.  The per-iteration work stays
+distributed (TakeOrderedAndProject heap top-k over the full strain
+table), so the loop is O(n_left) small jobs over an arbitrarily large
+right side — the left side (episodes) is assumed driver-small, which is
+the same assumption the reference hard-codes (41 episodes).
+
+EP-3 (cell-15): per-strain best episode **with** replacement — fully
+set-oriented here: distinct (top, second) emotion pairs (≤ 30) are
+broadcast against the candidate table and ranked with two window
+row_numbers that preserve the two-stage LIMIT-k1 semantics, then joined
+back.  One shuffle on the pair key; no per-row loop.
+"""
+
+from __future__ import annotations
+
+from itertools import chain
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from rick_and_morty_data_pipeline_project_spark.functions.emotions import EMOTIONS
+from rick_and_morty_data_pipeline_project_spark.operators.topk import two_stage_topk
+
+
+def _top2(scores: dict[str, float]) -> tuple[str, str]:
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+    return ranked[0][0], ranked[1][0]
+
+
+def greedy_match_without_replacement(
+    spark: SparkSession,
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    left_name: str | None = None,
+    right_name: str | None = None,
+    emotions: list[str] | None = None,
+    k1: int = 100,
+) -> DataFrame:
+    """EP-2 restated. ``left``/``right`` carry one score column per emotion.
+
+    Returns one row per left row (ascending ``left_id``):
+    (left_id, [left_name], top_left_emotion, second_left_emotion,
+     matched_<right_id>, [matched_<right_name>], right_top_emotion,
+     right_second_emotion).
+    """
+    emotions = emotions or EMOTIONS
+    left_cols = [left_id] + ([left_name] if left_name else []) + emotions
+    left_rows = left.select(*left_cols).orderBy(F.asc(left_id)).collect()
+
+    right = right.cache()
+    claimed: list = []
+    out_rows: list[tuple] = []
+    for row in left_rows:
+        top, second = _top2({e: row[e] for e in emotions})
+        cand = right
+        if claimed:
+            cand = cand.filter(~F.col(right_id).isin(claimed))
+        best = two_stage_topk(cand, top, second, k1=k1, k2=1, tiebreak=right_id)
+        b = best.collect()
+        if not b:
+            continue
+        b = b[0]
+        r_top, r_second = _top2({e: b[e] for e in emotions})
+        claimed.append(b[right_id])
+        rec = [row[left_id]]
+        if left_name:
+            rec.append(row[left_name])
+        rec += [top, second, b[right_id]]
+        if right_name:
+            rec.append(b[right_name])
+        rec += [r_top, r_second]
+        out_rows.append(tuple(rec))
+
+    schema_cols = (
+        [f"{left_id} long"]
+        + ([f"{left_name} string"] if left_name else [])
+        + ["top_left_emotion string", "second_left_emotion string"]
+        + [f"matched_{right_id} long"]
+        + ([f"matched_{right_name} string"] if right_name else [])
+        + ["right_top_emotion string", "right_second_emotion string"]
+    )
+    return spark.createDataFrame(out_rows, ", ".join(schema_cols))
+
+
+def best_match_with_replacement(
+    left: DataFrame,
+    right: DataFrame,
+    right_id: str,
+    emotions: list[str] | None = None,
+    k1: int = 100,
+) -> DataFrame:
+    """EP-3 restated, set-oriented.
+
+    ``left`` must already carry ``top_emotion``/``second_emotion`` columns
+    (see :func:`~rick_and_morty_data_pipeline_project_spark.operators.topk.top2_emotions_cols`);
+    ``right`` carries per-emotion score columns.  Joins each left row to
+    the single right row that wins the two-stage Top-K for that
+    (top, second) pair.  Winner columns are prefixed ``matched_``.
+    """
+    emotions = emotions or EMOTIONS
+    pairs = left.select("top_emotion", "second_emotion").distinct()
+
+    emo_map = F.create_map(
+        *chain.from_iterable((F.lit(e), F.col(e)) for e in emotions)
+    )
+    cand = F.broadcast(pairs).crossJoin(right).withColumn(
+        "_score_top", emo_map[F.col("top_emotion")]
+    ).withColumn("_score_second", emo_map[F.col("second_emotion")])
+
+    pw = Window.partitionBy("top_emotion", "second_emotion")
+    stage1 = cand.withColumn(
+        "_rn1",
+        F.row_number().over(
+            pw.orderBy(F.desc("_score_top"), F.asc(right_id))
+        ),
+    ).filter(F.col("_rn1") <= k1)
+    stage2 = stage1.withColumn(
+        "_rn2",
+        F.row_number().over(
+            pw.orderBy(F.desc("_score_second"), F.asc(right_id))
+        ),
+    ).filter(F.col("_rn2") == 1)
+
+    winners = stage2.select(
+        "top_emotion",
+        "second_emotion",
+        F.col(right_id).alias(f"matched_{right_id}"),
+        *[F.col(e).alias(f"matched_{e}") for e in emotions],
+    )
+    return left.join(
+        F.broadcast(winners), ["top_emotion", "second_emotion"], "left"
+    )

@@ -1,0 +1,145 @@
+"""Similarity search (approximate nearest neighbor) over embeddings.
+
+Baseline: brute-force cosine top-k — the query set is broadcast against
+the corpus (one corpus scan, no shuffle of the big side), per-query heap
+top-k via window row_number partitioned by query id.  At 100 TB the
+corpus scan dominates and parallelizes linearly; the shuffle carries only
+(n_queries × candidates-per-partition) rows thanks to the rank filter
+being pushed through AQE.
+
+Scale path: random-hyperplane LSH — bucket both sides by the sign-bit
+string of dots with a fixed set of hyperplanes (deterministic,
+seed-generated, frozen at operator construction), join on bucket, rank
+inside buckets only.  Probing multiple bucket permutations trades recall
+for cost; recall is property-tested in tests/.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from rick_and_morty_data_pipeline_project_spark.functions.vectors import cosine_col
+
+
+def knn_bruteforce(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Self-matches (same id) are excluded.  Output:
+    (query_id, neighbor_id, cosine, rank).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
+    cos = cosine_col(F.col("_qv"), F.col("_cv"))
+    if round_digits is not None:
+        cos = F.round(cos, round_digits)
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_planes, dim).astype(float).tolist()
+
+
+def lsh_bucket_col(vec_col, planes: list[list[float]]):
+    """Sign-bit bucket string for a vector column given frozen planes."""
+    bits = []
+    for plane in planes:
+        arr = F.array(*[F.lit(float(x)) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(vec_col, arr, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def knn_lsh(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    dim: int = 64,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket.
+
+    With n_planes=8 the corpus splits into ≤256 buckets; the join is on
+    the bucket key, so the pair count is Σ|bucket|² rather than n².
+    """
+    planes = _hyperplanes(dim, n_planes, seed)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        lsh_bucket_col(F.col(vec_col), planes).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        lsh_bucket_col(F.col(vec_col), planes).alias("bucket"),
+    )
+    scored = (
+        q.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_col(F.col("_qv"), F.col("_cv")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def label_centroids(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-label elementwise mean vector, exploded to (label, pos, value).
+
+    posexplode → groupBy(label, pos) keeps the aggregation JVM-side and
+    map-combinable; the alternative (collecting arrays) would not scale.
+    """
+    exploded = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("pos", "v"),
+    )
+    return exploded.groupBy("label", "pos").agg(
+        F.round(F.avg(F.col("v").cast("double")), round_digits).alias(
+            "centroid"
+        )
+    )

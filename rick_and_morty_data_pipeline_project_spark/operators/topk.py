@@ -1,0 +1,61 @@
+"""Top-K operators.
+
+TOPK-1 (SURVEY.md §2.5) — the reference's signature two-level
+lexicographic Top-K (Project_Overview.ipynb:160):
+
+    SELECT * FROM (SELECT * FROM t ORDER BY {a} DESC LIMIT k1)
+    ORDER BY {b} DESC LIMIT k2
+
+This is **not** equivalent to ``ORDER BY a DESC, b DESC LIMIT k2`` — the
+two-stage form restricts stage 2 to the a-top-k1 — so we keep two
+physical stages.  Spark executes each ``orderBy().limit()`` as
+``TakeOrderedAndProject`` (distributed heap top-k, no full sort, no
+single-node shuffle of the whole table), which is exactly the plan you
+want at 100 TB: each partition keeps k1 rows, one tiny final merge.
+
+AGG-4 — horizontal top-2 across the 6 emotion score columns
+(Project_Overview.ipynb:151-156), done with ``sort_array`` over an array
+of (‑score, name) structs: ascending sort of the negated score gives
+score-descending with name-ascending tiebreak, all JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from rick_and_morty_data_pipeline_project_spark.functions.emotions import EMOTIONS
+
+
+def two_stage_topk(
+    df: DataFrame,
+    first: str,
+    second: str,
+    k1: int = 100,
+    k2: int = 1,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Two-level Top-K with deterministic tiebreak (SURVEY.md §7 hard-part 2:
+    SQLite's unstable ORDER BY on ties → we order by score desc, key asc)."""
+    order1 = [F.desc(first)] + ([F.asc(tiebreak)] if tiebreak else [])
+    order2 = [F.desc(second)] + ([F.asc(tiebreak)] if tiebreak else [])
+    return df.orderBy(*order1).limit(k1).orderBy(*order2).limit(k2)
+
+
+def top2_emotions_cols(
+    prefix: str = "", emotions: list[str] | None = None
+) -> tuple[Column, Column]:
+    """(top_emotion, second_emotion) columns from 6 per-emotion score
+    columns named ``{prefix}{emotion}``; ties broken by emotion name asc."""
+    emotions = emotions or EMOTIONS
+    arr = F.sort_array(
+        F.array(
+            *[
+                F.struct(
+                    (-F.col(f"{prefix}{e}")).alias("neg"), F.lit(e).alias("emo")
+                )
+                for e in emotions
+            ]
+        )
+    )
+    return arr[0]["emo"], arr[1]["emo"]

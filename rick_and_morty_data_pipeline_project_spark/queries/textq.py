@@ -1,0 +1,323 @@
+"""Text-analysis + deduplication query family over the documents table.
+
+These are the training-data-pipeline operators (BASELINE.json north
+star): emotion scoring (the reference's SRC-6 ParallelDots replacement),
+quality scoring, token stats, language ID, fingerprinting, exact dedup,
+MinHash signatures + LSH candidate pairs, n-gram Jaccard, SimHash.
+
+Everything is md5/lexicon-based so the DuckDB oracle reproduces results
+exactly (see functions/emotions.py, functions/textfns.py docstrings).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rick_and_morty_data_pipeline_project_spark.functions.emotions import (
+    EMOTIONS,
+    emotion_score_cols,
+    emotion_score_sqls,
+)
+from rick_and_morty_data_pipeline_project_spark.functions.textfns import (
+    fingerprint_col,
+    quality_score_cols,
+)
+from rick_and_morty_data_pipeline_project_spark.operators.dedup import (
+    exact_dedup_stats,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash16,
+)
+from rick_and_morty_data_pipeline_project_spark.operators.topk import (
+    top2_emotions_cols,
+    two_stage_topk,
+)
+from rick_and_morty_data_pipeline_project_spark.queries._util import Q, t
+
+_EMO_SQLS = emotion_score_sqls("text")
+_EMO_SELECT = ",\n       ".join(f"{_EMO_SQLS[e]} AS {e}" for e in EMOTIONS)
+
+
+# --------------------------------------------------------------------------
+def text_emotion_scores(spark, sf_dir):
+    """SRC-6 replacement: deterministic lexicon 6-emotion scores per doc."""
+    d = t(spark, sf_dir, "documents")
+    scores = emotion_score_cols("text")
+    return d.select(
+        "doc_id", "lang", *[scores[e].alias(e) for e in EMOTIONS]
+    )
+
+
+TEXT_EMOTION_SQL = f"""
+SELECT doc_id, lang,
+       {_EMO_SELECT}
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+def text_top2_emotions(spark, sf_dir):
+    """AGG-4: horizontal top-2 across the 6 scores, emotion-name tiebreak."""
+    d = t(spark, sf_dir, "documents")
+    scores = emotion_score_cols("text")
+    scored = d.select("doc_id", *[scores[e].alias(e) for e in EMOTIONS])
+    top, second = top2_emotions_cols()
+    return scored.select(
+        "doc_id", top.alias("top_emotion"), second.alias("second_emotion")
+    )
+
+
+_UNPIVOT = " UNION ALL ".join(
+    f"SELECT doc_id, '{e}' AS emo, {_EMO_SQLS[e]} AS s FROM documents"
+    for e in EMOTIONS
+)
+TEXT_TOP2_SQL = f"""
+WITH unp AS ({_UNPIVOT}),
+ranked AS (
+  SELECT doc_id, emo, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s DESC, emo ASC) AS rn
+  FROM unp
+)
+SELECT doc_id,
+       MAX(CASE WHEN rn = 1 THEN emo END) AS top_emotion,
+       MAX(CASE WHEN rn = 2 THEN emo END) AS second_emotion
+FROM ranked
+GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+def text_quality_scores(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    qs = quality_score_cols(F.col("text"))
+    return d.select(
+        "doc_id",
+        qs["n_tokens"].alias("n_tokens"),
+        F.length("text").alias("text_len"),
+        F.round(qs["stopword_ratio"], 9).alias("stopword_ratio"),
+        F.round(qs["distinct_ratio"], 9).alias("distinct_ratio"),
+    )
+
+
+TEXT_QUALITY_SQL = """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       length(text) AS text_len,
+       round(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a')))
+             / len(string_split(text, ' ')), 9) AS stopword_ratio,
+       round(len(list_distinct(string_split(text, ' ')))
+             / len(string_split(text, ' ')), 9) AS distinct_ratio
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+def text_emotion_by_source(spark, sf_dir):
+    """AGG-1 shape (per-group mean of per-item scores) as an exact
+    micro-average: Σ hits / Σ tokens per source — integer sums, so the
+    quotient is bitwise-stable."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    happy_words = ["customer", "line"]
+    return (
+        d.select(
+            "source",
+            F.size(toks).alias("n_toks"),
+            F.size(F.filter(toks, lambda x: x.isin(happy_words))).alias(
+                "n_happy"
+            ),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.sum("n_happy") / F.sum("n_toks")).alias("happy_micro_avg"),
+        )
+    )
+
+
+TEXT_EMO_SOURCE_SQL = """
+SELECT source, COUNT(*) AS n_docs,
+       SUM(len(list_filter(string_split(text, ' '), t -> t IN ('customer', 'line'))))
+         / SUM(len(string_split(text, ' '))) AS happy_micro_avg
+FROM documents
+GROUP BY source
+"""
+
+
+# --------------------------------------------------------------------------
+def dedup_exact_stats(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return exact_dedup_stats(d, "doc_id", "text")
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint,
+       MIN(doc_id) AS keeper_id,
+       COUNT(*) AS dup_count
+FROM documents
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+def dedup_minhash_signatures(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d, "doc_id", "text", num_hashes=8, shingle_k=3)
+    return sigs.select(
+        "doc_id", F.concat_ws("|", "sig").alias("signature")
+    )
+
+
+def _minhash_sql_expr(seed: int) -> str:
+    return (
+        "list_min(list_transform(sh, s -> md5(s || ':" + str(seed) + "')))"
+    )
+
+
+_SHINGLES_SQL = """
+  SELECT doc_id,
+         list_distinct(
+           CASE WHEN len(toks) >= 3
+                THEN list_transform(generate_series(1, len(toks) - 2),
+                                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                ELSE [array_to_string(toks, ' ')]
+           END) AS sh
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+"""
+
+DEDUP_MINHASH_SQL = f"""
+WITH shingled AS ({_SHINGLES_SQL})
+SELECT doc_id,
+       {" || '|' || ".join(_minhash_sql_expr(i) for i in range(8))} AS signature
+FROM shingled
+"""
+
+
+# --------------------------------------------------------------------------
+def dedup_minhash_lsh_candidates(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        d, "doc_id", "text", num_hashes=8, band_size=2, shingle_k=3
+    )
+
+
+_SIG_ARRAY_SQL = (
+    "[" + ", ".join(_minhash_sql_expr(i) for i in range(8)) + "]"
+)
+DEDUP_LSH_SQL = f"""
+WITH shingled AS ({_SHINGLES_SQL}),
+sigs AS (SELECT doc_id, {_SIG_ARRAY_SQL} AS sig FROM shingled),
+banded AS (
+  SELECT doc_id, sig, b.b AS band_idx,
+         CAST(b.b AS VARCHAR) || '|' || sig[2*b.b + 1] || '|' || sig[2*b.b + 2] AS band
+  FROM sigs, (SELECT unnest(generate_series(0, 3)) AS b) b
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sig_a, b.sig AS sig_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       len(list_filter(generate_series(1, 8), i -> sig_a[i] = sig_b[i])) / 8 AS jaccard_est
+FROM pairs
+"""
+
+
+# --------------------------------------------------------------------------
+def dedup_ngram_jaccard(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        d, "doc_id", "text", block_col="source", shingle_k=2, threshold=0.05
+    )
+
+
+DEDUP_JACCARD_SQL = """
+WITH sh AS (
+  SELECT doc_id, source,
+         list_distinct(
+           CASE WHEN len(toks) >= 2
+                THEN list_transform(generate_series(1, len(toks) - 1),
+                                    i -> toks[i] || ' ' || toks[i+1])
+                ELSE [array_to_string(toks, ' ')]
+           END) AS grams
+  FROM (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       len(list_filter(a.grams, g -> list_contains(b.grams, g)))
+         / (len(a.grams) + len(b.grams) - len(list_filter(a.grams, g -> list_contains(b.grams, g)))) AS jaccard
+FROM sh a
+JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE len(list_filter(a.grams, g -> list_contains(b.grams, g)))
+        / (len(a.grams) + len(b.grams) - len(list_filter(a.grams, g -> list_contains(b.grams, g)))) >= 0.05
+"""
+
+
+# --------------------------------------------------------------------------
+def dedup_simhash(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return simhash16(d, "doc_id", "text")
+
+
+_SIMHASH_VOTES = ",\n         ".join(
+    "SUM(CASE WHEN substr(h, {j}, 1) IN ('8','9','a','b','c','d','e','f') "
+    "THEN 1 ELSE -1 END) AS v{i}".format(j=i + 1, i=i)
+    for i in range(16)
+)
+_SIMHASH_BITS = " + ".join(
+    f"(CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(16)
+)
+DEDUP_SIMHASH_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, md5(t.tok) AS h
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) t
+),
+votes AS (
+  SELECT doc_id,
+         {_SIMHASH_VOTES}
+  FROM toks GROUP BY doc_id
+)
+SELECT doc_id, CAST({_SIMHASH_BITS} AS BIGINT) AS simhash
+FROM votes
+"""
+
+
+# --------------------------------------------------------------------------
+def text_filter_topk(spark, sf_dir):
+    """FIL + TOPK-1 on the scored documents (reference EP shape on the
+    driver corpus): filter lang, two-stage top-k by happy then excited."""
+    d = t(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    scores = emotion_score_cols("text")
+    scored = d.select(
+        "doc_id", *[scores[e].alias(e) for e in EMOTIONS]
+    )
+    return two_stage_topk(
+        scored, "happy", "excited", k1=50, k2=5, tiebreak="doc_id"
+    ).select("doc_id", "happy", "excited")
+
+
+TEXT_FILTER_TOPK_SQL = f"""
+WITH scored AS (
+  SELECT doc_id,
+         {_EMO_SELECT}
+  FROM documents WHERE lang = 'en'
+)
+SELECT doc_id, happy, excited
+FROM (SELECT * FROM scored ORDER BY happy DESC, doc_id ASC LIMIT 50)
+ORDER BY excited DESC, doc_id ASC
+LIMIT 5
+"""
+
+
+QUERIES: dict[str, Q] = {
+    "text_emotion_scores": Q(text_emotion_scores, TEXT_EMOTION_SQL),
+    "text_top2_emotions": Q(text_top2_emotions, TEXT_TOP2_SQL),
+    "text_quality_scores": Q(text_quality_scores, TEXT_QUALITY_SQL),
+    "text_emotion_by_source": Q(text_emotion_by_source, TEXT_EMO_SOURCE_SQL),
+    "text_filter_topk": Q(text_filter_topk, TEXT_FILTER_TOPK_SQL),
+    "dedup_exact_stats": Q(dedup_exact_stats, DEDUP_EXACT_SQL),
+    "dedup_minhash_signatures": Q(dedup_minhash_signatures, DEDUP_MINHASH_SQL),
+    "dedup_minhash_lsh_candidates": Q(
+        dedup_minhash_lsh_candidates, DEDUP_LSH_SQL
+    ),
+    "dedup_ngram_jaccard": Q(dedup_ngram_jaccard, DEDUP_JACCARD_SQL),
+    "dedup_simhash": Q(dedup_simhash, DEDUP_SIMHASH_SQL),
+}

@@ -1,0 +1,88 @@
+"""Similarity-search query family over the embeddings table.
+
+Brute-force kNN is the exactness baseline (full DuckDB oracle); the LSH
+variant is the scale path (approximate → rows-only oracle; recall is
+property-tested in tests/test_similarity.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rick_and_morty_data_pipeline_project_spark.functions.vectors import (
+    cosine_sql,
+    dot_sql,
+    norm2_col,
+)
+from rick_and_morty_data_pipeline_project_spark.operators.similarity import (
+    knn_bruteforce,
+    knn_lsh,
+    label_centroids,
+)
+from rick_and_morty_data_pipeline_project_spark.queries._util import Q, t
+
+
+def embedding_norms(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        "label",
+        F.round(norm2_col(F.col("embedding")), 6).alias("l2_norm"),
+    )
+
+
+NORMS_SQL = f"""
+SELECT vec_id, label, round(sqrt({dot_sql("embedding", "embedding")}), 6) AS l2_norm
+FROM embeddings
+"""
+
+
+def knn_cosine_bruteforce(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    return knn_bruteforce(queries, e, k=5)
+
+
+KNN_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         round({cosine_sql("q.qv", "c.embedding")}, 6) AS cosine
+  FROM q, embeddings c
+  WHERE q.query_id <> c.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+"""
+
+
+def knn_cosine_lsh(spark, sf_dir):
+    """Approximate kNN via random-hyperplane bucketing (rows-only oracle:
+    the frozen hyperplanes are engine-side constants)."""
+    e = t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    return knn_lsh(queries, e, k=5, dim=64, n_planes=6)
+
+
+def embedding_label_centroids(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    return label_centroids(e)
+
+
+CENTROIDS_SQL = """
+SELECT label, idx.i - 1 AS pos, round(AVG(embedding[idx.i]::DOUBLE), 6) AS centroid
+FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) idx
+GROUP BY 1, 2
+"""
+
+
+QUERIES: dict[str, Q] = {
+    "embedding_norms": Q(embedding_norms, NORMS_SQL),
+    "knn_cosine_bruteforce": Q(knn_cosine_bruteforce, KNN_SQL),
+    "knn_cosine_lsh": Q(knn_cosine_lsh, None),
+    "embedding_label_centroids": Q(embedding_label_centroids, CENTROIDS_SQL),
+}

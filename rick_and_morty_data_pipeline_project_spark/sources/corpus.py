@@ -1,0 +1,55 @@
+"""Loaders for the driver's TPC-H-ish parquet corpus (TESTDATA.md).
+
+The reference's sources are HTTP scrapes + a SQLite file (SURVEY.md §2.1
+SRC-1..9); the engine's canonical source is columnar parquet read through
+the DataFrame reader so Catalyst gets predicate pushdown, column pruning,
+and partition pruning for free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# Dimensions small enough to broadcast at any scale factor.
+BROADCAST_DIMS = {"region", "nation"}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
+        # reader rejects; read nanos as long and truncate to micros —
+        # the same value DuckDB produces for its micro-resolution type.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts", F.expr("timestamp_micros(ts div 1000)")
+            )
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, tables: list[str] | None = None
+) -> dict[str, DataFrame]:
+    """Register each corpus table as a temp view; returns the DataFrames."""
+    out: dict[str, DataFrame] = {}
+    for t in tables or TABLES:
+        df = load_table(spark, sf_dir, t)
+        df.createOrReplaceTempView(t)
+        out[t] = df
+    return out
