@@ -1,0 +1,69 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Each query is forced to full materialization with the noop sink (no
+driver collect cost, no skipped stages). First query pays JVM/session
+warmup; a warmup pass runs a trivial job first so per-query numbers
+reflect execution, not startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from rick_and_morty_data_pipeline_project_spark.queries.catalog import QUERIES
+from rick_and_morty_data_pipeline_project_spark.session import get_spark
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_unshipped_orders",
+    "q5_nation_volume",
+    "win_rank_top_orders_per_customer",
+    "topk_two_stage_parts",
+    "events_hourly_rollup",
+    "text_emotion_scores",
+    "dedup_exact_stats",
+    "dedup_minhash_signatures",
+    "knn_cosine_bruteforce",
+    "flagship_best_match_with_replacement",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warmup: JVM + parquet footer reads, excluded from timings.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name].fn
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -88,32 +88,51 @@ def knn_lsh(
     k: int = 5,
     dim: int = 64,
     n_planes: int = 8,
+    n_tables: int = 3,
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's LSH bucket.
+    """Approximate top-k: candidates restricted to LSH bucket collisions.
 
-    With n_planes=8 the corpus splits into ≤256 buckets; the join is on
-    the bucket key, so the pair count is Σ|bucket|² rather than n².
+    OR-amplification across ``n_tables`` independent hash tables (each
+    ``n_planes`` hyperplanes): a candidate qualifies if it collides in
+    ANY table, which is the standard recall/cost dial.  Each row emits
+    n_tables (table, bucket) keys; the join is on the composite key, so
+    pair count is Σ_tables Σ_buckets |bucket|² — still far from n².
     """
-    planes = _hyperplanes(dim, n_planes, seed)
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("_qv"),
-        lsh_bucket_col(F.col(vec_col), planes).alias("bucket"),
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("_cv"),
-        lsh_bucket_col(F.col(vec_col), planes).alias("bucket"),
-    )
-    scored = (
+    tables = [
+        _hyperplanes(dim, n_planes, seed + 1000 * ti)
+        for ti in range(n_tables)
+    ]
+
+    def with_buckets(df: DataFrame, out_id: str) -> DataFrame:
+        keys = F.array(
+            *[
+                F.concat_ws(
+                    "#", F.lit(str(ti)), lsh_bucket_col(F.col(vec_col), planes)
+                )
+                for ti, planes in enumerate(tables)
+            ]
+        )
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.col(vec_col).alias(f"_{out_id}_v"),
+            F.explode(keys).alias("bucket"),
+        )
+
+    q = with_buckets(queries, "query_id")
+    c = with_buckets(corpus, "neighbor_id")
+    cand = (
         q.join(c, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine_col(F.col("_qv"), F.col("_cv")), 6).alias("cosine"),
-        )
+        .select("query_id", "neighbor_id", "_query_id_v", "_neighbor_id_v")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            cosine_col(F.col("_query_id_v"), F.col("_neighbor_id_v")), 6
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")

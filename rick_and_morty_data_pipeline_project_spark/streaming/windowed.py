@@ -1,0 +1,66 @@
+"""Structured Streaming operators.
+
+The reference has no streaming (SURVEY.md §2.8); this is the engine's
+forward-looking surface for incremental pipelines: the same events
+rollup as the batch query, expressed as a watermarked tumbling-window
+streaming aggregation.  File-source + Trigger.AvailableNow makes it
+testable on the static corpus while remaining a genuine streaming plan
+(StateStore-backed aggregation, late-data handling via watermark).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def stream_events_hourly(
+    spark: SparkSession,
+    sf_dir: str,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming tumbling 1-hour rollup of events with late-data bound.
+
+    Returns an unstarted streaming DataFrame; callers attach a sink
+    (memory sink in tests, a parquet/kafka sink in production) and a
+    trigger.  State size is bounded by the watermark: windows older
+    than (max event time − watermark) are finalized and evicted.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # the file stream source requires a directory; filter to the events
+    # table inside the corpus dir
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    events = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_available_now(df: DataFrame, query_name: str) -> None:
+    """Drain all available input into a memory sink (test/backfill mode)."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,122 @@
+"""Behavioral tests for dedup + similarity on crafted fixtures: the
+sf corpus has no real near-duplicates, so recall properties are
+exercised on synthetic ones here."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from rick_and_morty_data_pipeline_project_spark.operators.dedup import (
+    exact_dedup_keep_first,
+    exact_dedup_stats,
+    minhash_lsh_pairs,
+    simhash16,
+)
+from rick_and_morty_data_pipeline_project_spark.operators.similarity import (
+    knn_bruteforce,
+    knn_lsh,
+)
+
+
+def _near_dup_corpus(spark):
+    """60 docs: 20 bases, each with 2 near-identical variants (one token
+    changed) — near-dups share ~90% of shingles."""
+    rng = random.Random(7)
+    vocab = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    rows = []
+    doc_id = 0
+    for _ in range(20):
+        base = [rng.choice(vocab) for _ in range(30)]
+        for variant in range(3):
+            toks = list(base)
+            if variant:
+                toks[rng.randrange(30)] = rng.choice(vocab)
+            rows.append((doc_id, " ".join(toks)))
+            doc_id += 1
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a  b c "), (3, "A b C"), (4, "x y z")],
+        "doc_id long, text string",
+    )
+    stats = {
+        r["keeper_id"]: r["dup_count"]
+        for r in exact_dedup_stats(df, "doc_id", "text").collect()
+    }
+    # whitespace-collapse + lowercase ⇒ docs 1,2,3 are one group
+    assert stats == {1: 3, 4: 1}
+    kept = sorted(
+        r["doc_id"] for r in exact_dedup_keep_first(df, "doc_id", "text").collect()
+    )
+    assert kept == [1, 4]
+
+
+def test_minhash_lsh_recall(spark):
+    df = _near_dup_corpus(spark)
+    pairs = minhash_lsh_pairs(
+        df, "doc_id", "text", num_hashes=8, band_size=2
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    # every (base, variant) pair within a triple is a true near-dup;
+    # banded LSH with 4 bands should recover most of them
+    true_pairs = set()
+    for g in range(20):
+        ids = [3 * g, 3 * g + 1, 3 * g + 2]
+        true_pairs.update(
+            (a, b) for i, a in enumerate(ids) for b in ids[i + 1:]
+        )
+    recall = len(found & true_pairs) / len(true_pairs)
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
+    # jaccard estimates for true near-dups should be high
+    ests = [r["jaccard_est"] for r in pairs if (r["id_a"], r["id_b"]) in true_pairs]
+    assert ests and sum(ests) / len(ests) >= 0.5
+
+
+def test_simhash_near_dups_close(spark):
+    df = _near_dup_corpus(spark)
+    sh = {r["doc_id"]: r["simhash"] for r in simhash16(df, "doc_id", "text").collect()}
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    near = [hamming(sh[3 * g], sh[3 * g + 1]) for g in range(20)]
+    rng = random.Random(3)
+    far = [
+        hamming(sh[rng.randrange(60)], sh[rng.randrange(60)])
+        for _ in range(50)
+    ]
+    assert sum(near) / len(near) < sum(far) / len(far), (near, far)
+
+
+def test_knn_lsh_recall_vs_bruteforce(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = knn_bruteforce(queries, emb, k=10).collect()
+    approx = knn_lsh(queries, emb, k=10, dim=64, n_planes=4).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    # 4 planes ⇒ 16 buckets over 500 vecs; partial recall is expected,
+    # zero recall would mean the bucketing is broken
+    assert sum(recalls) / len(recalls) > 0.15, recalls
+
+
+def test_knn_bruteforce_self_consistency(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") == 0)
+    top = knn_bruteforce(q, emb, k=3).collect()
+    assert len(top) == 3
+    assert [r["rank"] for r in top] == [1, 2, 3]
+    assert top[0]["cosine"] >= top[1]["cosine"] >= top[2]["cosine"]
+    assert all(r["neighbor_id"] != 0 for r in top)

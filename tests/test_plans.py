@@ -1,0 +1,74 @@
+"""Physical-plan assertions — the properties that matter at 100 TB.
+
+A correct result with the wrong plan fails these tests: filters must
+reach the parquet scan, projections must prune the read schema, dims
+must broadcast, top-k must be TakeOrderedAndProject (not a global sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rick_and_morty_data_pipeline_project_spark.plans.explain_utils import (
+    formatted_plan,
+    has_broadcast_join,
+    has_take_ordered,
+    pushed_filters,
+    read_schemas,
+)
+from rick_and_morty_data_pipeline_project_spark.queries.catalog import QUERIES
+from tests.conftest import SF_SMALL
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    df = QUERIES["q2_scan_filter_project"].fn(spark, SF_SMALL)
+    pushed = pushed_filters(df)
+    assert pushed, "no PushedFilters in plan"
+    joined = ";".join(pushed)
+    assert "l_shipdate" in joined and "l_discount" in joined, joined
+
+
+def test_column_pruning(spark):
+    df = QUERIES["q2_scan_filter_project"].fn(spark, SF_SMALL)
+    schemas = read_schemas(df)
+    assert schemas, "no ReadSchema in plan"
+    # 11-column lineitem must be read as only the 5 referenced columns
+    assert all(s.count(":") <= 6 for s in schemas), schemas
+    assert "l_extendedprice" not in schemas[0], schemas
+
+
+def test_dim_joins_broadcast(spark):
+    df = QUERIES["q5_nation_volume"].fn(spark, SF_SMALL)
+    assert has_broadcast_join(df)
+
+
+def test_two_stage_topk_is_heap_topk(spark):
+    df = QUERIES["topk_two_stage_parts"].fn(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    # neither stage should degenerate into a global Sort + Exchange
+    assert plan.count("TakeOrderedAndProject") >= 2, plan
+
+
+def test_sort_limit_is_heap_topk(spark):
+    df = QUERIES["sort_limit_top_orders"].fn(spark, SF_SMALL)
+    assert has_take_ordered(df)
+
+
+def test_point_filter_prunes_everything(spark):
+    lineitem = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+    df = lineitem.filter(F.col("l_orderkey") == 1).select("l_quantity")
+    pushed = ";".join(pushed_filters(df))
+    assert "l_orderkey" in pushed
+    schemas = read_schemas(df)
+    assert "l_quantity" in schemas[0]
+    assert "l_shipdate" not in schemas[0]
+
+
+def test_text_scorer_stays_jvm_side(spark):
+    """The emotion scorer must not appear as a Python UDF node — it is
+    built-in higher-order functions, codegen-eligible."""
+    df = QUERIES["text_emotion_scores"].fn(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
