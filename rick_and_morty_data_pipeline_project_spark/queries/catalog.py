@@ -10,6 +10,7 @@ rows-only check and are covered by Python oracles in tests/.
 from __future__ import annotations
 
 from rick_and_morty_data_pipeline_project_spark.queries import (
+    extraq,
     reference,
     textq,
     tpch,
@@ -18,7 +19,7 @@ from rick_and_morty_data_pipeline_project_spark.queries import (
 from rick_and_morty_data_pipeline_project_spark.queries._util import Q
 
 QUERIES: dict[str, Q] = {}
-for mod in (tpch, textq, vecq, reference):
+for mod in (tpch, textq, vecq, extraq, reference):
     for name, q in mod.QUERIES.items():
         assert name not in QUERIES, f"duplicate query name: {name}"
         QUERIES[name] = q

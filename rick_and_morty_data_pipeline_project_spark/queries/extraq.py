@@ -1,0 +1,316 @@
+"""Extended operator coverage: language ID, rolling-hash fingerprints,
+regex/null/conditional scalars, pivot, join-on-expression, embedding
+cosine near-dup, array functions.
+
+Same parity discipline as the rest of the catalog: md5/lexicon/integer
+arithmetic where possible, round(…, 6..9) where genuinely float.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rick_and_morty_data_pipeline_project_spark.functions.vectors import (
+    cosine_col,
+    cosine_sql,
+)
+from rick_and_morty_data_pipeline_project_spark.queries._util import Q, dec, t
+
+# Frozen marker-word → language assignment (md5('lang:'+word) % 5 over the
+# corpus vocabulary), mirroring the emotion lexicon design: a deterministic,
+# SQL-expressible n-gram/stopword language-ID heuristic.
+LANG_MARKERS: dict[str, list[str]] = {
+    "de": ["a", "agg", "big", "data", "filter", "group", "merge", "query", "row"],
+    "en": ["customer", "hash", "join", "table", "value"],
+    "es": ["dup", "line", "slow", "the"],
+    "fr": ["order", "part", "scan", "sort", "spark", "window"],
+    "zh": ["batch", "column", "fast", "key", "small", "stream", "vector"],
+}
+LANGS = sorted(LANG_MARKERS)
+
+
+# --------------------------------------------------------------------------
+def text_language_id(spark, sf_dir):
+    """Marker-word-vote language ID: argmax of per-language marker hits,
+    ties broken by language code asc; compared against the labeled lang."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    votes = F.sort_array(
+        F.array(
+            *[
+                F.struct(
+                    (-F.size(
+                        F.filter(toks, lambda x: x.isin(LANG_MARKERS[lg]))  # noqa: B023
+                    )).alias("neg"),
+                    F.lit(lg).alias("lg"),
+                )
+                for lg in LANGS
+            ]
+        )
+    )
+    guess = votes[0]["lg"]
+    return d.select(
+        "doc_id",
+        "lang",
+        guess.alias("lang_guess"),
+        (guess == F.col("lang")).cast("int").alias("agrees"),
+    )
+
+
+_LANG_UNPIVOT = " UNION ALL ".join(
+    "SELECT doc_id, '{lg}' AS lg, len(list_filter(string_split(text, ' '), "
+    "t -> t IN ({ws}))) AS hits FROM documents".format(
+        lg=lg, ws=", ".join(f"'{w}'" for w in LANG_MARKERS[lg])
+    )
+    for lg in LANGS
+)
+TEXT_LANGID_SQL = f"""
+WITH unp AS ({_LANG_UNPIVOT}),
+ranked AS (
+  SELECT doc_id, lg,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hits DESC, lg ASC) AS rn
+  FROM unp
+),
+guesses AS (SELECT doc_id, lg AS lang_guess FROM ranked WHERE rn = 1)
+SELECT d.doc_id, d.lang, g.lang_guess,
+       CASE WHEN g.lang_guess = d.lang THEN 1 ELSE 0 END AS agrees
+FROM documents d JOIN guesses g ON d.doc_id = g.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+def text_rolling_fingerprint(spark, sf_dir):
+    """Polynomial rolling hash (h = h*31 + codepoint mod 2^31-1) over the
+    normalized text — the classic streaming document fingerprint, as a
+    single JVM-side left fold."""
+    d = t(spark, sf_dir, "documents")
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), "\\s+", " "))
+    h = F.aggregate(
+        F.split(norm, ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + F.ascii(c)) % 2147483647,
+    )
+    return d.select("doc_id", h.alias("rolling_hash"))
+
+
+TEXT_ROLLING_SQL = """
+SELECT doc_id,
+       list_reduce(
+         list_prepend(0::BIGINT,
+           list_transform(string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ''),
+                          c -> ascii(c)::BIGINT)),
+         (acc, c) -> (acc * 31 + c) % 2147483647) AS rolling_hash
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+def scalar_regex_functions(spark, sf_dir):
+    """regexp_extract / regexp_replace / rlike over part type strings."""
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_type", "^(\\w+)", 1).alias("type_first_word"),
+        F.regexp_extract("p_name", "(\\d+)", 1).alias("name_digits"),
+        F.regexp_replace("p_type", "[aeiou]", "_").alias("devoweled"),
+        F.col("p_type").rlike("ED$").cast("int").alias("ends_ed"),
+    )
+
+
+SCALAR_REGEX_SQL = """
+SELECT p_partkey,
+       regexp_extract(p_type, '^(\\w+)', 1) AS type_first_word,
+       regexp_extract(p_name, '(\\d+)', 1) AS name_digits,
+       regexp_replace(p_type, '[aeiou]', '_', 'g') AS devoweled,
+       CASE WHEN regexp_matches(p_type, 'ED$') THEN 1 ELSE 0 END AS ends_ed
+FROM part
+"""
+
+
+# --------------------------------------------------------------------------
+def scalar_null_conditional(spark, sf_dir):
+    """NULL handling + CASE: nullif/coalesce/isnull over order priorities."""
+    o = t(spark, sf_dir, "orders")
+    urgent = F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT"))
+    return o.select(
+        "o_orderkey",
+        F.coalesce(urgent, F.lit("URGENT!")).alias("priority_display"),
+        urgent.isNull().cast("int").alias("is_urgent"),
+        F.when(F.col("o_totalprice") > 200000, "big")
+        .when(F.col("o_totalprice") > 100000, "medium")
+        .otherwise("small")
+        .alias("size_class"),
+    )
+
+
+SCALAR_NULL_SQL = """
+SELECT o_orderkey,
+       COALESCE(NULLIF(o_orderpriority, '1-URGENT'), 'URGENT!') AS priority_display,
+       CASE WHEN NULLIF(o_orderpriority, '1-URGENT') IS NULL THEN 1 ELSE 0 END AS is_urgent,
+       CASE WHEN o_totalprice > 200000 THEN 'big'
+            WHEN o_totalprice > 100000 THEN 'medium'
+            ELSE 'small' END AS size_class
+FROM orders
+"""
+
+
+# --------------------------------------------------------------------------
+def pivot_event_type_by_day(spark, sf_dir):
+    """groupBy().pivot(): event counts per day × event type."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"))
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+
+
+PIVOT_SQL = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       COALESCE(COUNT(CASE WHEN event_type = 'click' THEN 1 END), 0) AS click,
+       COALESCE(COUNT(CASE WHEN event_type = 'view' THEN 1 END), 0) AS view,
+       COALESCE(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS purchase,
+       COALESCE(COUNT(CASE WHEN event_type = 'signup' THEN 1 END), 0) AS signup,
+       COALESCE(COUNT(CASE WHEN event_type = 'error' THEN 1 END), 0) AS error
+FROM events
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+def join_on_expression(spark, sf_dir):
+    """JOIN-5 shape (Scraper.py:405): equi-join on a *computed* key
+    (case-normalized name), an inner join dropping non-matches."""
+    n = t(spark, sf_dir, "nation").select(
+        "n_nationkey", F.lower("n_name").alias("nation_lc")
+    )
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    cn = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+        "c_custkey", "nation_lc"
+    )
+    sn = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey", "nation_lc"
+    )
+    return (
+        cn.join(sn, "nation_lc")
+        .groupBy("nation_lc")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+JOIN_EXPR_SQL = """
+WITH cn AS (
+  SELECT c_custkey, lower(n_name) AS nation_lc
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+),
+sn AS (
+  SELECT s_suppkey, lower(n_name) AS nation_lc
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+)
+SELECT cn.nation_lc AS nation_lc, COUNT(*) AS n_pairs
+FROM cn JOIN sn ON cn.nation_lc = sn.nation_lc
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs: same-label blocking, then
+    pairwise cosine ≥ threshold.  At scale the blocking key is an LSH
+    bucket (see operators/similarity.knn_lsh); label blocking keeps the
+    oracle exact."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").alias("v")
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    cos = F.round(cosine_col(F.col("a.v"), F.col("b.v")), 6)
+    return (
+        a.join(b, "label")
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            "label",
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.2)
+    )
+
+
+DEDUP_COSINE_SQL = f"""
+SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
+       round({cosine_sql("a.embedding", "b.embedding")}, 6) AS cosine
+FROM embeddings a
+JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round({cosine_sql("a.embedding", "b.embedding")}, 6) >= 0.2
+"""
+
+
+# --------------------------------------------------------------------------
+def array_functions(spark, sf_dir):
+    """Array surface: split/slice/sort/distinct/contains/join/size."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_toks"),
+        F.array_join(F.slice(toks, 1, 5), "-").alias("first5"),
+        F.array_join(F.sort_array(F.array_distinct(toks)), ",").alias(
+            "sorted_vocab"
+        ),
+        F.array_contains(toks, "spark").cast("int").alias("mentions_spark"),
+        F.element_at(toks, -1).alias("last_tok"),
+    )
+
+
+ARRAY_FN_SQL = """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_toks,
+       array_to_string(string_split(text, ' ')[1:5], '-') AS first5,
+       array_to_string(list_sort(list_distinct(string_split(text, ' '))), ',') AS sorted_vocab,
+       CASE WHEN list_contains(string_split(text, ' '), 'spark') THEN 1 ELSE 0 END AS mentions_spark,
+       string_split(text, ' ')[-1] AS last_tok
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+def agg_macro_avg_rounded(spark, sf_dir):
+    """Macro-average of a float column (AGG-1's literal shape): avg of
+    per-doc happy ratios per lang, rounded to absorb summation-order
+    float noise between engines."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    happy = F.size(F.filter(toks, lambda x: x.isin(["customer", "line"]))) / F.size(
+        toks
+    )
+    return (
+        d.select("lang", happy.alias("h"))
+        .groupBy("lang")
+        .agg(F.round(F.avg("h"), 9).alias("happy_macro_avg"))
+    )
+
+
+AGG_MACRO_SQL = """
+SELECT lang,
+       round(AVG(len(list_filter(string_split(text, ' '), t -> t IN ('customer', 'line')))
+                 / len(string_split(text, ' '))), 9) AS happy_macro_avg
+FROM documents
+GROUP BY lang
+"""
+
+
+QUERIES: dict[str, Q] = {
+    "text_language_id": Q(text_language_id, TEXT_LANGID_SQL),
+    "text_rolling_fingerprint": Q(text_rolling_fingerprint, TEXT_ROLLING_SQL),
+    "scalar_regex_functions": Q(scalar_regex_functions, SCALAR_REGEX_SQL),
+    "scalar_null_conditional": Q(scalar_null_conditional, SCALAR_NULL_SQL),
+    "pivot_event_type_by_day": Q(pivot_event_type_by_day, PIVOT_SQL),
+    "join_on_expression": Q(join_on_expression, JOIN_EXPR_SQL),
+    "dedup_embedding_cosine": Q(dedup_embedding_cosine, DEDUP_COSINE_SQL),
+    "array_functions": Q(array_functions, ARRAY_FN_SQL),
+    "agg_macro_avg_rounded": Q(agg_macro_avg_rounded, AGG_MACRO_SQL),
+}
