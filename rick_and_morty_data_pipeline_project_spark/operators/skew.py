@@ -1,0 +1,41 @@
+"""Skew-aware join: salting for hot keys.
+
+AQE's skew-join splitting (enabled in session.py) handles most skew at
+runtime by splitting oversized shuffle partitions; manual salting is the
+explicit fallback when one join key dominates so heavily that even a
+split partition's *single key* exceeds an executor (the classic
+power-law user_id / null-key case at 100 TB).
+
+Mechanics: the skewed (large) side gets a deterministic salt in
+[0, n_salts) appended to the key; the other side is replicated once per
+salt value.  The shuffle then spreads each hot key over n_salts
+reducers.  Replication cost is |small side| × n_salts, so n_salts is a
+dial between skew relief and duplication.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    key: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join ``skewed ⋈ other`` on ``key`` with salt-spread shuffle.
+
+    Deterministic: the salt is a hash of the skewed side's full row
+    (xxhash64 of all columns), not rand(), so replays/retries produce
+    identical partitioning.  Result is exactly ``skewed.join(other,
+    key, how)`` — verified in tests/test_skew.py.
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(n_salts))
+    left = skewed.withColumn("_salt", salt)
+    right = other.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return left.join(right, [key, "_salt"], how).drop("_salt")

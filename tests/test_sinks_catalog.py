@@ -1,0 +1,81 @@
+"""Sink/source coverage beyond parquet scans: CSV round-trip (SNK-3/
+SRC-9), partitioned parquet writes with partition pruning (SNK-1 at
+scale), catalog introspection (SRC-8), and streaming sessionization."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from rick_and_morty_data_pipeline_project_spark.plans.explain_utils import (
+    formatted_plan,
+)
+from rick_and_morty_data_pipeline_project_spark.sources.corpus import (
+    register_views,
+)
+from rick_and_morty_data_pipeline_project_spark.streaming.stateful import (
+    sessionize_builtin,
+)
+from tests.conftest import SF_SMALL
+
+
+def test_csv_round_trip(spark):
+    """SNK-3 (to_csv, Scraper.py:369-371) + SRC-9 (manual header-skip
+    read, Scraper.py:394-399) → header-aware distributed CSV I/O."""
+    df = spark.read.parquet(f"{SF_SMALL}/nation.parquet")
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").csv(f"{d}/nation_csv", header=True)
+        back = spark.read.csv(f"{d}/nation_csv", header=True, inferSchema=True)
+        assert back.count() == df.count()
+        assert set(back.columns) == set(df.columns)
+        a = {tuple(r) for r in df.collect()}
+        b = {tuple(r) for r in back.collect()}
+        assert a == b
+
+
+def test_partitioned_write_prunes(spark):
+    """Hive-style partitioned layout: a filter on the partition column
+    must prune directories (PartitionFilters), not scan everything."""
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+    with tempfile.TemporaryDirectory() as d:
+        li.write.mode("overwrite").partitionBy("l_returnflag").parquet(
+            f"{d}/li"
+        )
+        back = spark.read.parquet(f"{d}/li")
+        q = back.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+        plan = formatted_plan(q)
+        assert "PartitionFilters" in plan
+        assert "l_returnflag" in plan.split("PartitionFilters", 1)[1][:200]
+        want = li.filter(F.col("l_returnflag") == "R").count()
+        assert q.count() == want
+
+
+def test_catalog_introspection(spark):
+    """SRC-8 (sqlite_master listing, Scraper.py:445-449)."""
+    register_views(spark, SF_SMALL)
+    names = {t.name for t in spark.catalog.listTables()}
+    assert {"lineitem", "orders", "documents", "embeddings"} <= names
+    cols = {f.name for f in spark.catalog.listColumns("lineitem")}
+    assert "l_orderkey" in cols
+
+
+def test_sessionize_builtin_batch(spark):
+    """Gap-based sessions over the events table (batch form of the
+    streaming operator): session bounds must cover their events and
+    per-user event counts must be conserved."""
+    from rick_and_morty_data_pipeline_project_spark.sources.corpus import load_table
+
+    events = load_table(spark, SF_SMALL, "events")
+    sessions = sessionize_builtin(events, gap="30 minutes")
+    rows = sessions.collect()
+    assert rows
+    total = sum(r["n_events"] for r in rows)
+    assert total == events.count()
+    by_user = events.groupBy("user_id").count().collect()
+    per_user_sessions = {}
+    for r in rows:
+        per_user_sessions.setdefault(r["user_id"], 0)
+        per_user_sessions[r["user_id"]] += r["n_events"]
+    for r in by_user:
+        assert per_user_sessions[r["user_id"]] == r["count"]

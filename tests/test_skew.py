@@ -1,0 +1,46 @@
+"""Salted-join correctness: identical results to the plain join on a
+heavily skewed key distribution."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rick_and_morty_data_pipeline_project_spark.operators.skew import salted_join
+
+
+def _skewed_frames(spark):
+    # 10k rows, 90% on key 1 (power-law hot key)
+    left = spark.range(10_000).select(
+        F.when(F.col("id") % 10 < 9, 1).otherwise(F.col("id") % 100).alias("k"),
+        F.col("id").alias("left_id"),
+    )
+    right = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("right_val")
+    )
+    return left, right
+
+
+def test_salted_join_matches_plain_join(spark):
+    left, right = _skewed_frames(spark)
+    plain = left.join(right, "k").select("k", "left_id", "right_val")
+    salted = salted_join(left, right, "k", n_salts=8).select(
+        "k", "left_id", "right_val"
+    )
+    assert plain.count() == salted.count()
+    assert plain.exceptAll(salted).count() == 0
+    assert salted.exceptAll(plain).count() == 0
+
+
+def test_salt_actually_spreads_hot_key(spark):
+    left, _ = _skewed_frames(spark)
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(8))
+    dist = (
+        left.filter(F.col("k") == 1)
+        .withColumn("_salt", salt)
+        .groupBy("_salt")
+        .count()
+        .collect()
+    )
+    assert len(dist) == 8, "hot key must spread over all salts"
+    counts = [r["count"] for r in dist]
+    assert max(counts) < sum(counts) * 0.5, counts
