@@ -77,30 +77,65 @@ def fingerprint_col(text: Column) -> Column:
     return F.md5(F.lower(F.regexp_replace(F.trim(text), "\\s+", " ")))
 
 
-def shingles_col(text: Column, k: int = 3) -> Column:
-    """Token k-gram shingles (array<string>); empty-safe for short docs."""
-    toks = F.split(text, " ")
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokens.  Materialize this as its own projection
+    (``df.select(..., tokens_col(text).alias("_tk"))``) before building
+    shingles: a plain column reference is cheap to re-reference, whereas
+    inlining the split expression into a lambda re-runs the regexp per
+    element access (measured 8× slower at sf0.1)."""
+    return F.split(text, " ")
+
+
+def shingles_from_tokens(toks: Column, k: int = 3) -> Column:
+    """Token k-gram shingles from a (materialized) token array;
+    empty-safe for short docs.  Uses ``slice`` (one array reference per
+    shingle) rather than k ``element_at`` calls."""
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(-1)))
     return F.when(n >= k, F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)]
-        ),
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))
     )).otherwise(F.array(F.concat_ws(" ", toks)))
 
 
-def minhash_col(shingles: Column, seed: int) -> Column:
-    """One MinHash component: lexicographic min of md5(shingle || ':' || seed).
+def shingles_col(text: Column, k: int = 3) -> Column:
+    """Token k-gram shingles (array<string>); empty-safe for short docs.
 
-    md5-based so the DuckDB oracle computes the identical signature —
-    engine-native hashes (xxhash64 vs duckdb hash) would diverge."""
-    return F.array_min(
-        F.transform(shingles, lambda s: F.md5(F.concat(s, F.lit(f":{seed}"))))
+    NOTE: prefer ``tokens_col`` + ``shingles_from_tokens`` across a
+    projection boundary in hot paths — see ``tokens_col``."""
+    return shingles_from_tokens(tokens_col(text), k)
+
+
+def shingle_hashes_col(shingles: Column, num_hashes: int = 8) -> Column:
+    """Per-shingle hash material: ceil(num_hashes/4) md5 digests per
+    shingle, concatenated (each 128-bit digest yields four 32-bit /
+    8-hex-char MinHash components).  One array pass computes ALL the
+    hash material — vs. one md5 per (shingle, component), an O(k)
+    reduction in hashing.  md5-based so the DuckDB oracle reproduces
+    the bytes exactly (engine-native xxhash64 vs duckdb hash diverge)."""
+    n_digests = (num_hashes + 3) // 4
+    return F.transform(
+        shingles,
+        lambda s: F.concat(
+            *[F.md5(s if d == 0 else F.concat(s, F.lit("#" * d))) for d in range(n_digests)]
+        ),
     )
+
+
+def minhash_components(hashes: Column, num_hashes: int = 8) -> list[Column]:
+    """MinHash component i = min over shingles of hex slice
+    [8i, 8i+8) of the per-shingle digest material.  Lexicographic min
+    of fixed-width hex == numeric min of the 32-bit value, so plain
+    ``array_min`` on strings is correct."""
+    def slice_min(off: int) -> Column:
+        # NB: the lambda must take exactly one parameter — pyspark
+        # binds a second parameter to the element INDEX, so a default
+        # arg (lambda m, o=off: ...) would silently be clobbered.
+        return F.array_min(F.transform(hashes, lambda m: F.substring(m, off, 8)))
+
+    return [slice_min(8 * i + 1) for i in range(num_hashes)]
 
 
 def minhash_signature_col(text: Column, num_hashes: int = 8, k: int = 3) -> Column:
     """array<string> MinHash signature of token-k-gram shingles."""
-    sh = F.array_distinct(shingles_col(text, k))
-    return F.array(*[minhash_col(sh, i) for i in range(num_hashes)])
+    h = shingle_hashes_col(shingles_col(text, k), num_hashes)
+    return F.array(*minhash_components(h, num_hashes))

@@ -61,31 +61,34 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, sig array<string>) MinHash signatures over token shingles.
 
-    Shape: explode shingles → hash each once per seed → per-doc min
-    aggregate.  The min-aggregate is map-side combinable, so the shuffle
-    carries num_hashes values per doc regardless of document length —
-    the scalable layout (vs. computing the shingle array expression
-    once per hash component, which duplicates the shingle work 8×;
-    measured 15× slower at sf0.1).  Duplicate shingles don't need a
-    distinct pass: they can't change a min.
+    Shape: entirely per-row (narrow) — one array pass computes the
+    md5 hash material for ALL components (``shingle_hashes_col``),
+    then each component is an ``array_min`` over a cheap hex slice.
+    NO shuffle at all: at 100 TB this is a pure map stage, strictly
+    better than the explode → groupBy(min) layout (which shuffles one
+    row per doc) and ~4× less hashing than one md5 per
+    (shingle, component).  Duplicate shingles don't need a distinct
+    pass: they can't change a min.
     """
-    from rick_and_morty_data_pipeline_project_spark.functions.textfns import shingles_col
+    from rick_and_morty_data_pipeline_project_spark.functions.textfns import (
+        minhash_components,
+        shingle_hashes_col,
+        shingles_from_tokens,
+        tokens_col,
+    )
 
-    ex = df.select(
-        F.col(id_col),
-        F.explode(shingles_col(F.col(text_col), shingle_k)).alias("_sh"),
+    # Staged projections: each alias is multi-referenced downstream so
+    # CollapseProject keeps the boundary and each stage runs once.
+    toked = df.select(F.col(id_col), tokens_col(F.col(text_col)).alias("_tk"))
+    shingled = toked.select(
+        F.col(id_col), shingles_from_tokens(F.col("_tk"), shingle_k).alias("_sh")
     )
-    sig = ex.groupBy(id_col).agg(
-        *[
-            F.min(F.md5(F.concat(F.col("_sh"), F.lit(f":{i}")))).alias(
-                f"_mh{i}"
-            )
-            for i in range(num_hashes)
-        ]
+    hashed = shingled.select(
+        F.col(id_col), shingle_hashes_col(F.col("_sh"), num_hashes).alias("_h")
     )
-    return sig.select(
+    return hashed.select(
         F.col(id_col),
-        F.array(*[F.col(f"_mh{i}") for i in range(num_hashes)]).alias("sig"),
+        F.array(*minhash_components(F.col("_h"), num_hashes)).alias("sig"),
     )
 
 
@@ -118,25 +121,23 @@ def minhash_lsh_pairs(
     banded = sigs.select(id_col, "sig", F.explode(F.array(*band_cols)).alias("band"))
     a = banded.alias("a")
     b = banded.alias("b")
-    pairs = (
+    agree = F.size(
+        F.filter(
+            F.zip_with("a.sig", "b.sig", lambda x, y: x == y),
+            lambda m: m,
+        )
+    )
+    # jaccard_est is a function of the pair, so distinct over the three
+    # small output columns — never shuffle the signature arrays.
+    return (
         a.join(b, on="band")
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
+            (agree / F.lit(num_hashes)).alias("jaccard_est"),
         )
         .distinct()
-    )
-    agree = F.size(
-        F.filter(
-            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
-            lambda m: m,
-        )
-    )
-    return pairs.select(
-        "id_a", "id_b", (agree / F.lit(num_hashes)).alias("jaccard_est")
     )
 
 
@@ -150,21 +151,37 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact Jaccard over distinct token-k-gram sets, blocked by
     ``block_col`` to bound the quadratic join (at scale the block key is
-    an LSH bucket; here any coarse partition works)."""
-    from rick_and_morty_data_pipeline_project_spark.functions.textfns import shingles_col
+    an LSH bucket; here any coarse partition works).
 
-    sh = df.select(
+    A size-ratio pre-filter prunes pairs before the per-pair
+    ``array_intersect``: jaccard ≤ min(|A|,|B|)/max(|A|,|B|) (since
+    inter ≤ min and union ≥ max), so pairs failing the ratio can never
+    reach ``threshold`` — the filter changes cost, not output."""
+    from rick_and_morty_data_pipeline_project_spark.functions.textfns import (
+        shingles_from_tokens,
+        tokens_col,
+    )
+
+    toked = df.select(
         F.col(id_col),
         F.col(block_col).alias("_block"),
-        F.array_distinct(shingles_col(F.col(text_col), shingle_k)).alias("sh"),
+        tokens_col(F.col(text_col)).alias("_tk"),
     )
+    sh = toked.select(
+        F.col(id_col),
+        F.col("_block"),
+        F.array_distinct(shingles_from_tokens(F.col("_tk"), shingle_k)).alias("sh"),
+    ).withColumn("n", F.size(F.col("sh")))
     a = sh.alias("a")
     b = sh.alias("b")
+    ratio = F.least(F.col("a.n"), F.col("b.n")) / F.greatest(
+        F.col("a.n"), F.col("b.n")
+    )
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
+    union = F.col("a.n") + F.col("b.n") - inter
     return (
         a.join(b, on="_block")
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .filter((F.col(f"a.{id_col}") < F.col(f"b.{id_col}")) & (ratio >= threshold))
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),

@@ -168,20 +168,21 @@ def dedup_minhash_signatures(spark, sf_dir):
     )
 
 
-def _minhash_sql_expr(seed: int) -> str:
-    return (
-        "list_min(list_transform(sh, s -> md5(s || ':" + str(seed) + "')))"
-    )
+def _minhash_sql_expr(i: int) -> str:
+    # Component i = min over shingles of hex slice [8i, 8i+8) of the
+    # concatenated md5(s) || md5(s || '#') digest material — must match
+    # textfns.shingle_hashes_col / minhash_components exactly.
+    return f"list_min(list_transform(hs, m -> substr(m, {8 * i + 1}, 8)))"
 
 
 _SHINGLES_SQL = """
   SELECT doc_id,
-         list_distinct(
+         list_transform(
            CASE WHEN len(toks) >= 3
                 THEN list_transform(generate_series(1, len(toks) - 2),
                                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
                 ELSE [array_to_string(toks, ' ')]
-           END) AS sh
+           END, s -> md5(s) || md5(s || '#')) AS hs
   FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
 """
 
@@ -196,8 +197,12 @@ FROM shingled
 # --------------------------------------------------------------------------
 def dedup_minhash_lsh_candidates(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
+    # band_size=4 (2 bands of 4): the synthetic corpus has a tiny
+    # vocabulary, so 2-component bands collide for ~35% of all pairs
+    # (6M false candidates at sf0.1); 4-component bands target the
+    # actual near-dup range (est. jaccard ≳ 0.7).
     return minhash_lsh_pairs(
-        d, "doc_id", "text", num_hashes=8, band_size=2, shingle_k=3
+        d, "doc_id", "text", num_hashes=8, band_size=4, shingle_k=3
     )
 
 
@@ -208,17 +213,13 @@ DEDUP_LSH_SQL = f"""
 WITH shingled AS ({_SHINGLES_SQL}),
 sigs AS (SELECT doc_id, {_SIG_ARRAY_SQL} AS sig FROM shingled),
 banded AS (
-  SELECT doc_id, sig, b.b AS band_idx,
-         CAST(b.b AS VARCHAR) || '|' || sig[2*b.b + 1] || '|' || sig[2*b.b + 2] AS band
-  FROM sigs, (SELECT unnest(generate_series(0, 3)) AS b) b
-),
-pairs AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sig_a, b.sig AS sig_b
-  FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
+  SELECT doc_id, sig,
+         CAST(b.b AS VARCHAR) || '|' || array_to_string(sig[4*b.b + 1 : 4*b.b + 4], '|') AS band
+  FROM sigs, (SELECT unnest(generate_series(0, 1)) AS b) b
 )
-SELECT id_a, id_b,
-       len(list_filter(generate_series(1, 8), i -> sig_a[i] = sig_b[i])) / 8 AS jaccard_est
-FROM pairs
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       len(list_filter(generate_series(1, 8), i -> a.sig[i] = b.sig[i])) / 8 AS jaccard_est
+FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
 """
 
 
