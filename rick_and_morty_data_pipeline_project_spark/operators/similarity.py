@@ -61,6 +61,65 @@ def knn_bruteforce(
     )
 
 
+def knn_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """IVF (inverted-file) approximate kNN — the classic ANN scale path.
+
+    Coarse quantizer: the ``n_cells`` lowest-id corpus vectors serve as
+    deterministic centroids (production would train k-means; a fixed
+    data-derived centroid set keeps the operator exactly reproducible
+    by the SQL oracle).  Every corpus vector is assigned to its nearest
+    centroid in one broadcast pass (no shuffle of the corpus); each
+    query probes its ``n_probe`` nearest cells and ranks only those
+    cells' members — candidate count ≈ |corpus|·n_probe/n_cells per
+    query instead of |corpus|.
+    """
+    cents = (
+        corpus.orderBy(F.asc(id_col))
+        .limit(n_cells)
+        .select(F.col(id_col).alias("cell_id"), F.col(vec_col).alias("_cent"))
+    )
+
+    def assign(df: DataFrame, out_id: str, out_vec: str, nprobe: int) -> DataFrame:
+        scored = df.crossJoin(F.broadcast(cents)).select(
+            F.col(id_col).alias(out_id),
+            F.col(vec_col).alias(out_vec),
+            F.col("cell_id"),
+            cosine_col(F.col(vec_col), F.col("_cent")).alias("_sim"),
+        )
+        w = Window.partitionBy(out_id).orderBy(F.desc("_sim"), F.asc("cell_id"))
+        return (
+            scored.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= nprobe)
+            .drop("_sim", "_r")
+        )
+
+    cells = assign(corpus, "neighbor_id", "_cv", 1)
+    probes = assign(queries, "query_id", "_qv", n_probe)
+    cos = cosine_col(F.col("_qv"), F.col("_cv"))
+    if round_digits is not None:
+        cos = F.round(cos, round_digits)
+    # Each corpus vector lives in exactly one cell, so (query, neighbor)
+    # pairs are already unique — no dedup shuffle needed.
+    cand = (
+        probes.join(cells, "cell_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return cand.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     rng = np.random.RandomState(seed)
     return rng.randn(n_planes, dim).astype(float).tolist()

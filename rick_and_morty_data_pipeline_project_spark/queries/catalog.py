@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from rick_and_morty_data_pipeline_project_spark.queries import (
     extraq,
+    mmq,
     reference,
     textq,
     tpch,
@@ -19,7 +20,7 @@ from rick_and_morty_data_pipeline_project_spark.queries import (
 from rick_and_morty_data_pipeline_project_spark.queries._util import Q
 
 QUERIES: dict[str, Q] = {}
-for mod in (tpch, textq, vecq, extraq, reference):
+for mod in (tpch, textq, vecq, extraq, mmq, reference):
     for name, q in mod.QUERIES.items():
         assert name not in QUERIES, f"duplicate query name: {name}"
         QUERIES[name] = q

@@ -303,8 +303,121 @@ GROUP BY lang
 """
 
 
+# --------------------------------------------------------------------------
+# As-of join: for each error event, the same user's most recent click at
+# or before it.  Implemented with the union + carry-forward pattern (ONE
+# shuffle on user_id, no inequality join): tag both sides, sort by
+# (ts, click-first), and last(ignorenulls) carries the click forward.
+# Oracle: DuckDB's native ASOF LEFT JOIN.
+def join_asof_click_error(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    e = t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("_is_click"),
+        F.col("event_id").alias("click_id"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    errors = e.filter(F.col("event_type") == "error").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("_is_click"),
+        F.lit(None).cast("long").alias("click_id"),
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.desc("_is_click"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = (
+        clicks.unionByName(errors)
+        .withColumn("last_click_id", F.last("click_id", ignorenulls=True).over(w))
+        .withColumn(
+            "last_click_ts",
+            F.last(
+                F.when(F.col("_is_click") == 1, F.col("ts")), ignorenulls=True
+            ).over(w),
+        )
+    )
+    return carried.filter(F.col("_is_click") == 0).select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "last_click_id",
+        F.unix_micros("last_click_ts").alias("last_click_ts_us"),
+    )
+
+
+JOIN_ASOF_SQL = """
+WITH clicks AS (SELECT user_id, ts, event_id AS click_id FROM events WHERE event_type = 'click'),
+errors AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'error')
+SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+       c.click_id AS last_click_id, epoch_us(c.ts) AS last_click_ts_us
+FROM errors e ASOF LEFT JOIN clicks c
+  ON e.user_id = c.user_id AND e.ts >= c.ts
+"""
+
+
+# --------------------------------------------------------------------------
+# Batch sessionization (gaps-and-islands): a session breaks after 30 min
+# of inactivity.  One shuffle on user_id; both window passes reuse the
+# same partitioning.
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def sessionize_events(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    s = e.withColumn(
+        "_new",
+        F.when(gap.isNull() | (gap > SESSION_GAP_US), 1).otherwise(0),
+    ).withColumn(
+        "session_seq",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return s.groupBy("user_id", "session_seq").agg(
+        F.unix_micros(F.min("ts")).alias("session_start_us"),
+        F.unix_micros(F.max("ts")).alias("session_end_us"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(dec("value", 18, 6)).cast("double").alias("sum_value"),
+    )
+
+
+SESSIONIZE_SQL = f"""
+WITH g AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts, value,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM g
+)
+SELECT user_id, session_seq,
+       epoch_us(MIN(ts)) AS session_start_us,
+       epoch_us(MAX(ts)) AS session_end_us,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM s
+GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, Q] = {
     "text_language_id": Q(text_language_id, TEXT_LANGID_SQL),
+    "join_asof_click_error": Q(join_asof_click_error, JOIN_ASOF_SQL),
+    "sessionize_events": Q(sessionize_events, SESSIONIZE_SQL),
     "text_rolling_fingerprint": Q(text_rolling_fingerprint, TEXT_ROLLING_SQL),
     "scalar_regex_functions": Q(scalar_regex_functions, SCALAR_REGEX_SQL),
     "scalar_null_conditional": Q(scalar_null_conditional, SCALAR_NULL_SQL),

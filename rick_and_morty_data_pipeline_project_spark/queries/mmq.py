@@ -1,0 +1,61 @@
+"""Multimodal-column query family (SURVEY.md §2.10).
+
+Media is an opaque binary column + typed metadata struct synthesized
+deterministically from the documents corpus (operators/multimodal.py).
+Metadata queries never touch the bytes (the 100 TB access pattern);
+the decode path exercises real Arrow-batched mapInPandas plumbing with
+a deterministic fake decoder (real codecs are stubbed — see
+operators/multimodal.py docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rick_and_morty_data_pipeline_project_spark.operators.multimodal import (
+    decode_media,
+    synthesize_media,
+)
+from rick_and_morty_data_pipeline_project_spark.queries._util import Q, t
+
+
+def multimodal_metadata_stats(spark, sf_dir):
+    """Metadata-only aggregation over a media table: group by (kind,
+    format), count + dimension averages + total payload bytes.  The
+    byte count comes from ``length(content)`` — column-pruned parquet
+    would read only the binary column's sizes, never decode."""
+    d = t(spark, sf_dir, "documents")
+    m = synthesize_media(d, "doc_id", "text")
+    return m.groupBy("kind", "format").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.avg(F.col("width").cast("double")).alias("avg_width"),
+        F.avg(F.col("height").cast("double")).alias("avg_height"),
+        F.sum(F.length("content")).alias("total_bytes"),
+    )
+
+
+MM_META_SQL = """
+SELECT 'image' AS kind, 'fake' AS format,
+       COUNT(*) AS n_media,
+       AVG(CAST(length(text) % 64 + 16 AS DOUBLE)) AS avg_width,
+       AVG(CAST(length(text) % 48 + 16 AS DOUBLE)) AS avg_height,
+       SUM(octet_length(unhex(md5(text) || md5(md5(text)) || md5(md5(md5(text)))))) AS total_bytes
+FROM documents
+GROUP BY 1, 2
+"""
+
+
+def multimodal_decode_features(spark, sf_dir):
+    """Arrow-batched mapInPandas decode → per-media byte stats +
+    checksum.  Rows-only oracle (mean_byte over a blob is not cleanly
+    DuckDB-expressible); the Python oracle lives in
+    tests/test_multimodal.py."""
+    d = t(spark, sf_dir, "documents")
+    m = synthesize_media(d, "doc_id", "text")
+    return decode_media(m, fake=True)
+
+
+QUERIES: dict[str, Q] = {
+    "multimodal_metadata_stats": Q(multimodal_metadata_stats, MM_META_SQL),
+    "multimodal_decode_features": Q(multimodal_decode_features, None),
+}

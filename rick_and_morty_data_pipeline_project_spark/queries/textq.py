@@ -308,8 +308,42 @@ LIMIT 5
 """
 
 
+# --------------------------------------------------------------------------
+# BPE-ish tokenizer: letter runs | digit runs | single punctuation marks —
+# the shape a subword pre-tokenizer produces, countable without a model.
+BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def text_token_stats(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    staged = d.select(
+        "doc_id",
+        "text",
+        F.regexp_extract_all(F.col("text"), F.lit(BPE_RE), 0).alias("_bpe"),
+    )
+    return staged.select(
+        "doc_id",
+        F.size("_bpe").alias("n_bpe_tokens"),
+        F.size(F.split("text", "\\s+")).alias("n_ws_tokens"),
+        F.round(
+            F.length("text").cast("double") / F.size("_bpe"), 6
+        ).alias("chars_per_bpe_token"),
+    )
+
+
+TEXT_TOKEN_SQL = rf"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{BPE_RE}')) AS n_bpe_tokens,
+       len(string_split_regex(text, '\s+')) AS n_ws_tokens,
+       round(CAST(length(text) AS DOUBLE) / len(regexp_extract_all(text, '{BPE_RE}')), 6)
+         AS chars_per_bpe_token
+FROM documents
+"""
+
+
 QUERIES: dict[str, Q] = {
     "text_emotion_scores": Q(text_emotion_scores, TEXT_EMOTION_SQL),
+    "text_token_stats": Q(text_token_stats, TEXT_TOKEN_SQL),
     "text_top2_emotions": Q(text_top2_emotions, TEXT_TOP2_SQL),
     "text_quality_scores": Q(text_quality_scores, TEXT_QUALITY_SQL),
     "text_emotion_by_source": Q(text_emotion_by_source, TEXT_EMO_SOURCE_SQL),

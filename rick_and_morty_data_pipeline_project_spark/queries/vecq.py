@@ -16,6 +16,7 @@ from rick_and_morty_data_pipeline_project_spark.functions.vectors import (
 )
 from rick_and_morty_data_pipeline_project_spark.operators.similarity import (
     knn_bruteforce,
+    knn_ivf,
     knn_lsh,
     label_centroids,
 )
@@ -68,6 +69,43 @@ def knn_cosine_lsh(spark, sf_dir):
     return knn_lsh(queries, e, k=5, dim=64, n_planes=6)
 
 
+def knn_cosine_ivf(spark, sf_dir):
+    """IVF ANN: deterministic coarse centroids (8 lowest-id vectors),
+    nearest-cell assignment, 2-probe search — fully SQL-reproducible."""
+    e = t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    return knn_ivf(queries, e, k=5, n_cells=8, n_probe=2)
+
+
+_ASSIGN_SQL = f"""
+  SELECT e.vec_id, e.embedding, c.cell_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {cosine_sql("e.embedding", "c.cent")} DESC, c.cell_id ASC
+         ) AS r
+  FROM embeddings e, (SELECT vec_id AS cell_id, embedding AS cent
+                      FROM embeddings ORDER BY vec_id LIMIT 8) c
+"""
+
+KNN_IVF_SQL = f"""
+WITH assign AS ({_ASSIGN_SQL}),
+cells AS (SELECT vec_id AS neighbor_id, embedding AS cv, cell_id FROM assign WHERE r = 1),
+probes AS (SELECT vec_id AS query_id, embedding AS qv, cell_id FROM assign WHERE r <= 2 AND vec_id < 10),
+cand AS (
+  SELECT p.query_id, c.neighbor_id,
+         round({cosine_sql("p.qv", "c.cv")}, 6) AS cosine
+  FROM probes p JOIN cells c ON p.cell_id = c.cell_id
+  WHERE p.query_id <> c.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM cand
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+"""
+
+
 def embedding_label_centroids(spark, sf_dir):
     e = t(spark, sf_dir, "embeddings")
     return label_centroids(e)
@@ -84,5 +122,6 @@ QUERIES: dict[str, Q] = {
     "embedding_norms": Q(embedding_norms, NORMS_SQL),
     "knn_cosine_bruteforce": Q(knn_cosine_bruteforce, KNN_SQL),
     "knn_cosine_lsh": Q(knn_cosine_lsh, None),
+    "knn_cosine_ivf": Q(knn_cosine_ivf, KNN_IVF_SQL),
     "embedding_label_centroids": Q(embedding_label_centroids, CENTROIDS_SQL),
 }

@@ -112,6 +112,27 @@ def test_knn_lsh_recall_vs_bruteforce(spark):
     assert sum(recalls) / len(recalls) > 0.15, recalls
 
 
+def test_knn_ivf_recall_vs_bruteforce(spark):
+    from rick_and_morty_data_pipeline_project_spark.operators.similarity import knn_ivf
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = knn_bruteforce(queries, emb, k=10).collect()
+    approx = knn_ivf(queries, emb, k=10, n_cells=8, n_probe=4).collect()
+    exact_sets, approx_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    # probing half the cells should recover a solid share of true
+    # neighbors; zero-ish recall would mean assignment is broken
+    assert sum(recalls) / len(recalls) > 0.3, recalls
+
+
 def test_knn_bruteforce_self_consistency(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     q = emb.filter(F.col("vec_id") == 0)
