@@ -41,8 +41,14 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warmup: JVM + parquet footer reads, excluded from timings.
+    # Warmup: JVM, codegen, file listing + parquet footer reads —
+    # excluded from timings (metadata-only counts; no query results are
+    # precomputed or cached).
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    from rick_and_morty_data_pipeline_project_spark.sources.corpus import load_table
+
+    for tbl in ("lineitem", "orders", "customer", "events", "documents", "embeddings"):
+        load_table(spark, sf_dir, tbl).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -414,10 +414,42 @@ GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# Subquery surface: correlated scalar subquery (Catalyst decorrelates to
+# an aggregate + join) and EXISTS (planned as a semi join).  Same ANSI
+# text runs on both engines.
+# (exact decimal sums ÷ count, not AVG(double): partial-agg order
+# differs between engines, the decimal sum does not — Q1's pattern)
+_NATION_AVG = (
+    "CAST(SUM(CAST({a}.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)"
+)
+SUBQUERY_SQL = f"""
+SELECT c.c_custkey,
+       CAST(c.c_acctbal AS DOUBLE) AS acctbal,
+       round((SELECT {_NATION_AVG.format(a="c2")} FROM customer c2
+              WHERE c2.c_nationkey = c.c_nationkey), 6) AS nation_avg_acctbal
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+  AND c.c_acctbal > (SELECT {_NATION_AVG.format(a="c3")} FROM customer c3
+                     WHERE c3.c_nationkey = c.c_nationkey)
+"""
+
+
+def subquery_scalar_exists(spark, sf_dir):
+    from rick_and_morty_data_pipeline_project_spark.sources.corpus import (
+        register_views,
+    )
+
+    register_views(spark, sf_dir, ["customer", "orders"])
+    return spark.sql(SUBQUERY_SQL)
+
+
 QUERIES: dict[str, Q] = {
     "text_language_id": Q(text_language_id, TEXT_LANGID_SQL),
     "join_asof_click_error": Q(join_asof_click_error, JOIN_ASOF_SQL),
     "sessionize_events": Q(sessionize_events, SESSIONIZE_SQL),
+    "subquery_scalar_exists": Q(subquery_scalar_exists, SUBQUERY_SQL),
     "text_rolling_fingerprint": Q(text_rolling_fingerprint, TEXT_ROLLING_SQL),
     "scalar_regex_functions": Q(scalar_regex_functions, SCALAR_REGEX_SQL),
     "scalar_null_conditional": Q(scalar_null_conditional, SCALAR_NULL_SQL),

@@ -51,6 +51,40 @@ def test_partitioned_write_prunes(spark):
         assert q.count() == want
 
 
+def test_bucketed_join_has_no_exchange(spark):
+    """Bucketing both join sides on the key makes the join exchange-free
+    (the write paid the shuffle once) — the co-located-join layout a
+    100 TB fact-fact join needs."""
+    from rick_and_morty_data_pipeline_project_spark.operators.bucketing import (
+        bucketed_join,
+        write_bucketed,
+    )
+
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    lineitem = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+    write_bucketed(
+        orders.withColumnRenamed("o_orderkey", "okey"), "bkt_orders", "okey", 8
+    )
+    write_bucketed(
+        lineitem.withColumnRenamed("l_orderkey", "okey"), "bkt_lineitem", "okey", 8
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(spark, "bkt_orders", "bkt_lineitem", "okey")
+        plan = formatted_plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        expected = orders.join(
+            lineitem, orders.o_orderkey == lineitem.l_orderkey
+        ).count()
+        assert joined.count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_orders")
+        spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+
+
 def test_catalog_introspection(spark):
     """SRC-8 (sqlite_master listing, Scraper.py:445-449)."""
     register_views(spark, SF_SMALL)
