@@ -42,6 +42,29 @@ def two_stage_topk(
     return df.orderBy(*order1).limit(k1).orderBy(*order2).limit(k2)
 
 
+def grouped_topk_applyinpandas(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    tiebreak_col: str,
+    k: int,
+) -> DataFrame:
+    """Per-group top-k via Arrow-batched ``applyInPandas`` — the
+    grouped-UDF escape hatch (SURVEY.md §2.9) for per-group procedures
+    built-ins can't express.  For plain top-k the JVM window
+    ``row_number`` path is preferred (and tested equivalent to this);
+    this operator documents the pattern with real plumbing.
+    """
+    schema = df.schema
+
+    def fn(pdf):
+        return pdf.sort_values(
+            [order_col, tiebreak_col], ascending=[False, True]
+        ).head(k)
+
+    return df.groupBy(group_col).applyInPandas(fn, schema=schema)
+
+
 def top2_emotions_cols(
     prefix: str = "", emotions: list[str] | None = None
 ) -> tuple[Column, Column]:

@@ -13,8 +13,98 @@ Two forms:
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+SESSION_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start_us", LongType()),
+        StructField("session_end_us", LongType()),
+        StructField("n_events", LongType()),
+        StructField("sum_value", DoubleType()),
+    ]
+)
+
+_SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("end_us", LongType()),
+        StructField("n", LongType()),
+        StructField("sv", DoubleType()),
+    ]
+)
+
+
+def sessionize_custom(
+    events: DataFrame,
+    gap_seconds: float = 600.0,
+    max_events: int | None = None,
+) -> DataFrame:
+    """Custom stateful sessionizer via ``applyInPandasWithState``.
+
+    Expresses what ``session_window`` can't: an optional per-session
+    event-count cap (``max_events``) that force-closes runaway sessions.
+    State per user = the open session (start, end, count, value sum);
+    a session is emitted when a new event breaks the gap or the cap is
+    hit.  The final open session per user stays in state (a production
+    pipeline closes it via timeout; the test compares closed sessions
+    against the batch gaps-and-islands query).
+    """
+    gap_us = int(gap_seconds * 1_000_000)
+
+    def fn(key, pdfs: Iterator, state) -> Iterator:
+        import pandas as pd
+
+        (user_id,) = key
+        if state.exists:
+            s, e, n, sv = state.get
+        else:
+            s = None
+            e = n = 0
+            sv = 0.0
+        closed: list[tuple] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
+            for t, v in zip(ts_us, pdf["value"].astype(float)):
+                if s is None:
+                    s, e, n, sv = t, t, 1, v
+                elif t - e > gap_us or (
+                    max_events is not None and n >= max_events
+                ):
+                    closed.append((user_id, s, e, n, sv))
+                    s, e, n, sv = t, t, 1, v
+                else:
+                    e, n, sv = t, n + 1, sv + v
+        if s is not None:
+            state.update((int(s), int(e), int(n), float(sv)))
+        yield pd.DataFrame(
+            closed,
+            columns=[
+                "user_id",
+                "session_start_us",
+                "session_end_us",
+                "n_events",
+                "sum_value",
+            ],
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=SESSION_OUT_SCHEMA,
+        stateStructType=_SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
 
 
 def sessionize_builtin(events: DataFrame, gap: str = "10 minutes") -> DataFrame:

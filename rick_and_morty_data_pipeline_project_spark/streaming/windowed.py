@@ -54,12 +54,16 @@ def stream_events_hourly(
     )
 
 
-def run_available_now(df: DataFrame, query_name: str) -> None:
-    """Drain all available input into a memory sink (test/backfill mode)."""
+def run_available_now(
+    df: DataFrame, query_name: str, output_mode: str = "complete"
+) -> None:
+    """Drain all available input into a memory sink (test/backfill mode).
+    ``complete`` suits streaming aggregations; stateful operators that
+    emit rows incrementally (applyInPandasWithState) need ``append``."""
     q = (
         df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )

@@ -11,6 +11,85 @@ from rick_and_morty_data_pipeline_project_spark.streaming.windowed import (
 from tests.conftest import SF_SMALL
 
 
+def test_custom_stateful_sessionize_matches_batch(spark):
+    """applyInPandasWithState sessionizer ≡ batch gaps-and-islands for
+    every CLOSED session (the final open session per user stays in
+    state by design — a later event or timeout would close it)."""
+    from pyspark.sql import functions as F
+
+    from rick_and_morty_data_pipeline_project_spark.queries.catalog import QUERIES
+    from rick_and_morty_data_pipeline_project_spark.streaming.stateful import (
+        sessionize_custom,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    static = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(SF_SMALL)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    out = sessionize_custom(stream, gap_seconds=30 * 60)
+    run_available_now(out, "custom_sessions", output_mode="append")
+    got = {
+        (r["user_id"], r["session_start_us"]): (
+            r["session_end_us"],
+            r["n_events"],
+            round(r["sum_value"], 4),
+        )
+        for r in spark.sql("SELECT * FROM custom_sessions").collect()
+    }
+
+    batch = QUERIES["sessionize_events"].fn(spark, SF_SMALL).collect()
+    # drop each user's LAST session (still open in the streaming state)
+    last_start = {}
+    for r in batch:
+        last_start[r["user_id"]] = max(
+            last_start.get(r["user_id"], -1), r["session_start_us"]
+        )
+    want = {
+        (r["user_id"], r["session_start_us"]): (
+            r["session_end_us"],
+            r["n_events"],
+            round(r["sum_value"], 4),
+        )
+        for r in batch
+        if r["session_start_us"] != last_start[r["user_id"]]
+    }
+    assert got == want
+
+
+def test_grouped_topk_applyinpandas_matches_window(spark):
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from rick_and_morty_data_pipeline_project_spark.operators.topk import (
+        grouped_topk_applyinpandas,
+    )
+
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    via_pandas = {
+        tuple(r)
+        for r in grouped_topk_applyinpandas(
+            orders, "o_custkey", "o_totalprice", "o_orderkey", 3
+        ).collect()
+    }
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    via_window = {
+        tuple(r)
+        for r in orders.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 3)
+        .drop("_rn")
+        .collect()
+    }
+    assert via_pandas == via_window
+
+
 def test_stream_matches_batch(spark):
     stream_df = stream_events_hourly(spark, SF_SMALL)
     assert stream_df.isStreaming
