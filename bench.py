@@ -31,6 +31,13 @@ HEADLINE = [
     "dedup_exact_stats",
     "dedup_minhash_signatures",
     "knn_cosine_bruteforce",
+    "knn_cosine_ivf",
+    "dedup_minhash_lsh_candidates",
+    "dedup_ngram_jaccard",
+    "join_asof_click_error",
+    "sessionize_events",
+    "subquery_scalar_exists",
+    "multimodal_metadata_stats",
     "flagship_best_match_with_replacement",
 ]
 

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from rick_and_morty_data_pipeline_project_spark.functions.vectors import (
     cosine_col,
     cosine_sql,
+    dot_sql,
 )
 from rick_and_morty_data_pipeline_project_spark.queries._util import Q, dec, t
 
@@ -221,12 +222,26 @@ def dedup_embedding_cosine(spark, sf_dir):
     pairwise cosine ≥ threshold.  At scale the blocking key is an LSH
     bucket (see operators/similarity.knn_lsh); label blocking keeps the
     oracle exact."""
+    from rick_and_morty_data_pipeline_project_spark.functions.vectors import (
+        dot_col,
+        norm2_col,
+    )
+
+    # Pre-normalize each vector ONCE (staged projections so the norm
+    # isn't re-inlined), so the per-pair cost is one dot product, not
+    # dot + two norms — 3× less arithmetic in the quadratic stage.
     e = t(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").alias("v")
     )
+    normed = e.select("vec_id", "label", norm2_col(F.col("v")).alias("_n"), "v")
+    e = normed.select(
+        "vec_id",
+        "label",
+        F.transform("v", lambda x: x.cast("double") / F.col("_n")).alias("nv"),
+    )
     a = e.alias("a")
     b = e.alias("b")
-    cos = F.round(cosine_col(F.col("a.v"), F.col("b.v")), 6)
+    cos = F.round(dot_col(F.col("a.nv"), F.col("b.nv")), 6)
     return (
         a.join(b, "label")
         .filter(F.col("a.vec_id") < F.col("b.vec_id"))
@@ -240,12 +255,19 @@ def dedup_embedding_cosine(spark, sf_dir):
     )
 
 
+# normalize-then-dot, same element order and float ops as the Spark side
+_DOT_SELF = dot_sql("embedding", "embedding")
 DEDUP_COSINE_SQL = f"""
+WITH normed AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> x::DOUBLE / sqrt({_DOT_SELF})) AS nv
+  FROM embeddings
+)
 SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
-       round({cosine_sql("a.embedding", "b.embedding")}, 6) AS cosine
-FROM embeddings a
-JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE round({cosine_sql("a.embedding", "b.embedding")}, 6) >= 0.2
+       round({dot_sql("a.nv", "b.nv")}, 6) AS cosine
+FROM normed a
+JOIN normed b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round({dot_sql("a.nv", "b.nv")}, 6) >= 0.2
 """
 
 
