@@ -341,6 +341,53 @@ GROUP BY ROLLUP (r_name, n_name)
 """
 
 
+def agg_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (neither rollup nor cube) + grouping_id
+    to label which set each output row belongs to.  Same ANSI text on
+    both engines via a registered view."""
+    from rick_and_morty_data_pipeline_project_spark.sources.corpus import (
+        register_views,
+    )
+
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(AGG_GROUPING_SETS_SQL)
+
+
+AGG_GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+def agg_percentiles(spark, sf_dir):
+    """Exact continuous percentiles (linear interpolation) per group —
+    Spark `percentile` ≡ DuckDB `quantile_cont` on the same sorted set.
+    Values are quantized to 2 decimals before the percentile so the
+    interpolation arithmetic is identical in both engines."""
+    l = t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(12,2)").cast("double")
+    return l.groupBy("l_returnflag").agg(
+        F.percentile(qty, 0.5).alias("p50_qty"),
+        F.percentile(qty, 0.9).alias("p90_qty"),
+        F.round(F.percentile(F.col("l_extendedprice").cast("decimal(12,2)").cast("double"), 0.99), 4).alias("p99_price"),
+    )
+
+
+AGG_PERCENTILES_SQL = """
+SELECT l_returnflag,
+       quantile_cont(CAST(CAST(l_quantity AS DECIMAL(12,2)) AS DOUBLE), 0.5) AS p50_qty,
+       quantile_cont(CAST(CAST(l_quantity AS DECIMAL(12,2)) AS DOUBLE), 0.9) AS p90_qty,
+       round(quantile_cont(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE), 0.99), 4) AS p99_price
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
 def agg_cube_flag_status(spark, sf_dir):
     l = t(spark, sf_dir, "lineitem")
     return l.cube("l_returnflag", "l_linestatus").agg(
@@ -763,6 +810,8 @@ QUERIES: dict[str, Q] = {
     "agg_distinct_suppliers": Q(agg_distinct_suppliers, AGG_DISTINCT_SQL),
     "agg_rollup_region_nation": Q(agg_rollup_region_nation, AGG_ROLLUP_SQL),
     "agg_cube_flag_status": Q(agg_cube_flag_status, AGG_CUBE_SQL),
+    "agg_grouping_sets": Q(agg_grouping_sets, AGG_GROUPING_SETS_SQL),
+    "agg_percentiles": Q(agg_percentiles, AGG_PERCENTILES_SQL),
     "agg_sorted_string": Q(agg_sorted_string, AGG_STRING_SQL),
     "win_rank_top_orders_per_customer": Q(
         win_rank_top_orders_per_customer, WIN_RANK_SQL
