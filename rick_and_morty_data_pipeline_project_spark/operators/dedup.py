@@ -28,6 +28,24 @@ from rick_and_morty_data_pipeline_project_spark.functions.textfns import (
 )
 
 
+def fan_out(df: DataFrame) -> DataFrame:
+    """Ensure the CPU-heavy map stages downstream (tokenize → shingle →
+    hash) get at least ``defaultParallelism`` partitions.
+
+    Locally the documents table is a single small parquet file with one
+    row group — an unsplittable 1-partition scan that serializes every
+    narrow transform onto one core (measured: the entire MinHash
+    pipeline ran single-threaded).  At cluster scale a 100 TB input
+    already yields ≳10⁵ scan splits and this is a no-op; the guard only
+    pays the (tiny) balancing shuffle when the scan under-partitions.
+    """
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def exact_dedup_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Group identical (normalized) texts: keeper id + duplicate count."""
     return (
@@ -79,7 +97,9 @@ def minhash_signatures(
 
     # Staged projections: each alias is multi-referenced downstream so
     # CollapseProject keeps the boundary and each stage runs once.
-    toked = df.select(F.col(id_col), tokens_col(F.col(text_col)).alias("_tk"))
+    toked = fan_out(df).select(
+        F.col(id_col), tokens_col(F.col(text_col)).alias("_tk")
+    )
     shingled = toked.select(
         F.col(id_col), shingles_from_tokens(F.col("_tk"), shingle_k).alias("_sh")
     )
@@ -129,8 +149,11 @@ def minhash_lsh_pairs(
     )
     # jaccard_est is a function of the pair, so distinct over the three
     # small output columns — never shuffle the signature arrays.
+    # shuffle_hash: see ngram_jaccard_pairs — the banded relation is
+    # corpus-sized (never broadcastable at scale), and the shuffle join
+    # lets both sides share one computation of the signature pipeline.
     return (
-        a.join(b, on="band")
+        a.join(b.hint("shuffle_hash"), on="band")
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
@@ -159,13 +182,23 @@ def ngram_jaccard_pairs(
     (map-side-combinable aggregation), then jaccard = c/(|A|+|B|−c).
     Identical output to the naive |block|² ``array_intersect`` — pairs
     sharing no shingle have jaccard 0 < threshold — at a fraction of
-    the cost (measured 4× at sf0.1)."""
+    the cost (measured 4× at sf0.1).
+
+    Each posting row CARRIES its document's shingle-set size, so the
+    per-pair aggregate reads |A| and |B| via ``first()`` instead of
+    joining a sizes relation back in afterwards.  That matters twice
+    over: (1) the tokenize→shingle pipeline is computed exactly once —
+    the self-join's two sides are byte-identical plans, so the single
+    shuffle is a ``ReusedExchange`` (measured: the sizes-join form
+    re-ran the shingle stage 3×, ~2.5× the wall-clock); (2) two whole
+    shuffles (the re-joins on id_a/id_b) disappear for the price of one
+    int column in the posting shuffle."""
     from rick_and_morty_data_pipeline_project_spark.functions.textfns import (
         shingles_from_tokens,
         tokens_col,
     )
 
-    toked = df.select(
+    toked = fan_out(df).select(
         F.col(id_col),
         F.col(block_col).alias("_block"),
         tokens_col(F.col(text_col)).alias("_tk"),
@@ -175,33 +208,35 @@ def ngram_jaccard_pairs(
         F.col("_block"),
         F.array_distinct(shingles_from_tokens(F.col("_tk"), shingle_k)).alias("sh"),
     ).withColumn("n", F.size(F.col("sh")))
-    sizes = sh.select(F.col(id_col), F.col("n"))
     posting = sh.select(
-        F.col(id_col), F.col("_block"), F.explode("sh").alias("_s")
+        F.col(id_col), F.col("n"), F.col("_block"), F.explode("sh").alias("_s")
     )
     a = posting.alias("a")
     b = posting.alias("b")
+    # shuffle_hash (not broadcast): at scale a posting list derived from
+    # the full corpus is never broadcastable, and locally the shuffle
+    # join avoids computing the posting pipeline a second time for the
+    # broadcast build side.
     co = (
-        a.join(b, on=["_block", "_s"])
+        a.join(b.hint("shuffle_hash"), on=["_block", "_s"])
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .groupBy(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
         )
-        .agg(F.count(F.lit(1)).alias("_c"))
-    )
-    return (
-        co.join(sizes.withColumnsRenamed({id_col: "id_a", "n": "_na"}), "id_a")
-        .join(sizes.withColumnsRenamed({id_col: "id_b", "n": "_nb"}), "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (
-                F.col("_c") / (F.col("_na") + F.col("_nb") - F.col("_c"))
-            ).alias("jaccard"),
+        .agg(
+            F.count(F.lit(1)).alias("_c"),
+            F.first("a.n").alias("_na"),
+            F.first("b.n").alias("_nb"),
         )
-        .filter(F.col("jaccard") >= threshold)
     )
+    return co.select(
+        "id_a",
+        "id_b",
+        (F.col("_c") / (F.col("_na") + F.col("_nb") - F.col("_c"))).alias(
+            "jaccard"
+        ),
+    ).filter(F.col("jaccard") >= threshold)
 
 
 def _nibble_topbit(md5_col: Column, j: int) -> Column:
@@ -216,7 +251,7 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     value = Σ bit_j · 2^j.  Uses only md5 + string ops so the DuckDB
     oracle reproduces it exactly.
     """
-    toks = df.select(
+    toks = fan_out(df).select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
     ).withColumn("h", F.md5("tok"))
     votes = toks.groupBy(id_col).agg(
