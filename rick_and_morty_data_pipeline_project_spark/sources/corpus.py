@@ -27,6 +27,15 @@ TABLES = [
 # Dimensions small enough to broadcast at any scale factor.
 BROADCAST_DIMS = {"region", "nation"}
 
+# NOTE on single-row-group files: each corpus table is ONE parquet file
+# with ONE row group, so every scan decodes on a single core (a parquet
+# split cannot cross a row-group boundary).  A loader-level repartition
+# was tried and measured a net LOSS for the relational queries at sf0.1
+# (vectorized decode + JVM aggregation of 600k rows is fast single-core;
+# the balancing shuffle only added cost: q3 0.58→1.31 s, q5 0.66→1.46 s
+# warm).  Fan-out pays off only where per-row compute is heavy — the
+# text-dedup pipelines do it themselves via operators/dedup.fan_out.
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
