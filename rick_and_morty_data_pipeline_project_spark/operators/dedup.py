@@ -28,22 +28,7 @@ from rick_and_morty_data_pipeline_project_spark.functions.textfns import (
 )
 
 
-def fan_out(df: DataFrame) -> DataFrame:
-    """Ensure the CPU-heavy map stages downstream (tokenize → shingle →
-    hash) get at least ``defaultParallelism`` partitions.
-
-    Locally the documents table is a single small parquet file with one
-    row group — an unsplittable 1-partition scan that serializes every
-    narrow transform onto one core (measured: the entire MinHash
-    pipeline ran single-threaded).  At cluster scale a 100 TB input
-    already yields ≳10⁵ scan splits and this is a no-op; the guard only
-    pays the (tiny) balancing shuffle when the scan under-partitions.
-    """
-    spark = df.sparkSession
-    target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+from rick_and_morty_data_pipeline_project_spark.operators.parallelism import fan_out  # noqa: F401  (re-export; canonical home)
 
 
 def exact_dedup_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -10,7 +10,6 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from rick_and_morty_data_pipeline_project_spark.functions.vectors import (
-    cosine_sql,
     dot_sql,
     norm2_col,
 )
@@ -44,12 +43,19 @@ def knn_cosine_bruteforce(spark, sf_dir):
     return knn_bruteforce(queries, e, k=5)
 
 
+_DOT_SELF = dot_sql("embedding", "embedding")
+_NORMED_CTE = f"""normed AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE / sqrt({_DOT_SELF})) AS nv
+  FROM embeddings
+)"""
+
 KNN_SQL = f"""
-WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+WITH {_NORMED_CTE},
+q AS (SELECT vec_id AS query_id, nv AS qv FROM normed WHERE vec_id < 10),
 scored AS (
   SELECT q.query_id, c.vec_id AS neighbor_id,
-         round({cosine_sql("q.qv", "c.embedding")}, 6) AS cosine
-  FROM q, embeddings c
+         round({dot_sql("q.qv", "c.nv")}, 6) AS cosine
+  FROM q, normed c
   WHERE q.query_id <> c.vec_id
 ),
 ranked AS (
@@ -78,22 +84,23 @@ def knn_cosine_ivf(spark, sf_dir):
 
 
 _ASSIGN_SQL = f"""
-  SELECT e.vec_id, e.embedding, c.cell_id,
+  SELECT e.vec_id, e.nv, c.cell_id,
          ROW_NUMBER() OVER (
            PARTITION BY e.vec_id
-           ORDER BY {cosine_sql("e.embedding", "c.cent")} DESC, c.cell_id ASC
+           ORDER BY {dot_sql("e.nv", "c.cent")} DESC, c.cell_id ASC
          ) AS r
-  FROM embeddings e, (SELECT vec_id AS cell_id, embedding AS cent
-                      FROM embeddings ORDER BY vec_id LIMIT 8) c
+  FROM normed e, (SELECT vec_id AS cell_id, nv AS cent
+                  FROM normed ORDER BY vec_id LIMIT 8) c
 """
 
 KNN_IVF_SQL = f"""
-WITH assign AS ({_ASSIGN_SQL}),
-cells AS (SELECT vec_id AS neighbor_id, embedding AS cv, cell_id FROM assign WHERE r = 1),
-probes AS (SELECT vec_id AS query_id, embedding AS qv, cell_id FROM assign WHERE r <= 2 AND vec_id < 10),
+WITH {_NORMED_CTE},
+assign AS ({_ASSIGN_SQL}),
+cells AS (SELECT vec_id AS neighbor_id, nv AS cv, cell_id FROM assign WHERE r = 1),
+probes AS (SELECT vec_id AS query_id, nv AS qv, cell_id FROM assign WHERE r <= 2 AND vec_id < 10),
 cand AS (
   SELECT p.query_id, c.neighbor_id,
-         round({cosine_sql("p.qv", "c.cv")}, 6) AS cosine
+         round({dot_sql("p.qv", "c.cv")}, 6) AS cosine
   FROM probes p JOIN cells c ON p.cell_id = c.cell_id
   WHERE p.query_id <> c.neighbor_id
 ),
