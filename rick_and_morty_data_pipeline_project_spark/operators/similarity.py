@@ -16,6 +16,8 @@ for cost; recall is property-tested in tests/.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -111,25 +113,68 @@ def knn_ivf(
     """
     ncorpus = _normalized(fan_out(corpus), id_col, vec_col, "_id", "_nv")
     nqueries = _normalized(queries, id_col, vec_col, "_id", "_nv")
-    cents = (
-        ncorpus.orderBy(F.asc("_id"))
+
+    # The coarse quantizer is small by definition (that is the point of
+    # IVF), so materialize it on the driver once — one heap-top-k job —
+    # and inline it as a literal.  Cell assignment then becomes a NARROW
+    # per-row expression (transform → array_sort → slice → explode):
+    # zero shuffle of the corpus, vs. the window formulation which
+    # fanned the corpus n_cells× through a crossJoin and then shuffled
+    # it through a row_number partitionBy.  At 100 TB the corpus-side
+    # shuffle is the whole cost; the quantizer stays a broadcast-sized
+    # constant regardless of corpus size.
+    # Collect RAW vectors (cheap heap-top-k straight off the scan) and
+    # unit-normalize driver-side with the identical float64 left-fold
+    # (acc starts 0.0, products added in element order) — bit-equal to
+    # _normalized / the oracle's normed CTE.
+    cent_rows = (
+        corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .orderBy(F.asc("_id"))
         .limit(n_cells)
-        .select(F.col("_id").alias("cell_id"), F.col("_nv").alias("_cent"))
+        .collect()
     )
 
+    def _unit(vec):
+        acc = 0.0
+        for x in vec:
+            acc = acc + float(x) * float(x)
+        n = math.sqrt(acc)
+        return [float(x) / n for x in vec]
+
+    id_type = ncorpus.schema["_id"].dataType.simpleString()
+    cents_lit = F.array(
+        *[
+            F.struct(
+                F.lit(r["_id"]).cast(id_type).alias("cell_id"),
+                F.array(*[F.lit(x) for x in _unit(r["_v"])]).alias("cent"),
+            )
+            for r in cent_rows
+        ]
+    )
+
+    def _cmp(l, r):  # sim desc, cell_id asc — same order as the oracle's ROW_NUMBER
+        return (
+            F.when(l["sim"] > r["sim"], F.lit(-1))
+            .when(l["sim"] < r["sim"], F.lit(1))
+            .when(l["cell_id"] < r["cell_id"], F.lit(-1))
+            .when(l["cell_id"] > r["cell_id"], F.lit(1))
+            .otherwise(F.lit(0))
+        )
+
     def assign(df: DataFrame, out_id: str, out_vec: str, nprobe: int) -> DataFrame:
-        scored = df.crossJoin(F.broadcast(cents)).select(
+        sims = F.transform(
+            cents_lit,
+            lambda c: F.struct(
+                dot_col(F.col("_nv"), c["cent"]).alias("sim"),
+                c["cell_id"].alias("cell_id"),
+            ),
+        )
+        top = F.slice(F.array_sort(sims, _cmp), 1, nprobe)
+        return df.select(
             F.col("_id").alias(out_id),
             F.col("_nv").alias(out_vec),
-            F.col("cell_id"),
-            dot_col(F.col("_nv"), F.col("_cent")).alias("_sim"),
-        )
-        w = Window.partitionBy(out_id).orderBy(F.desc("_sim"), F.asc("cell_id"))
-        return (
-            scored.withColumn("_r", F.row_number().over(w))
-            .filter(F.col("_r") <= nprobe)
-            .drop("_sim", "_r")
-        )
+            F.explode(top).alias("_c"),
+        ).select(out_id, out_vec, F.col("_c.cell_id").alias("cell_id"))
 
     cells = assign(ncorpus, "neighbor_id", "_cv", 1)
     probes = assign(nqueries, "query_id", "_qv", n_probe)
@@ -137,9 +182,12 @@ def knn_ivf(
     if round_digits is not None:
         cos = F.round(cos, round_digits)
     # Each corpus vector lives in exactly one cell, so (query, neighbor)
-    # pairs are already unique — no dedup shuffle needed.
+    # pairs are already unique — no dedup shuffle needed.  Probes are
+    # (n_queries × n_probe) rows — broadcast them so the corpus side of
+    # the cell join streams without a shuffle.
     cand = (
-        probes.join(cells, "cell_id")
+        F.broadcast(probes)
+        .join(cells, "cell_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", cos.alias("cosine"))
     )
