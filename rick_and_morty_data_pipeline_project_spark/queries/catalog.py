@@ -15,13 +15,14 @@ from rick_and_morty_data_pipeline_project_spark.queries import (
     reference,
     textq,
     tpch,
+    tpchf,
     tpchx,
     vecq,
 )
 from rick_and_morty_data_pipeline_project_spark.queries._util import Q
 
 QUERIES: dict[str, Q] = {}
-for mod in (tpch, tpchx, textq, vecq, extraq, mmq, reference):
+for mod in (tpch, tpchx, tpchf, textq, vecq, extraq, mmq, reference):
     for name, q in mod.QUERIES.items():
         assert name not in QUERIES, f"duplicate query name: {name}"
         QUERIES[name] = q

@@ -39,7 +39,7 @@ SELECT 'image' AS kind, 'fake' AS format,
        COUNT(*) AS n_media,
        AVG(CAST(length(text) % 64 + 16 AS DOUBLE)) AS avg_width,
        AVG(CAST(length(text) % 48 + 16 AS DOUBLE)) AS avg_height,
-       SUM(octet_length(unhex(md5(text) || md5(md5(text)) || md5(md5(md5(text)))))) AS total_bytes
+       CAST(SUM(octet_length(unhex(md5(text) || md5(md5(text)) || md5(md5(md5(text)))))) AS BIGINT) AS total_bytes
 FROM documents
 GROUP BY 1, 2
 """

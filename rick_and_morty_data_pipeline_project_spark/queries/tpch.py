@@ -723,7 +723,7 @@ def scalar_json_functions(spark, sf_dir):
 
 SCALAR_JSON_SQL = """
 SELECT event_type, COUNT(*) AS n_events,
-       SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
        MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
 FROM events
 GROUP BY event_type
