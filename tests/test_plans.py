@@ -72,3 +72,31 @@ def test_text_scorer_stays_jvm_side(spark):
     plan = formatted_plan(df)
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_exists_decorrelates_to_semi_and_anti(spark):
+    """q21's EXISTS / NOT EXISTS pair must plan as one LeftSemi and one
+    LeftAnti join (no row multiplication), and the final top-k must be a
+    heap TakeOrderedAndProject, never a global sort."""
+    df = QUERIES["q21_lone_fault_suppliers"].fn(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_share_of_total_scans_fact_once(spark):
+    """q11's scalar-subquery threshold is a window over the aggregated
+    relation — the lineitem fact table must appear in exactly one scan."""
+    df = QUERIES["q11_important_stock"].fn(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert plan.count("lineitem.parquet") == 1, plan
+
+
+def test_not_in_is_anti_join_before_agg(spark):
+    """q16's NOT IN must be a broadcast anti join feeding the distinct
+    aggregate, not a filter after it."""
+    df = QUERIES["q16_supplier_part_counts"].fn(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
