@@ -661,6 +661,27 @@ def agg_approx_distinct(spark, sf_dir):
     )
 
 
+def agg_exact_distinct(spark, sf_dir):
+    """Exact twin of ``agg_approx_distinct`` (full DuckDB oracle): the
+    same grouping with an exact COUNT(DISTINCT).  The sketch variant is
+    error-bound-tested in tests/test_approx.py; this entry gives the
+    distinct-aggregation surface a hash-verifiable correctness row."""
+    l = t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("exact_parts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+AGG_EXACT_DISTINCT_SQL = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS exact_parts,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
 QUERIES: dict[str, Q] = {
     "q7_volume_shipping": Q(q7_volume_shipping, Q7_SQL),
     "q8_market_share": Q(q8_market_share, Q8_SQL),
@@ -680,4 +701,5 @@ QUERIES: dict[str, Q] = {
     "win_range_frame": Q(win_range_frame, WIN_RANGE_SQL),
     "join_range_user_window": Q(join_range_user_window, JOIN_RANGE_SQL),
     "agg_approx_distinct": Q(agg_approx_distinct, None),
+    "agg_exact_distinct": Q(agg_exact_distinct, AGG_EXACT_DISTINCT_SQL),
 }
