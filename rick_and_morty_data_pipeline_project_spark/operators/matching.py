@@ -17,10 +17,12 @@ then driver-side bookkeeping over those small prefixes.  The left side
 hard-codes (41 episodes).
 
 EP-3 (cell-15): per-strain best episode **with** replacement — fully
-set-oriented here: distinct (top, second) emotion pairs (≤ 30) are
-broadcast against the candidate table and ranked with two window
-row_numbers that preserve the two-stage LIMIT-k1 semantics, then joined
-back.  One shuffle on the pair key; no per-row loop.
+set-oriented: with replacement the per-pair stage-1 top-k1 equals the
+global per-emotion top-k1, so the plan takes ≤ 6 TakeOrderedAndProject
+heap top-k prefixes of the candidate table (zero corpus shuffle), joins
+the ≤ 6·k1-row prefix union to the broadcast distinct (top, second)
+pairs (≤ 30), and ranks only those bounded rows for stage 2.  No window
+ever partitions the full candidate relation on the pair key.
 """
 
 from __future__ import annotations
@@ -134,21 +136,42 @@ def best_match_with_replacement(
     emotions = emotions or EMOTIONS
     pairs = left.select("top_emotion", "second_emotion").distinct()
 
+    # Stage 1, scale-safe: WITH replacement there are no exclusions, so
+    # the per-pair top-k1 by the pair's top emotion is exactly the
+    # GLOBAL top-k1 by that emotion (same (desc score, asc id)
+    # tie-break).  Build one TakeOrderedAndProject heap top-k per
+    # emotion (≤ 6 bounded jobs, zero shuffle of the corpus) and union
+    # the prefixes: ≤ 6·k1 rows total, independent of |right|.  The
+    # previous plan (broadcast pairs crossJoin right + two windows
+    # partitioned by the ≤30 pair keys) collapsed parallelism to ≤30
+    # partitions each holding a full corpus copy — an OOM/straggler at
+    # 100 TB.  All downstream work now touches only the tiny prefix.
+    prefix = None
+    for e in emotions:
+        p = (
+            right.orderBy(F.desc(e), F.asc(right_id))
+            .limit(k1)
+            .withColumn("_prefix_emotion", F.lit(e))
+        )
+        prefix = p if prefix is None else prefix.unionByName(p)
+
     emo_map = F.create_map(
         *chain.from_iterable((F.lit(e), F.col(e)) for e in emotions)
     )
-    cand = F.broadcast(pairs).crossJoin(right).withColumn(
-        "_score_top", emo_map[F.col("top_emotion")]
-    ).withColumn("_score_second", emo_map[F.col("second_emotion")])
+    cand = (
+        prefix.join(
+            F.broadcast(pairs),
+            F.col("_prefix_emotion") == F.col("top_emotion"),
+            "inner",
+        )
+        .drop("_prefix_emotion")
+        .withColumn("_score_second", emo_map[F.col("second_emotion")])
+    )
 
+    # Stage 2 ranks ≤ k1 rows per pair (≤ 30·k1 rows total) — the
+    # window input is bounded by construction, not by corpus size.
     pw = Window.partitionBy("top_emotion", "second_emotion")
-    stage1 = cand.withColumn(
-        "_rn1",
-        F.row_number().over(
-            pw.orderBy(F.desc("_score_top"), F.asc(right_id))
-        ),
-    ).filter(F.col("_rn1") <= k1)
-    stage2 = stage1.withColumn(
+    stage2 = cand.withColumn(
         "_rn2",
         F.row_number().over(
             pw.orderBy(F.desc("_score_second"), F.asc(right_id))

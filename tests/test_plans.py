@@ -50,6 +50,19 @@ def test_two_stage_topk_is_heap_topk(spark):
     assert plan.count("TakeOrderedAndProject") >= 2, plan
 
 
+def test_best_match_ranks_only_bounded_prefixes(spark):
+    """EP-3 (best match WITH replacement) must never window-partition the
+    full candidate relation on the ≤30-key (top, second) pair: the plan
+    takes one TakeOrderedAndProject heap top-k per emotion and every
+    window/join downstream sees only the ≤6·k1-row prefix union — the
+    old pairs-crossJoin-corpus shape is banned."""
+    df = QUERIES["flagship_best_match_with_replacement"].fn(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert plan.count("TakeOrderedAndProject") >= 6, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
 def test_sort_limit_is_heap_topk(spark):
     df = QUERIES["sort_limit_top_orders"].fn(spark, SF_SMALL)
     assert has_take_ordered(df)
