@@ -51,6 +51,7 @@ def greedy_match_without_replacement(
     right_name: str | None = None,
     emotions: list[str] | None = None,
     k1: int = 100,
+    max_left_rows: int = 10_000,
 ) -> DataFrame:
     """EP-2 restated. ``left``/``right`` carry one score column per emotion.
 
@@ -58,10 +59,29 @@ def greedy_match_without_replacement(
     (left_id, [left_name], top_left_emotion, second_left_emotion,
      matched_<right_id>, [matched_<right_name>], right_top_emotion,
      right_second_emotion).
+
+    The left side is collected to the driver (inherent to MUT-1's
+    sequential greedy semantics; the reference hard-codes 41 episodes).
+    ``max_left_rows`` guards that collect: misuse on a large left
+    relation raises instead of OOMing the driver.
     """
     emotions = emotions or EMOTIONS
     left_cols = [left_id] + ([left_name] if left_name else []) + emotions
-    left_rows = left.select(*left_cols).orderBy(F.asc(left_id)).collect()
+    # heap top-k collect bounded at max_left_rows+1: the sentinel row
+    # detects overflow without ever shipping an unbounded relation
+    left_rows = (
+        left.select(*left_cols)
+        .orderBy(F.asc(left_id))
+        .limit(max_left_rows + 1)
+        .collect()
+    )
+    if len(left_rows) > max_left_rows:
+        raise ValueError(
+            f"greedy_match_without_replacement collects the left side to "
+            f"the driver (sequential MUT-1 semantics): got > "
+            f"{max_left_rows} left rows; raise max_left_rows only if the "
+            f"driver can hold them"
+        )
 
     # One distributed TakeOrderedAndProject per DISTINCT top emotion
     # (≤ 6 jobs total, not one per left row): the greedy exclusion can

@@ -20,9 +20,19 @@ def fan_out(df: DataFrame) -> DataFrame:
     the vectorized parquet decode + JVM operators are fast enough
     single-core that the balancing shuffle is a measured net loss —
     see PERFORMANCE.md "negative result".
+
+    The under-partitioned probe counts scan input files (pure driver
+    metadata — no plan-to-RDD conversion, no job): a parquet split never
+    crosses a file boundary, so ≥ target files ⇒ ≥ target scan tasks
+    and the guard is a no-op.  Fewer files than cores (the local
+    single-file corpus; at 100 TB effectively never) ⇒ pay one
+    balancing shuffle before the heavy map stage.  Non-file plans
+    (in-memory, post-shuffle) report no input files and skip the
+    repartition — they already carry shuffle parallelism.
     """
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    n_files = len(df.inputFiles())
+    if 0 < n_files < target:
         return df.repartition(target)
     return df

@@ -32,7 +32,17 @@ def salted_join(
     (xxhash64 of all columns), not rand(), so replays/retries produce
     identical partitioning.  Result is exactly ``skewed.join(other,
     key, how)`` — verified in tests/test_skew.py.
+
+    Only ``inner`` and ``left`` are supported: the replicated ``other``
+    side would emit each unmatched right row ``n_salts`` times under
+    right/full joins.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r}: the "
+            f"salt-replicated right side duplicates unmatched right rows "
+            f"under right/full join semantics"
+        )
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(n_salts))
     left = skewed.withColumn("_salt", salt)
     right = other.withColumn(

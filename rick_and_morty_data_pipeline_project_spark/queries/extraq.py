@@ -349,9 +349,12 @@ def join_asof_click_error(spark, sf_dir):
         F.lit(None).cast("long").alias("click_id"),
         "event_id",
     )
+    # click_id desc as the third key makes the carried click
+    # deterministic when a user has two clicks at the identical ts
+    # (ADVICE r1); the oracle mirrors the same tiebreak via LATERAL.
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.asc("ts"), F.desc("_is_click"))
+        .orderBy(F.asc("ts"), F.desc("_is_click"), F.desc("click_id"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = (
@@ -378,8 +381,13 @@ WITH clicks AS (SELECT user_id, ts, event_id AS click_id FROM events WHERE event
 errors AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'error')
 SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
        c.click_id AS last_click_id, epoch_us(c.ts) AS last_click_ts_us
-FROM errors e ASOF LEFT JOIN clicks c
-  ON e.user_id = c.user_id AND e.ts >= c.ts
+FROM errors e
+LEFT JOIN LATERAL (
+  SELECT click_id, ts FROM clicks c
+  WHERE c.user_id = e.user_id AND c.ts <= e.ts
+  ORDER BY c.ts DESC, c.click_id DESC
+  LIMIT 1
+) c ON TRUE
 """
 
 

@@ -578,7 +578,10 @@ def set_ops_customers(spark, sf_dir):
     with_orders = o.select(F.col("o_custkey").alias("c_custkey")).distinct()
     u = building.union(with_orders).distinct().withColumn("op", F.lit("union"))
     i = building.intersect(with_orders).withColumn("op", F.lit("intersect"))
-    e = building.exceptAll(with_orders).distinct().withColumn("op", F.lit("except"))
+    # subtract() is set-semantics EXCEPT, structurally matching the
+    # oracle (exceptAll().distinct() diverges when the left side holds
+    # duplicate keys that also appear on the right).
+    e = building.subtract(with_orders).withColumn("op", F.lit("except"))
     return u.union(i).union(e)
 
 

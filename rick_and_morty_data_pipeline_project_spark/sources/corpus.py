@@ -37,17 +37,35 @@ BROADCAST_DIMS = {"region", "nation"}
 # text-dedup pipelines do it themselves via operators/dedup.fan_out.
 
 
+_NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
         # reader rejects; read nanos as long and truncate to micros —
         # the same value DuckDB produces for its micro-resolution type.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn(
-                "ts", F.expr("timestamp_micros(ts div 1000)")
-            )
+        # The legacy conf is scoped save/set/restore: it is captured into
+        # the plan at read/analysis time (the restored value does not
+        # affect this df's later execution), so a later parquet read of
+        # an unrelated nanos column in the same session is not silently
+        # decoded as bigint.  Not thread-safe if the session is shared.
+        try:
+            prev = spark.conf.get(_NANOS_CONF)
+        except Exception:
+            prev = None
+        spark.conf.set(_NANOS_CONF, "true")
+        try:
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+            if dict(df.dtypes).get("ts") == "bigint":
+                df = df.withColumn(
+                    "ts", F.expr("timestamp_micros(ts div 1000)")
+                )
+        finally:
+            if prev is None:
+                spark.conf.unset(_NANOS_CONF)
+            else:
+                spark.conf.set(_NANOS_CONF, prev)
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

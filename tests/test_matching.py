@@ -148,3 +148,25 @@ def test_best_match_with_replacement_python_oracle(spark):
         g = got[ep["episode_id"]]
         assert (g["top_emotion"], g["second_emotion"]) == (t1, t2)
         assert g["matched_strain_id"] == b["strain_id"]
+
+
+def test_greedy_match_guards_driver_collect(spark):
+    """The left side is driver-collected (sequential MUT-1 semantics);
+    an oversized left relation must raise, not OOM the driver."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    big_left = spark.range(50).select(
+        F.col("id").alias("episode_id"),
+        *[F.lit(0.1).alias(e) for e in EMOTIONS],
+    )
+    strains = strain_review(spark)
+    with pytest.raises(ValueError, match="max_left_rows"):
+        greedy_match_without_replacement(
+            spark,
+            big_left,
+            strains,
+            left_id="episode_id",
+            right_id="strain_id",
+            max_left_rows=10,
+        )

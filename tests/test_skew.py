@@ -31,6 +31,28 @@ def test_salted_join_matches_plain_join(spark):
     assert salted.exceptAll(plain).count() == 0
 
 
+def test_salted_join_left_matches_plain_left_join(spark):
+    left, right = _skewed_frames(spark)
+    small_right = right.filter(F.col("k") < 50)  # force unmatched lefts
+    plain = left.join(small_right, "k", "left").select(
+        "k", "left_id", "right_val"
+    )
+    salted = salted_join(left, small_right, "k", n_salts=8, how="left").select(
+        "k", "left_id", "right_val"
+    )
+    assert plain.exceptAll(salted).count() == 0
+    assert salted.exceptAll(plain).count() == 0
+
+
+def test_salted_join_rejects_right_and_full(spark):
+    import pytest
+
+    left, right = _skewed_frames(spark)
+    for how in ("right", "full", "outer"):
+        with pytest.raises(ValueError, match="inner.*left"):
+            salted_join(left, right, "k", how=how)
+
+
 def test_salt_actually_spreads_hot_key(spark):
     left, _ = _skewed_frames(spark)
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(8))
