@@ -85,6 +85,58 @@ def knn_bruteforce(
     )
 
 
+def train_kmeans_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    sample_size: int = 4096,
+    n_iters: int = 10,
+    seed: int = 42,
+) -> list[list[float]]:
+    """Deterministic spherical k-means coarse quantizer for IVF.
+
+    Trains driver-side on a bounded pseudo-random sample: rows are
+    ordered by ``xxhash64(id)`` (a deterministic shuffle — replays and
+    retries see the identical sample) and the top ``sample_size``
+    collected via one heap-top-k job.  At 100 TB the collect stays a
+    fixed ~sample_size × dim float64 block (a few MB) no matter the
+    corpus size; training cost is O(sample · n_cells · dim · iters) on
+    the driver, microseconds next to a single corpus scan.  Init is a
+    seeded choice over the sample, so the whole pipeline is replayable
+    bit-for-bit (no ``rand()`` anywhere).
+
+    Returns unit-norm centroids (spherical k-means: assign by max dot,
+    re-mean, re-normalize) ready to inline as broadcast literals in
+    :func:`knn_ivf`.
+    """
+    rows = (
+        corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .orderBy(F.asc(F.xxhash64(F.col("_id"))), F.asc("_id"))
+        .limit(sample_size)
+        .collect()
+    )
+    X = np.array([r["_v"] for r in rows], dtype=np.float64)
+    if len(X) < n_cells:
+        raise ValueError(
+            f"train_kmeans_centroids: sample of {len(X)} vectors cannot "
+            f"seed {n_cells} cells"
+        )
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    rng = np.random.RandomState(seed)
+    cent = X[rng.choice(len(X), n_cells, replace=False)].copy()
+    for _ in range(n_iters):
+        assign = (X @ cent.T).argmax(axis=1)
+        for j in range(n_cells):
+            members = X[assign == j]
+            if len(members):
+                mean = members.mean(axis=0)
+                norm = np.linalg.norm(mean)
+                if norm > 0:
+                    cent[j] = mean / norm
+    return [c.tolist() for c in cent]
+
+
 def knn_ivf(
     queries: DataFrame,
     corpus: DataFrame,
@@ -94,13 +146,17 @@ def knn_ivf(
     n_cells: int = 8,
     n_probe: int = 2,
     round_digits: int | None = 6,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate kNN — the classic ANN scale path.
 
-    Coarse quantizer: the ``n_cells`` lowest-id corpus vectors serve as
-    deterministic centroids (production would train k-means; a fixed
-    data-derived centroid set keeps the operator exactly reproducible
-    by the SQL oracle).  Every corpus vector is assigned to its nearest
+    Coarse quantizer: by default the ``n_cells`` lowest-id corpus
+    vectors serve as deterministic centroids (a fixed data-derived
+    centroid set keeps the operator exactly reproducible by the SQL
+    oracle); pass ``centroids`` (e.g. from
+    :func:`train_kmeans_centroids`) for a trained quantizer with better
+    cell balance — same plan shape, cells keyed 0..n-1.  Every corpus
+    vector is assigned to its nearest
     centroid in one broadcast pass (no shuffle of the corpus); each
     query probes its ``n_probe`` nearest cells and ranks only those
     cells' members — candidate count ≈ |corpus|·n_probe/n_cells per
@@ -127,13 +183,6 @@ def knn_ivf(
     # unit-normalize driver-side with the identical float64 left-fold
     # (acc starts 0.0, products added in element order) — bit-equal to
     # _normalized / the oracle's normed CTE.
-    cent_rows = (
-        corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-        .orderBy(F.asc("_id"))
-        .limit(n_cells)
-        .collect()
-    )
-
     def _unit(vec):
         acc = 0.0
         for x in vec:
@@ -141,14 +190,27 @@ def knn_ivf(
         n = math.sqrt(acc)
         return [float(x) / n for x in vec]
 
-    id_type = ncorpus.schema["_id"].dataType.simpleString()
+    if centroids is not None:
+        cent_pairs = [(i, list(map(float, c))) for i, c in enumerate(centroids)]
+        id_type = "int"
+    else:
+        cent_rows = (
+            corpus.select(
+                F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+            )
+            .orderBy(F.asc("_id"))
+            .limit(n_cells)
+            .collect()
+        )
+        cent_pairs = [(r["_id"], _unit(r["_v"])) for r in cent_rows]
+        id_type = ncorpus.schema["_id"].dataType.simpleString()
     cents_lit = F.array(
         *[
             F.struct(
-                F.lit(r["_id"]).cast(id_type).alias("cell_id"),
-                F.array(*[F.lit(x) for x in _unit(r["_v"])]).alias("cent"),
+                F.lit(cid).cast(id_type).alias("cell_id"),
+                F.array(*[F.lit(x) for x in cvec]).alias("cent"),
             )
-            for r in cent_rows
+            for cid, cvec in cent_pairs
         ]
     )
 

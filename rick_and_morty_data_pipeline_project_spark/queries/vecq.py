@@ -18,6 +18,7 @@ from rick_and_morty_data_pipeline_project_spark.operators.similarity import (
     knn_ivf,
     knn_lsh,
     label_centroids,
+    train_kmeans_centroids,
 )
 from rick_and_morty_data_pipeline_project_spark.queries._util import Q, t
 
@@ -113,6 +114,17 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
 """
 
 
+def knn_cosine_ivf_kmeans(spark, sf_dir):
+    """IVF ANN with a trained coarse quantizer: deterministic seeded
+    spherical k-means on a bounded driver-side sample (rows-only oracle:
+    the trained centroids are engine-side constants; recall vs brute
+    force is property-tested in tests/test_dedup_similarity.py)."""
+    e = t(spark, sf_dir, "embeddings")
+    cents = train_kmeans_centroids(e, n_cells=8, sample_size=2048)
+    queries = e.filter(F.col("vec_id") < 10)
+    return knn_ivf(queries, e, k=5, n_probe=2, centroids=cents)
+
+
 def embedding_label_centroids(spark, sf_dir):
     e = t(spark, sf_dir, "embeddings")
     return label_centroids(e)
@@ -130,5 +142,6 @@ QUERIES: dict[str, Q] = {
     "knn_cosine_bruteforce": Q(knn_cosine_bruteforce, KNN_SQL),
     "knn_cosine_lsh": Q(knn_cosine_lsh, None),
     "knn_cosine_ivf": Q(knn_cosine_ivf, KNN_IVF_SQL),
+    "knn_cosine_ivf_kmeans": Q(knn_cosine_ivf_kmeans, None),
     "embedding_label_centroids": Q(embedding_label_centroids, CENTROIDS_SQL),
 }

@@ -133,6 +133,31 @@ def test_knn_ivf_recall_vs_bruteforce(spark):
     assert sum(recalls) / len(recalls) > 0.3, recalls
 
 
+def test_knn_ivf_kmeans_recall_vs_bruteforce(spark):
+    from rick_and_morty_data_pipeline_project_spark.operators.similarity import (
+        knn_ivf,
+        train_kmeans_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 20)
+    cents = train_kmeans_centroids(emb, n_cells=8, sample_size=512)
+    # seeded training is fully deterministic — a retrain is bit-equal
+    assert cents == train_kmeans_centroids(emb, n_cells=8, sample_size=512)
+    exact = knn_bruteforce(queries, emb, k=10).collect()
+    approx = knn_ivf(queries, emb, k=10, n_probe=4, centroids=cents).collect()
+    exact_sets, approx_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) > 0.3, recalls
+
+
 def test_knn_bruteforce_self_consistency(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     q = emb.filter(F.col("vec_id") == 0)
