@@ -8,21 +8,21 @@ WHERE strain_id=…`, ipynb:185).  The greedy order-dependence is part of
 the semantics, so it is inherently a sequential driver-side loop around
 otherwise-declarative distributed Top-K queries.  Unlike the reference we
 never mutate the base table: claims accumulate in a driver-side exclusion
-set.  The distributed work is ONE TakeOrderedAndProject heap top-k per
-distinct top emotion (≤ 6 jobs over an arbitrarily large right side,
-depth k1 + n_left − 1 — enough that the greedy exclusions can never
-push a needed candidate out of the prefix); the sequential replay is
-then driver-side bookkeeping over those small prefixes.  The left side
-(episodes) is assumed driver-small, the same assumption the reference
-hard-codes (41 episodes).
+set.  The distributed work is ONE bounded-memory pass computing every
+needed per-emotion top-k prefix at once (operators/topk.
+per_emotion_topk_prefixes, depth k1 + n_left − 1 — enough that the
+greedy exclusions can never push a needed candidate out of the prefix);
+the sequential replay is then driver-side bookkeeping over those small
+prefixes.  The left side (episodes) is assumed driver-small, the same
+assumption the reference hard-codes (41 episodes).
 
 EP-3 (cell-15): per-strain best episode **with** replacement — fully
 set-oriented: with replacement the per-pair stage-1 top-k1 equals the
-global per-emotion top-k1, so the plan takes ≤ 6 TakeOrderedAndProject
-heap top-k prefixes of the candidate table (zero corpus shuffle), joins
-the ≤ 6·k1-row prefix union to the broadcast distinct (top, second)
-pairs (≤ 30), and ranks only those bounded rows for stage 2.  No window
-ever partitions the full candidate relation on the pair key.
+global per-emotion top-k1, so the plan takes all 6 per-emotion top-k1
+prefixes in one corpus pass (zero corpus shuffle), joins the ≤ 6·k1-row
+prefix union to the broadcast distinct (top, second) pairs (≤ 30), and
+ranks only those bounded rows for stage 2.  No window ever partitions
+the full candidate relation on the pair key.
 """
 
 from __future__ import annotations
@@ -34,6 +34,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from rick_and_morty_data_pipeline_project_spark.functions.emotions import EMOTIONS
+from rick_and_morty_data_pipeline_project_spark.operators.topk import (
+    per_emotion_topk_prefixes,
+)
 
 
 def _top2(scores: dict[str, float]) -> tuple[str, str]:
@@ -83,28 +86,30 @@ def greedy_match_without_replacement(
             f"driver can hold them"
         )
 
-    # One distributed TakeOrderedAndProject per DISTINCT top emotion
-    # (≤ 6 jobs total, not one per left row): the greedy exclusion can
-    # displace at most n_left−1 candidates, so the unclaimed top-k1 by
-    # emotion A is always contained in the global
-    # top-(k1 + n_left − 1) by A.  The replay below is then pure
-    # driver-side bookkeeping over ≤ 6·(k1+n_left) collected rows —
-    # same result as re-querying per step, measured 25× faster.
+    # ONE distributed pass prefetches every needed per-emotion prefix
+    # (not one job per left row, and not one rescan per emotion): the
+    # greedy exclusion can displace at most n_left−1 candidates, so the
+    # unclaimed top-k1 by emotion A is always contained in the global
+    # top-(k1 + n_left − 1) by A.  per_emotion_topk_prefixes computes
+    # all ≤ 6 prefixes in a single corpus scan (single scoring pass, no
+    # cache of the full right side — uncacheable at 100 TB); the replay
+    # below is then pure driver-side bookkeeping over ≤ 6·(k1+n_left)
+    # collected rows — same result as re-querying per step, measured
+    # 25× faster.
     top2_by_left = {
         row[left_id]: _top2({e: row[e] for e in emotions}) for row in left_rows
     }
     depth = k1 + len(left_rows) - 1
     cand_cols = [right_id] + ([right_name] if right_name else []) + emotions
-    right = right.cache()
-    cand_lists = {
-        emo: (
-            right.select(*cand_cols)
-            .orderBy(F.desc(emo), F.asc(right_id))
-            .limit(depth)
-            .collect()
-        )
-        for emo in sorted({t for t, _ in top2_by_left.values()})
-    }
+    needed = sorted({t for t, _ in top2_by_left.values()})
+    prefix_rows = per_emotion_topk_prefixes(
+        right.select(*cand_cols), needed, right_id, depth
+    ).collect()
+    cand_lists: dict[str, list] = {emo: [] for emo in needed}
+    for r in prefix_rows:
+        cand_lists[r["_prefix_emotion"]].append(r)
+    for emo in needed:
+        cand_lists[emo].sort(key=lambda r: (-r[emo], r[right_id]))
 
     claimed: set = set()
     out_rows: list[tuple] = []
@@ -159,21 +164,15 @@ def best_match_with_replacement(
     # Stage 1, scale-safe: WITH replacement there are no exclusions, so
     # the per-pair top-k1 by the pair's top emotion is exactly the
     # GLOBAL top-k1 by that emotion (same (desc score, asc id)
-    # tie-break).  Build one TakeOrderedAndProject heap top-k per
-    # emotion (≤ 6 bounded jobs, zero shuffle of the corpus) and union
-    # the prefixes: ≤ 6·k1 rows total, independent of |right|.  The
-    # previous plan (broadcast pairs crossJoin right + two windows
-    # partitioned by the ≤30 pair keys) collapsed parallelism to ≤30
-    # partitions each holding a full corpus copy — an OOM/straggler at
-    # 100 TB.  All downstream work now touches only the tiny prefix.
-    prefix = None
-    for e in emotions:
-        p = (
-            right.orderBy(F.desc(e), F.asc(right_id))
-            .limit(k1)
-            .withColumn("_prefix_emotion", F.lit(e))
-        )
-        prefix = p if prefix is None else prefix.unionByName(p)
+    # tie-break).  per_emotion_topk_prefixes takes all 6 prefixes in a
+    # SINGLE bounded-memory corpus pass (one scan, one evaluation of
+    # the upstream scorer — the earlier one-TakeOrderedAndProject-per-
+    # emotion union rescanned and rescored the corpus 6×, and the round-1
+    # pairs-crossJoin-corpus plan collapsed parallelism to ≤30
+    # partitions each holding a full corpus copy).  The union is
+    # ≤ 6·k1 rows, independent of |right|; all downstream work touches
+    # only that prefix.
+    prefix = per_emotion_topk_prefixes(right, emotions, right_id, k1)
 
     emo_map = F.create_map(
         *chain.from_iterable((F.lit(e), F.col(e)) for e in emotions)

@@ -21,8 +21,12 @@ score-descending with name-ascending tiebreak, all JVM-side.
 
 from __future__ import annotations
 
+from itertools import chain
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+from pyspark.sql.window import Window
 
 from rick_and_morty_data_pipeline_project_spark.functions.emotions import EMOTIONS
 
@@ -63,6 +67,76 @@ def grouped_topk_applyinpandas(
         ).head(k)
 
     return df.groupBy(group_col).applyInPandas(fn, schema=schema)
+
+
+def per_emotion_topk_prefixes(
+    df: DataFrame,
+    emotions: list[str],
+    id_col: str,
+    k: int,
+) -> DataFrame:
+    """Global top-k rows per emotion (score desc, ``id_col`` asc), each
+    row tagged ``_prefix_emotion`` — all emotions in ONE corpus pass.
+
+    The alternative — one ``orderBy().limit(k)`` subtree per emotion —
+    is bounded-memory but rescans (and re-computes every upstream
+    expression, e.g. the emotion scorer, over) the full corpus once per
+    emotion.  This operator is the single-scan form:
+
+    * Stage 1, narrow: ``mapInPandas`` keeps each partition's local
+      top-k per emotion in bounded memory across Arrow batches and
+      emits ≤ |emotions|·k tagged rows per partition, whatever the
+      partition size.  Every score arrives pre-computed from the JVM —
+      Python only SELECTS rows, never computes values, so SQL-oracle
+      hash parity is untouched.  (The grouped-top-k built-ins can't
+      express a map-side-bounded partial aggregate: ``collect_list``
+      buffers whole groups, and a window over the emotion key would
+      shuffle the full corpus onto ≤ |emotions| partitions.)
+    * Stage 2: rank the n_partitions·|emotions|·k survivors per tag —
+      window input bounded by construction, not by corpus size.
+
+    A partition's local top-k per emotion is a superset of its
+    contribution to the global top-k, so the result is exactly the
+    union of the per-emotion global top-k prefixes.
+    """
+    emos = list(emotions)
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [StructField("_prefix_emotion", StringType(), False)]
+    )
+
+    def fn(batches):
+        import pandas as pd
+
+        best: dict[str, "pd.DataFrame"] = {}
+        for pdf in batches:
+            for e in emos:
+                cand = pdf.sort_values(
+                    [e, id_col], ascending=[False, True]
+                ).head(k)
+                if e in best:
+                    cand = (
+                        pd.concat([best[e], cand])
+                        .sort_values([e, id_col], ascending=[False, True])
+                        .head(k)
+                    )
+                best[e] = cand
+        out = [b.assign(_prefix_emotion=e) for e, b in best.items()]
+        if out:
+            yield pd.concat(out, ignore_index=True)
+
+    tagged = df.mapInPandas(fn, schema=out_schema)
+    score = F.create_map(
+        *chain.from_iterable((F.lit(e), F.col(e)) for e in emos)
+    )[F.col("_prefix_emotion")]
+    w = Window.partitionBy("_prefix_emotion").orderBy(
+        F.desc(score), F.asc(id_col)
+    )
+    return (
+        tagged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
 
 
 def top2_emotions_cols(

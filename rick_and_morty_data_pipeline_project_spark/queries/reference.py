@@ -28,6 +28,9 @@ from rick_and_morty_data_pipeline_project_spark.operators.matching import (
     best_match_with_replacement,
     greedy_match_without_replacement,
 )
+from rick_and_morty_data_pipeline_project_spark.operators.parallelism import (
+    fan_out,
+)
 from rick_and_morty_data_pipeline_project_spark.operators.topk import (
     top2_emotions_cols,
 )
@@ -40,7 +43,9 @@ EPISODE_SOURCES = ("src0", "src1")
 
 
 def _scored_sides(spark, sf_dir):
-    d = t(spark, sf_dir, "documents")
+    # fan_out before scoring: the md5-lexicon scorer is the expensive
+    # stage and a single-file local scan would otherwise run it 1-way
+    d = fan_out(t(spark, sf_dir, "documents"))
     scores = emotion_score_cols("text")
     scored = d.select(
         "doc_id", "source", *[scores[e].alias(e) for e in EMOTIONS]

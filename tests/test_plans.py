@@ -7,6 +7,8 @@ must broadcast, top-k must be TakeOrderedAndProject (not a global sort).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import functions as F
 
 from rick_and_morty_data_pipeline_project_spark.plans.explain_utils import (
@@ -52,13 +54,19 @@ def test_two_stage_topk_is_heap_topk(spark):
 
 def test_best_match_ranks_only_bounded_prefixes(spark):
     """EP-3 (best match WITH replacement) must never window-partition the
-    full candidate relation on the ≤30-key (top, second) pair: the plan
-    takes one TakeOrderedAndProject heap top-k per emotion and every
-    window/join downstream sees only the ≤6·k1-row prefix union — the
-    old pairs-crossJoin-corpus shape is banned."""
+    full candidate relation on the ≤30-key (top, second) pair: all 6
+    per-emotion prefixes come from ONE bounded-memory corpus pass
+    (per_emotion_topk_prefixes — a MapInPandas partial top-k, not 6
+    rescans, not a pairs-crossJoin-corpus) and every window/join
+    downstream sees only the ≤6·k1-row prefix union."""
     df = QUERIES["flagship_best_match_with_replacement"].fn(spark, SF_SMALL)
     plan = formatted_plan(df)
-    assert plan.count("TakeOrderedAndProject") >= 6, plan
+    assert "MapInPandas" in plan, plan
+    # single corpus pass for the prefix side: the candidate relation is
+    # scanned once there, plus the two left-side (episodes) subtrees —
+    # the 6-rescans-of-the-scorer shape would show ≥8 document scans
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert n_scans <= 4, (n_scans, plan)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
