@@ -57,15 +57,17 @@ def main() -> None:
     for tbl in ("lineitem", "orders", "customer", "events", "documents", "embeddings"):
         load_table(spark, sf_dir, tbl).count()
 
-    # Two runs per query, report the min: the first run pays plan
+    # Three runs per query, report the min: the first run pays plan
     # compilation + whole-stage codegen for that query's unique plan
-    # (measured up to 3x the steady-state time); the min reflects
+    # (measured up to 3x the steady-state time), and single runs on a
+    # shared host see multi-x scheduling jitter (measured: the same
+    # query 2.0s-6.8s across back-to-back runs); the min reflects
     # execution, which is what a long-lived session sees.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name].fn
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
