@@ -26,15 +26,28 @@ def stream_events_hourly(
     trigger.  State size is bounded by the watermark: windows older
     than (max event time − watermark) are finalized and evicted.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    static = spark.read.parquet(f"{sf_dir}/events.parquet")
-    # the file stream source requires a directory; filter to the events
-    # table inside the corpus dir
-    stream = (
-        spark.readStream.schema(static.schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    # scoped save/set/restore (see sources/corpus.py): the conf is
+    # captured at analysis time; don't leak it into the caller's session
+    _conf = "spark.sql.legacy.parquet.nanosAsLong"
+    try:
+        prev = spark.conf.get(_conf)
+    except Exception:
+        prev = None
+    spark.conf.set(_conf, "true")
+    try:
+        static = spark.read.parquet(f"{sf_dir}/events.parquet")
+        # the file stream source requires a directory; filter to the
+        # events table inside the corpus dir
+        stream = (
+            spark.readStream.schema(static.schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(_conf)
+        else:
+            spark.conf.set(_conf, prev)
     events = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return (
         events.withWatermark("ts", watermark)

@@ -90,6 +90,57 @@ def test_grouped_topk_applyinpandas_matches_window(spark):
     assert via_pandas == via_window
 
 
+def test_stream_dedup_exact_matches_batch(spark, tmp_path):
+    """Streaming exact dedup ≡ batch distinct-by-fingerprint: a stream
+    carrying injected duplicate texts keeps exactly one row per
+    fingerprint once drained (single-watermark-window input)."""
+    from pyspark.sql import functions as F
+
+    from rick_and_morty_data_pipeline_project_spark.functions.textfns import (
+        fingerprint_col,
+    )
+    from rick_and_morty_data_pipeline_project_spark.streaming.dedup import (
+        stream_dedup_exact,
+    )
+
+    docs = (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .limit(50)
+        .select(
+            "doc_id",
+            "text",
+            # base epoch well away from 0: a row AT the initial
+            # watermark boundary (epoch 0) is dropped as late
+            F.timestamp_micros(
+                F.lit(1_700_000_000_000_000) + F.col("doc_id") * 1_000_000
+            ).alias("ts"),
+        )
+    )
+    dup = docs.limit(20).withColumn("doc_id", F.col("doc_id") + 10_000)
+    src = str(tmp_path / "docs_stream")
+    docs.unionByName(dup).write.parquet(src)
+
+    stream = spark.readStream.schema(
+        "doc_id bigint, text string, ts timestamp"
+    ).parquet(src)
+    deduped = stream_dedup_exact(stream, "text", "ts", "1 hour")
+    assert deduped.isStreaming
+    run_available_now(deduped, "dedup_test", output_mode="append")
+    got = spark.sql("SELECT fingerprint FROM dedup_test").collect()
+    fps = [r["fingerprint"] for r in got]
+    assert len(fps) == len(set(fps)), "stream emitted duplicate fingerprints"
+    # recompute the expectation from the files actually written (an
+    # unordered limit() is not stable across re-executions)
+    want = {
+        r["fp"]
+        for r in spark.read.parquet(src)
+        .select(fingerprint_col(F.col("text")).alias("fp"))
+        .distinct()
+        .collect()
+    }
+    assert set(fps) == want
+
+
 def test_stream_matches_batch(spark):
     stream_df = stream_events_hourly(spark, SF_SMALL)
     assert stream_df.isStreaming
