@@ -475,8 +475,45 @@ def subquery_scalar_exists(spark, sf_dir):
     return spark.sql(SUBQUERY_SQL)
 
 
+def join_salted_user_events(spark, sf_dir):
+    """Skew-safe equi-join exemplar: ``salted_join`` splits each hot key
+    across ``n_salts`` sub-partitions (replicating the build side) so a
+    single hot user cannot serialize one reducer.  The salt is an
+    engine-side detail — the result equals the plain join, so the
+    oracle is the plain SQL join.  Aggregates are count/min/max only
+    (order-independent under any salting/parallelism)."""
+    from rick_and_morty_data_pipeline_project_spark.operators.skew import (
+        salted_join,
+    )
+
+    e = t(spark, sf_dir, "events").select("user_id", "event_id")
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_name"
+    )
+    return (
+        salted_join(e, c, "user_id", n_salts=8, how="inner")
+        .groupBy("user_id", "c_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("event_id").alias("first_event_id"),
+            F.max("event_id").alias("last_event_id"),
+        )
+    )
+
+
+JOIN_SALTED_SQL = """
+SELECT e.user_id, c.c_name,
+       count(*) AS n_events,
+       min(e.event_id) AS first_event_id,
+       max(e.event_id) AS last_event_id
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, Q] = {
     "text_language_id": Q(text_language_id, TEXT_LANGID_SQL),
+    "join_salted_user_events": Q(join_salted_user_events, JOIN_SALTED_SQL),
     "join_asof_click_error": Q(join_asof_click_error, JOIN_ASOF_SQL),
     "sessionize_events": Q(sessionize_events, SESSIONIZE_SQL),
     "subquery_scalar_exists": Q(subquery_scalar_exists, SUBQUERY_SQL),
