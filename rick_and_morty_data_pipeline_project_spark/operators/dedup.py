@@ -255,3 +255,60 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     for b in bits[1:]:
         total = total + b
     return votes.select(F.col(id_col), total.cast("long").alias("simhash"))
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Cluster assignment over an undirected edge list — the step that
+    turns candidate near-dup PAIRS into per-document KEEPER decisions
+    (cluster id = min doc id in the component; dedup keeps that doc).
+
+    Min-label propagation: every node starts labeled with itself; each
+    round a node adopts the min of its own and its neighbors' labels;
+    stable labels = components.  Each round is one shuffle join
+    (labels ⋈ edges on the source node) plus one map-combinable min
+    aggregation — the standard large-graph CC loop, converging in
+    O(graph diameter) rounds (near-dup clusters are shallow: a handful
+    of rounds).  ``localCheckpoint`` truncates the growing lineage each
+    round so round N's plan does not replay rounds 1..N−1; the
+    convergence check is a count of changed labels, one tiny action per
+    round.  Iterative by nature — not expressible as one SQL statement
+    in Spark, but reproducible by a recursive-CTE oracle.
+    """
+    edges = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).unionByName(
+        pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    )
+    edges = edges.distinct().localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["src"] == labels["node"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+                (F.col("nbr_label") < F.col("label")).alias("_changed"),
+            )
+        ).localCheckpoint()
+        n_changed = new_labels.filter(F.col("_changed")).count()
+        labels = new_labels.drop("_changed")
+        if n_changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("label").alias("cluster_id"))

@@ -24,6 +24,7 @@ from rick_and_morty_data_pipeline_project_spark.functions.textfns import (
 )
 from rick_and_morty_data_pipeline_project_spark.operators.dedup import (
     exact_dedup_stats,
+    fan_out,
     minhash_lsh_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
@@ -341,8 +342,109 @@ FROM documents
 """
 
 
+# --------------------------------------------------------------------------
+def dedup_minhash_clusters(spark, sf_dir):
+    """Near-dup CLUSTERS from LSH candidate pairs: min-label-propagation
+    connected components (operators/dedup.connected_components).  The
+    full dedup pipeline's last step — pairs alone don't dedup anything;
+    cluster_id = min doc id in the component is the keeper.  Iterative
+    on the Spark side (O(diameter) shuffle rounds); the oracle is the
+    equivalent recursive-CTE transitive closure."""
+    from rick_and_morty_data_pipeline_project_spark.operators.dedup import (
+        connected_components,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        d, "doc_id", "text", num_hashes=8, band_size=4, shingle_k=3
+    )
+    return connected_components(pairs, "id_a", "id_b").select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )
+
+
+DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE shingled AS ({_SHINGLES_SQL}),
+sigs AS (SELECT doc_id, {_SIG_ARRAY_SQL} AS sig FROM shingled),
+banded AS (
+  SELECT doc_id, sig,
+         CAST(b.b AS VARCHAR) || '|' || array_to_string(sig[4*b.b + 1 : 4*b.b + 4], '|') AS band
+  FROM sigs, (SELECT unnest(generate_series(0, 1)) AS b) b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM cand
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM cand
+),
+reach(node, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+def text_vocab_df(spark, sf_dir):
+    """Corpus vocabulary statistics: term frequency + document
+    frequency per token — the inputs to TF-IDF weighting, stopword
+    induction, and vocabulary pruning in a training-data pipeline.
+    Classic word-count shape: explode is narrow, both aggregates are
+    map-side combinable (partial count-distinct keeps per-partition
+    token→doc sets bounded by the partition's vocabulary)."""
+    d = fan_out(t(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    return toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.count_distinct("doc_id").alias("doc_freq"),
+    )
+
+
+TEXT_VOCAB_SQL = """
+SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS doc_freq
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+def sample_hash_deterministic(spark, sf_dir):
+    """Reproducible corpus sampling: keep a row iff the first hex char
+    of md5('sample:' || id) falls in a fixed set (p = 2/16).  Unlike
+    ``df.sample`` (seed × partitioning dependent), a content-hash
+    predicate selects the SAME rows on any cluster layout, any engine —
+    which is what makes training subsets and ablations replayable.
+    Narrow (no shuffle), pushes the projection to the scan."""
+    d = t(spark, sf_dir, "documents")
+    bucket = F.substring(
+        F.md5(F.concat(F.lit("sample:"), F.col("doc_id").cast("string"))),
+        1,
+        1,
+    )
+    return d.filter(bucket.isin("0", "1")).select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+SAMPLE_HASH_SQL = """
+SELECT doc_id, source, n_chars
+FROM documents
+WHERE substring(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+"""
+
+
 QUERIES: dict[str, Q] = {
     "text_emotion_scores": Q(text_emotion_scores, TEXT_EMOTION_SQL),
+    "dedup_minhash_clusters": Q(dedup_minhash_clusters, DEDUP_CLUSTERS_SQL),
+    "text_vocab_df": Q(text_vocab_df, TEXT_VOCAB_SQL),
+    "sample_hash_deterministic": Q(sample_hash_deterministic, SAMPLE_HASH_SQL),
     "text_token_stats": Q(text_token_stats, TEXT_TOKEN_SQL),
     "text_top2_emotions": Q(text_top2_emotions, TEXT_TOP2_SQL),
     "text_quality_scores": Q(text_quality_scores, TEXT_QUALITY_SQL),

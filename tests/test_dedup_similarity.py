@@ -166,3 +166,33 @@ def test_knn_bruteforce_self_consistency(spark):
     assert [r["rank"] for r in top] == [1, 2, 3]
     assert top[0]["cosine"] >= top[1]["cosine"] >= top[2]["cosine"]
     assert all(r["neighbor_id"] != 0 for r in top)
+
+
+def test_connected_components_known_graph(spark):
+    from rick_and_morty_data_pipeline_project_spark.operators.dedup import (
+        connected_components,
+    )
+
+    # components: {1,2,3,4} (chain), {10,11}, {20,21,22} (star on 20)
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (20, 22)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_long_chain_converges(spark):
+    from rick_and_morty_data_pipeline_project_spark.operators.dedup import (
+        connected_components,
+    )
+
+    # a 12-node chain forces multiple propagation rounds (diameter 11;
+    # min-label needs ~diameter rounds worst-case)
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long"
+    )
+    got = connected_components(pairs).collect()
+    assert {r["cluster_id"] for r in got} == {0}
+    assert len(got) == 13
