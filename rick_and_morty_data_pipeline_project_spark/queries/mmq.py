@@ -14,6 +14,8 @@ from pyspark.sql import functions as F
 
 from rick_and_morty_data_pipeline_project_spark.operators.multimodal import (
     decode_media,
+    resize_dims,
+    sample_frames,
     synthesize_media,
 )
 from rick_and_morty_data_pipeline_project_spark.queries._util import Q, t
@@ -55,7 +57,57 @@ def multimodal_decode_features(spark, sf_dir):
     return decode_media(m, fake=True)
 
 
+def multimodal_resize_dims(spark, sf_dir):
+    """Resize planning over the media catalog: aspect-preserving fit
+    into a 64×48 box, metadata-only (no byte access — see
+    operators/multimodal.resize_dims)."""
+    d = t(spark, sf_dir, "documents")
+    m = synthesize_media(d, "doc_id", "text")
+    return resize_dims(m, 64, 48)
+
+
+MM_RESIZE_SQL = """
+WITH meta AS (
+  SELECT doc_id AS media_id, 'image' AS kind,
+         CAST(length(text) % 64 + 16 AS INT) AS width,
+         CAST(length(text) % 48 + 16 AS INT) AS height
+  FROM documents
+),
+scaled AS (
+  SELECT *, least(64.0 / width, 48.0 / height, 1.0) AS scale FROM meta
+)
+SELECT media_id, kind, width, height,
+       CAST(greatest(floor(width * scale), 1) AS INT) AS new_width,
+       CAST(greatest(floor(height * scale), 1) AS INT) AS new_height
+FROM scaled
+"""
+
+
+def multimodal_frame_samples(spark, sf_dir):
+    """Frame sampling over the mixed-kind media table: one row per
+    (video, sampled timestamp) with a deterministic frame fingerprint
+    standing in for the stubbed codec extraction."""
+    d = t(spark, sf_dir, "documents")
+    m = synthesize_media(d, "doc_id", "text", mixed_kinds=True)
+    return sample_frames(m, every_ms=1000)
+
+
+MM_FRAMES_SQL = """
+WITH media AS (
+  SELECT doc_id AS media_id,
+         CAST(length(text) * 37 % 9000 + 1000 AS INT) AS duration_ms,
+         md5(text) || md5(md5(text)) || md5(md5(md5(text))) AS content_hex
+  FROM documents WHERE doc_id % 3 = 2
+)
+SELECT media_id, CAST(f.f AS INT) AS frame_ms,
+       md5(content_hex || '#' || CAST(f.f AS VARCHAR)) AS frame_fingerprint
+FROM media, LATERAL (SELECT unnest(generate_series(0, duration_ms, 1000)) AS f) f
+"""
+
+
 QUERIES: dict[str, Q] = {
     "multimodal_metadata_stats": Q(multimodal_metadata_stats, MM_META_SQL),
     "multimodal_decode_features": Q(multimodal_decode_features, None),
+    "multimodal_resize_dims": Q(multimodal_resize_dims, MM_RESIZE_SQL),
+    "multimodal_frame_samples": Q(multimodal_frame_samples, MM_FRAMES_SQL),
 }
