@@ -340,6 +340,33 @@ def knn_lsh(
     )
 
 
+def quantize_int8(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization: ``scale = max|x|/127``,
+    ``q_i = round(x_i/scale)`` ∈ [−127, 127].
+
+    The storage/bandwidth lever for ANN at scale: a quantized corpus is
+    4× smaller than float32 (8× vs float64), which is 4× more vectors
+    per executor page-cache and 4× less shuffle/broadcast traffic in
+    the IVF probe stage; scoring dequantizes on the fly
+    (``dot ≈ scale_a·scale_b·Σ qa_i·qb_i``) with integer multiplies.
+    Narrow, zero-shuffle, one pass.  Deterministic — no sampling or
+    calibration state; re-quantizing the same vector is bit-identical.
+    """
+    x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    amax = F.array_max(F.transform(x, lambda v: F.abs(v)))
+    return df.select(
+        F.col(id_col),
+        (amax / F.lit(127.0)).alias("scale"),
+        F.transform(
+            x, lambda v: F.round(v / (amax / F.lit(127.0))).cast("int")
+        ).alias("qvec"),
+    )
+
+
 def label_centroids(
     df: DataFrame,
     label_col: str = "label",

@@ -18,6 +18,7 @@ from rick_and_morty_data_pipeline_project_spark.operators.similarity import (
     knn_ivf,
     knn_lsh,
     label_centroids,
+    quantize_int8,
     train_kmeans_centroids,
 )
 from rick_and_morty_data_pipeline_project_spark.queries._util import Q, t
@@ -125,6 +126,57 @@ def knn_cosine_ivf_kmeans(spark, sf_dir):
     return knn_ivf(queries, e, k=5, n_probe=2, centroids=cents)
 
 
+def embedding_quantize_error(spark, sf_dir):
+    """int8 quantization quality report: per-vector scale +
+    reconstruction-error stats (max and mean |x − q·scale|).  The
+    audit a pipeline runs before switching its ANN corpus to the 4×-
+    smaller quantized layout."""
+    e = t(spark, sf_dir, "embeddings")
+    q = quantize_int8(e, "vec_id", "embedding")
+    joined = e.select(
+        "vec_id", F.col("embedding").alias("_x")
+    ).join(q, "vec_id")
+    err = F.zip_with(
+        "_x",
+        "qvec",
+        lambda x, qv: F.abs(
+            x.cast("double") - qv.cast("double") * F.col("scale")
+        ),
+    )
+    return joined.select(
+        "vec_id",
+        F.round("scale", 9).alias("scale_r"),
+        F.round(F.array_max(err), 9).alias("max_abs_err"),
+        F.round(
+            F.aggregate(
+                err, F.lit(0.0), lambda acc, v: acc + v
+            )
+            / F.size("_x"),
+            9,
+        ).alias("mean_abs_err"),
+    )
+
+
+QUANT_ERR_SQL = """
+WITH q AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0 AS scale
+  FROM embeddings
+),
+r AS (
+  SELECT vec_id, scale,
+         list_transform(embedding,
+           x -> abs(x::DOUBLE - round(x::DOUBLE / scale) * scale)) AS err
+  FROM q
+)
+SELECT vec_id,
+       round(scale, 9) AS scale_r,
+       round(list_max(err), 9) AS max_abs_err,
+       round(list_sum(err) / len(err), 9) AS mean_abs_err
+FROM r
+"""
+
+
 def embedding_label_centroids(spark, sf_dir):
     e = t(spark, sf_dir, "embeddings")
     return label_centroids(e)
@@ -143,5 +195,6 @@ QUERIES: dict[str, Q] = {
     "knn_cosine_lsh": Q(knn_cosine_lsh, None),
     "knn_cosine_ivf": Q(knn_cosine_ivf, KNN_IVF_SQL),
     "knn_cosine_ivf_kmeans": Q(knn_cosine_ivf_kmeans, None),
+    "embedding_quantize_error": Q(embedding_quantize_error, QUANT_ERR_SQL),
     "embedding_label_centroids": Q(embedding_label_centroids, CENTROIDS_SQL),
 }
