@@ -12,6 +12,7 @@ exactly (see functions/emotions.py, functions/textfns.py docstrings).
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from rick_and_morty_data_pipeline_project_spark.functions.emotions import (
     EMOTIONS,
@@ -390,6 +391,114 @@ SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY 1
 
 
 # --------------------------------------------------------------------------
+def text_redact_patterns(spark, sf_dir):
+    """Pattern scrubbing — the cleaning pass a training pipeline runs
+    before tokenization: digit runs → <NUM>, long tokens → <LONG>, and
+    a redaction count per doc.  Pure ``regexp_replace`` chain: narrow,
+    codegen'd, pushes the projection to the scan."""
+    d = t(spark, sf_dir, "documents")
+    redacted = F.regexp_replace(
+        F.regexp_replace("text", r"\d+", "<NUM>"),
+        r"\b\w{12,}\b",
+        "<LONG>",
+    )
+    return d.select(
+        "doc_id",
+        redacted.alias("clean_text"),
+        (
+            F.size(F.split(redacted, "<NUM>", -1))
+            - 1
+            + F.size(F.split(redacted, "<LONG>", -1))
+            - 1
+        ).alias("n_redactions"),
+    )
+
+
+TEXT_REDACT_SQL = r"""
+WITH r AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(text, '\d+', '<NUM>', 'g'),
+                        '\b\w{12,}\b', '<LONG>', 'g') AS clean_text
+  FROM documents
+)
+SELECT doc_id, clean_text,
+       len(string_split(clean_text, '<NUM>')) - 1
+         + len(string_split(clean_text, '<LONG>')) - 1 AS n_redactions
+FROM r
+"""
+
+
+# --------------------------------------------------------------------------
+def text_pack_buckets(spark, sf_dir, capacity: int = 2048):
+    """Sequence-packing plan: assign each document to a fixed-capacity
+    token bucket, packing greedily in doc-id order WITHIN a shard
+    (shard = doc_id % 32).  Real packing is per-shard exactly like
+    this — a single global running sum would serialize the corpus
+    through one partition; per-shard windows keep every shard's cumsum
+    parallel and the shard key is the write-partition key downstream."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        (F.col("doc_id") % 32).alias("shard"),
+        F.size(F.split("text", "\\s+")).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return toks.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.floor((F.sum("n_tokens").over(w) - 1) / capacity)
+        .cast("long")
+        .alias("bucket"),
+    )
+
+
+TEXT_PACK_SQL = r"""
+SELECT doc_id, doc_id % 32 AS shard,
+       len(string_split_regex(text, '\s+')) AS n_tokens,
+       CAST(floor((SUM(len(string_split_regex(text, '\s+')))
+                     OVER (PARTITION BY doc_id % 32 ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) - 1) / 2048) AS BIGINT)
+         AS bucket
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+def sample_mixture_weights(spark, sf_dir):
+    """Weighted mixture construction: per-source sampling rates applied
+    via the same deterministic md5 predicate as
+    ``sample_hash_deterministic`` (src0/src1 kept at 8/16, others at
+    2/16) — how a training mix up-weights curated sources while staying
+    exactly replayable on any engine or cluster layout."""
+    d = t(spark, sf_dir, "documents")
+    bucket = F.substring(
+        F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))), 1, 1
+    )
+    keep = F.when(
+        F.col("source").isin("src0", "src1"),
+        bucket.isin(*"01234567"),
+    ).otherwise(bucket.isin("0", "1"))
+    return d.filter(keep).select("doc_id", "source", "n_chars")
+
+
+SAMPLE_MIX_SQL = """
+SELECT doc_id, source, n_chars
+FROM documents
+WHERE CASE WHEN source IN ('src0', 'src1')
+           THEN substring(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 1)
+                  IN ('0','1','2','3','4','5','6','7')
+           ELSE substring(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 1)
+                  IN ('0','1')
+      END
+"""
+
+
+# --------------------------------------------------------------------------
 def text_vocab_df(spark, sf_dir):
     """Corpus vocabulary statistics: term frequency + document
     frequency per token — the inputs to TF-IDF weighting, stopword
@@ -445,6 +554,9 @@ QUERIES: dict[str, Q] = {
     "dedup_minhash_clusters": Q(dedup_minhash_clusters, DEDUP_CLUSTERS_SQL),
     "text_vocab_df": Q(text_vocab_df, TEXT_VOCAB_SQL),
     "sample_hash_deterministic": Q(sample_hash_deterministic, SAMPLE_HASH_SQL),
+    "text_redact_patterns": Q(text_redact_patterns, TEXT_REDACT_SQL),
+    "text_pack_buckets": Q(text_pack_buckets, TEXT_PACK_SQL),
+    "sample_mixture_weights": Q(sample_mixture_weights, SAMPLE_MIX_SQL),
     "text_token_stats": Q(text_token_stats, TEXT_TOKEN_SQL),
     "text_top2_emotions": Q(text_top2_emotions, TEXT_TOP2_SQL),
     "text_quality_scores": Q(text_quality_scores, TEXT_QUALITY_SQL),
