@@ -391,6 +391,65 @@ SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY 1
 
 
 # --------------------------------------------------------------------------
+def decontaminate_ngram_overlap(spark, sf_dir, shingle_k: int = 3, min_shared: int = 3):
+    """Train/eval decontamination: flag training documents sharing ≥
+    ``min_shared`` distinct token k-grams with any held-out eval
+    document (eval stand-in: doc_id % 100 == 0).  Same inverted-index
+    layout as ``dedup_ngram_jaccard`` — explode distinct shingles, join
+    train→eval postings on the shingle, count per pair — so cost tracks
+    actual overlap mass, not |train|×|eval|; the eval posting list is
+    small and broadcastable, which is exactly the production shape
+    (eval suites are tiny, the train corpus is the 100 TB side)."""
+    from rick_and_morty_data_pipeline_project_spark.functions.textfns import (
+        shingles_from_tokens,
+        tokens_col,
+    )
+
+    d = fan_out(t(spark, sf_dir, "documents"))
+    toked = d.select(
+        "doc_id",
+        tokens_col(F.col("text")).alias("_tk"),
+    )
+    posting = toked.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(shingles_from_tokens(F.col("_tk"), shingle_k))
+        ).alias("sh"),
+    )
+    is_eval = F.col("doc_id") % 100 == 0
+    train = posting.filter(~is_eval).select(
+        F.col("doc_id").alias("train_id"), "sh"
+    )
+    ev = posting.filter(is_eval).select(F.col("doc_id").alias("eval_id"), "sh")
+    return (
+        train.join(F.broadcast(ev), "sh")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+DECONTAM_SQL = """
+WITH shingled AS (
+  SELECT doc_id,
+         list_distinct(
+           CASE WHEN len(toks) >= 3
+                THEN list_transform(generate_series(1, len(toks) - 2),
+                                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                ELSE [array_to_string(toks, ' ')]
+           END) AS sh
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+),
+posting AS (SELECT doc_id, unnest(sh) AS sh FROM shingled)
+SELECT t.doc_id AS train_id, e.doc_id AS eval_id, count(*) AS n_shared
+FROM posting t JOIN posting e ON t.sh = e.sh
+WHERE t.doc_id % 100 <> 0 AND e.doc_id % 100 = 0
+GROUP BY 1, 2
+HAVING count(*) >= 3
+"""
+
+
+# --------------------------------------------------------------------------
 def text_redact_patterns(spark, sf_dir):
     """Pattern scrubbing — the cleaning pass a training pipeline runs
     before tokenization: digit runs → <NUM>, long tokens → <LONG>, and
@@ -499,6 +558,72 @@ WHERE CASE WHEN source IN ('src0', 'src1')
 
 
 # --------------------------------------------------------------------------
+def pipeline_filter_funnel(spark, sf_dir):
+    """The pre-training filter funnel as one report: per-stage survivor
+    counts and token budgets for raw → quality filter (≥ 10 tokens,
+    distinct-token ratio ≥ 0.3) → exact-dedup keeper.  The number a
+    pipeline owner actually watches ("how many tokens survive to
+    training?"); every stage is the same map-combinable aggregate over
+    a shared staged projection."""
+    from rick_and_morty_data_pipeline_project_spark.functions.textfns import (
+        fingerprint_col,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    staged = d.select(
+        "doc_id",
+        fingerprint_col(F.col("text")).alias("fp"),
+        F.size(toks).alias("n_tokens"),
+        (F.size(F.array_distinct(toks)) / F.size(toks)).alias("dr"),
+    )
+    quality = staged.filter(
+        (F.col("n_tokens") >= 10) & (F.col("dr") >= 0.3)
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    keeper = quality.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+
+    def stage(df, name):
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens_total"),
+        )
+
+    return (
+        stage(staged, "raw")
+        .unionByName(stage(quality, "quality"))
+        .unionByName(stage(keeper, "dedup_keeper"))
+    )
+
+
+FUNNEL_SQL = r"""
+WITH s AS (
+  SELECT doc_id,
+         md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_distinct(string_split(text, ' ')))
+           / CAST(len(string_split(text, ' ')) AS DOUBLE) AS dr
+  FROM documents
+),
+q AS (SELECT * FROM s WHERE n_tokens >= 10 AND dr >= 0.3),
+k AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+    FROM q
+  ) WHERE rn = 1
+)
+SELECT 'raw' AS stage, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens_total FROM s
+UNION ALL
+SELECT 'quality', count(*), CAST(sum(n_tokens) AS BIGINT) FROM q
+UNION ALL
+SELECT 'dedup_keeper', count(*), CAST(sum(n_tokens) AS BIGINT) FROM k
+"""
+
+
+# --------------------------------------------------------------------------
 def text_vocab_df(spark, sf_dir):
     """Corpus vocabulary statistics: term frequency + document
     frequency per token — the inputs to TF-IDF weighting, stopword
@@ -555,6 +680,8 @@ QUERIES: dict[str, Q] = {
     "text_vocab_df": Q(text_vocab_df, TEXT_VOCAB_SQL),
     "sample_hash_deterministic": Q(sample_hash_deterministic, SAMPLE_HASH_SQL),
     "text_redact_patterns": Q(text_redact_patterns, TEXT_REDACT_SQL),
+    "decontaminate_ngram_overlap": Q(decontaminate_ngram_overlap, DECONTAM_SQL),
+    "pipeline_filter_funnel": Q(pipeline_filter_funnel, FUNNEL_SQL),
     "text_pack_buckets": Q(text_pack_buckets, TEXT_PACK_SQL),
     "sample_mixture_weights": Q(sample_mixture_weights, SAMPLE_MIX_SQL),
     "text_token_stats": Q(text_token_stats, TEXT_TOKEN_SQL),
