@@ -3,11 +3,21 @@
 Media is modeled as opaque ``binary`` content plus a typed metadata
 struct — the layout a 100 TB multimodal corpus uses (content in parquet
 binary columns or object-store URIs, metadata queryable without touching
-bytes).  Real codecs (PIL/ffmpeg) are not available in this container,
-so the *decode* step is stubbed: ``decode_media`` raises
-``NotImplementedError`` unless the deterministic fake decoder is
-requested.  Everything Spark-side — schema, Arrow batching, partition
-behavior, UDF signatures — is real and tested.
+bytes).
+
+Decode has three tiers:
+* **Real** — formats the Python stdlib can genuinely parse: WAV
+  (``wave`` module, real RIFF containers with PCM16 samples) and PPM
+  (P6 header + raw pixels).  ``synthesize_real_media`` builds genuine
+  container bytes; ``decode_real_media`` parses them back with actual
+  decoders — no external codec needed.
+* **Fake** — a deterministic byte-stats stand-in (``decode_media(
+  fake=True)``) used where oracle determinism matters.
+* **Stubbed** — formats that require PIL/ffmpeg (png/jpeg/mp4), not
+  available in this container: clearly-marked ``NotImplementedError``.
+
+Everything Spark-side — schema, Arrow batching, partition behavior, UDF
+signatures — is real and tested in all three tiers.
 """
 
 from __future__ import annotations
@@ -77,6 +87,139 @@ def synthesize_media(
         duration.alias("duration_ms"),
         content.alias("content"),
     )
+
+
+REAL_DECODED_SCHEMA = (
+    "media_id long, kind string, format string, n_bytes long, "
+    "width int, height int, n_samples int, mean_value double"
+)
+
+
+def synthesize_real_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Build GENUINE container bytes (fixture generator, Arrow-batched):
+    even ids → binary PPM (P6) images, odd ids → RIFF/WAV PCM16 audio.
+    Bytes are derived deterministically from md5(text), so the table is
+    stable across runs/engines, yet any standard tool can open them —
+    this is real media, not a fake byte blob."""
+    src = df.select(
+        F.col(id_col).alias("media_id"), F.md5(F.col(text_col)).alias("_h")
+    )
+
+    def batches(it: Iterator):
+        import hashlib
+        import io
+        import wave
+
+        import pandas as pd
+
+        def material(seed: str, n: int) -> bytes:
+            out = b""
+            h = seed.encode()
+            while len(out) < n:
+                h = hashlib.md5(h).digest()
+                out += h
+            return out[:n]
+
+        for pdf in it:
+            rows = []
+            for mid, h in zip(pdf["media_id"], pdf["_h"]):
+                mid = int(mid)
+                if mid % 2 == 0:
+                    w, ht = mid % 16 + 4, mid % 12 + 4
+                    pixels = material(h, w * ht * 3)
+                    content = f"P6\n{w} {ht}\n255\n".encode() + pixels
+                    rows.append(
+                        (mid, "image", "ppm", w, ht, None, content)
+                    )
+                else:
+                    n_frames = mid % 50 + 20
+                    pcm = material(h, n_frames * 2)
+                    buf = io.BytesIO()
+                    with wave.open(buf, "wb") as wv:
+                        wv.setnchannels(1)
+                        wv.setsampwidth(2)
+                        wv.setframerate(8000)
+                        wv.writeframes(pcm)
+                    dur = int(n_frames * 1000 / 8000)
+                    rows.append(
+                        (mid, "audio", "wav", None, None, dur, buf.getvalue())
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "kind",
+                    "format",
+                    "width",
+                    "height",
+                    "duration_ms",
+                    "content",
+                ],
+            )
+
+    return src.mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+def decode_real_media(df: DataFrame) -> DataFrame:
+    """REAL decode via Arrow-batched ``mapInPandas``: WAV through the
+    stdlib ``wave`` reader (actual RIFF parsing — sample rate, width,
+    and frames come from the container, not metadata), PPM through its
+    P6 header.  ``mean_value`` is the mean PCM16 amplitude (audio) or
+    mean pixel byte (image).  Formats needing external codecs raise in
+    :func:`decode_media` — this path covers what the stdlib can truly
+    parse, which proves the decode plumbing end-to-end."""
+
+    def batches(it: Iterator):
+        import io
+        import struct
+        import wave
+
+        import pandas as pd
+
+        def decode_one(mid, kind, fmt, content):
+            content = bytes(content)
+            if fmt == "wav":
+                with wave.open(io.BytesIO(content), "rb") as wv:
+                    n = wv.getnframes()
+                    raw = wv.readframes(n)
+                samples = struct.unpack(f"<{n}h", raw)
+                mean = float(sum(samples)) / n if n else 0.0
+                return (mid, kind, fmt, len(content), None, None, n, mean)
+            if fmt == "ppm":
+                header, rest = content.split(b"\n", 1)
+                assert header == b"P6", header
+                dims, rest = rest.split(b"\n", 1)
+                _maxval, pixels = rest.split(b"\n", 1)
+                w, h = (int(x) for x in dims.split())
+                mean = float(sum(pixels)) / len(pixels) if pixels else 0.0
+                return (mid, kind, fmt, len(content), w, h, None, mean)
+            raise NotImplementedError(
+                f"format {fmt!r} needs external codecs (PIL/ffmpeg), "
+                f"not available here"
+            )
+
+        for pdf in it:
+            rows = [
+                decode_one(int(m), k, f, c)
+                for m, k, f, c in zip(
+                    pdf["media_id"], pdf["kind"], pdf["format"], pdf["content"]
+                )
+            ]
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "kind",
+                    "format",
+                    "n_bytes",
+                    "width",
+                    "height",
+                    "n_samples",
+                    "mean_value",
+                ],
+            )
+
+    return df.mapInPandas(batches, schema=REAL_DECODED_SCHEMA)
 
 
 def resize_dims(

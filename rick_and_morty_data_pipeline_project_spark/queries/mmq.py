@@ -14,9 +14,11 @@ from pyspark.sql import functions as F
 
 from rick_and_morty_data_pipeline_project_spark.operators.multimodal import (
     decode_media,
+    decode_real_media,
     resize_dims,
     sample_frames,
     synthesize_media,
+    synthesize_real_media,
 )
 from rick_and_morty_data_pipeline_project_spark.queries._util import Q, t
 
@@ -105,9 +107,21 @@ FROM media, LATERAL (SELECT unnest(generate_series(0, duration_ms, 1000)) AS f) 
 """
 
 
+def multimodal_decode_real(spark, sf_dir):
+    """REAL container decode: genuine PPM images and RIFF/WAV PCM16
+    audio (stdlib parsers — see operators/multimodal.decode_real_media).
+    Rows-only oracle (byte-level decode isn't SQL-expressible); header
+    round-trip and sample-level parity are unit-tested in
+    tests/test_multimodal.py."""
+    d = t(spark, sf_dir, "documents")
+    m = synthesize_real_media(d, "doc_id", "text")
+    return decode_real_media(m)
+
+
 QUERIES: dict[str, Q] = {
     "multimodal_metadata_stats": Q(multimodal_metadata_stats, MM_META_SQL),
     "multimodal_decode_features": Q(multimodal_decode_features, None),
     "multimodal_resize_dims": Q(multimodal_resize_dims, MM_RESIZE_SQL),
     "multimodal_frame_samples": Q(multimodal_frame_samples, MM_FRAMES_SQL),
+    "multimodal_decode_real": Q(multimodal_decode_real, None),
 }

@@ -36,3 +36,63 @@ def test_real_decode_is_stubbed(spark):
     media = synthesize_media(docs, "doc_id", "text")
     with pytest.raises(NotImplementedError):
         decode_media(media, fake=False)
+
+
+def test_real_media_round_trip(spark):
+    """synthesize_real_media emits GENUINE containers: WAV rows open
+    with the stdlib wave reader (frame count/rate from the RIFF header),
+    PPM rows carry a valid P6 header; decode_real_media's output
+    matches an independent driver-side decode of the same bytes."""
+    import io
+    import struct
+    import wave
+
+    from pyspark.sql import functions as F
+
+    from rick_and_morty_data_pipeline_project_spark.operators.multimodal import (
+        decode_real_media,
+        synthesize_real_media,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(40)
+    media = synthesize_real_media(docs, "doc_id", "text")
+    rows = {r["media_id"]: r for r in media.collect()}
+    assert {r["format"] for r in rows.values()} == {"ppm", "wav"}
+    decoded = {r["media_id"]: r for r in decode_real_media(media).collect()}
+    assert decoded.keys() == rows.keys()
+    for mid, m in rows.items():
+        d = decoded[mid]
+        content = bytes(m["content"])
+        if m["format"] == "wav":
+            with wave.open(io.BytesIO(content), "rb") as wv:
+                assert wv.getframerate() == 8000
+                assert wv.getnchannels() == 1
+                n = wv.getnframes()
+                samples = struct.unpack(f"<{n}h", wv.readframes(n))
+            assert d["n_samples"] == n == mid % 50 + 20
+            assert abs(d["mean_value"] - sum(samples) / n) < 1e-9
+            assert m["duration_ms"] == int(n * 1000 / 8000)
+        else:
+            header, rest = content.split(b"\n", 1)
+            assert header == b"P6"
+            w, h = (int(x) for x in rest.split(b"\n", 1)[0].split())
+            assert (d["width"], d["height"]) == (w, h) == (m["width"], m["height"])
+            pixels = rest.split(b"\n", 2)[2]
+            assert len(pixels) == w * h * 3
+            assert abs(d["mean_value"] - sum(pixels) / len(pixels)) < 1e-9
+
+
+def test_decode_real_media_rejects_codec_formats(spark):
+    import pytest
+
+    from rick_and_morty_data_pipeline_project_spark.operators.multimodal import (
+        decode_real_media,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "image", "png", 4, 4, None, bytearray(b"\x89PNG"))],
+        "media_id long, kind string, format string, width int, height int, "
+        "duration_ms int, content binary",
+    )
+    with pytest.raises(Exception, match="PIL|ffmpeg|NotImplemented"):
+        decode_real_media(df).collect()
