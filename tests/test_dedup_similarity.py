@@ -196,3 +196,44 @@ def test_connected_components_long_chain_converges(spark):
     got = connected_components(pairs).collect()
     assert {r["cluster_id"] for r in got} == {0}
     assert len(got) == 13
+
+
+def test_connected_components_matches_union_find_property(spark):
+    """Property test: on random graphs, the distributed min-label
+    propagation equals a driver-side union-find ground truth."""
+    import random as _random
+
+    from rick_and_morty_data_pipeline_project_spark.operators.dedup import (
+        connected_components,
+    )
+
+    for seed in range(5):
+        rng = _random.Random(seed)
+        n_nodes = rng.randrange(5, 40)
+        edges = sorted(
+            {
+                tuple(sorted(rng.sample(range(n_nodes), 2)))
+                for _ in range(rng.randrange(1, 60))
+            }
+        )
+        parent = list(range(n_nodes))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        touched = {v for e in edges for v in e}
+        want = {v: find(v) for v in touched}
+        got = {
+            r["node"]: r["cluster_id"]
+            for r in connected_components(
+                spark.createDataFrame(edges, "id_a long, id_b long")
+            ).collect()
+        }
+        assert got == want, (seed, edges)
