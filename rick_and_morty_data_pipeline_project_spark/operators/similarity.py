@@ -344,6 +344,7 @@ def quantize_int8(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """Per-vector symmetric int8 quantization: ``scale = max|x|/127``,
     ``q_i = round(x_i/scale)`` ∈ [−127, 127].
@@ -360,6 +361,7 @@ def quantize_int8(
     amax = F.array_max(F.transform(x, lambda v: F.abs(v)))
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in keep],
         (amax / F.lit(127.0)).alias("scale"),
         F.transform(
             x, lambda v: F.round(v / (amax / F.lit(127.0))).cast("int")

@@ -48,4 +48,10 @@ def salted_join(
     right = other.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )
-    return left.join(right, [key, "_salt"], how).drop("_salt")
+    # shuffle_hash: salting only makes sense for a SHUFFLE join (a
+    # broadcastable right side has no skew problem to solve), so pin the
+    # plan to the strategy the operator exists to fix — otherwise a
+    # small local fixture broadcasts and the salt is dead weight.
+    return left.join(right.hint("shuffle_hash"), [key, "_salt"], how).drop(
+        "_salt"
+    )

@@ -132,10 +132,15 @@ def embedding_quantize_error(spark, sf_dir):
     audit a pipeline runs before switching its ANN corpus to the 4×-
     smaller quantized layout."""
     e = t(spark, sf_dir, "embeddings")
-    q = quantize_int8(e, "vec_id", "embedding")
-    joined = e.select(
-        "vec_id", F.col("embedding").alias("_x")
-    ).join(q, "vec_id")
+    # staged narrow pipeline — original vector carried alongside the
+    # quantized one, so the audit is a pure projection (zero shuffle,
+    # no self-join back to the corpus)
+    staged = quantize_int8(
+        e.select("vec_id", "embedding", F.col("embedding").alias("_x")),
+        "vec_id",
+        "embedding",
+        keep=("_x",),
+    )
     err = F.zip_with(
         "_x",
         "qvec",
@@ -143,14 +148,12 @@ def embedding_quantize_error(spark, sf_dir):
             x.cast("double") - qv.cast("double") * F.col("scale")
         ),
     )
-    return joined.select(
+    return staged.select(
         "vec_id",
         F.round("scale", 9).alias("scale_r"),
         F.round(F.array_max(err), 9).alias("max_abs_err"),
         F.round(
-            F.aggregate(
-                err, F.lit(0.0), lambda acc, v: acc + v
-            )
+            F.aggregate(err, F.lit(0.0), lambda acc, v: acc + v)
             / F.size("_x"),
             9,
         ).alias("mean_abs_err"),

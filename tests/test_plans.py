@@ -121,3 +121,20 @@ def test_not_in_is_anti_join_before_agg(spark):
     plan = formatted_plan(df)
     assert "LeftAnti" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_salted_join_query_is_shuffle_join(spark):
+    """The salted exemplar must exercise the salt-spread SHUFFLE path —
+    a broadcast of the replicated side would make the salt dead weight."""
+    df = QUERIES["join_salted_user_events"].fn(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "ShuffledHashJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+
+
+def test_quantize_error_is_narrow(spark):
+    """int8 quantization audit is a pure projection: zero exchanges —
+    no self-join back to the corpus."""
+    df = QUERIES["embedding_quantize_error"].fn(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert not re.findall(r"\(\d+\) Exchange", plan), plan
