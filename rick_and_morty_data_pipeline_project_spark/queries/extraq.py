@@ -272,6 +272,48 @@ WHERE round({dot_sql("a.nv", "b.nv")}, 6) >= 0.2
 
 
 # --------------------------------------------------------------------------
+def dedup_semantic_clusters(spark, sf_dir):
+    """Semantic near-dup CLUSTERS: the embedding-cosine candidate pairs
+    fed through min-label connected components — the same pairs→keeper
+    step as `dedup_minhash_clusters`, over the semantic (embedding)
+    signal instead of the lexical (MinHash) one."""
+    from rick_and_morty_data_pipeline_project_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = dedup_embedding_cosine(spark, sf_dir)
+    return connected_components(pairs, "id_a", "id_b").select(
+        F.col("node").alias("vec_id"), "cluster_id"
+    )
+
+
+SEMANTIC_CLUSTERS_SQL = f"""
+WITH RECURSIVE normed AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> x::DOUBLE / sqrt({_DOT_SELF})) AS nv
+  FROM embeddings
+),
+cand AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM normed a
+  JOIN normed b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE round({dot_sql("a.nv", "b.nv")}, 6) >= 0.2
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM cand
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM cand
+),
+reach(node, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node AS vec_id, min(label) AS cluster_id FROM reach GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
 def array_functions(spark, sf_dir):
     """Array surface: split/slice/sort/distinct/contains/join/size."""
     d = t(spark, sf_dir, "documents")
@@ -523,6 +565,7 @@ QUERIES: dict[str, Q] = {
     "pivot_event_type_by_day": Q(pivot_event_type_by_day, PIVOT_SQL),
     "join_on_expression": Q(join_on_expression, JOIN_EXPR_SQL),
     "dedup_embedding_cosine": Q(dedup_embedding_cosine, DEDUP_COSINE_SQL),
+    "dedup_semantic_clusters": Q(dedup_semantic_clusters, SEMANTIC_CLUSTERS_SQL),
     "array_functions": Q(array_functions, ARRAY_FN_SQL),
     "agg_macro_avg_rounded": Q(agg_macro_avg_rounded, AGG_MACRO_SQL),
 }

@@ -170,3 +170,30 @@ def test_greedy_match_guards_driver_collect(spark):
             right_id="strain_id",
             max_left_rows=10,
         )
+
+
+def test_per_emotion_topk_prefixes_equals_per_emotion_heap_topk(spark):
+    """The single-pass partial top-k must return EXACTLY the union of
+    per-emotion global orderBy().limit(k) prefixes (same tie-break),
+    independent of input partitioning."""
+    from pyspark.sql import functions as F
+
+    from rick_and_morty_data_pipeline_project_spark.operators.topk import (
+        per_emotion_topk_prefixes,
+    )
+
+    strains = strain_review(spark).repartition(7)
+    k = 13
+    got = {
+        (r["_prefix_emotion"], r["strain_id"])
+        for r in per_emotion_topk_prefixes(
+            strains, EMOTIONS, "strain_id", k
+        ).collect()
+    }
+    want = set()
+    for e in EMOTIONS:
+        for r in (
+            strains.orderBy(F.desc(e), F.asc("strain_id")).limit(k).collect()
+        ):
+            want.add((e, r["strain_id"]))
+    assert got == want
