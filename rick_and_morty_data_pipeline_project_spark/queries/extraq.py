@@ -272,6 +272,55 @@ WHERE round({dot_sql("a.nv", "b.nv")}, 6) >= 0.2
 
 
 # --------------------------------------------------------------------------
+def events_gap_fill(spark, sf_dir):
+    """Dense hourly time spine per user (gap filling): sequence() +
+    explode builds each user's [first, last] hour range, left-joins the
+    actual hourly counts, zero-fills the gaps.  The spine explode is
+    narrow and its size is (users × span-hours) — independent of event
+    count, so at 100 TB the spine is orders of magnitude smaller than
+    the fact table; both joins shuffle on user_id+hour."""
+    e = t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    bounds = e.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("interval 1 hour"))
+        ).alias("h"),
+    )
+    return spine.join(hourly, ["user_id", "h"], "left").select(
+        "user_id",
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        F.coalesce("n", F.lit(0)).alias("n_events"),
+    )
+
+
+GAP_FILL_SQL = """
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS h, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT user_id, date_trunc('hour', min(ts)) AS h0,
+         date_trunc('hour', max(ts)) AS h1
+  FROM events GROUP BY 1
+),
+spine AS (
+  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+  FROM bounds
+)
+SELECT s.user_id, strftime(s.h, '%Y-%m-%d %H:%M:%S') AS hour,
+       coalesce(n.n, 0) AS n_events
+FROM spine s LEFT JOIN hourly n ON s.user_id = n.user_id AND s.h = n.h
+"""
+
+
+# --------------------------------------------------------------------------
 def dedup_semantic_clusters(spark, sf_dir):
     """Semantic near-dup CLUSTERS: the embedding-cosine candidate pairs
     fed through min-label connected components — the same pairs→keeper
@@ -566,6 +615,7 @@ QUERIES: dict[str, Q] = {
     "join_on_expression": Q(join_on_expression, JOIN_EXPR_SQL),
     "dedup_embedding_cosine": Q(dedup_embedding_cosine, DEDUP_COSINE_SQL),
     "dedup_semantic_clusters": Q(dedup_semantic_clusters, SEMANTIC_CLUSTERS_SQL),
+    "events_gap_fill": Q(events_gap_fill, GAP_FILL_SQL),
     "array_functions": Q(array_functions, ARRAY_FN_SQL),
     "agg_macro_avg_rounded": Q(agg_macro_avg_rounded, AGG_MACRO_SQL),
 }
