@@ -42,5 +42,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL oracle per query (omitted only for
     genuinely non-SQL-expressible ops: sequential greedy matching,
-    LSH with engine-frozen hyperplanes)."""
+    ANN with engine-frozen constants — LSH hyperplanes / trained
+    k-means centroids — approximate sketches, and byte-level media
+    decode; each of those carries a Python-oracle or property test in
+    tests/ instead)."""
     return oracle_sql_dict()
