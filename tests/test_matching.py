@@ -197,3 +197,42 @@ def test_per_emotion_topk_prefixes_equals_per_emotion_heap_topk(spark):
         ):
             want.add((e, r["strain_id"]))
     assert got == want
+
+
+def test_two_stage_topk_property_vs_python(spark):
+    """Hypothesis property: two_stage_topk equals a straight-Python
+    re-execution of the reference's nested ORDER BY/LIMIT semantics on
+    arbitrary score tables (including ties)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from rick_and_morty_data_pipeline_project_spark.operators.topk import (
+        two_stage_topk,
+    )
+
+    rows_strategy = st.lists(
+        st.tuples(
+            st.integers(0, 30),
+            st.integers(0, 5),  # coarse scores force ties
+            st.integers(0, 5),
+        ),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda r: r[0],
+    )
+
+    @settings(max_examples=8, deadline=None)
+    @given(rows_strategy)
+    def check(rows):
+        df = spark.createDataFrame(rows, "id long, a long, b long")
+        got = [
+            (r["id"], r["a"], r["b"])
+            for r in two_stage_topk(
+                df, "a", "b", k1=5, k2=2, tiebreak="id"
+            ).collect()
+        ]
+        stage1 = sorted(rows, key=lambda r: (-r[1], r[0]))[:5]
+        want = sorted(stage1, key=lambda r: (-r[2], r[0]))[:2]
+        assert got == [tuple(r) for r in want]
+
+    check()

@@ -113,3 +113,23 @@ def test_sessionize_builtin_batch(spark):
         per_user_sessions[r["user_id"]] += r["n_events"]
     for r in by_user:
         assert per_user_sessions[r["user_id"]] == r["count"]
+
+
+def test_json_round_trip(spark):
+    """JSON lines source/sink (beyond ref): schema-preserving round trip
+    including nested/array columns."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id",
+        "source",
+        F.split("text", " ").alias("tokens"),
+        F.struct(F.col("n_chars").alias("chars"), F.col("lang")).alias("meta"),
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").json(f"{d}/docs_json")
+        back = spark.read.schema(df.schema).json(f"{d}/docs_json")
+        assert back.count() == df.count()
+        a = {(r["doc_id"], tuple(r["tokens"]), r["meta"]["chars"]) for r in df.collect()}
+        b = {(r["doc_id"], tuple(r["tokens"]), r["meta"]["chars"]) for r in back.collect()}
+        assert a == b
