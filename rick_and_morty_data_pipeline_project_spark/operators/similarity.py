@@ -369,6 +369,59 @@ def quantize_int8(
     )
 
 
+def knn_bruteforce_quantized(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Brute-force kNN over the int8-quantized corpus — the memory-
+    bound regime's plan: unit-normalize, quantize both sides
+    (:func:`quantize_int8`), then score with
+    ``scale_q·scale_c·Σ qa_i·qb_i`` — an integer-multiply dot over a
+    4×-smaller corpus (what fits in page cache decides brute-force
+    throughput at scale).  Approximate (|cosine error| ≤ ~dim·s_a·s_b/2
+    ≈ 1e-2 for unit vectors); recall vs the exact operator is
+    property-tested.  Same broadcast-queries/stream-corpus shape as
+    :func:`knn_bruteforce`."""
+    q = quantize_int8(
+        _normalized(queries, id_col, vec_col, "query_id", "_v"),
+        "query_id",
+        "_v",
+    ).select("query_id", F.col("scale").alias("_sq"), F.col("qvec").alias("_qq"))
+    c = quantize_int8(
+        _normalized(fan_out(corpus), id_col, vec_col, "neighbor_id", "_v"),
+        "neighbor_id",
+        "_v",
+    ).select(
+        "neighbor_id", F.col("scale").alias("_sc"), F.col("qvec").alias("_qc")
+    )
+    int_dot = F.aggregate(
+        F.zip_with("_qq", "_qc", lambda a, b: a.cast("long") * b),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                F.col("_sq") * F.col("_sc") * int_dot.cast("double"), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def label_centroids(
     df: DataFrame,
     label_col: str = "label",

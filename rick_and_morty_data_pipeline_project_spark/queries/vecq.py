@@ -15,6 +15,7 @@ from rick_and_morty_data_pipeline_project_spark.functions.vectors import (
 )
 from rick_and_morty_data_pipeline_project_spark.operators.similarity import (
     knn_bruteforce,
+    knn_bruteforce_quantized,
     knn_ivf,
     knn_lsh,
     label_centroids,
@@ -126,6 +127,16 @@ def knn_cosine_ivf_kmeans(spark, sf_dir):
     return knn_ivf(queries, e, k=5, n_probe=2, centroids=cents)
 
 
+def knn_cosine_int8(spark, sf_dir):
+    """Brute-force kNN scored on the int8-quantized corpus (integer
+    dot products over a 4×-smaller table).  Approximate → rows-only
+    oracle; recall vs exact kNN is property-tested in
+    tests/test_dedup_similarity.py."""
+    e = t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    return knn_bruteforce_quantized(queries, e, k=5)
+
+
 def embedding_quantize_error(spark, sf_dir):
     """int8 quantization quality report: per-vector scale +
     reconstruction-error stats (max and mean |x − q·scale|).  The
@@ -199,5 +210,6 @@ QUERIES: dict[str, Q] = {
     "knn_cosine_ivf": Q(knn_cosine_ivf, KNN_IVF_SQL),
     "knn_cosine_ivf_kmeans": Q(knn_cosine_ivf_kmeans, None),
     "embedding_quantize_error": Q(embedding_quantize_error, QUANT_ERR_SQL),
+    "knn_cosine_int8": Q(knn_cosine_int8, None),
     "embedding_label_centroids": Q(embedding_label_centroids, CENTROIDS_SQL),
 }

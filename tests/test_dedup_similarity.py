@@ -237,3 +237,26 @@ def test_connected_components_matches_union_find_property(spark):
             ).collect()
         }
         assert got == want, (seed, edges)
+
+
+def test_knn_quantized_recall_vs_exact(spark):
+    """int8-scored brute force must track the exact ranking closely —
+    quantizing unit vectors perturbs each cosine by ≲1e-2."""
+    from rick_and_morty_data_pipeline_project_spark.operators.similarity import (
+        knn_bruteforce_quantized,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = knn_bruteforce(queries, emb, k=10).collect()
+    quant = knn_bruteforce_quantized(queries, emb, k=10).collect()
+    exact_sets, quant_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in quant:
+        quant_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [
+        len(exact_sets[q] & quant_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) > 0.8, recalls
