@@ -1,0 +1,106 @@
+"""End-to-end corpus curation — the operators composed as one pipeline.
+
+`curate_corpus` is the "make training data" path a user of this engine
+actually runs: quality filter → exact-dedup keeper → near-dup (LSH +
+connected components) keeper → shard + sequence-packing assignment →
+partitioned parquet write.  Each stage is the already-tested operator;
+this module contributes the composition, the write layout, and the
+funnel accounting.
+
+Scale notes: every stage is shuffle-bounded the same way its operator
+is (see PERFORMANCE.md); the final write partitions by ``shard`` so
+downstream training jobs prune to their shard, and the in-shard
+``bucket`` column is the sequence-packing unit.  Nothing in the
+pipeline collects corpus-sized data to the driver — the one driver-side
+value is the per-stage count report.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from rick_and_morty_data_pipeline_project_spark.functions.textfns import (
+    fingerprint_col,
+)
+from rick_and_morty_data_pipeline_project_spark.operators.dedup import (
+    connected_components,
+    minhash_lsh_pairs,
+)
+from rick_and_morty_data_pipeline_project_spark.sources.corpus import load_table
+
+
+def curate_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    min_tokens: int = 10,
+    min_distinct_ratio: float = 0.3,
+    capacity: int = 2048,
+    n_shards: int = 32,
+) -> dict[str, int]:
+    """Run the full curation funnel over ``{sf_dir}/documents.parquet``
+    and write the surviving corpus to ``out_dir`` partitioned by shard.
+
+    Returns per-stage document counts (the funnel report).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    staged = d.select(
+        "doc_id",
+        "text",
+        "source",
+        "lang",
+        F.size(toks).alias("n_tokens"),
+        (F.size(F.array_distinct(toks)) / F.size(toks)).alias("_dr"),
+        fingerprint_col(F.col("text")).alias("_fp"),
+    )
+    n_raw = staged.count()
+
+    quality = staged.filter(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("_dr") >= min_distinct_ratio)
+    )
+    n_quality = quality.count()
+
+    w = Window.partitionBy("_fp").orderBy("doc_id")
+    exact_kept = (
+        quality.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_fp", "_dr")
+    )
+    n_exact = exact_kept.count()
+
+    # near-dup stage: LSH candidate pairs → components → keep only the
+    # min-id doc of each cluster (non-keeper members anti-join away)
+    pairs = minhash_lsh_pairs(
+        exact_kept, "doc_id", "text", num_hashes=8, band_size=4, shingle_k=3
+    )
+    clusters = connected_components(pairs, "id_a", "id_b")
+    losers = clusters.filter(F.col("node") != F.col("cluster_id")).select(
+        F.col("node").alias("doc_id")
+    )
+    near_kept = exact_kept.join(losers, "doc_id", "left_anti")
+    n_near = near_kept.count()
+
+    packed = near_kept.withColumn(
+        "shard", (F.col("doc_id") % n_shards).cast("int")
+    )
+    pw = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    packed = packed.withColumn(
+        "bucket",
+        F.floor((F.sum("n_tokens").over(pw) - 1) / capacity).cast("long"),
+    )
+    packed.write.mode("overwrite").partitionBy("shard").parquet(out_dir)
+
+    return {
+        "raw": n_raw,
+        "quality": n_quality,
+        "exact_dedup": n_exact,
+        "near_dedup": n_near,
+    }

@@ -81,3 +81,54 @@ def run_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_enriched_hourly(
+    spark: SparkSession,
+    sf_dir: str,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-static enrichment join + windowed rollup: the events
+    stream joins the static customer dimension (user_id = c_custkey)
+    BEFORE the watermarked hourly aggregation, rolling up by the
+    dimension attribute (market segment).
+
+    The stream-static join is stateless — each micro-batch hash-joins
+    against the (broadcastable) dimension snapshot, no join state
+    store; only the downstream windowed agg holds state, bounded by the
+    watermark.  That's the scale shape for stream enrichment: dimension
+    changes re-read per batch, stream never buffered for the join.
+    """
+    _conf = "spark.sql.legacy.parquet.nanosAsLong"
+    try:
+        prev = spark.conf.get(_conf)
+    except Exception:
+        prev = None
+    spark.conf.set(_conf, "true")
+    try:
+        static = spark.read.parquet(f"{sf_dir}/events.parquet")
+        stream = (
+            spark.readStream.schema(static.schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(_conf)
+        else:
+            spark.conf.set(_conf, prev)
+    customers = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    events = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return (
+        events.join(customers, "user_id")
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "c_mktsegment",
+            "n_events",
+        )
+    )

@@ -1,0 +1,66 @@
+"""End-to-end curation pipeline: funnel monotonicity, dedup
+guarantees on the written corpus, and the partitioned layout."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rick_and_morty_data_pipeline_project_spark.functions.textfns import (
+    fingerprint_col,
+)
+from rick_and_morty_data_pipeline_project_spark.pipelines import curate_corpus
+from tests.conftest import SF_SMALL
+
+
+def test_curate_corpus_end_to_end(spark, tmp_path):
+    out = str(tmp_path / "curated")
+    funnel = curate_corpus(spark, SF_SMALL, out)
+
+    # funnel counts only shrink, nothing vanishes entirely
+    assert (
+        funnel["raw"]
+        >= funnel["quality"]
+        >= funnel["exact_dedup"]
+        >= funnel["near_dedup"]
+        > 0
+    )
+
+    curated = spark.read.parquet(out)
+    assert curated.count() == funnel["near_dedup"]
+
+    # written corpus carries no exact duplicates
+    n_fp = (
+        curated.select(fingerprint_col(F.col("text")).alias("fp"))
+        .distinct()
+        .count()
+    )
+    assert n_fp == funnel["near_dedup"]
+
+    # quality floor holds on every surviving row
+    bad = curated.filter(
+        (F.col("n_tokens") < 10)
+        | (
+            F.size(F.array_distinct(F.split("text", " ")))
+            / F.size(F.split("text", " "))
+            < 0.3
+        )
+    ).count()
+    assert bad == 0
+
+    # shard is a real Hive partition column and pruning reaches the scan
+    from rick_and_morty_data_pipeline_project_spark.plans.explain_utils import (
+        formatted_plan,
+    )
+
+    plan = formatted_plan(curated.filter(F.col("shard") == 3))
+    assert "PartitionFilters" in plan and "shard" in plan
+
+    # packing: within every (shard, bucket), token sum ≤ capacity unless
+    # the bucket holds a single oversized doc
+    agg = (
+        curated.groupBy("shard", "bucket")
+        .agg(F.sum("n_tokens").alias("tot"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    for r in agg:
+        assert r["tot"] <= 2048 + 2048 or r["n"] == 1

@@ -155,3 +155,38 @@ def test_stream_matches_batch(spark):
         for r in batch.collect()
     }
     assert got == want
+
+
+def test_stream_enriched_hourly_matches_batch(spark):
+    """Stream-static enrichment join + windowed rollup ≡ the same plan
+    run in batch once the stream drains."""
+    from pyspark.sql import functions as F
+
+    from rick_and_morty_data_pipeline_project_spark.sources.corpus import load_table
+    from rick_and_morty_data_pipeline_project_spark.streaming.windowed import (
+        stream_enriched_hourly,
+    )
+
+    stream_df = stream_enriched_hourly(spark, SF_SMALL)
+    assert stream_df.isStreaming
+    run_available_now(stream_df, "enriched_test")
+    got = {
+        (r["hour"], r["c_mktsegment"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM enriched_test").collect()
+    }
+    events = load_table(spark, SF_SMALL, "events")
+    customers = load_table(spark, SF_SMALL, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    batch = (
+        events.join(customers, "user_id")
+        .groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "c_mktsegment",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    want = {
+        (r["hour"], r["c_mktsegment"]): r["n_events"] for r in batch.collect()
+    }
+    assert got == want
