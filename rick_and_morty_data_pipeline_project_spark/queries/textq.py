@@ -22,6 +22,8 @@ from rick_and_morty_data_pipeline_project_spark.functions.emotions import (
 from rick_and_morty_data_pipeline_project_spark.functions.textfns import (
     fingerprint_col,
     quality_score_cols,
+    shingles_from_tokens,
+    tokens_col,
 )
 from rick_and_morty_data_pipeline_project_spark.operators.dedup import (
     exact_dedup_stats,
@@ -674,6 +676,173 @@ WHERE substring(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
 """
 
 
+# --------------------------------------------------------------------------
+def text_repetition_signals(spark, sf_dir):
+    """Gopher-style intra-document repetition signals: fraction of word
+    occurrences taken by the single most frequent word, fraction of
+    2-gram occurrences taken by the most frequent 2-gram, and fraction
+    of 3-gram occurrences whose 3-gram appears more than once.  These
+    are the standard "repetitious document" quality filters for web
+    corpora (Gopher §A.1.1-style rules).
+
+    One scan, one explode: the per-doc 1/2/3-gram streams are tagged
+    (``"1|gram"``) and concatenated into a single array so all three
+    statistics share one shuffle chain keyed on the high-cardinality
+    ``(doc_id, tagged_gram)`` — map-side combinable, no skew, no join
+    back to the corpus.  Scale: gram rows ≈ 3× token count; both aggs
+    are partial+final hash aggregates.
+    """
+    d = t(spark, sf_dir, "documents")
+    staged = d.select(
+        "doc_id", tokens_col(F.col("text")).alias("_tk")
+    ).filter(F.size("_tk") >= 3)
+    tk = F.col("_tk")
+    tagged = F.concat(
+        F.transform(tk, lambda w: F.concat(F.lit("1|"), w)),
+        F.transform(
+            shingles_from_tokens(tk, 2), lambda s: F.concat(F.lit("2|"), s)
+        ),
+        F.transform(
+            shingles_from_tokens(tk, 3), lambda s: F.concat(F.lit("3|"), s)
+        ),
+    )
+    grams = staged.select("doc_id", F.explode(tagged).alias("g"))
+    gc = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    kc = gc.groupBy("doc_id", F.substring("g", 1, 1).alias("kind")).agg(
+        F.max("c").alias("maxc"),
+        F.sum("c").alias("tot"),
+        F.coalesce(
+            F.sum(F.when(F.col("c") > 1, F.col("c"))), F.lit(0)
+        ).alias("dup"),
+    )
+    frac = lambda num: F.round(num / F.col("tot"), 6)  # noqa: E731
+    return kc.groupBy("doc_id").agg(
+        F.max(F.when(F.col("kind") == "1", frac(F.col("maxc")))).alias(
+            "top_word_frac"
+        ),
+        F.max(F.when(F.col("kind") == "2", frac(F.col("maxc")))).alias(
+            "top_bigram_frac"
+        ),
+        F.max(F.when(F.col("kind") == "3", frac(F.col("dup")))).alias(
+            "dup_trigram_frac"
+        ),
+    )
+
+
+TEXT_REPETITION_SQL = """
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS tk
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+),
+grams AS (
+  SELECT doc_id, '1|' || tk[i] AS g
+  FROM base, unnest(range(1, len(tk) + 1)) AS t(i)
+  UNION ALL
+  SELECT doc_id, '2|' || tk[i] || ' ' || tk[i + 1] AS g
+  FROM base, unnest(range(1, len(tk))) AS t(i)
+  UNION ALL
+  SELECT doc_id, '3|' || tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2] AS g
+  FROM base, unnest(range(1, len(tk) - 1)) AS t(i)
+),
+gc AS (
+  SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2
+),
+kc AS (
+  SELECT doc_id, substr(g, 1, 1) AS kind, max(c) AS maxc, sum(c) AS tot,
+         coalesce(sum(CASE WHEN c > 1 THEN c END), 0) AS dup
+  FROM gc GROUP BY 1, 2
+)
+SELECT doc_id,
+       max(CASE WHEN kind = '1'
+           THEN round(maxc / CAST(tot AS DOUBLE), 6) END) AS top_word_frac,
+       max(CASE WHEN kind = '2'
+           THEN round(maxc / CAST(tot AS DOUBLE), 6) END) AS top_bigram_frac,
+       max(CASE WHEN kind = '3'
+           THEN round(dup / CAST(tot AS DOUBLE), 6) END) AS dup_trigram_frac
+FROM kc
+GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+def text_unigram_logprob(spark, sf_dir):
+    """Corpus-unigram-LM document scoring (perplexity proxy): build the
+    corpus unigram distribution, then score each document by the mean
+    natural-log probability of its tokens.  The classic cheap "does
+    this doc look like the corpus" quality signal.
+
+    Scale: token→count agg shuffles once on the token (map-side
+    combinable); scoring re-joins the token stream to the vocab on the
+    token key (high cardinality); the corpus-total is a 1-row broadcast
+    cross join, never a single-partition window.  Mean is rounded to 6
+    decimals so partial-sum order cannot perturb the hash.
+    """
+    d = t(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("w")
+    )
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    tot = vocab.agg(F.sum("c").cast("double").alias("tot"))
+    scored = words.join(vocab, "w").crossJoin(F.broadcast(tot))
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg(F.log(F.col("c") / F.col("tot"))), 6).alias(
+            "avg_logprob"
+        ),
+    )
+
+
+TEXT_UNIGRAM_SQL = """
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+vocab AS (SELECT w, count(*) AS c FROM words GROUP BY 1),
+tot AS (SELECT CAST(sum(c) AS DOUBLE) AS tot FROM vocab)
+SELECT doc_id, count(*) AS n_tokens,
+       round(avg(ln(c / tot)), 6) AS avg_logprob
+FROM words JOIN vocab USING (w) CROSS JOIN tot
+GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+def dedup_incremental_batch(spark, sf_dir):
+    """Incremental-ingestion dedup: a new batch (doc_id % 10 = 0 here)
+    lands against an already-curated corpus (the rest); batch docs whose
+    exact fingerprint already exists in the corpus are dropped, the rest
+    survive.  This is the steady-state shape of production dedup — the
+    full-corpus pass runs once, every later ingest is this anti-join.
+
+    Scale: LEFT ANTI join keyed on the 16-byte fingerprint — one
+    shuffle of batch + corpus fingerprints only (no text movement, the
+    corpus side projects to the single fp column); at 100 TB the corpus
+    fp set is a bucketed table so the ingest join is exchange-free on
+    the corpus side.
+    """
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", fingerprint_col(F.col("text")).alias("fp")
+    )
+    existing = d.filter(F.col("doc_id") % 10 != 0).select("fp")
+    batch = d.filter(F.col("doc_id") % 10 == 0)
+    return batch.join(existing, "fp", "left_anti").select(
+        "doc_id", "source", "fp"
+    )
+
+
+DEDUP_INCREMENTAL_SQL = """
+WITH fps AS (
+  SELECT doc_id, source,
+         md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents
+)
+SELECT doc_id, source, fp
+FROM fps
+WHERE doc_id % 10 = 0
+  AND fp NOT IN (SELECT fp FROM fps WHERE doc_id % 10 <> 0)
+"""
+
+
 QUERIES: dict[str, Q] = {
     "text_emotion_scores": Q(text_emotion_scores, TEXT_EMOTION_SQL),
     "dedup_minhash_clusters": Q(dedup_minhash_clusters, DEDUP_CLUSTERS_SQL),
@@ -696,4 +865,11 @@ QUERIES: dict[str, Q] = {
     ),
     "dedup_ngram_jaccard": Q(dedup_ngram_jaccard, DEDUP_JACCARD_SQL),
     "dedup_simhash": Q(dedup_simhash, DEDUP_SIMHASH_SQL),
+    "text_repetition_signals": Q(
+        text_repetition_signals, TEXT_REPETITION_SQL
+    ),
+    "text_unigram_logprob": Q(text_unigram_logprob, TEXT_UNIGRAM_SQL),
+    "dedup_incremental_batch": Q(
+        dedup_incremental_batch, DEDUP_INCREMENTAL_SQL
+    ),
 }
