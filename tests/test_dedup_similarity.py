@@ -260,3 +260,54 @@ def test_knn_quantized_recall_vs_exact(spark):
         for q in exact_sets
     ]
     assert sum(recalls) / len(recalls) > 0.8, recalls
+
+
+def test_incremental_prefilter_equals_plain_anti_join(spark):
+    """The Bloom-style prefix pre-filter must be a pure plan rewrite:
+    identical survivors to the plain anti-join, including batch rows in
+    unoccupied buckets (bypass path) and occupied-bucket non-dups
+    (false bucket hits resolved by the exact join)."""
+    from pyspark.sql import functions as F
+
+    from rick_and_morty_data_pipeline_project_spark.functions.textfns import (
+        fingerprint_col,
+    )
+    from rick_and_morty_data_pipeline_project_spark.operators.dedup import (
+        incremental_dedup_prefiltered,
+    )
+
+    texts = [(i, f"doc number {i} body") for i in range(40)]
+    # batch: ids 100.. with half exact-dup texts of existing, half new
+    batch_rows = [(100 + i, f"doc number {i} body") for i in range(0, 20, 2)]
+    batch_rows += [(200 + i, f"fresh text {i}") for i in range(10)]
+    existing = spark.createDataFrame(texts, ["doc_id", "text"]).select(
+        "doc_id", fingerprint_col(F.col("text")).alias("fp")
+    )
+    batch = spark.createDataFrame(
+        batch_rows, ["doc_id", "text"]
+    ).select("doc_id", fingerprint_col(F.col("text")).alias("fp"))
+
+    plain = set(
+        r["doc_id"]
+        for r in batch.join(
+            existing.select("fp"), "fp", "left_anti"
+        ).collect()
+    )
+    got = set(
+        r["doc_id"]
+        for r in incremental_dedup_prefiltered(
+            batch, existing, "fp"
+        ).collect()
+    )
+    assert got == plain
+    assert got == {200 + i for i in range(10)}
+
+    # saturated pre-filter (prefix_len=0 -> single always-occupied
+    # bucket) degrades to the plain anti-join, not to wrong results
+    got_sat = set(
+        r["doc_id"]
+        for r in incremental_dedup_prefiltered(
+            batch, existing, "fp", prefix_len=0
+        ).collect()
+    )
+    assert got_sat == plain
