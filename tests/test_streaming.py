@@ -190,3 +190,73 @@ def test_stream_enriched_hourly_matches_batch(spark):
         (r["hour"], r["c_mktsegment"]): r["n_events"] for r in batch.collect()
     }
     assert got == want
+
+
+def test_stream_ingest_dedup_exact_lifetime(spark, tmp_path):
+    """foreachBatch ingest: in-batch, vs-corpus, and cross-batch dups
+    are all dropped; output holds exactly one row per distinct new
+    fingerprint."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from rick_and_morty_data_pipeline_project_spark.functions.textfns import (
+        fingerprint_col,
+    )
+    from rick_and_morty_data_pipeline_project_spark.streaming.dedup import (
+        stream_ingest_dedup,
+    )
+
+    corpus = spark.createDataFrame(
+        [(0, "corpus text zero"), (1, "corpus text one")],
+        ["doc_id", "text"],
+    )
+    in_dir = tmp_path / "incoming"
+    in_dir.mkdir()
+    # batch A: dup-of-corpus, fresh FA, in-batch dup of FA
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": [10, 11, 12],
+                "text": ["corpus text zero", "fresh alpha", "fresh alpha"],
+            }
+        ),
+        str(in_dir / "a.parquet"),
+    )
+    # batch B: cross-batch dup of FA, fresh FB, dup-of-corpus
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": [20, 21, 22],
+                "text": ["fresh alpha", "fresh beta", "corpus text one"],
+            }
+        ),
+        str(in_dir / "b.parquet"),
+    )
+    stream = (
+        spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    out_dir = str(tmp_path / "curated")
+    q = stream_ingest_dedup(
+        stream, corpus, out_dir, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+
+    got = spark.read.parquet(out_dir)
+    rows = {r["doc_id"]: r["fp"] for r in got.collect()}
+    # exactly one keeper per fresh fingerprint, nothing from the corpus
+    assert len(rows) == 2
+    assert set(rows) <= {11, 12, 20, 21}  # alpha keeper + beta keeper
+    assert 21 in rows
+    want_fps = {
+        r["fp"]
+        for r in spark.createDataFrame(
+            [("fresh alpha",), ("fresh beta",)], ["text"]
+        )
+        .select(fingerprint_col(F.col("text")).alias("fp"))
+        .collect()
+    }
+    assert set(rows.values()) == want_fps
