@@ -864,6 +864,47 @@ def dedup_incremental_prefilter(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------------
+def sample_stratified_topk(spark, sf_dir):
+    """Per-stratum balanced subcorpus: for every language keep the k=20
+    documents with the smallest deterministic hash — a seeded,
+    reproducible per-group reservoir (every engine run and the oracle
+    agree on the exact sample).  Few strata means a plain per-group
+    window is the parallelism-collapse shape, so this runs through
+    ``grouped_topk_salted`` (salted two-stage exact top-k); the salt
+    uses engine-native xxhash64, which never affects the result — only
+    the bucketing — so oracle parity is unaffected."""
+    from rick_and_morty_data_pipeline_project_spark.operators.topk import (
+        grouped_topk_salted,
+    )
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.md5(
+            F.concat(F.lit("strat:"), F.col("doc_id").cast("string"))
+        ).alias("_h"),
+    )
+    return grouped_topk_salted(d, ["lang"], "_h", k=20).select(
+        "doc_id", "lang", "source"
+    )
+
+
+SAMPLE_STRATIFIED_SQL = """
+SELECT doc_id, lang, source
+FROM (
+  SELECT doc_id, lang, source,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5('strat:' || CAST(doc_id AS VARCHAR))
+         ) AS rn
+  FROM documents
+)
+WHERE rn <= 20
+"""
+
+
 QUERIES: dict[str, Q] = {
     "text_emotion_scores": Q(text_emotion_scores, TEXT_EMOTION_SQL),
     "dedup_minhash_clusters": Q(dedup_minhash_clusters, DEDUP_CLUSTERS_SQL),
@@ -895,5 +936,8 @@ QUERIES: dict[str, Q] = {
     ),
     "dedup_incremental_prefilter": Q(
         dedup_incremental_prefilter, DEDUP_INCREMENTAL_SQL
+    ),
+    "sample_stratified_topk": Q(
+        sample_stratified_topk, SAMPLE_STRATIFIED_SQL
     ),
 }

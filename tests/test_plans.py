@@ -138,3 +138,51 @@ def test_quantize_error_is_narrow(spark):
     df = QUERIES["embedding_quantize_error"].fn(spark, SF_SMALL)
     plan = formatted_plan(df)
     assert not re.findall(r"\(\d+\) Exchange", plan), plan
+
+
+def test_repetition_signals_single_scan(spark):
+    """All three gram statistics must share ONE parquet scan and one
+    explode — no join back to the corpus, no second read."""
+    df = QUERIES["text_repetition_signals"].fn(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert plan.count("documents.parquet") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_grouped_topk_salted_equals_plain_window(spark):
+    from rick_and_morty_data_pipeline_project_spark.operators.topk import (
+        grouped_topk_salted,
+    )
+    from pyspark.sql.window import Window
+
+    d = (
+        spark.range(5000)
+        .withColumn("g", (F.col("id") % 3).cast("string"))
+        .withColumn("h", F.md5(F.col("id").cast("string")))
+    )
+    got = {
+        (r["g"], r["id"])
+        for r in grouped_topk_salted(d, ["g"], "h", k=25).collect()
+    }
+    w = Window.partitionBy("g").orderBy("h")
+    want = {
+        (r["g"], r["id"])
+        for r in d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 25)
+        .collect()
+    }
+    assert got == want and len(got) == 75
+
+
+def test_stratified_sample_never_windows_full_corpus_per_group(spark):
+    """Stage-1 windows must partition on (group, salt), never on the
+    bare group over the full scan — the parallelism-collapse guard."""
+    df = QUERIES["sample_stratified_topk"].fn(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    import re as _re
+
+    # stage-1 window spec must partition on (lang, salt), and Spark must
+    # apply the WindowGroupLimit heap pushdown so stage 1 never sorts a
+    # full per-group slice
+    assert _re.search(r"windowspecdefinition\(lang#\d+, _salt#\d+L", plan), plan
+    assert "WindowGroupLimit" in plan, plan
