@@ -97,6 +97,32 @@ def minhash_signatures(
     )
 
 
+def _banded_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    band_size: int,
+    shingle_k: int,
+) -> DataFrame:
+    """(id, sig, band) — one row per (document, band), band key =
+    ``"{band_idx}|{component...}"``.  The LSH bucketing relation both
+    the self-join and the cross-set (incremental) join build on."""
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
+    n_bands = num_hashes // band_size
+    band_cols = [
+        F.concat_ws(
+            "|",
+            F.lit(str(b)),
+            *[F.col("sig")[b * band_size + j] for j in range(band_size)],
+        ).alias(f"band_{b}")
+        for b in range(n_bands)
+    ]
+    return sigs.select(
+        id_col, "sig", F.explode(F.array(*band_cols)).alias("band")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -113,17 +139,9 @@ def minhash_lsh_pairs(
     components.  The join key is the band hash, so only colliding
     documents meet — the LSH trick that replaces the O(n²) cross join.
     """
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
-    n_bands = num_hashes // band_size
-    band_cols = [
-        F.concat_ws(
-            "|",
-            F.lit(str(b)),
-            *[F.col("sig")[b * band_size + j] for j in range(band_size)],
-        ).alias(f"band_{b}")
-        for b in range(n_bands)
-    ]
-    banded = sigs.select(id_col, "sig", F.explode(F.array(*band_cols)).alias("band"))
+    banded = _banded_signatures(
+        df, id_col, text_col, num_hashes, band_size, shingle_k
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     agree = F.size(
@@ -143,6 +161,48 @@ def minhash_lsh_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
+            (agree / F.lit(num_hashes)).alias("jaccard_est"),
+        )
+        .distinct()
+    )
+
+
+def minhash_lsh_pairs_between(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Cross-set banded LSH: candidate near-dup pairs between a NEW
+    batch (``left``) and an existing corpus (``right``) — the
+    incremental form of near-dedup.  Only (batch, corpus) pairs whose
+    band buckets collide materialize; batch-batch and corpus-corpus
+    pairs are never formed, so steady-state ingest cost scales with
+    |batch| × collision rate, not the corpus.  Join stays shuffle_hash:
+    at scale the corpus banding relation is never broadcastable, and
+    the batch side re-shuffles only its own bands.
+
+    Output: (id_left, id_right, jaccard_est)."""
+    a = _banded_signatures(
+        left, id_col, text_col, num_hashes, band_size, shingle_k
+    ).alias("a")
+    b = _banded_signatures(
+        right, id_col, text_col, num_hashes, band_size, shingle_k
+    ).alias("b")
+    agree = F.size(
+        F.filter(
+            F.zip_with("a.sig", "b.sig", lambda x, y: x == y),
+            lambda m: m,
+        )
+    )
+    return (
+        a.join(b.hint("shuffle_hash"), on="band")
+        .select(
+            F.col(f"a.{id_col}").alias("id_left"),
+            F.col(f"b.{id_col}").alias("id_right"),
             (agree / F.lit(num_hashes)).alias("jaccard_est"),
         )
         .distinct()

@@ -865,6 +865,43 @@ def dedup_incremental_prefilter(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+def dedup_incremental_lsh(spark, sf_dir):
+    """Incremental NEAR-dedup: banded-MinHash candidates between the
+    arriving batch (doc_id % 10 = 0) and the existing corpus only —
+    batch×batch and corpus×corpus pairs never materialize
+    (operators/dedup.minhash_lsh_pairs_between).  The near-dup
+    complement of dedup_incremental_batch's exact anti-join; same
+    band/signature constants as dedup_minhash_lsh_candidates so the
+    oracle CTEs are shared."""
+    from rick_and_morty_data_pipeline_project_spark.operators.dedup import (
+        minhash_lsh_pairs_between,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    batch = d.filter(F.col("doc_id") % 10 == 0)
+    existing = d.filter(F.col("doc_id") % 10 != 0)
+    return minhash_lsh_pairs_between(
+        batch, existing, "doc_id", "text",
+        num_hashes=8, band_size=4, shingle_k=3,
+    )
+
+
+DEDUP_INCR_LSH_SQL = f"""
+WITH shingled AS ({_SHINGLES_SQL}),
+sigs AS (SELECT doc_id, {_SIG_ARRAY_SQL} AS sig FROM shingled),
+banded AS (
+  SELECT doc_id, sig,
+         CAST(b.b AS VARCHAR) || '|' || array_to_string(sig[4*b.b + 1 : 4*b.b + 4], '|') AS band
+  FROM sigs, (SELECT unnest(generate_series(0, 1)) AS b) b
+)
+SELECT DISTINCT a.doc_id AS id_left, b.doc_id AS id_right,
+       len(list_filter(generate_series(1, 8), i -> a.sig[i] = b.sig[i])) / 8 AS jaccard_est
+FROM banded a JOIN banded b ON a.band = b.band
+WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+"""
+
+
+# --------------------------------------------------------------------------
 def sample_stratified_topk(spark, sf_dir):
     """Per-stratum balanced subcorpus: for every language keep the k=20
     documents with the smallest deterministic hash — a seeded,
@@ -940,4 +977,5 @@ QUERIES: dict[str, Q] = {
     "sample_stratified_topk": Q(
         sample_stratified_topk, SAMPLE_STRATIFIED_SQL
     ),
+    "dedup_incremental_lsh": Q(dedup_incremental_lsh, DEDUP_INCR_LSH_SQL),
 }

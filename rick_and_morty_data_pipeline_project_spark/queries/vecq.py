@@ -203,8 +203,46 @@ GROUP BY 1, 2
 """
 
 
+def knn_cosine_filtered(spark, sf_dir):
+    """Hybrid (filtered) similarity search: exact top-k cosine over the
+    corpus subset matching a metadata predicate (label ∈ {0,1,2}) —
+    the filter composes BEFORE the distance stage, so the quadratic
+    work shrinks with selectivity and the predicate pushes down to the
+    corpus scan.  At scale the same composition applies in front of the
+    IVF path (filter, then assign/probe) — pre-filtering, not
+    post-filtering, is what keeps k results guaranteed."""
+    e = t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    corpus = e.filter(F.col("label").isin(0, 1, 2))
+    return knn_bruteforce(queries, corpus, k=5)
+
+
+KNN_FILTERED_SQL = f"""
+WITH normed AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> x::DOUBLE / sqrt({_DOT_SELF})) AS nv
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, nv AS qv FROM normed WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, nv AS cv FROM normed WHERE label IN (0, 1, 2)),
+scored AS (
+  SELECT q.query_id, c.neighbor_id,
+         round({dot_sql("q.qv", "c.cv")}, 6) AS cosine
+  FROM q, c
+  WHERE q.query_id <> c.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+"""
+
+
 QUERIES: dict[str, Q] = {
     "embedding_norms": Q(embedding_norms, NORMS_SQL),
+    "knn_cosine_filtered": Q(knn_cosine_filtered, KNN_FILTERED_SQL),
     "knn_cosine_bruteforce": Q(knn_cosine_bruteforce, KNN_SQL),
     "knn_cosine_lsh": Q(knn_cosine_lsh, None),
     "knn_cosine_ivf": Q(knn_cosine_ivf, KNN_IVF_SQL),
