@@ -602,8 +602,56 @@ GROUP BY 1, 2
 """
 
 
+def events_sliding_rollup(spark, sf_dir):
+    """Overlapping (sliding) time-window aggregation: 1-hour windows
+    sliding every 30 minutes, so each event lands in exactly two
+    windows.  ``F.window(ts, w, s)`` is the §2.8 batch twin of the
+    streaming windowed rollup — the assignment is a narrow generate
+    (each row expands to w/s window rows), the aggregation one
+    map-combinable shuffle keyed (window, event_type).  The oracle
+    reproduces Spark's epoch-aligned window starts with
+    ``time_bucket`` (any :00/:30-aligned origin is equivalent for a
+    30-minute slide)."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("win"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value", 18, 6)).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "win_start"
+            ),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+EVENTS_SLIDING_SQL = """
+WITH assigned AS (
+  SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+                 time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) AS ws,
+         event_type, value
+  FROM events
+)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM assigned
+GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, Q] = {
     "text_language_id": Q(text_language_id, TEXT_LANGID_SQL),
+    "events_sliding_rollup": Q(events_sliding_rollup, EVENTS_SLIDING_SQL),
     "join_salted_user_events": Q(join_salted_user_events, JOIN_SALTED_SQL),
     "join_asof_click_error": Q(join_asof_click_error, JOIN_ASOF_SQL),
     "sessionize_events": Q(sessionize_events, SESSIONIZE_SQL),
