@@ -42,9 +42,15 @@ _NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
-        # reader rejects; read nanos as long and truncate to micros —
-        # the same value DuckDB produces for its micro-resolution type.
+        # events.ts arrives in whatever physical type the corpus
+        # generator used — TIMESTAMP(NANOS) (Spark's vectorized reader
+        # rejects it; read nanos as long and truncate to micros, the
+        # value DuckDB produces for its micro-resolution type) or naive
+        # TIMESTAMP(MICROS) (Spark infers TIMESTAMP_NTZ).  Normalize to
+        # session-local TIMESTAMP either way: the session timezone is
+        # pinned to UTC (session.py), so the NTZ→TZ cast is wall-clock
+        # preserving and epoch extraction matches DuckDB's epoch_us on
+        # the same naive values.
         # The legacy conf is scoped save/set/restore: it is captured into
         # the plan at read/analysis time (the restored value does not
         # affect this df's later execution), so a later parquet read of
@@ -57,10 +63,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set(_NANOS_CONF, "true")
         try:
             df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-            if dict(df.dtypes).get("ts") == "bigint":
+            ts_type = dict(df.dtypes).get("ts")
+            if ts_type == "bigint":
                 df = df.withColumn(
                     "ts", F.expr("timestamp_micros(ts div 1000)")
                 )
+            elif ts_type == "timestamp_ntz":
+                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         finally:
             if prev is None:
                 spark.conf.unset(_NANOS_CONF)

@@ -14,17 +14,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def stream_events_hourly(
-    spark: SparkSession,
-    sf_dir: str,
-    watermark: str = "2 hours",
-) -> DataFrame:
-    """Streaming tumbling 1-hour rollup of events with late-data bound.
-
-    Returns an unstarted streaming DataFrame; callers attach a sink
-    (memory sink in tests, a parquet/kafka sink in production) and a
-    trigger.  State size is bounded by the watermark: windows older
-    than (max event time − watermark) are finalized and evicted.
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table with ts normalized to
+    session-tz TIMESTAMP — the streaming twin of
+    ``sources.corpus.load_table``, handling the same corpus-generator
+    variation (TIMESTAMP(NANOS) → bigint under the legacy conf;
+    naive TIMESTAMP(MICROS) → TIMESTAMP_NTZ → cast under the UTC
+    session tz).
     """
     # scoped save/set/restore (see sources/corpus.py): the conf is
     # captured at analysis time; don't leak it into the caller's session
@@ -48,7 +44,27 @@ def stream_events_hourly(
             spark.conf.unset(_conf)
         else:
             spark.conf.set(_conf, prev)
-    events = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
+        return stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if ts_type == "timestamp_ntz":
+        return stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
+
+
+def stream_events_hourly(
+    spark: SparkSession,
+    sf_dir: str,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming tumbling 1-hour rollup of events with late-data bound.
+
+    Returns an unstarted streaming DataFrame; callers attach a sink
+    (memory sink in tests, a parquet/kafka sink in production) and a
+    trigger.  State size is bounded by the watermark: windows older
+    than (max event time − watermark) are finalized and evicted.
+    """
+    events = events_stream(spark, sf_dir)
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
@@ -99,28 +115,10 @@ def stream_enriched_hourly(
     watermark.  That's the scale shape for stream enrichment: dimension
     changes re-read per batch, stream never buffered for the join.
     """
-    _conf = "spark.sql.legacy.parquet.nanosAsLong"
-    try:
-        prev = spark.conf.get(_conf)
-    except Exception:
-        prev = None
-    spark.conf.set(_conf, "true")
-    try:
-        static = spark.read.parquet(f"{sf_dir}/events.parquet")
-        stream = (
-            spark.readStream.schema(static.schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-        )
-    finally:
-        if prev is None:
-            spark.conf.unset(_conf)
-        else:
-            spark.conf.set(_conf, prev)
+    events = events_stream(spark, sf_dir)
     customers = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
         F.col("c_custkey").alias("user_id"), "c_mktsegment"
     )
-    events = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return (
         events.join(customers, "user_id")
         .withWatermark("ts", watermark)

@@ -15,21 +15,15 @@ def test_custom_stateful_sessionize_matches_batch(spark):
     """applyInPandasWithState sessionizer ≡ batch gaps-and-islands for
     every CLOSED session (the final open session per user stays in
     state by design — a later event or timeout would close it)."""
-    from pyspark.sql import functions as F
-
     from rick_and_morty_data_pipeline_project_spark.queries.catalog import QUERIES
     from rick_and_morty_data_pipeline_project_spark.streaming.stateful import (
         sessionize_custom,
     )
-
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    static = spark.read.parquet(f"{SF_SMALL}/events.parquet")
-    stream = (
-        spark.readStream.schema(static.schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(SF_SMALL)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    from rick_and_morty_data_pipeline_project_spark.streaming.windowed import (
+        events_stream,
     )
+
+    stream = events_stream(spark, SF_SMALL)
     out = sessionize_custom(stream, gap_seconds=30 * 60)
     run_available_now(out, "custom_sessions", output_mode="append")
     got = {
