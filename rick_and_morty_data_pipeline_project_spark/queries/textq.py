@@ -23,6 +23,7 @@ from rick_and_morty_data_pipeline_project_spark.functions.textfns import (
     fingerprint_col,
     quality_score_cols,
     shingles_from_tokens,
+    token_count_col,
     tokens_col,
 )
 from rick_and_morty_data_pipeline_project_spark.operators.dedup import (
@@ -942,6 +943,179 @@ WHERE rn <= 20
 """
 
 
+# --------------------------------------------------------------------------
+_CHUNK = 32  # tokens per chunk (context-window size)
+_STRIDE = 24  # tokens between chunk starts (8-token overlap)
+
+
+def text_chunk_overlap(spark, sf_dir):
+    """Sliding-window document chunking with overlap — the standard
+    "split long documents into model-context-sized pieces" op of a
+    training-data pipeline.  Chunks are `_CHUNK` tokens wide starting
+    every `_STRIDE` tokens (so consecutive chunks share
+    `_CHUNK - _STRIDE` tokens); short docs yield one chunk.
+
+    Scale: a pure narrow transform — tokenize once (materialized
+    projection, see tokens_col), explode one small index array per doc,
+    slice the token array per chunk.  Zero shuffles, zero Python; output
+    rows ∝ total token count / stride, i.e. linear in corpus size and
+    embarrassingly partition-parallel.
+    """
+    d = fan_out(t(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id", tokens_col(F.col("text")).alias("_tk")
+    ).select(
+        "doc_id",
+        "_tk",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(
+                    F.ceil(
+                        (F.size("_tk") - F.lit(_CHUNK)).cast("double")
+                        / F.lit(_STRIDE)
+                    ).cast("int"),
+                    F.lit(0),
+                ),
+            )
+        ).alias("chunk_id"),
+    )
+    sliced = F.slice(
+        F.col("_tk"), F.col("chunk_id") * _STRIDE + 1, _CHUNK
+    )
+    return toks.select(
+        "doc_id",
+        "chunk_id",
+        F.size(sliced).alias("n_chunk_tokens"),
+        F.array_join(sliced, " ").alias("chunk_text"),
+    )
+
+
+TEXT_CHUNK_SQL = f"""
+WITH tk AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+),
+ix AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0,
+             greatest(CAST(ceil((n - {_CHUNK}) / {_STRIDE}.0) AS INT), 0)
+         )) AS chunk_id
+  FROM tk
+)
+SELECT doc_id, chunk_id,
+       len(toks[chunk_id * {_STRIDE} + 1 : chunk_id * {_STRIDE} + {_CHUNK}])
+         AS n_chunk_tokens,
+       array_to_string(
+         toks[chunk_id * {_STRIDE} + 1 : chunk_id * {_STRIDE} + {_CHUNK}], ' ')
+         AS chunk_text
+FROM ix
+"""
+
+
+# --------------------------------------------------------------------------
+def text_quantile_filter(spark, sf_dir):
+    """Per-group quantile-threshold quality filter: keep documents whose
+    token count exceeds their language's median — "drop the short tail,
+    per language" (absolute thresholds misfire across languages with
+    different tokenization densities).
+
+    Scale: the threshold table is one exact-percentile agg with
+    |languages| output rows — broadcast back against the scored stream,
+    so the corpus is scanned once and never shuffled (the agg shuffles
+    only (lang, n_tokens) pairs, map-side combinable into sorted
+    sketches; at 100 TB swap F.percentile for percentile_approx and the
+    agg becomes fixed-size per partition).
+    """
+    d = t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "lang", token_count_col(F.col("text")).alias("n_tokens")
+    )
+    med = scored.groupBy("lang").agg(
+        F.percentile(F.col("n_tokens").cast("double"), 0.5).alias(
+            "lang_median"
+        )
+    )
+    return (
+        scored.join(F.broadcast(med), "lang")
+        .filter(F.col("n_tokens") > F.col("lang_median"))
+        .select("doc_id", "lang", "n_tokens", "lang_median")
+    )
+
+
+TEXT_QUANTILE_SQL = """
+WITH scored AS (
+  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+),
+med AS (
+  SELECT lang, quantile_cont(CAST(n_tokens AS DOUBLE), 0.5) AS lang_median
+  FROM scored GROUP BY lang
+)
+SELECT doc_id, lang, n_tokens, lang_median
+FROM scored JOIN med USING (lang)
+WHERE n_tokens > lang_median
+"""
+
+
+# --------------------------------------------------------------------------
+def text_tfidf_topterms(spark, sf_dir):
+    """Per-document top-3 TF-IDF terms — the classic "what is this
+    document about" keyword extractor (inputs come from the same
+    token→count aggregates as text_vocab_df).
+
+    Scale: two map-side-combinable aggs (tf on (doc, term), df on term),
+    one high-cardinality join back on the term key, corpus-size scalar
+    broadcast; the rank window partitions by doc_id (high cardinality —
+    parallelism preserved).  tfidf is rounded to 6 decimals BEFORE
+    ranking so the rank order itself (not just the printed value) is
+    identical to the oracle's.
+    """
+    d = fan_out(t(spark, sf_dir, "documents"))
+    words = d.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("term")
+    )
+    tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.agg(F.count(F.lit(1)).cast("double").alias("_n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("_n_docs") / F.col("df")), 6),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= 3)
+        .select("doc_id", "term", "tf", "df", "tfidf", "term_rank")
+    )
+
+
+TEXT_TFIDF_SQL = """
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM words GROUP BY 1, 2),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+nd AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term, tf, df, round(tf * ln(n_docs / df), 6) AS tfidf
+  FROM tf JOIN dfq USING (term) CROSS JOIN nd
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS term_rank
+  FROM scored
+)
+SELECT doc_id, term, tf, df, tfidf, term_rank
+FROM ranked WHERE term_rank <= 3
+"""
+
+
 QUERIES: dict[str, Q] = {
     "text_emotion_scores": Q(text_emotion_scores, TEXT_EMOTION_SQL),
     "dedup_minhash_clusters": Q(dedup_minhash_clusters, DEDUP_CLUSTERS_SQL),
@@ -978,4 +1152,7 @@ QUERIES: dict[str, Q] = {
         sample_stratified_topk, SAMPLE_STRATIFIED_SQL
     ),
     "dedup_incremental_lsh": Q(dedup_incremental_lsh, DEDUP_INCR_LSH_SQL),
+    "text_chunk_overlap": Q(text_chunk_overlap, TEXT_CHUNK_SQL),
+    "text_quantile_filter": Q(text_quantile_filter, TEXT_QUANTILE_SQL),
+    "text_tfidf_topterms": Q(text_tfidf_topterms, TEXT_TFIDF_SQL),
 }
