@@ -186,3 +186,25 @@ def test_stratified_sample_never_windows_full_corpus_per_group(spark):
     # full per-group slice
     assert _re.search(r"windowspecdefinition\(lang#\d+, _salt#\d+L", plan), plan
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_chunk_overlap_is_narrow(spark):
+    """Document chunking is a pure narrow transform: one scan of the
+    documents table, no Exchange (the fan_out repartition only fires
+    when the local scan under-partitions — plan under fan-out may show
+    one RoundRobin exchange, but never a key shuffle or join)."""
+    df = QUERIES["text_chunk_overlap"].fn(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert plan.count("documents.parquet") == 1, plan
+    assert "Join" not in plan, plan
+    assert "hashpartitioning" not in plan, plan
+
+
+def test_tfidf_windows_on_doc_id_only(spark):
+    """The TF-IDF rank window must partition on the high-cardinality
+    doc_id — never a constant/low-cardinality key (parallelism guard);
+    the corpus-size scalar must arrive via broadcast, not a shuffle."""
+    df = QUERIES["text_tfidf_topterms"].fn(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert re.search(r"windowspecdefinition\(doc_id#\d+", plan), plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
