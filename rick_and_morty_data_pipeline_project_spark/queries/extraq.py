@@ -649,6 +649,238 @@ GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+def events_zscore_outliers(spark, sf_dir):
+    """Rolling per-user anomaly detection: flag an event whose value
+    deviates > 2 sample standard deviations from that user's preceding
+    20 events.  The classic streaming-monitoring shape expressed as a
+    bounded ROWS window.
+
+    Float parity: the window sums run in DECIMAL (value has 2 decimals,
+    so sums and sums-of-squares are exact); mean/var/z are then computed
+    from those exact sums with an identical double expression tree in
+    both engines, and sqrt is IEEE-correctly-rounded everywhere.  The
+    frame is bounded (20 rows) so the decimal accumulators cannot
+    overflow at any corpus size.
+
+    Scale: one shuffle on user_id (high cardinality), bounded per-row
+    state — this is the plan a 1000-executor cluster wants; nothing is
+    corpus-global.
+    """
+    from pyspark.sql.window import Window
+
+    e = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    v = dec("value", 18, 6)
+    n = F.count(F.lit(1)).over(w).cast("double")
+    s = F.sum(v).over(w).cast("double")
+    s2 = F.sum(v * v).over(w).cast("double")
+    mean = s / n
+    var = (s2 - (s * s) / n) / (n - 1)
+    z = (F.col("value") - mean) / F.sqrt(var)
+    scored = e.select(
+        "event_id",
+        "user_id",
+        "value",
+        n.cast("long").alias("n_prev"),
+        F.round(mean, 6).alias("prev_mean"),
+        var.alias("_var"),
+        z.alias("_z"),
+    )
+    return (
+        scored.filter(
+            (F.col("n_prev") >= 10) & (F.col("_var") > 0) & (F.abs("_z") > 2)
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "value",
+            "n_prev",
+            "prev_mean",
+            F.round("_z", 6).alias("zscore"),
+        )
+    )
+
+
+ZSCORE_SQL = """
+WITH scored AS (
+  SELECT event_id, user_id, value,
+         CAST(count(*) OVER w AS DOUBLE) AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS s,
+         CAST(sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))
+              OVER w AS DOUBLE) AS s2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+),
+zs AS (
+  SELECT event_id, user_id, value, CAST(n AS BIGINT) AS n_prev,
+         round(s / n, 6) AS prev_mean,
+         (s2 - (s * s) / n) / (n - 1) AS var,
+         (value - s / n) / sqrt((s2 - (s * s) / n) / (n - 1)) AS z
+  FROM scored
+)
+SELECT event_id, user_id, value, n_prev, prev_mean, round(z, 6) AS zscore
+FROM zs
+WHERE n_prev >= 10 AND var > 0 AND abs(z) > 2
+"""
+
+
+# --------------------------------------------------------------------------
+def customer_rfm_segments(spark, sf_dir):
+    """RFM (recency / frequency / monetary) customer segmentation with
+    quartile scores — WITHOUT a global ntile window.  A naive RFM ranks
+    all customers in one unpartitioned window (single-task sort of the
+    whole customer base); instead the quartile thresholds come from one
+    exact-percentile aggregate (9 scalars), broadcast back, and each
+    customer is scored by a narrow CASE — the corpus is shuffled once
+    (per-customer agg) and never globally sorted.
+
+    Buckets are by value ascending (recency_bucket 4 = longest ago);
+    interpretation is the caller's.
+    """
+    o = t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("_last"),
+        F.count(F.lit(1)).cast("double").alias("frequency"),
+        F.sum(dec("o_totalprice")).cast("double").alias("monetary"),
+    )
+    glob = per_cust.agg(F.max("_last").alias("_gmax"))
+    rfm = per_cust.crossJoin(F.broadcast(glob)).select(
+        "o_custkey",
+        F.datediff("_gmax", "_last").cast("double").alias("recency_days"),
+        "frequency",
+        "monetary",
+    )
+    th = rfm.agg(
+        *[
+            F.percentile(F.col(c), q).alias(f"_{c}_{int(q * 100)}")
+            for c in ("recency_days", "frequency", "monetary")
+            for q in (0.25, 0.5, 0.75)
+        ]
+    )
+
+    def bucket(c: str):
+        return (
+            F.lit(1)
+            + (F.col(c) > F.col(f"_{c}_25")).cast("int")
+            + (F.col(c) > F.col(f"_{c}_50")).cast("int")
+            + (F.col(c) > F.col(f"_{c}_75")).cast("int")
+        )
+
+    return rfm.crossJoin(F.broadcast(th)).select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        bucket("recency_days").alias("r_bucket"),
+        bucket("frequency").alias("f_bucket"),
+        bucket("monetary").alias("m_bucket"),
+    )
+
+
+RFM_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey, max(CAST(o_orderdate AS DATE)) AS last_order,
+         CAST(count(*) AS DOUBLE) AS frequency,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS monetary
+  FROM orders GROUP BY 1
+),
+gmx AS (SELECT max(last_order) AS gmax FROM per_cust),
+rfm AS (
+  SELECT o_custkey,
+         CAST(datediff('day', last_order, gmax) AS DOUBLE) AS recency_days,
+         frequency, monetary
+  FROM per_cust CROSS JOIN gmx
+),
+th AS (
+  SELECT quantile_cont(recency_days, 0.25) AS r25, quantile_cont(recency_days, 0.5) AS r50, quantile_cont(recency_days, 0.75) AS r75,
+         quantile_cont(frequency, 0.25) AS f25, quantile_cont(frequency, 0.5) AS f50, quantile_cont(frequency, 0.75) AS f75,
+         quantile_cont(monetary, 0.25) AS m25, quantile_cont(monetary, 0.5) AS m50, quantile_cont(monetary, 0.75) AS m75
+  FROM rfm
+)
+SELECT o_custkey, recency_days, frequency, monetary,
+       1 + CAST(recency_days > r25 AS INT) + CAST(recency_days > r50 AS INT) + CAST(recency_days > r75 AS INT) AS r_bucket,
+       1 + CAST(frequency > f25 AS INT) + CAST(frequency > f50 AS INT) + CAST(frequency > f75 AS INT) AS f_bucket,
+       1 + CAST(monetary > m25 AS INT) + CAST(monetary > m50 AS INT) + CAST(monetary > m75 AS INT) AS m_bucket
+FROM rfm CROSS JOIN th
+"""
+
+
+# --------------------------------------------------------------------------
+def events_funnel_steps(spark, sf_dir):
+    """Ordered conversion funnel view → click → purchase per user: each
+    later step must occur at-or-after the user's first completion of
+    the previous step.  The product-analytics staple.
+
+    Scale: each stage aggregates a TYPE-FILTERED substream (the filter
+    pushes to the scan) keyed on user_id, then joins the previous
+    stage's one-row-per-user table — three shuffles of per-user scalars,
+    no window over the full event stream, no self-join of raw events.
+    """
+    e = t(spark, sf_dir, "events")
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .join(views, "user_id")
+        .filter(F.col("ts") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(clicks, "user_id")
+        .filter(F.col("ts") >= F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        views.join(clicks, "user_id", "left")
+        .join(purchases, "user_id", "left")
+        .select(
+            "user_id",
+            F.unix_micros("t_view").alias("t_view_us"),
+            F.unix_micros("t_click").alias("t_click_us"),
+            F.unix_micros("t_purchase").alias("t_purchase_us"),
+        )
+    )
+
+
+FUNNEL_STEPS_SQL = """
+WITH views AS (
+  SELECT user_id, min(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY 1
+),
+clicks AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM events e JOIN views v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts >= v.t_view
+  GROUP BY 1
+),
+purchases AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM events e JOIN clicks c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+  GROUP BY 1
+)
+SELECT v.user_id,
+       epoch_us(t_view) AS t_view_us,
+       epoch_us(t_click) AS t_click_us,
+       epoch_us(t_purchase) AS t_purchase_us
+FROM views v
+LEFT JOIN clicks USING (user_id)
+LEFT JOIN purchases USING (user_id)
+"""
+
+
 QUERIES: dict[str, Q] = {
     "text_language_id": Q(text_language_id, TEXT_LANGID_SQL),
     "events_sliding_rollup": Q(events_sliding_rollup, EVENTS_SLIDING_SQL),
@@ -666,4 +898,7 @@ QUERIES: dict[str, Q] = {
     "events_gap_fill": Q(events_gap_fill, GAP_FILL_SQL),
     "array_functions": Q(array_functions, ARRAY_FN_SQL),
     "agg_macro_avg_rounded": Q(agg_macro_avg_rounded, AGG_MACRO_SQL),
+    "events_zscore_outliers": Q(events_zscore_outliers, ZSCORE_SQL),
+    "customer_rfm_segments": Q(customer_rfm_segments, RFM_SQL),
+    "events_funnel_steps": Q(events_funnel_steps, FUNNEL_STEPS_SQL),
 }
