@@ -62,6 +62,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # -- §2.10 multimodal + reference flagship ------------------------
     "multimodal_metadata_stats",
     "flagship_best_match_with_replacement",
+    # EP-2 greedy matching: sequential MUT-1 semantics, hash-verified
+    # against a recursive-CTE DuckDB oracle (reference.FLAGSHIP_EP2_SQL)
+    "flagship_greedy_match",
     # -- operator exemplars without a round-1 correctness row ---------
     "join_asof_click_error",
     "sessionize_events",
@@ -75,7 +78,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # -- classic family exemplars (one per family) --------------------
     "q1_pricing_summary",
     "q2_scan_filter_project",
-    "q3_top_unshipped_orders",
+    # (q3_top_unshipped_orders moved past the window to make room for
+    # flagship_greedy_match: its families stay covered — broadcast join
+    # by q5, heap top-k by sort_limit/topk_two_stage — and its round-1
+    # CORRECTNESS row stands)
     "q5_nation_volume",
     "q6_forecast_revenue",
     "join_anti_customers_without_orders",

@@ -154,8 +154,92 @@ LEFT JOIN winners w
 """
 
 
+# EP-2 greedy matching DOES have an exact SQL oracle after all: a
+# recursive CTE replays the sequential claim loop — each recursion step
+# is one episode (ascending doc_id), carrying the claimed-strain set as
+# an accumulating list, with the two-stage Top-K as a correlated
+# LATERAL (stage 1: top-100 unclaimed by the episode's top emotion,
+# (score DESC, id ASC); stage 2: best of those by the second emotion).
+# This mirrors Project_Overview.ipynb cell-12's SELECT→DELETE loop
+# exactly (SURVEY.md §3 EP-2 / §7 hard-part 1).
+_EMO_CASE_TOP = (
+    "CASE e.top_emotion "
+    + " ".join(f"WHEN '{e}' THEN s.{e}" for e in EMOTIONS[:-1])
+    + f" ELSE s.{EMOTIONS[-1]} END"
+)
+_EMO_CASE_SECOND = (
+    "CASE e.second_emotion "
+    + " ".join(f"WHEN '{e}' THEN s.{e}" for e in EMOTIONS[:-1])
+    + f" ELSE s.{EMOTIONS[-1]} END"
+)
+_UNPIVOT_ST = " UNION ALL ".join(
+    f"SELECT doc_id, '{e}' AS emo, {e} AS s FROM strains" for e in EMOTIONS
+)
+
+FLAGSHIP_EP2_SQL = f"""
+WITH RECURSIVE
+scored AS ({_SCORED_SQL}),
+episodes AS (SELECT * FROM scored WHERE source IN ('src0', 'src1')),
+strains  AS (SELECT * FROM scored WHERE source NOT IN ('src0', 'src1')),
+unp_e AS ({_UNPIVOT_EP}),
+rank_e AS (
+  SELECT doc_id, emo,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s DESC, emo ASC) AS rn
+  FROM unp_e
+),
+eps AS (
+  SELECT doc_id,
+         MAX(CASE WHEN rn = 1 THEN emo END) AS top_emotion,
+         MAX(CASE WHEN rn = 2 THEN emo END) AS second_emotion,
+         ROW_NUMBER() OVER (ORDER BY doc_id) AS step
+  FROM rank_e GROUP BY doc_id
+),
+unp_s AS ({_UNPIVOT_ST}),
+rank_s AS (
+  SELECT doc_id, emo,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s DESC, emo ASC) AS rn
+  FROM unp_s
+),
+strain_t2 AS (
+  SELECT doc_id,
+         MAX(CASE WHEN rn = 1 THEN emo END) AS r_top,
+         MAX(CASE WHEN rn = 2 THEN emo END) AS r_second
+  FROM rank_s GROUP BY doc_id
+),
+g(step, claimed, e_id, top_e, sec_e, m_id) AS (
+  SELECT 0, CAST([] AS BIGINT[]), CAST(NULL AS BIGINT),
+         CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)
+  UNION ALL
+  SELECT e.step,
+         CASE WHEN w.w_id IS NULL THEN g.claimed
+              ELSE list_append(g.claimed, w.w_id) END,
+         e.doc_id, e.top_emotion, e.second_emotion, w.w_id
+  FROM g JOIN eps e ON e.step = g.step + 1
+  LEFT JOIN LATERAL (
+    SELECT s1.doc_id AS w_id FROM (
+      SELECT s.doc_id, {_EMO_CASE_SECOND} AS s2v
+      FROM strains s
+      WHERE NOT list_contains(g.claimed, s.doc_id)
+      ORDER BY {_EMO_CASE_TOP} DESC, s.doc_id ASC
+      LIMIT 100
+    ) s1
+    ORDER BY s1.s2v DESC, s1.doc_id ASC
+    LIMIT 1
+  ) w ON TRUE
+)
+SELECT g.e_id AS doc_id,
+       g.top_e AS top_left_emotion,
+       g.sec_e AS second_left_emotion,
+       g.m_id AS matched_doc_id,
+       t2.r_top AS right_top_emotion,
+       t2.r_second AS right_second_emotion
+FROM g JOIN strain_t2 t2 ON t2.doc_id = g.m_id
+WHERE g.step > 0 AND g.m_id IS NOT NULL
+"""
+
+
 QUERIES: dict[str, Q] = {
-    "flagship_greedy_match": Q(flagship_greedy_match, None),
+    "flagship_greedy_match": Q(flagship_greedy_match, FLAGSHIP_EP2_SQL),
     "flagship_best_match_with_replacement": Q(
         flagship_best_match_with_replacement, FLAGSHIP_EP3_SQL
     ),
