@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from rick_and_morty_data_pipeline_project_spark.functions.vectors import (
+    cosine_sql,
     dot_sql,
     norm2_col,
 )
@@ -240,14 +241,117 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
 """
 
 
+# --------------------------------------------------------------------------
+# knn_cosine_lsh oracle: the "random" hyperplanes are FROZEN seeded
+# constants baked into the Spark plan as literals, so the oracle embeds
+# the identical constants and replays bucketing + cosine exactly —
+# upgrading the query from rows-only to hash-checked.  Sign bits compare
+# a left-fold float64 dot (identical accumulation order both engines)
+# against 0; ties at the boundary would need a last-ulp divergence AND
+# a dot of exactly ±0, which the parity suite shows does not occur.
+from rick_and_morty_data_pipeline_project_spark.operators.similarity import (
+    _hyperplanes,
+)
+
+
+def _lit_list_sql(plane: list[float]) -> str:
+    return "[" + ", ".join(repr(float(x)) for x in plane) + "]"
+
+
+def _lsh_bucket_sql(vec: str, ti: int, planes: list[list[float]]) -> str:
+    bits = " || ".join(
+        f"(CASE WHEN {dot_sql(vec, _lit_list_sql(p))} >= 0 "
+        f"THEN '1' ELSE '0' END)"
+        for p in planes
+    )
+    return f"('{ti}#' || {bits})"
+
+
+_LSH_TABLES = [_hyperplanes(64, 6, 42 + 1000 * ti) for ti in range(3)]
+_LSH_BUCKETS = ", ".join(
+    _lsh_bucket_sql("embedding", ti, planes)
+    for ti, planes in enumerate(_LSH_TABLES)
+)
+
+KNN_LSH_SQL = f"""
+WITH b AS (
+  SELECT vec_id, embedding, unnest([{_LSH_BUCKETS}]) AS bucket
+  FROM embeddings
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM b q JOIN b c USING (bucket)
+  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         round({cosine_sql("eq.embedding", "ec.embedding")}, 6) AS cosine
+  FROM cand
+  JOIN embeddings eq ON eq.vec_id = cand.query_id
+  JOIN embeddings ec ON ec.vec_id = cand.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+"""
+
+
+# --------------------------------------------------------------------------
+# knn_cosine_int8 oracle: quantization is pure deterministic expression
+# arithmetic (scale = max|x|/127 over the unit-normalized vector,
+# q_i = round(x_i/scale)), the dot is exact integer arithmetic, and the
+# final rescale is three double multiplies — every step replayed
+# verbatim in SQL, so the "approximate" operator is still exactly
+# reproducible and hash-checked (approximate vs the TRUE cosine, not
+# vs its own definition).
+_INT8_DOT = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(list_zip(q.qq, c.qc), "
+    "p -> CAST(p[1] AS BIGINT) * CAST(p[2] AS BIGINT))), (acc, x) -> acc + x)"
+)
+
+KNN_INT8_SQL = f"""
+WITH {_NORMED_CTE},
+quant AS (
+  SELECT vec_id,
+         list_max(list_transform(nv, x -> abs(x))) / 127.0 AS scale,
+         list_transform(
+           nv, x -> CAST(round(
+             x / (list_max(list_transform(nv, y -> abs(y))) / 127.0)
+           ) AS INT)) AS qvec
+  FROM normed
+),
+q AS (SELECT vec_id AS query_id, scale AS sq, qvec AS qq
+      FROM quant WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, scale AS sc, qvec AS qc FROM quant),
+scored AS (
+  SELECT q.query_id, c.neighbor_id,
+         round(q.sq * c.sc * CAST({_INT8_DOT} AS DOUBLE), 6) AS cosine
+  FROM q, c
+  WHERE q.query_id <> c.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+"""
+
+
 QUERIES: dict[str, Q] = {
     "embedding_norms": Q(embedding_norms, NORMS_SQL),
     "knn_cosine_filtered": Q(knn_cosine_filtered, KNN_FILTERED_SQL),
     "knn_cosine_bruteforce": Q(knn_cosine_bruteforce, KNN_SQL),
-    "knn_cosine_lsh": Q(knn_cosine_lsh, None),
+    "knn_cosine_lsh": Q(knn_cosine_lsh, KNN_LSH_SQL),
     "knn_cosine_ivf": Q(knn_cosine_ivf, KNN_IVF_SQL),
     "knn_cosine_ivf_kmeans": Q(knn_cosine_ivf_kmeans, None),
     "embedding_quantize_error": Q(embedding_quantize_error, QUANT_ERR_SQL),
-    "knn_cosine_int8": Q(knn_cosine_int8, None),
+    "knn_cosine_int8": Q(knn_cosine_int8, KNN_INT8_SQL),
     "embedding_label_centroids": Q(embedding_label_centroids, CENTROIDS_SQL),
 }
