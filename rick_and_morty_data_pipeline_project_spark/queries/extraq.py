@@ -854,6 +854,144 @@ def events_funnel_steps(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------------
+def events_retention_cohorts(spark, sf_dir):
+    """Weekly cohort retention matrix: users grouped by their signup
+    week, counted distinct in each subsequent activity week.  Both
+    week keys are Monday-truncated, so weeks-since is an exact
+    multiple-of-7 day difference.
+
+    Scale: one agg keyed on user_id builds the cohort table, one join
+    back on user_id tags each event with its cohort, one distinct-agg
+    on (cohort, weeks_since, user) — all high-cardinality shuffle keys;
+    the matrix itself is tiny (weeks²).
+    """
+    e = t(spark, sf_dir, "events")
+    signup = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).cast("date").alias("_cw"))
+    )
+    act = e.join(signup, "user_id").select(
+        "user_id",
+        "_cw",
+        F.date_trunc("week", F.col("ts")).cast("date").alias("_aw"),
+    )
+    return (
+        act.filter(F.col("_aw") >= F.col("_cw"))
+        .select(
+            "user_id",
+            "_cw",
+            (F.datediff("_aw", "_cw") / 7).cast("int").alias("weeks_since"),
+        )
+        .groupBy("_cw", "weeks_since")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .select(
+            F.date_format("_cw", "yyyy-MM-dd").alias("cohort_week"),
+            "weeks_since",
+            "n_users",
+        )
+    )
+
+
+RETENTION_SQL = """
+WITH signup AS (
+  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cw
+  FROM events WHERE event_type = 'signup' GROUP BY 1
+),
+act AS (
+  SELECT e.user_id, s.cw, CAST(date_trunc('week', e.ts) AS DATE) AS aw
+  FROM events e JOIN signup s ON e.user_id = s.user_id
+)
+SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
+       CAST(datediff('day', cw, aw) / 7 AS INT) AS weeks_since,
+       count(DISTINCT user_id) AS n_users
+FROM act
+WHERE aw >= cw
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+def basket_part_affinity(spark, sf_dir):
+    """Market-basket pair affinity over order line items: for every
+    pair of parts co-occurring in ≥ 3 orders, the co-occurrence count
+    and lift = P(a,b) / (P(a)·P(b)).
+
+    Scale: the pair space is generated by a self-join on l_orderkey —
+    cost Σ_orders |order|², bounded by the per-order line cap (7 in
+    TPC-H), never |parts|²; counts are map-side-combinable; the
+    per-part marginals and the scalar order count broadcast back onto
+    the pair aggregate.  Lift is a ratio of exact integer products —
+    bitwise-stable with no rounding.
+    """
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pair_n = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("pair_orders"))
+        .filter(F.col("pair_orders") >= 3)
+    )
+    part_n = li.groupBy(F.col("l_partkey")).agg(
+        F.count(F.lit(1)).alias("_pn")
+    )
+    n_orders = li.agg(
+        F.count_distinct("l_orderkey").cast("double").alias("_n")
+    )
+    return (
+        pair_n.join(
+            F.broadcast(part_n.withColumnRenamed("l_partkey", "part_a")
+                        .withColumnRenamed("_pn", "_na")),
+            "part_a",
+        )
+        .join(
+            F.broadcast(part_n.withColumnRenamed("l_partkey", "part_b")
+                        .withColumnRenamed("_pn", "_nb")),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "pair_orders",
+            (
+                (F.col("pair_orders") * F.col("_n"))
+                / (F.col("_na") * F.col("_nb"))
+            ).alias("lift"),
+        )
+    )
+
+
+BASKET_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pair_n AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         count(*) AS pair_orders
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= 3
+),
+part_n AS (SELECT l_partkey, count(*) AS pn FROM li GROUP BY 1),
+n_orders AS (SELECT CAST(count(DISTINCT l_orderkey) AS DOUBLE) AS n FROM li)
+SELECT p.part_a, p.part_b, p.pair_orders,
+       (p.pair_orders * o.n) / (na.pn * nb.pn) AS lift
+FROM pair_n p
+JOIN part_n na ON na.l_partkey = p.part_a
+JOIN part_n nb ON nb.l_partkey = p.part_b
+CROSS JOIN n_orders o
+"""
+
+
 FUNNEL_STEPS_SQL = """
 WITH views AS (
   SELECT user_id, min(ts) AS t_view FROM events
@@ -901,4 +1039,6 @@ QUERIES: dict[str, Q] = {
     "events_zscore_outliers": Q(events_zscore_outliers, ZSCORE_SQL),
     "customer_rfm_segments": Q(customer_rfm_segments, RFM_SQL),
     "events_funnel_steps": Q(events_funnel_steps, FUNNEL_STEPS_SQL),
+    "events_retention_cohorts": Q(events_retention_cohorts, RETENTION_SQL),
+    "basket_part_affinity": Q(basket_part_affinity, BASKET_SQL),
 }

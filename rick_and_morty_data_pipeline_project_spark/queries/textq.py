@@ -1116,6 +1116,96 @@ FROM ranked WHERE term_rank <= 3
 """
 
 
+# --------------------------------------------------------------------------
+def text_pmi_collocations(spark, sf_dir):
+    """Pointwise-mutual-information collocation mining: adjacent token
+    pairs occurring ≥ 5 times, scored pmi = ln(P(ab) / (P(a)·P(b))).
+    The classic "find multi-word expressions" corpus-statistics op.
+
+    Scale: bigrams are a narrow zip-of-slices per document (no
+    self-join, no positional shuffle); bigram and unigram counts are
+    map-side-combinable aggs on high-cardinality keys; the two corpus
+    totals broadcast.  PMI inputs are exact integer counts, so the only
+    float steps (two divides, one ln) are identical in both engines;
+    rounded to 6 before the hash.
+    """
+    d = fan_out(t(spark, sf_dir, "documents"))
+    tk = d.select("doc_id", tokens_col(F.col("text")).alias("_tk"))
+    n = F.size("_tk")
+    pairs = tk.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("_tk", 1, n - 1).alias("w1"),
+                F.slice("_tk", 2, n - 1).alias("w2"),
+            )
+        ).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
+    uni = (
+        tk.select(F.explode("_tk").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c_w"))
+    )
+    tot = uni.agg(
+        F.sum("c_w").cast("double").alias("_nu")
+    )
+    tot_b = big.agg(F.sum("c_ab").cast("double").alias("_nb"))
+    return (
+        big.filter(F.col("c_ab") >= 5)
+        .join(
+            F.broadcast(uni.select(F.col("w").alias("w1"),
+                                   F.col("c_w").alias("_ca"))),
+            "w1",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("w").alias("w2"),
+                                   F.col("c_w").alias("_cb"))),
+            "w2",
+        )
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(tot_b))
+        .select(
+            "w1",
+            "w2",
+            "c_ab",
+            F.round(
+                F.log(
+                    (F.col("c_ab") / F.col("_nb"))
+                    / ((F.col("_ca") / F.col("_nu"))
+                       * (F.col("_cb") / F.col("_nu")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+
+
+TEXT_PMI_SQL = """
+WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+pairs AS (
+  SELECT u.p[1] AS w1, u.p[2] AS w2
+  FROM tk, LATERAL (
+    SELECT unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS p
+  ) u
+),
+big AS (SELECT w1, w2, count(*) AS c_ab FROM pairs GROUP BY 1, 2),
+uni AS (
+  SELECT w, count(*) AS c_w
+  FROM (SELECT unnest(t) AS w FROM tk) GROUP BY 1
+),
+tot AS (SELECT CAST(sum(c_w) AS DOUBLE) AS nu FROM uni),
+tot_b AS (SELECT CAST(sum(c_ab) AS DOUBLE) AS nb FROM big)
+SELECT b.w1, b.w2, b.c_ab,
+       round(ln((b.c_ab / tot_b.nb) /
+                ((ca.c_w / tot.nu) * (cb.c_w / tot.nu))), 6) AS pmi
+FROM big b
+JOIN uni ca ON ca.w = b.w1
+JOIN uni cb ON cb.w = b.w2
+CROSS JOIN tot CROSS JOIN tot_b
+WHERE b.c_ab >= 5
+"""
+
+
 QUERIES: dict[str, Q] = {
     "text_emotion_scores": Q(text_emotion_scores, TEXT_EMOTION_SQL),
     "dedup_minhash_clusters": Q(dedup_minhash_clusters, DEDUP_CLUSTERS_SQL),
@@ -1155,4 +1245,5 @@ QUERIES: dict[str, Q] = {
     "text_chunk_overlap": Q(text_chunk_overlap, TEXT_CHUNK_SQL),
     "text_quantile_filter": Q(text_quantile_filter, TEXT_QUANTILE_SQL),
     "text_tfidf_topterms": Q(text_tfidf_topterms, TEXT_TFIDF_SQL),
+    "text_pmi_collocations": Q(text_pmi_collocations, TEXT_PMI_SQL),
 }
