@@ -131,3 +131,75 @@ def sessionize_builtin(events: DataFrame, gap: str = "10 minutes") -> DataFrame:
         "n_events",
         "sum_value",
     )
+
+
+ZSCORE_OUT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("value", DoubleType()),
+        StructField("n_prev", LongType()),
+        StructField("zscore", DoubleType()),
+    ]
+)
+
+
+def zscore_stream(events: DataFrame, window: int = 20) -> DataFrame:
+    """Streaming twin of the batch ``events_zscore_outliers`` query:
+    flag events whose value deviates > 2 sample standard deviations
+    from the same user's preceding ``window`` events.
+
+    ``applyInPandasWithState`` keeps a BOUNDED per-user tail (the last
+    ``window`` values) as state — O(window) per key regardless of
+    stream length, the state shape a 100 TB/day stream needs.  Events
+    are processed in (ts, event_id) order inside each group, matching
+    the batch window's ordering, and flagged rows are emitted
+    incrementally (append mode).
+    """
+    from pyspark.sql.types import ArrayType
+
+    state_schema = StructType(
+        [StructField("tail", ArrayType(DoubleType()))]
+    )
+
+    def fn(key, pdfs: Iterator, state) -> Iterator:
+        import math
+
+        import pandas as pd
+
+        (user_id,) = key
+        tail: list[float] = list(state.get[0]) if state.exists else []
+        out: list[tuple] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for eid, v in zip(
+                pdf["event_id"].astype("int64"), pdf["value"].astype(float)
+            ):
+                n = len(tail)
+                if n >= 10:
+                    s = math.fsum(tail)
+                    s2 = math.fsum(x * x for x in tail)
+                    mean = s / n
+                    var = (s2 - (s * s) / n) / (n - 1)
+                    if var > 0:
+                        z = (v - mean) / math.sqrt(var)
+                        if abs(z) > 2:
+                            out.append(
+                                (int(eid), int(user_id), float(v), n, z)
+                            )
+                tail.append(float(v))
+                if len(tail) > window:
+                    tail.pop(0)
+        state.update((tail,))
+        yield pd.DataFrame(
+            out,
+            columns=["event_id", "user_id", "value", "n_prev", "zscore"],
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=ZSCORE_OUT_SCHEMA,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )

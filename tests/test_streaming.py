@@ -254,3 +254,30 @@ def test_stream_ingest_dedup_exact_lifetime(spark, tmp_path):
         .collect()
     }
     assert set(rows.values()) == want_fps
+
+
+def test_zscore_stream_matches_batch(spark):
+    """Streaming rolling z-score ≡ the batch events_zscore_outliers
+    query: same flagged event set, same window counts, z within 1e-6
+    (batch sums run in exact decimal, the stream uses fsum of the
+    binary-float values — one observed case lands ON a 4-decimal
+    rounding boundary, so compare with tolerance, not rounding)."""
+    from rick_and_morty_data_pipeline_project_spark.streaming.stateful import (
+        zscore_stream,
+    )
+    from rick_and_morty_data_pipeline_project_spark.streaming.windowed import (
+        events_stream,
+    )
+
+    out = zscore_stream(events_stream(spark, SF_SMALL))
+    run_available_now(out, "zscore_flags", output_mode="append")
+    got = {
+        (r["event_id"], r["n_prev"]): r["zscore"]
+        for r in spark.sql("SELECT * FROM zscore_flags").collect()
+    }
+    want = {
+        (r["event_id"], r["n_prev"]): r["zscore"]
+        for r in QUERIES["events_zscore_outliers"].fn(spark, SF_SMALL).collect()
+    }
+    assert got.keys() == want.keys() and len(got) > 0
+    assert max(abs(got[k] - want[k]) for k in got) < 1e-6
