@@ -992,6 +992,136 @@ CROSS JOIN n_orders o
 """
 
 
+# --------------------------------------------------------------------------
+def _trade_edges(spark, sf_dir):
+    """Undirected customer↔supplier trade graph: one edge per distinct
+    (customer, supplier) trading pair, materialized in both directions
+    so every node both emits and receives rank."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("cn"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("sn"),
+        )
+        .distinct()
+    )
+    return pairs.select(
+        F.col("cn").alias("src"), F.col("sn").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("sn").alias("src"), F.col("cn").alias("dst"))
+    )
+
+
+def graph_pagerank3(spark, sf_dir):
+    """Three unrolled PageRank iterations (damping 0.85) over the
+    customer↔supplier trade graph — the iterative-algorithm exemplar
+    expressed as chained joins, no driver-side loop state.
+
+    Scale: each iteration is one edges⋈ranks shuffle join on the
+    high-cardinality node key plus a map-side-combinable sum — the
+    textbook distributed PageRank step.  Unrolling keeps the whole
+    3-step computation a single Catalyst plan; an open-ended variant
+    would loop with localCheckpoint lineage truncation like
+    dedup_minhash_clusters.  Ranks are rounded to 6 only at the output
+    (group-sum order differs between engines at ~1e-15 relative).
+    """
+    edges = _trade_edges(spark, sf_dir)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ranks = deg.select("src", F.lit(1.0).alias("r"))
+    for _ in range(3):
+        contrib = (
+            edges.join(ranks, "src")
+            .join(deg, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("r") / F.col("deg")).alias("_in"))
+        )
+        ranks = contrib.select(
+            F.col("dst").alias("src"),
+            (F.lit(0.15) + F.lit(0.85) * F.col("_in")).alias("r"),
+        )
+    return ranks.select(
+        F.col("src").alias("node"), F.round("r", 6).alias("rank3")
+    )
+
+
+PAGERANK_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT 'c' || o_custkey AS cn, 's' || l_suppkey AS sn
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+edges AS (
+  SELECT cn AS src, sn AS dst FROM pairs
+  UNION ALL
+  SELECT sn AS src, cn AS dst FROM pairs
+),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+r0 AS (SELECT src, 1.0::DOUBLE AS r FROM deg),
+r1 AS (
+  SELECT e.dst AS src, 0.15 + 0.85 * sum(r.r / d.deg) AS r
+  FROM edges e JOIN r0 r ON e.src = r.src JOIN deg d ON e.src = d.src
+  GROUP BY 1
+),
+r2 AS (
+  SELECT e.dst AS src, 0.15 + 0.85 * sum(r.r / d.deg) AS r
+  FROM edges e JOIN r1 r ON e.src = r.src JOIN deg d ON e.src = d.src
+  GROUP BY 1
+),
+r3 AS (
+  SELECT e.dst AS src, 0.15 + 0.85 * sum(r.r / d.deg) AS r
+  FROM edges e JOIN r2 r ON e.src = r.src JOIN deg d ON e.src = d.src
+  GROUP BY 1
+)
+SELECT src AS node, round(r, 6) AS rank3 FROM r3
+"""
+
+
+# --------------------------------------------------------------------------
+def profile_orders_quality(spark, sf_dir):
+    """One-pass data-quality profile of the orders table: row count,
+    per-column null counts, exact distinct cardinalities, value bounds.
+    The "know your table before you pipeline it" audit, computed in a
+    single scan / single aggregate (Spark plans the multi-distinct agg
+    via expand — still one pass over the data; at 100 TB swap the
+    exact distincts for approx_count_distinct and the expand
+    disappears)."""
+    o = t(spark, sf_dir, "orders")
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_custkey").isNull().cast("long")).alias("null_custkey"),
+        F.sum(F.col("o_orderstatus").isNull().cast("long")).alias(
+            "null_status"
+        ),
+        F.count_distinct("o_custkey").alias("d_custkey"),
+        F.count_distinct("o_orderstatus").alias("d_status"),
+        F.count_distinct("o_orderpriority").alias("d_priority"),
+        F.min(dec("o_totalprice")).cast("double").alias("min_price"),
+        F.max(dec("o_totalprice")).cast("double").alias("max_price"),
+        F.date_format(
+            F.min(F.col("o_orderdate").cast("date")), "yyyy-MM-dd"
+        ).alias("min_date"),
+        F.date_format(
+            F.max(F.col("o_orderdate").cast("date")), "yyyy-MM-dd"
+        ).alias("max_date"),
+    )
+
+
+PROFILE_SQL = """
+SELECT count(*) AS n_rows,
+       CAST(sum(CAST(o_custkey IS NULL AS BIGINT)) AS BIGINT) AS null_custkey,
+       CAST(sum(CAST(o_orderstatus IS NULL AS BIGINT)) AS BIGINT) AS null_status,
+       count(DISTINCT o_custkey) AS d_custkey,
+       count(DISTINCT o_orderstatus) AS d_status,
+       count(DISTINCT o_orderpriority) AS d_priority,
+       CAST(min(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS min_price,
+       CAST(max(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS max_price,
+       strftime(min(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS min_date,
+       strftime(max(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS max_date
+FROM orders
+"""
+
+
 FUNNEL_STEPS_SQL = """
 WITH views AS (
   SELECT user_id, min(ts) AS t_view FROM events
@@ -1041,4 +1171,6 @@ QUERIES: dict[str, Q] = {
     "events_funnel_steps": Q(events_funnel_steps, FUNNEL_STEPS_SQL),
     "events_retention_cohorts": Q(events_retention_cohorts, RETENTION_SQL),
     "basket_part_affinity": Q(basket_part_affinity, BASKET_SQL),
+    "graph_pagerank3": Q(graph_pagerank3, PAGERANK_SQL),
+    "profile_orders_quality": Q(profile_orders_quality, PROFILE_SQL),
 }
