@@ -156,6 +156,41 @@ FROM orders
 
 
 # --------------------------------------------------------------------------
+def scalar_try_functions(spark, sf_dir):
+    """Fault-tolerant scalar surface: try_cast / try_divide /
+    try_to_number return NULL instead of raising under ANSI mode —
+    the idiom a pipeline needs for dirty inputs (the driver session
+    runs ANSI defaults, where plain cast('x' AS INT) would error the
+    whole job).  Inputs are deliberately malformed for some rows.
+    """
+    d = t(spark, sf_dir, "documents")
+    # first token: sometimes numeric-looking, usually not
+    tok1 = F.element_at(F.split(F.col("text"), " "), 1)
+    return d.select(
+        "doc_id",
+        tok1.try_cast("int").alias("tok1_as_int"),
+        F.col("lang").try_cast("double").alias("lang_as_double"),
+        F.try_divide(
+            F.col("n_chars").cast("double"),
+            (F.col("doc_id") % 7).cast("double"),
+        ).alias("chars_per_mod"),
+        F.try_divide(F.lit(1.0), F.lit(0.0)).alias("one_over_zero"),
+    )
+
+
+SCALAR_TRY_SQL = """
+SELECT doc_id,
+       TRY_CAST(string_split(text, ' ')[1] AS INT) AS tok1_as_int,
+       TRY_CAST(lang AS DOUBLE) AS lang_as_double,
+       CASE WHEN (doc_id % 7) = 0 THEN NULL
+            ELSE CAST(n_chars AS DOUBLE) / CAST(doc_id % 7 AS DOUBLE)
+       END AS chars_per_mod,
+       CAST(NULL AS DOUBLE) AS one_over_zero
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
 def pivot_event_type_by_day(spark, sf_dir):
     """groupBy().pivot(): event counts per day × event type."""
     e = t(spark, sf_dir, "events")
@@ -1173,4 +1208,5 @@ QUERIES: dict[str, Q] = {
     "basket_part_affinity": Q(basket_part_affinity, BASKET_SQL),
     "graph_pagerank3": Q(graph_pagerank3, PAGERANK_SQL),
     "profile_orders_quality": Q(profile_orders_quality, PROFILE_SQL),
+    "scalar_try_functions": Q(scalar_try_functions, SCALAR_TRY_SQL),
 }

@@ -133,3 +133,48 @@ def test_json_round_trip(spark):
         a = {(r["doc_id"], tuple(r["tokens"]), r["meta"]["chars"]) for r in df.collect()}
         b = {(r["doc_id"], tuple(r["tokens"]), r["meta"]["chars"]) for r in back.collect()}
         assert a == b
+
+
+def test_merge_upsert_update_insert_delete(spark, tmp_path):
+    """Full MERGE triad over parquet: matched keys replaced, new keys
+    inserted, delete-flagged keys removed; untouched rows survive."""
+    from pyspark.sql import functions as F
+
+    from rick_and_morty_data_pipeline_project_spark.operators.merge import (
+        merge_upsert,
+    )
+
+    path = str(tmp_path / "merge_target")
+    spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, "d", 40.0)],
+        ["id", "name", "score"],
+    ).write.parquet(path)
+
+    updates = spark.createDataFrame(
+        [
+            (2, "b2", 21.0, False),   # update
+            (5, "e", 50.0, False),    # insert
+            (3, None, 0.0, True),     # delete
+        ],
+        ["id", "name", "score", "_delete"],
+    )
+    n = merge_upsert(spark, path, updates, ["id"], delete_col="_delete")
+    got = {
+        (r["id"], r["name"], r["score"])
+        for r in spark.read.parquet(path).collect()
+    }
+    assert n == 4
+    assert got == {
+        (1, "a", 10.0),
+        (2, "b2", 21.0),
+        (4, "d", 40.0),
+        (5, "e", 50.0),
+    }
+    # idempotent re-merge of the same updates changes nothing
+    n2 = merge_upsert(spark, path, updates, ["id"], delete_col="_delete")
+    assert n2 == 4
+    got2 = {
+        (r["id"], r["name"], r["score"])
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got2 == got
