@@ -45,8 +45,12 @@ def merge_upsert(
     """
     target = spark.read.parquet(target_path)
     if delete_col is not None:
-        deletes = updates.filter(F.col(delete_col)).select(*key_cols)
-        writes = updates.filter(~F.col(delete_col)).drop(delete_col)
+        # NULL flag (e.g. from a left join) means "not a delete" — a
+        # bare filter(col)/filter(~col) pair would drop NULL-flag rows
+        # from BOTH sides and silently ignore the upsert
+        flag = F.coalesce(F.col(delete_col), F.lit(False))
+        deletes = updates.filter(flag).select(*key_cols)
+        writes = updates.filter(~flag).drop(delete_col)
     else:
         deletes = None
         writes = updates

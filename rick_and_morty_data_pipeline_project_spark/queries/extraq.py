@@ -164,11 +164,19 @@ def scalar_try_functions(spark, sf_dir):
     whole job).  Inputs are deliberately malformed for some rows.
     """
     d = t(spark, sf_dir, "documents")
-    # first token: sometimes numeric-looking, usually not
-    tok1 = F.element_at(F.split(F.col("text"), " "), 1)
+    # success path: a string that is ALWAYS a valid integer (n_chars
+    # round-tripped through string); failure path: lang ('en', 'de', …)
+    # is never numeric.  Deliberately no data-dependent maybe-numeric
+    # input: Spark ANSI try_cast('3.5' AS INT) returns NULL while
+    # DuckDB TRY_CAST rounds to 4, so parity on such input is
+    # definition-dependent — this query pins only the paths where the
+    # two engines agree by definition.
     return d.select(
         "doc_id",
-        tok1.try_cast("int").alias("tok1_as_int"),
+        F.col("n_chars")
+        .cast("string")
+        .try_cast("int")
+        .alias("roundtrip_int"),
         F.col("lang").try_cast("double").alias("lang_as_double"),
         F.try_divide(
             F.col("n_chars").cast("double"),
@@ -180,7 +188,7 @@ def scalar_try_functions(spark, sf_dir):
 
 SCALAR_TRY_SQL = """
 SELECT doc_id,
-       TRY_CAST(string_split(text, ' ')[1] AS INT) AS tok1_as_int,
+       TRY_CAST(CAST(n_chars AS VARCHAR) AS INT) AS roundtrip_int,
        TRY_CAST(lang AS DOUBLE) AS lang_as_double,
        CASE WHEN (doc_id % 7) = 0 THEN NULL
             ELSE CAST(n_chars AS DOUBLE) / CAST(doc_id % 7 AS DOUBLE)

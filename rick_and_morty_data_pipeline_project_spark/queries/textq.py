@@ -23,7 +23,6 @@ from rick_and_morty_data_pipeline_project_spark.functions.textfns import (
     fingerprint_col,
     quality_score_cols,
     shingles_from_tokens,
-    token_count_col,
     tokens_col,
 )
 from rick_and_morty_data_pipeline_project_spark.operators.dedup import (
@@ -1029,8 +1028,13 @@ def text_quantile_filter(spark, sf_dir):
     agg becomes fixed-size per partition).
     """
     d = t(spark, sf_dir, "documents")
+    # single-space split (family convention; string_split(' ') in the
+    # oracle) — NOT token_count_col's \s+ regex, which diverges from
+    # the oracle on any doubled/tab/newline whitespace
     scored = d.select(
-        "doc_id", "lang", token_count_col(F.col("text")).alias("n_tokens")
+        "doc_id",
+        "lang",
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
     )
     med = scored.groupBy("lang").agg(
         F.percentile(F.col("n_tokens").cast("double"), 0.5).alias(

@@ -170,10 +170,15 @@ def zscore_stream(events: DataFrame, window: int = 20) -> DataFrame:
         (user_id,) = key
         tail: list[float] = list(state.get[0]) if state.exists else []
         out: list[tuple] = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
+        # a group arrives as MULTIPLE Arrow chunks (split at
+        # maxRecordsPerBatch) in arbitrary order — concatenate first,
+        # sort ONCE, or the rolling tail is built out of order
+        whole = pd.concat(list(pdfs), ignore_index=True)
+        if len(whole):
+            whole = whole.sort_values(["ts", "event_id"])
             for eid, v in zip(
-                pdf["event_id"].astype("int64"), pdf["value"].astype(float)
+                whole["event_id"].astype("int64"),
+                whole["value"].astype(float),
             ):
                 n = len(tail)
                 if n >= 10:

@@ -155,6 +155,7 @@ def test_merge_upsert_update_insert_delete(spark, tmp_path):
             (2, "b2", 21.0, False),   # update
             (5, "e", 50.0, False),    # insert
             (3, None, 0.0, True),     # delete
+            (4, "d2", 41.0, None),    # NULL flag (left-join artifact) = update
         ],
         ["id", "name", "score", "_delete"],
     )
@@ -167,7 +168,7 @@ def test_merge_upsert_update_insert_delete(spark, tmp_path):
     assert got == {
         (1, "a", 10.0),
         (2, "b2", 21.0),
-        (4, "d", 40.0),
+        (4, "d2", 41.0),
         (5, "e", 50.0),
     }
     # idempotent re-merge of the same updates changes nothing
