@@ -208,3 +208,32 @@ def test_tfidf_windows_on_doc_id_only(spark):
     plan = formatted_plan(df)
     assert re.search(r"windowspecdefinition\(doc_id#\d+", plan), plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_zscore_single_user_shuffle(spark):
+    """The rolling z-score plan must contain exactly one exchange —
+    the hash partition on user_id feeding the bounded window — and no
+    join back to the events table."""
+    df = QUERIES["events_zscore_outliers"].fn(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert re.search(r"hashpartitioning\(user_id#\d+", plan), plan
+    assert "Join" not in plan, plan
+
+
+def test_rfm_has_no_global_window(spark):
+    """RFM bucketing must never plan a window (the naive ntile form
+    sorts the whole customer base in one task); thresholds arrive as
+    broadcast scalars."""
+    df = QUERIES["customer_rfm_segments"].fn(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "Window" not in plan, plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_profile_single_scan(spark):
+    """The table profile reads orders exactly once (multi-distinct via
+    expand, still one pass)."""
+    df = QUERIES["profile_orders_quality"].fn(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert plan.count("orders.parquet") == 1, plan
