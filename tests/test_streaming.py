@@ -281,3 +281,72 @@ def test_zscore_stream_matches_batch(spark):
     }
     assert got.keys() == want.keys() and len(got) > 0
     assert max(abs(got[k] - want[k]) for k in got) < 1e-6
+
+
+def test_stream_dedup_state_survives_restart(spark, tmp_path):
+    """Checkpointed streaming dedup: a SECOND run of the same query
+    (same checkpoint dir) restores the fingerprint state store, so a
+    duplicate of a batch-1 document arriving in batch 2 is still
+    dropped — recovery semantics, not just single-run dedup."""
+    from rick_and_morty_data_pipeline_project_spark.streaming.dedup import (
+        stream_dedup_exact,
+    )
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+    base_us = 1_700_000_000_000_000
+
+    def run_once():
+        stream = spark.readStream.schema(
+            "doc_id bigint, text string, ts timestamp"
+        ).parquet(str(src))
+        deduped = stream_dedup_exact(stream, "text", "ts", "1 hour")
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def write_batch(rows, name):
+        # flat single files: the file-stream source does not recurse
+        # into per-batch subdirectories
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "text": pa.array([r[1] for r in rows], pa.string()),
+                    "ts": pa.array(
+                        [r[2] for r in rows], pa.timestamp("us")
+                    ),
+                }
+            ),
+            str(src / name),
+        )
+
+    write_batch(
+        [(1, "alpha text", base_us), (2, "beta text", base_us + 1_000_000)],
+        "b1.parquet",
+    )
+    run_once()
+    # batch 2: dup of doc 1 (must be dropped via RESTORED state) + fresh
+    write_batch(
+        [(3, "alpha text", base_us + 2_000_000),
+         (4, "gamma text", base_us + 3_000_000)],
+        "b2.parquet",
+    )
+    run_once()
+
+    got = spark.read.parquet(out_dir)
+    texts = sorted(r["text"] for r in got.collect())
+    assert texts == ["alpha text", "beta text", "gamma text"], texts
+    ids = {r["doc_id"] for r in got.collect()}
+    assert 3 not in ids, "restored state failed to drop the cross-run dup"
