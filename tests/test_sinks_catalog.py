@@ -179,3 +179,22 @@ def test_merge_upsert_update_insert_delete(spark, tmp_path):
         for r in spark.read.parquet(path).collect()
     }
     assert got2 == got
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Schema evolution on read: two parquet batches with different
+    column sets union under mergeSchema=true (missing columns null),
+    and the widened schema is what downstream queries see."""
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame(
+        [(1, "a")], ["id", "name"]
+    ).write.parquet(path + "/b1")
+    spark.createDataFrame(
+        [(2, "b", 9.5)], ["id", "name", "score"]
+    ).write.parquet(path + "/b2")
+    df = spark.read.option("mergeSchema", "true").parquet(
+        path + "/b1", path + "/b2"
+    )
+    assert set(df.columns) == {"id", "name", "score"}
+    rows = {(r["id"], r["name"], r["score"]) for r in df.collect()}
+    assert rows == {(1, "a", None), (2, "b", 9.5)}
