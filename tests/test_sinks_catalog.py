@@ -198,3 +198,42 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     assert set(df.columns) == {"id", "name", "score"}
     rows = {(r["id"], r["name"], r["score"]) for r in df.collect()}
     assert rows == {(1, "a", None), (2, "b", 9.5)}
+
+
+def test_sql_entry_point_matches_dataframe(spark):
+    """Raw-SQL interface ≡ the DataFrame catalog: the same statement a
+    SQLite-first reference user would write runs through spark.sql over
+    the registered views and matches the DataFrame twin exactly."""
+    from rick_and_morty_data_pipeline_project_spark.sql import sql
+
+    got = {
+        tuple(r)
+        for r in sql(
+            spark,
+            SF_SMALL,
+            """
+            SELECT o_orderpriority, count(*) AS n
+            FROM orders
+            WHERE o_orderstatus = 'F'
+            GROUP BY o_orderpriority
+            """,
+        ).collect()
+    }
+    from rick_and_morty_data_pipeline_project_spark.sources.corpus import load_table
+
+    want = {
+        tuple(r)
+        for r in load_table(spark, SF_SMALL, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+    # the SQL path must also see the normalized events.ts (TIMESTAMP,
+    # not raw NTZ/bigint) — the loader feeds the views
+    ts_type = dict(
+        sql(spark, SF_SMALL, "SELECT ts FROM events LIMIT 1").dtypes
+    )["ts"]
+    assert ts_type == "timestamp", ts_type
