@@ -156,6 +156,41 @@ FROM orders
 
 
 # --------------------------------------------------------------------------
+_BIN_WIDTH = 25
+
+
+def events_value_histogram(spark, sf_dir):
+    """Fixed-width value histogram per event type: bin = ⌊value/25⌋·25,
+    with count and exact decimal sum per (type, bin).  The
+    distribution-inspection op every monitoring dashboard needs.
+
+    Scale: pure map-side binning expression + one combinable agg on
+    (type, bin) — output rows bounded by types × value-range/width,
+    independent of event count.
+    """
+    e = t(spark, sf_dir, "events")
+    bin_col = (
+        F.floor(F.col("value") / _BIN_WIDTH) * _BIN_WIDTH
+    ).cast("double")
+    return e.groupBy(
+        "event_type", bin_col.alias("bin_lo")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(dec("value", 18, 6)).cast("double").alias("sum_value"),
+    )
+
+
+HISTOGRAM_SQL = f"""
+SELECT event_type,
+       CAST(floor(value / {_BIN_WIDTH}) * {_BIN_WIDTH} AS DOUBLE) AS bin_lo,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
 def scalar_try_functions(spark, sf_dir):
     """Fault-tolerant scalar surface: try_cast / try_divide /
     try_to_number return NULL instead of raising under ANSI mode —
@@ -1217,4 +1252,5 @@ QUERIES: dict[str, Q] = {
     "graph_pagerank3": Q(graph_pagerank3, PAGERANK_SQL),
     "profile_orders_quality": Q(profile_orders_quality, PROFILE_SQL),
     "scalar_try_functions": Q(scalar_try_functions, SCALAR_TRY_SQL),
+    "events_value_histogram": Q(events_value_histogram, HISTOGRAM_SQL),
 }

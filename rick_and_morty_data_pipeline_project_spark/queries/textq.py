@@ -1121,6 +1121,68 @@ FROM ranked WHERE term_rank <= 3
 
 
 # --------------------------------------------------------------------------
+def text_quality_normalized(spark, sf_dir):
+    """Per-group feature normalization: z-score each document's token
+    count against its LANGUAGE's mean/std — the standard "normalize
+    features within their cohort before thresholding" step (absolute
+    token counts are not comparable across languages).
+
+    Float parity: group sums of integer token counts are exact BIGINTs;
+    mean/var/z are the identical double expression tree in both engines
+    (same pattern as events_zscore_outliers).  Scale: one agg keyed on
+    lang (tiny output), broadcast back onto a single corpus scan —
+    never a window over the corpus.
+    """
+    d = t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+    )
+    stats = scored.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.sum("n_tokens").cast("double").alias("_s"),
+        F.sum(F.col("n_tokens") * F.col("n_tokens"))
+        .cast("double")
+        .alias("_s2"),
+    )
+    j = scored.join(F.broadcast(stats), "lang")
+    mean = F.col("_s") / F.col("_n")
+    var = (F.col("_s2") - (F.col("_s") * F.col("_s")) / F.col("_n")) / (
+        F.col("_n") - 1
+    )
+    return j.filter(var > 0).select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.round(mean, 6).alias("lang_mean"),
+        F.round(
+            (F.col("n_tokens") - mean) / F.sqrt(var), 6
+        ).alias("tokens_z"),
+    )
+
+
+TEXT_QNORM_SQL = """
+WITH scored AS (
+  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+),
+stats AS (
+  SELECT lang, CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(n_tokens) AS DOUBLE) AS s,
+         CAST(sum(n_tokens * n_tokens) AS DOUBLE) AS s2
+  FROM scored GROUP BY 1
+)
+SELECT doc_id, lang, n_tokens,
+       round(s / n, 6) AS lang_mean,
+       round((n_tokens - s / n) / sqrt((s2 - (s * s) / n) / (n - 1)), 6)
+         AS tokens_z
+FROM scored JOIN stats USING (lang)
+WHERE (s2 - (s * s) / n) / (n - 1) > 0
+"""
+
+
+# --------------------------------------------------------------------------
 def text_pmi_collocations(spark, sf_dir):
     """Pointwise-mutual-information collocation mining: adjacent token
     pairs occurring ≥ 5 times, scored pmi = ln(P(ab) / (P(a)·P(b))).
@@ -1250,4 +1312,5 @@ QUERIES: dict[str, Q] = {
     "text_quantile_filter": Q(text_quantile_filter, TEXT_QUANTILE_SQL),
     "text_tfidf_topterms": Q(text_tfidf_topterms, TEXT_TFIDF_SQL),
     "text_pmi_collocations": Q(text_pmi_collocations, TEXT_PMI_SQL),
+    "text_quality_normalized": Q(text_quality_normalized, TEXT_QNORM_SQL),
 }
