@@ -1183,6 +1183,158 @@ WHERE (s2 - (s * s) / n) / (n - 1) > 0
 
 
 # --------------------------------------------------------------------------
+def text_pack_materialize(spark, sf_dir, capacity: int = 2048):
+    """Materialized sequence packing: the texts of each (shard, bucket)
+    from ``text_pack_buckets`` concatenated in doc-id order with an EOS
+    separator — the actual packed training sequences, not just the
+    plan.
+
+    Scale: the cumsum window stays per-shard (parallel); the
+    concatenation is one combinable-input groupBy on (shard, bucket)
+    whose groups are capacity-bounded (≈ capacity tokens each), so no
+    group ever exceeds a few KB regardless of corpus size.  collect_list
+    order is non-deterministic, hence the array_sort on (doc_id, text)
+    structs before joining — matching the oracle's ORDER BY inside
+    string_agg.
+    """
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "text",
+        (F.col("doc_id") % 32).alias("shard"),
+        F.size(F.split("text", "\\s+")).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    bucketed = toks.withColumn(
+        "bucket",
+        F.floor((F.sum("n_tokens").over(w) - 1) / capacity).cast("long"),
+    )
+    packed = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+            lambda s: s["text"],
+        ),
+        "<|eos|>",
+    )
+    return bucketed.groupBy("shard", "bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        packed.alias("packed_text"),
+    )
+
+
+TEXT_PACK_MAT_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, text, doc_id % 32 AS shard,
+         len(string_split_regex(text, '\s+')) AS n_tokens
+  FROM documents
+),
+bucketed AS (
+  SELECT *, CAST(floor((SUM(n_tokens) OVER (PARTITION BY shard
+                ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - 1) / 2048)
+           AS BIGINT) AS bucket
+  FROM toks
+)
+SELECT shard, bucket, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       string_agg(text, '<|eos|>' ORDER BY doc_id) AS packed_text
+FROM bucketed
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+def dedup_minhash_estimate_audit(spark, sf_dir):
+    """Sketch-quality audit: for every LSH candidate pair, the MinHash
+    component-agreement ESTIMATE of Jaccard next to the EXACT Jaccard
+    of the distinct 3-gram sets, with absolute error — the check that
+    tells you whether your banding/threshold parameters actually track
+    the similarity they claim to.
+
+    Scale: exact Jaccard is computed ONLY for the LSH candidates
+    (array_intersect per pair — fine because candidates ≪ n²; the full
+    exact join would be the quadratic blowup LSH exists to avoid).
+    The gram arrays join onto the pair ids, a high-cardinality shuffle.
+    """
+    d = t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        d, "doc_id", "text", num_hashes=8, band_size=4, shingle_k=3
+    )
+    toked = fan_out(d).select(
+        "doc_id", tokens_col(F.col("text")).alias("_tk")
+    )
+    grams = toked.select(
+        "doc_id",
+        F.array_distinct(
+            shingles_from_tokens(F.col("_tk"), 3)
+        ).alias("g"),
+    )
+    joined = (
+        pairs.join(
+            grams.select(F.col("doc_id").alias("id_a"), F.col("g").alias("_ga")),
+            "id_a",
+        )
+        .join(
+            grams.select(F.col("doc_id").alias("id_b"), F.col("g").alias("_gb")),
+            "id_b",
+        )
+    )
+    inter = F.size(F.array_intersect("_ga", "_gb"))
+    exact = inter / (F.size("_ga") + F.size("_gb") - inter)
+    return joined.select(
+        "id_a",
+        "id_b",
+        F.round("jaccard_est", 6).alias("jaccard_est"),
+        F.round(exact, 6).alias("jaccard_exact"),
+        F.round(F.abs(F.col("jaccard_est") - exact), 6).alias("abs_err"),
+    )
+
+
+MINHASH_AUDIT_SQL = f"""
+WITH shingled AS ({_SHINGLES_SQL}),
+sigs AS (SELECT doc_id, {_SIG_ARRAY_SQL} AS sig FROM shingled),
+banded AS (
+  SELECT doc_id, sig,
+         CAST(b.b AS VARCHAR) || '|' || array_to_string(sig[4*b.b + 1 : 4*b.b + 4], '|') AS band
+  FROM sigs, (SELECT unnest(generate_series(0, 1)) AS b) b
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_filter(generate_series(1, 8), i -> a.sig[i] = b.sig[i])) / 8 AS jaccard_est
+  FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
+),
+grams AS (
+  SELECT doc_id,
+         list_distinct(
+           CASE WHEN len(toks) >= 3
+                THEN list_transform(generate_series(1, len(toks) - 2),
+                                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                ELSE [array_to_string(toks, ' ')]
+           END) AS g
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+)
+SELECT p.id_a, p.id_b,
+       round(p.jaccard_est, 6) AS jaccard_est,
+       round(len(list_filter(ga.g, x -> list_contains(gb.g, x)))
+             / (len(ga.g) + len(gb.g)
+                - len(list_filter(ga.g, x -> list_contains(gb.g, x)))), 6)
+         AS jaccard_exact,
+       round(abs(p.jaccard_est
+             - len(list_filter(ga.g, x -> list_contains(gb.g, x)))
+               / (len(ga.g) + len(gb.g)
+                  - len(list_filter(ga.g, x -> list_contains(gb.g, x))))), 6)
+         AS abs_err
+FROM pairs p
+JOIN grams ga ON ga.doc_id = p.id_a
+JOIN grams gb ON gb.doc_id = p.id_b
+"""
+
+
+# --------------------------------------------------------------------------
 def text_pmi_collocations(spark, sf_dir):
     """Pointwise-mutual-information collocation mining: adjacent token
     pairs occurring ≥ 5 times, scored pmi = ln(P(ab) / (P(a)·P(b))).
@@ -1313,4 +1465,8 @@ QUERIES: dict[str, Q] = {
     "text_tfidf_topterms": Q(text_tfidf_topterms, TEXT_TFIDF_SQL),
     "text_pmi_collocations": Q(text_pmi_collocations, TEXT_PMI_SQL),
     "text_quality_normalized": Q(text_quality_normalized, TEXT_QNORM_SQL),
+    "text_pack_materialize": Q(text_pack_materialize, TEXT_PACK_MAT_SQL),
+    "dedup_minhash_estimate_audit": Q(
+        dedup_minhash_estimate_audit, MINHASH_AUDIT_SQL
+    ),
 }
