@@ -213,14 +213,20 @@ def dedup_minhash_lsh_candidates(spark, sf_dir):
 _SIG_ARRAY_SQL = (
     "[" + ", ".join(_minhash_sql_expr(i) for i in range(8)) + "]"
 )
-DEDUP_LSH_SQL = f"""
-WITH shingled AS ({_SHINGLES_SQL}),
+# Shared banding CTE chain (2 bands of 4 over the 8-component
+# signature) — the SINGLE source of the banding constants for every
+# LSH-derived oracle (candidates, clusters, incremental, audit): a
+# band-size retune edits exactly one string.
+_BANDED_CTE_SQL = f"""shingled AS ({_SHINGLES_SQL}),
 sigs AS (SELECT doc_id, {_SIG_ARRAY_SQL} AS sig FROM shingled),
 banded AS (
   SELECT doc_id, sig,
          CAST(b.b AS VARCHAR) || '|' || array_to_string(sig[4*b.b + 1 : 4*b.b + 4], '|') AS band
   FROM sigs, (SELECT unnest(generate_series(0, 1)) AS b) b
-)
+)"""
+
+DEDUP_LSH_SQL = f"""
+WITH {_BANDED_CTE_SQL}
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
        len(list_filter(generate_series(1, 8), i -> a.sig[i] = b.sig[i])) / 8 AS jaccard_est
 FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
@@ -367,13 +373,7 @@ def dedup_minhash_clusters(spark, sf_dir):
 
 
 DEDUP_CLUSTERS_SQL = f"""
-WITH RECURSIVE shingled AS ({_SHINGLES_SQL}),
-sigs AS (SELECT doc_id, {_SIG_ARRAY_SQL} AS sig FROM shingled),
-banded AS (
-  SELECT doc_id, sig,
-         CAST(b.b AS VARCHAR) || '|' || array_to_string(sig[4*b.b + 1 : 4*b.b + 4], '|') AS band
-  FROM sigs, (SELECT unnest(generate_series(0, 1)) AS b) b
-),
+WITH RECURSIVE {_BANDED_CTE_SQL},
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
@@ -490,17 +490,21 @@ FROM r
 
 
 # --------------------------------------------------------------------------
-def text_pack_buckets(spark, sf_dir, capacity: int = 2048):
-    """Sequence-packing plan: assign each document to a fixed-capacity
-    token bucket, packing greedily in doc-id order WITHIN a shard
-    (shard = doc_id % 32).  Real packing is per-shard exactly like
-    this — a single global running sum would serialize the corpus
-    through one partition; per-shard windows keep every shard's cumsum
-    parallel and the shard key is the write-partition key downstream."""
-    d = t(spark, sf_dir, "documents")
+_PACK_CAPACITY = 2048
+_PACK_SHARDS = 32
+
+
+def _pack_bucketed(d, capacity: int = _PACK_CAPACITY, keep_text: bool = False):
+    """Shared packing core for text_pack_buckets / text_pack_materialize:
+    per-shard (doc_id % _PACK_SHARDS) running token sum → fixed-capacity
+    bucket id, greedy in doc-id order.  A single global running sum
+    would serialize the corpus through one partition; per-shard windows
+    keep every shard's cumsum parallel and the shard key is the
+    write-partition key downstream."""
+    cols = ["doc_id"] + (["text"] if keep_text else [])
     toks = d.select(
-        "doc_id",
-        (F.col("doc_id") % 32).alias("shard"),
+        *cols,
+        (F.col("doc_id") % _PACK_SHARDS).alias("shard"),
         F.size(F.split("text", "\\s+")).alias("n_tokens"),
     )
     w = (
@@ -508,24 +512,38 @@ def text_pack_buckets(spark, sf_dir, capacity: int = 2048):
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    return toks.select(
-        "doc_id",
-        "shard",
-        "n_tokens",
-        F.floor((F.sum("n_tokens").over(w) - 1) / capacity)
-        .cast("long")
-        .alias("bucket"),
+    return toks.withColumn(
+        "bucket",
+        F.floor((F.sum("n_tokens").over(w) - 1) / capacity).cast("long"),
     )
 
 
-TEXT_PACK_SQL = r"""
-SELECT doc_id, doc_id % 32 AS shard,
-       len(string_split_regex(text, '\s+')) AS n_tokens,
-       CAST(floor((SUM(len(string_split_regex(text, '\s+')))
-                     OVER (PARTITION BY doc_id % 32 ORDER BY doc_id
-                           ROWS UNBOUNDED PRECEDING) - 1) / 2048) AS BIGINT)
-         AS bucket
-FROM documents
+def text_pack_buckets(spark, sf_dir, capacity: int = _PACK_CAPACITY):
+    """Sequence-packing plan: assign each document to a fixed-capacity
+    token bucket (see _pack_bucketed for the scale shape)."""
+    d = t(spark, sf_dir, "documents")
+    return _pack_bucketed(d, capacity).select(
+        "doc_id", "shard", "n_tokens", "bucket"
+    )
+
+
+# Shared packing CTE — single source of the shard count / capacity /
+# tokenizer for BOTH pack oracles (plan + materialized).
+_PACK_BUCKETED_SQL = rf"""toks AS (
+  SELECT doc_id, text, doc_id % {_PACK_SHARDS} AS shard,
+         len(string_split_regex(text, '\s+')) AS n_tokens
+  FROM documents
+),
+bucketed AS (
+  SELECT *, CAST(floor((SUM(n_tokens) OVER (PARTITION BY shard
+                ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - 1)
+                / {_PACK_CAPACITY}) AS BIGINT) AS bucket
+  FROM toks
+)"""
+
+TEXT_PACK_SQL = f"""
+WITH {_PACK_BUCKETED_SQL}
+SELECT doc_id, shard, n_tokens, bucket FROM bucketed
 """
 
 
@@ -887,13 +905,7 @@ def dedup_incremental_lsh(spark, sf_dir):
 
 
 DEDUP_INCR_LSH_SQL = f"""
-WITH shingled AS ({_SHINGLES_SQL}),
-sigs AS (SELECT doc_id, {_SIG_ARRAY_SQL} AS sig FROM shingled),
-banded AS (
-  SELECT doc_id, sig,
-         CAST(b.b AS VARCHAR) || '|' || array_to_string(sig[4*b.b + 1 : 4*b.b + 4], '|') AS band
-  FROM sigs, (SELECT unnest(generate_series(0, 1)) AS b) b
-)
+WITH {_BANDED_CTE_SQL}
 SELECT DISTINCT a.doc_id AS id_left, b.doc_id AS id_right,
        len(list_filter(generate_series(1, 8), i -> a.sig[i] = b.sig[i])) / 8 AS jaccard_est
 FROM banded a JOIN banded b ON a.band = b.band
@@ -1148,8 +1160,15 @@ def text_quality_normalized(spark, sf_dir):
     )
     j = scored.join(F.broadcast(stats), "lang")
     mean = F.col("_s") / F.col("_n")
-    var = (F.col("_s2") - (F.col("_s") * F.col("_s")) / F.col("_n")) / (
-        F.col("_n") - 1
+    # CASE-guard the variance: a singleton cohort (_n = 1) would make
+    # the expression 0.0/0.0, which RAISES under the driver session's
+    # ANSI defaults (DuckDB returns NULL and drops the row) — the
+    # guard makes both engines drop singleton-language rows the same
+    # lazy way
+    var = F.when(
+        F.col("_n") > 1,
+        (F.col("_s2") - (F.col("_s") * F.col("_s")) / F.col("_n"))
+        / (F.col("_n") - 1),
     )
     return j.filter(var > 0).select(
         "doc_id",
@@ -1175,15 +1194,17 @@ stats AS (
 )
 SELECT doc_id, lang, n_tokens,
        round(s / n, 6) AS lang_mean,
-       round((n_tokens - s / n) / sqrt((s2 - (s * s) / n) / (n - 1)), 6)
+       round((n_tokens - s / n)
+             / sqrt(CASE WHEN n > 1
+                         THEN (s2 - (s * s) / n) / (n - 1) END), 6)
          AS tokens_z
 FROM scored JOIN stats USING (lang)
-WHERE (s2 - (s * s) / n) / (n - 1) > 0
+WHERE CASE WHEN n > 1 THEN (s2 - (s * s) / n) / (n - 1) END > 0
 """
 
 
 # --------------------------------------------------------------------------
-def text_pack_materialize(spark, sf_dir, capacity: int = 2048):
+def text_pack_materialize(spark, sf_dir, capacity: int = _PACK_CAPACITY):
     """Materialized sequence packing: the texts of each (shard, bucket)
     from ``text_pack_buckets`` concatenated in doc-id order with an EOS
     separator — the actual packed training sequences, not just the
@@ -1198,21 +1219,7 @@ def text_pack_materialize(spark, sf_dir, capacity: int = 2048):
     string_agg.
     """
     d = t(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id",
-        "text",
-        (F.col("doc_id") % 32).alias("shard"),
-        F.size(F.split("text", "\\s+")).alias("n_tokens"),
-    )
-    w = (
-        Window.partitionBy("shard")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    bucketed = toks.withColumn(
-        "bucket",
-        F.floor((F.sum("n_tokens").over(w) - 1) / capacity).cast("long"),
-    )
+    bucketed = _pack_bucketed(d, capacity, keep_text=True)
     packed = F.array_join(
         F.transform(
             F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
@@ -1227,18 +1234,8 @@ def text_pack_materialize(spark, sf_dir, capacity: int = 2048):
     )
 
 
-TEXT_PACK_MAT_SQL = r"""
-WITH toks AS (
-  SELECT doc_id, text, doc_id % 32 AS shard,
-         len(string_split_regex(text, '\s+')) AS n_tokens
-  FROM documents
-),
-bucketed AS (
-  SELECT *, CAST(floor((SUM(n_tokens) OVER (PARTITION BY shard
-                ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - 1) / 2048)
-           AS BIGINT) AS bucket
-  FROM toks
-)
+TEXT_PACK_MAT_SQL = f"""
+WITH {_PACK_BUCKETED_SQL}
 SELECT shard, bucket, count(*) AS n_docs,
        CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
        string_agg(text, '<|eos|>' ORDER BY doc_id) AS packed_text
@@ -1295,13 +1292,7 @@ def dedup_minhash_estimate_audit(spark, sf_dir):
 
 
 MINHASH_AUDIT_SQL = f"""
-WITH shingled AS ({_SHINGLES_SQL}),
-sigs AS (SELECT doc_id, {_SIG_ARRAY_SQL} AS sig FROM shingled),
-banded AS (
-  SELECT doc_id, sig,
-         CAST(b.b AS VARCHAR) || '|' || array_to_string(sig[4*b.b + 1 : 4*b.b + 4], '|') AS band
-  FROM sigs, (SELECT unnest(generate_series(0, 1)) AS b) b
-),
+WITH {_BANDED_CTE_SQL},
 pairs AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
          len(list_filter(generate_series(1, 8), i -> a.sig[i] = b.sig[i])) / 8 AS jaccard_est

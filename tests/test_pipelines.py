@@ -64,3 +64,38 @@ def test_curate_corpus_end_to_end(spark, tmp_path):
     )
     for r in agg:
         assert r["tot"] <= 2048 + 2048 or r["n"] == 1
+
+
+def test_quality_normalized_singleton_language(spark, tmp_path):
+    """A language cohort with exactly ONE document must be dropped (no
+    defined variance), not crash: the unguarded variance expression is
+    0.0/0.0, which raises under Spark 4 ANSI defaults while the DuckDB
+    oracle silently NULLs — the CASE guard makes both drop the row."""
+    import duckdb
+
+    from rick_and_morty_data_pipeline_project_spark.queries.catalog import QUERIES
+    from tests.oracle_harness import compare
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d", "en", "src0", 7),
+            (2, "a b c d e f", "en", "src0", 11),
+            (3, "x y", "en", "src1", 3),
+            (4, "lonely single doc", "zz", "src1", 17),  # singleton lang
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    sf_dir = str(tmp_path)
+    docs.coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+    q = QUERIES["text_quality_normalized"]
+    out = q.fn(spark, sf_dir)
+    langs = {r["lang"] for r in out.collect()}
+    assert langs == {"en"}, langs
+    # full cell-exact parity on the same tiny corpus (documents only —
+    # the shared harness registers all 10 views, which don't exist here)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet/*.parquet'"
+    )
+    issues = compare(q.fn(spark, sf_dir), con.execute(q.sql).df())
+    assert not issues, issues
