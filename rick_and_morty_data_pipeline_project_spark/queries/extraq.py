@@ -191,6 +191,140 @@ GROUP BY 1, 2
 
 
 # --------------------------------------------------------------------------
+def events_funnel_summary(spark, sf_dir):
+    """One-row funnel conversion report on top of events_funnel_steps:
+    users reaching each stage and step-to-step conversion ratios
+    (exact integer counts → bitwise-stable double ratios).
+
+    Scale: the per-user funnel table is one row per user; this is a
+    single global aggregate over it — combinable counts, constant
+    output.
+    """
+    steps = events_funnel_steps(spark, sf_dir)
+    return steps.agg(
+        F.count(F.lit(1)).alias("n_view"),
+        F.count("t_click_us").alias("n_click"),
+        F.count("t_purchase_us").alias("n_purchase"),
+        (F.count("t_click_us") / F.count(F.lit(1))).alias("view_to_click"),
+        (F.count("t_purchase_us") / F.count("t_click_us")).alias(
+            "click_to_purchase"
+        ),
+    )
+
+
+# FUNNEL_SUMMARY_SQL is defined after FUNNEL_STEPS_SQL (it wraps that
+# statement as a CTE) — see below.
+
+
+# --------------------------------------------------------------------------
+def events_sliding_uniques(spark, sf_dir):
+    """Sliding-window DISTINCT users per window: 1-hour windows every
+    30 minutes, exact distinct user count per (window, event_type).
+
+    Scale: same narrow two-window assignment as events_sliding_rollup;
+    the exact distinct adds one expand — at 100 TB swap
+    approx_count_distinct in for a fixed-size HLL per group.
+    """
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("win"),
+            "event_type",
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "win_start"
+            ),
+            "event_type",
+            "n_users",
+        )
+    )
+
+
+SLIDING_UNIQ_SQL = """
+WITH assigned AS (
+  SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+                 time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) AS ws,
+         event_type, user_id
+  FROM events
+)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start,
+       event_type,
+       COUNT(DISTINCT user_id) AS n_users
+FROM assigned
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+def sample_weighted_topk(spark, sf_dir, k: int = 20):
+    """Deterministic weighted sampling WITHOUT replacement (A-ES /
+    Efraimidis–Spirakis): per language, keep the k documents with the
+    highest priority u^(1/w), where u is an md5-derived uniform and
+    w = n_chars — longer documents proportionally likelier, yet the
+    sample is exactly replayable on any engine or cluster layout.
+
+    Priorities are rounded to 9 decimals BEFORE ranking (doc_id
+    tiebreak) so the rank order — not just the values — matches the
+    oracle bit-for-bit.
+
+    Scale: priority is a narrow expression; per-group top-k is one
+    combinable-window shuffle on the (high-count) group key — swap in
+    operators/topk.grouped_topk_salted when groups are few.
+    """
+    from pyspark.sql.window import Window
+
+    d = t(spark, sf_dir, "documents")
+    # md5 hex → uniform in (0,1]: take 13 hex chars (52 bits, exact in
+    # a double), add 1 so u is never 0
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("wrs:"), F.col("doc_id").cast("string"))),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + 1.0
+    ) / F.lit(float(16**13))
+    prio = F.round(
+        F.pow(u, F.lit(1.0) / F.col("n_chars").cast("double")), 9
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("_prio"), F.asc("doc_id")
+    )
+    return (
+        d.select("doc_id", "lang", "n_chars", prio.alias("_prio"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "doc_id", "lang", "n_chars",
+            F.col("_prio").alias("priority"), "rank",
+        )
+    )
+
+
+WEIGHTED_SAMPLE_SQL = f"""
+WITH prio AS (
+  SELECT doc_id, lang, n_chars,
+         round(pow((CAST(CAST('0x' || substr(md5('wrs:' || CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT) AS DOUBLE) + 1.0)
+                   / {float(16 ** 13)!r},
+                   1.0 / CAST(n_chars AS DOUBLE)), 9) AS priority
+  FROM documents
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                               ORDER BY priority DESC, doc_id ASC) AS rank
+  FROM prio
+)
+SELECT doc_id, lang, n_chars, priority, rank FROM ranked WHERE rank <= 20
+"""
+
+
+# --------------------------------------------------------------------------
 def scalar_try_functions(spark, sf_dir):
     """Fault-tolerant scalar surface: try_cast / try_divide /
     try_to_number return NULL instead of raising under ANSI mode —
@@ -1227,6 +1361,18 @@ LEFT JOIN purchases USING (user_id)
 """
 
 
+FUNNEL_SUMMARY_SQL = f"""
+WITH steps AS ({FUNNEL_STEPS_SQL})
+SELECT count(*) AS n_view,
+       count(t_click_us) AS n_click,
+       count(t_purchase_us) AS n_purchase,
+       count(t_click_us) / CAST(count(*) AS DOUBLE) AS view_to_click,
+       count(t_purchase_us) / CAST(count(t_click_us) AS DOUBLE)
+         AS click_to_purchase
+FROM steps
+"""
+
+
 QUERIES: dict[str, Q] = {
     "text_language_id": Q(text_language_id, TEXT_LANGID_SQL),
     "events_sliding_rollup": Q(events_sliding_rollup, EVENTS_SLIDING_SQL),
@@ -1253,4 +1399,7 @@ QUERIES: dict[str, Q] = {
     "profile_orders_quality": Q(profile_orders_quality, PROFILE_SQL),
     "scalar_try_functions": Q(scalar_try_functions, SCALAR_TRY_SQL),
     "events_value_histogram": Q(events_value_histogram, HISTOGRAM_SQL),
+    "events_funnel_summary": Q(events_funnel_summary, FUNNEL_SUMMARY_SQL),
+    "events_sliding_uniques": Q(events_sliding_uniques, SLIDING_UNIQ_SQL),
+    "sample_weighted_topk": Q(sample_weighted_topk, WEIGHTED_SAMPLE_SQL),
 }
