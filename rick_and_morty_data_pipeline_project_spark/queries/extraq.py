@@ -80,6 +80,62 @@ FROM documents d JOIN guesses g ON d.doc_id = g.doc_id
 
 
 # --------------------------------------------------------------------------
+def text_language_confidence(spark, sf_dir):
+    """Language-ID with a CONFIDENCE margin: the vote gap between the
+    best and runner-up language.  Low-margin docs are the ones a
+    pipeline routes to a heavier classifier — the margin is the
+    triage signal.
+
+    Scale: same single-scan narrow vote computation as
+    text_language_id; no extra pass for the runner-up (both come from
+    one sorted-struct array).
+    """
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    votes = F.sort_array(
+        F.array(
+            *[
+                F.struct(
+                    (-F.size(
+                        F.filter(toks, lambda x: x.isin(LANG_MARKERS[lg]))  # noqa: B023
+                    )).alias("neg"),
+                    F.lit(lg).alias("lg"),
+                )
+                for lg in LANGS
+            ]
+        )
+    )
+    margin = (-votes[0]["neg"]) - (-votes[1]["neg"])
+    return d.select(
+        "doc_id",
+        votes[0]["lg"].alias("lang_guess"),
+        (-votes[0]["neg"]).cast("long").alias("top_hits"),
+        margin.cast("long").alias("margin"),
+        (margin >= 2).cast("int").alias("is_confident"),
+    )
+
+
+TEXT_LANG_CONF_SQL = f"""
+WITH unp AS ({_LANG_UNPIVOT}),
+ranked AS (
+  SELECT doc_id, lg, hits,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hits DESC, lg ASC) AS rn
+  FROM unp
+)
+SELECT doc_id,
+       MAX(CASE WHEN rn = 1 THEN lg END) AS lang_guess,
+       CAST(MAX(CASE WHEN rn = 1 THEN hits END) AS BIGINT) AS top_hits,
+       CAST(MAX(CASE WHEN rn = 1 THEN hits END)
+            - MAX(CASE WHEN rn = 2 THEN hits END) AS BIGINT) AS margin,
+       CASE WHEN MAX(CASE WHEN rn = 1 THEN hits END)
+                 - MAX(CASE WHEN rn = 2 THEN hits END) >= 2
+            THEN 1 ELSE 0 END AS is_confident
+FROM ranked
+GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 def text_rolling_fingerprint(spark, sf_dir):
     """Polynomial rolling hash (h = h*31 + codepoint mod 2^31-1) over the
     normalized text — the classic streaming document fingerprint, as a
@@ -1402,4 +1458,7 @@ QUERIES: dict[str, Q] = {
     "events_funnel_summary": Q(events_funnel_summary, FUNNEL_SUMMARY_SQL),
     "events_sliding_uniques": Q(events_sliding_uniques, SLIDING_UNIQ_SQL),
     "sample_weighted_topk": Q(sample_weighted_topk, WEIGHTED_SAMPLE_SQL),
+    "text_language_confidence": Q(
+        text_language_confidence, TEXT_LANG_CONF_SQL
+    ),
 }

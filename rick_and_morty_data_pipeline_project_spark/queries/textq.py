@@ -1326,6 +1326,84 @@ JOIN grams gb ON gb.doc_id = p.id_b
 
 
 # --------------------------------------------------------------------------
+def dedup_cluster_representatives(spark, sf_dir):
+    """The dedup pipeline's final decision: for every near-dup cluster,
+    KEEP the highest-quality member (distinct-token ratio, doc_id
+    tiebreak) and report the cluster size — "which doc survives and
+    how many it replaced".
+
+    Scale: clusters come from the iterative connected components; the
+    quality join and the per-cluster rank window both key on
+    high-cardinality ids (cluster count ∝ corpus).  Rank uses the
+    UNROUNDED ratio (exact quotient of integers — bit-identical in
+    both engines); only the displayed value is rounded.
+    """
+    clusters = dedup_minhash_clusters(spark, sf_dir)
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    quality = d.select(
+        "doc_id",
+        (F.size(F.array_distinct(toks)) / F.size(toks)).alias("_q"),
+    )
+    j = clusters.join(quality, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("_q"), F.asc("doc_id")
+    )
+    reps = (
+        j.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("rep_doc_id"),
+            F.round("_q", 9).alias("rep_quality"),
+        )
+    )
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return reps.join(sizes, "cluster_id")
+
+
+CLUSTER_REPS_SQL = f"""
+WITH RECURSIVE {_BANDED_CTE_SQL},
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM cand
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM cand
+),
+reach(node, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+),
+clusters AS (
+  SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY 1
+),
+quality AS (
+  SELECT doc_id,
+         len(list_distinct(string_split(text, ' ')))
+           / len(string_split(text, ' ')) AS q
+  FROM documents
+),
+ranked AS (
+  SELECT c.cluster_id, c.doc_id, q.q,
+         ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                            ORDER BY q.q DESC, c.doc_id ASC) AS rn
+  FROM clusters c JOIN quality q USING (doc_id)
+),
+sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM clusters GROUP BY 1)
+SELECT r.cluster_id, r.doc_id AS rep_doc_id, round(r.q, 9) AS rep_quality,
+       s.cluster_size
+FROM ranked r JOIN sizes s USING (cluster_id)
+WHERE r.rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
 def text_pmi_collocations(spark, sf_dir):
     """Pointwise-mutual-information collocation mining: adjacent token
     pairs occurring ≥ 5 times, scored pmi = ln(P(ab) / (P(a)·P(b))).
@@ -1459,5 +1537,8 @@ QUERIES: dict[str, Q] = {
     "text_pack_materialize": Q(text_pack_materialize, TEXT_PACK_MAT_SQL),
     "dedup_minhash_estimate_audit": Q(
         dedup_minhash_estimate_audit, MINHASH_AUDIT_SQL
+    ),
+    "dedup_cluster_representatives": Q(
+        dedup_cluster_representatives, CLUSTER_REPS_SQL
     ),
 }
