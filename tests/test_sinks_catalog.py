@@ -237,3 +237,38 @@ def test_sql_entry_point_matches_dataframe(spark):
         sql(spark, SF_SMALL, "SELECT ts FROM events LIMIT 1").dtypes
     )["ts"]
     assert ts_type == "timestamp", ts_type
+
+
+def test_globally_sorted_export(spark, tmp_path):
+    """repartitionByRange + sortWithinPartitions yields a true global
+    order: every file internally sorted, file key-ranges disjoint and
+    ordered by part index — no single-task total sort anywhere."""
+    import glob
+    import os
+
+    from rick_and_morty_data_pipeline_project_spark.operators.sort_export import (
+        write_globally_sorted,
+    )
+
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    path = str(tmp_path / "sorted_out")
+    write_globally_sorted(orders, "o_totalprice", path, num_files=6)
+
+    files = sorted(glob.glob(os.path.join(path, "part-*.parquet")))
+    assert len(files) >= 2
+    prev_max = None
+    total = 0
+    for f in files:
+        vals = [
+            r["o_totalprice"] for r in spark.read.parquet(f).collect()
+        ]
+        if not vals:
+            continue
+        assert vals == sorted(vals), f"file {f} not internally sorted"
+        if prev_max is not None:
+            assert vals[0] >= prev_max, "file ranges overlap out of order"
+        prev_max = vals[-1]
+        total += len(vals)
+    assert total == orders.count()
