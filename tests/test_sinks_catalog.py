@@ -272,3 +272,40 @@ def test_globally_sorted_export(spark, tmp_path):
         prev_max = vals[-1]
         total += len(vals)
     assert total == orders.count()
+
+
+def test_compaction_plan_and_execute(spark, tmp_path):
+    """Compaction planning: bins respect the row target (oversized
+    files get singleton bins), every file is covered exactly once, and
+    executing the plan conserves rows while reducing file count."""
+    import glob
+    import os
+
+    from rick_and_morty_data_pipeline_project_spark.operators.compaction import (
+        compact,
+        plan_compaction,
+    )
+
+    src = str(tmp_path / "fragmented")
+    # 8 small fragments of orders (~1875 rows each)
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    orders.repartition(8).write.parquet(src)
+    n_src_files = len(glob.glob(os.path.join(src, "part-*.parquet")))
+    assert n_src_files == 8
+
+    plan = plan_compaction(spark, src, target_rows=8000).collect()
+    assert {r["file"] for r in plan} and len(plan) == n_src_files
+    by_bin = {}
+    for r in plan:
+        by_bin.setdefault(r["bin_id"], []).append(r["n_rows"])
+    for rows in by_bin.values():
+        assert sum(rows) <= 8000 or len(rows) == 1
+    assert len(by_bin) < n_src_files  # actually compacting
+
+    dst = str(tmp_path / "compacted")
+    n_bins = compact(spark, src, dst, target_rows=8000)
+    assert n_bins == len(by_bin)
+    back = spark.read.parquet(dst)
+    assert back.count() == orders.count()
+    n_dst_files = len(glob.glob(os.path.join(dst, "part-*.parquet")))
+    assert n_dst_files <= n_src_files
