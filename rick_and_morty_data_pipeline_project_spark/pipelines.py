@@ -68,20 +68,32 @@ def curate_corpus(
     exact_kept = (
         quality.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .drop("_rn", "_fp", "_dr")
+        .drop("_rn", "_fp")
     )
     n_exact = exact_kept.count()
 
-    # near-dup stage: LSH candidate pairs → components → keep only the
-    # min-id doc of each cluster (non-keeper members anti-join away)
+    # near-dup stage: LSH candidate pairs → components → keep the
+    # HIGHEST-QUALITY member of each cluster (distinct-token ratio,
+    # doc_id tiebreak — the dedup_cluster_representatives policy), not
+    # merely the lowest id; non-representative members anti-join away
     pairs = minhash_lsh_pairs(
         exact_kept, "doc_id", "text", num_hashes=8, band_size=4, shingle_k=3
     )
-    clusters = connected_components(pairs, "id_a", "id_b")
-    losers = clusters.filter(F.col("node") != F.col("cluster_id")).select(
-        F.col("node").alias("doc_id")
+    clusters = connected_components(pairs, "id_a", "id_b").select(
+        F.col("node").alias("doc_id"), "cluster_id"
     )
-    near_kept = exact_kept.join(losers, "doc_id", "left_anti")
+    cw = Window.partitionBy("cluster_id").orderBy(
+        F.desc("_q"), F.asc("doc_id")
+    )
+    losers = (
+        clusters.join(
+            exact_kept.select("doc_id", F.col("_dr").alias("_q")), "doc_id"
+        )
+        .withColumn("_crn", F.row_number().over(cw))
+        .filter(F.col("_crn") > 1)
+        .select("doc_id")
+    )
+    near_kept = exact_kept.join(losers, "doc_id", "left_anti").drop("_dr")
     n_near = near_kept.count()
 
     packed = near_kept.withColumn(
