@@ -4,18 +4,24 @@ Streaming ingest and per-batch appends leave tables as many small
 files; scans then pay per-file open/footer costs and lose row-group
 skipping.  The fix is periodic compaction: group small files into
 target-sized bins and rewrite each bin as one file.  This module plans
-the bins; the rewrite is a filtered read + write per bin.
+the bins; the rewrite is a bin-keyed shuffle + hive-partitioned write.
 
 Scale shape: the per-file row counts come from ONE distributed
 aggregation keyed on ``input_file_name()`` (combinable, no data
 movement beyond the per-file counts); the bin-packing runs driver-side
 over the FILE LIST — bounded by file count, not data size (a 100 TB
-table with 10⁵ files is a 10⁵-row planning problem).  First-fit over
-files sorted largest-first is the standard compaction heuristic
-(2-approximation of optimal bin count).
+table with 10⁵ files is a 10⁵-row planning problem).  Packing is
+best-fit-decreasing over a capacity-sorted bin index (bisect —
+O(F log F), never the quadratic naive first-fit).  The rewrite routes
+rows to bins via a broadcast JOIN on the plan (never a
+files-count-sized literal map expression), and writes
+``partitionBy("_bin")`` so colliding hash partitions can never merge
+two bins into one oversized file.
 """
 
 from __future__ import annotations
+
+from bisect import bisect_left, insort
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -47,41 +53,54 @@ def plan_compaction(
             f"> {max_files} files; raise max_files only if the driver can "
             f"hold the file list"
         )
-    bins: list[list[tuple[str, int]]] = []
-    bin_rows: list[int] = []
-    for row in stats:  # largest-first first-fit
+    # best-fit-decreasing: bins kept as a (remaining, bin_id) list
+    # sorted by remaining capacity; bisect finds the tightest bin that
+    # still fits — O(F log F) total, no quadratic scan
+    open_bins: list[tuple[int, int]] = []  # (remaining, bin_id) sorted
+    assignment: list[tuple[str, int, int]] = []
+    n_bins = 0
+    for row in stats:
         f, n = row["file"], row["n_rows"]
-        for i in range(len(bins)):
-            if bin_rows[i] + n <= target_rows:
-                bins[i].append((f, n))
-                bin_rows[i] += n
-                break
+        i = bisect_left(open_bins, (n, -1))
+        if i < len(open_bins):
+            remaining, bin_id = open_bins.pop(i)
+            insort(open_bins, (remaining - n, bin_id))
         else:
-            bins.append([(f, n)])
-            bin_rows.append(n)
-    out = [
-        (f, n, i) for i, files in enumerate(bins) for f, n in files
-    ]
-    return spark.createDataFrame(out, "file string, n_rows long, bin_id int")
+            bin_id = n_bins
+            n_bins += 1
+            insort(open_bins, (max(target_rows - n, 0), bin_id))
+        assignment.append((f, n, bin_id))
+    return spark.createDataFrame(
+        assignment, "file string, n_rows long, bin_id int"
+    )
 
 
 def compact(
     spark: SparkSession, src_path: str, dst_path: str, target_rows: int
 ) -> int:
     """Execute a compaction plan: rewrite ``src_path`` into ``dst_path``
-    with one file per bin.  Returns the number of bins written."""
-    plan = plan_compaction(spark, src_path, target_rows).collect()
-    n_bins = max((r["bin_id"] for r in plan), default=-1) + 1
+    hive-partitioned by compaction bin (`_bin=K/` directories, one data
+    file each).  Returns the number of bins written.
+
+    Read the result with ``spark.read.parquet(dst_path)`` — `_bin` is a
+    partition column; drop it for the original schema.
+    """
+    plan = plan_compaction(spark, src_path, target_rows)
+    n_bins = plan.agg(F.max("bin_id")).first()[0]
+    n_bins = (n_bins + 1) if n_bins is not None else 0
     df = spark.read.parquet(src_path)
-    file_to_bin = {r["file"]: r["bin_id"] for r in plan}
-    mapping = F.create_map(
-        *[F.lit(x) for kv in file_to_bin.items() for x in kv]
-    )
+    routed = df.withColumn("_file", F.input_file_name()).join(
+        F.broadcast(plan.select(F.col("file").alias("_file"),
+                                F.col("bin_id").alias("_bin"))),
+        "_file",
+    ).drop("_file")
     (
-        df.withColumn("_bin", mapping[F.input_file_name()])
-        .repartition(max(n_bins, 1), F.col("_bin"))
-        .drop("_bin")
+        # hash partitions can merge bins (pmod collisions) but the
+        # partitionBy split writes each bin to its own directory, so a
+        # merged task still emits one file PER BIN, never a combined one
+        routed.repartition(max(n_bins, 1), F.col("_bin"))
         .write.mode("overwrite")
+        .partitionBy("_bin")
         .parquet(dst_path)
     )
     return n_bins

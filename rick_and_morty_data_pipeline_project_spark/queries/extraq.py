@@ -31,12 +31,12 @@ LANGS = sorted(LANG_MARKERS)
 
 
 # --------------------------------------------------------------------------
-def text_language_id(spark, sf_dir):
-    """Marker-word-vote language ID: argmax of per-language marker hits,
-    ties broken by language code asc; compared against the labeled lang."""
-    d = t(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    votes = F.sort_array(
+def _lang_votes(text_col):
+    """Sorted per-language marker-vote structs (neg hit count, code) —
+    the SINGLE source of the vote computation for language-ID and its
+    confidence variant; element [i] is the i-th best language."""
+    toks = F.split(text_col, " ")
+    return F.sort_array(
         F.array(
             *[
                 F.struct(
@@ -49,6 +49,13 @@ def text_language_id(spark, sf_dir):
             ]
         )
     )
+
+
+def text_language_id(spark, sf_dir):
+    """Marker-word-vote language ID: argmax of per-language marker hits,
+    ties broken by language code asc; compared against the labeled lang."""
+    d = t(spark, sf_dir, "documents")
+    votes = _lang_votes(F.col("text"))
     guess = votes[0]["lg"]
     return d.select(
         "doc_id",
@@ -65,13 +72,17 @@ _LANG_UNPIVOT = " UNION ALL ".join(
     )
     for lg in LANGS
 )
-TEXT_LANGID_SQL = f"""
-WITH unp AS ({_LANG_UNPIVOT}),
+# Shared unpivot + rank CTE chain — single source of the vote/tiebreak
+# SQL for language-ID and its confidence variant.
+_LANG_RANKED_CTE = f"""unp AS ({_LANG_UNPIVOT}),
 ranked AS (
-  SELECT doc_id, lg,
+  SELECT doc_id, lg, hits,
          ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hits DESC, lg ASC) AS rn
   FROM unp
-),
+)"""
+
+TEXT_LANGID_SQL = f"""
+WITH {_LANG_RANKED_CTE},
 guesses AS (SELECT doc_id, lg AS lang_guess FROM ranked WHERE rn = 1)
 SELECT d.doc_id, d.lang, g.lang_guess,
        CASE WHEN g.lang_guess = d.lang THEN 1 ELSE 0 END AS agrees
@@ -91,20 +102,7 @@ def text_language_confidence(spark, sf_dir):
     one sorted-struct array).
     """
     d = t(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    votes = F.sort_array(
-        F.array(
-            *[
-                F.struct(
-                    (-F.size(
-                        F.filter(toks, lambda x: x.isin(LANG_MARKERS[lg]))  # noqa: B023
-                    )).alias("neg"),
-                    F.lit(lg).alias("lg"),
-                )
-                for lg in LANGS
-            ]
-        )
-    )
+    votes = _lang_votes(F.col("text"))
     margin = (-votes[0]["neg"]) - (-votes[1]["neg"])
     return d.select(
         "doc_id",
@@ -116,12 +114,7 @@ def text_language_confidence(spark, sf_dir):
 
 
 TEXT_LANG_CONF_SQL = f"""
-WITH unp AS ({_LANG_UNPIVOT}),
-ranked AS (
-  SELECT doc_id, lg, hits,
-         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hits DESC, lg ASC) AS rn
-  FROM unp
-)
+WITH {_LANG_RANKED_CTE}
 SELECT doc_id,
        MAX(CASE WHEN rn = 1 THEN lg END) AS lang_guess,
        CAST(MAX(CASE WHEN rn = 1 THEN hits END) AS BIGINT) AS top_hits,
@@ -257,14 +250,19 @@ def events_funnel_summary(spark, sf_dir):
     output.
     """
     steps = events_funnel_steps(spark, sf_dir)
+    # try_divide: a zero denominator (no views at all / no converting
+    # clicks) must yield NULL like the oracle, not raise under the
+    # driver session's ANSI defaults
     return steps.agg(
         F.count(F.lit(1)).alias("n_view"),
         F.count("t_click_us").alias("n_click"),
         F.count("t_purchase_us").alias("n_purchase"),
-        (F.count("t_click_us") / F.count(F.lit(1))).alias("view_to_click"),
-        (F.count("t_purchase_us") / F.count("t_click_us")).alias(
-            "click_to_purchase"
-        ),
+        F.try_divide(
+            F.count("t_click_us"), F.count(F.lit(1)).cast("double")
+        ).alias("view_to_click"),
+        F.try_divide(
+            F.count("t_purchase_us"), F.count("t_click_us").cast("double")
+        ).alias("click_to_purchase"),
     )
 
 
@@ -314,7 +312,10 @@ GROUP BY 1, 2
 
 
 # --------------------------------------------------------------------------
-def sample_weighted_topk(spark, sf_dir, k: int = 20):
+_SAMPLE_K = 20
+
+
+def sample_weighted_topk(spark, sf_dir, k: int = _SAMPLE_K):
     """Deterministic weighted sampling WITHOUT replacement (A-ES /
     Efraimidis–Spirakis): per language, keep the k documents with the
     highest priority u^(1/w), where u is an md5-derived uniform and
@@ -346,8 +347,13 @@ def sample_weighted_topk(spark, sf_dir, k: int = 20):
         ).cast("double")
         + 1.0
     ) / F.lit(float(16**13))
-    prio = F.round(
-        F.pow(u, F.lit(1.0) / F.col("n_chars").cast("double")), 9
+    # zero-weight guard: n_chars = 0 would divide by zero (ANSI raises
+    # where DuckDB NULLs) — NULL priority ranks last in both engines
+    prio = F.when(
+        F.col("n_chars") > 0,
+        F.round(
+            F.pow(u, F.lit(1.0) / F.col("n_chars").cast("double")), 9
+        ),
     )
     w = Window.partitionBy("lang").orderBy(
         F.desc("_prio"), F.asc("doc_id")
@@ -366,9 +372,11 @@ def sample_weighted_topk(spark, sf_dir, k: int = 20):
 WEIGHTED_SAMPLE_SQL = f"""
 WITH prio AS (
   SELECT doc_id, lang, n_chars,
-         round(pow((CAST(CAST('0x' || substr(md5('wrs:' || CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT) AS DOUBLE) + 1.0)
-                   / {float(16 ** 13)!r},
-                   1.0 / CAST(n_chars AS DOUBLE)), 9) AS priority
+         CASE WHEN n_chars > 0 THEN
+           round(pow((CAST(CAST('0x' || substr(md5('wrs:' || CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT) AS DOUBLE) + 1.0)
+                     / {float(16 ** 13)!r},
+                     1.0 / CAST(n_chars AS DOUBLE)), 9)
+         END AS priority
   FROM documents
 ),
 ranked AS (
@@ -376,7 +384,7 @@ ranked AS (
                                ORDER BY priority DESC, doc_id ASC) AS rank
   FROM prio
 )
-SELECT doc_id, lang, n_chars, priority, rank FROM ranked WHERE rank <= 20
+SELECT doc_id, lang, n_chars, priority, rank FROM ranked WHERE rank <= {_SAMPLE_K}
 """
 
 

@@ -307,5 +307,14 @@ def test_compaction_plan_and_execute(spark, tmp_path):
     assert n_bins == len(by_bin)
     back = spark.read.parquet(dst)
     assert back.count() == orders.count()
-    n_dst_files = len(glob.glob(os.path.join(dst, "part-*.parquet")))
-    assert n_dst_files <= n_src_files
+    assert set(back.drop("_bin").columns) == set(orders.columns)
+    # hive layout: one directory per bin, ONE data file per directory
+    # (hash-collided bins must still split into their own files)
+    bin_dirs = sorted(glob.glob(os.path.join(dst, "_bin=*")))
+    assert len(bin_dirs) == n_bins
+    n_dst_files = 0
+    for d in bin_dirs:
+        files = glob.glob(os.path.join(d, "part-*.parquet"))
+        assert len(files) == 1, d
+        n_dst_files += len(files)
+    assert n_dst_files < n_src_files
