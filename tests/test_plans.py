@@ -237,3 +237,19 @@ def test_profile_single_scan(spark):
     df = QUERIES["profile_orders_quality"].fn(spark, SF_SMALL)
     plan = formatted_plan(df)
     assert plan.count("orders.parquet") == 1, plan
+
+
+def test_weighted_sample_uses_window_group_limit(spark):
+    """The weighted-sampling rank must get the WindowGroupLimit heap
+    pushdown (rank <= k known at plan time) — no full per-group sort."""
+    df = QUERIES["sample_weighted_topk"].fn(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_funnel_filters_push_to_scan(spark):
+    """Each funnel stage scans a TYPE-FILTERED substream: the
+    event_type equality predicates must reach the parquet scans."""
+    df = QUERIES["events_funnel_steps"].fn(spark, SF_SMALL)
+    pushed = ";".join(pushed_filters(df))
+    assert "event_type" in pushed, pushed
