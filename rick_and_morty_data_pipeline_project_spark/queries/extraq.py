@@ -240,6 +240,111 @@ GROUP BY 1, 2
 
 
 # --------------------------------------------------------------------------
+def events_key_skew_report(spark, sf_dir):
+    """Shuffle-key skew diagnostic: the top-10 heaviest user_id keys
+    with their share of all rows and skew factor (key rows / mean rows
+    per key).  The report you run BEFORE deciding whether a join needs
+    salting (operators/skew.py) or AQE skew splitting.
+
+    Scale: one combinable count per key, two scalar aggregates
+    broadcast back, heap top-k — nothing proportional to row count
+    crosses the wire after the first agg.
+    """
+    from pyspark.sql.window import Window
+
+    e = t(spark, sf_dir, "events")
+    per_key = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_rows"))
+    tot = per_key.agg(
+        F.sum("n_rows").cast("double").alias("_tot"),
+        F.count(F.lit(1)).cast("double").alias("_nkeys"),
+    )
+    w = Window.orderBy(F.desc("n_rows"), F.asc("user_id"))
+    return (
+        per_key.crossJoin(F.broadcast(tot))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "rank",
+            "user_id",
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("_tot"), 9).alias("row_share"),
+            F.round(
+                F.col("n_rows") / (F.col("_tot") / F.col("_nkeys")), 6
+            ).alias("skew_factor"),
+        )
+    )
+
+
+SKEW_REPORT_SQL = """
+WITH per_key AS (
+  SELECT user_id, count(*) AS n_rows FROM events GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(n_rows) AS DOUBLE) AS tot,
+         CAST(count(*) AS DOUBLE) AS nkeys
+  FROM per_key
+),
+ranked AS (
+  SELECT p.user_id, p.n_rows, t.tot, t.nkeys,
+         ROW_NUMBER() OVER (ORDER BY p.n_rows DESC, p.user_id ASC) AS rank
+  FROM per_key p CROSS JOIN tot t
+)
+SELECT rank, user_id, n_rows,
+       round(n_rows / tot, 9) AS row_share,
+       round(n_rows / (tot / nkeys), 6) AS skew_factor
+FROM ranked WHERE rank <= 10
+"""
+
+
+# --------------------------------------------------------------------------
+def orders_monthly_growth(spark, sf_dir):
+    """Month-over-month revenue growth: per-month exact decimal revenue
+    with lag-based percentage change (try_divide: the first month's
+    growth is NULL in both engines).
+
+    Scale: the month agg collapses the fact table to |months| rows;
+    the lag window over that tiny relation is a single cheap task BY
+    CONSTRUCTION (the global window runs on the aggregate, never the
+    fact table).
+    """
+    from pyspark.sql.window import Window
+
+    o = t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM").alias(
+            "month"
+        )
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(dec("o_totalprice")).cast("double").alias("revenue"),
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "month",
+        "n_orders",
+        "revenue",
+        F.round(
+            F.try_divide(F.col("revenue") - prev, prev) * 100, 6
+        ).alias("growth_pct"),
+    )
+
+
+MONTHLY_GROWTH_SQL = """
+WITH monthly AS (
+  SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+         count(*) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT month, n_orders, revenue,
+       round((revenue - lag(revenue) OVER (ORDER BY month))
+             / lag(revenue) OVER (ORDER BY month) * 100, 6) AS growth_pct
+FROM monthly
+"""
+
+
+# --------------------------------------------------------------------------
 def events_funnel_summary(spark, sf_dir):
     """One-row funnel conversion report on top of events_funnel_steps:
     users reaching each stage and step-to-step conversion ratios
@@ -1469,4 +1574,6 @@ QUERIES: dict[str, Q] = {
     "text_language_confidence": Q(
         text_language_confidence, TEXT_LANG_CONF_SQL
     ),
+    "events_key_skew_report": Q(events_key_skew_report, SKEW_REPORT_SQL),
+    "orders_monthly_growth": Q(orders_monthly_growth, MONTHLY_GROWTH_SQL),
 }
