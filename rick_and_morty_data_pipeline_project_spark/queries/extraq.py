@@ -345,6 +345,101 @@ FROM monthly
 
 
 # --------------------------------------------------------------------------
+def events_hourly_percentiles(spark, sf_dir):
+    """Time-bucketed latency-style monitoring: exact p50/p95 of value
+    per (hour, event_type).  Values are quantized to 2 decimals before
+    the percentile (they carry 2 decimals already) so the interpolated
+    result is bitwise-identical in both engines (agg_percentiles
+    pattern).
+
+    Scale: one shuffle on the (hour, type) key; at 100 TB swap the
+    exact percentile for percentile_approx and the per-group state
+    becomes a fixed-size sketch.
+    """
+    e = t(spark, sf_dir, "events")
+    v = dec("value", 18, 2).cast("double")
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00").alias(
+                "hour"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.percentile(v, 0.5).alias("p50_value"),
+            F.percentile(v, 0.95).alias("p95_value"),
+        )
+    )
+
+
+HOURLY_PCTL_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+       event_type,
+       count(*) AS n_events,
+       quantile_cont(CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE), 0.5) AS p50_value,
+       quantile_cont(CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE), 0.95) AS p95_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+def events_rolling_dau(spark, sf_dir):
+    """Trailing-7-day active users per day — the retention dashboard's
+    staple.  Set-oriented rewrite of the naive per-day re-scan: each
+    DISTINCT (user, day) pair contributes itself to the 7 window-end
+    days it is visible from, so one explode + one distinct-agg replaces
+    7 overlapping scans.
+
+    Scale: the exploded relation is 7 × |distinct (user, day)| — small
+    multiples of the already-aggregated pair set, never 7 × raw events;
+    the count-distinct shuffles on the day key.
+    """
+    e = t(spark, sf_dir, "events")
+    pairs = e.select(
+        "user_id", F.col("ts").cast("date").alias("_day")
+    ).distinct()
+    max_day = e.agg(F.max(F.col("ts").cast("date")).alias("_max_day"))
+    return (
+        pairs.select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("_day"), F.date_add(F.col("_day"), 6))
+            ).alias("win_day"),
+        )
+        .crossJoin(F.broadcast(max_day))
+        .filter(F.col("win_day") <= F.col("_max_day"))
+        .groupBy("win_day")
+        .agg(F.count_distinct("user_id").alias("n_active_7d"))
+        .select(
+            F.date_format("win_day", "yyyy-MM-dd").alias("win_day"),
+            "n_active_7d",
+        )
+    )
+
+
+ROLLING_DAU_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+mx AS (SELECT max(CAST(ts AS DATE)) AS max_day FROM events),
+contrib AS (
+  SELECT p.user_id,
+         CAST(unnest(generate_series(CAST(p.day AS TIMESTAMP),
+                                     CAST(p.day AS TIMESTAMP) + INTERVAL 6 DAY,
+                                     INTERVAL 1 DAY)) AS DATE) AS win_day
+  FROM pairs p
+)
+SELECT strftime(c.win_day, '%Y-%m-%d') AS win_day,
+       count(DISTINCT c.user_id) AS n_active_7d
+FROM contrib c CROSS JOIN mx
+WHERE c.win_day <= mx.max_day
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
 def events_funnel_summary(spark, sf_dir):
     """One-row funnel conversion report on top of events_funnel_steps:
     users reaching each stage and step-to-step conversion ratios
@@ -1576,4 +1671,8 @@ QUERIES: dict[str, Q] = {
     ),
     "events_key_skew_report": Q(events_key_skew_report, SKEW_REPORT_SQL),
     "orders_monthly_growth": Q(orders_monthly_growth, MONTHLY_GROWTH_SQL),
+    "events_hourly_percentiles": Q(
+        events_hourly_percentiles, HOURLY_PCTL_SQL
+    ),
+    "events_rolling_dau": Q(events_rolling_dau, ROLLING_DAU_SQL),
 }
