@@ -748,6 +748,126 @@ WHERE round({dot_sql("a.nv", "b.nv")}, 6) >= 0.2
 
 
 # --------------------------------------------------------------------------
+def dedup_source_matrix(spark, sf_dir):
+    """Cross-source duplication matrix: LSH near-dup candidate pairs
+    counted per (source_a, source_b) — which corpus sources duplicate
+    each other and how much (the report that decides which overlapping
+    source to drop before training).
+
+    Scale: the pair relation is the already-sub-quadratic LSH output;
+    two id-keyed joins tag each side's source; the matrix agg output is
+    |sources|².  Source pair is canonicalized (least/greatest) so
+    (A,B) and (B,A) collapse.
+    """
+    from rick_and_morty_data_pipeline_project_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        d, "doc_id", "text", num_hashes=8, band_size=4, shingle_k=3
+    )
+    src = d.select("doc_id", "source")
+    tagged = (
+        pairs.join(
+            src.select(F.col("doc_id").alias("id_a"),
+                       F.col("source").alias("_sa")),
+            "id_a",
+        )
+        .join(
+            src.select(F.col("doc_id").alias("id_b"),
+                       F.col("source").alias("_sb")),
+            "id_b",
+        )
+    )
+    return (
+        tagged.groupBy(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+# the banding CTE chain is shared with every LSH oracle (single source
+# of the banding constants — see textq._BANDED_CTE_SQL)
+from rick_and_morty_data_pipeline_project_spark.queries.textq import (  # noqa: E402
+    _BANDED_CTE_SQL,
+)
+
+SOURCE_MATRIX_SQL = f"""
+WITH {_BANDED_CTE_SQL},
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
+),
+tagged AS (
+  SELECT least(da.source, db.source) AS source_a,
+         greatest(da.source, db.source) AS source_b
+  FROM pairs p
+  JOIN documents da ON da.doc_id = p.id_a
+  JOIN documents db ON db.doc_id = p.id_b
+)
+SELECT source_a, source_b, count(*) AS n_pairs
+FROM tagged GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+def knn_degree_stats(spark, sf_dir):
+    """Similarity-graph degree distribution: per neighbor-count bucket,
+    how many vectors have that many cosine-similar (≥ 0.2, same-label
+    block) neighbors.  The shape check before density-based pruning —
+    a heavy-tailed degree histogram means a few hub vectors dominate
+    the near-dup graph.
+
+    Scale: reuses the blocked cosine pair relation; degree agg keys on
+    vec_id (high cardinality), the histogram agg on the small degree
+    domain.  Vectors with NO neighbor appear as degree 0 via the
+    anti-join complement.
+    """
+    pairs = dedup_embedding_cosine(spark, sf_dir)
+    e = t(spark, sf_dir, "embeddings").select("vec_id")
+    deg = (
+        pairs.select(F.col("id_a").alias("vec_id"))
+        .unionAll(pairs.select(F.col("id_b").alias("vec_id")))
+        .groupBy("vec_id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    all_deg = e.join(deg, "vec_id", "left").select(
+        "vec_id", F.coalesce("degree", F.lit(0)).alias("degree")
+    )
+    return all_deg.groupBy("degree").agg(
+        F.count(F.lit(1)).alias("n_vectors")
+    )
+
+
+DEGREE_STATS_SQL = f"""
+WITH normed AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> x::DOUBLE / sqrt({_DOT_SELF})) AS nv
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM normed a
+  JOIN normed b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE round({dot_sql("a.nv", "b.nv")}, 6) >= 0.2
+),
+deg AS (
+  SELECT vec_id, count(*) AS degree FROM (
+    SELECT id_a AS vec_id FROM pairs
+    UNION ALL
+    SELECT id_b AS vec_id FROM pairs
+  ) GROUP BY 1
+)
+SELECT COALESCE(d.degree, 0) AS degree, count(*) AS n_vectors
+FROM embeddings e LEFT JOIN deg d USING (vec_id)
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
 def events_gap_fill(spark, sf_dir):
     """Dense hourly time spine per user (gap filling): sequence() +
     explode builds each user's [first, last] hour range, left-joins the
@@ -1675,4 +1795,6 @@ QUERIES: dict[str, Q] = {
         events_hourly_percentiles, HOURLY_PCTL_SQL
     ),
     "events_rolling_dau": Q(events_rolling_dau, ROLLING_DAU_SQL),
+    "dedup_source_matrix": Q(dedup_source_matrix, SOURCE_MATRIX_SQL),
+    "knn_degree_stats": Q(knn_degree_stats, DEGREE_STATS_SQL),
 }
