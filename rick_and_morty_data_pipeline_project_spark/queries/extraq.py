@@ -400,21 +400,31 @@ def events_rolling_dau(spark, sf_dir):
     pairs = e.select(
         "user_id", F.col("ts").cast("date").alias("_day")
     ).distinct()
-    max_day = e.agg(F.max(F.col("ts").cast("date")).alias("_max_day"))
-    return (
+    bounds = e.agg(
+        F.min(F.col("ts").cast("date")).alias("_min_day"),
+        F.max(F.col("ts").cast("date")).alias("_max_day"),
+    )
+    counted = (
         pairs.select(
             "user_id",
             F.explode(
                 F.sequence(F.col("_day"), F.date_add(F.col("_day"), 6))
             ).alias("win_day"),
         )
-        .crossJoin(F.broadcast(max_day))
-        .filter(F.col("win_day") <= F.col("_max_day"))
         .groupBy("win_day")
-        .agg(F.count_distinct("user_id").alias("n_active_7d"))
+        .agg(F.count_distinct("user_id").alias("_n"))
+    )
+    # dense day spine so quiet windows report 0, not a missing row
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("_min_day"), F.col("_max_day"))
+        ).alias("win_day")
+    )
+    return (
+        spine.join(counted, "win_day", "left")
         .select(
             F.date_format("win_day", "yyyy-MM-dd").alias("win_day"),
-            "n_active_7d",
+            F.coalesce("_n", F.lit(0)).alias("n_active_7d"),
         )
     )
 
@@ -423,19 +433,29 @@ ROLLING_DAU_SQL = """
 WITH pairs AS (
   SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
 ),
-mx AS (SELECT max(CAST(ts AS DATE)) AS max_day FROM events),
+bounds AS (
+  SELECT min(CAST(ts AS DATE)) AS min_day, max(CAST(ts AS DATE)) AS max_day
+  FROM events
+),
 contrib AS (
   SELECT p.user_id,
          CAST(unnest(generate_series(CAST(p.day AS TIMESTAMP),
                                      CAST(p.day AS TIMESTAMP) + INTERVAL 6 DAY,
                                      INTERVAL 1 DAY)) AS DATE) AS win_day
   FROM pairs p
+),
+counted AS (
+  SELECT win_day, count(DISTINCT user_id) AS n FROM contrib GROUP BY 1
+),
+spine AS (
+  SELECT CAST(unnest(generate_series(CAST(min_day AS TIMESTAMP),
+                                     CAST(max_day AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS win_day
+  FROM bounds
 )
-SELECT strftime(c.win_day, '%Y-%m-%d') AS win_day,
-       count(DISTINCT c.user_id) AS n_active_7d
-FROM contrib c CROSS JOIN mx
-WHERE c.win_day <= mx.max_day
-GROUP BY 1
+SELECT strftime(s.win_day, '%Y-%m-%d') AS win_day,
+       COALESCE(c.n, 0) AS n_active_7d
+FROM spine s LEFT JOIN counted c USING (win_day)
 """
 
 
@@ -828,9 +848,13 @@ def knn_degree_stats(spark, sf_dir):
     """
     pairs = dedup_embedding_cosine(spark, sf_dir)
     e = t(spark, sf_dir, "embeddings").select("vec_id")
+    # explode both endpoints from ONE evaluation of the pair relation —
+    # a unionAll of two selects puts the quadratic cosine join in two
+    # plan branches and executes it twice (no exchange reuse)
     deg = (
-        pairs.select(F.col("id_a").alias("vec_id"))
-        .unionAll(pairs.select(F.col("id_b").alias("vec_id")))
+        pairs.select(
+            F.explode(F.array("id_a", "id_b")).alias("vec_id")
+        )
         .groupBy("vec_id")
         .agg(F.count(F.lit(1)).alias("degree"))
     )
