@@ -695,6 +695,90 @@ WHERE substring(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
 
 
 # --------------------------------------------------------------------------
+_SIMHASH_BANDS = 4  # 4 bands × 4 bits over the 16-bit fingerprint
+_SIMHASH_MAX_HAMMING = 1
+
+
+def dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup PAIRS — the fingerprint alone doesn't dedup;
+    candidates come from banding the 16-bit simhash into 4 nibbles
+    (pigeonhole: any pair with hamming ≤ 3 shares at least one intact
+    nibble), then the exact popcount-of-xor hamming distance filters
+    to ≤ 1 — deliberately TIGHTER than the banding bound because a
+    16-bit hash over this low-vocabulary corpus saturates (hamming ≤ 3
+    matched ~27% of ALL pairs at sf0.1; ≤ 1 keeps the output in the
+    near-dup regime).  At real scale the fingerprint is 64-bit
+    (4×16-bit bands) and the distance budget loosens accordingly;
+    16 bits here keeps the oracle exactly reproducible.
+
+    Scale: the same banded-LSH cost model as MinHash — join work ∝
+    band-bucket collisions, never n²; the hamming verification is two
+    integer ops per candidate.
+    """
+    d = t(spark, sf_dir, "documents")
+    sh = simhash16(d, "doc_id", "text")
+    banded = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "#",
+                        F.lit(str(i)),
+                        F.shiftright(F.col("simhash"), 4 * i)
+                        .bitwiseAND(15)
+                        .cast("string"),
+                    )
+                    for i in range(_SIMHASH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    return (
+        a.join(b.hint("shuffle_hash"), "band")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= _SIMHASH_MAX_HAMMING)
+        .distinct()
+    )
+
+
+SIMHASH_PAIRS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, md5(t.tok) AS h
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) t
+),
+votes AS (
+  SELECT doc_id,
+         {_SIMHASH_VOTES}
+  FROM toks GROUP BY doc_id
+),
+sh AS (
+  SELECT doc_id, CAST({_SIMHASH_BITS} AS BIGINT) AS simhash FROM votes
+),
+banded AS (
+  SELECT doc_id, simhash,
+         CAST(b.i AS VARCHAR) || '#' ||
+           CAST((simhash >> (4 * b.i)) & 15 AS VARCHAR) AS band
+  FROM sh, (SELECT unnest(generate_series(0, {_SIMHASH_BANDS - 1})) AS i) b
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SIMHASH_MAX_HAMMING}
+"""
+
+
+# --------------------------------------------------------------------------
 def text_repetition_signals(spark, sf_dir):
     """Gopher-style intra-document repetition signals: fraction of word
     occurrences taken by the single most frequent word, fraction of
@@ -1541,4 +1625,5 @@ QUERIES: dict[str, Q] = {
     "dedup_cluster_representatives": Q(
         dedup_cluster_representatives, CLUSTER_REPS_SQL
     ),
+    "dedup_simhash_pairs": Q(dedup_simhash_pairs, SIMHASH_PAIRS_SQL),
 }
