@@ -344,6 +344,72 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
 """
 
 
+# --------------------------------------------------------------------------
+_DECON_THRESHOLD = 0.35
+
+
+def decontaminate_embedding_overlap(spark, sf_dir):
+    """SEMANTIC train/eval decontamination: flag train vectors whose
+    cosine to ANY eval vector (vec_id % 10 = 0 plays the eval suite)
+    reaches the threshold — catches paraphrased leakage that n-gram
+    decontamination (decontaminate_ngram_overlap) misses.  Reports each
+    train vector's nearest-eval cosine and the contamination flag.
+
+    Scale: the eval suite is small by nature → broadcast its normalized
+    vectors; the train corpus streams through ONE narrow pass computing
+    per-row max-cosine (the eval side is the build side of a broadcast
+    nested loop — |train|×|eval| dot products but zero shuffle of the
+    corpus, the same budget any decontamination must pay).
+    """
+    from rick_and_morty_data_pipeline_project_spark.operators.similarity import (
+        _normalized,
+    )
+
+    e = t(spark, sf_dir, "embeddings")
+    ev = _normalized(
+        e.filter(F.col("vec_id") % 10 == 0), "vec_id", "embedding",
+        "eval_id", "ev",
+    )
+    tr = _normalized(
+        e.filter(F.col("vec_id") % 10 != 0), "vec_id", "embedding",
+        "train_id", "tv",
+    )
+    cos = F.aggregate(
+        F.zip_with("tv", "ev", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        tr.crossJoin(F.broadcast(ev))
+        .groupBy("train_id")
+        .agg(F.round(F.max(cos), 6).alias("max_eval_cosine"))
+    )
+    return scored.select(
+        "train_id",
+        "max_eval_cosine",
+        (F.col("max_eval_cosine") >= _DECON_THRESHOLD).cast("int").alias(
+            "contaminated"
+        ),
+    )
+
+
+DECONTAM_EMB_SQL = f"""
+WITH {_NORMED_CTE},
+ev AS (SELECT vec_id AS eval_id, nv AS evv FROM normed WHERE vec_id % 10 = 0),
+tr AS (SELECT vec_id AS train_id, nv AS tv FROM normed WHERE vec_id % 10 <> 0),
+scored AS (
+  SELECT tr.train_id,
+         round(max({dot_sql("tr.tv", "ev.evv")}), 6) AS max_eval_cosine
+  FROM tr CROSS JOIN ev
+  GROUP BY 1
+)
+SELECT train_id, max_eval_cosine,
+       CASE WHEN max_eval_cosine >= {_DECON_THRESHOLD} THEN 1 ELSE 0 END
+         AS contaminated
+FROM scored
+"""
+
+
 QUERIES: dict[str, Q] = {
     "embedding_norms": Q(embedding_norms, NORMS_SQL),
     "knn_cosine_filtered": Q(knn_cosine_filtered, KNN_FILTERED_SQL),
@@ -354,4 +420,7 @@ QUERIES: dict[str, Q] = {
     "embedding_quantize_error": Q(embedding_quantize_error, QUANT_ERR_SQL),
     "knn_cosine_int8": Q(knn_cosine_int8, KNN_INT8_SQL),
     "embedding_label_centroids": Q(embedding_label_centroids, CENTROIDS_SQL),
+    "decontaminate_embedding_overlap": Q(
+        decontaminate_embedding_overlap, DECONTAM_EMB_SQL
+    ),
 }
