@@ -276,8 +276,11 @@ _SIMHASH_VOTES = ",\n         ".join(
 _SIMHASH_BITS = " + ".join(
     f"(CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(16)
 )
-DEDUP_SIMHASH_SQL = f"""
-WITH toks AS (
+# Shared fingerprint CTE chain — the SINGLE source of the SimHash
+# tokenize/hash/vote/bits pipeline for both the fingerprint oracle and
+# the pairing oracle (a tokenization or nibble-rule change edits one
+# string).
+_SIMHASH_SH_CTE_SQL = f"""toks AS (
   SELECT doc_id, md5(t.tok) AS h
   FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) t
 ),
@@ -285,9 +288,14 @@ votes AS (
   SELECT doc_id,
          {_SIMHASH_VOTES}
   FROM toks GROUP BY doc_id
-)
-SELECT doc_id, CAST({_SIMHASH_BITS} AS BIGINT) AS simhash
-FROM votes
+),
+sh AS (
+  SELECT doc_id, CAST({_SIMHASH_BITS} AS BIGINT) AS simhash FROM votes
+)"""
+
+DEDUP_SIMHASH_SQL = f"""
+WITH {_SIMHASH_SH_CTE_SQL}
+SELECT doc_id, simhash FROM sh
 """
 
 
@@ -753,18 +761,7 @@ def dedup_simhash_pairs(spark, sf_dir):
 
 
 SIMHASH_PAIRS_SQL = f"""
-WITH toks AS (
-  SELECT doc_id, md5(t.tok) AS h
-  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) t
-),
-votes AS (
-  SELECT doc_id,
-         {_SIMHASH_VOTES}
-  FROM toks GROUP BY doc_id
-),
-sh AS (
-  SELECT doc_id, CAST({_SIMHASH_BITS} AS BIGINT) AS simhash FROM votes
-),
+WITH {_SIMHASH_SH_CTE_SQL},
 banded AS (
   SELECT doc_id, simhash,
          CAST(b.i AS VARCHAR) || '#' ||

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from rick_and_morty_data_pipeline_project_spark.functions.vectors import (
     cosine_sql,
+    dot_col,
     dot_sql,
     norm2_col,
 )
@@ -374,11 +375,7 @@ def decontaminate_embedding_overlap(spark, sf_dir):
         e.filter(F.col("vec_id") % 10 != 0), "vec_id", "embedding",
         "train_id", "tv",
     )
-    cos = F.aggregate(
-        F.zip_with("tv", "ev", lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    cos = dot_col(F.col("tv"), F.col("ev"))
     scored = (
         tr.crossJoin(F.broadcast(ev))
         .groupBy("train_id")
