@@ -317,6 +317,67 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return votes.select(F.col(id_col), total.cast("long").alias("simhash"))
 
 
+# hex chars whose nibble value has bit b set (b = 0 is the LSB) — the
+# same IN-list predicate works verbatim in Spark and the DuckDB oracle
+NIBBLE_BIT_CHARS: tuple[tuple[str, ...], ...] = (
+    ("1", "3", "5", "7", "9", "b", "d", "f"),  # bit 0
+    ("2", "3", "6", "7", "a", "b", "e", "f"),  # bit 1
+    ("4", "5", "6", "7", "c", "d", "e", "f"),  # bit 2
+    ("8", "9", "a", "b", "c", "d", "e", "f"),  # bit 3
+)
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash — the real-scale fingerprint width (simhash16's
+    docstring: 16 bits saturate on a low-vocabulary corpus; production
+    near-dedup uses 64).
+
+    bit_j (j = 0..63) is bit ``j % 4`` of hex nibble ``j // 4`` of the
+    per-token md5, so one md5 per token feeds all 64 votes.  The value
+    is returned as TWO 32-bit halves (``simhash_hi`` = bits 32..63,
+    ``simhash_lo`` = bits 0..31, each a non-negative BIGINT): a single
+    signed 64-bit column would need 2^63, which overflows the sign bit
+    differently across engines, while the split form keeps every
+    arithmetic step inside exact positive BIGINT range in both Spark
+    and the DuckDB oracle.  Hamming distance over the pair is
+    ``bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b)``.
+
+    Same shape as :func:`simhash16`: explode tokens (narrow), one
+    md5 per token, one map-combinable 64-column vote aggregation —
+    a single shuffle keyed on the doc id.
+    """
+    toks = fan_out(df).select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    ).withColumn("h", F.md5("tok"))
+    votes = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(
+                    F.substring(F.col("h"), j // 4 + 1, 1).isin(
+                        *NIBBLE_BIT_CHARS[j % 4]
+                    ),
+                    1,
+                ).otherwise(-1)
+            ).alias(f"v{j}")
+            for j in range(64)
+        ]
+    )
+
+    def _half(lo_bit: int) -> Column:
+        total: Column = F.lit(0)
+        for j in range(lo_bit, lo_bit + 32):
+            total = total + F.when(
+                F.col(f"v{j}") > 0, F.lit(1 << (j - lo_bit))
+            ).otherwise(F.lit(0))
+        return total.cast("long")
+
+    return votes.select(
+        F.col(id_col),
+        _half(32).alias("simhash_hi"),
+        _half(0).alias("simhash_lo"),
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",

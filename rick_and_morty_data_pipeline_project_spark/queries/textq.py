@@ -32,6 +32,8 @@ from rick_and_morty_data_pipeline_project_spark.operators.dedup import (
     minhash_signatures,
     ngram_jaccard_pairs,
     simhash16,
+    simhash64,
+    NIBBLE_BIT_CHARS,
 )
 from rick_and_morty_data_pipeline_project_spark.operators.topk import (
     top2_emotions_cols,
@@ -772,6 +774,119 @@ SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
 FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SIMHASH_MAX_HAMMING}
+"""
+
+
+# --------------------------------------------------------------------------
+_SIMHASH64_MAX_HAMMING = 3  # 4 × 16-bit bands ⇒ full recall at hamming ≤ 3
+
+
+def dedup_simhash64_pairs(spark, sf_dir):
+    """SimHash near-dup pairing at the REAL-SCALE fingerprint width:
+    64-bit simhash carried as two 32-bit halves (see
+    ``operators.dedup.simhash64``), banded into 4 × 16-bit chunks
+    (pigeonhole: any pair with hamming ≤ 3 agrees on at least one
+    intact 16-bit band), then exact two-half popcount-of-xor hamming
+    verification at ≤ 3 — the standard production near-dup budget,
+    usable here (unlike the saturating 16-bit variant, which had to
+    tighten to ≤ 1) because 64 bits keep random pairs far apart.
+
+    Scale: identical cost model to the banded MinHash join — candidate
+    work ∝ band-bucket collisions, never n²; verification is four
+    integer ops per candidate; the banding explode is narrow (4 rows
+    per doc).
+    """
+    d = t(spark, sf_dir, "documents")
+    sh = simhash64(d, "doc_id", "text")
+    chunks = [
+        F.col("simhash_lo").bitwiseAND(65535),
+        F.shiftright(F.col("simhash_lo"), 16).bitwiseAND(65535),
+        F.col("simhash_hi").bitwiseAND(65535),
+        F.shiftright(F.col("simhash_hi"), 16).bitwiseAND(65535),
+    ]
+    banded = sh.select(
+        "doc_id",
+        "simhash_hi",
+        "simhash_lo",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws("#", F.lit(str(i)), c.cast("string"))
+                    for i, c in enumerate(chunks)
+                ]
+            )
+        ).alias("band"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = (
+        F.bit_count(F.col("a.simhash_hi").bitwiseXOR(F.col("b.simhash_hi")))
+        + F.bit_count(F.col("a.simhash_lo").bitwiseXOR(F.col("b.simhash_lo")))
+    )
+    return (
+        a.join(b.hint("shuffle_hash"), "band")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= _SIMHASH64_MAX_HAMMING)
+        .distinct()
+    )
+
+
+def _simhash64_vote_sql(j: int) -> str:
+    chars = ", ".join(f"'{c}'" for c in NIBBLE_BIT_CHARS[j % 4])
+    return (
+        f"sum(CASE WHEN substr(h, {j // 4 + 1}, 1) IN ({chars}) "
+        f"THEN 1 ELSE -1 END) AS v{j}"
+    )
+
+
+_SIMHASH64_VOTES = ",\n         ".join(
+    _simhash64_vote_sql(j) for j in range(64)
+)
+_SIMHASH64_HI = " + ".join(
+    f"(CASE WHEN v{j} > 0 THEN {1 << (j - 32)} ELSE 0 END)"
+    for j in range(32, 64)
+)
+_SIMHASH64_LO = " + ".join(
+    f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(32)
+)
+
+SIMHASH64_PAIRS_SQL = f"""
+WITH toks64 AS (
+  SELECT doc_id, md5(t.tok) AS h
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) t
+),
+votes64 AS (
+  SELECT doc_id,
+         {_SIMHASH64_VOTES}
+  FROM toks64 GROUP BY doc_id
+),
+sh64 AS (
+  SELECT doc_id,
+         CAST({_SIMHASH64_HI} AS BIGINT) AS simhash_hi,
+         CAST({_SIMHASH64_LO} AS BIGINT) AS simhash_lo
+  FROM votes64
+),
+banded64 AS (
+  SELECT doc_id, simhash_hi, simhash_lo,
+         CAST(b.i AS VARCHAR) || '#' || CAST(
+           CASE b.i
+             WHEN 0 THEN simhash_lo & 65535
+             WHEN 1 THEN (simhash_lo >> 16) & 65535
+             WHEN 2 THEN simhash_hi & 65535
+             ELSE (simhash_hi >> 16) & 65535
+           END AS VARCHAR) AS band
+  FROM sh64, (SELECT unnest(generate_series(0, 3)) AS i) b
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash_hi, b.simhash_hi))
+            + bit_count(xor(a.simhash_lo, b.simhash_lo)) AS INT) AS hamming
+FROM banded64 a JOIN banded64 b ON a.band = b.band AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash_hi, b.simhash_hi))
+      + bit_count(xor(a.simhash_lo, b.simhash_lo)) <= {_SIMHASH64_MAX_HAMMING}
 """
 
 
@@ -1623,4 +1738,5 @@ QUERIES: dict[str, Q] = {
         dedup_cluster_representatives, CLUSTER_REPS_SQL
     ),
     "dedup_simhash_pairs": Q(dedup_simhash_pairs, SIMHASH_PAIRS_SQL),
+    "dedup_simhash64_pairs": Q(dedup_simhash64_pairs, SIMHASH64_PAIRS_SQL),
 }

@@ -13,6 +13,7 @@ from rick_and_morty_data_pipeline_project_spark.operators.dedup import (
     exact_dedup_stats,
     minhash_lsh_pairs,
     simhash16,
+    simhash64,
 )
 from rick_and_morty_data_pipeline_project_spark.operators.similarity import (
     knn_bruteforce,
@@ -90,6 +91,40 @@ def test_simhash_near_dups_close(spark):
         for _ in range(50)
     ]
     assert sum(near) / len(near) < sum(far) / len(far), (near, far)
+
+
+def test_simhash64_separates_near_from_far(spark):
+    df = _near_dup_corpus(spark)
+    rows = {
+        r["doc_id"]: (r["simhash_hi"], r["simhash_lo"])
+        for r in simhash64(df, "doc_id", "text").collect()
+    }
+    # both halves hold exactly 32 bits
+    assert all(
+        0 <= hi < 2**32 and 0 <= lo < 2**32 for hi, lo in rows.values()
+    )
+
+    def hamming(a, b):
+        return bin(a[0] ^ b[0]).count("1") + bin(a[1] ^ b[1]).count("1")
+
+    near = [hamming(rows[3 * g], rows[3 * g + 1]) for g in range(20)]
+    rng = random.Random(3)
+    far = []
+    while len(far) < 50:
+        i, j = rng.randrange(60), rng.randrange(60)
+        if i // 3 != j // 3:
+            far.append(hamming(rows[i], rows[j]))
+    # 64 bits: unrelated docs sit near hamming≈32, near-dups well below
+    assert sum(near) / len(near) < sum(far) / len(far) - 5, (near, far)
+    # identical text ⇒ identical fingerprint
+    dup = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e")], "doc_id long, text string"
+    )
+    fps = {
+        r["doc_id"]: (r["simhash_hi"], r["simhash_lo"])
+        for r in simhash64(dup, "doc_id", "text").collect()
+    }
+    assert fps[1] == fps[2]
 
 
 def test_knn_lsh_recall_vs_bruteforce(spark):
