@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from bisect import bisect_left, insort
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -82,6 +82,15 @@ def compact(
     hive-partitioned by compaction bin (`_bin=K/` directories, one data
     file each).  Returns the number of bins written.
 
+    Files that appear in ``src_path`` BETWEEN the plan's listing and the
+    rewrite's re-listing (exactly the streaming-ingest scenario that
+    motivates compaction) are routed to a dedicated LEFTOVER bin rather
+    than silently dropped: the routing join is a LEFT join against the
+    plan, and a null bin_id means "file the planner never saw".  The
+    leftover bin can exceed ``target_rows`` (it absorbs whatever landed
+    mid-compaction — recompact next cycle); losing the rows would be
+    silent data loss.
+
     Read the result with ``spark.read.parquet(dst_path)`` — `_bin` is a
     partition column; drop it for the original schema.
     """
@@ -89,18 +98,32 @@ def compact(
     n_bins = plan.agg(F.max("bin_id")).first()[0]
     n_bins = (n_bins + 1) if n_bins is not None else 0
     df = spark.read.parquet(src_path)
-    routed = df.withColumn("_file", F.input_file_name()).join(
-        F.broadcast(plan.select(F.col("file").alias("_file"),
-                                F.col("bin_id").alias("_bin"))),
-        "_file",
-    ).drop("_file")
+    routed = (
+        df.withColumn("_file", F.input_file_name())
+        .join(
+            F.broadcast(plan.select(F.col("file").alias("_file"),
+                                    F.col("bin_id").alias("_bin"))),
+            "_file",
+            "left",
+        )
+        .withColumn(
+            "_unplanned", F.col("_bin").isNull().cast("long")
+        )
+        .withColumn("_bin", F.coalesce(F.col("_bin"), F.lit(n_bins)))
+        .drop("_file")
+    )
+    obs = Observation("compact_unplanned")
+    routed = routed.observe(obs, F.sum("_unplanned").alias("n")).drop(
+        "_unplanned"
+    )
     (
         # hash partitions can merge bins (pmod collisions) but the
         # partitionBy split writes each bin to its own directory, so a
         # merged task still emits one file PER BIN, never a combined one
-        routed.repartition(max(n_bins, 1), F.col("_bin"))
+        routed.repartition(max(n_bins, 1) + 1, F.col("_bin"))
         .write.mode("overwrite")
         .partitionBy("_bin")
         .parquet(dst_path)
     )
-    return n_bins
+    n_unplanned = int(obs.get["n"] or 0)
+    return n_bins + (1 if n_unplanned > 0 else 0)

@@ -14,12 +14,29 @@ same plan applies per *file group*: partition the table by a
 key-derived bucket so a MERGE rewrites only the buckets containing
 touched keys (that is exactly what Delta/Iceberg copy-on-write does);
 the operator's logic is unchanged, only the write scope shrinks.
+
+Durability: the merged result is written to a TEMP directory beside the
+target and swapped in with two filesystem renames, so the previous
+table stays intact until the replacement is fully durable — an executor
+or driver loss mid-write leaves either the old table or both
+directories, never a destroyed target.  (The round-2 version
+localCheckpointed the merge and overwrote the target in place;
+checkpoint blocks are unreplicated executor-local storage, so a crash
+after the overwrite deleted the source files could lose the table.)
+The rename pair is atomic on HDFS/POSIX; on rename-as-copy object
+stores use a manifest/table format for the final hop.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration()), jvm
 
 
 def merge_upsert(
@@ -38,10 +55,9 @@ def merge_upsert(
     * if ``delete_col`` is set, update rows with that boolean column
       true DELETE the matching target row instead.
 
-    Returns the resulting row count.  The result is localCheckpointed
-    before the overwrite because Spark cannot lazily overwrite a path
-    it is still reading (read-before-write conflict); the checkpoint
-    bounds are the merged table, which the overwrite streams back out.
+    Returns the resulting row count, collected as an ``observe`` metric
+    on the write itself — never a second action over the merged
+    relation.  Write-then-swap: see the module docstring.
     """
     target = spark.read.parquet(target_path)
     if delete_col is not None:
@@ -58,6 +74,25 @@ def merge_upsert(
         deletes if deletes is not None else writes.select(*key_cols).limit(0)
     )
     survivors = target.join(touched, key_cols, "left_anti")
-    merged = survivors.unionByName(writes).localCheckpoint()
-    merged.write.mode("overwrite").parquet(target_path)
-    return merged.count()
+    obs = Observation("merge_rows")
+    merged = survivors.unionByName(writes).observe(
+        obs, F.count(F.lit(1)).alias("n")
+    )
+
+    tmp_path = target_path + ".__merge_tmp__"
+    old_path = target_path + ".__merge_old__"
+    fs, jvm = _hadoop_fs(spark, target_path)
+    hpath = jvm.org.apache.hadoop.fs.Path
+    for stale in (tmp_path, old_path):
+        fs.delete(hpath(stale), True)
+    merged.write.mode("overwrite").parquet(tmp_path)
+    # swap: old table is renamed aside (not deleted) before the new one
+    # lands, so every failure point leaves a complete table on disk
+    if not fs.rename(hpath(target_path), hpath(old_path)):
+        raise IOError(f"merge_upsert: cannot move aside {target_path}")
+    if not fs.rename(hpath(tmp_path), hpath(target_path)):
+        # put the original back rather than leaving no table at all
+        fs.rename(hpath(old_path), hpath(target_path))
+        raise IOError(f"merge_upsert: cannot install {tmp_path}")
+    fs.delete(hpath(old_path), True)
+    return int(obs.get["n"])

@@ -12,12 +12,18 @@ is (see PERFORMANCE.md); the final write partitions by ``shard`` so
 downstream training jobs prune to their shard, and the in-shard
 ``bucket`` column is the sequence-packing unit.  Nothing in the
 pipeline collects corpus-sized data to the driver — the one driver-side
-value is the per-stage count report.
+value is the per-stage count report, and that report is FREE: the
+raw/quality counts ride as ``DataFrame.observe`` accumulator metrics on
+the single action that materializes the deduped corpus, and the final
+count rides the write itself — no stage is ever re-executed just to
+count it (the round-2 version ran four eager ``count()`` actions, each
+replaying the upstream lineage; at 100 TB that multiplied the whole
+pipeline cost by ~5×).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -56,13 +62,17 @@ def curate_corpus(
         (F.size(F.array_distinct(toks)) / F.size(toks)).alias("_dr"),
         fingerprint_col(F.col("text")).alias("_fp"),
     )
-    n_raw = staged.count()
+    # raw/quality counts are CollectMetrics nodes — collected for free
+    # by whichever action first traverses them, never their own jobs
+    obs_raw = Observation("curate_raw")
+    staged = staged.observe(obs_raw, F.count(F.lit(1)).alias("n"))
 
     quality = staged.filter(
         (F.col("n_tokens") >= min_tokens)
         & (F.col("_dr") >= min_distinct_ratio)
     )
-    n_quality = quality.count()
+    obs_quality = Observation("curate_quality")
+    quality = quality.observe(obs_quality, F.count(F.lit(1)).alias("n"))
 
     w = Window.partitionBy("_fp").orderBy("doc_id")
     exact_kept = (
@@ -70,6 +80,14 @@ def curate_corpus(
         .filter(F.col("_rn") == 1)
         .drop("_rn", "_fp")
     )
+    # the deduped corpus feeds three consumers (LSH banding, the
+    # cluster-quality join, the final write) — persist it so the
+    # filter+fingerprint-window prefix runs ONCE.  The materializing
+    # count is the single accounting action of the whole pipeline; it
+    # also completes obs_raw/obs_quality.  At 100 TB use
+    # StorageLevel.DISK_ONLY (or a durable checkpoint) — the point is
+    # reuse, not residency.
+    exact_kept = exact_kept.persist()
     n_exact = exact_kept.count()
 
     # near-dup stage: LSH candidate pairs → components → keep the
@@ -94,7 +112,6 @@ def curate_corpus(
         .select("doc_id")
     )
     near_kept = exact_kept.join(losers, "doc_id", "left_anti").drop("_dr")
-    n_near = near_kept.count()
 
     packed = near_kept.withColumn(
         "shard", (F.col("doc_id") % n_shards).cast("int")
@@ -108,11 +125,15 @@ def curate_corpus(
         "bucket",
         F.floor((F.sum("n_tokens").over(pw) - 1) / capacity).cast("long"),
     )
+    # the near-dedup count rides the write action itself
+    obs_near = Observation("curate_near")
+    packed = packed.observe(obs_near, F.count(F.lit(1)).alias("n"))
     packed.write.mode("overwrite").partitionBy("shard").parquet(out_dir)
+    exact_kept.unpersist()
 
     return {
-        "raw": n_raw,
-        "quality": n_quality,
+        "raw": int(obs_raw.get["n"]),
+        "quality": int(obs_quality.get["n"]),
         "exact_dedup": n_exact,
-        "near_dedup": n_near,
+        "near_dedup": int(obs_near.get["n"]),
     }

@@ -274,6 +274,50 @@ def test_globally_sorted_export(spark, tmp_path):
     assert total == orders.count()
 
 
+def test_compaction_routes_unplanned_files_to_leftover_bin(
+    spark, tmp_path, monkeypatch
+):
+    """A file landing in src between the plan's listing and the
+    rewrite's re-listing (streaming ingest mid-compaction) must reach
+    the output — in a dedicated leftover bin — not silently vanish
+    (the round-2 inner-join routing dropped it)."""
+    import rick_and_morty_data_pipeline_project_spark.operators.compaction as C
+
+    src = str(tmp_path / "racing")
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    orders.repartition(4).write.parquet(src)
+    n_before = orders.count()
+
+    late = spark.range(100).select(
+        *[F.lit(None).cast(f.dataType).alias(f.name) if f.name != "o_orderkey"
+          else (F.col("id") + 10_000_000).alias(f.name)
+          for f in orders.schema.fields]
+    )
+
+    orig_plan = C.plan_compaction
+    landed = {"done": False}
+
+    def racing_plan(*args, **kwargs):
+        plan = orig_plan(*args, **kwargs)
+        plan = plan.localCheckpoint()  # freeze the listing, then race
+        if not landed["done"]:
+            late.write.mode("append").parquet(src)
+            landed["done"] = True
+        return plan
+
+    monkeypatch.setattr(C, "plan_compaction", racing_plan)
+    dst = str(tmp_path / "compacted")
+    n_bins = C.compact(spark, src, dst, target_rows=8000)
+    back = spark.read.parquet(dst)
+    assert back.count() == n_before + 100  # nothing lost
+    # the late rows sit in the highest (leftover) bin
+    top_bin = back.agg(F.max("_bin")).first()[0]
+    assert n_bins == top_bin + 1
+    late_rows = back.filter(F.col("o_orderkey") >= 10_000_000)
+    assert late_rows.count() == 100
+    assert {r["_bin"] for r in late_rows.select("_bin").distinct().collect()} == {top_bin}
+
+
 def test_compaction_plan_and_execute(spark, tmp_path):
     """Compaction planning: bins respect the row target (oversized
     files get singleton bins), every file is covered exactly once, and
