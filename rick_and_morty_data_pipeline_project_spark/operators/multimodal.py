@@ -7,14 +7,18 @@ bytes).
 
 Decode has three tiers:
 * **Real** — formats the Python stdlib can genuinely parse: WAV
-  (``wave`` module, real RIFF containers with PCM16 samples) and PPM
-  (P6 header + raw pixels).  ``synthesize_real_media`` builds genuine
-  container bytes; ``decode_real_media`` parses them back with actual
-  decoders — no external codec needed.
+  (``wave`` module, real RIFF containers with PCM16 samples), PPM
+  (P6 header + raw pixels), PNG (zlib-inflated 8-bit RGB with real
+  chunk CRCs), and JPEG dimensions (SOF marker scan — header bytes
+  are real; pixel decode would need a DCT codec).
+  ``synthesize_real_media`` builds genuine container bytes;
+  ``decode_real_media`` parses them back with actual decoders — no
+  external codec needed.
 * **Fake** — a deterministic byte-stats stand-in (``decode_media(
   fake=True)``) used where oracle determinism matters.
-* **Stubbed** — formats that require PIL/ffmpeg (png/jpeg/mp4), not
-  available in this container: clearly-marked ``NotImplementedError``.
+* **Stubbed** — formats that require PIL/ffmpeg (jpeg pixels, mp4),
+  not available in this container: clearly-marked
+  ``NotImplementedError``.
 
 Everything Spark-side — schema, Arrow batching, partition behavior, UDF
 signatures — is real and tested in all three tiers.
@@ -96,11 +100,14 @@ REAL_DECODED_SCHEMA = (
 
 
 def synthesize_real_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Build GENUINE container bytes (fixture generator, Arrow-batched):
-    even ids → binary PPM (P6) images, odd ids → RIFF/WAV PCM16 audio.
-    Bytes are derived deterministically from md5(text), so the table is
-    stable across runs/engines, yet any standard tool can open them —
-    this is real media, not a fake byte blob."""
+    """Build GENUINE container bytes (fixture generator, Arrow-batched),
+    round-robin by id % 4: PPM (P6) images, RIFF/WAV PCM16 audio, PNG
+    (real zlib-deflated 8-bit RGB, CRC-correct chunks — any viewer opens
+    it), and JPEG (structurally valid JFIF: real SOI/APP0/SOF0/SOS
+    marker stream carrying the true dimensions; the entropy segment is
+    filler since a real DCT encoder needs a codec).  Bytes are derived
+    deterministically from md5(text), so the table is stable across
+    runs/engines — this is real media, not a fake byte blob."""
     src = df.select(
         F.col(id_col).alias("media_id"), F.md5(F.col(text_col)).alias("_h")
     )
@@ -108,7 +115,9 @@ def synthesize_real_media(df: DataFrame, id_col: str, text_col: str) -> DataFram
     def batches(it: Iterator):
         import hashlib
         import io
+        import struct
         import wave
+        import zlib
 
         import pandas as pd
 
@@ -120,18 +129,27 @@ def synthesize_real_media(df: DataFrame, id_col: str, text_col: str) -> DataFram
                 out += h
             return out[:n]
 
+        def png_chunk(tag: bytes, data: bytes) -> bytes:
+            return (
+                struct.pack(">I", len(data))
+                + tag
+                + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+            )
+
         for pdf in it:
             rows = []
             for mid, h in zip(pdf["media_id"], pdf["_h"]):
                 mid = int(mid)
-                if mid % 2 == 0:
+                sel = mid % 4
+                if sel == 0:
                     w, ht = mid % 16 + 4, mid % 12 + 4
                     pixels = material(h, w * ht * 3)
                     content = f"P6\n{w} {ht}\n255\n".encode() + pixels
                     rows.append(
                         (mid, "image", "ppm", w, ht, None, content)
                     )
-                else:
+                elif sel == 1:
                     n_frames = mid % 50 + 20
                     pcm = material(h, n_frames * 2)
                     buf = io.BytesIO()
@@ -143,6 +161,47 @@ def synthesize_real_media(df: DataFrame, id_col: str, text_col: str) -> DataFram
                     dur = int(n_frames * 1000 / 8000)
                     rows.append(
                         (mid, "audio", "wav", None, None, dur, buf.getvalue())
+                    )
+                elif sel == 2:
+                    w, ht = mid % 14 + 4, mid % 10 + 4
+                    raw = material(h, w * ht * 3)
+                    scanlines = b"".join(
+                        b"\x00" + raw[y * w * 3 : (y + 1) * w * 3]
+                        for y in range(ht)
+                    )
+                    ihdr = struct.pack(">IIBBBBB", w, ht, 8, 2, 0, 0, 0)
+                    content = (
+                        b"\x89PNG\r\n\x1a\n"
+                        + png_chunk(b"IHDR", ihdr)
+                        + png_chunk(b"IDAT", zlib.compress(scanlines))
+                        + png_chunk(b"IEND", b"")
+                    )
+                    rows.append(
+                        (mid, "image", "png", w, ht, None, content)
+                    )
+                else:
+                    w, ht = mid % 20 + 8, mid % 15 + 8
+                    app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+                    sof0 = (
+                        bytes([8])
+                        + struct.pack(">HH", ht, w)
+                        + bytes([3])
+                        + bytes([1, 0x11, 0])
+                        + bytes([2, 0x11, 1])
+                        + bytes([3, 0x11, 1])
+                    )
+                    sos = bytes([3, 1, 0, 2, 0x11, 3, 0x11, 0, 63, 0])
+                    entropy = material(h, 24)
+                    content = (
+                        b"\xff\xd8"
+                        + b"\xff\xe0" + struct.pack(">H", len(app0) + 2) + app0
+                        + b"\xff\xc0" + struct.pack(">H", len(sof0) + 2) + sof0
+                        + b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+                        + entropy.replace(b"\xff", b"\xfe")
+                        + b"\xff\xd9"
+                    )
+                    rows.append(
+                        (mid, "image", "jpeg", w, ht, None, content)
                     )
             yield pd.DataFrame(
                 rows,
@@ -164,17 +223,77 @@ def decode_real_media(df: DataFrame) -> DataFrame:
     """REAL decode via Arrow-batched ``mapInPandas``: WAV through the
     stdlib ``wave`` reader (actual RIFF parsing — sample rate, width,
     and frames come from the container, not metadata), PPM through its
-    P6 header.  ``mean_value`` is the mean PCM16 amplitude (audio) or
-    mean pixel byte (image).  Formats needing external codecs raise in
-    :func:`decode_media` — this path covers what the stdlib can truly
-    parse, which proves the decode plumbing end-to-end."""
+    P6 header, PNG fully through stdlib ``zlib`` (chunk walk with IHDR
+    dims, IDAT inflate, per-scanline filter strip — supports the
+    filter-0 non-interlaced 8-bit RGB layout; other filter types need a
+    full reconstructor and raise), and JPEG header-only (SOF0/1/2
+    marker scan for dimensions — pixel decode needs a DCT codec, so
+    ``n_samples``/``mean_value`` stay NULL for JPEG).  ``mean_value``
+    is the mean PCM16 amplitude (audio) or mean pixel byte (decoded
+    images).  Formats needing external codecs (mp4 & co) raise —
+    this path covers what the stdlib can truly parse, which proves the
+    decode plumbing end-to-end."""
 
     def batches(it: Iterator):
         import io
         import struct
         import wave
+        import zlib
 
         import pandas as pd
+
+        def png_dims_pixels(content: bytes):
+            assert content[:8] == b"\x89PNG\r\n\x1a\n", "bad PNG signature"
+            w = h = None
+            idat = b""
+            i = 8
+            while i + 8 <= len(content):
+                (length,) = struct.unpack(">I", content[i : i + 4])
+                tag = content[i + 4 : i + 8]
+                data = content[i + 8 : i + 8 + length]
+                if tag == b"IHDR":
+                    w, h, depth, ctype, _, _, interlace = struct.unpack(
+                        ">IIBBBBB", data
+                    )
+                    if (depth, ctype, interlace) != (8, 2, 0):
+                        raise NotImplementedError(
+                            "PNG decode here covers 8-bit RGB "
+                            "non-interlaced; other layouts need a full "
+                            "reconstructor"
+                        )
+                elif tag == b"IDAT":
+                    idat += data
+                elif tag == b"IEND":
+                    break
+                i += 12 + length  # len + tag + data + crc
+            raw = zlib.decompress(idat)
+            stride = w * 3 + 1
+            pixels = bytearray()
+            for y in range(h):
+                row = raw[y * stride : (y + 1) * stride]
+                if row[0] != 0:
+                    raise NotImplementedError(
+                        f"PNG filter type {row[0]} not supported "
+                        "(fixtures write filter 0)"
+                    )
+                pixels += row[1:]
+            return w, h, bytes(pixels)
+
+        def jpeg_dims(content: bytes):
+            assert content[:2] == b"\xff\xd8", "bad JPEG SOI"
+            i = 2
+            while i + 4 <= len(content):
+                if content[i] != 0xFF:
+                    raise ValueError("desynced JPEG marker stream")
+                marker = content[i + 1]
+                if marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2
+                    h, w = struct.unpack(">HH", content[i + 5 : i + 9])
+                    return w, h
+                if marker == 0xDA:  # SOS before any SOF: no dims
+                    break
+                (seglen,) = struct.unpack(">H", content[i + 2 : i + 4])
+                i += 2 + seglen
+            raise ValueError("JPEG without a SOF frame header")
 
         def decode_one(mid, kind, fmt, content):
             content = bytes(content)
@@ -193,6 +312,13 @@ def decode_real_media(df: DataFrame) -> DataFrame:
                 w, h = (int(x) for x in dims.split())
                 mean = float(sum(pixels)) / len(pixels) if pixels else 0.0
                 return (mid, kind, fmt, len(content), w, h, None, mean)
+            if fmt == "png":
+                w, h, pixels = png_dims_pixels(content)
+                mean = float(sum(pixels)) / len(pixels) if pixels else 0.0
+                return (mid, kind, fmt, len(content), w, h, None, mean)
+            if fmt == "jpeg":
+                w, h = jpeg_dims(content)
+                return (mid, kind, fmt, len(content), w, h, None, None)
             raise NotImplementedError(
                 f"format {fmt!r} needs external codecs (PIL/ffmpeg), "
                 f"not available here"

@@ -367,8 +367,11 @@ def events_hourly_percentiles(spark, sf_dir):
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.percentile(v, 0.5).alias("p50_value"),
-            F.percentile(v, 0.95).alias("p95_value"),
+            # round interpolated doubles to 6 before hashing (family
+            # convention) — unrounded parity would hinge on both engines
+            # interpolating bit-identically across versions
+            F.round(F.percentile(v, 0.5), 6).alias("p50_value"),
+            F.round(F.percentile(v, 0.95), 6).alias("p95_value"),
         )
     )
 
@@ -377,8 +380,8 @@ HOURLY_PCTL_SQL = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
        event_type,
        count(*) AS n_events,
-       quantile_cont(CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE), 0.5) AS p50_value,
-       quantile_cont(CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE), 0.95) AS p95_value
+       round(quantile_cont(CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE), 0.5), 6) AS p50_value,
+       round(quantile_cont(CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE), 0.95), 6) AS p95_value
 FROM events
 GROUP BY 1, 2
 """

@@ -144,10 +144,13 @@ ZSCORE_OUT_SCHEMA = StructType(
 )
 
 
-def zscore_stream(events: DataFrame, window: int = 20) -> DataFrame:
+def zscore_stream(
+    events: DataFrame, window: int = 20, min_history: int | None = None
+) -> DataFrame:
     """Streaming twin of the batch ``events_zscore_outliers`` query:
     flag events whose value deviates > 2 sample standard deviations
-    from the same user's preceding ``window`` events.
+    from the same user's preceding ``window`` events, once at least
+    ``min_history`` (default ``window // 2``) prior events exist.
 
     ``applyInPandasWithState`` keeps a BOUNDED per-user tail (the last
     ``window`` values) as state — O(window) per key regardless of
@@ -155,20 +158,35 @@ def zscore_stream(events: DataFrame, window: int = 20) -> DataFrame:
     are processed in (ts, event_id) order inside each group, matching
     the batch window's ordering, and flagged rows are emitted
     incrementally (append mode).
+
+    Float parity: values carry ≤ 2 decimals, so the tail is stored as
+    EXACT integers scaled by 10^6 (the batch twin's DECIMAL(18,6))
+    and the sums/sums-of-squares are exact integer arithmetic; each is
+    then converted to the nearest double (``float(Fraction(...))`` is
+    correctly rounded) and pushed through the same IEEE double
+    expression tree as the batch window — so the z-scores agree
+    bit-for-bit at any |z| boundary, on any corpus, instead of
+    drifting through a binary-float accumulator.
     """
-    from pyspark.sql.types import ArrayType
+    from pyspark.sql.types import ArrayType, LongType
+
+    if min_history is None:
+        min_history = max(2, window // 2)
 
     state_schema = StructType(
-        [StructField("tail", ArrayType(DoubleType()))]
+        [StructField("tail", ArrayType(LongType()))]
     )
+    scale, scale2 = 10**6, 10**12
 
     def fn(key, pdfs: Iterator, state) -> Iterator:
         import math
+        from decimal import Decimal
+        from fractions import Fraction
 
         import pandas as pd
 
         (user_id,) = key
-        tail: list[float] = list(state.get[0]) if state.exists else []
+        tail: list[int] = list(state.get[0]) if state.exists else []
         out: list[tuple] = []
         # a group arrives as MULTIPLE Arrow chunks (split at
         # maxRecordsPerBatch) in arbitrary order — concatenate first,
@@ -181,9 +199,11 @@ def zscore_stream(events: DataFrame, window: int = 20) -> DataFrame:
                 whole["value"].astype(float),
             ):
                 n = len(tail)
-                if n >= 10:
-                    s = math.fsum(tail)
-                    s2 = math.fsum(x * x for x in tail)
+                if n >= min_history:
+                    s = float(Fraction(sum(tail), scale))
+                    s2 = float(
+                        Fraction(sum(x * x for x in tail), scale2)
+                    )
                     mean = s / n
                     var = (s2 - (s * s) / n) / (n - 1)
                     if var > 0:
@@ -192,7 +212,9 @@ def zscore_stream(events: DataFrame, window: int = 20) -> DataFrame:
                             out.append(
                                 (int(eid), int(user_id), float(v), n, z)
                             )
-                tail.append(float(v))
+                # shortest-repr → Decimal → scale: exact for ≤6-decimal
+                # values, mirroring the batch cast(value AS DECIMAL(18,6))
+                tail.append(int(Decimal(repr(v)).scaleb(6)))
                 if len(tail) > window:
                     tail.pop(0)
         state.update((tail,))

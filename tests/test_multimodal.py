@@ -41,13 +41,14 @@ def test_real_decode_is_stubbed(spark):
 def test_real_media_round_trip(spark):
     """synthesize_real_media emits GENUINE containers: WAV rows open
     with the stdlib wave reader (frame count/rate from the RIFF header),
-    PPM rows carry a valid P6 header; decode_real_media's output
-    matches an independent driver-side decode of the same bytes."""
+    PPM rows carry a valid P6 header, PNG rows re-inflate with zlib to
+    the exact pixel bytes, JPEG rows carry a real SOF0 marker with the
+    true dimensions; decode_real_media's output matches an independent
+    driver-side decode of the same bytes."""
     import io
     import struct
     import wave
-
-    from pyspark.sql import functions as F
+    import zlib
 
     from rick_and_morty_data_pipeline_project_spark.operators.multimodal import (
         decode_real_media,
@@ -57,7 +58,7 @@ def test_real_media_round_trip(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(40)
     media = synthesize_real_media(docs, "doc_id", "text")
     rows = {r["media_id"]: r for r in media.collect()}
-    assert {r["format"] for r in rows.values()} == {"ppm", "wav"}
+    assert {r["format"] for r in rows.values()} == {"ppm", "wav", "png", "jpeg"}
     decoded = {r["media_id"]: r for r in decode_real_media(media).collect()}
     assert decoded.keys() == rows.keys()
     for mid, m in rows.items():
@@ -72,7 +73,7 @@ def test_real_media_round_trip(spark):
             assert d["n_samples"] == n == mid % 50 + 20
             assert abs(d["mean_value"] - sum(samples) / n) < 1e-9
             assert m["duration_ms"] == int(n * 1000 / 8000)
-        else:
+        elif m["format"] == "ppm":
             header, rest = content.split(b"\n", 1)
             assert header == b"P6"
             w, h = (int(x) for x in rest.split(b"\n", 1)[0].split())
@@ -80,6 +81,34 @@ def test_real_media_round_trip(spark):
             pixels = rest.split(b"\n", 2)[2]
             assert len(pixels) == w * h * 3
             assert abs(d["mean_value"] - sum(pixels) / len(pixels)) < 1e-9
+        elif m["format"] == "png":
+            # independent chunk walk: IHDR dims + IDAT inflate
+            assert content[:8] == b"\x89PNG\r\n\x1a\n"
+            (ihdr_len,) = struct.unpack(">I", content[8:12])
+            assert content[12:16] == b"IHDR"
+            w, h = struct.unpack(">II", content[16:24])
+            assert (d["width"], d["height"]) == (w, h) == (m["width"], m["height"])
+            # CRC of the IHDR chunk is genuine
+            crc_off = 16 + ihdr_len
+            (crc,) = struct.unpack(">I", content[crc_off : crc_off + 4])
+            assert crc == zlib.crc32(content[12:crc_off]) & 0xFFFFFFFF
+            idat_off = crc_off + 4
+            (idat_len,) = struct.unpack(">I", content[idat_off : idat_off + 4])
+            assert content[idat_off + 4 : idat_off + 8] == b"IDAT"
+            raw = zlib.decompress(
+                content[idat_off + 8 : idat_off + 8 + idat_len]
+            )
+            assert len(raw) == h * (w * 3 + 1)
+            pixels = b"".join(
+                raw[y * (w * 3 + 1) + 1 : (y + 1) * (w * 3 + 1)]
+                for y in range(h)
+            )
+            assert abs(d["mean_value"] - sum(pixels) / len(pixels)) < 1e-9
+        else:
+            assert m["format"] == "jpeg"
+            assert content[:2] == b"\xff\xd8" and content[-2:] == b"\xff\xd9"
+            assert (d["width"], d["height"]) == (m["width"], m["height"])
+            assert d["mean_value"] is None and d["n_samples"] is None
 
 
 def test_decode_real_media_rejects_codec_formats(spark):
@@ -90,9 +119,26 @@ def test_decode_real_media_rejects_codec_formats(spark):
     )
 
     df = spark.createDataFrame(
-        [(1, "image", "png", 4, 4, None, bytearray(b"\x89PNG"))],
+        [(1, "video", "mp4", None, None, 900, bytearray(b"\x00\x00\x00 ftypmp42"))],
         "media_id long, kind string, format string, width int, height int, "
         "duration_ms int, content binary",
     )
     with pytest.raises(Exception, match="PIL|ffmpeg|NotImplemented"):
+        decode_real_media(df).collect()
+
+
+def test_decode_real_media_rejects_malformed_png(spark):
+    """Junk bytes behind a PNG signature must fail loudly, not decode."""
+    import pytest
+
+    from rick_and_morty_data_pipeline_project_spark.operators.multimodal import (
+        decode_real_media,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "image", "png", 4, 4, None, bytearray(b"\x89PNGjunk"))],
+        "media_id long, kind string, format string, width int, height int, "
+        "duration_ms int, content binary",
+    )
+    with pytest.raises(Exception):
         decode_real_media(df).collect()
