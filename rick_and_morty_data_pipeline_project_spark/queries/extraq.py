@@ -345,17 +345,7 @@ FROM monthly
 
 
 # --------------------------------------------------------------------------
-def events_hourly_percentiles(spark, sf_dir):
-    """Time-bucketed latency-style monitoring: exact p50/p95 of value
-    per (hour, event_type).  Values are quantized to 2 decimals before
-    the percentile (they carry 2 decimals already) so the interpolated
-    result is bitwise-identical in both engines (agg_percentiles
-    pattern).
-
-    Scale: one shuffle on the (hour, type) key; at 100 TB swap the
-    exact percentile for percentile_approx and the per-group state
-    becomes a fixed-size sketch.
-    """
+def _hourly_percentiles(spark, sf_dir, pctl):
     e = t(spark, sf_dir, "events")
     v = dec("value", 18, 2).cast("double")
     return (
@@ -370,9 +360,37 @@ def events_hourly_percentiles(spark, sf_dir):
             # round interpolated doubles to 6 before hashing (family
             # convention) — unrounded parity would hinge on both engines
             # interpolating bit-identically across versions
-            F.round(F.percentile(v, 0.5), 6).alias("p50_value"),
-            F.round(F.percentile(v, 0.95), 6).alias("p95_value"),
+            F.round(pctl(v, 0.5), 6).alias("p50_value"),
+            F.round(pctl(v, 0.95), 6).alias("p95_value"),
         )
+    )
+
+
+def events_hourly_percentiles(spark, sf_dir):
+    """Time-bucketed latency-style monitoring: exact p50/p95 of value
+    per (hour, event_type).  Values are quantized to 2 decimals before
+    the percentile (they carry 2 decimals already) so the interpolated
+    result is bitwise-identical in both engines (agg_percentiles
+    pattern).
+
+    Scale: one shuffle on the (hour, type) key; at 100 TB use the
+    :func:`events_hourly_percentiles_approx` twin and the per-group
+    state becomes a fixed-size sketch.
+    """
+    return _hourly_percentiles(spark, sf_dir, F.percentile)
+
+
+def events_hourly_percentiles_approx(spark, sf_dir):
+    """The 100 TB form of :func:`events_hourly_percentiles`:
+    ``percentile_approx`` (KLL-style quantile sketch, accuracy 10000)
+    replaces the exact sort-based percentile, bounding per-group
+    aggregation state by the sketch size instead of the group size.
+    Sketch internals are engine-specific → rows-only catalog entry;
+    tests/test_approx.py bounds its drift against the exact twin."""
+    return _hourly_percentiles(
+        spark,
+        sf_dir,
+        lambda c, q: F.percentile_approx(c, F.lit(q), F.lit(10000)),
     )
 
 
@@ -1354,18 +1372,7 @@ WHERE n_prev >= 10 AND var > 0 AND abs(z) > 2
 
 
 # --------------------------------------------------------------------------
-def customer_rfm_segments(spark, sf_dir):
-    """RFM (recency / frequency / monetary) customer segmentation with
-    quartile scores — WITHOUT a global ntile window.  A naive RFM ranks
-    all customers in one unpartitioned window (single-task sort of the
-    whole customer base); instead the quartile thresholds come from one
-    exact-percentile aggregate (9 scalars), broadcast back, and each
-    customer is scored by a narrow CASE — the corpus is shuffled once
-    (per-customer agg) and never globally sorted.
-
-    Buckets are by value ascending (recency_bucket 4 = longest ago);
-    interpretation is the caller's.
-    """
+def _rfm_segments(spark, sf_dir, pctl):
     o = t(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
         F.max(F.col("o_orderdate").cast("date")).alias("_last"),
@@ -1381,7 +1388,7 @@ def customer_rfm_segments(spark, sf_dir):
     )
     th = rfm.agg(
         *[
-            F.percentile(F.col(c), q).alias(f"_{c}_{int(q * 100)}")
+            pctl(F.col(c), q).alias(f"_{c}_{int(q * 100)}")
             for c in ("recency_days", "frequency", "monetary")
             for q in (0.25, 0.5, 0.75)
         ]
@@ -1403,6 +1410,36 @@ def customer_rfm_segments(spark, sf_dir):
         bucket("recency_days").alias("r_bucket"),
         bucket("frequency").alias("f_bucket"),
         bucket("monetary").alias("m_bucket"),
+    )
+
+
+def customer_rfm_segments(spark, sf_dir):
+    """RFM (recency / frequency / monetary) customer segmentation with
+    quartile scores — WITHOUT a global ntile window.  A naive RFM ranks
+    all customers in one unpartitioned window (single-task sort of the
+    whole customer base); instead the quartile thresholds come from one
+    exact-percentile aggregate (9 scalars), broadcast back, and each
+    customer is scored by a narrow CASE — the corpus is shuffled once
+    (per-customer agg) and never globally sorted.
+
+    Buckets are by value ascending (recency_bucket 4 = longest ago);
+    interpretation is the caller's.
+    """
+    return _rfm_segments(spark, sf_dir, F.percentile)
+
+
+def customer_rfm_segments_approx(spark, sf_dir):
+    """The 100 TB form of :func:`customer_rfm_segments`: the nine
+    quartile thresholds come from one ``percentile_approx`` sketch
+    aggregate (accuracy 10000) — fixed-size state per partition however
+    large the customer base.  Bucket edges can shift by at most the
+    sketch rank error; tests/test_approx.py bounds the fraction of
+    customers whose bucket assignment differs from the exact twin.
+    Rows-only (sketch internals are engine-specific)."""
+    return _rfm_segments(
+        spark,
+        sf_dir,
+        lambda c, q: F.percentile_approx(c, F.lit(q), F.lit(10000)),
     )
 
 
@@ -1803,6 +1840,7 @@ QUERIES: dict[str, Q] = {
     "agg_macro_avg_rounded": Q(agg_macro_avg_rounded, AGG_MACRO_SQL),
     "events_zscore_outliers": Q(events_zscore_outliers, ZSCORE_SQL),
     "customer_rfm_segments": Q(customer_rfm_segments, RFM_SQL),
+    "customer_rfm_segments_approx": Q(customer_rfm_segments_approx, None),
     "events_funnel_steps": Q(events_funnel_steps, FUNNEL_STEPS_SQL),
     "events_retention_cohorts": Q(events_retention_cohorts, RETENTION_SQL),
     "basket_part_affinity": Q(basket_part_affinity, BASKET_SQL),
@@ -1820,6 +1858,9 @@ QUERIES: dict[str, Q] = {
     "orders_monthly_growth": Q(orders_monthly_growth, MONTHLY_GROWTH_SQL),
     "events_hourly_percentiles": Q(
         events_hourly_percentiles, HOURLY_PCTL_SQL
+    ),
+    "events_hourly_percentiles_approx": Q(
+        events_hourly_percentiles_approx, None
     ),
     "events_rolling_dau": Q(events_rolling_dau, ROLLING_DAU_SQL),
     "dedup_source_matrix": Q(dedup_source_matrix, SOURCE_MATRIX_SQL),

@@ -1235,6 +1235,10 @@ def text_quantile_filter(spark, sf_dir):
     sketches; at 100 TB swap F.percentile for percentile_approx and the
     agg becomes fixed-size per partition).
     """
+    return _quantile_filter(spark, sf_dir, F.percentile)
+
+
+def _quantile_filter(spark, sf_dir, pctl):
     d = t(spark, sf_dir, "documents")
     # single-space split (family convention; string_split(' ') in the
     # oracle) — NOT token_count_col's \s+ regex, which diverges from
@@ -1245,14 +1249,26 @@ def text_quantile_filter(spark, sf_dir):
         F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
     )
     med = scored.groupBy("lang").agg(
-        F.percentile(F.col("n_tokens").cast("double"), 0.5).alias(
-            "lang_median"
-        )
+        pctl(F.col("n_tokens").cast("double"), 0.5).alias("lang_median")
     )
     return (
         scored.join(F.broadcast(med), "lang")
         .filter(F.col("n_tokens") > F.col("lang_median"))
         .select("doc_id", "lang", "n_tokens", "lang_median")
+    )
+
+
+def text_quantile_filter_approx(spark, sf_dir):
+    """The 100 TB form of :func:`text_quantile_filter`: per-language
+    median via ``percentile_approx`` (accuracy 10000) — the per-group
+    aggregation state is a fixed-size quantile sketch instead of the
+    sorted group.  Kept-set drift vs the exact twin is bounded in
+    tests/test_approx.py.  Rows-only (sketch internals are
+    engine-specific)."""
+    return _quantile_filter(
+        spark,
+        sf_dir,
+        lambda c, q: F.percentile_approx(c, F.lit(q), F.lit(10000)),
     )
 
 
@@ -1727,6 +1743,7 @@ QUERIES: dict[str, Q] = {
     "dedup_incremental_lsh": Q(dedup_incremental_lsh, DEDUP_INCR_LSH_SQL),
     "text_chunk_overlap": Q(text_chunk_overlap, TEXT_CHUNK_SQL),
     "text_quantile_filter": Q(text_quantile_filter, TEXT_QUANTILE_SQL),
+    "text_quantile_filter_approx": Q(text_quantile_filter_approx, None),
     "text_tfidf_topterms": Q(text_tfidf_topterms, TEXT_TFIDF_SQL),
     "text_pmi_collocations": Q(text_pmi_collocations, TEXT_PMI_SQL),
     "text_quality_normalized": Q(text_quality_normalized, TEXT_QNORM_SQL),
