@@ -8,12 +8,21 @@ get the rows-only check and are covered by Python oracles in tests/.
 
 Ordering contract: the verification driver compares the FIRST 50
 exported queries against their oracles.  ``DRIVER_WINDOW`` pins those
-50 slots explicitly so that every §2.10 operator family (text analysis,
-dedup, similarity search, multimodal, flagship) plus one exemplar per
-classic operator family holds a hash-verified correctness row.  Every
-remaining query stays exported (positions 51+) and is still cell-exact
-verified locally by tests/test_oracle_parity.py, which parametrizes the
-WHOLE catalog, not just the window.
+50 slots explicitly.  Rotation policy (round 3): rounds 1+2 earned
+triple-green driver rows for 80 distinct queries — those families keep
+their standing rows and rotate OUT; the window now holds the oracled
+queries that had never seen a driver row (clusters, decontamination,
+incremental dedup, sampling/packing, the analytics family, int8/LSH/
+filtered kNN, multimodal dims/frames, simhash pairing incl. the new
+64-bit variant) plus ``flagship_greedy_match`` as the §2.10-flagship
+exemplar (every §2.10 family keeps ≥1 in-window exemplar — most
+rotated-in queries ARE §2.10 operators).  Five never-checked queries
+with green in-window siblings are deferred to the round-4 rotation:
+``pipeline_filter_funnel``, ``text_pack_buckets``,
+``text_quality_normalized``, ``events_sliding_rollup``,
+``events_gap_fill``.  Every query outside the window stays exported
+(positions 51+) and is still cell-exact verified locally by
+tests/test_oracle_parity.py, which parametrizes the WHOLE catalog.
 """
 
 from __future__ import annotations
@@ -37,69 +46,72 @@ for mod in (tpch, tpchx, tpchf, textq, vecq, extraq, mmq, reference):
         _ALL[name] = q
 
 # The 50 driver-checked slots.  All must carry a full DuckDB oracle.
+# Round-3 rotation: every slot except flagship_greedy_match is a query
+# with NO prior CORRECTNESS row (r01+r02 covered 80 others; see module
+# docstring for the policy and the 5 deferred names).
 DRIVER_WINDOW: tuple[str, ...] = (
-    # -- §2.10 text analysis ------------------------------------------
-    "text_emotion_scores",
-    "text_token_stats",
-    "text_top2_emotions",
-    "text_quality_scores",
-    "text_emotion_by_source",
-    "text_filter_topk",
-    "text_language_id",
-    "text_rolling_fingerprint",
-    # -- §2.10 deduplication ------------------------------------------
-    "dedup_exact_stats",
-    "dedup_minhash_signatures",
-    "dedup_minhash_lsh_candidates",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
+    # -- §2.10 dedup: clustering / representatives --------------------
+    "dedup_minhash_clusters",
+    "dedup_semantic_clusters",
+    "dedup_cluster_representatives",
+    # -- §2.10 dedup: simhash pairing (16-bit + new 64-bit) -----------
+    "dedup_simhash_pairs",
+    "dedup_simhash64_pairs",
+    # -- §2.10 dedup: incremental ingest + audit ----------------------
+    "dedup_incremental_batch",
+    "dedup_incremental_prefilter",
+    "dedup_incremental_lsh",
+    "dedup_minhash_estimate_audit",
+    "dedup_source_matrix",
+    # -- §2.10 decontamination ----------------------------------------
+    "decontaminate_ngram_overlap",
+    "decontaminate_embedding_overlap",
     # -- §2.10 similarity search / embeddings -------------------------
-    "embedding_norms",
-    "knn_cosine_bruteforce",
-    "knn_cosine_ivf",
-    "embedding_label_centroids",
-    # -- §2.10 multimodal + reference flagship ------------------------
-    "multimodal_metadata_stats",
-    "flagship_best_match_with_replacement",
-    # EP-2 greedy matching: sequential MUT-1 semantics, hash-verified
-    # against a recursive-CTE DuckDB oracle (reference.FLAGSHIP_EP2_SQL)
+    "knn_cosine_filtered",
+    "knn_cosine_lsh",
+    "knn_cosine_int8",
+    "embedding_quantize_error",
+    "knn_degree_stats",
+    # -- §2.10 text analysis ------------------------------------------
+    "text_vocab_df",
+    "text_tfidf_topterms",
+    "text_pmi_collocations",
+    "text_unigram_logprob",
+    "text_repetition_signals",
+    "text_language_confidence",
+    "text_redact_patterns",
+    "text_quantile_filter",
+    # -- §2.10 sampling / packing / chunking --------------------------
+    "sample_hash_deterministic",
+    "sample_mixture_weights",
+    "sample_stratified_topk",
+    "sample_weighted_topk",
+    "text_pack_materialize",
+    "text_chunk_overlap",
+    # -- §2.10 multimodal ---------------------------------------------
+    "multimodal_resize_dims",
+    "multimodal_frame_samples",
+    # -- §2.10 flagship exemplar (keeps the family in-window; EP-2
+    #    sequential MUT-1 semantics vs recursive-CTE DuckDB oracle) ---
     "flagship_greedy_match",
-    # -- operator exemplars without a round-1 correctness row ---------
-    "join_asof_click_error",
-    "sessionize_events",
-    "subquery_scalar_exists",
-    "scalar_regex_functions",
-    "scalar_null_conditional",
-    "pivot_event_type_by_day",
-    "join_on_expression",
-    "array_functions",
-    "agg_macro_avg_rounded",
-    # -- classic family exemplars (one per family) --------------------
-    "q1_pricing_summary",
-    "q2_scan_filter_project",
-    # (q3_top_unshipped_orders moved past the window to make room for
-    # flagship_greedy_match: its families stay covered — broadcast join
-    # by q5, heap top-k by sort_limit/topk_two_stage — and its round-1
-    # CORRECTNESS row stands)
-    "q5_nation_volume",
-    "q6_forecast_revenue",
-    "join_anti_customers_without_orders",
-    "join_semi_customers_with_open_orders",
-    "join_self_lineitem_pairs",
-    "join_range_user_window",
-    "agg_exact_distinct",
-    "agg_rollup_region_nation",
-    "agg_grouping_sets",
-    "agg_percentiles",
-    "win_rank_top_orders_per_customer",
-    "win_range_frame",
-    "sort_limit_top_orders",
-    "topk_two_stage_parts",
-    "set_ops_customers",
-    "scalar_string_functions",
-    "scalar_math_functions",
-    "events_hourly_rollup",
+    # -- analytics family (no prior row) ------------------------------
+    "events_zscore_outliers",
+    "customer_rfm_segments",
+    "events_funnel_steps",
+    "events_funnel_summary",
+    "events_retention_cohorts",
+    "basket_part_affinity",
+    "graph_pagerank3",
+    "profile_orders_quality",
+    "events_value_histogram",
+    "events_sliding_uniques",
+    "events_key_skew_report",
+    "orders_monthly_growth",
+    "events_hourly_percentiles",
+    "events_rolling_dau",
+    # -- remaining never-checked operator exemplars -------------------
+    "scalar_try_functions",
+    "join_salted_user_events",
 )
 
 assert len(DRIVER_WINDOW) == 50, len(DRIVER_WINDOW)

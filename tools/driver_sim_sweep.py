@@ -1,0 +1,82 @@
+"""Strict driver-sim sweep: replicate the verification driver's t2 gate
+over EVERY oracled catalog query under a PLAIN SparkSession (ANSI
+defaults, none of the package session's tuning) and compare against
+DuckDB by sorted-column/sorted-row repr-hash — stricter than
+tests/oracle_harness.compare because dtype differences (e.g. DuckDB
+HUGEINT → float64) change the repr and fail here.
+
+Usage: python tools/driver_sim_sweep.py [sf_dir] [--window-only]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def norm_hash(df) -> str:
+    df = df[sorted(df.columns)]
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = df[c].astype("datetime64[us]")
+    df = df.sort_values(list(df.columns)).reset_index(drop=True)
+    return hashlib.md5(df.to_string().encode()).hexdigest()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") else "/root/testdata/sf0.01"
+    window_only = "--window-only" in sys.argv
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .getOrCreate()
+    )
+    import __spark_entry__ as E
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    qs, osql = E.queries(), E.oracle_sql()
+    names = list(qs)[:50] if window_only else [n for n in qs if n in osql]
+    bad = []
+    for name in names:
+        if name not in osql:
+            bad.append((name, "WINDOW ENTRY WITHOUT ORACLE"))
+            continue
+        try:
+            s = qs[name](spark, sf_dir).toPandas()
+            o = con.execute(osql[name]).df()
+        except Exception as exc:  # noqa: BLE001
+            bad.append((name, f"ERROR {type(exc).__name__}: {exc}"))
+            print(f"{name}: ERROR {exc}", flush=True)
+            continue
+        if len(s) != len(o):
+            bad.append((name, f"rows {len(s)} vs {len(o)}"))
+        elif norm_hash(s) != norm_hash(o):
+            bad.append((name, f"hash mismatch ({len(s)} rows)"))
+        else:
+            print(f"{name}: OK ({len(s)} rows)", flush=True)
+    for name, why in bad:
+        print(f"FAIL {name}: {why}")
+    print(f"\n{len(names) - len(bad)}/{len(names)} OK")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
