@@ -104,3 +104,101 @@ def stream_ingest_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_ingest_neardup(
+    stream: DataFrame,
+    corpus: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+):
+    """Streaming corpus ingest with NEAR-duplicate suppression — the
+    §2.10 MinHash-LSH near-dedup operator as an incremental (§2.8)
+    pipeline stage, completing the exact/near pair that
+    :func:`stream_ingest_dedup` starts.
+
+    Per micro-batch:
+
+    1. cross-set banded LSH (``minhash_lsh_pairs_between``) against the
+       curated corpus PLUS everything previous batches appended — batch
+       rows with a candidate partner at ``jaccard_est ≥ threshold``
+       are near-dups of already-kept documents and drop;
+    2. within the remaining batch rows, in-batch LSH pairs →
+       connected components → keep the min-id representative per
+       cluster (the same keeper policy as the batch curation pipeline,
+       transitive within the batch).
+
+    State is the durable output table itself (zero StateStore
+    footprint), exactly like the exact-ingest twin: steady-state cost
+    per batch is |batch| × band-collision rate — batch-batch work never
+    touches the corpus beyond the banding join, and the corpus banding
+    side shuffles only its band keys.  At 100 TB the corpus signatures
+    are precomputed and bucketed by band so each ingest join is
+    exchange-free on the corpus side.
+
+    Keeper policy note: a batch row suppressed by a corpus partner is
+    dropped even if it would also have claimed in-batch followers —
+    those followers are then compared transitively via their own
+    corpus/batch candidates, matching the batch pipeline's
+    components-then-representative semantics batch-locally (cross-batch
+    transitivity through a DROPPED row is not tracked; that is the
+    incremental recall trade, same as exact ingest's watermark trade).
+
+    Returns the started StreamingQuery (availableNow trigger); caller
+    awaits termination.
+    """
+    from rick_and_morty_data_pipeline_project_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_between,
+    )
+
+    lsh_kwargs = dict(
+        num_hashes=num_hashes, band_size=band_size, shingle_k=shingle_k
+    )
+    base = corpus.select(F.col(id_col), F.col(text_col))
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        seen = base
+        try:
+            seen = seen.unionByName(
+                sess.read.parquet(out_dir).select(id_col, text_col)
+            )
+        except Exception:
+            pass  # first batch: nothing appended yet
+        batch = batch_df.localCheckpoint()  # freeze: consumed 3×
+
+        cross = minhash_lsh_pairs_between(
+            batch, seen, id_col, text_col, **lsh_kwargs
+        ).filter(F.col("jaccard_est") >= threshold)
+        survivors = batch.join(
+            cross.select(F.col("id_left").alias(id_col)).distinct(),
+            id_col,
+            "left_anti",
+        ).localCheckpoint()
+
+        pairs = minhash_lsh_pairs(
+            survivors, id_col, text_col, **lsh_kwargs
+        ).filter(F.col("jaccard_est") >= threshold)
+        losers = (
+            connected_components(pairs, "id_a", "id_b")
+            .filter(F.col("node") != F.col("cluster_id"))
+            .select(F.col("node").alias(id_col))
+        )
+        survivors.join(losers, id_col, "left_anti").write.mode(
+            "append"
+        ).parquet(out_dir)
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

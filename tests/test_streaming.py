@@ -396,3 +396,77 @@ def test_transform_with_state_running_totals(spark):
     for u in want:
         assert last[u][0] == want[u][0], u
         assert abs(last[u][1] - want[u][1]) < 1e-6, u
+
+
+def test_stream_ingest_neardup_lsh(spark, tmp_path):
+    """foreachBatch near-dup ingest: vs-corpus, in-batch (transitive via
+    connected components, min-id keeper), and cross-batch near-dups are
+    all suppressed; distinct documents all land."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rick_and_morty_data_pipeline_project_spark.streaming.dedup import (
+        stream_ingest_neardup,
+    )
+
+    import random
+
+    vocab = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lamda mu nu xi omicron pi rho sigma tau upsilon"
+    ).split()
+
+    def doc(seed: int, changed: int | None = None) -> str:
+        toks = random.Random(seed).choices(vocab, k=40)
+        if changed is not None:
+            toks[changed] = vocab[(seed + changed + 11) % len(vocab)]
+        return " ".join(toks)
+
+    corpus = spark.createDataFrame(
+        [(0, doc(1)), (1, doc(2))], ["doc_id", "text"]
+    )
+    in_dir = tmp_path / "incoming"
+    in_dir.mkdir()
+    # batch A: near-dup of corpus doc 0; fresh X (seed 3); in-batch
+    # near-dups X' and X'' (chain → one cluster, keeper = min id 11);
+    # fresh distinct Z (seed 4)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": [10, 11, 12, 13, 14],
+                "text": [
+                    doc(1, changed=5),
+                    doc(3),
+                    doc(3, changed=7),
+                    doc(3, changed=20),
+                    doc(4),
+                ],
+            }
+        ),
+        str(in_dir / "a.parquet"),
+    )
+    # batch B: near-dup of appended X (drops); fresh W (seed 5)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": [20, 21],
+                "text": [doc(3, changed=33), doc(5)],
+            }
+        ),
+        str(in_dir / "b.parquet"),
+    )
+    stream = (
+        spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    out_dir = str(tmp_path / "curated")
+    q = stream_ingest_neardup(
+        stream, corpus, out_dir, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+
+    kept = sorted(
+        r["doc_id"] for r in spark.read.parquet(out_dir).collect()
+    )
+    assert kept == [11, 14, 21], kept
