@@ -285,6 +285,11 @@ def decode_real_media(df: DataFrame) -> DataFrame:
             while i + 4 <= len(content):
                 if content[i] != 0xFF:
                     raise ValueError("desynced JPEG marker stream")
+                # the spec allows any number of 0xFF fill bytes before
+                # the marker code — skip them or a padded (valid) file
+                # reads the fill byte as its marker and desyncs
+                while i + 4 <= len(content) and content[i + 1] == 0xFF:
+                    i += 1
                 marker = content[i + 1]
                 if marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2
                     h, w = struct.unpack(">HH", content[i + 5 : i + 9])

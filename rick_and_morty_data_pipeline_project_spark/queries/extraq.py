@@ -15,7 +15,7 @@ from rick_and_morty_data_pipeline_project_spark.functions.vectors import (
     cosine_sql,
     dot_sql,
 )
-from rick_and_morty_data_pipeline_project_spark.queries._util import Q, dec, t
+from rick_and_morty_data_pipeline_project_spark.queries._util import Q, approx_pctl, dec, t
 
 # Frozen marker-word → language assignment (md5('lang:'+word) % 5 over the
 # corpus vocabulary), mirroring the emotion lexicon design: a deterministic,
@@ -387,11 +387,7 @@ def events_hourly_percentiles_approx(spark, sf_dir):
     aggregation state by the sketch size instead of the group size.
     Sketch internals are engine-specific → rows-only catalog entry;
     tests/test_approx.py bounds its drift against the exact twin."""
-    return _hourly_percentiles(
-        spark,
-        sf_dir,
-        lambda c, q: F.percentile_approx(c, F.lit(q), F.lit(10000)),
-    )
+    return _hourly_percentiles(spark, sf_dir, approx_pctl)
 
 
 HOURLY_PCTL_SQL = """
@@ -1436,11 +1432,7 @@ def customer_rfm_segments_approx(spark, sf_dir):
     sketch rank error; tests/test_approx.py bounds the fraction of
     customers whose bucket assignment differs from the exact twin.
     Rows-only (sketch internals are engine-specific)."""
-    return _rfm_segments(
-        spark,
-        sf_dir,
-        lambda c, q: F.percentile_approx(c, F.lit(q), F.lit(10000)),
-    )
+    return _rfm_segments(spark, sf_dir, approx_pctl)
 
 
 RFM_SQL = """

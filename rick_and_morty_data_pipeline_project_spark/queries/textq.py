@@ -39,7 +39,7 @@ from rick_and_morty_data_pipeline_project_spark.operators.topk import (
     top2_emotions_cols,
     two_stage_topk,
 )
-from rick_and_morty_data_pipeline_project_spark.queries._util import Q, t
+from rick_and_morty_data_pipeline_project_spark.queries._util import Q, approx_pctl, t
 
 _EMO_SQLS = emotion_score_sqls("text")
 _EMO_SELECT = ",\n       ".join(f"{_EMO_SQLS[e]} AS {e}" for e in EMOTIONS)
@@ -1232,8 +1232,9 @@ def text_quantile_filter(spark, sf_dir):
     |languages| output rows — broadcast back against the scored stream,
     so the corpus is scanned once and never shuffled (the agg shuffles
     only (lang, n_tokens) pairs, map-side combinable into sorted
-    sketches; at 100 TB swap F.percentile for percentile_approx and the
-    agg becomes fixed-size per partition).
+    sketches; at 100 TB use the shipped
+    :func:`text_quantile_filter_approx` twin and the agg state is a
+    fixed-size sketch per partition).
     """
     return _quantile_filter(spark, sf_dir, F.percentile)
 
@@ -1265,11 +1266,7 @@ def text_quantile_filter_approx(spark, sf_dir):
     sorted group.  Kept-set drift vs the exact twin is bounded in
     tests/test_approx.py.  Rows-only (sketch internals are
     engine-specific)."""
-    return _quantile_filter(
-        spark,
-        sf_dir,
-        lambda c, q: F.percentile_approx(c, F.lit(q), F.lit(10000)),
-    )
+    return _quantile_filter(spark, sf_dir, approx_pctl)
 
 
 TEXT_QUANTILE_SQL = """

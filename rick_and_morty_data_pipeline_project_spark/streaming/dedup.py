@@ -21,6 +21,18 @@ from rick_and_morty_data_pipeline_project_spark.functions.textfns import (
 )
 
 
+def _output_exists(sess, out_dir: str) -> bool:
+    """True iff the append target already holds data.  An explicit
+    existence probe, NOT a try/except around the read: a bare except
+    would also swallow transient FS errors / corrupt footers on later
+    batches and silently shrink the dedup state to corpus-only —
+    readmitting duplicates instead of failing the batch."""
+    jvm = sess.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(out_dir)
+    fs = hpath.getFileSystem(sess.sparkContext._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
 def stream_dedup_exact(
     stream: DataFrame,
     text_col: str = "text",
@@ -88,12 +100,10 @@ def stream_ingest_dedup(
             .drop("_rn")
         )
         seen = corpus_fp
-        try:
+        if _output_exists(sess, out_dir):
             seen = seen.unionByName(
                 sess.read.parquet(out_dir).select("fp")
             )
-        except Exception:
-            pass  # first batch: nothing appended yet
         first.join(seen, "fp", "left_anti").write.mode("append").parquet(
             out_dir
         )
@@ -130,9 +140,13 @@ def stream_ingest_neardup(
        rows with a candidate partner at ``jaccard_est ≥ threshold``
        are near-dups of already-kept documents and drop;
     2. within the remaining batch rows, in-batch LSH pairs →
-       connected components → keep the min-id representative per
-       cluster (the same keeper policy as the batch curation pipeline,
-       transitive within the batch).
+       connected components → keep the MIN-ID representative per
+       cluster (the connected-components min-label policy, transitive
+       within the batch; note the batch curation pipeline ranks its
+       cluster representatives by quality score instead — an
+       incremental stream cannot re-rank against documents it has
+       already durably kept, so the simpler first/lowest-id policy is
+       the honest streaming semantics).
 
     State is the durable output table itself (zero StateStore
     footprint), exactly like the exact-ingest twin: steady-state cost
@@ -167,12 +181,10 @@ def stream_ingest_neardup(
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
         seen = base
-        try:
+        if _output_exists(sess, out_dir):
             seen = seen.unionByName(
                 sess.read.parquet(out_dir).select(id_col, text_col)
             )
-        except Exception:
-            pass  # first batch: nothing appended yet
         batch = batch_df.localCheckpoint()  # freeze: consumed 3×
 
         cross = minhash_lsh_pairs_between(

@@ -150,7 +150,13 @@ def zscore_stream(
     """Streaming twin of the batch ``events_zscore_outliers`` query:
     flag events whose value deviates > 2 sample standard deviations
     from the same user's preceding ``window`` events, once at least
-    ``min_history`` (default ``window // 2``) prior events exist.
+    ``min_history`` (default ``max(2, window // 2)``) prior events
+    exist.
+
+    State-schema note: the tail is stored as ``array<long>`` (scaled
+    integers) as of round 3; checkpoints written by the earlier
+    ``array<double>`` version are schema-incompatible — restart such a
+    query from a fresh checkpoint directory.
 
     ``applyInPandasWithState`` keeps a BOUNDED per-user tail (the last
     ``window`` values) as state — O(window) per key regardless of

@@ -142,3 +142,34 @@ def test_decode_real_media_rejects_malformed_png(spark):
     )
     with pytest.raises(Exception):
         decode_real_media(df).collect()
+
+
+def test_decode_real_media_jpeg_fill_bytes(spark):
+    """Spec-valid JPEGs may pad any number of 0xFF fill bytes before a
+    marker code; the SOF scan must skip them, not desync."""
+    import struct
+
+    from rick_and_morty_data_pipeline_project_spark.operators.multimodal import (
+        decode_real_media,
+    )
+
+    w, h = 17, 9
+    sof0 = (
+        bytes([8]) + struct.pack(">HH", h, w) + bytes([3])
+        + bytes([1, 0x11, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1])
+    )
+    content = (
+        b"\xff\xd8"
+        + b"\xff\xff\xff"  # fill bytes before the APP0 marker
+        + b"\xff\xe0" + struct.pack(">H", 4) + b"\x01\x02"
+        + b"\xff\xff"      # fill bytes before SOF0
+        + b"\xff\xc0" + struct.pack(">H", len(sof0) + 2) + sof0
+        + b"\xff\xd9"
+    )
+    df = spark.createDataFrame(
+        [(1, "image", "jpeg", w, h, None, bytearray(content))],
+        "media_id long, kind string, format string, width int, height int, "
+        "duration_ms int, content binary",
+    )
+    (row,) = decode_real_media(df).collect()
+    assert (row["width"], row["height"]) == (w, h)

@@ -30,7 +30,13 @@ def norm_hash(df) -> str:
         if str(df[c].dtype).startswith("datetime64"):
             df[c] = df[c].astype("datetime64[us]")
     df = df.sort_values(list(df.columns)).reset_index(drop=True)
-    return hashlib.md5(df.to_string().encode()).hexdigest()
+    # to_csv with a 17-significant-digit float format: full double
+    # round-trip precision.  (to_string truncates floats at display
+    # precision — ~6 digits — which would hash bit-different doubles
+    # identically and false-pass the gate.)
+    return hashlib.md5(
+        df.to_csv(index=False, float_format="%.17g").encode()
+    ).hexdigest()
 
 
 def main() -> int:
