@@ -435,6 +435,97 @@ def connected_components(
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
 
 
+def incremental_dedup_bloom(
+    batch: DataFrame,
+    existing: DataFrame,
+    fp_col: str = "fp",
+    m_log2: int = 16,
+    k: int = 4,
+) -> DataFrame:
+    """Incremental dedup behind a REAL k-hash Bloom filter, built and
+    probed entirely with SQL-expressible ops (md5 → hex→int via
+    ``conv`` → bit positions; ``bit_or`` word aggregation; literal
+    bitmap probe): batch rows for which ANY of the ``k`` bit positions
+    is unset are definitely new and bypass the anti-join; only rows
+    whose positions are all set (true dups + false positives at rate
+    ≈ (kn/m)^k) pay the exact fingerprint join.  Generalizes
+    :func:`incremental_dedup_prefiltered` (that prefix filter is the
+    k=1, m=256 degenerate case) with the same contract: the result is
+    provably IDENTICAL to ``batch ANTI JOIN existing ON fp`` — false
+    hits resolve in the exact join, unset-bit misses are impossible
+    for true members.
+
+    The bitmap is ``2^m_log2`` bits collected as ``2^(m_log2-6)``
+    longs — 1024 longs at the default, size independent of corpus
+    scale (the IVF-centroid bounded-literal pattern).  At 100 TB pick
+    m ~ bits-per-key × |corpus| and either broadcast the bitmap as a
+    one-row relation instead of a literal, or hand the job to the
+    engine's runtime row-level filtering; the logic is unchanged.
+    """
+    n_words = 1 << (m_log2 - 6)
+    mask = (1 << m_log2) - 1
+
+    def positions(col: Column) -> list[Column]:
+        return [
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(col, F.lit(f"#bloom{i}"))), 1, 8
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .bitwiseAND(mask)
+            for i in range(k)
+        ]
+
+    # pyspark's shiftleft/shiftright DSL functions only take a Python
+    # int shift amount — dynamic (column) shifts go through F.expr
+    setbit = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))")
+    words = (
+        existing.select(
+            F.explode(F.array(*positions(F.col(fp_col)))).alias("p")
+        )
+        .groupBy(F.shiftright("p", 6).alias("w"))
+        .agg(F.bit_or(setbit).alias("b"))
+        .collect()
+    )
+    bitmap = [0] * n_words
+    for r in words:
+        bitmap[int(r["w"])] = int(r["b"])
+    bitmap_lit = F.array(*[F.lit(w) for w in bitmap])
+
+    pos_names = [f"_bloom_p{i}" for i in range(k)]
+    staged = batch.select(
+        "*",
+        *[
+            p.alias(n)
+            for p, n in zip(positions(F.col(fp_col)), pos_names)
+        ],
+    )
+    probe_bits = [
+        (
+            F.element_at(
+                bitmap_lit, (F.shiftright(F.col(n), 6) + 1).cast("int")
+            ).bitwiseAND(
+                F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT), CAST({n} % 64 AS INT))"
+                )
+            )
+            != 0
+        )
+        for n in pos_names
+    ]
+    maybe = probe_bits[0]
+    for b in probe_bits[1:]:
+        maybe = maybe & b
+    definite_new = staged.filter(~maybe).drop(*pos_names)
+    survivors = staged.filter(maybe).drop(*pos_names).join(
+        existing.select(fp_col), fp_col, "left_anti"
+    )
+    return survivors.unionByName(definite_new.select(*survivors.columns))
+
+
 def incremental_dedup_prefiltered(
     batch: DataFrame,
     existing: DataFrame,

@@ -1079,6 +1079,28 @@ def dedup_incremental_prefilter(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+def dedup_incremental_bloom(spark, sf_dir):
+    """`dedup_incremental_batch` through a REAL k-hash Bloom filter
+    (operators/dedup.incremental_dedup_bloom — 2^16-bit bitmap, 4
+    md5-derived positions, SQL-only build and probe): batch rows with
+    any unset bit bypass the anti-join.  Same result as the plain
+    anti-join by construction — the oracle is byte-identical to
+    DEDUP_INCREMENTAL_SQL."""
+    from rick_and_morty_data_pipeline_project_spark.operators.dedup import (
+        incremental_dedup_bloom,
+    )
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", fingerprint_col(F.col("text")).alias("fp")
+    )
+    existing = d.filter(F.col("doc_id") % 10 != 0)
+    batch = d.filter(F.col("doc_id") % 10 == 0)
+    return incremental_dedup_bloom(batch, existing, "fp").select(
+        "doc_id", "source", "fp"
+    )
+
+
+# --------------------------------------------------------------------------
 def dedup_incremental_lsh(spark, sf_dir):
     """Incremental NEAR-dedup: banded-MinHash candidates between the
     arriving batch (doc_id % 10 = 0) and the existing corpus only —
@@ -1733,6 +1755,9 @@ QUERIES: dict[str, Q] = {
     ),
     "dedup_incremental_prefilter": Q(
         dedup_incremental_prefilter, DEDUP_INCREMENTAL_SQL
+    ),
+    "dedup_incremental_bloom": Q(
+        dedup_incremental_bloom, DEDUP_INCREMENTAL_SQL
     ),
     "sample_stratified_topk": Q(
         sample_stratified_topk, SAMPLE_STRATIFIED_SQL

@@ -346,3 +346,45 @@ def test_incremental_prefilter_equals_plain_anti_join(spark):
         ).collect()
     )
     assert got_sat == plain
+
+
+def test_incremental_bloom_equals_plain_anti_join(spark):
+    """The k-hash Bloom pre-filter is a pure plan rewrite: identical
+    survivors to the plain anti-join — unset-bit bypass rows, all-bits
+    false positives resolved by the exact join, and true dups dropped.
+    Also checked at a deliberately tiny bitmap (m=2^8) where false
+    positives are common, and saturated (every word set) where the
+    filter degrades gracefully to the plain join."""
+    from pyspark.sql import functions as F
+
+    from rick_and_morty_data_pipeline_project_spark.functions.textfns import (
+        fingerprint_col,
+    )
+    from rick_and_morty_data_pipeline_project_spark.operators.dedup import (
+        incremental_dedup_bloom,
+    )
+
+    texts = [(i, f"doc number {i} body") for i in range(40)]
+    batch_rows = [(100 + i, f"doc number {i} body") for i in range(0, 20, 2)]
+    batch_rows += [(200 + i, f"fresh text {i}") for i in range(10)]
+    existing = spark.createDataFrame(texts, ["doc_id", "text"]).select(
+        "doc_id", fingerprint_col(F.col("text")).alias("fp")
+    )
+    batch = spark.createDataFrame(
+        batch_rows, ["doc_id", "text"]
+    ).select("doc_id", fingerprint_col(F.col("text")).alias("fp"))
+
+    plain = set(
+        r["doc_id"]
+        for r in batch.join(
+            existing.select("fp"), "fp", "left_anti"
+        ).collect()
+    )
+    for m_log2, k in ((16, 4), (8, 2), (6, 1)):
+        got = set(
+            r["doc_id"]
+            for r in incremental_dedup_bloom(
+                batch, existing, "fp", m_log2=m_log2, k=k
+            ).collect()
+        )
+        assert got == plain, (m_log2, k, got ^ plain)

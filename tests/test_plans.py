@@ -253,3 +253,42 @@ def test_funnel_filters_push_to_scan(spark):
     df = QUERIES["events_funnel_steps"].fn(spark, SF_SMALL)
     pushed = ";".join(pushed_filters(df))
     assert "event_type" in pushed, pushed
+
+
+def test_simhash64_pairs_banded_join_never_cartesian(spark):
+    """The 64-bit simhash pairing must stay a band-keyed equi-join
+    (cost ∝ bucket collisions): a cartesian/nested-loop product over
+    the corpus would be the n² plan banding exists to avoid, and the
+    corpus-sized banded relation must not broadcast."""
+    df = QUERIES["dedup_simhash64_pairs"].fn(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "ShuffledHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_incremental_bloom_prefilter_is_literal_probe(spark):
+    """The Bloom probe must be a scan-side literal filter (bitmap baked
+    into the predicate), not a join against a bitmap relation: the
+    definitely-new bypass path has to cost zero shuffles."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from rick_and_morty_data_pipeline_project_spark.functions.textfns import (
+        fingerprint_col,
+    )
+    from rick_and_morty_data_pipeline_project_spark.operators.dedup import (
+        incremental_dedup_bloom,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", fingerprint_col(F.col("text")).alias("fp")
+    )
+    existing = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    out = incremental_dedup_bloom(batch, existing, "fp")
+    plan = formatted_plan(out)
+    # exactly the one exact-resolution anti-join; no second join for
+    # the bitmap, no nested loop
+    assert plan.count("Join") >= 1
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
