@@ -1101,6 +1101,88 @@ def dedup_incremental_bloom(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+_SPAN_LEN = 8  # tokens per span — the exact-substring dedup unit
+
+
+def dedup_span_profile(spark, sf_dir):
+    """Exact duplicated-SPAN profiling — the substring-level dedup
+    signal (the "dedup training data at the span level, not the
+    document level" family): for every document with ≥ 8 tokens, the
+    fraction of its distinct 8-token spans that appear verbatim in at
+    least one OTHER document (or twice in itself — any span whose
+    corpus frequency exceeds its own).  Document-level dedup misses
+    boilerplate/quotation overlap between otherwise-distinct documents;
+    this surfaces it per document so a curation pipeline can drop or
+    trim high-overlap docs.
+
+    Scale: distinct spans per doc (narrow transform + explode), one
+    map-combinable count per span (shuffle on the span key — high
+    cardinality, no skew), one join back + per-doc agg (shuffle on
+    doc_id).  Both shuffles carry (hashable-string, small-int) rows;
+    nothing is ever pairwise — cost is corpus token mass, not doc².
+    At 100 TB hash the span to 16 bytes before the shuffle (md5 here
+    would also keep the oracle exact) and the cost story is unchanged.
+    """
+    d = t(spark, sf_dir, "documents")
+    tk = F.split(F.col("text"), " ")
+    staged = fan_out(d).select("doc_id", tk.alias("_tk")).filter(
+        F.size("_tk") >= _SPAN_LEN
+    )
+    spans = staged.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_tk") - _SPAN_LEN),
+                    lambda i: F.concat_ws(
+                        " ", F.slice("_tk", i + 1, _SPAN_LEN)
+                    ),
+                )
+            )
+        ).alias("span"),
+    )
+    counts = spans.groupBy("span").agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        spans.join(counts, "span")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum((F.col("_n") > 1).cast("int"))
+            .cast("bigint")
+            .alias("n_dup_spans"),
+            F.round(
+                F.sum((F.col("_n") > 1).cast("int"))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("dup_fraction"),
+        )
+    )
+
+
+SPAN_PROFILE_SQL = f"""
+WITH tk AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+spans AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(toks[g.i : g.i + {_SPAN_LEN - 1}], ' ') AS span
+  FROM tk, LATERAL (
+    SELECT unnest(generate_series(1, len(toks) - {_SPAN_LEN - 1})) AS i
+  ) g
+  WHERE len(toks) >= {_SPAN_LEN}
+),
+counts AS (SELECT span, count(*) AS n FROM spans GROUP BY 1)
+SELECT s.doc_id,
+       count(*) AS n_spans,
+       CAST(sum(CASE WHEN c.n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+       round(sum(CASE WHEN c.n > 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+         AS dup_fraction
+FROM spans s JOIN counts c ON s.span = c.span
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
 def dedup_incremental_lsh(spark, sf_dir):
     """Incremental NEAR-dedup: banded-MinHash candidates between the
     arriving batch (doc_id % 10 = 0) and the existing corpus only —
@@ -1759,6 +1841,7 @@ QUERIES: dict[str, Q] = {
     "dedup_incremental_bloom": Q(
         dedup_incremental_bloom, DEDUP_INCREMENTAL_SQL
     ),
+    "dedup_span_profile": Q(dedup_span_profile, SPAN_PROFILE_SQL),
     "sample_stratified_topk": Q(
         sample_stratified_topk, SAMPLE_STRATIFIED_SQL
     ),

@@ -388,3 +388,31 @@ def test_incremental_bloom_equals_plain_anti_join(spark):
             ).collect()
         )
         assert got == plain, (m_log2, k, got ^ plain)
+
+
+def test_span_profile_flags_shared_boilerplate(spark, tmp_path):
+    """Two documents sharing an 8-token boilerplate prefix (but distinct
+    tails) each get exactly the one shared pure-boilerplate span flagged;
+    a fully unique doc profiles 0.0."""
+    from rick_and_morty_data_pipeline_project_spark.queries.catalog import QUERIES
+
+    boiler = "terms of service apply to all content here"  # 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"{boiler} alpha beta gamma delta", "en", "s", 1),
+            (2, f"{boiler} epsilon zeta eta theta", "en", "s", 1),
+            (3, "totally unique words one two three four five six", "en", "s", 1),
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    sf_dir = str(tmp_path)
+    docs.coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+    out = {
+        r["doc_id"]: r
+        for r in QUERIES["dedup_span_profile"].fn(spark, sf_dir).collect()
+    }
+    # 12 tokens → 5 spans each; only the pure-boilerplate span is shared
+    assert out[1]["n_spans"] == out[2]["n_spans"] == 5
+    assert out[1]["n_dup_spans"] == out[2]["n_dup_spans"] == 1
+    assert out[1]["dup_fraction"] == out[2]["dup_fraction"] == 0.2
+    assert out[3]["n_dup_spans"] == 0 and out[3]["dup_fraction"] == 0.0
