@@ -1368,6 +1368,62 @@ WHERE n_prev >= 10 AND var > 0 AND abs(z) > 2
 
 
 # --------------------------------------------------------------------------
+def view_click_attribution(spark, sf_dir):
+    """Windowed view→click attribution: every (view, click) pair by the
+    same user with the click 0–10 minutes after the view — the ALL-pairs
+    complement of ``join_asof_click_error``'s nearest-match semantics,
+    and the batch twin of the watermarked stream-stream join
+    (``streaming/joins.view_click_attribution_stream``; equivalence
+    tested in tests/test_streaming.py).
+
+    Scale: equi-key (user_id) join with a range residual — one shuffle
+    per side on the high-cardinality user key; per-key work is bounded
+    by views×clicks within a user's window, never a cross product.
+    """
+    e = t(spark, sf_dir, "events")
+    views = e.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    joined = views.join(
+        clicks,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (F.col("click_ts") <= F.col("view_ts") + F.expr("INTERVAL 10 MINUTES")),
+    )
+    latency = (
+        F.unix_micros("click_ts") - F.unix_micros("view_ts")
+    ).cast("double") / F.lit(1_000_000.0)
+    return joined.select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "click_id",
+        F.round(latency, 6).alias("latency_s"),
+    )
+
+
+VIEW_CLICK_SQL = """
+SELECT v.user_id,
+       v.event_id AS view_id,
+       c.event_id AS click_id,
+       round(CAST(epoch_us(c.ts) - epoch_us(v.ts) AS DOUBLE) / 1000000, 6)
+         AS latency_s
+FROM events v
+JOIN events c
+  ON v.user_id = c.user_id
+ AND c.ts >= v.ts
+ AND c.ts <= v.ts + INTERVAL 10 MINUTE
+WHERE v.event_type = 'view' AND c.event_type = 'click'
+"""
+
+
+# --------------------------------------------------------------------------
 def _rfm_segments(spark, sf_dir, pctl):
     o = t(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
@@ -1831,6 +1887,7 @@ QUERIES: dict[str, Q] = {
     "array_functions": Q(array_functions, ARRAY_FN_SQL),
     "agg_macro_avg_rounded": Q(agg_macro_avg_rounded, AGG_MACRO_SQL),
     "events_zscore_outliers": Q(events_zscore_outliers, ZSCORE_SQL),
+    "view_click_attribution": Q(view_click_attribution, VIEW_CLICK_SQL),
     "customer_rfm_segments": Q(customer_rfm_segments, RFM_SQL),
     "customer_rfm_segments_approx": Q(customer_rfm_segments_approx, None),
     "events_funnel_steps": Q(events_funnel_steps, FUNNEL_STEPS_SQL),

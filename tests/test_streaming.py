@@ -470,3 +470,27 @@ def test_stream_ingest_neardup_lsh(spark, tmp_path):
         r["doc_id"] for r in spark.read.parquet(out_dir).collect()
     )
     assert kept == [11, 14, 21], kept
+
+
+def test_stream_stream_join_matches_batch(spark):
+    """The watermarked stream-stream view→click attribution join,
+    drained in one availableNow pass, produces exactly the batch
+    range-join's pairs."""
+    from rick_and_morty_data_pipeline_project_spark.streaming.joins import (
+        view_click_attribution_stream,
+    )
+    from rick_and_morty_data_pipeline_project_spark.streaming.windowed import (
+        events_stream,
+    )
+
+    out = view_click_attribution_stream(events_stream(spark, SF_SMALL))
+    run_available_now(out, "vc_attr", output_mode="append")
+    got = {
+        (r["view_id"], r["click_id"]): r["latency_s"]
+        for r in spark.sql("SELECT * FROM vc_attr").collect()
+    }
+    want = {
+        (r["view_id"], r["click_id"]): r["latency_s"]
+        for r in QUERIES["view_click_attribution"].fn(spark, SF_SMALL).collect()
+    }
+    assert got == want and len(got) > 0
