@@ -1368,6 +1368,45 @@ WHERE n_prev >= 10 AND var > 0 AND abs(z) > 2
 
 
 # --------------------------------------------------------------------------
+def scalar_bit_interleave(spark, sf_dir):
+    """Morton (Z-order) key computation — the scalar heart of the
+    multi-column clustering layout (operators/zorder.py; pruning
+    demonstrated in tests/test_sinks_catalog.py): interleave the low 16
+    bits of (c_custkey, c_nationkey) with plain shift/mask/multiply —
+    codegen-friendly, engine-portable, exactly reproduced by the DuckDB
+    oracle.  Narrow (no shuffle); at 100 TB this is the map expression
+    feeding a range-repartitioned clustered write."""
+    from rick_and_morty_data_pipeline_project_spark.operators.zorder import (
+        morton_col,
+    )
+
+    c = t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        morton_col(F.col("c_custkey"), F.col("c_nationkey"), 16).alias(
+            "zorder_key"
+        ),
+    )
+
+
+def _morton_terms_sql(a: str, b: str, bits: int = 16) -> str:
+    from rick_and_morty_data_pipeline_project_spark.operators.zorder import (
+        morton_sql,
+    )
+
+    return morton_sql(a, b, bits)
+
+
+BIT_INTERLEAVE_SQL = f"""
+SELECT c_custkey, c_nationkey,
+       CAST({_morton_terms_sql("c_custkey", "c_nationkey", 16)} AS BIGINT)
+         AS zorder_key
+FROM customer
+"""
+
+
+# --------------------------------------------------------------------------
 def view_click_attribution(spark, sf_dir):
     """Windowed view→click attribution: every (view, click) pair by the
     same user with the click 0–10 minutes after the view — the ALL-pairs
@@ -1888,6 +1927,7 @@ QUERIES: dict[str, Q] = {
     "agg_macro_avg_rounded": Q(agg_macro_avg_rounded, AGG_MACRO_SQL),
     "events_zscore_outliers": Q(events_zscore_outliers, ZSCORE_SQL),
     "view_click_attribution": Q(view_click_attribution, VIEW_CLICK_SQL),
+    "scalar_bit_interleave": Q(scalar_bit_interleave, BIT_INTERLEAVE_SQL),
     "customer_rfm_segments": Q(customer_rfm_segments, RFM_SQL),
     "customer_rfm_segments_approx": Q(customer_rfm_segments_approx, None),
     "events_funnel_steps": Q(events_funnel_steps, FUNNEL_STEPS_SQL),

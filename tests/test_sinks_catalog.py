@@ -362,3 +362,72 @@ def test_compaction_plan_and_execute(spark, tmp_path):
         assert len(files) == 1, d
         n_dst_files += len(files)
     assert n_dst_files < n_src_files
+
+
+def test_zorder_write_prunes_both_dimensions(spark, tmp_path):
+    """Z-order clustering: after a morton-clustered write, a box
+    predicate over BOTH key columns intersects (by file-level min/max
+    stats) a small fraction of files; a single-column-sorted layout
+    prunes only its own column."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from rick_and_morty_data_pipeline_project_spark.operators.zorder import (
+        zorder_write,
+    )
+
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet").select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_totalprice") / 1000).cast("int").alias("price_k"),
+    )
+    lo_c, hi_c = 100, 200        # custkey box
+    lo_p, hi_p = 50, 100         # price_k box
+
+    def files_hit(path: str) -> tuple[int, int]:
+        hit, total = 0, 0
+        for f in glob.glob(f"{path}/part-*.parquet"):
+            md = pq.read_metadata(f)
+            mins: dict = {}
+            maxs: dict = {}
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    col = md.row_group(rg).column(ci)
+                    name = col.path_in_schema
+                    st = col.statistics
+                    if st is None:
+                        continue
+                    mins[name] = min(mins.get(name, st.min), st.min)
+                    maxs[name] = max(maxs.get(name, st.max), st.max)
+            total += 1
+            if (
+                mins["o_custkey"] <= hi_c
+                and maxs["o_custkey"] >= lo_c
+                and mins["price_k"] <= hi_p
+                and maxs["price_k"] >= lo_p
+            ):
+                hit += 1
+        return hit, total
+
+    zpath = str(tmp_path / "zorders")
+    zorder_write(orders, zpath, "o_custkey", "price_k", n_files=16)
+    # baseline: hash-partitioned (unclustered) layout, same file count
+    upath = str(tmp_path / "unordered")
+    orders.repartition(16).write.parquet(upath)
+
+    z_hit, z_total = files_hit(zpath)
+    u_hit, u_total = files_hit(upath)
+    assert z_total == u_total == 16
+    # every unclustered file spans the whole key space → all hit;
+    # the z-ordered layout must prune a solid majority
+    assert u_hit == 16, u_hit
+    assert z_hit <= 6, (z_hit, z_total)
+
+    # correctness: clustering is a pure relayout
+    back = spark.read.parquet(zpath)
+    assert back.count() == orders.count()
+    assert (
+        back.agg(F.sum("o_orderkey")).first()[0]
+        == orders.agg(F.sum("o_orderkey")).first()[0]
+    )
