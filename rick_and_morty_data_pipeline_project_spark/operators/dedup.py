@@ -528,6 +528,11 @@ def incremental_dedup_bloom(
     maybe = probe_bits[0]
     for b in probe_bits[1:]:
         maybe = maybe & b
+    # NULL fingerprint ⇒ NULL positions ⇒ NULL probe: treat as
+    # definitely-new, because a NULL key never matches in the anti-join
+    # either — otherwise both filters drop the row and the "identical
+    # to the plain anti-join" contract breaks
+    maybe = F.coalesce(maybe, F.lit(False))
     definite_new = staged.filter(~maybe).drop(*pos_names)
     survivors = staged.filter(maybe).drop(*pos_names).join(
         existing.select(fp_col), fp_col, "left_anti"

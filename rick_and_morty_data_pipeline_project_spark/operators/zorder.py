@@ -58,7 +58,25 @@ def zorder_write(
     """Write ``df`` clustered on the Morton curve of (col_a, col_b):
     range-repartition into ``n_files`` morton ranges, sort within each,
     drop the helper column.  Files then carry tight min/max rectangles
-    over BOTH key columns for any stats-aware reader."""
+    over BOTH key columns for any stats-aware reader.
+
+    Keys must fit in ``bits`` bits — values beyond 2^bits would alias
+    onto low-key rows and silently destroy the clustering (every file's
+    min/max would span the whole domain), so the range is CHECKED with
+    one column-pruned pre-aggregation (cheap next to the range exchange
+    + sort the clustered write itself pays) and violations raise."""
+    lo_a, hi_a, lo_b, hi_b = df.agg(
+        F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)
+    ).first()
+    limit = 1 << bits
+    if lo_a is None:
+        pass  # empty input: nothing to check, write proceeds
+    elif lo_a < 0 or lo_b < 0 or hi_a >= limit or hi_b >= limit:
+        raise ValueError(
+            f"zorder_write: key range [({lo_a},{lo_b}) .. ({hi_a},{hi_b})]"
+            f" outside [0, 2^{bits}); raise `bits` (max 31 for two keys"
+            f" in a signed long) or pre-scale the keys"
+        )
     z = df.withColumn("_z", morton_col(F.col(col_a), F.col(col_b), bits))
     (
         z.repartitionByRange(n_files, "_z")

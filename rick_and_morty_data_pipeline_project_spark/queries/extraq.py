@@ -1418,33 +1418,17 @@ def view_click_attribution(spark, sf_dir):
     Scale: equi-key (user_id) join with a range residual — one shuffle
     per side on the high-cardinality user key; per-key work is bounded
     by views×clicks within a user's window, never a cross product.
+
+    ONE definition serves both modes: this delegates to the streaming
+    builder (``withWatermark`` is a no-op on a batch DataFrame), so the
+    join condition / latency arithmetic can never drift between the
+    batch twin and the stream.
     """
-    e = t(spark, sf_dir, "events")
-    views = e.filter(F.col("event_type") == "view").select(
-        F.col("user_id").alias("v_user"),
-        F.col("event_id").alias("view_id"),
-        F.col("ts").alias("view_ts"),
+    from rick_and_morty_data_pipeline_project_spark.streaming.joins import (
+        view_click_attribution_stream,
     )
-    clicks = e.filter(F.col("event_type") == "click").select(
-        F.col("user_id").alias("c_user"),
-        F.col("event_id").alias("click_id"),
-        F.col("ts").alias("click_ts"),
-    )
-    joined = views.join(
-        clicks,
-        (F.col("v_user") == F.col("c_user"))
-        & (F.col("click_ts") >= F.col("view_ts"))
-        & (F.col("click_ts") <= F.col("view_ts") + F.expr("INTERVAL 10 MINUTES")),
-    )
-    latency = (
-        F.unix_micros("click_ts") - F.unix_micros("view_ts")
-    ).cast("double") / F.lit(1_000_000.0)
-    return joined.select(
-        F.col("v_user").alias("user_id"),
-        "view_id",
-        "click_id",
-        F.round(latency, 6).alias("latency_s"),
-    )
+
+    return view_click_attribution_stream(t(spark, sf_dir, "events"))
 
 
 VIEW_CLICK_SQL = """

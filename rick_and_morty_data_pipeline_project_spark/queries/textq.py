@@ -1109,8 +1109,9 @@ def dedup_span_profile(spark, sf_dir):
     signal (the "dedup training data at the span level, not the
     document level" family): for every document with ≥ 8 tokens, the
     fraction of its distinct 8-token spans that appear verbatim in at
-    least one OTHER document (or twice in itself — any span whose
-    corpus frequency exceeds its own).  Document-level dedup misses
+    least one OTHER document.  (Within-doc repeats are collapsed by
+    the DISTINCT by design — intra-document repetition is
+    ``text_repetition_signals``'s job.)  Document-level dedup misses
     boilerplate/quotation overlap between otherwise-distinct documents;
     this surfaces it per document so a curation pipeline can drop or
     trim high-overlap docs.

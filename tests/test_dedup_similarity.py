@@ -367,6 +367,7 @@ def test_incremental_bloom_equals_plain_anti_join(spark):
     texts = [(i, f"doc number {i} body") for i in range(40)]
     batch_rows = [(100 + i, f"doc number {i} body") for i in range(0, 20, 2)]
     batch_rows += [(200 + i, f"fresh text {i}") for i in range(10)]
+    batch_rows.append((999, None))  # NULL fp: anti-join KEEPS it
     existing = spark.createDataFrame(texts, ["doc_id", "text"]).select(
         "doc_id", fingerprint_col(F.col("text")).alias("fp")
     )
@@ -380,6 +381,7 @@ def test_incremental_bloom_equals_plain_anti_join(spark):
             existing.select("fp"), "fp", "left_anti"
         ).collect()
     )
+    assert 999 in plain  # the semantics the Bloom path must preserve
     for m_log2, k in ((16, 4), (8, 2), (6, 1)):
         got = set(
             r["doc_id"]

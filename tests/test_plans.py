@@ -287,8 +287,20 @@ def test_incremental_bloom_prefilter_is_literal_probe(spark):
     batch = docs.filter(F.col("doc_id") % 10 == 0)
     out = incremental_dedup_bloom(batch, existing, "fp")
     plan = formatted_plan(out)
-    # exactly the one exact-resolution anti-join; no second join for
-    # the bitmap, no nested loop
-    assert plan.count("Join") >= 1
-    assert "BroadcastNestedLoopJoin" not in plan, plan
-    assert "CartesianProduct" not in plan, plan
+    # EXACTLY one join node — the exact-resolution anti-join; a second
+    # join would mean the bitmap became a relation instead of a literal.
+    # (formatted plans print each node twice — tree + details — so
+    # count distinct node ids, not raw occurrences)
+    join_nodes = {
+        m.group(1): m.group(2)
+        for m in re.finditer(
+            r"\((\d+)\)\s+(SortMergeJoin|BroadcastHashJoin"
+            r"|ShuffledHashJoin|BroadcastNestedLoopJoin|CartesianProduct)",
+            plan,
+        )
+    }
+    assert len(join_nodes) == 1, join_nodes
+    assert set(join_nodes.values()) & {
+        "BroadcastNestedLoopJoin",
+        "CartesianProduct",
+    } == set(), join_nodes

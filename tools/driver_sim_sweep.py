@@ -34,8 +34,13 @@ def norm_hash(df) -> str:
     # round-trip precision.  (to_string truncates floats at display
     # precision — ~6 digits — which would hash bit-different doubles
     # identically and false-pass the gate.)
+    # na_rep sentinel: bare to_csv renders NULL and '' identically,
+    # which would false-pass a query where one engine returns NULL and
+    # the other an empty string
     return hashlib.md5(
-        df.to_csv(index=False, float_format="%.17g").encode()
+        df.to_csv(
+            index=False, float_format="%.17g", na_rep="<NULL>"
+        ).encode()
     ).hexdigest()
 
 
