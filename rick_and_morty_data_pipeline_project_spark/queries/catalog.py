@@ -20,7 +20,11 @@ rotated-in queries ARE §2.10 operators).  Five never-checked queries
 with green in-window siblings are deferred to the round-4 rotation:
 ``pipeline_filter_funnel``, ``text_pack_buckets``,
 ``text_quality_normalized``, ``events_sliding_rollup``,
-``events_gap_fill``.  Every query outside the window stays exported
+``events_gap_fill`` — joined by the queries added after this round's
+window froze: ``dedup_incremental_bloom``, ``dedup_span_profile``,
+``view_click_attribution``, ``scalar_bit_interleave``
+(``tools/rotation_report.py`` prints the live rotation state).
+Every query outside the window stays exported
 (positions 51+) and is still cell-exact verified locally by
 tests/test_oracle_parity.py, which parametrizes the WHOLE catalog.
 """
