@@ -1101,6 +1101,36 @@ def dedup_incremental_bloom(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+def text_shard_index(spark, sf_dir):
+    """Byte-offset index for the packed-shard trainer export
+    (operators/shards.py): (doc_id, shard, offset, n_bytes) where the
+    offset is the running UTF-8 byte length over (shard, doc_id) order —
+    exactly where each document's bytes start inside its shard blob.
+    Pure window arithmetic (no Python); one shuffle on the shard key.
+    The blob side is byte-round-trip tested in
+    tests/test_sinks_catalog.py::test_packed_shards_round_trip."""
+    from rick_and_morty_data_pipeline_project_spark.operators.shards import (
+        shard_index,
+    )
+
+    d = t(spark, sf_dir, "documents").withColumn(
+        "shard", (F.col("doc_id") % 8).cast("int")
+    )
+    return shard_index(d)
+
+
+SHARD_INDEX_SQL = """
+SELECT doc_id,
+       CAST(doc_id % 8 AS INT) AS shard,
+       COALESCE(SUM(strlen(text)) OVER (
+         PARTITION BY doc_id % 8 ORDER BY doc_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS offset,
+       CAST(strlen(text) AS BIGINT) AS n_bytes
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
 _SPAN_LEN = 8  # tokens per span — the exact-substring dedup unit
 
 
@@ -1843,6 +1873,7 @@ QUERIES: dict[str, Q] = {
         dedup_incremental_bloom, DEDUP_INCREMENTAL_SQL
     ),
     "dedup_span_profile": Q(dedup_span_profile, SPAN_PROFILE_SQL),
+    "text_shard_index": Q(text_shard_index, SHARD_INDEX_SQL),
     "sample_stratified_topk": Q(
         sample_stratified_topk, SAMPLE_STRATIFIED_SQL
     ),

@@ -431,3 +431,42 @@ def test_zorder_write_prunes_both_dimensions(spark, tmp_path):
         back.agg(F.sum("o_orderkey")).first()[0]
         == orders.agg(F.sum("o_orderkey")).first()[0]
     )
+
+
+def test_packed_shards_round_trip(spark, tmp_path):
+    """Packed-shard export: every document's bytes must be recoverable
+    from (blob, offset, n_bytes) — including multi-byte UTF-8 — and the
+    index offsets must tile each blob exactly."""
+    from rick_and_morty_data_pipeline_project_spark.operators.shards import (
+        write_packed_shards,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id",
+        # exercise multi-byte UTF-8 in the offset arithmetic
+        F.concat(F.col("text"), F.lit(" é→")).alias("text"),
+        (F.col("doc_id") % 4).cast("int").alias("shard"),
+    )
+    out = str(tmp_path / "packed")
+    write_packed_shards(docs, out)
+
+    blobs = {
+        r["shard"]: r for r in spark.read.parquet(f"{out}/blobs").collect()
+    }
+    index = spark.read.parquet(f"{out}/index").collect()
+    originals = {r["doc_id"]: r["text"] for r in docs.collect()}
+
+    assert set(blobs) == {0, 1, 2, 3}
+    seen = 0
+    per_shard_bytes: dict = {}
+    for r in index:
+        blob = bytes(blobs[r["shard"]]["blob"])
+        piece = blob[r["offset"] : r["offset"] + r["n_bytes"]]
+        assert piece.decode("utf-8") == originals[r["doc_id"]], r["doc_id"]
+        per_shard_bytes[r["shard"]] = per_shard_bytes.get(r["shard"], 0) + r["n_bytes"]
+        seen += 1
+    assert seen == len(originals)
+    # offsets tile the blob exactly: sum of lengths == blob size
+    for s, r in blobs.items():
+        assert per_shard_bytes[s] == r["n_bytes"] == len(bytes(r["blob"]))
+        assert r["n_docs"] == sum(1 for i in index if i["shard"] == s)
