@@ -37,8 +37,12 @@ def shard_blobs(
         import pandas as pd
 
         pdf = pdf.sort_values("doc_id")
+        # NULL text ⇒ zero bytes, matching shard_index's coalesce —
+        # astype(str) would encode the 4-byte literal 'None' and shift
+        # every later document's offset in the shard
         payload = b"".join(
-            t.encode("utf-8") for t in pdf[text_col].astype(str)
+            t.encode("utf-8")
+            for t in pdf[text_col].fillna("").astype(str)
         )
         return pd.DataFrame(
             {
@@ -65,7 +69,10 @@ def shard_index(
     (shard, doc_id) order the blob builder uses."""
     from pyspark.sql.window import Window
 
-    nb = F.octet_length(F.encode(F.col(text_col), "UTF-8")).cast("long")
+    # coalesce NULL text to '' so blob bytes and index offsets agree
+    nb = F.octet_length(
+        F.encode(F.coalesce(F.col(text_col), F.lit("")), "UTF-8")
+    ).cast("long")
     w = (
         Window.partitionBy(shard_col)
         .orderBy("doc_id")
@@ -87,10 +94,16 @@ def write_packed_shards(
 ) -> None:
     """Materialize blobs under ``{out_dir}/blobs`` (partitioned by
     shard — one blob row per directory) and the offset index under
-    ``{out_dir}/index``."""
-    shard_blobs(df, shard_col, text_col).write.mode(
-        "overwrite"
-    ).partitionBy("shard").parquet(f"{out_dir}/blobs")
-    shard_index(df, shard_col, text_col).write.mode("overwrite").parquet(
-        f"{out_dir}/index"
-    )
+    ``{out_dir}/index``.  The input is persisted across the two writes
+    so an expensive upstream (the curation pipeline's filtered corpus)
+    executes once, not once per write."""
+    df = df.persist()
+    try:
+        shard_blobs(df, shard_col, text_col).write.mode(
+            "overwrite"
+        ).partitionBy("shard").parquet(f"{out_dir}/blobs")
+        shard_index(df, shard_col, text_col).write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/index")
+    finally:
+        df.unpersist()

@@ -22,7 +22,8 @@ with green in-window siblings are deferred to the round-4 rotation:
 ``text_quality_normalized``, ``events_sliding_rollup``,
 ``events_gap_fill`` — joined by the queries added after this round's
 window froze: ``dedup_incremental_bloom``, ``dedup_span_profile``,
-``view_click_attribution``, ``scalar_bit_interleave``
+``view_click_attribution``, ``scalar_bit_interleave``,
+``text_shard_index``
 (``tools/rotation_report.py`` prints the live rotation state).
 Every query outside the window stays exported
 (positions 51+) and is still cell-exact verified locally by

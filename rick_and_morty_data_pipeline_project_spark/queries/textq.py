@@ -1122,9 +1122,10 @@ def text_shard_index(spark, sf_dir):
 SHARD_INDEX_SQL = """
 SELECT doc_id,
        CAST(doc_id % 8 AS INT) AS shard,
-       COALESCE(SUM(strlen(text)) OVER (
+       COALESCE(CAST(SUM(strlen(text)) OVER (
          PARTITION BY doc_id % 8 ORDER BY doc_id
-         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS offset,
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+         0) AS offset,
        CAST(strlen(text) AS BIGINT) AS n_bytes
 FROM documents
 """

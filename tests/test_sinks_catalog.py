@@ -470,3 +470,25 @@ def test_packed_shards_round_trip(spark, tmp_path):
     for s, r in blobs.items():
         assert per_shard_bytes[s] == r["n_bytes"] == len(bytes(r["blob"]))
         assert r["n_docs"] == sum(1 for i in index if i["shard"] == s)
+
+
+def test_packed_shards_null_text_alignment(spark, tmp_path):
+    """A NULL text row contributes ZERO bytes in BOTH the blob and the
+    index, so later documents' offsets stay aligned (a stringified
+    'None' would silently shift every following slice)."""
+    from rick_and_morty_data_pipeline_project_spark.operators.shards import (
+        write_packed_shards,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha", 0), (2, None, 0), (3, "omega", 0)],
+        "doc_id long, text string, shard int",
+    )
+    out = str(tmp_path / "nullpacked")
+    write_packed_shards(docs, out)
+    (blob_row,) = spark.read.parquet(f"{out}/blobs").collect()
+    blob = bytes(blob_row["blob"])
+    assert blob == b"alphaomega"
+    idx = {r["doc_id"]: r for r in spark.read.parquet(f"{out}/index").collect()}
+    assert (idx[2]["offset"], idx[2]["n_bytes"]) == (5, 0)
+    assert blob[idx[3]["offset"] : idx[3]["offset"] + idx[3]["n_bytes"]] == b"omega"

@@ -36,10 +36,19 @@ def norm_hash(df) -> str:
     # identically and false-pass the gate.)
     # na_rep sentinel: bare to_csv renders NULL and '' identically,
     # which would false-pass a query where one engine returns NULL and
-    # the other an empty string
+    # the other an empty string.  The dtype KIND signature is hashed
+    # too: %.17g prints an int-valued float64 exactly like an int64
+    # ("157"), so without it the HUGEINT→float64 oracle skew (the
+    # documented round-2 failure mode) would slip through value
+    # formatting.  KIND, not exact width: int32-vs-int64 (Spark size()/
+    # row_number() are IntegerType, DuckDB len/count BIGINT) is
+    # driver-proven benign — those queries hold triple-green rows.
+    dtype_sig = ";".join(f"{c}:{df[c].dtype.kind}" for c in df.columns)
     return hashlib.md5(
-        df.to_csv(
-            index=False, float_format="%.17g", na_rep="<NULL>"
+        (
+            dtype_sig
+            + "\n"
+            + df.to_csv(index=False, float_format="%.17g", na_rep="<NULL>")
         ).encode()
     ).hexdigest()
 

@@ -22,24 +22,35 @@ def main() -> None:
     )
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    checked: set[str] = set()
+    green_ever: set[str] = set()
+    attempted: set[str] = set()
     for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
-        rows = json.load(open(path))
+        with open(path) as f:
+            rows = json.load(f)
         green = {
             name
             for name, r in rows.items()
             if r.get("rows_match") and r.get("schema_match")
             and r.get("hash_match") and not r.get("err")
         }
-        checked |= green
-        print(f"{os.path.basename(path)}: {len(green)} green rows")
+        attempted |= set(rows)
+        green_ever |= green
+        print(f"{os.path.basename(path)}: {len(green)} green / {len(rows)} rows")
 
     oracled = [n for n, q in QUERIES.items() if q.sql is not None]
-    never = [n for n in oracled if n not in checked]
-    stale_slots = [n for n in DRIVER_WINDOW if n in checked]
-    print(f"\noracled: {len(oracled)}; ever-green: {len(checked & set(oracled))}; "
-          f"never-checked: {len(never)}")
-    print("\nnever-checked oracled queries (rotate these in):")
+    never = [n for n in oracled if n not in attempted]
+    failed_only = sorted(
+        n for n in oracled if n in attempted and n not in green_ever
+    )
+    stale_slots = [n for n in DRIVER_WINDOW if n in green_ever]
+    print(f"\noracled: {len(oracled)}; ever-green: "
+          f"{len(green_ever & set(oracled))}; never-attempted: {len(never)}; "
+          f"attempted-but-never-green: {len(failed_only)}")
+    if failed_only:
+        print("\nattempted but NEVER green (fix before rotating out!):")
+        for n in failed_only:
+            print(f"  {n}")
+    print("\nnever-attempted oracled queries (rotate these in):")
     for n in never:
         print(f"  {n}")
     print(f"\nwindow slots already green in a prior round "
