@@ -138,3 +138,42 @@ def test_quality_normalized_singleton_language(spark, tmp_path):
     )
     issues = compare(q.fn(spark, sf_dir), con.execute(q.sql).df())
     assert not issues, issues
+
+
+def test_curate_then_pack_end_to_end(spark, tmp_path):
+    """The full training-data path: curate (quality → exact dedup →
+    near-dup components → shard assignment) then export packed binary
+    shards — every curated document's bytes must come back out of the
+    blobs via the index, and nothing else."""
+    from rick_and_morty_data_pipeline_project_spark.operators.shards import (
+        write_packed_shards,
+    )
+    from rick_and_morty_data_pipeline_project_spark.pipelines import (
+        curate_corpus,
+    )
+
+    curated_dir = str(tmp_path / "curated")
+    funnel = curate_corpus(spark, SF_SMALL, curated_dir, n_shards=4)
+    curated = spark.read.parquet(curated_dir)
+
+    packed_dir = str(tmp_path / "packed")
+    write_packed_shards(curated, packed_dir)
+
+    blobs = {
+        r["shard"]: bytes(r["blob"])
+        for r in spark.read.parquet(f"{packed_dir}/blobs").collect()
+    }
+    index = spark.read.parquet(f"{packed_dir}/index").collect()
+    originals = {r["doc_id"]: r["text"] for r in curated.collect()}
+
+    assert len(index) == funnel["near_dedup"] == len(originals)
+    recovered = 0
+    for r in index:
+        piece = blobs[r["shard"]][r["offset"] : r["offset"] + r["n_bytes"]]
+        assert piece.decode("utf-8") == originals[r["doc_id"]]
+        recovered += 1
+    assert recovered == funnel["near_dedup"]
+    # blobs contain exactly the curated bytes, nothing more
+    assert sum(len(b) for b in blobs.values()) == sum(
+        len(t.encode("utf-8")) for t in originals.values()
+    )
