@@ -1456,6 +1456,100 @@ def text_tfidf_topterms(spark, sf_dir):
     )
 
 
+def text_tfidf_cosine_pairs(spark, sf_dir):
+    """Sparse TF-IDF cosine similarity — the inverted-index complement
+    of the dense ``dedup_embedding_cosine``: document pairs whose
+    TF-IDF vectors have cosine ≥ 0.8, computed by joining weighted
+    posting lists on the term key so only pairs SHARING a term ever
+    materialize (never |docs|²).  Near-stopwords (df > 80% of the
+    corpus) are pruned first — the standard sparse-similarity move
+    that both bounds the posting-list join (the scale knob: max list
+    length ⇒ max join fan-out per term) and removes stopword noise.
+
+    Float parity: weights are rounded to 6 decimals and the dot /
+    norm² sums run in DECIMAL (exact, order-independent); the final
+    cosine division happens once per pair in identical double
+    arithmetic in both engines.
+    """
+    d = fan_out(t(spark, sf_dir, "documents"))
+    words = d.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("term")
+    )
+    tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.agg(F.count(F.lit(1)).cast("double").alias("_n_docs"))
+    w = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") <= F.col("_n_docs") * 0.8)
+        .select(
+            "doc_id",
+            "term",
+            F.round(F.col("tf") * F.log(F.col("_n_docs") / F.col("df")), 6)
+            .cast("decimal(18,6)")
+            .alias("w"),
+        )
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w")).cast("double")).alias("norm")
+    )
+    a, b = w.alias("a"), w.alias("b")
+    dots = (
+        a.join(b.hint("shuffle_hash"), "term")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.sum(F.col("a.w") * F.col("b.w")).cast("double").alias("_dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("id_a"), F.col("norm").alias("_na"))
+    nb = norms.select(F.col("doc_id").alias("id_b"), F.col("norm").alias("_nb"))
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("_dot") / (F.col("_na") * F.col("_nb")), 6).alias(
+                "cosine"
+            ),
+        )
+        .filter(F.col("cosine") >= 0.8)
+    )
+
+
+TFIDF_COSINE_SQL = """
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM words GROUP BY 1, 2),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+nd AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+wts AS (
+  SELECT doc_id, term,
+         CAST(round(tf * ln(n_docs / df), 6) AS DECIMAL(18,6)) AS w
+  FROM tf JOIN dfq USING (term) CROSS JOIN nd
+  WHERE df <= n_docs * 0.8
+),
+norms AS (
+  SELECT doc_id, sqrt(CAST(sum(w * w) AS DOUBLE)) AS norm
+  FROM wts GROUP BY 1
+),
+dots AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(sum(a.w * b.w) AS DOUBLE) AS dot
+  FROM wts a JOIN wts b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(dot / (na.norm * nb.norm), 6) AS cosine
+FROM dots
+JOIN norms na ON na.doc_id = id_a
+JOIN norms nb ON nb.doc_id = id_b
+WHERE round(dot / (na.norm * nb.norm), 6) >= 0.8
+"""
+
+
 TEXT_TFIDF_SQL = """
 WITH words AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
@@ -1875,6 +1969,7 @@ QUERIES: dict[str, Q] = {
     ),
     "dedup_span_profile": Q(dedup_span_profile, SPAN_PROFILE_SQL),
     "text_shard_index": Q(text_shard_index, SHARD_INDEX_SQL),
+    "text_tfidf_cosine_pairs": Q(text_tfidf_cosine_pairs, TFIDF_COSINE_SQL),
     "sample_stratified_topk": Q(
         sample_stratified_topk, SAMPLE_STRATIFIED_SQL
     ),
