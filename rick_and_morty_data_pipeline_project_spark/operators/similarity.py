@@ -442,3 +442,72 @@ def label_centroids(
             "centroid"
         )
     )
+
+
+MMR_SCHEMA = "query_id long, neighbor_id long, cosine double, mmr_rank int"
+
+
+def knn_mmr(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    shortlist: int = 20,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking: diverse top-k neighbors.
+
+    Plain top-k returns near-duplicates of each other when the corpus
+    clusters; MMR greedily picks, at each step, the candidate
+    maximizing ``lam·sim(query, d) − (1−lam)·max_{s∈selected}
+    sim(d, s)`` — relevance traded against redundancy.  The selection
+    is inherently sequential in k, so the Spark shape is: exact
+    :func:`knn_bruteforce` SHORTLIST per query (distributed, bounded at
+    ``shortlist`` rows per query), then one ``applyInPandas`` group per
+    query that runs the k-step greedy over shortlist×shortlist dot
+    products — O(shortlist²·k) Python work on ≤ ``shortlist`` rows,
+    never on the corpus.  Ties break by neighbor id (deterministic).
+
+    Scale: the shortlist stage carries the whole cost model (see
+    knn_bruteforce / knn_ivf — swap in IVF for the shortlist at 10⁹
+    vectors); the re-rank stage touches shortlist·|queries| rows total
+    and shuffles once on query_id.
+    """
+    top = knn_bruteforce(
+        queries, corpus, id_col, vec_col, k=shortlist
+    ).select("query_id", "neighbor_id", "cosine")
+    nvecs = _normalized(corpus, id_col, vec_col, "neighbor_id", "_nv")
+    staged = top.join(nvecs, "neighbor_id")
+
+    def rerank(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values(
+            ["cosine", "neighbor_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        vecs = np.array(pdf["_nv"].tolist(), dtype=np.float64)
+        sims = vecs @ vecs.T  # shortlist×shortlist neighbor-neighbor
+        rel = pdf["cosine"].to_numpy(dtype=np.float64)
+        n = len(pdf)
+        selected: list[int] = []
+        remaining = list(range(n))
+        while remaining and len(selected) < k:
+            best_i, best_score = None, None
+            for i in remaining:
+                redundancy = (
+                    max(sims[i, j] for j in selected) if selected else 0.0
+                )
+                score = lam * rel[i] - (1.0 - lam) * redundancy
+                # strict > keeps the earliest (highest-cosine, lowest
+                # id) candidate on ties — deterministic
+                if best_score is None or score > best_score:
+                    best_i, best_score = i, score
+            selected.append(best_i)
+            remaining.remove(best_i)
+        out = pdf.iloc[selected][["query_id", "neighbor_id", "cosine"]]
+        out = out.assign(mmr_rank=np.arange(1, len(selected) + 1))
+        return out
+
+    return staged.groupBy("query_id").applyInPandas(rerank, schema=MMR_SCHEMA)

@@ -72,6 +72,23 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
 """
 
 
+def knn_cosine_mmr(spark, sf_dir):
+    """Diversity-aware retrieval: MMR re-rank of the exact top-20
+    shortlist (operators/similarity.knn_mmr) for the first 10 query
+    vectors.  Rows-only: the greedy selection is inherently sequential
+    per query (not one SQL statement); the Spark output is equality-
+    checked against a driver-side greedy replay in
+    tests/test_dedup_similarity.py, which also asserts the diversity
+    property on a clustered fixture."""
+    from rick_and_morty_data_pipeline_project_spark.operators.similarity import (
+        knn_mmr,
+    )
+
+    e = t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    return knn_mmr(queries, e, k=5, shortlist=20, lam=0.7)
+
+
 def knn_cosine_lsh(spark, sf_dir):
     """Approximate kNN via random-hyperplane bucketing (rows-only oracle:
     the frozen hyperplanes are engine-side constants)."""
@@ -412,6 +429,7 @@ QUERIES: dict[str, Q] = {
     "knn_cosine_filtered": Q(knn_cosine_filtered, KNN_FILTERED_SQL),
     "knn_cosine_bruteforce": Q(knn_cosine_bruteforce, KNN_SQL),
     "knn_cosine_lsh": Q(knn_cosine_lsh, KNN_LSH_SQL),
+    "knn_cosine_mmr": Q(knn_cosine_mmr, None),
     "knn_cosine_ivf": Q(knn_cosine_ivf, KNN_IVF_SQL),
     "knn_cosine_ivf_kmeans": Q(knn_cosine_ivf_kmeans, None),
     "embedding_quantize_error": Q(embedding_quantize_error, QUANT_ERR_SQL),

@@ -418,3 +418,77 @@ def test_span_profile_flags_shared_boilerplate(spark, tmp_path):
     assert out[1]["n_dup_spans"] == out[2]["n_dup_spans"] == 1
     assert out[1]["dup_fraction"] == out[2]["dup_fraction"] == 0.2
     assert out[3]["n_dup_spans"] == 0 and out[3]["dup_fraction"] == 0.0
+
+
+def test_knn_mmr_matches_python_oracle_and_diversifies(spark):
+    """MMR re-rank ≡ a driver-side greedy replay over the same
+    shortlist; and on a corpus with a tight cluster near the query, MMR
+    at lam=0.5 must pull in at least one neighbor outside the cluster
+    that plain top-k skipped."""
+    import numpy as np
+
+    from rick_and_morty_data_pipeline_project_spark.operators.similarity import (
+        knn_bruteforce,
+        knn_mmr,
+    )
+
+    rng = np.random.default_rng(11)
+    # cluster of 6 near-identical vectors near the query, plus 20 spread
+    base = rng.normal(size=8)
+    rows = []
+    for i in range(6):
+        rows.append((i + 1, (base + 0.01 * rng.normal(size=8)).tolist(), 0))
+    for i in range(20):
+        rows.append((100 + i, rng.normal(size=8).tolist(), 1))
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in v], l) for i, v, l in rows],
+        "vec_id long, embedding array<float>, label int",
+    )
+    queries = spark.createDataFrame(
+        [(0, [float(x) for x in base])], "vec_id long, embedding array<float>"
+    )
+
+    k, shortlist, lam = 5, 12, 0.5
+    got = {
+        r["mmr_rank"]: (r["neighbor_id"], r["cosine"])
+        for r in knn_mmr(
+            queries, corpus, k=k, shortlist=shortlist, lam=lam
+        ).collect()
+    }
+    assert len(got) == k
+
+    # driver-side oracle over the SAME shortlist
+    top = knn_bruteforce(queries, corpus, k=shortlist).collect()
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in corpus.collect()
+    }
+    unit = {i: v / np.linalg.norm(v) for i, v in vecs.items()}
+    cand = sorted(
+        ((r["neighbor_id"], r["cosine"]) for r in top),
+        key=lambda t: (-t[1], t[0]),
+    )
+    selected: list[int] = []
+    remaining = [c[0] for c in cand]
+    rel = dict(cand)
+    while remaining and len(selected) < k:
+        best, best_score = None, None
+        for i in remaining:
+            red = max(
+                (float(unit[i] @ unit[j]) for j in selected), default=0.0
+            )
+            score = lam * rel[i] - (1 - lam) * red
+            if best_score is None or score > best_score:
+                best, best_score = i, score
+        selected.append(best)
+        remaining.remove(best)
+    want = {rank + 1: nid for rank, nid in enumerate(selected)}
+    assert {r: g[0] for r, g in got.items()} == want
+
+    # diversity: plain top-5 is all-cluster; MMR must escape it
+    plain5 = {
+        r["neighbor_id"]
+        for r in knn_bruteforce(queries, corpus, k=k).collect()
+    }
+    assert plain5 <= set(range(1, 7)), plain5
+    assert any(g[0] >= 100 for g in got.values()), got
