@@ -467,22 +467,26 @@ def knn_mmr(
     ``shortlist`` rows per query), then one ``applyInPandas`` group per
     query that runs the k-step greedy over shortlist×shortlist dot
     products — O(shortlist²·k) Python work on ≤ ``shortlist`` rows,
-    never on the corpus.  Ties break by neighbor id (deterministic).
+    never on the corpus.  Deterministic: candidates are processed in
+    (cosine desc, neighbor_id asc) shortlist order and equal-score ties
+    keep the earliest — i.e. the higher-cosine (then lower-id)
+    candidate.
 
     Scale: the shortlist stage carries the whole cost model (see
     knn_bruteforce / knn_ivf — swap in IVF for the shortlist at 10⁹
-    vectors); the re-rank stage touches shortlist·|queries| rows total
-    and shuffles once on query_id.
+    vectors).  Fetching shortlist vectors re-scans the corpus once
+    (narrow) against the BROADCAST shortlist — the corpus never
+    shuffles; the re-rank stage then shuffles only
+    shortlist·|queries| rows on query_id.
     """
     top = knn_bruteforce(
         queries, corpus, id_col, vec_col, k=shortlist
     ).select("query_id", "neighbor_id", "cosine")
     nvecs = _normalized(corpus, id_col, vec_col, "neighbor_id", "_nv")
-    staged = top.join(nvecs, "neighbor_id")
+    staged = nvecs.join(F.broadcast(top), "neighbor_id")
 
     def rerank(pdf):
         import numpy as np
-        import pandas as pd
 
         pdf = pdf.sort_values(
             ["cosine", "neighbor_id"], ascending=[False, True]

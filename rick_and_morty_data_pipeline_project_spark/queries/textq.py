@@ -1433,13 +1433,7 @@ def text_tfidf_topterms(spark, sf_dir):
     ranking so the rank order itself (not just the printed value) is
     identical to the oracle's.
     """
-    d = fan_out(t(spark, sf_dir, "documents"))
-    words = d.select(
-        "doc_id", F.explode(tokens_col(F.col("text"))).alias("term")
-    )
-    tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = d.agg(F.count(F.lit(1)).cast("double").alias("_n_docs"))
+    tf, df_, n_docs = _tfidf_weighted(spark, sf_dir)
     scored = (
         tf.join(df_, "term")
         .crossJoin(F.broadcast(n_docs))
@@ -1454,6 +1448,30 @@ def text_tfidf_topterms(spark, sf_dir):
         .filter(F.col("term_rank") <= 3)
         .select("doc_id", "term", "tf", "df", "tfidf", "term_rank")
     )
+
+
+def _tfidf_weighted(spark, sf_dir):
+    """Shared TF-IDF weighting pipeline: (tf, df_, n_docs) relations
+    over the documents table — the single definition both
+    ``text_tfidf_topterms`` and ``text_tfidf_cosine_pairs`` build on,
+    so tokenization/idf can never drift between the two families."""
+    d = fan_out(t(spark, sf_dir, "documents"))
+    words = d.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("term")
+    )
+    tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.agg(F.count(F.lit(1)).cast("double").alias("_n_docs"))
+    return tf, df_, n_docs
+
+
+# the matching shared oracle CTE prefix (words/tf/dfq/nd)
+_TFIDF_CTES_SQL = """words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM words GROUP BY 1, 2),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+nd AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents)"""
 
 
 def text_tfidf_cosine_pairs(spark, sf_dir):
@@ -1471,13 +1489,7 @@ def text_tfidf_cosine_pairs(spark, sf_dir):
     cosine division happens once per pair in identical double
     arithmetic in both engines.
     """
-    d = fan_out(t(spark, sf_dir, "documents"))
-    words = d.select(
-        "doc_id", F.explode(tokens_col(F.col("text"))).alias("term")
-    )
-    tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = d.agg(F.count(F.lit(1)).cast("double").alias("_n_docs"))
+    tf, df_, n_docs = _tfidf_weighted(spark, sf_dir)
     w = (
         tf.join(df_, "term")
         .crossJoin(F.broadcast(n_docs))
@@ -1518,13 +1530,8 @@ def text_tfidf_cosine_pairs(spark, sf_dir):
     )
 
 
-TFIDF_COSINE_SQL = """
-WITH words AS (
-  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
-),
-tf AS (SELECT doc_id, term, count(*) AS tf FROM words GROUP BY 1, 2),
-dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-nd AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+TFIDF_COSINE_SQL = f"""
+WITH {_TFIDF_CTES_SQL},
 wts AS (
   SELECT doc_id, term,
          CAST(round(tf * ln(n_docs / df), 6) AS DECIMAL(18,6)) AS w
@@ -1550,13 +1557,8 @@ WHERE round(dot / (na.norm * nb.norm), 6) >= 0.8
 """
 
 
-TEXT_TFIDF_SQL = """
-WITH words AS (
-  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
-),
-tf AS (SELECT doc_id, term, count(*) AS tf FROM words GROUP BY 1, 2),
-dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-nd AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+TEXT_TFIDF_SQL = f"""
+WITH {_TFIDF_CTES_SQL},
 scored AS (
   SELECT doc_id, term, tf, df, round(tf * ln(n_docs / df), 6) AS tfidf
   FROM tf JOIN dfq USING (term) CROSS JOIN nd

@@ -20,6 +20,7 @@ from rick_and_morty_data_pipeline_project_spark.operators.similarity import (
     knn_bruteforce_quantized,
     knn_ivf,
     knn_lsh,
+    knn_mmr,
     label_centroids,
     quantize_int8,
     train_kmeans_centroids,
@@ -80,10 +81,6 @@ def knn_cosine_mmr(spark, sf_dir):
     checked against a driver-side greedy replay in
     tests/test_dedup_similarity.py, which also asserts the diversity
     property on a clustered fixture."""
-    from rick_and_morty_data_pipeline_project_spark.operators.similarity import (
-        knn_mmr,
-    )
-
     e = t(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 10)
     return knn_mmr(queries, e, k=5, shortlist=20, lam=0.7)
