@@ -36,6 +36,7 @@ from rick_and_morty_data_pipeline_project_spark.queries import (
     extraq,
     mmq,
     reference,
+    sketchq,
     textq,
     tpch,
     tpchf,
@@ -45,7 +46,7 @@ from rick_and_morty_data_pipeline_project_spark.queries import (
 from rick_and_morty_data_pipeline_project_spark.queries._util import Q
 
 _ALL: dict[str, Q] = {}
-for mod in (tpch, tpchx, tpchf, textq, vecq, extraq, mmq, reference):
+for mod in (tpch, tpchx, tpchf, textq, vecq, extraq, mmq, reference, sketchq):
     for name, q in mod.QUERIES.items():
         assert name not in _ALL, f"duplicate query name: {name}"
         _ALL[name] = q

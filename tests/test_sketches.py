@@ -1,0 +1,113 @@
+"""Accuracy and mergeability contracts for the sketch-table operators.
+
+Sketch binaries are engine-specific, so these queries are rows-only in
+the catalog; this file is their verification: exact error envelopes vs
+DuckDB ground truth, HLL union losslessness, and a byte-level check that
+the Count-Min decoder reads the JVM serialization correctly.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+from pyspark.sql import functions as F
+
+from rick_and_morty_data_pipeline_project_spark.operators.sketches import (
+    cms_decode,
+)
+from rick_and_morty_data_pipeline_project_spark.queries.sketchq import (
+    sketch_cms_user_counts,
+    sketch_hll_rollup,
+)
+from tests.conftest import SF_ORACLE
+
+
+def test_hll_rollup_daily_and_total_bounds(spark):
+    got = {r["day"]: r["est_users"] for r in sketch_hll_rollup(spark, SF_ORACLE).collect()}
+    exact = dict(
+        duckdb.sql(
+            f"""
+            SELECT strftime(ts, '%Y-%m-%d') AS day,
+                   COUNT(DISTINCT user_id) AS nd
+            FROM '{SF_ORACLE}/events.parquet' GROUP BY 1
+            """
+        ).fetchall()
+    )
+    exact_total = duckdb.sql(
+        f"SELECT COUNT(DISTINCT user_id) FROM '{SF_ORACLE}/events.parquet'"
+    ).fetchone()[0]
+    assert set(got) == set(exact) | {"TOTAL"}
+    # lg_k=12 → relative standard error ≈ 1.04/sqrt(2^12) ≈ 1.6%; allow 3σ
+    for day, nd in exact.items():
+        assert abs(got[day] - nd) <= max(3, 0.05 * nd), (day, got[day], nd)
+    assert abs(got["TOTAL"] - exact_total) <= max(3, 0.05 * exact_total)
+
+
+def test_hll_union_is_lossless(spark):
+    """Estimating the union of per-day sketches must equal estimating a
+    single sketch built over the whole input — the property that makes
+    persisted sketch tables answer coarser rollups without re-scans."""
+    e = spark.read.parquet(f"{SF_ORACLE}/events.parquet")
+    merged = (
+        e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"))
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_union_agg("sk", F.lit(True))
+            ).alias("est")
+        )
+        .collect()[0]["est"]
+    )
+    whole = e.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12))).alias("est")
+    ).collect()[0]["est"]
+    assert merged == whole
+
+
+def test_cms_estimates_one_sided_within_eps(spark):
+    rows = sketch_cms_user_counts(spark, SF_ORACLE).collect()
+    n = spark.read.parquet(f"{SF_ORACLE}/events.parquet").count()
+    exact = dict(
+        duckdb.sql(
+            f"SELECT user_id, COUNT(*) FROM '{SF_ORACLE}/events.parquet' GROUP BY 1"
+        ).fetchall()
+    )
+    assert len(rows) == len(exact) > 0
+    for r in rows:
+        true = exact[r["item"]]
+        assert r["exact_count"] == true
+        # CMS guarantee: never undercounts; overcount ≤ eps·N w.p. conf
+        assert true <= r["est_count"] <= true + 0.001 * n + 1, r
+        assert r["overcount"] == r["est_count"] - r["exact_count"]
+
+
+def test_cms_decoder_reads_jvm_layout(spark):
+    """Byte-level round trip: totalCount equals the row count, each grid
+    row's counters sum to totalCount (every item lands in exactly one
+    bucket per row), and the declared layout consumes the whole blob."""
+    e = spark.read.parquet(f"{SF_ORACLE}/events.parquet")
+    raw = bytes(
+        e.agg(
+            F.count_min_sketch(
+                "user_id", F.lit(0.005), F.lit(0.9), F.lit(7)
+            ).alias("sk")
+        ).collect()[0]["sk"]
+    )
+    sk = cms_decode(raw)
+    n = e.count()
+    assert sk.total_count == n
+    assert sk.table.shape == (sk.depth, sk.width)
+    assert (sk.table.sum(axis=1) == n).all()
+    # vectorized estimator matches a scalar replay on a few items
+    items = np.array([0, 1, 2, 3, 149], dtype=np.int64)
+    ests = sk.estimate_longs(items)
+    prime = (1 << 31) - 1
+    for item, est in zip(items.tolist(), ests.tolist()):
+        vals = []
+        for i in range(sk.depth):
+            h = (int(sk.hash_a[i]) * item) & ((1 << 64) - 1)
+            h = h - (1 << 64) if h >= (1 << 63) else h
+            h = h + (h >> 32)
+            h &= prime
+            vals.append(int(sk.table[i][h % sk.width]))
+        assert est == min(vals)
