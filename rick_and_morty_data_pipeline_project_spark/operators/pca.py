@@ -1,0 +1,119 @@
+"""Distributed PCA over an embedding column.
+
+The classic dimensionality-reduction step of an embedding pipeline
+(whitening before clustering, 2-D map projections, cheap pre-filters in
+front of exact cosine).  Layout chosen for 100 TB, not for the local
+corpus:
+
+* **Fit = one narrow pass + a fixed-size aggregation.**  Each row emits
+  its d mean terms and d(d+1)/2 upper-triangular outer-product terms via
+  nested ``transform``/``slice`` (pure JVM, no Python, no join), then a
+  single ``groupBy(pos).sum`` reduces them.  The explode is pipelined
+  inside the task and partial aggregation means each task ships at most
+  ``d + d(d+1)/2 + 1`` rows across the shuffle — for d=64 that is 2 145
+  rows per task whatever the corpus size.  (The alternative — 2 000+
+  aggregate expressions in one ``agg`` — blows up codegen; a vector
+  outer-product via pandas UDF would move every row through Python.)
+* **Eigendecomposition on the driver.**  The Gram/covariance matrix is
+  d×d — kilobytes — so ``numpy.linalg.eigh`` on the driver is the right
+  tool, exactly like the IVF centroid collect in
+  operators/similarity.py.  Components are sign-fixed (largest-|w|
+  element made positive) so the basis is deterministic.
+* **Project = broadcast literals, narrow map.**  Each principal score is
+  ``dot(v, w_j) − μ·w_j`` with ``w_j`` and the scalar ``μ·w_j`` inlined
+  as literals; one more scan of the corpus, zero shuffle.
+
+No counterpart in the reference (Scraper.py has no vector surface);
+this extends SURVEY.md §2.10's embedding operators.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rick_and_morty_data_pipeline_project_spark.functions.vectors import dot_col
+
+
+@dataclass
+class PcaModel:
+    mean: np.ndarray  # float64[d]
+    components: np.ndarray  # float64[k, d] — rows are unit eigenvectors
+    explained_variance: np.ndarray  # float64[k] — descending eigenvalues
+
+
+def pca_fit(df: DataFrame, vec_col: str, dim: int, k: int) -> PcaModel:
+    """Fit PCA from the elementwise sums Σv and upper-tri Σ v vᵀ.
+
+    cov[i,j] = Σ(v_i v_j)/n − μ_i μ_j (population covariance — the
+    normalization constant does not change the eigenbasis).
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    # flat layout: first d entries are v_i, then for i = 0..d−1 the
+    # products v_i·v_j for j ≥ i (slice is 1-based; i arrives 0-based).
+    terms = F.concat(
+        v,
+        F.flatten(
+            F.transform(
+                v,
+                lambda x, i: F.transform(
+                    F.slice(v, i + 1, F.lit(dim)), lambda y: x * y
+                ),
+            )
+        ),
+    )
+    sums_rows = (
+        df.select(F.posexplode(terms).alias("pos", "val"))
+        .groupBy("pos")
+        .agg(F.sum("val").alias("s"))
+        .collect()
+    )
+    n = df.count()
+    flat = np.zeros(dim + dim * (dim + 1) // 2)
+    for r in sums_rows:
+        flat[r["pos"]] = r["s"]
+    mean = flat[:dim] / n
+    cov = np.zeros((dim, dim))
+    off = dim
+    for i in range(dim):
+        m = dim - i
+        cov[i, i:] = flat[off : off + m]
+        cov[i:, i] = flat[off : off + m]
+        off += m
+    cov = cov / n - np.outer(mean, mean)
+    eigvals, eigvecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(eigvals)[::-1][:k]
+    comps = eigvecs[:, order].T.copy()
+    # deterministic sign: the largest-magnitude coordinate is positive
+    for j in range(comps.shape[0]):
+        pivot = np.argmax(np.abs(comps[j]))
+        if comps[j][pivot] < 0:
+            comps[j] = -comps[j]
+    return PcaModel(
+        mean=mean,
+        components=comps,
+        explained_variance=np.maximum(eigvals[order], 0.0),
+    )
+
+
+def pca_project(
+    df: DataFrame,
+    model: PcaModel,
+    vec_col: str,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Append pc1..pck score columns: dot(v, w_j) − μ·w_j as a narrow
+    JVM map over broadcast literal components."""
+    out = df
+    for j, w in enumerate(model.components, start=1):
+        lit_w = F.array(*[F.lit(float(x)) for x in w])
+        score = dot_col(F.col(vec_col), lit_w) - F.lit(
+            float(np.dot(model.mean, w))
+        )
+        if round_digits is not None:
+            score = F.round(score, round_digits)
+        out = out.withColumn(f"pc{j}", score)
+    return out

@@ -421,8 +421,32 @@ FROM scored
 """
 
 
+def embedding_pca_project(spark, sf_dir):
+    """Top-4 principal-component scores per embedding (rows-only: the
+    eigenbasis has no SQL oracle; accuracy/orthonormality/variance
+    contracts live in tests/test_pca.py).
+
+    Scale: fit is one narrow JVM pass reduced to a fixed
+    d + d(d+1)/2 + 1-row aggregate (partial agg per task), the d×d eigh
+    runs on the driver like the IVF centroid collect, and the projection
+    is a second narrow pass against broadcast literal components — zero
+    corpus shuffles end to end (see operators/pca.py).
+    """
+    from rick_and_morty_data_pipeline_project_spark.operators.pca import (
+        pca_fit,
+        pca_project,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    model = pca_fit(emb, "embedding", dim=64, k=4)
+    return pca_project(emb, model, "embedding").select(
+        "vec_id", "label", "pc1", "pc2", "pc3", "pc4"
+    )
+
+
 QUERIES: dict[str, Q] = {
     "embedding_norms": Q(embedding_norms, NORMS_SQL),
+    "embedding_pca_project": Q(embedding_pca_project, None),
     "knn_cosine_filtered": Q(knn_cosine_filtered, KNN_FILTERED_SQL),
     "knn_cosine_bruteforce": Q(knn_cosine_bruteforce, KNN_SQL),
     "knn_cosine_lsh": Q(knn_cosine_lsh, KNN_LSH_SQL),

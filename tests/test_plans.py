@@ -304,3 +304,23 @@ def test_incremental_bloom_prefilter_is_literal_probe(spark):
         "BroadcastNestedLoopJoin",
         "CartesianProduct",
     } == set(), join_nodes
+
+
+def test_pca_projection_is_narrow(spark):
+    """PCA scoring is scan + literal-component dot products: zero
+    exchanges — the corpus never shuffles for fit OR project (the fit's
+    only shuffle carries the fixed d+d(d+1)/2-row aggregate)."""
+    df = QUERIES["embedding_pca_project"].fn(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert not re.findall(r"\(\d+\) Exchange", plan), plan
+
+
+def test_hll_rollup_total_reaggregates_sketches(spark):
+    """The TOTAL row must come from hll_union_agg over the per-day
+    sketch relation — exactly two aggregate levels over ONE events scan
+    per branch, never a second COUNT(DISTINCT) pass over raw events."""
+    df = QUERIES["sketch_hll_rollup"].fn(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "hll_union_agg" in plan, plan
+    assert "hll_sketch_agg" in plan, plan
+    assert "distinct" not in plan.lower().replace("est_distinct", ""), plan
