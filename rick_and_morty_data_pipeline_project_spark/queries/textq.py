@@ -1934,7 +1934,66 @@ WHERE b.c_ab >= 5
 """
 
 
+def text_char_entropy(spark, sf_dir):
+    """Character-level Shannon entropy per document (nats) — the cheap
+    gibberish/boilerplate detector: natural text sits near ~3 nats,
+    repeated-character spam and base64 blobs fall far outside.
+
+    Entirely JVM higher-order functions, one narrow pass: split to
+    chars, per-distinct-char frequency via ``filter``+``size``, and a
+    left fold over the SORTED distinct chars so the summation order is
+    identical to the oracle's ``list_reduce`` — the rounded value is
+    then bit-stable.  Per-row cost is O(distinct·len); nothing shuffles.
+    """
+    d = t(spark, sf_dir, "documents")
+    staged = fan_out(d).select(
+        "doc_id", F.split(F.col("text"), "").alias("cs")
+    ).select(
+        "doc_id",
+        "cs",
+        F.size("cs").cast("long").alias("len_chars"),
+        F.array_sort(F.array_distinct("cs")).alias("ds"),
+    )
+
+    def _p(c):
+        return F.size(
+            F.filter(F.col("cs"), lambda x: x == c)
+        ).cast("double") / F.col("len_chars").cast("double")
+
+    ent = F.aggregate(
+        F.col("ds"),
+        F.lit(0.0),
+        lambda acc, c: acc + -(_p(c) * F.log(_p(c))),
+    )
+    return staged.select(
+        "doc_id",
+        "len_chars",
+        F.size("ds").cast("long").alias("n_unique_chars"),
+        F.round(ent, 6).alias("char_entropy_nats"),
+    )
+
+
+TEXT_CHAR_ENTROPY_SQL = """
+WITH st AS (
+  SELECT doc_id,
+         str_split(text, '') AS cs,
+         len(str_split(text, '')) AS n,
+         list_sort(list_distinct(str_split(text, ''))) AS ds
+  FROM documents
+)
+SELECT doc_id,
+       n AS len_chars,
+       len(ds) AS n_unique_chars,
+       round(list_reduce(list_prepend(0.0, list_transform(ds, c ->
+         -((len(list_filter(cs, x -> x = c))::DOUBLE / n::DOUBLE)
+           * ln(len(list_filter(cs, x -> x = c))::DOUBLE / n::DOUBLE)))),
+         (acc, x) -> acc + x), 6) AS char_entropy_nats
+FROM st
+"""
+
+
 QUERIES: dict[str, Q] = {
+    "text_char_entropy": Q(text_char_entropy, TEXT_CHAR_ENTROPY_SQL),
     "text_emotion_scores": Q(text_emotion_scores, TEXT_EMOTION_SQL),
     "dedup_minhash_clusters": Q(dedup_minhash_clusters, DEDUP_CLUSTERS_SQL),
     "text_vocab_df": Q(text_vocab_df, TEXT_VOCAB_SQL),
