@@ -1,0 +1,155 @@
+"""BPE tokenizer-training queries with exact unrolled-CTE oracles.
+
+The merge loop is data-dependent (each iteration's argmax pair feeds
+the next), yet both queries are fully hash-verified: the oracle unrolls
+the six training iterations as chained CTEs, and because both engines'
+``replace`` applies greedy left-to-right non-overlapping scans, the BPE
+merge semantics agree exactly (see operators/bpe.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rick_and_morty_data_pipeline_project_spark.operators.bpe import (
+    symbols_col,
+    train_bpe,
+)
+from rick_and_morty_data_pipeline_project_spark.queries._util import Q, t
+
+N_MERGES = 6
+
+_WC = """
+wc AS (
+  SELECT word, count(*) AS cnt FROM (
+    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> '' GROUP BY 1
+),
+w0 AS (
+  SELECT word,
+         chr(31) || array_to_string(str_split(word, ''), chr(31)||chr(31))
+                 || chr(31) AS w,
+         cnt
+  FROM wc
+)"""
+
+
+def _stages(n: int) -> str:
+    out = []
+    for i in range(1, n + 1):
+        p = i - 1
+        out.append(f"""
+s{i} AS (SELECT cnt, str_split(trim(w, chr(31)), chr(31)||chr(31)) AS s
+        FROM w{p}),
+pc{i} AS (
+  SELECT u.p[1] AS l, u.p[2] AS r, CAST(sum(cnt) AS BIGINT) AS c
+  FROM s{i}, LATERAL (
+    SELECT unnest(list_zip(s[1:len(s)-1], s[2:len(s)])) AS p) u
+  GROUP BY 1, 2
+),
+b{i} AS (SELECT l, r, c FROM pc{i} ORDER BY c DESC, l, r LIMIT 1),
+w{i} AS (SELECT word,
+               replace(w, chr(31)||b.l||chr(31)||chr(31)||b.r||chr(31),
+                          chr(31)||b.l||b.r||chr(31)) AS w,
+               cnt
+        FROM w{p}, b{i} b)""")
+    return ",".join(out)
+
+
+def _word_counts(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    from rick_and_morty_data_pipeline_project_spark.functions.textfns import (
+        tokens_col,
+    )
+
+    return (
+        d.select(F.explode(tokens_col(F.col("text"))).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def bpe_train_merges(spark, sf_dir):
+    """The learned merge table itself: rank, pair, merged symbol, and
+    the weighted pair count that won the iteration.
+
+    Scale: one corpus-sized token count, then every iteration runs on
+    the vocabulary relation with a single map-combinable pair aggregate
+    and a 1-row collect (operators/bpe.py).
+    """
+    merges, _ = train_bpe(_word_counts(spark, sf_dir), N_MERGES)
+    return spark.createDataFrame(
+        [(m.rank, m.left, m.right, m.left + m.right, m.pair_weight) for m in merges],
+        "merge_rank int, left_sym string, right_sym string, "
+        "merged string, pair_weight long",
+    )
+
+
+BPE_MERGES_SQL = (
+    "WITH " + _WC + "," + _stages(N_MERGES) + "\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT {i} AS merge_rank, l AS left_sym, r AS right_sym, "
+        f"l || r AS merged, c AS pair_weight FROM b{i}"
+        for i in range(1, N_MERGES + 1)
+    )
+)
+
+
+def text_bpe_token_stats(spark, sf_dir):
+    """Per-document BPE token counts under the learned merges — the
+    sequence-length accounting every packing/sharding stage needs.
+
+    The final segmentation lives on the word-type relation, so each
+    document just re-joins its word occurrences to the (small) vocab
+    and sums symbol counts: the corpus is scanned twice total (token
+    count + final join), never once per merge.
+    """
+    words = _word_counts(spark, sf_dir)
+    _, final = train_bpe(words, N_MERGES)
+    seg = final.select(
+        "word", F.size(symbols_col("w")).cast("long").alias("n_sym")
+    )
+    d = t(spark, sf_dir, "documents")
+    from rick_and_morty_data_pipeline_project_spark.functions.textfns import (
+        tokens_col,
+    )
+
+    occ = d.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("word")
+    ).filter(F.col("word") != "")
+    return (
+        occ.join(seg, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sym").alias("n_bpe_tokens"),
+        )
+    )
+
+
+BPE_TOKEN_STATS_SQL = (
+    "WITH " + _WC + "," + _stages(N_MERGES) + f""",
+seg AS (
+  SELECT word,
+         len(str_split(trim(w, chr(31)), chr(31)||chr(31)))::BIGINT AS n_sym
+  FROM w{N_MERGES}
+),
+occ AS (
+  SELECT doc_id, word FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> ''
+)
+SELECT occ.doc_id,
+       count(*) AS n_words,
+       CAST(sum(seg.n_sym) AS BIGINT) AS n_bpe_tokens
+FROM occ JOIN seg USING (word)
+GROUP BY 1
+"""
+)
+
+
+QUERIES: dict[str, Q] = {
+    "bpe_train_merges": Q(bpe_train_merges, BPE_MERGES_SQL),
+    "text_bpe_token_stats": Q(text_bpe_token_stats, BPE_TOKEN_STATS_SQL),
+}

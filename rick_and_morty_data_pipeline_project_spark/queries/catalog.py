@@ -33,6 +33,7 @@ tests/test_oracle_parity.py, which parametrizes the WHOLE catalog.
 from __future__ import annotations
 
 from rick_and_morty_data_pipeline_project_spark.queries import (
+    bpeq,
     extraq,
     mmq,
     reference,
@@ -46,7 +47,7 @@ from rick_and_morty_data_pipeline_project_spark.queries import (
 from rick_and_morty_data_pipeline_project_spark.queries._util import Q
 
 _ALL: dict[str, Q] = {}
-for mod in (tpch, tpchx, tpchf, textq, vecq, extraq, mmq, reference, sketchq):
+for mod in (tpch, tpchx, tpchf, textq, vecq, extraq, mmq, reference, sketchq, bpeq):
     for name, q in mod.QUERIES.items():
         assert name not in _ALL, f"duplicate query name: {name}"
         _ALL[name] = q
