@@ -1892,7 +1892,92 @@ FROM steps
 """
 
 
+def scd2_customer_segments(spark, sf_dir):
+    """SCD Type-2 dimension maintenance over the customer segment: a
+    deterministic daily batch (every 5th key re-segmented, every
+    5k+1th a no-op update, sparse brand-new keys) applied to an
+    all-open current state — changed keys close at the effective date
+    and reopen, no-ops pass through, new keys insert open.
+
+    Scale: one broadcastable equi-join on the dimension key + unions —
+    see operators/scd.py for the plan shape and the as-of-join
+    motivation.
+    """
+    from rick_and_morty_data_pipeline_project_spark.operators.scd import (
+        OPEN_END,
+        scd2_apply,
+    )
+
+    c = t(spark, sf_dir, "customer")
+    current = c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.lit("1995-01-01").alias("valid_from"),
+        F.lit(OPEN_END).alias("valid_to"),
+        F.lit(1).alias("is_current"),
+    )
+    updates = (
+        c.filter(F.col("c_custkey") % 5 <= 1)
+        .select(
+            "c_custkey",
+            F.when(F.col("c_custkey") % 5 == 0, F.lit("UPGRADED"))
+            .otherwise(F.col("c_mktsegment"))
+            .alias("c_mktsegment"),
+            F.lit("1998-01-01").alias("effective_date"),
+        )
+        .unionByName(
+            c.filter(F.col("c_custkey") % 97 == 0).select(
+                (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+                F.lit("NEWKEY").alias("c_mktsegment"),
+                F.lit("1998-01-01").alias("effective_date"),
+            )
+        )
+    )
+    return scd2_apply(
+        current,
+        updates,
+        key="c_custkey",
+        tracked=["c_mktsegment"],
+    )
+
+
+SCD2_SQL = """
+WITH current_state AS (
+  SELECT c_custkey, c_mktsegment,
+         '1995-01-01' AS valid_from, '9999-12-31' AS valid_to,
+         1 AS is_current
+  FROM customer
+),
+upd AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 5 = 0 THEN 'UPGRADED' ELSE c_mktsegment END
+           AS seg,
+         '1998-01-01' AS eff
+  FROM customer WHERE c_custkey % 5 <= 1
+  UNION ALL
+  SELECT c_custkey + 1000000, 'NEWKEY', '1998-01-01'
+  FROM customer WHERE c_custkey % 97 = 0
+),
+j AS (
+  SELECT cs.*, u.seg, u.eff
+  FROM current_state cs LEFT JOIN upd u USING (c_custkey)
+),
+changed AS (SELECT * FROM j WHERE eff IS NOT NULL AND seg IS DISTINCT FROM c_mktsegment)
+SELECT c_custkey, c_mktsegment, valid_from, valid_to, is_current
+FROM j WHERE eff IS NULL OR seg IS NOT DISTINCT FROM c_mktsegment
+UNION ALL
+SELECT c_custkey, c_mktsegment, valid_from, eff, 0 FROM changed
+UNION ALL
+SELECT c_custkey, seg, eff, '9999-12-31', 1 FROM changed
+UNION ALL
+SELECT u.c_custkey, u.seg, u.eff, '9999-12-31', 1
+FROM upd u LEFT JOIN current_state cs USING (c_custkey)
+WHERE cs.c_custkey IS NULL
+"""
+
+
 QUERIES: dict[str, Q] = {
+    "scd2_customer_segments": Q(scd2_customer_segments, SCD2_SQL),
     "text_language_id": Q(text_language_id, TEXT_LANGID_SQL),
     "events_sliding_rollup": Q(events_sliding_rollup, EVENTS_SLIDING_SQL),
     "join_salted_user_events": Q(join_salted_user_events, JOIN_SALTED_SQL),
