@@ -209,6 +209,87 @@ def minhash_lsh_pairs_between(
     )
 
 
+def _ngram_cooccurrence(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    shingle_k: int,
+) -> DataFrame:
+    """Shared inverted-index co-occurrence core for the set-similarity
+    joins: (id_a, id_b, _c=|A∩B|, _na=|A|, _nb=|B|) for every ordered
+    pair (id_a < id_b) sharing ≥1 shingle within a block.  See
+    :func:`ngram_jaccard_pairs` for the plan-shape rationale."""
+    from rick_and_morty_data_pipeline_project_spark.functions.textfns import (
+        shingles_from_tokens,
+        tokens_col,
+    )
+
+    toked = fan_out(df).select(
+        F.col(id_col),
+        F.col(block_col).alias("_block"),
+        tokens_col(F.col(text_col)).alias("_tk"),
+    )
+    sh = toked.select(
+        F.col(id_col),
+        F.col("_block"),
+        F.array_distinct(shingles_from_tokens(F.col("_tk"), shingle_k)).alias("sh"),
+    ).withColumn("n", F.size(F.col("sh")))
+    posting = sh.select(
+        F.col(id_col), F.col("n"), F.col("_block"), F.explode("sh").alias("_s")
+    )
+    a = posting.alias("a")
+    b = posting.alias("b")
+    # shuffle_hash (not broadcast): at scale a posting list derived from
+    # the full corpus is never broadcastable, and locally the shuffle
+    # join avoids computing the posting pipeline a second time for the
+    # broadcast build side.
+    return (
+        a.join(b.hint("shuffle_hash"), on=["_block", "_s"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("_c"),
+            F.first("a.n").alias("_na"),
+            F.first("b.n").alias("_nb"),
+        )
+    )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    shingle_k: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT C(A⊆B) = |A∩B| / |A| — the
+    doc-inside-doc signal Jaccard misses: a paragraph quoted verbatim
+    inside a much longer page has high containment but low Jaccard
+    (the union is dominated by the long side).  Standard boilerplate /
+    quotation / wrapper-page detector in corpus curation.
+
+    Same inverted-index co-occurrence core (and therefore the same
+    collision-proportional 100 TB cost model) as
+    :func:`ngram_jaccard_pairs`; both directed measures come from the
+    ONE pair aggregate, and a pair survives if either direction clears
+    the threshold."""
+    co = _ngram_cooccurrence(df, id_col, text_col, block_col, shingle_k)
+    return co.select(
+        "id_a",
+        "id_b",
+        (F.col("_c") / F.col("_na")).alias("containment_a_in_b"),
+        (F.col("_c") / F.col("_nb")).alias("containment_b_in_a"),
+    ).filter(
+        (F.col("containment_a_in_b") >= threshold)
+        | (F.col("containment_b_in_a") >= threshold)
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -238,43 +319,7 @@ def ngram_jaccard_pairs(
     re-ran the shingle stage 3×, ~2.5× the wall-clock); (2) two whole
     shuffles (the re-joins on id_a/id_b) disappear for the price of one
     int column in the posting shuffle."""
-    from rick_and_morty_data_pipeline_project_spark.functions.textfns import (
-        shingles_from_tokens,
-        tokens_col,
-    )
-
-    toked = fan_out(df).select(
-        F.col(id_col),
-        F.col(block_col).alias("_block"),
-        tokens_col(F.col(text_col)).alias("_tk"),
-    )
-    sh = toked.select(
-        F.col(id_col),
-        F.col("_block"),
-        F.array_distinct(shingles_from_tokens(F.col("_tk"), shingle_k)).alias("sh"),
-    ).withColumn("n", F.size(F.col("sh")))
-    posting = sh.select(
-        F.col(id_col), F.col("n"), F.col("_block"), F.explode("sh").alias("_s")
-    )
-    a = posting.alias("a")
-    b = posting.alias("b")
-    # shuffle_hash (not broadcast): at scale a posting list derived from
-    # the full corpus is never broadcastable, and locally the shuffle
-    # join avoids computing the posting pipeline a second time for the
-    # broadcast build side.
-    co = (
-        a.join(b.hint("shuffle_hash"), on=["_block", "_s"])
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
-        .agg(
-            F.count(F.lit(1)).alias("_c"),
-            F.first("a.n").alias("_na"),
-            F.first("b.n").alias("_nb"),
-        )
-    )
+    co = _ngram_cooccurrence(df, id_col, text_col, block_col, shingle_k)
     return co.select(
         "id_a",
         "id_b",

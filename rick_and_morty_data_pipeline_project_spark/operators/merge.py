@@ -79,20 +79,32 @@ def merge_upsert(
         obs, F.count(F.lit(1)).alias("n")
     )
 
+    atomic_overwrite(spark, merged, target_path)
+    return int(obs.get["n"])
+
+
+def atomic_overwrite(
+    spark: SparkSession, df: DataFrame, target_path: str
+) -> None:
+    """Write ``df`` as the new content of ``target_path`` via the
+    temp-write + rename-swap protocol (safe even when ``df`` READS from
+    ``target_path``: the plan materializes into the temp dir before any
+    rename touches the source).  Old table is renamed aside — not
+    deleted — before the new one lands, so every failure point leaves a
+    complete table on disk."""
     tmp_path = target_path + ".__merge_tmp__"
     old_path = target_path + ".__merge_old__"
     fs, jvm = _hadoop_fs(spark, target_path)
     hpath = jvm.org.apache.hadoop.fs.Path
     for stale in (tmp_path, old_path):
         fs.delete(hpath(stale), True)
-    merged.write.mode("overwrite").parquet(tmp_path)
-    # swap: old table is renamed aside (not deleted) before the new one
-    # lands, so every failure point leaves a complete table on disk
-    if not fs.rename(hpath(target_path), hpath(old_path)):
-        raise IOError(f"merge_upsert: cannot move aside {target_path}")
+    df.write.mode("overwrite").parquet(tmp_path)
+    existed = fs.exists(hpath(target_path))
+    if existed and not fs.rename(hpath(target_path), hpath(old_path)):
+        raise IOError(f"atomic_overwrite: cannot move aside {target_path}")
     if not fs.rename(hpath(tmp_path), hpath(target_path)):
         # put the original back rather than leaving no table at all
-        fs.rename(hpath(old_path), hpath(target_path))
-        raise IOError(f"merge_upsert: cannot install {tmp_path}")
+        if existed:
+            fs.rename(hpath(old_path), hpath(target_path))
+        raise IOError(f"atomic_overwrite: cannot install {tmp_path}")
     fs.delete(hpath(old_path), True)
-    return int(obs.get["n"])

@@ -264,6 +264,54 @@ WHERE len(list_filter(a.grams, g -> list_contains(b.grams, g)))
 """
 
 
+def dedup_ngram_containment(spark, sf_dir):
+    """Directed n-gram containment pairs — catches short-doc-quoted-in-
+    long-doc duplication that symmetric Jaccard dilutes.  Shares the
+    inverted-index co-occurrence core (and its collision-bounded 100 TB
+    cost) with ``dedup_ngram_jaccard``; both directions are rounded to 9
+    so the rational c/n values hash identically."""
+    from rick_and_morty_data_pipeline_project_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    pairs = ngram_containment_pairs(
+        d, "doc_id", "text", block_col="source", shingle_k=2, threshold=0.2
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.round("containment_a_in_b", 9).alias("containment_a_in_b"),
+        F.round("containment_b_in_a", 9).alias("containment_b_in_a"),
+    )
+
+
+DEDUP_CONTAINMENT_SQL = """
+WITH sh AS (
+  SELECT doc_id, source,
+         list_distinct(
+           CASE WHEN len(toks) >= 2
+                THEN list_transform(generate_series(1, len(toks) - 1),
+                                    i -> toks[i] || ' ' || toks[i+1])
+                ELSE [array_to_string(toks, ' ')]
+           END) AS grams
+  FROM (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents)
+),
+co AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_filter(a.grams, g -> list_contains(b.grams, g))) AS c,
+         len(a.grams) AS na, len(b.grams) AS nb
+  FROM sh a
+  JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       round(c / na, 9) AS containment_a_in_b,
+       round(c / nb, 9) AS containment_b_in_a
+FROM co
+WHERE c / na >= 0.2 OR c / nb >= 0.2
+"""
+
+
 # --------------------------------------------------------------------------
 def dedup_simhash(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
@@ -1994,6 +2042,9 @@ FROM st
 
 QUERIES: dict[str, Q] = {
     "text_char_entropy": Q(text_char_entropy, TEXT_CHAR_ENTROPY_SQL),
+    "dedup_ngram_containment": Q(
+        dedup_ngram_containment, DEDUP_CONTAINMENT_SQL
+    ),
     "text_emotion_scores": Q(text_emotion_scores, TEXT_EMOTION_SQL),
     "dedup_minhash_clusters": Q(dedup_minhash_clusters, DEDUP_CLUSTERS_SQL),
     "text_vocab_df": Q(text_vocab_df, TEXT_VOCAB_SQL),

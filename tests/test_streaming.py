@@ -494,3 +494,61 @@ def test_stream_stream_join_matches_batch(spark):
         for r in QUERIES["view_click_attribution"].fn(spark, SF_SMALL).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_hll_sketch_table_equals_batch(spark, tmp_path):
+    """Incrementally-maintained sketch table ≡ batch rebuild: per-day
+    estimates AND the union TOTAL are identical after the events arrive
+    split across micro-batches (HLL union losslessness, now through the
+    durable foreachBatch merge path)."""
+    from pyspark.sql import functions as F
+
+    from rick_and_morty_data_pipeline_project_spark.streaming.sketches import (
+        sketch_table_estimates,
+        stream_hll_sketch_table,
+    )
+    from tests.conftest import SF_ORACLE
+
+    events = spark.read.parquet(f"{SF_ORACLE}/events.parquet")
+    in_dir = tmp_path / "incoming"
+    in_dir.mkdir()
+    # three chunks that SPLIT days across micro-batches (round-robin by
+    # event_id) so the merge path really unions same-day sketches
+    for i in range(3):
+        events.filter(F.col("event_id") % 3 == i).write.parquet(
+            str(in_dir / f"chunk_{i}.parquet")
+        )
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir) + "/*/")
+    )
+    table_dir = str(tmp_path / "sketch_table")
+    q = stream_hll_sketch_table(
+        stream, table_dir, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+
+    got = {
+        r["day"]: r["est_distinct"]
+        for r in sketch_table_estimates(spark, table_dir).collect()
+    }
+    want = {
+        r["day"]: r["est_distinct"]
+        for r in (
+            events.groupBy(
+                F.date_format("ts", "yyyy-MM-dd").alias("day")
+            )
+            .agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"))
+            .select(
+                "day", F.hll_sketch_estimate("sk").alias("est_distinct")
+            )
+            .collect()
+        )
+    }
+    want["TOTAL"] = events.agg(
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg("user_id", F.lit(12))
+        ).alias("e")
+    ).collect()[0]["e"]
+    assert got == want and len(got) == 31
