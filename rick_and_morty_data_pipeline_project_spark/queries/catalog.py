@@ -23,7 +23,10 @@ with green in-window siblings are deferred to the round-4 rotation:
 ``events_gap_fill`` — joined by the queries added after this round's
 window froze: ``dedup_incremental_bloom``, ``dedup_span_profile``,
 ``view_click_attribution``, ``scalar_bit_interleave``,
-``text_shard_index``
+``text_shard_index``, ``text_char_entropy``, ``dedup_ngram_containment``,
+``bpe_train_merges``, ``text_bpe_token_stats``, ``scd2_customer_segments``
+(fully oracled), and the rows-only ``sketch_hll_rollup``,
+``sketch_cms_user_counts``, ``embedding_pca_project``
 (``tools/rotation_report.py`` prints the live rotation state).
 Every query outside the window stays exported
 (positions 51+) and is still cell-exact verified locally by
