@@ -104,11 +104,19 @@ def pca_project(
     model: PcaModel,
     vec_col: str,
     round_digits: int | None = 6,
+    whiten: bool = False,
 ) -> DataFrame:
     """Append pc1..pck score columns: dot(v, w_j) − μ·w_j as a narrow
-    JVM map over broadcast literal components."""
+    JVM map over broadcast literal components.  ``whiten=True`` scales
+    each score by 1/√λ_j so the output has identity covariance (the
+    preprocessing k-means/GMM-style consumers want); the scale folds
+    into the literal component, so the plan is unchanged."""
     out = df
-    for j, w in enumerate(model.components, start=1):
+    for j, (w, lam) in enumerate(
+        zip(model.components, model.explained_variance), start=1
+    ):
+        if whiten:
+            w = w / np.sqrt(max(lam, 1e-12))
         lit_w = F.array(*[F.lit(float(x)) for x in w])
         score = dot_col(F.col(vec_col), lit_w) - F.lit(
             float(np.dot(model.mean, w))

@@ -2040,8 +2040,82 @@ FROM st
 """
 
 
+def text_bigram_logprob(spark, sf_dir):
+    """Corpus bigram-LM document scoring with add-k smoothing — the
+    next perplexity proxy up from ``text_unigram_logprob``:
+    score = mean ln((c(w1,w2)+k) / (c(w1)+k·V)) over the doc's adjacent
+    bigrams, k=0.5, V = unigram vocabulary size.
+
+    Scale: bigram and unigram counts are map-side-combinable aggs on
+    high-cardinality keys; scoring joins the doc bigram stream to the
+    bigram vocab on its key and to the left-unigram counts; V is a
+    1-row broadcast.  Docs with <2 tokens have no bigrams and drop out
+    (identically in the oracle).
+    """
+    d = t(spark, sf_dir, "documents")
+    toked = d.select("doc_id", tokens_col(F.col("text")).alias("t"))
+    big = toked.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("t"), 1, F.size("t") - 1),
+                F.slice(F.col("t"), 2, F.size("t")),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
+    uni = toked.select(F.explode("t").alias("w"))
+    uc = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c_w"))
+    vocab = uc.agg(F.count(F.lit(1)).cast("double").alias("v"))
+    scored = (
+        big.join(bc, ["w1", "w2"])
+        .join(uc.withColumnRenamed("w", "w1"), "w1")
+        .crossJoin(F.broadcast(vocab))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(
+            F.avg(
+                F.log(
+                    (F.col("c_ab") + F.lit(0.5))
+                    / (F.col("c_w") + F.lit(0.5) * F.col("v"))
+                )
+            ),
+            6,
+        ).alias("avg_bigram_logprob"),
+    )
+
+
+TEXT_BIGRAM_LM_SQL = """
+WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+big AS (
+  SELECT doc_id, u.p[1] AS w1, u.p[2] AS w2
+  FROM tk, LATERAL (
+    SELECT unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS p
+  ) u
+),
+bc AS (SELECT w1, w2, count(*) AS c_ab FROM big GROUP BY 1, 2),
+uc AS (
+  SELECT w, count(*) AS c_w
+  FROM (SELECT unnest(t) AS w FROM tk) GROUP BY 1
+),
+vocab AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uc)
+SELECT big.doc_id,
+       count(*) AS n_bigrams,
+       round(avg(ln((bc.c_ab + 0.5) / (uc.c_w + 0.5 * vocab.v))), 6)
+         AS avg_bigram_logprob
+FROM big
+JOIN bc USING (w1, w2)
+JOIN uc ON uc.w = big.w1
+CROSS JOIN vocab
+GROUP BY 1
+"""
+
+
 QUERIES: dict[str, Q] = {
     "text_char_entropy": Q(text_char_entropy, TEXT_CHAR_ENTROPY_SQL),
+    "text_bigram_logprob": Q(text_bigram_logprob, TEXT_BIGRAM_LM_SQL),
     "dedup_ngram_containment": Q(
         dedup_ngram_containment, DEDUP_CONTAINMENT_SQL
     ),

@@ -83,3 +83,16 @@ def test_catalog_query_shape_and_determinism(spark):
     ra = sorted(map(tuple, a.collect()))
     rb = sorted(map(tuple, embedding_pca_project(spark, SF_ORACLE).collect()))
     assert ra == rb and len(ra) == 500
+
+
+def test_whitened_projection_has_identity_covariance(spark):
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    model = pca_fit(emb, "embedding", dim=64, k=3)
+    rows = (
+        pca_project(emb, model, "embedding", round_digits=None, whiten=True)
+        .select("pc1", "pc2", "pc3")
+        .collect()
+    )
+    W = np.array([[r["pc1"], r["pc2"], r["pc3"]] for r in rows])
+    cov = np.cov(W, rowvar=False, bias=True)
+    assert np.allclose(cov, np.eye(3), atol=1e-6)
