@@ -132,6 +132,88 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
 """
 
 
+def knn_recall_audit(spark, sf_dir):
+    """Recall@5 of the IVF index vs exact brute-force, per query — the
+    index-quality audit an ANN deployment runs after every rebuild
+    (recall is THE accept/reject metric for approximate search).
+
+    Fully oracled: both arms are deterministic (same tie-breaks as
+    their standalone queries), so the audit is just their join.  Scale:
+    audits run on a fixed query SAMPLE, so the exact arm's brute-force
+    cost is |sample|·|corpus| — one corpus scan with the sample
+    broadcast — while the IVF arm reuses the probe path; neither adds a
+    corpus shuffle.
+    """
+    e = t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    exact = knn_bruteforce(queries, e, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    ivf = knn_ivf(queries, e, k=5, n_cells=8, n_probe=2).select(
+        "query_id", "neighbor_id"
+    )
+    hits = (
+        exact.join(ivf, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    base = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    return base.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+        (
+            F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("n_exact")
+        ).alias("recall_at_5"),
+    )
+
+
+KNN_RECALL_SQL = f"""
+WITH {_NORMED_CTE},
+q AS (SELECT vec_id AS query_id, nv AS qv FROM normed WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         round({dot_sql("q.qv", "c.nv")}, 6) AS cosine
+  FROM q, normed c
+  WHERE q.query_id <> c.vec_id
+),
+exact5 AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM scored) WHERE rank <= 5
+),
+assign AS ({_ASSIGN_SQL}),
+cells AS (SELECT vec_id AS neighbor_id, nv AS cv, cell_id FROM assign WHERE r = 1),
+probes AS (SELECT vec_id AS query_id, nv AS qv, cell_id FROM assign WHERE r <= 2 AND vec_id < 10),
+cand AS (
+  SELECT p.query_id, c.neighbor_id,
+         round({dot_sql("p.qv", "c.cv")}, 6) AS cosine
+  FROM probes p JOIN cells c ON p.cell_id = c.cell_id
+  WHERE p.query_id <> c.neighbor_id
+),
+ivf5 AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM cand) WHERE rank <= 5
+),
+hits AS (
+  SELECT e.query_id, count(*) AS n_hits
+  FROM exact5 e JOIN ivf5 i USING (query_id, neighbor_id)
+  GROUP BY 1
+),
+base AS (SELECT query_id, count(*) AS n_exact FROM exact5 GROUP BY 1)
+SELECT base.query_id,
+       COALESCE(hits.n_hits, 0) AS n_hits,
+       COALESCE(hits.n_hits, 0) / base.n_exact AS recall_at_5
+FROM base LEFT JOIN hits USING (query_id)
+"""
+
+
 def knn_cosine_ivf_kmeans(spark, sf_dir):
     """IVF ANN with a trained coarse quantizer: deterministic seeded
     spherical k-means on a bounded driver-side sample (rows-only oracle:
@@ -452,6 +534,7 @@ QUERIES: dict[str, Q] = {
     "knn_cosine_lsh": Q(knn_cosine_lsh, KNN_LSH_SQL),
     "knn_cosine_mmr": Q(knn_cosine_mmr, None),
     "knn_cosine_ivf": Q(knn_cosine_ivf, KNN_IVF_SQL),
+    "knn_recall_audit": Q(knn_recall_audit, KNN_RECALL_SQL),
     "knn_cosine_ivf_kmeans": Q(knn_cosine_ivf_kmeans, None),
     "embedding_quantize_error": Q(embedding_quantize_error, QUANT_ERR_SQL),
     "knn_cosine_int8": Q(knn_cosine_int8, KNN_INT8_SQL),
