@@ -1892,6 +1892,49 @@ FROM steps
 """
 
 
+def join_fuzzy_customer_names(spark, sf_dir):
+    """Blocked fuzzy (edit-distance) self-join — the entity-resolution
+    primitive: candidate pairs come ONLY from a cheap blocking key (here
+    a name prefix; at scale a phonetic key or q-gram LSH bucket), and
+    the O(len²) levenshtein runs on blocked pairs alone, never |n|².
+
+    Scale: self-join on the block key is a shuffle_hash with a
+    ReusedExchange (both sides are the same projection — the
+    inverted-index discipline of the dedup family applied to fuzzy
+    matching); output is bounded by block collision mass × the edit
+    threshold's selectivity.
+    """
+    c = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        F.substring("c_name", 1, 12).alias("_blk"),
+    )
+    a, b = c.alias("a"), c.alias("b")
+    return (
+        a.join(b.hint("shuffle_hash"), "_blk")
+        .filter(F.col("a.c_custkey") < F.col("b.c_custkey"))
+        .filter(F.levenshtein("a.c_name", "b.c_name") <= 1)
+        .select(
+            F.col("a.c_custkey").alias("id_a"),
+            F.col("b.c_custkey").alias("id_b"),
+            F.levenshtein("a.c_name", "b.c_name")
+            .cast("long")
+            .alias("edit_distance"),
+        )
+    )
+
+
+FUZZY_JOIN_SQL = """
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS edit_distance
+FROM customer a
+JOIN customer b
+  ON substr(a.c_name, 1, 12) = substr(b.c_name, 1, 12)
+ AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+"""
+
+
 def scd2_customer_segments(spark, sf_dir):
     """SCD Type-2 dimension maintenance over the customer segment: a
     deterministic daily batch (every 5th key re-segmented, every
@@ -1978,6 +2021,9 @@ WHERE cs.c_custkey IS NULL
 
 QUERIES: dict[str, Q] = {
     "scd2_customer_segments": Q(scd2_customer_segments, SCD2_SQL),
+    "join_fuzzy_customer_names": Q(
+        join_fuzzy_customer_names, FUZZY_JOIN_SQL
+    ),
     "text_language_id": Q(text_language_id, TEXT_LANGID_SQL),
     "events_sliding_rollup": Q(events_sliding_rollup, EVENTS_SLIDING_SQL),
     "join_salted_user_events": Q(join_salted_user_events, JOIN_SALTED_SQL),
