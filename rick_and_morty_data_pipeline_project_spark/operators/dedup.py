@@ -540,6 +540,10 @@ def incremental_dedup_bloom(
         existing.select(
             F.explode(F.array(*positions(F.col(fp_col)))).alias("p")
         )
+        # a NULL fingerprint hashes to NULL positions — drop them here
+        # (NULL never equals anything, so the plain anti-join this
+        # function must match admits every batch row regardless)
+        .filter(F.col("p").isNotNull())
         .groupBy(F.shiftright("p", 6).alias("w"))
         .agg(F.bit_or(setbit).alias("b"))
         .collect()

@@ -83,6 +83,27 @@ def merge_upsert(
     return int(obs.get["n"])
 
 
+def recover_table(spark: SparkSession, target_path: str) -> bool:
+    """Crash recovery for the swap protocol: if a previous
+    :func:`atomic_overwrite` died between its two renames, the only
+    complete table sits at ``<target>.__merge_old__`` — restore it
+    (never treat it as stale garbage: deleting it would silently
+    reinitialize the table and lose all history).  Idempotent; callers
+    that READ the target before overwriting it (e.g. the streaming
+    sketch-table sink) must call this before their existence check.
+    Returns True if a recovery rename was performed."""
+    old_path = target_path + ".__merge_old__"
+    fs, jvm = _hadoop_fs(spark, target_path)
+    hpath = jvm.org.apache.hadoop.fs.Path
+    if not fs.exists(hpath(target_path)) and fs.exists(hpath(old_path)):
+        if not fs.rename(hpath(old_path), hpath(target_path)):
+            raise IOError(
+                f"recover_table: cannot restore {old_path} -> {target_path}"
+            )
+        return True
+    return False
+
+
 def atomic_overwrite(
     spark: SparkSession, df: DataFrame, target_path: str
 ) -> None:
@@ -96,8 +117,11 @@ def atomic_overwrite(
     old_path = target_path + ".__merge_old__"
     fs, jvm = _hadoop_fs(spark, target_path)
     hpath = jvm.org.apache.hadoop.fs.Path
-    for stale in (tmp_path, old_path):
-        fs.delete(hpath(stale), True)
+    recover_table(spark, target_path)
+    fs.delete(hpath(tmp_path), True)
+    # after recovery, a remaining old_path is the leftover of a
+    # COMPLETED swap and safe to clear
+    fs.delete(hpath(old_path), True)
     df.write.mode("overwrite").parquet(tmp_path)
     existed = fs.exists(hpath(target_path))
     if existed and not fs.rename(hpath(target_path), hpath(old_path)):

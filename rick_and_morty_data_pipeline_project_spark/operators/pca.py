@@ -52,9 +52,12 @@ def pca_fit(df: DataFrame, vec_col: str, dim: int, k: int) -> PcaModel:
     normalization constant does not change the eigenbasis).
     """
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    # flat layout: first d entries are v_i, then for i = 0..d−1 the
-    # products v_i·v_j for j ≥ i (slice is 1-based; i arrives 0-based).
+    # flat layout: position 0 sums the constant 1 (the row count — the
+    # "+1" that keeps the fit a SINGLE pass, no separate df.count()
+    # action), then d mean terms v_i, then for i = 0..d−1 the products
+    # v_i·v_j for j ≥ i (slice is 1-based; i arrives 0-based).
     terms = F.concat(
+        F.array(F.lit(1.0)),
         v,
         F.flatten(
             F.transform(
@@ -71,10 +74,13 @@ def pca_fit(df: DataFrame, vec_col: str, dim: int, k: int) -> PcaModel:
         .agg(F.sum("val").alias("s"))
         .collect()
     )
-    n = df.count()
-    flat = np.zeros(dim + dim * (dim + 1) // 2)
+    flat = np.zeros(1 + dim + dim * (dim + 1) // 2)
     for r in sums_rows:
         flat[r["pos"]] = r["s"]
+    n = flat[0]
+    if n == 0:
+        raise ValueError("pca_fit: empty input")
+    flat = flat[1:]
     mean = flat[:dim] / n
     cov = np.zeros((dim, dim))
     off = dim

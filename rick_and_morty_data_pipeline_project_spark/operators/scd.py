@@ -56,6 +56,23 @@ def scd2_apply(
         *[F.col(c).alias(f"_u_{c}") for c in tracked],
         F.col(effective_col).alias("_eff"),
     )
+    # One update per key per apply: SCD2 is a sequential protocol, so a
+    # batch carrying several versions of one key must be applied as
+    # several batches to yield several history rows.  Within ONE apply,
+    # collapse deterministically to the latest effective date
+    # (last-writer-wins; ties broken by the tracked values) — without
+    # this, the left join below fans the open row out and emits
+    # multiple is_current=1 rows per key (corrupt state).
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(key).orderBy(
+        F.desc("_eff"), *[F.desc(f"_u_{c}") for c in tracked]
+    )
+    upd = (
+        upd.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
     if broadcast_updates:
         upd = F.broadcast(upd)
 

@@ -65,13 +65,29 @@ def zorder_write(
     min/max would span the whole domain), so the range is CHECKED with
     one column-pruned pre-aggregation (cheap next to the range exchange
     + sort the clustered write itself pays) and violations raise."""
-    lo_a, hi_a, lo_b, hi_b = df.agg(
-        F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)
+    lo_a, hi_a, lo_b, hi_b, n_null = df.agg(
+        F.min(col_a),
+        F.max(col_a),
+        F.min(col_b),
+        F.max(col_b),
+        F.count(F.lit(1))
+        - F.count(F.when(F.col(col_a).isNotNull() & F.col(col_b).isNotNull(), 1)),
     ).first()
     limit = 1 << bits
-    if lo_a is None:
+    # min/max skip NULLs, so NULL-keyed rows would silently bypass the
+    # range check AND interleave to a NULL _z (arbitrary placement,
+    # stats rectangles spanning the domain) — reject them explicitly,
+    # and guard each bound for the all-NULL-column case independently.
+    if n_null:
+        raise ValueError(
+            f"zorder_write: {n_null} rows have NULL in {col_a}/{col_b};"
+            " Z-order keys must be non-null (fill or filter first)"
+        )
+    if lo_a is None and lo_b is None:
         pass  # empty input: nothing to check, write proceeds
-    elif lo_a < 0 or lo_b < 0 or hi_a >= limit or hi_b >= limit:
+    elif any(
+        v is None or v < 0 for v in (lo_a, lo_b)
+    ) or any(v >= limit for v in (hi_a, hi_b)):
         raise ValueError(
             f"zorder_write: key range [({lo_a},{lo_b}) .. ({hi_a},{hi_b})]"
             f" outside [0, 2^{bits}); raise `bits` (max 31 for two keys"

@@ -1170,11 +1170,11 @@ def text_shard_index(spark, sf_dir):
 SHARD_INDEX_SQL = """
 SELECT doc_id,
        CAST(doc_id % 8 AS INT) AS shard,
-       COALESCE(CAST(SUM(strlen(text)) OVER (
+       COALESCE(CAST(SUM(strlen(COALESCE(text, ''))) OVER (
          PARTITION BY doc_id % 8 ORDER BY doc_id
          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
          0) AS offset,
-       CAST(strlen(text) AS BIGINT) AS n_bytes
+       CAST(strlen(COALESCE(text, '')) AS BIGINT) AS n_bytes
 FROM documents
 """
 

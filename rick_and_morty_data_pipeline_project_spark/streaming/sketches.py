@@ -30,7 +30,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from rick_and_morty_data_pipeline_project_spark.operators.merge import (
+    _hadoop_fs,
     atomic_overwrite,
+    recover_table,
 )
 
 
@@ -50,13 +52,13 @@ def stream_hll_sketch_table(
         batch_sk = batch_df.groupBy(
             F.date_format(ts_col, "yyyy-MM-dd").alias("day")
         ).agg(F.hll_sketch_agg(item_col, F.lit(lg_k)).alias("sk"))
-        jvm = sess.sparkContext._jvm
-        hpath = jvm.org.apache.hadoop.fs.Path(table_dir)
-        fs = hpath.getFileSystem(
-            sess.sparkContext._jsc.hadoopConfiguration()
-        )
+        # a crash between atomic_overwrite's renames leaves the table
+        # at the .__merge_old__ side — restore BEFORE the existence
+        # check, or this batch would reinitialize the table from itself
+        recover_table(sess, table_dir)
+        fs, jvm = _hadoop_fs(sess, table_dir)
         merged = batch_sk
-        if fs.exists(hpath):
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(table_dir)):
             merged = (
                 sess.read.parquet(table_dir)
                 .unionByName(batch_sk)

@@ -492,3 +492,28 @@ def test_knn_mmr_matches_python_oracle_and_diversifies(spark):
     }
     assert plain5 <= set(range(1, 7)), plain5
     assert any(g[0] >= 100 for g in got.values()), got
+
+
+def test_incremental_bloom_null_fingerprint_in_corpus(spark):
+    """A NULL fingerprint in the existing corpus must not crash the
+    bitmap build, and the result must still equal the plain anti-join
+    (which admits every batch row — NULL never equals anything)."""
+    from rick_and_morty_data_pipeline_project_spark.operators.dedup import (
+        incremental_dedup_bloom,
+    )
+
+    existing = spark.createDataFrame(
+        [("aa11",), (None,), ("bb22",)], "fp string"
+    )
+    batch = spark.createDataFrame(
+        [("aa11", 1), ("cc33", 2), (None, 3)], "fp string, doc_id long"
+    )
+    got = {
+        r["doc_id"]
+        for r in incremental_dedup_bloom(batch, existing, "fp").collect()
+    }
+    want = {
+        r["doc_id"]
+        for r in batch.join(existing, "fp", "left_anti").collect()
+    }
+    assert got == want == {2, 3}

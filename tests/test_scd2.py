@@ -76,3 +76,25 @@ def test_catalog_scd2_interval_invariants(spark):
         if len(rs) > 1:
             changed += 1
     assert changed > 0  # the %5==0 batch really produced history
+
+
+def test_multiple_updates_per_key_collapse_to_latest(spark):
+    """A batch carrying two versions of one key must not fan out the
+    open row: last-writer-wins within the apply (latest effective date),
+    preserving the exactly-one-open-row invariant."""
+    current = spark.createDataFrame(
+        [(1, "A", "2000-01-01", OPEN_END, 1)], CUR_SCHEMA
+    )
+    updates = spark.createDataFrame(
+        [(1, "B", "2002-01-01"), (1, "C", "2003-01-01")], UPD_SCHEMA
+    )
+    rows = {
+        tuple(r)
+        for r in scd2_apply(
+            current, updates, key="k", tracked=["attr"]
+        ).collect()
+    }
+    assert rows == {
+        (1, "A", "2000-01-01", "2003-01-01", 0),
+        (1, "C", "2003-01-01", OPEN_END, 1),
+    }

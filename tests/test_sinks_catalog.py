@@ -492,3 +492,54 @@ def test_packed_shards_null_text_alignment(spark, tmp_path):
     idx = {r["doc_id"]: r for r in spark.read.parquet(f"{out}/index").collect()}
     assert (idx[2]["offset"], idx[2]["n_bytes"]) == (5, 0)
     assert blob[idx[3]["offset"] : idx[3]["offset"] + idx[3]["n_bytes"]] == b"omega"
+
+
+def test_atomic_overwrite_recovers_mid_swap_crash(spark, tmp_path):
+    """Crash between the two swap renames leaves the table at
+    .__merge_old__; the next overwrite (and any read-modify-write sink)
+    must RESTORE it, never delete it as stale — and the subsequent
+    merge must see the recovered content."""
+    from rick_and_morty_data_pipeline_project_spark.operators.merge import (
+        atomic_overwrite,
+        recover_table,
+    )
+
+    target = str(tmp_path / "table")
+    spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string").write.parquet(
+        target
+    )
+    # simulate the crash window: target moved aside, new table not yet in
+    import shutil
+
+    shutil.move(target, target + ".__merge_old__")
+    assert recover_table(spark, target) is True
+    assert {r["k"] for r in spark.read.parquet(target).collect()} == {1, 2}
+
+    # same crash again, but now recovery rides atomic_overwrite itself:
+    # the overwrite READS the recovered table, so content must survive
+    shutil.move(target, target + ".__merge_old__")
+    recover_table(spark, target)
+    merged = spark.read.parquet(target).unionByName(
+        spark.createDataFrame([(3, "c")], "k long, v string")
+    )
+    atomic_overwrite(spark, merged, target)
+    assert {r["k"] for r in spark.read.parquet(target).collect()} == {1, 2, 3}
+
+
+def test_zorder_write_rejects_null_keys(spark, tmp_path):
+    from rick_and_morty_data_pipeline_project_spark.operators.zorder import (
+        zorder_write,
+    )
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, 2), (3, None), (5, 6)], "a long, b long"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        zorder_write(df, str(tmp_path / "z1"), "a", "b")
+    # all-NULL column: clean ValueError, not a TypeError crash
+    df2 = spark.createDataFrame(
+        [(1, None), (2, None)], "a long, b long"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        zorder_write(df2, str(tmp_path / "z2"), "a", "b")
