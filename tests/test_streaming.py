@@ -552,3 +552,62 @@ def test_stream_hll_sketch_table_equals_batch(spark, tmp_path):
         ).alias("e")
     ).collect()[0]["e"]
     assert got == want and len(got) == 31
+
+
+def test_stream_scd2_equals_sequential_batch_applies(spark, tmp_path):
+    """CDC batches through the streaming sink must produce exactly the
+    history of sequential scd2_apply calls: change→change across
+    batches yields two closed rows + one open, no-ops pass through."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rick_and_morty_data_pipeline_project_spark.operators.scd import (
+        OPEN_END,
+        scd2_apply,
+    )
+    from rick_and_morty_data_pipeline_project_spark.streaming.scd import (
+        stream_scd2_apply,
+    )
+
+    seed = spark.createDataFrame(
+        [
+            (1, "A", "2000-01-01", OPEN_END, 1),
+            (2, "X", "2000-01-01", OPEN_END, 1),
+        ],
+        "k long, attr string, valid_from string, valid_to string, is_current int",
+    )
+    table_dir = str(tmp_path / "dim")
+    seed.write.parquet(table_dir)
+
+    in_dir = tmp_path / "cdc"
+    in_dir.mkdir()
+    batches = [
+        {"k": [1, 9], "attr": ["B", "NEW"], "effective_date": ["2001-06-01"] * 2},
+        {"k": [1, 2], "attr": ["C", "X"], "effective_date": ["2002-06-01"] * 2},
+    ]
+    for i, b in enumerate(batches):
+        pq.write_table(pa.table(b), str(in_dir / f"b{i}.parquet"))
+
+    stream = (
+        spark.readStream.schema("k long, attr string, effective_date string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    q = stream_scd2_apply(
+        stream, table_dir, str(tmp_path / "ckpt"), key="k", tracked=["attr"]
+    )
+    q.awaitTermination()
+
+    want_state = seed
+    for b in batches:
+        upd = spark.createDataFrame(
+            list(zip(b["k"], b["attr"], b["effective_date"])),
+            "k long, attr string, effective_date string",
+        )
+        want_state = scd2_apply(want_state, upd, key="k", tracked=["attr"])
+    got = {tuple(r) for r in spark.read.parquet(table_dir).collect()}
+    want = {tuple(r) for r in want_state.collect()}
+    assert got == want
+    # the key changed in both batches carries full three-version history
+    k1 = sorted(r for r in got if r[0] == 1)
+    assert [r[1] for r in k1] == ["A", "B", "C"]
