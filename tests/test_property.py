@@ -112,3 +112,107 @@ def test_exact_dedup_matches_set_semantics(spark, texts):
     for i, s in rows:
         first_seen.setdefault(norm(s), i)
     assert kept == sorted(first_seen.values())
+
+
+@st.composite
+def bpe_corpus(draw):
+    # short words over a 3-letter alphabet → dense pair collisions,
+    # overlapping-run edge cases ('aaa'), and merged-symbol re-pairing
+    word = st.text(alphabet="abc", min_size=1, max_size=6)
+    return draw(
+        st.dictionaries(
+            word,
+            st.integers(min_value=1, max_value=9),
+            min_size=1,
+            max_size=8,
+        )
+    )
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(words=bpe_corpus())
+def test_bpe_train_matches_python_reference_randomized(spark, words):
+    from rick_and_morty_data_pipeline_project_spark.operators.bpe import (
+        symbols_col,
+        train_bpe,
+    )
+    from tests.test_bpe import _py_bpe
+
+    df = spark.createDataFrame(list(words.items()), "word string, cnt long")
+    got, final = train_bpe(df, 3)
+    want, segs = _py_bpe(dict(words), 3)
+    assert [(m.left, m.right, m.pair_weight) for m in got] == want
+    got_segs = {
+        r["word"]: r["s"]
+        for r in final.select("word", symbols_col("w").alias("s")).collect()
+    }
+    assert got_segs == segs
+
+
+@st.composite
+def scd2_scenario(draw):
+    attrs = st.sampled_from(["A", "B", "C", None])
+    current_keys = draw(st.sets(KEYS, min_size=0, max_size=6))
+    current = {k: draw(attrs) for k in current_keys}
+    n_batches = draw(st.integers(min_value=1, max_value=3))
+    batches = []
+    for day in range(n_batches):
+        upd_keys = draw(st.sets(KEYS, min_size=0, max_size=6))
+        batches.append(
+            {k: draw(attrs) for k in upd_keys}
+        )
+    return current, batches
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(scenario=scd2_scenario())
+def test_scd2_sequential_applies_preserve_invariants(spark, scenario):
+    """Random update sequences: per key exactly one open row, gapless
+    strictly-increasing intervals, and the open attr equals the last
+    effective change applied for that key."""
+    from collections import defaultdict
+
+    from rick_and_morty_data_pipeline_project_spark.operators.scd import (
+        OPEN_END,
+        scd2_apply,
+    )
+
+    current_map, batches = scenario
+    state = spark.createDataFrame(
+        [
+            (k, v, "2000-01-01", OPEN_END, 1)
+            for k, v in current_map.items()
+        ],
+        "k long, attr string, valid_from string, valid_to string, is_current int",
+    )
+    expected_attr = dict(current_map)
+    for i, batch in enumerate(batches):
+        eff = f"200{i + 1}-01-01"
+        upd = spark.createDataFrame(
+            [(k, v, eff) for k, v in batch.items()],
+            "k long, attr string, effective_date string",
+        )
+        state = scd2_apply(state, upd, key="k", tracked=["attr"])
+        expected_attr.update(batch)
+    rows = state.collect()
+    by_key = defaultdict(list)
+    for r in rows:
+        by_key[r["k"]].append(r)
+    assert set(by_key) == set(expected_attr)
+    for k, rs in by_key.items():
+        opens = [r for r in rs if r["is_current"] == 1]
+        assert len(opens) == 1 and opens[0]["valid_to"] == OPEN_END
+        assert opens[0]["attr"] == expected_attr[k]
+        for r in rs:
+            assert r["valid_from"] < r["valid_to"]
+        rs_sorted = sorted(rs, key=lambda r: r["valid_from"])
+        for a, b in zip(rs_sorted, rs_sorted[1:]):
+            assert a["valid_to"] == b["valid_from"]
