@@ -66,7 +66,48 @@ def sketch_cms_user_counts(spark, sf_dir):
     ).orderBy("item")
 
 
+def events_rolling_dau_hll(spark, sf_dir):
+    """Trailing-7-day active users from DAILY HLL SKETCHES — the 100 TB
+    twin of the exact ``events_rolling_dau``: instead of exploding the
+    |distinct (user, day)| pair set 7×, each day's fixed-size sketch
+    contributes to its 7 window ends and the per-window state is a
+    sketch union.  Shuffle volume becomes 7 × |days| × ~2^lg_k registers
+    — independent of user cardinality — which is the plan you want when
+    the pair set itself is the bottleneck.  Error-bounded against the
+    exact twin in tests/test_sketches.py (rows-only: sketch internals).
+    """
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("_day")).agg(
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sk")
+    )
+    contrib = daily.select(
+        F.explode(
+            F.sequence(F.col("_day"), F.date_add(F.col("_day"), 6))
+        ).alias("win_day"),
+        "sk",
+    )
+    counted = contrib.groupBy("win_day").agg(
+        F.hll_sketch_estimate(
+            F.hll_union_agg("sk", F.lit(True))
+        ).alias("_n")
+    )
+    bounds = e.agg(
+        F.min(F.col("ts").cast("date")).alias("_min_day"),
+        F.max(F.col("ts").cast("date")).alias("_max_day"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("_min_day"), F.col("_max_day"))
+        ).alias("win_day")
+    )
+    return spine.join(counted, "win_day", "left").select(
+        F.date_format("win_day", "yyyy-MM-dd").alias("win_day"),
+        F.coalesce("_n", F.lit(0)).alias("n_active_7d_est"),
+    )
+
+
 QUERIES: dict[str, Q] = {
     "sketch_hll_rollup": Q(sketch_hll_rollup, None),
     "sketch_cms_user_counts": Q(sketch_cms_user_counts, None),
+    "events_rolling_dau_hll": Q(events_rolling_dau_hll, None),
 }

@@ -140,3 +140,27 @@ def test_cms_merge_equals_single_sketch(spark):
     assert merged.total_count == whole.total_count
     assert (merged.table == whole.table).all()
     assert (merged.hash_a == whole.hash_a).all()
+
+
+def test_rolling_dau_hll_tracks_exact_twin(spark):
+    """The sketch-based trailing-7d uniques must stay inside the HLL
+    error envelope of the exact twin on every window day (same day
+    spine, zeros included)."""
+    from rick_and_morty_data_pipeline_project_spark.queries.extraq import (
+        events_rolling_dau,
+    )
+    from rick_and_morty_data_pipeline_project_spark.queries.sketchq import (
+        events_rolling_dau_hll,
+    )
+
+    exact = {
+        r["win_day"]: r["n_active_7d"]
+        for r in events_rolling_dau(spark, SF_ORACLE).collect()
+    }
+    est = {
+        r["win_day"]: r["n_active_7d_est"]
+        for r in events_rolling_dau_hll(spark, SF_ORACLE).collect()
+    }
+    assert set(exact) == set(est) and len(exact) == 30
+    for day, n in exact.items():
+        assert abs(est[day] - n) <= max(3, 0.05 * n), (day, est[day], n)
