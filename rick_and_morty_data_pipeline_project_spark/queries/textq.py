@@ -62,6 +62,30 @@ FROM documents
 """
 
 
+def unpivot_emotion_scores(spark, sf_dir):
+    """UNPIVOT (wide → long): melt the 6 emotion score columns into
+    (doc_id, emotion, score) rows — the reshape every tidy-data
+    consumer wants and the one relational operator family the catalog
+    didn't yet exercise.  ``DataFrame.unpivot`` is a pure narrow
+    expression expansion (6 output rows per input row, no shuffle)."""
+    wide = text_emotion_scores(spark, sf_dir)
+    return wide.unpivot(
+        ["doc_id"], EMOTIONS, "emotion", "score"
+    )
+
+
+UNPIVOT_EMOTION_SQL = f"""
+WITH wide AS (
+  SELECT doc_id, {_EMO_SELECT}
+  FROM documents
+)
+{" UNION ALL ".join(
+    f"SELECT doc_id, '{e}' AS emotion, {e} AS score FROM wide"
+    for e in EMOTIONS
+)}
+"""
+
+
 # --------------------------------------------------------------------------
 def text_top2_emotions(spark, sf_dir):
     """AGG-4: horizontal top-2 across the 6 scores, emotion-name tiebreak."""
@@ -2120,6 +2144,7 @@ QUERIES: dict[str, Q] = {
         dedup_ngram_containment, DEDUP_CONTAINMENT_SQL
     ),
     "text_emotion_scores": Q(text_emotion_scores, TEXT_EMOTION_SQL),
+    "unpivot_emotion_scores": Q(unpivot_emotion_scores, UNPIVOT_EMOTION_SQL),
     "dedup_minhash_clusters": Q(dedup_minhash_clusters, DEDUP_CLUSTERS_SQL),
     "text_vocab_df": Q(text_vocab_df, TEXT_VOCAB_SQL),
     "sample_hash_deterministic": Q(sample_hash_deterministic, SAMPLE_HASH_SQL),
