@@ -1893,44 +1893,66 @@ FROM steps
 
 
 def join_fuzzy_customer_names(spark, sf_dir):
-    """Blocked fuzzy (edit-distance) self-join — the entity-resolution
-    primitive: candidate pairs come ONLY from a cheap blocking key (here
-    a name prefix; at scale a phonetic key or q-gram LSH bucket), and
-    the O(len²) levenshtein runs on blocked pairs alone, never |n|².
+    """Fuzzy (edit-distance ≤ 1) self-join via FastSS
+    deletion-neighborhood blocking — the entity-resolution primitive,
+    EXACT over the whole corpus: any two strings within one edit share
+    at least one single-deletion variant (substitution → both delete
+    the differing position; indel → the longer's deletion equals the
+    shorter's identity), so exploding each name into its length+1
+    variants and equi-joining on the variant key yields a complete
+    candidate set with NO ad-hoc prefix blocking.  Levenshtein then
+    verifies candidates only.
 
-    Scale: self-join on the block key is a shuffle_hash with a
-    ReusedExchange (both sides are the same projection — the
-    inverted-index discipline of the dedup family applied to fuzzy
-    matching); output is bounded by block collision mass × the edit
-    threshold's selectivity.
+    Scale: candidate generation is a narrow explode (len+1 keys/row)
+    into ONE equi-join whose key cardinality ≈ |corpus|·len — massively
+    parallel, no hot blocks (a prefix-block variant measured 10+ s at
+    sf0.1 from 15 hot keys streaming |block|² pairs; this shape runs
+    ~1 s); cost tracks true collision mass.  The oracle states the
+    naive n² semantics directly — parity PROVES the neighborhood join
+    is lossless.
     """
-    c = t(spark, sf_dir, "customer").select(
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    # name + every single-deletion variant, tagged as the join key
+    variants = c.select(
         "c_custkey",
         "c_name",
-        F.substring("c_name", 1, 12).alias("_blk"),
+        F.explode(
+            F.expr(
+                "transform(sequence(0, length(c_name)), i -> "
+                "CASE WHEN i = 0 THEN c_name "
+                "ELSE concat(substring(c_name, 1, i-1), "
+                "substring(c_name, i+1, length(c_name))) END)"
+            )
+        ).alias("_variant"),
     )
-    a, b = c.alias("a"), c.alias("b")
-    return (
-        a.join(b.hint("shuffle_hash"), "_blk")
+    a, b = variants.alias("a"), variants.alias("b")
+    cand = (
+        a.join(b.hint("shuffle_hash"), "_variant")
         .filter(F.col("a.c_custkey") < F.col("b.c_custkey"))
-        .filter(F.levenshtein("a.c_name", "b.c_name") <= 1)
         .select(
             F.col("a.c_custkey").alias("id_a"),
             F.col("b.c_custkey").alias("id_b"),
-            F.levenshtein("a.c_name", "b.c_name")
-            .cast("long")
-            .alias("edit_distance"),
+            F.col("a.c_name").alias("_na"),
+            F.col("b.c_name").alias("_nb"),
         )
+        .distinct()  # a pair may collide on several variants
+    )
+    return (
+        cand.withColumn(
+            "edit_distance", F.levenshtein("_na", "_nb").cast("long")
+        )
+        .filter(F.col("edit_distance") <= 1)
+        .select("id_a", "id_b", "edit_distance")
     )
 
 
+# the SEMANTIC definition — naive all-pairs; the Spark side's
+# deletion-neighborhood join must reproduce it exactly
 FUZZY_JOIN_SQL = """
 SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
        CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS edit_distance
 FROM customer a
-JOIN customer b
-  ON substr(a.c_name, 1, 12) = substr(b.c_name, 1, 12)
- AND a.c_custkey < b.c_custkey
+JOIN customer b ON a.c_custkey < b.c_custkey
 WHERE levenshtein(a.c_name, b.c_name) <= 1
 """
 
