@@ -1892,6 +1892,102 @@ FROM steps
 """
 
 
+_TREND_EPOCH_US = 1_704_067_200_000_000  # 2024-01-01 UTC — centers x
+
+
+def events_user_trend(spark, sf_dir):
+    """Per-user OLS trend + Pearson correlation of event value over
+    time — the grouped-regression operator (trend detection, drift
+    monitoring).  Closed-form least squares from SIX map-combinable
+    exact decimal sums (n, Σx, Σy, Σxy, Σx², Σy²) — one shuffle on
+    user_id, no window, no iteration; x is exact µs since a fixed
+    epoch (integer, so every sum is exact decimal and the double
+    formulas are bit-identical in both engines).  Slope is scaled to
+    value-units/day before rounding (per-µs slopes vanish at 6 dp).
+    """
+    e = t(spark, sf_dir, "events")
+    b = e.select(
+        "user_id",
+        # integer SECONDS since the fixed epoch: exact and small
+        # enough (7 digits) that x*x stays inside both engines' int64
+        # decimal-multiply fast path (ms-resolution x overflowed
+        # DuckDB's DECIMAL(18) multiply)
+        F.expr(f"div(unix_micros(ts) - {_TREND_EPOCH_US}, 1000000)")
+        .cast("decimal(8,0)")
+        .alias("_x"),
+        dec("value", 8, 2).alias("_y"),
+    )
+    s = b.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+    )
+    n = F.col("n_events").cast("double")
+    sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    syy = F.col("_syy").cast("double")
+    cov_n = n * sxy - sx * sy
+    varx_n = n * sxx - sx * sx
+    vary_n = n * syy - sy * sy
+    slope_s = cov_n / F.nullif(varx_n, F.lit(0.0))
+    return s.select(
+        "user_id",
+        "n_events",
+        F.round(slope_s * F.lit(86_400.0), 6).alias(
+            "slope_per_day"
+        ),
+        F.round(
+            (sy - slope_s * sx) / n, 6
+        ).alias("intercept"),
+        F.round(
+            cov_n
+            / F.nullif(F.sqrt(varx_n * vary_n), F.lit(0.0)),
+            6,
+        ).alias("pearson_r"),
+    )
+
+
+USER_TREND_SQL = f"""
+WITH b AS (
+  SELECT user_id,
+         CAST((epoch_us(ts) - {_TREND_EPOCH_US}) // 1000000 AS DECIMAL(8,0)) AS x,
+         CAST(value AS DECIMAL(8,2)) AS y
+  FROM events
+),
+s AS (
+  SELECT user_id, count(*) AS n_events,
+         sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy,
+         sum(x*x) AS sxx, sum(y*y) AS syy
+  FROM b GROUP BY 1
+)
+SELECT user_id, n_events,
+       round((CAST(n_events AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / NULLIF(CAST(n_events AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0)
+             * 86400.0, 6) AS slope_per_day,
+       round((CAST(sy AS DOUBLE)
+              - (CAST(n_events AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                / NULLIF(CAST(n_events AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0)
+                * CAST(sx AS DOUBLE))
+             / CAST(n_events AS DOUBLE), 6) AS intercept,
+       round((CAST(n_events AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / NULLIF(sqrt((CAST(n_events AS DOUBLE) * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                           * (CAST(n_events AS DOUBLE) * CAST(syy AS DOUBLE)
+                              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 0),
+             6) AS pearson_r
+FROM s
+"""
+
+
 def join_fuzzy_customer_names(spark, sf_dir):
     """Fuzzy (edit-distance ≤ 1) self-join via FastSS
     deletion-neighborhood blocking — the entity-resolution primitive,
@@ -2046,6 +2142,7 @@ QUERIES: dict[str, Q] = {
     "join_fuzzy_customer_names": Q(
         join_fuzzy_customer_names, FUZZY_JOIN_SQL
     ),
+    "events_user_trend": Q(events_user_trend, USER_TREND_SQL),
     "text_language_id": Q(text_language_id, TEXT_LANGID_SQL),
     "events_sliding_rollup": Q(events_sliding_rollup, EVENTS_SLIDING_SQL),
     "join_salted_user_events": Q(join_salted_user_events, JOIN_SALTED_SQL),
