@@ -1909,9 +1909,13 @@ def events_user_trend(spark, sf_dir):
     b = e.select(
         "user_id",
         # integer SECONDS since the fixed epoch: exact and small
-        # enough (7 digits) that x*x stays inside both engines' int64
+        # enough that x*x stays inside both engines' int64
         # decimal-multiply fast path (ms-resolution x overflowed
-        # DuckDB's DECIMAL(18) multiply)
+        # DuckDB's DECIMAL(18) multiply).  decimal(8,0) bounds the
+        # supported domain to ±~3.17 years around the epoch — outside
+        # it BOTH engines fail loudly (ANSI cast error / DuckDB cast
+        # error), never silently: re-center _TREND_EPOCH_US for other
+        # corpora
         F.expr(f"div(unix_micros(ts) - {_TREND_EPOCH_US}, 1000000)")
         .cast("decimal(8,0)")
         .alias("_x"),

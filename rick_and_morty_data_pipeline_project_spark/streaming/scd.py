@@ -22,12 +22,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-from rick_and_morty_data_pipeline_project_spark.operators.merge import (
-    _hadoop_fs,
-    atomic_overwrite,
-    recover_table,
-)
 from rick_and_morty_data_pipeline_project_spark.operators.scd import scd2_apply
+from rick_and_morty_data_pipeline_project_spark.streaming._durable import (
+    durable_table_sink,
+)
 
 
 def stream_scd2_apply(
@@ -41,29 +39,22 @@ def stream_scd2_apply(
     """Maintain the SCD2 dimension at ``table_dir`` from a stream of
     update rows (key, *tracked, effective_col).  The table must be
     seeded (an initial current-state write) before the stream starts.
-    Returns the started query (availableNow trigger)."""
+    Returns the started query (availableNow trigger); the
+    crash-recovery/read/swap sequencing lives in streaming/_durable.py."""
 
-    def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        sess = batch_df.sparkSession
-        recover_table(sess, table_dir)
-        fs, jvm = _hadoop_fs(sess, table_dir)
-        if not fs.exists(jvm.org.apache.hadoop.fs.Path(table_dir)):
-            raise IOError(
-                f"stream_scd2_apply: seed table missing at {table_dir}"
-            )
-        current = sess.read.parquet(table_dir)
-        new_state = scd2_apply(
+    def _apply(batch_df: DataFrame, current) -> DataFrame:
+        return scd2_apply(
             current,
             batch_df,
             key=key,
             tracked=tracked,
             effective_col=effective_col,
         )
-        atomic_overwrite(sess, new_state, table_dir)
 
-    return (
-        updates_stream.writeStream.foreachBatch(_sink)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    return durable_table_sink(
+        updates_stream,
+        table_dir,
+        checkpoint_dir,
+        _apply,
+        require_seed=True,
     )

@@ -29,10 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from rick_and_morty_data_pipeline_project_spark.operators.merge import (
-    _hadoop_fs,
-    atomic_overwrite,
-    recover_table,
+from rick_and_morty_data_pipeline_project_spark.streaming._durable import (
+    durable_table_sink,
 )
 
 
@@ -45,34 +43,22 @@ def stream_hll_sketch_table(
     lg_k: int = 12,
 ):
     """Maintain a (day, sk binary) parquet sketch table from an event
-    stream.  Returns the started query (availableNow trigger)."""
+    stream.  Returns the started query (availableNow trigger); the
+    crash-recovery/read/swap sequencing lives in streaming/_durable.py."""
 
-    def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        sess = batch_df.sparkSession
+    def _apply(batch_df: DataFrame, current) -> DataFrame:
         batch_sk = batch_df.groupBy(
             F.date_format(ts_col, "yyyy-MM-dd").alias("day")
         ).agg(F.hll_sketch_agg(item_col, F.lit(lg_k)).alias("sk"))
-        # a crash between atomic_overwrite's renames leaves the table
-        # at the .__merge_old__ side — restore BEFORE the existence
-        # check, or this batch would reinitialize the table from itself
-        recover_table(sess, table_dir)
-        fs, jvm = _hadoop_fs(sess, table_dir)
-        merged = batch_sk
-        if fs.exists(jvm.org.apache.hadoop.fs.Path(table_dir)):
-            merged = (
-                sess.read.parquet(table_dir)
-                .unionByName(batch_sk)
-                .groupBy("day")
-                .agg(F.hll_union_agg("sk", F.lit(True)).alias("sk"))
-            )
-        atomic_overwrite(sess, merged, table_dir)
+        if current is None:
+            return batch_sk
+        return (
+            current.unionByName(batch_sk)
+            .groupBy("day")
+            .agg(F.hll_union_agg("sk", F.lit(True)).alias("sk"))
+        )
 
-    return (
-        stream.writeStream.foreachBatch(_sink)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
+    return durable_table_sink(stream, table_dir, checkpoint_dir, _apply)
 
 
 def sketch_table_estimates(spark, table_dir: str) -> DataFrame:
