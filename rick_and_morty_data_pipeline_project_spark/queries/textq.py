@@ -2137,8 +2137,90 @@ GROUP BY 1
 """
 
 
+def text_keyness_by_source(spark, sf_dir):
+    """Dunning log-likelihood (G²) keyness: the top-5 terms most
+    over-represented in each source vs the rest of the corpus — the
+    standard corpus-comparison statistic for characterizing what a
+    source contributes (boilerplate detection, source profiling).
+
+    G² = 2·[a·ln(a/E_a) + b·ln(b/E_b)] with a = term count in the
+    source, b = count elsewhere, E the expected counts under the
+    pooled rate.  All counts are exact integers from two
+    map-combinable aggs; per-source and corpus totals broadcast back
+    as scalars; the final rank windows on the source key over the
+    (vocab × sources)-bounded keyness relation, never raw tokens.
+    G² is rounded to 6 BEFORE ranking so rank order matches the
+    oracle bit-for-bit; zero-count terms contribute 0 by the x·ln(x)
+    limit (CASE-guarded identically in both engines).
+    """
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(tokens_col(F.col("text"))).alias("w")
+    )
+    st = toks.groupBy("source", "w").agg(F.count(F.lit(1)).alias("a"))
+    tot_w = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cw"))
+    tot_s = toks.groupBy("source").agg(F.count(F.lit(1)).alias("ns"))
+    n_all = toks.agg(F.count(F.lit(1)).alias("n"))
+    j = (
+        st.join(tot_w, "w")
+        .join(tot_s, "source")
+        .crossJoin(F.broadcast(n_all))
+    )
+    a = F.col("a").cast("double")
+    b = (F.col("cw") - F.col("a")).cast("double")
+    ns = F.col("ns").cast("double")
+    nr = (F.col("n") - F.col("ns")).cast("double")
+    ea = (F.col("cw").cast("double")) * ns / F.col("n").cast("double")
+    eb = (F.col("cw").cast("double")) * nr / F.col("n").cast("double")
+    term_a = F.when(a > 0, a * F.log(a / ea)).otherwise(F.lit(0.0))
+    term_b = F.when(b > 0, b * F.log(b / eb)).otherwise(F.lit(0.0))
+    scored = j.select(
+        "source",
+        "w",
+        F.col("a").alias("count_in_source"),
+        F.round(2.0 * (term_a + term_b), 6).alias("g2"),
+    )
+    win = Window.partitionBy("source").orderBy(
+        F.desc("g2"), F.asc("w")
+    )
+    return (
+        scored.withColumn(
+            "rank", F.row_number().over(win).cast("long")
+        )
+        .filter(F.col("rank") <= 5)
+        .select("source", "rank", "w", "count_in_source", "g2")
+    )
+
+
+TEXT_KEYNESS_SQL = """
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+),
+st AS (SELECT source, w, count(*) AS a FROM toks GROUP BY 1, 2),
+tw AS (SELECT w, count(*) AS cw FROM toks GROUP BY 1),
+ts AS (SELECT source, count(*) AS ns FROM toks GROUP BY 1),
+na AS (SELECT count(*) AS n FROM toks),
+scored AS (
+  SELECT st.source, st.w, st.a AS count_in_source,
+         round(2.0 * (
+           CASE WHEN st.a > 0 THEN st.a * ln(st.a /
+             (cw * CAST(ns AS DOUBLE) / n)) ELSE 0.0 END
+           + CASE WHEN cw - st.a > 0 THEN (cw - st.a) * ln((cw - st.a) /
+             (cw * CAST(n - ns AS DOUBLE) / n)) ELSE 0.0 END
+         ), 6) AS g2
+  FROM st JOIN tw USING (w) JOIN ts USING (source) CROSS JOIN na
+)
+SELECT source, rank, w, count_in_source, g2 FROM (
+  SELECT source, w, count_in_source, g2,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY g2 DESC, w ASC) AS rank
+  FROM scored) WHERE rank <= 5
+"""
+
+
 QUERIES: dict[str, Q] = {
     "text_char_entropy": Q(text_char_entropy, TEXT_CHAR_ENTROPY_SQL),
+    "text_keyness_by_source": Q(text_keyness_by_source, TEXT_KEYNESS_SQL),
     "text_bigram_logprob": Q(text_bigram_logprob, TEXT_BIGRAM_LM_SQL),
     "dedup_ngram_containment": Q(
         dedup_ngram_containment, DEDUP_CONTAINMENT_SQL
