@@ -1994,56 +1994,19 @@ FROM s
 
 def join_fuzzy_customer_names(spark, sf_dir):
     """Fuzzy (edit-distance ≤ 1) self-join via FastSS
-    deletion-neighborhood blocking — the entity-resolution primitive,
-    EXACT over the whole corpus: any two strings within one edit share
-    at least one single-deletion variant (substitution → both delete
-    the differing position; indel → the longer's deletion equals the
-    shorter's identity), so exploding each name into its length+1
-    variants and equi-joining on the variant key yields a complete
-    candidate set with NO ad-hoc prefix blocking.  Levenshtein then
-    verifies candidates only.
-
-    Scale: candidate generation is a narrow explode (len+1 keys/row)
-    into ONE equi-join whose key cardinality ≈ |corpus|·len — massively
-    parallel, no hot blocks (a prefix-block variant measured 10+ s at
-    sf0.1 from 15 hot keys streaming |block|² pairs; this shape runs
-    ~1 s); cost tracks true collision mass.  The oracle states the
-    naive n² semantics directly — parity PROVES the neighborhood join
-    is lossless.
+    deletion-neighborhood blocking — exact over the whole corpus, no
+    ad-hoc prefix blocking; see operators/fuzzy.py for the
+    completeness argument, the randomized property test, and the
+    hot-block lesson (a prefix-blocked variant measured 10× slower at
+    sf0.1).  The oracle states the naive n² semantics — parity PROVES
+    the neighborhood join is lossless on this corpus.
     """
+    from rick_and_morty_data_pipeline_project_spark.operators.fuzzy import (
+        fuzzy_pairs_lev1,
+    )
+
     c = t(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    # name + every single-deletion variant, tagged as the join key
-    variants = c.select(
-        "c_custkey",
-        "c_name",
-        F.explode(
-            F.expr(
-                "transform(sequence(0, length(c_name)), i -> "
-                "CASE WHEN i = 0 THEN c_name "
-                "ELSE concat(substring(c_name, 1, i-1), "
-                "substring(c_name, i+1, length(c_name))) END)"
-            )
-        ).alias("_variant"),
-    )
-    a, b = variants.alias("a"), variants.alias("b")
-    cand = (
-        a.join(b.hint("shuffle_hash"), "_variant")
-        .filter(F.col("a.c_custkey") < F.col("b.c_custkey"))
-        .select(
-            F.col("a.c_custkey").alias("id_a"),
-            F.col("b.c_custkey").alias("id_b"),
-            F.col("a.c_name").alias("_na"),
-            F.col("b.c_name").alias("_nb"),
-        )
-        .distinct()  # a pair may collide on several variants
-    )
-    return (
-        cand.withColumn(
-            "edit_distance", F.levenshtein("_na", "_nb").cast("long")
-        )
-        .filter(F.col("edit_distance") <= 1)
-        .select("id_a", "id_b", "edit_distance")
-    )
+    return fuzzy_pairs_lev1(c, "c_custkey", "c_name")
 
 
 # the SEMANTIC definition — naive all-pairs; the Spark side's

@@ -216,3 +216,53 @@ def test_scd2_sequential_applies_preserve_invariants(spark, scenario):
         rs_sorted = sorted(rs, key=lambda r: r["valid_from"])
         for a, b in zip(rs_sorted, rs_sorted[1:]):
             assert a["valid_to"] == b["valid_from"]
+
+
+def _py_lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    names=st.lists(
+        st.text(alphabet="ab", min_size=0, max_size=5),
+        min_size=0,
+        max_size=10,
+    )
+)
+def test_fastss_fuzzy_join_complete_vs_bruteforce(spark, names):
+    """Deletion-neighborhood join must find EXACTLY the brute-force
+    all-pairs lev≤1 set — including empty strings, exact duplicates
+    (distance 0), and indel pairs — on random short strings."""
+    from rick_and_morty_data_pipeline_project_spark.operators.fuzzy import (
+        fuzzy_pairs_lev1,
+    )
+
+    df = spark.createDataFrame(
+        list(enumerate(names)), "id long, name string"
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["edit_distance"])
+        for r in fuzzy_pairs_lev1(df, "id", "name").collect()
+    }
+    want = {
+        (i, j, _py_lev(names[i], names[j]))
+        for i in range(len(names))
+        for j in range(i + 1, len(names))
+        if _py_lev(names[i], names[j]) <= 1
+    }
+    assert got == want
