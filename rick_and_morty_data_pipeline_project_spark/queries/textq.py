@@ -2218,8 +2218,112 @@ SELECT source, rank, w, count_in_source, g2 FROM (
 """
 
 
+_ZIPF_TOP_N = 1000
+
+
+def text_zipf_fit(spark, sf_dir):
+    """Zipf's-law fit over the top-N vocabulary: OLS of ln(freq) on
+    ln(rank) — slope ≈ −1 for natural language, the corpus sanity
+    check that catches synthetic/degenerate token distributions.
+
+    Scale discipline: the fit runs over the TOP-1000 head only (where
+    the law holds), fetched with a two-stage TakeOrderedAndProject, so
+    the global rank window orders 1000 rows by construction — never
+    the full vocabulary.  ln values are rounded to 6 dp and summed as
+    DECIMAL(9,6) (exact, order-independent — a raw double sum over
+    partitions would not be bit-reproducible), with the products kept
+    inside both engines' int64 decimal-multiply width; the closed-form
+    slope/intercept/r then divide exact sums in float64, identically
+    in both engines.
+    """
+    d = t(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(tokens_col(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = vocab.orderBy(F.desc("c"), F.asc("w")).limit(_ZIPF_TOP_N)
+    win = Window.orderBy(F.desc("c"), F.asc("w"))
+    ranked = top.withColumn("rank", F.row_number().over(win))
+    b = ranked.select(
+        F.round(F.log("rank"), 6).cast("decimal(9,6)").alias("_x"),
+        F.round(F.log("c"), 6).cast("decimal(9,6)").alias("_y"),
+    )
+    s = b.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+    )
+    n = F.col("n_terms").cast("double")
+    sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    syy = F.col("_syy").cast("double")
+    cov_n = n * sxy - sx * sy
+    varx_n = n * sxx - sx * sx
+    vary_n = n * syy - sy * sy
+    slope = cov_n / F.nullif(varx_n, F.lit(0.0))
+    return s.select(
+        "n_terms",
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round(
+            cov_n / F.nullif(F.sqrt(varx_n * vary_n), F.lit(0.0)), 6
+        ).alias("pearson_r"),
+    )
+
+
+TEXT_ZIPF_SQL = f"""
+WITH vocab AS (
+  SELECT w, count(*) AS c
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY 1
+),
+ranked AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, w ASC) AS rank
+  FROM vocab
+),
+b AS (
+  SELECT CAST(round(ln(rank), 6) AS DECIMAL(9,6)) AS x,
+         CAST(round(ln(c), 6) AS DECIMAL(9,6)) AS y
+  FROM ranked WHERE rank <= {_ZIPF_TOP_N}
+),
+s AS (
+  SELECT count(*) AS n_terms,
+         sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy,
+         sum(x*x) AS sxx, sum(y*y) AS syy
+  FROM b
+)
+SELECT n_terms,
+       round((CAST(n_terms AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / NULLIF(CAST(n_terms AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0),
+             6) AS zipf_slope,
+       round((CAST(sy AS DOUBLE)
+              - (CAST(n_terms AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                / NULLIF(CAST(n_terms AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0)
+                * CAST(sx AS DOUBLE))
+             / CAST(n_terms AS DOUBLE), 6) AS intercept,
+       round((CAST(n_terms AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / NULLIF(sqrt((CAST(n_terms AS DOUBLE) * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                           * (CAST(n_terms AS DOUBLE) * CAST(syy AS DOUBLE)
+                              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 0),
+             6) AS pearson_r
+FROM s
+"""
+
+
 QUERIES: dict[str, Q] = {
     "text_char_entropy": Q(text_char_entropy, TEXT_CHAR_ENTROPY_SQL),
+    "text_zipf_fit": Q(text_zipf_fit, TEXT_ZIPF_SQL),
     "text_keyness_by_source": Q(text_keyness_by_source, TEXT_KEYNESS_SQL),
     "text_bigram_logprob": Q(text_bigram_logprob, TEXT_BIGRAM_LM_SQL),
     "dedup_ngram_containment": Q(

@@ -324,3 +324,12 @@ def test_hll_rollup_total_reaggregates_sketches(spark):
     assert "hll_union_agg" in plan, plan
     assert "hll_sketch_agg" in plan, plan
     assert "distinct" not in plan.lower().replace("est_distinct", ""), plan
+
+
+def test_zipf_head_is_two_stage_topk(spark):
+    """The Zipf fit must fetch its top-N head with
+    TakeOrderedAndProject (bounded), never a global Sort of the full
+    vocabulary feeding the rank window."""
+    df = QUERIES["text_zipf_fit"].fn(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
