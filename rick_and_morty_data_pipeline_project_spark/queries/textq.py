@@ -2321,8 +2321,63 @@ FROM s
 """
 
 
+_FH_HEX = "0123456789abcdef"
+
+
+def text_feature_hashing(spark, sf_dir):
+    """Hashing-trick vectorizer (Vowpal-style): each document becomes a
+    fixed 16-dimension signed-count feature vector with NO vocabulary
+    — bucket = last md5 hex digit of the token, sign = top bit of the
+    first digit (signed hashing keeps collision noise zero-mean).
+    The cheap featurization step in front of linear probes/dedup
+    heuristics when a trained vocab is unaffordable.
+
+    Scale: one narrow tokenize+hash pass, one map-combinable 16-column
+    conditional-sum agg on doc_id; features are exact integers (no
+    float parity surface at all).  Dimension is a constant column
+    count, so going to D=2^18 at scale means the array-typed variant
+    of the same expressions.
+    """
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("w")
+    ).withColumn("h", F.md5("w"))
+    sign = F.when(
+        F.substring("h", 1, 1).isin(*"89abcdef"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    return toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.substring("h", 32, 1) == c, sign).otherwise(0)
+            ).alias(f"f{i}")
+            for i, c in enumerate(_FH_HEX)
+        ]
+    )
+
+
+_FH_COLS = ",\n       ".join(
+    "CAST(SUM(CASE WHEN substr(h, 32, 1) = '{c}' THEN "
+    "(CASE WHEN substr(h, 1, 1) IN "
+    "('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) "
+    "ELSE 0 END) AS BIGINT) AS f{i}".format(c=c, i=i)
+    for i, c in enumerate(_FH_HEX)
+)
+
+TEXT_FEATURE_HASH_SQL = f"""
+SELECT doc_id,
+       {_FH_COLS}
+FROM (
+  SELECT doc_id, md5(t.tok) AS h
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents) t
+)
+GROUP BY doc_id
+"""
+
+
 QUERIES: dict[str, Q] = {
     "text_char_entropy": Q(text_char_entropy, TEXT_CHAR_ENTROPY_SQL),
+    "text_feature_hashing": Q(text_feature_hashing, TEXT_FEATURE_HASH_SQL),
     "text_zipf_fit": Q(text_zipf_fit, TEXT_ZIPF_SQL),
     "text_keyness_by_source": Q(text_keyness_by_source, TEXT_KEYNESS_SQL),
     "text_bigram_logprob": Q(text_bigram_logprob, TEXT_BIGRAM_LM_SQL),
