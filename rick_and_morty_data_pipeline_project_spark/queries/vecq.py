@@ -8,6 +8,7 @@ property-tested in tests/test_similarity.py).
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from rick_and_morty_data_pipeline_project_spark.functions.vectors import (
     cosine_sql,
@@ -211,6 +212,91 @@ SELECT base.query_id,
        COALESCE(hits.n_hits, 0) AS n_hits,
        COALESCE(hits.n_hits, 0) / base.n_exact AS recall_at_5
 FROM base LEFT JOIN hits USING (query_id)
+"""
+
+
+def knn_label_agreement(spark, sf_dir):
+    """kNN label-consistency audit: for each query vector, the
+    majority label among its 5 exact neighbors, vote count, and
+    whether it agrees with the vector's own label — the standard
+    label-noise / embedding-quality probe (disagreements are either
+    mislabeled rows or bad embeddings).
+
+    Scale: the exact-kNN arm runs on a fixed query sample (broadcast)
+    per the audit discipline; the label join touches k·|sample| rows;
+    the majority vote windows over ≤ k rows per query.
+    """
+    e = t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    nn = knn_bruteforce(queries, e, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    labels = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("n_label"),
+    )
+    votes = (
+        nn.join(labels, "neighbor_id")
+        .groupBy("query_id", "n_label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    win = Window.partitionBy("query_id").orderBy(
+        F.desc("votes"), F.asc("n_label")
+    )
+    top = (
+        votes.withColumn("r", F.row_number().over(win))
+        .filter(F.col("r") == 1)
+        .select(
+            "query_id",
+            F.col("n_label").alias("majority_label"),
+            "votes",
+        )
+    )
+    own = e.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("own_label")
+    )
+    return top.join(own, "query_id").select(
+        "query_id",
+        "own_label",
+        "majority_label",
+        "votes",
+        (F.col("majority_label") == F.col("own_label"))
+        .cast("int")
+        .alias("agrees"),
+    )
+
+
+KNN_LABEL_AGREEMENT_SQL = f"""
+WITH {_NORMED_CTE},
+q AS (SELECT vec_id AS query_id, nv AS qv FROM normed WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         round({dot_sql("q.qv", "c.nv")}, 6) AS cosine
+  FROM q, normed c
+  WHERE q.query_id <> c.vec_id
+),
+nn AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM scored) WHERE rank <= 5
+),
+votes AS (
+  SELECT nn.query_id, e.label AS n_label, count(*) AS votes
+  FROM nn JOIN embeddings e ON e.vec_id = nn.neighbor_id
+  GROUP BY 1, 2
+),
+top AS (
+  SELECT query_id, n_label AS majority_label, votes FROM (
+    SELECT query_id, n_label, votes,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY votes DESC, n_label ASC) AS r
+    FROM votes) WHERE r = 1
+)
+SELECT t.query_id, e.label AS own_label, t.majority_label, t.votes,
+       CASE WHEN t.majority_label = e.label THEN 1 ELSE 0 END AS agrees
+FROM top t JOIN embeddings e ON e.vec_id = t.query_id
 """
 
 
@@ -535,6 +621,7 @@ QUERIES: dict[str, Q] = {
     "knn_cosine_mmr": Q(knn_cosine_mmr, None),
     "knn_cosine_ivf": Q(knn_cosine_ivf, KNN_IVF_SQL),
     "knn_recall_audit": Q(knn_recall_audit, KNN_RECALL_SQL),
+    "knn_label_agreement": Q(knn_label_agreement, KNN_LABEL_AGREEMENT_SQL),
     "knn_cosine_ivf_kmeans": Q(knn_cosine_ivf_kmeans, None),
     "embedding_quantize_error": Q(embedding_quantize_error, QUANT_ERR_SQL),
     "knn_cosine_int8": Q(knn_cosine_int8, KNN_INT8_SQL),
