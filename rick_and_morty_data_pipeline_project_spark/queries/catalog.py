@@ -29,7 +29,7 @@ window froze: ``dedup_incremental_bloom``, ``dedup_span_profile``,
 ``join_fuzzy_customer_names``, ``unpivot_emotion_scores``,
 ``events_user_trend``, ``text_keyness_by_source``,
 ``text_zipf_fit``, ``text_feature_hashing``,
-``knn_label_agreement`` (fully oracled), and the rows-only ``sketch_hll_rollup``,
+``knn_label_agreement``, ``events_type_bigrams`` (fully oracled), and the rows-only ``sketch_hll_rollup``,
 ``sketch_cms_user_counts``, ``embedding_pca_project``,
 ``events_rolling_dau_hll``
 (``tools/rotation_report.py`` prints the live rotation state).

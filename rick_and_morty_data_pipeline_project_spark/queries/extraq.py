@@ -1892,6 +1892,54 @@ FROM steps
 """
 
 
+def events_type_bigrams(spark, sf_dir):
+    """Sequential-pattern mining lite: the top-20 most frequent
+    consecutive event-type transitions per user stream (lag over the
+    per-user time order) — the behavioral-analytics staple behind
+    "what do users do next" dashboards and Markov-chain funnels.
+
+    Scale: one lag window per user_id (high-cardinality partition,
+    O(1) state), map-combinable pair counts, two-stage
+    TakeOrderedAndProject for the global top-20 — no global sort.
+    Deterministic ties: (ts, event_id) orders the stream, (count desc,
+    pair asc) orders the output.
+    """
+    from pyspark.sql.window import Window
+
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.asc("ts"), F.asc("event_id")
+    )
+    pairs = (
+        e.select(
+            "user_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    return pairs.orderBy(
+        F.desc("n_transitions"), "prev_type", "next_type"
+    ).limit(20)
+
+
+TYPE_BIGRAMS_SQL = """
+WITH pairs AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type,
+         event_type AS next_type
+  FROM events
+)
+SELECT prev_type, next_type, count(*) AS n_transitions
+FROM pairs WHERE prev_type IS NOT NULL
+GROUP BY 1, 2
+ORDER BY n_transitions DESC, prev_type, next_type
+LIMIT 20
+"""
+
+
 _TREND_EPOCH_US = 1_704_067_200_000_000  # 2024-01-01 UTC — centers x
 
 
@@ -2110,6 +2158,7 @@ QUERIES: dict[str, Q] = {
         join_fuzzy_customer_names, FUZZY_JOIN_SQL
     ),
     "events_user_trend": Q(events_user_trend, USER_TREND_SQL),
+    "events_type_bigrams": Q(events_type_bigrams, TYPE_BIGRAMS_SQL),
     "text_language_id": Q(text_language_id, TEXT_LANGID_SQL),
     "events_sliding_rollup": Q(events_sliding_rollup, EVENTS_SLIDING_SQL),
     "join_salted_user_events": Q(join_salted_user_events, JOIN_SALTED_SQL),
