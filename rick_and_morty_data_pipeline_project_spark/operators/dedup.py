@@ -495,27 +495,43 @@ def incremental_dedup_bloom(
     fp_col: str = "fp",
     m_log2: int = 16,
     k: int = 4,
+    bitmap_mode: str = "auto",
 ) -> DataFrame:
     """Incremental dedup behind a REAL k-hash Bloom filter, built and
     probed entirely with SQL-expressible ops (md5 → hex→int via
-    ``conv`` → bit positions; ``bit_or`` word aggregation; literal
-    bitmap probe): batch rows for which ANY of the ``k`` bit positions
-    is unset are definitely new and bypass the anti-join; only rows
-    whose positions are all set (true dups + false positives at rate
-    ≈ (kn/m)^k) pay the exact fingerprint join.  Generalizes
+    ``conv`` → bit positions; ``bit_or`` word aggregation): batch rows
+    for which ANY of the ``k`` bit positions is unset are definitely
+    new and bypass the anti-join; only rows whose positions are all
+    set (true dups + false positives at rate ≈ (kn/m)^k) pay the exact
+    fingerprint join.  Generalizes
     :func:`incremental_dedup_prefiltered` (that prefix filter is the
     k=1, m=256 degenerate case) with the same contract: the result is
     provably IDENTICAL to ``batch ANTI JOIN existing ON fp`` — false
     hits resolve in the exact join, unset-bit misses are impossible
     for true members.
 
-    The bitmap is ``2^m_log2`` bits collected as ``2^(m_log2-6)``
-    longs — 1024 longs at the default, size independent of corpus
-    scale (the IVF-centroid bounded-literal pattern).  At 100 TB pick
-    m ~ bits-per-key × |corpus| and either broadcast the bitmap as a
-    one-row relation instead of a literal, or hand the job to the
-    engine's runtime row-level filtering; the logic is unchanged.
+    Two probe layouts, selected by ``bitmap_mode``:
+
+    * ``"literal"`` (auto for m_log2 ≤ 18): the ``2^(m_log2-6)``-long
+      bitmap is collected and baked into the filter predicate — 1024
+      longs at the default, size independent of corpus scale (the
+      IVF-centroid bounded-literal pattern), zero extra plan nodes.
+    * ``"relation"`` (auto above 2^18 bits): the bitmap is built
+      ENGINE-SIDE as a one-row ``array<bigint>`` relation (sparse
+      (word, bits) rows → map → dense array; never touches the
+      driver) and attached with a broadcast single-row cross join —
+      plan size CONSTANT in m, so the 100 TB sizing
+      (m ≈ bits-per-key × |corpus|) no longer inflates the plan the
+      way millions of literals would.  The probe expression is
+      identical; only where the array lives changes.
     """
+    if bitmap_mode not in ("auto", "literal", "relation"):
+        raise ValueError(f"bitmap_mode: {bitmap_mode!r}")
+    mode = (
+        bitmap_mode
+        if bitmap_mode != "auto"
+        else ("literal" if m_log2 <= 18 else "relation")
+    )
     n_words = 1 << (m_log2 - 6)
     mask = (1 << m_log2) - 1
 
@@ -536,7 +552,7 @@ def incremental_dedup_bloom(
     # pyspark's shiftleft/shiftright DSL functions only take a Python
     # int shift amount — dynamic (column) shifts go through F.expr
     setbit = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))")
-    words = (
+    word_bits = (
         existing.select(
             F.explode(F.array(*positions(F.col(fp_col)))).alias("p")
         )
@@ -546,12 +562,7 @@ def incremental_dedup_bloom(
         .filter(F.col("p").isNotNull())
         .groupBy(F.shiftright("p", 6).alias("w"))
         .agg(F.bit_or(setbit).alias("b"))
-        .collect()
     )
-    bitmap = [0] * n_words
-    for r in words:
-        bitmap[int(r["w"])] = int(r["b"])
-    bitmap_lit = F.array(*[F.lit(w) for w in bitmap])
 
     pos_names = [f"_bloom_p{i}" for i in range(k)]
     staged = batch.select(
@@ -561,10 +572,44 @@ def incremental_dedup_bloom(
             for p, n in zip(positions(F.col(fp_col)), pos_names)
         ],
     )
+    drop_cols = list(pos_names)
+    if mode == "literal":
+        bitmap = [0] * n_words
+        for r in word_bits.collect():
+            bitmap[int(r["w"])] = int(r["b"])
+        bm = F.array(*[F.lit(w) for w in bitmap])
+    else:
+        # densify sparse (w, b) rows into ONE array row engine-side:
+        # global agg always yields exactly one row (empty corpus →
+        # empty map → all-zero bitmap), broadcast as the 1-row build
+        # side of a nested-loop join — constant plan size in m.
+        bm_df = (
+            word_bits.groupBy()
+            .agg(
+                F.map_from_arrays(
+                    F.collect_list("w"), F.collect_list("b")
+                ).alias("m")
+            )
+            .select(
+                F.transform(
+                    F.sequence(
+                        F.lit(0).cast("long"),
+                        F.lit(n_words - 1).cast("long"),
+                    ),
+                    lambda i: F.coalesce(
+                        F.element_at(F.col("m"), i), F.lit(0).cast("long")
+                    ),
+                ).alias("_bloom_bm")
+            )
+        )
+        staged = staged.crossJoin(F.broadcast(bm_df))
+        bm = F.col("_bloom_bm")
+        drop_cols.append("_bloom_bm")
+
     probe_bits = [
         (
             F.element_at(
-                bitmap_lit, (F.shiftright(F.col(n), 6) + 1).cast("int")
+                bm, (F.shiftright(F.col(n), 6) + 1).cast("int")
             ).bitwiseAND(
                 F.expr(
                     f"shiftleft(CAST(1 AS BIGINT), CAST({n} % 64 AS INT))"
@@ -582,8 +627,8 @@ def incremental_dedup_bloom(
     # either — otherwise both filters drop the row and the "identical
     # to the plain anti-join" contract breaks
     maybe = F.coalesce(maybe, F.lit(False))
-    definite_new = staged.filter(~maybe).drop(*pos_names)
-    survivors = staged.filter(maybe).drop(*pos_names).join(
+    definite_new = staged.filter(~maybe).drop(*drop_cols)
+    survivors = staged.filter(maybe).drop(*drop_cols).join(
         existing.select(fp_col), fp_col, "left_anti"
     )
     return survivors.unionByName(definite_new.select(*survivors.columns))

@@ -68,6 +68,18 @@ def pca_fit(df: DataFrame, vec_col: str, dim: int, k: int) -> PcaModel:
             )
         ),
     )
+    # Input guard, still single-pass: a NULL vector, wrong-length
+    # vector, or NULL element would silently misalign the flat
+    # positions across rows (posexplode packs positions per-row) and
+    # corrupt the covariance sums.  Invalid rows emit the one-element
+    # sentinel [NaN]; NaN poisons the position-0 row-count sum, which
+    # the driver turns into a ValueError instead of wrong components.
+    valid = (
+        F.col(vec_col).isNotNull()
+        & (F.size(F.col(vec_col)) == dim)
+        & ~F.exists(v, lambda x: x.isNull())
+    )
+    terms = F.when(valid, terms).otherwise(F.array(F.lit(float("nan"))))
     sums_rows = (
         df.select(F.posexplode(terms).alias("pos", "val"))
         .groupBy("pos")
@@ -78,6 +90,11 @@ def pca_fit(df: DataFrame, vec_col: str, dim: int, k: int) -> PcaModel:
     for r in sums_rows:
         flat[r["pos"]] = r["s"]
     n = flat[0]
+    if np.isnan(n):
+        raise ValueError(
+            "pca_fit: invalid embeddings (NULL vector, NULL element, "
+            f"or length != dim={dim}) in input"
+        )
     if n == 0:
         raise ValueError("pca_fit: empty input")
     flat = flat[1:]

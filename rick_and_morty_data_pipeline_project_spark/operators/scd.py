@@ -100,8 +100,13 @@ def scd2_apply(
         F.lit(OPEN_END).alias("valid_to"),
         F.lit(1).alias("is_current"),
     )
+    # Anti-join against OPEN keys, not all current keys: a key whose
+    # rows are all closed (dormant — e.g. a soft-deleted dimension
+    # member) must be REOPENED by a fresh update, not silently dropped.
+    # Under the one-open-row-per-key invariant this is identical to the
+    # all-keys anti-join; without it, it is the only correct choice.
     brand_new = (
-        upd.join(current.select(key).distinct(), key, "left_anti")
+        upd.join(open_rows.select(key).distinct(), key, "left_anti")
         .select(
             F.col(key),
             *[F.col(f"_u_{c}").alias(c) for c in tracked],

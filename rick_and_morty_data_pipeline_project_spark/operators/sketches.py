@@ -159,7 +159,13 @@ def cms_point_estimates(
     Returns (item, exact_count, est_count, overcount) — `overcount =
     est − exact ≥ 0` is the CMS one-sided error, bounded by eps·N with
     probability `confidence` (asserted in tests/test_sketches.py).
+
+    NULL items are excluded on BOTH sides: the JVM count_min_sketch
+    aggregate skips NULLs when building, so the exact groupBy must not
+    keep a NULL group either (its probe would also crash the int64
+    numpy conversion in the pandas UDF).
     """
+    df = df.filter(F.col(item_col).isNotNull())
     raw = df.agg(
         F.count_min_sketch(
             item_col, F.lit(eps), F.lit(confidence), F.lit(seed)

@@ -5,6 +5,13 @@ the next), yet both queries are fully hash-verified: the oracle unrolls
 the six training iterations as chained CTEs, and because both engines'
 ``replace`` applies greedy left-to-right non-overlapping scans, the BPE
 merge semantics agree exactly (see operators/bpe.py).
+
+Degenerate corpora (fewer than N_MERGES distinct pairs) are handled on
+both sides: ``train_bpe`` breaks early and keeps the final
+segmentation, and the oracle's w{i} stage is a ``LEFT JOIN ... ON
+TRUE`` no-op when b{i} is empty — so an exhausted pair supply never
+zeroes out the later CTEs (merge rows simply stop appearing, matching
+the Spark-side early break).
 """
 
 from __future__ import annotations
@@ -49,10 +56,12 @@ pc{i} AS (
 ),
 b{i} AS (SELECT l, r, c FROM pc{i} ORDER BY c DESC, l, r LIMIT 1),
 w{i} AS (SELECT word,
-               replace(w, chr(31)||b.l||chr(31)||chr(31)||b.r||chr(31),
-                          chr(31)||b.l||b.r||chr(31)) AS w,
+               CASE WHEN b.l IS NULL THEN w
+                    ELSE replace(w,
+                                 chr(31)||b.l||chr(31)||chr(31)||b.r||chr(31),
+                                 chr(31)||b.l||b.r||chr(31)) END AS w,
                cnt
-        FROM w{p}, b{i} b)""")
+        FROM w{p} LEFT JOIN b{i} b ON TRUE)""")
     return ",".join(out)
 
 

@@ -382,14 +382,22 @@ def test_incremental_bloom_equals_plain_anti_join(spark):
         ).collect()
     )
     assert 999 in plain  # the semantics the Bloom path must preserve
-    for m_log2, k in ((16, 4), (8, 2), (6, 1)):
+    for m_log2, k, mode in (
+        (16, 4, "literal"),
+        (8, 2, "literal"),
+        (6, 1, "literal"),
+        (20, 4, "relation"),  # the constant-plan broadcast-bitmap path
+        (8, 2, "relation"),   # FP-heavy tiny bitmap through the relation
+        (20, 4, "auto"),      # auto picks relation above 2^18
+    ):
         got = set(
             r["doc_id"]
             for r in incremental_dedup_bloom(
-                batch, existing, "fp", m_log2=m_log2, k=k
+                batch, existing, "fp", m_log2=m_log2, k=k,
+                bitmap_mode=mode,
             ).collect()
         )
-        assert got == plain, (m_log2, k, got ^ plain)
+        assert got == plain, (m_log2, k, mode, got ^ plain)
 
 
 def test_span_profile_flags_shared_boilerplate(spark, tmp_path):

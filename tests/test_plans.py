@@ -306,6 +306,61 @@ def test_incremental_bloom_prefilter_is_literal_probe(spark):
     } == set(), join_nodes
 
 
+def test_incremental_bloom_relation_probe_constant_plan(spark):
+    """The large-m path: the bitmap rides a broadcast one-row relation
+    (single-row nested-loop build side + the exact anti-join — exactly
+    two joins), and the plan size is CONSTANT in m — doubling the
+    bitmap 64× must not grow the plan text, unlike the literal path
+    where every word is a plan literal."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from rick_and_morty_data_pipeline_project_spark.functions.textfns import (
+        fingerprint_col,
+    )
+    from rick_and_morty_data_pipeline_project_spark.operators.dedup import (
+        incremental_dedup_bloom,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", fingerprint_col(F.col("text")).alias("fp")
+    )
+    existing = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+
+    def joins(plan):
+        return {
+            m.group(1): m.group(2)
+            for m in re.finditer(
+                r"\((\d+)\)\s+(SortMergeJoin|BroadcastHashJoin"
+                r"|ShuffledHashJoin|BroadcastNestedLoopJoin"
+                r"|CartesianProduct)",
+                plan,
+            )
+        }
+
+    plan20 = formatted_plan(
+        incremental_dedup_bloom(
+            batch, existing, "fp", m_log2=20, bitmap_mode="relation"
+        )
+    )
+    j20 = joins(plan20)
+    # one single-row bitmap attach per union branch (the broadcast is
+    # computed once and reused) + exactly one exact-resolution
+    # anti-join — no other equi-joins may appear
+    kinds = sorted(j20.values())
+    assert kinds.count("BroadcastNestedLoopJoin") == 2, j20
+    assert len(kinds) == 3, j20
+    plan26 = formatted_plan(
+        incremental_dedup_bloom(
+            batch, existing, "fp", m_log2=26, bitmap_mode="relation"
+        )
+    )
+    assert abs(len(plan26) - len(plan20)) < 500, (
+        len(plan20),
+        len(plan26),
+    )
+
+
 def test_pca_projection_is_narrow(spark):
     """PCA scoring is scan + literal-component dot products: zero
     exchanges — the corpus never shuffles for fit OR project (the fit's

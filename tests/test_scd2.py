@@ -78,6 +78,26 @@ def test_catalog_scd2_interval_invariants(spark):
     assert changed > 0  # the %5==0 batch really produced history
 
 
+def test_dormant_key_reopens(spark):
+    """A key whose rows are ALL closed (dormant) must be reopened by a
+    fresh update — the brand-new anti-join runs against open keys, not
+    all current keys, so the update is neither dropped nor duplicated."""
+    current = spark.createDataFrame(
+        [(7, "OLD", "2000-01-01", "2001-01-01", 0)], CUR_SCHEMA
+    )
+    updates = spark.createDataFrame([(7, "BACK", "2005-01-01")], UPD_SCHEMA)
+    rows = {
+        tuple(r)
+        for r in scd2_apply(
+            current, updates, key="k", tracked=["attr"]
+        ).collect()
+    }
+    assert rows == {
+        (7, "OLD", "2000-01-01", "2001-01-01", 0),
+        (7, "BACK", "2005-01-01", OPEN_END, 1),
+    }
+
+
 def test_multiple_updates_per_key_collapse_to_latest(spark):
     """A batch carrying two versions of one key must not fan out the
     open row: last-writer-wins within the apply (latest effective date),
