@@ -15,7 +15,12 @@ Spark's execution model:
   under ``max_driver_vocab`` rows it is collected ONCE and the merge
   loop runs in plain Python — zero Spark jobs per merge, identical
   greedy semantics (pinned against the distributed path in
-  tests/test_bpe.py).  The collect is guarded exactly like
+  tests/test_bpe.py).  The Python loop is *incremental* (postings
+  index + lazy max-heap; see :func:`_train_driver`): per-merge work is
+  proportional to the words containing the merged pair, not the whole
+  vocabulary, so a 2M-type × 32k-merge production run does O(total
+  affected-word symbols) work instead of the O(vocab·len·merges)
+  full recount.  The collect is guarded exactly like
   greedy_match's ``max_left_rows`` (operators/matching.py): oversize
   vocabularies never OOM the driver, they take the distributed path.
 * **Exact batched merges on the distributed path.**  One aggregation
@@ -54,7 +59,8 @@ SURVEY.md §2.10's text surface.
 
 from __future__ import annotations
 
-from collections import Counter
+import heapq
+from collections import Counter, defaultdict
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
@@ -163,28 +169,87 @@ def _select_batch(
 
 
 def _train_driver(
-    rows: list, n_merges: int
+    rows: list, n_merges: int, stats: dict | None = None
 ) -> tuple[list[BpeMerge], list[tuple[str, int, str]]]:
     """The vocab-fits fast path: exact sequential greedy training in
     Python over the collected (word, cnt) relation.  Returns the merge
-    table and (word, cnt, wrapped-final-segmentation) rows."""
+    table and (word, cnt, wrapped-final-segmentation) rows.
+
+    Incremental structure (the standard BPE-trainer shape): pair counts
+    and a pair→words postings index are built ONCE from the initial
+    character segmentation — O(total symbols).  Each merge then
+
+    1. pops the argmax from a lazy max-heap keyed (-count, left,
+       right), discarding stale entries by validating against the live
+       count (ties break exactly like the old full-scan ``min`` —
+       highest count, then lexicographic (left, right));
+    2. re-segments ONLY the words in ``where[(l, r)]`` — the postings
+       set — and applies the pair-count delta between each word's old
+       and new adjacency multiset.
+
+    Per-merge work is therefore proportional to the affected words and
+    their lengths, not the whole vocabulary (the old implementation
+    recounted every pair of every word per merge: O(vocab·len·merges),
+    pathological at the 2M-row cap × 32k-merge production vocabs).
+    Every count change pushes a fresh heap entry, so the heap always
+    holds each live pair's current value; stale higher entries are
+    skipped on pop.  ``stats`` (when given) records
+    ``driver_touched_words`` — the summed postings sizes across merges
+    — which tests assert is ≪ vocab·merges on localized corpora.
+    """
     segs = {r["word"]: list(r["word"]) for r in rows}
     cnts = {r["word"]: int(r["cnt"]) for r in rows}
+    pairs: Counter = Counter()
+    where: defaultdict = defaultdict(set)
+    for w, cnt in cnts.items():
+        s = segs[w]
+        for a, b in zip(s, s[1:]):
+            pairs[(a, b)] += cnt
+            where[(a, b)].add(w)
+    heap = [(-c, l, r) for (l, r), c in pairs.items()]
+    heapq.heapify(heap)
+    touched = 0
     merges: list[BpeMerge] = []
     for rank in range(1, n_merges + 1):
-        pairs: Counter = Counter()
-        for w, cnt in cnts.items():
-            s = segs[w]
-            for a, b in zip(s, s[1:]):
-                pairs[(a, b)] += cnt
-        if not pairs:
+        while heap:
+            negc, l, r = heap[0]
+            if pairs.get((l, r)) == -negc:
+                break
+            heapq.heappop(heap)  # stale: count changed since push
+        if not heap:
             break
-        (l, r), c = min(
-            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
-        )
-        merges.append(BpeMerge(rank, l, r, int(c)))
-        for w in segs:
-            segs[w] = _apply_merge(segs[w], l, r)
+        negc, l, r = heapq.heappop(heap)
+        c = -negc
+        merges.append(BpeMerge(rank, l, r, c))
+        affected = where.pop((l, r), set())
+        touched += len(affected)
+        changed: set = set()
+        for w in affected:
+            cnt = cnts[w]
+            old = segs[w]
+            new = _apply_merge(old, l, r)
+            segs[w] = new
+            old_adj = Counter(zip(old, old[1:]))
+            new_adj = Counter(zip(new, new[1:]))
+            for p in old_adj.keys() | new_adj.keys():
+                d = new_adj[p] - old_adj[p]
+                if d:
+                    pairs[p] += d * cnt
+                    changed.add(p)
+                if p in new_adj:
+                    where[p].add(w)
+                elif p in where:
+                    where[p].discard(w)
+        pairs.pop((l, r), None)
+        changed.discard((l, r))
+        for p in changed:
+            if pairs[p] > 0:
+                heapq.heappush(heap, (-pairs[p], p[0], p[1]))
+            else:
+                pairs.pop(p, None)
+                where.pop(p, None)
+    if stats is not None:
+        stats["driver_touched_words"] = touched
     final = [
         (w, cnts[w], DELIM + _DD.join(segs[w]) + DELIM) for w in segs
     ]
@@ -209,9 +274,13 @@ def train_bpe(
     many pair-scan jobs it took.
     """
     spark = words.sparkSession
-    head = words.select("word", "cnt").limit(max_driver_vocab + 1).collect()
-    if len(head) <= max_driver_vocab:
-        merges, final_rows = _train_driver(head, n_merges)
+    # Bounded size probe: count up to the cap+1 WITHOUT shipping rows
+    # to the driver — an oversize vocab costs one count job, not a 2M-
+    # row transfer whose only purpose is to be discarded.
+    probe = words.limit(max_driver_vocab + 1).count()
+    if probe <= max_driver_vocab:
+        head = words.select("word", "cnt").collect()
+        merges, final_rows = _train_driver(head, n_merges, stats)
         if stats is not None:
             stats.update(path="driver", pair_scan_jobs=1)
         final = spark.createDataFrame(

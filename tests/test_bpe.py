@@ -214,3 +214,56 @@ def test_job_count_64_merges(spark):
     ]
     assert dist_stats["path"] == "distributed"
     assert dist_stats["pair_scan_jobs"] < 16  # batching engaged
+
+
+def test_incremental_driver_trainer_fuzz_matches_reference():
+    """The incremental (postings + lazy-heap) driver trainer is exactly
+    the sequential full-recount reference, including (count desc, left,
+    right) tie-breaks, across random corpora."""
+    from rick_and_morty_data_pipeline_project_spark.operators.bpe import (
+        _train_driver,
+    )
+
+    rng = random.Random(77)
+    for trial in range(25):
+        vocab = {
+            "".join(
+                rng.choice("abcd") for _ in range(rng.randint(1, 8))
+            ): rng.randint(1, 9)
+            for _ in range(rng.randint(2, 40))
+        }
+        n_merges = rng.randint(1, 12)
+        rows = [{"word": w, "cnt": c} for w, c in vocab.items()]
+        got, final = _train_driver(rows, n_merges)
+        want, want_segs = _py_bpe(dict(vocab), n_merges)
+        assert [(m.left, m.right, m.pair_weight) for m in got] == want, trial
+        got_segs = {w: wrapped for w, _, wrapped in final}
+        for w in vocab:
+            assert got_segs[w] == (
+                DELIM + (DELIM + DELIM).join(want_segs[w]) + DELIM
+            ), (trial, w)
+
+
+def test_incremental_driver_trainer_work_is_local():
+    """Per-merge work touches only words containing the merged pair:
+    on a corpus where one hot pair lives in a single word type, total
+    touched-word count stays far below vocab × merges (the old full-
+    recount trainer rescanned all vocab rows every merge)."""
+    from rick_and_morty_data_pipeline_project_spark.operators.bpe import (
+        _train_driver,
+    )
+
+    # 500 low-count background words + one hot word whose repeated
+    # bigram dominates every one of the 6 requested merges ("zq"*32
+    # yields the chain (z,q) 32k, (zq,zq) 16k, ... (x8,x8) 1k — all
+    # above the ~100-count background pairs).
+    rows = [{"word": f"w{i:03d}x", "cnt": 1} for i in range(500)]
+    rows += [{"word": "zq" * 32, "cnt": 1000}]
+    stats: dict = {}
+    merges, _ = _train_driver(rows, 6, stats)
+    n_merges = len(merges)
+    assert n_merges == 6
+    full_recount_work = len(rows) * n_merges
+    # Each merge's postings set is exactly the one hot word.
+    assert stats["driver_touched_words"] == n_merges, stats
+    assert stats["driver_touched_words"] * 10 <= full_recount_work
