@@ -489,6 +489,12 @@ def connected_components(
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
 
 
+# Largest m_log2 the one-row dense bitmap layouts may build: 2^30 bits
+# = 2^24 longs = 128 MB in a single array row / broadcast.  Beyond this
+# the bitmap must be sharded (see incremental_dedup_bloom docstring).
+MAX_RELATION_M_LOG2 = 30
+
+
 def incremental_dedup_bloom(
     batch: DataFrame,
     existing: DataFrame,
@@ -524,9 +530,41 @@ def incremental_dedup_bloom(
       (m ≈ bits-per-key × |corpus|) no longer inflates the plan the
       way millions of literals would.  The probe expression is
       identical; only where the array lives changes.
+
+    **Relation-mode ceiling** (``MAX_RELATION_M_LOG2`` = 30): the dense
+    bitmap is ONE ``array<bigint>`` row, so its memory is linear in m
+    even though the plan size is constant — 2^30 bits = 128 MB is the
+    largest single row worth building and broadcasting.  True 100 TB
+    sizing (m ≈ 10 bits × 10^12 keys ≈ 2^43) needs a *sharded* bitmap:
+    keep the sparse (word, bits) relation, bucket batch probes by
+    ``shiftright(p, 6)`` word index, and equi-join probe positions to
+    bitmap words (k shuffled lookups replacing the broadcast — each
+    shard a normal-sized row, no single-row giant).  Until that is
+    needed, ``auto`` above the ceiling falls back to the plain exact
+    anti-join and lets the engine's runtime Bloom-filter injection
+    (default-on, PERFORMANCE.md §runtime-filters) build the
+    appropriately-sized filter JVM-side; an EXPLICIT
+    ``bitmap_mode="relation"`` above the ceiling raises rather than
+    silently building an infeasible row.
     """
     if bitmap_mode not in ("auto", "literal", "relation"):
         raise ValueError(f"bitmap_mode: {bitmap_mode!r}")
+    if bitmap_mode == "relation" and m_log2 > MAX_RELATION_M_LOG2:
+        raise ValueError(
+            f"m_log2={m_log2} exceeds the single-row relation-mode "
+            f"ceiling ({MAX_RELATION_M_LOG2}: a 2^{MAX_RELATION_M_LOG2}"
+            "-bit bitmap is a 128 MB single array row). Use the exact "
+            "anti-join (engine runtime Bloom filters size themselves) "
+            "or a sharded bitmap join — see docstring."
+        )
+    if bitmap_mode == "auto" and m_log2 > MAX_RELATION_M_LOG2:
+        # Identical semantics by contract: the whole operator is
+        # provably equal to this join; beyond the single-row-safe
+        # bitmap size the engine's own runtime Bloom filter is the
+        # right prefilter.
+        return batch.join(
+            existing.select(fp_col), fp_col, "left_anti"
+        )
     mode = (
         bitmap_mode
         if bitmap_mode != "auto"

@@ -400,6 +400,46 @@ def test_incremental_bloom_equals_plain_anti_join(spark):
         assert got == plain, (m_log2, k, mode, got ^ plain)
 
 
+def test_incremental_bloom_relation_ceiling(spark):
+    """Above MAX_RELATION_M_LOG2 the one-row dense bitmap is infeasible
+    (memory linear in m): explicit relation mode raises with the
+    sharded-bitmap guidance; auto falls back to the plain exact
+    anti-join (identical semantics by the operator's own contract) and
+    leaves Bloom prefiltering to the engine's runtime filter."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from rick_and_morty_data_pipeline_project_spark.functions.textfns import (
+        fingerprint_col,
+    )
+    from rick_and_morty_data_pipeline_project_spark.operators.dedup import (
+        MAX_RELATION_M_LOG2,
+        incremental_dedup_bloom,
+    )
+
+    existing = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(10)], ["doc_id", "text"]
+    ).select("doc_id", fingerprint_col(F.col("text")).alias("fp"))
+    batch = spark.createDataFrame(
+        [(100, "doc 3"), (101, "brand new")], ["doc_id", "text"]
+    ).select("doc_id", fingerprint_col(F.col("text")).alias("fp"))
+
+    with _pytest.raises(ValueError, match="ceiling"):
+        incremental_dedup_bloom(
+            batch, existing, "fp",
+            m_log2=MAX_RELATION_M_LOG2 + 1, bitmap_mode="relation",
+        )
+
+    out = incremental_dedup_bloom(
+        batch, existing, "fp",
+        m_log2=MAX_RELATION_M_LOG2 + 13, bitmap_mode="auto",
+    )
+    assert set(r["doc_id"] for r in out.collect()) == {101}
+    # ...and the fallback really is the plain join: no bloom columns.
+    assert "_bloom_bm" not in out.columns
+
+
 def test_span_profile_flags_shared_boilerplate(spark, tmp_path):
     """Two documents sharing an 8-token boilerplate prefix (but distinct
     tails) each get exactly the one shared pure-boilerplate span flagged;
