@@ -107,6 +107,11 @@ def pca_fit(df: DataFrame, vec_col: str, dim: int, k: int) -> PcaModel:
         cov[i:, i] = flat[off : off + m]
         off += m
     cov = cov / n - np.outer(mean, mean)
+    return _model_from_cov(mean, cov, k)
+
+
+def _model_from_cov(mean: np.ndarray, cov: np.ndarray, k: int) -> PcaModel:
+    """Shared eigendecomposition + deterministic sign fix."""
     eigvals, eigvecs = np.linalg.eigh(cov)  # ascending
     order = np.argsort(eigvals)[::-1][:k]
     comps = eigvecs[:, order].T.copy()
@@ -120,6 +125,51 @@ def pca_fit(df: DataFrame, vec_col: str, dim: int, k: int) -> PcaModel:
         components=comps,
         explained_variance=np.maximum(eigvals[order], 0.0),
     )
+
+
+def pca_fit_canonical(vectors: np.ndarray, k: int) -> PcaModel:
+    """Deterministic single-machine reference fit over a fixed-order
+    (caller-sorted) float64 matrix — same math as :func:`pca_fit`
+    (population covariance, eigh, sign fix) with one fixed summation
+    order, so repeated calls on identical input are bitwise identical.
+
+    This is the oracle/verification twin of the distributed fit: the
+    catalog query projects onto THIS basis (after asserting the
+    distributed fit agrees) so the DuckDB oracle can inline the exact
+    same component literals.  It materializes the matrix in memory —
+    a test-harness device, not the 100 TB path (that is
+    :func:`pca_fit` + :func:`pca_project`)."""
+    n, dim = vectors.shape
+    if n == 0:
+        raise ValueError("pca_fit_canonical: empty input")
+    mean = vectors.sum(axis=0) / n
+    cov = vectors.T @ vectors / n - np.outer(mean, mean)
+    cov = (cov + cov.T) / 2.0  # exact symmetry for eigh determinism
+    return _model_from_cov(mean, cov, k)
+
+
+def assert_models_close(
+    got: PcaModel, want: PcaModel, atol: float = 1e-6
+) -> None:
+    """Raise unless two fits describe the same basis: eigenvalues and
+    sign-fixed components within ``atol``.  Used by the catalog query
+    to turn a distributed-fit regression into a hard (driver-visible)
+    failure while projecting on the canonical basis."""
+    if not np.allclose(
+        got.explained_variance, want.explained_variance, atol=atol
+    ):
+        raise AssertionError(
+            "pca: distributed fit eigenvalues diverge from canonical "
+            f"fit: {got.explained_variance} vs {want.explained_variance}"
+        )
+    if not np.allclose(got.components, want.components, atol=atol):
+        raise AssertionError(
+            "pca: distributed fit components diverge from canonical fit"
+        )
+    if not np.allclose(got.mean, want.mean, atol=atol):
+        raise AssertionError(
+            "pca: distributed fit mean diverges from canonical fit"
+        )
 
 
 def pca_project(

@@ -124,8 +124,20 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "text_emotion_scores",
     "text_quality_scores",
     "knn_cosine_ivf",
-    "knn_cosine_bruteforce",
+    # promoted from rows-only this round: canonical-literal projection
+    # oracle + in-query distributed-fit assert (operators/pca.py)
+    "embedding_pca_project",
 )
+
+# The PCA oracle inlines canonical components fit from the sf0.01
+# testdata at import; on a machine without the testdata tree the entry
+# degrades to rows-only — keep the window all-oracled by swapping in a
+# classic exemplar.
+if _ALL["embedding_pca_project"].sql is None:
+    DRIVER_WINDOW = tuple(
+        "knn_cosine_bruteforce" if n == "embedding_pca_project" else n
+        for n in DRIVER_WINDOW
+    )
 
 assert len(DRIVER_WINDOW) == 50, len(DRIVER_WINDOW)
 assert len(set(DRIVER_WINDOW)) == 50, "duplicate name in DRIVER_WINDOW"

