@@ -531,45 +531,44 @@ def incremental_dedup_bloom(
       way millions of literals would.  The probe expression is
       identical; only where the array lives changes.
 
+    * ``"sharded"`` (auto above ``MAX_RELATION_M_LOG2`` = 30): NO dense
+      bitmap at any point — the sparse (word-index, bits) relation from
+      the build aggregation IS the filter, and probes reach it by
+      equi-joining their ``shiftright(p, 6)`` word index (k lookups per
+      distinct fingerprint, shuffled on the word key like any equi-
+      join).  Probe verdicts are computed once per DISTINCT fingerprint
+      and joined back, so duplicate batch rows don't multiply lookup
+      work.  This is the true 100 TB layout (m ≈ 10 bits × 10^12 keys
+      ≈ 2^43): every shard row is one (long, long) pair, no broadcast,
+      no single giant row; cost is two batch-sized shuffles + the word
+      join.
+
     **Relation-mode ceiling** (``MAX_RELATION_M_LOG2`` = 30): the dense
     bitmap is ONE ``array<bigint>`` row, so its memory is linear in m
     even though the plan size is constant — 2^30 bits = 128 MB is the
-    largest single row worth building and broadcasting.  True 100 TB
-    sizing (m ≈ 10 bits × 10^12 keys ≈ 2^43) needs a *sharded* bitmap:
-    keep the sparse (word, bits) relation, bucket batch probes by
-    ``shiftright(p, 6)`` word index, and equi-join probe positions to
-    bitmap words (k shuffled lookups replacing the broadcast — each
-    shard a normal-sized row, no single-row giant).  Until that is
-    needed, ``auto`` above the ceiling falls back to the plain exact
-    anti-join and lets the engine's runtime Bloom-filter injection
-    (default-on, PERFORMANCE.md §runtime-filters) build the
-    appropriately-sized filter JVM-side; an EXPLICIT
-    ``bitmap_mode="relation"`` above the ceiling raises rather than
-    silently building an infeasible row.
+    largest single row worth building and broadcasting.  ``auto``
+    switches to ``sharded`` above the ceiling; an EXPLICIT
+    ``bitmap_mode="relation"`` above it raises rather than silently
+    building an infeasible row.
     """
-    if bitmap_mode not in ("auto", "literal", "relation"):
+    if bitmap_mode not in ("auto", "literal", "relation", "sharded"):
         raise ValueError(f"bitmap_mode: {bitmap_mode!r}")
     if bitmap_mode == "relation" and m_log2 > MAX_RELATION_M_LOG2:
         raise ValueError(
             f"m_log2={m_log2} exceeds the single-row relation-mode "
             f"ceiling ({MAX_RELATION_M_LOG2}: a 2^{MAX_RELATION_M_LOG2}"
-            "-bit bitmap is a 128 MB single array row). Use the exact "
-            "anti-join (engine runtime Bloom filters size themselves) "
-            "or a sharded bitmap join — see docstring."
+            "-bit bitmap is a 128 MB single array row). Use "
+            "bitmap_mode='sharded' (the word-index equi-join layout, "
+            "no dense row) — see docstring."
         )
-    if bitmap_mode == "auto" and m_log2 > MAX_RELATION_M_LOG2:
-        # Identical semantics by contract: the whole operator is
-        # provably equal to this join; beyond the single-row-safe
-        # bitmap size the engine's own runtime Bloom filter is the
-        # right prefilter.
-        return batch.join(
-            existing.select(fp_col), fp_col, "left_anti"
+    if bitmap_mode == "auto":
+        mode = (
+            "literal"
+            if m_log2 <= 18
+            else ("relation" if m_log2 <= MAX_RELATION_M_LOG2 else "sharded")
         )
-    mode = (
-        bitmap_mode
-        if bitmap_mode != "auto"
-        else ("literal" if m_log2 <= 18 else "relation")
-    )
+    else:
+        mode = bitmap_mode
     n_words = 1 << (m_log2 - 6)
     mask = (1 << m_log2) - 1
 
@@ -611,7 +610,38 @@ def incremental_dedup_bloom(
         ],
     )
     drop_cols = list(pos_names)
-    if mode == "literal":
+    if mode == "sharded":
+        # No dense bitmap anywhere: probe verdicts per DISTINCT
+        # fingerprint via a word-index equi-join against the sparse
+        # (w, b) relation, then joined back (a NULL-fp batch row never
+        # matches the join and falls through to definitely-new, exactly
+        # like the NULL probe in the dense layouts).
+        probes = (
+            staged.select(fp_col, *pos_names)
+            .distinct()
+            .select(
+                F.col(fp_col),
+                F.explode(
+                    F.array(*[F.col(n) for n in pos_names])
+                ).alias("p"),
+            )
+            .withColumn("w", F.shiftright("p", 6))
+        )
+        hits = (
+            probes.join(word_bits, "w", "left")
+            .select(
+                F.col(fp_col),
+                F.coalesce(
+                    F.col("b").bitwiseAND(setbit) != 0, F.lit(False)
+                ).alias("hit"),
+            )
+            .groupBy(fp_col)
+            .agg(F.bool_and("hit").alias("_bloom_all_set"))
+        )
+        staged = staged.join(hits, fp_col, "left")
+        maybe = F.col("_bloom_all_set")
+        drop_cols.append("_bloom_all_set")
+    elif mode == "literal":
         bitmap = [0] * n_words
         for r in word_bits.collect():
             bitmap[int(r["w"])] = int(r["b"])
@@ -644,22 +674,23 @@ def incremental_dedup_bloom(
         bm = F.col("_bloom_bm")
         drop_cols.append("_bloom_bm")
 
-    probe_bits = [
-        (
-            F.element_at(
-                bm, (F.shiftright(F.col(n), 6) + 1).cast("int")
-            ).bitwiseAND(
-                F.expr(
-                    f"shiftleft(CAST(1 AS BIGINT), CAST({n} % 64 AS INT))"
+    if mode != "sharded":
+        probe_bits = [
+            (
+                F.element_at(
+                    bm, (F.shiftright(F.col(n), 6) + 1).cast("int")
+                ).bitwiseAND(
+                    F.expr(
+                        f"shiftleft(CAST(1 AS BIGINT), CAST({n} % 64 AS INT))"
+                    )
                 )
+                != 0
             )
-            != 0
-        )
-        for n in pos_names
-    ]
-    maybe = probe_bits[0]
-    for b in probe_bits[1:]:
-        maybe = maybe & b
+            for n in pos_names
+        ]
+        maybe = probe_bits[0]
+        for b in probe_bits[1:]:
+            maybe = maybe & b
     # NULL fingerprint ⇒ NULL positions ⇒ NULL probe: treat as
     # definitely-new, because a NULL key never matches in the anti-join
     # either — otherwise both filters drop the row and the "identical

@@ -1173,6 +1173,28 @@ def dedup_incremental_bloom(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+def dedup_incremental_bloom_sharded(spark, sf_dir):
+    """`dedup_incremental_bloom` through the SHARDED bitmap layout
+    (bitmap_mode="sharded", m=2^43 — the true 100 TB sizing): probe
+    verdicts per distinct fingerprint via a word-index equi-join
+    against the sparse (word, bits) relation; no dense bitmap row at
+    any m.  Same result as the plain anti-join by construction — the
+    oracle is byte-identical to DEDUP_INCREMENTAL_SQL."""
+    from rick_and_morty_data_pipeline_project_spark.operators.dedup import (
+        incremental_dedup_bloom,
+    )
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", fingerprint_col(F.col("text")).alias("fp")
+    )
+    existing = d.filter(F.col("doc_id") % 10 != 0)
+    batch = d.filter(F.col("doc_id") % 10 == 0)
+    return incremental_dedup_bloom(
+        batch, existing, "fp", m_log2=43, bitmap_mode="sharded"
+    ).select("doc_id", "source", "fp")
+
+
+# --------------------------------------------------------------------------
 def text_shard_index(spark, sf_dir):
     """Byte-offset index for the packed-shard trainer export
     (operators/shards.py): (doc_id, shard, offset, n_bytes) where the
@@ -2418,6 +2440,9 @@ QUERIES: dict[str, Q] = {
     ),
     "dedup_incremental_bloom": Q(
         dedup_incremental_bloom, DEDUP_INCREMENTAL_SQL
+    ),
+    "dedup_incremental_bloom_sharded": Q(
+        dedup_incremental_bloom_sharded, DEDUP_INCREMENTAL_SQL
     ),
     "dedup_span_profile": Q(dedup_span_profile, SPAN_PROFILE_SQL),
     "text_shard_index": Q(text_shard_index, SHARD_INDEX_SQL),

@@ -389,6 +389,9 @@ def test_incremental_bloom_equals_plain_anti_join(spark):
         (20, 4, "relation"),  # the constant-plan broadcast-bitmap path
         (8, 2, "relation"),   # FP-heavy tiny bitmap through the relation
         (20, 4, "auto"),      # auto picks relation above 2^18
+        (20, 4, "sharded"),   # word-index equi-join, no dense bitmap
+        (8, 2, "sharded"),    # FP-heavy tiny bitmap through the shards
+        (43, 4, "sharded"),   # true 100 TB sizing, word keys > 2^31
     ):
         got = set(
             r["doc_id"]
@@ -403,7 +406,7 @@ def test_incremental_bloom_equals_plain_anti_join(spark):
 def test_incremental_bloom_relation_ceiling(spark):
     """Above MAX_RELATION_M_LOG2 the one-row dense bitmap is infeasible
     (memory linear in m): explicit relation mode raises with the
-    sharded-bitmap guidance; auto falls back to the plain exact
+    sharded-bitmap guidance; auto switches to the sharded word-index layout instead of the plain exact
     anti-join (identical semantics by the operator's own contract) and
     leaves Bloom prefiltering to the engine's runtime filter."""
     import pytest as _pytest
@@ -436,8 +439,9 @@ def test_incremental_bloom_relation_ceiling(spark):
         m_log2=MAX_RELATION_M_LOG2 + 13, bitmap_mode="auto",
     )
     assert set(r["doc_id"] for r in out.collect()) == {101}
-    # ...and the fallback really is the plain join: no bloom columns.
-    assert "_bloom_bm" not in out.columns
+    # ...auto picked the sharded layout: no dense-bitmap or probe
+    # bookkeeping columns leak into the result.
+    assert not [c for c in out.columns if c.startswith("_bloom")]
 
 
 def test_span_profile_flags_shared_boilerplate(spark, tmp_path):
