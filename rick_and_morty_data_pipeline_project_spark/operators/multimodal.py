@@ -182,6 +182,33 @@ def synthesize_real_media(df: DataFrame, id_col: str, text_col: str) -> DataFram
                 else:
                     w, ht = mid % 20 + 8, mid % 15 + 8
                     app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+                    # Real EXIF APP1: TIFF header + one-entry IFD0
+                    # carrying Orientation (tag 0x0112) = mid % 8 + 1,
+                    # alternating byte order so parsers must honor
+                    # II/MM, not assume one.
+                    orientation = mid % 8 + 1
+                    if mid % 2 == 0:
+                        bo, e = b"MM", ">"
+                    else:
+                        bo, e = b"II", "<"
+                    ifd0 = (
+                        struct.pack(e + "H", 1)
+                        + struct.pack(e + "HHI", 0x0112, 3, 1)
+                        + struct.pack(e + "H", orientation)
+                        + b"\x00\x00"
+                        + struct.pack(e + "I", 0)  # next-IFD: none
+                    )
+                    app1 = (
+                        b"Exif\x00\x00"
+                        + bo
+                        + struct.pack(e + "H", 42)
+                        + struct.pack(e + "I", 8)
+                        + ifd0
+                    )
+                    # Every third JPEG is progressive (SOF2) — the
+                    # header-only dimension/metadata parse must treat
+                    # baseline and progressive alike.
+                    sof_marker = b"\xff\xc2" if mid % 3 == 0 else b"\xff\xc0"
                     sof0 = (
                         bytes([8])
                         + struct.pack(">HH", ht, w)
@@ -195,7 +222,8 @@ def synthesize_real_media(df: DataFrame, id_col: str, text_col: str) -> DataFram
                     content = (
                         b"\xff\xd8"
                         + b"\xff\xe0" + struct.pack(">H", len(app0) + 2) + app0
-                        + b"\xff\xc0" + struct.pack(">H", len(sof0) + 2) + sof0
+                        + b"\xff\xe1" + struct.pack(">H", len(app1) + 2) + app1
+                        + sof_marker + struct.pack(">H", len(sof0) + 2) + sof0
                         + b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
                         + entropy.replace(b"\xff", b"\xfe")
                         + b"\xff\xd9"
@@ -444,3 +472,118 @@ def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
             )
 
     return df.mapInPandas(batches, schema=DECODED_SCHEMA)
+
+
+JPEG_HEADER_SCHEMA = (
+    "media_id long, width int, height int, n_components int, "
+    "progressive boolean, byte_order string, orientation int"
+)
+
+
+def parse_jpeg_headers(df: DataFrame) -> DataFrame:
+    """Codec-free JPEG header metadata via Arrow-batched
+    ``mapInPandas``: one marker walk per blob yields frame dimensions,
+    component count, the baseline/progressive distinction
+    (SOF0/1 vs SOF2 — the scan-order property download pipelines key
+    retry/transcode decisions on), and the EXIF Orientation tag parsed
+    from the APP1 TIFF directory honoring BOTH byte orders (``II`` and
+    ``MM`` — a little-endian-only parser silently misreads half the
+    web's cameras).  No pixel decode anywhere: headers are a few
+    hundred bytes, so at 100 TB this reads marker segments and skips
+    entropy data, and the binary column itself never shuffles (the
+    parse is a narrow map; only the 7-column metadata result moves).
+
+    Rows that are not JPEG (or fail the walk) are passed through with
+    NULL metadata rather than failing the batch — corpus-scale media
+    tables always contain breakage, and a poison blob must not kill
+    the job.
+    """
+
+    def batches(it: Iterator):
+        import struct
+
+        import pandas as pd
+
+        def exif_orientation(data: bytes):
+            # data: APP1 payload after the 2-byte length
+            if data[:6] != b"Exif\x00\x00":
+                return None, None
+            tiff = data[6:]
+            if tiff[:2] == b"MM":
+                e = ">"
+            elif tiff[:2] == b"II":
+                e = "<"
+            else:
+                return None, None
+            bo = tiff[:2].decode()
+            (magic,) = struct.unpack(e + "H", tiff[2:4])
+            if magic != 42:
+                return bo, None
+            (ifd_off,) = struct.unpack(e + "I", tiff[4:8])
+            if ifd_off + 2 > len(tiff):
+                return bo, None
+            (n_entries,) = struct.unpack(
+                e + "H", tiff[ifd_off : ifd_off + 2]
+            )
+            for j in range(n_entries):
+                at = ifd_off + 2 + 12 * j
+                entry = tiff[at : at + 12]
+                if len(entry) < 12:
+                    break
+                tag, typ, cnt = struct.unpack(e + "HHI", entry[:8])
+                if tag == 0x0112 and typ == 3 and cnt == 1:
+                    (val,) = struct.unpack(e + "H", entry[8:10])
+                    return bo, int(val)
+            return bo, None
+
+        def parse_one(content: bytes):
+            out = {
+                "width": None,
+                "height": None,
+                "n_components": None,
+                "progressive": None,
+                "byte_order": None,
+                "orientation": None,
+            }
+            if content[:2] != b"\xff\xd8":
+                return out
+            i = 2
+            while i + 4 <= len(content):
+                if content[i] != 0xFF:
+                    return out
+                while i + 4 <= len(content) and content[i + 1] == 0xFF:
+                    i += 1
+                marker = content[i + 1]
+                if marker == 0xDA:  # SOS: entropy data follows
+                    break
+                (seglen,) = struct.unpack(">H", content[i + 2 : i + 4])
+                seg = content[i + 4 : i + 2 + seglen]
+                if marker in (0xC0, 0xC1, 0xC2):
+                    h, w = struct.unpack(">HH", seg[1:5])
+                    out["width"], out["height"] = int(w), int(h)
+                    out["n_components"] = int(seg[5])
+                    out["progressive"] = marker == 0xC2
+                elif marker == 0xE1:
+                    bo, orient = exif_orientation(seg)
+                    out["byte_order"] = bo
+                    out["orientation"] = orient
+                i += 2 + seglen
+            return out
+
+        for pdf in it:
+            parsed = [parse_one(bytes(c)) for c in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "width": [p["width"] for p in parsed],
+                    "height": [p["height"] for p in parsed],
+                    "n_components": [p["n_components"] for p in parsed],
+                    "progressive": [p["progressive"] for p in parsed],
+                    "byte_order": [p["byte_order"] for p in parsed],
+                    "orientation": [p["orientation"] for p in parsed],
+                }
+            )
+
+    return df.select("media_id", "content").mapInPandas(
+        batches, schema=JPEG_HEADER_SCHEMA
+    )

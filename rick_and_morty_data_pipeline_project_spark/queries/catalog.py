@@ -37,6 +37,14 @@ Rotation policy (round 5, standing):
 Every query outside the window stays exported (positions 51+) and is
 still cell-exact verified locally by tests/test_oracle_parity.py,
 which parametrizes the WHOLE catalog.
+
+Pending round-6 rotation (rule 2 ledger — files changed AFTER the r05
+window froze): ``operators/multimodal.py`` (EXIF/progressive fixture +
+header parse) stales the standing rows of ``multimodal_metadata_stats``,
+``multimodal_decode_features``, ``multimodal_decode_real``; new oracled
+queries ``dedup_incremental_bloom_sharded`` and
+``multimodal_jpeg_headers`` have no driver row yet.  All must enter the
+r06 window.
 """
 
 from __future__ import annotations

@@ -118,8 +118,42 @@ def multimodal_decode_real(spark, sf_dir):
     return decode_real_media(m)
 
 
+def multimodal_jpeg_headers(spark, sf_dir):
+    """Codec-free JPEG header metadata over the real-container media
+    table: frame dimensions, component count, baseline-vs-progressive
+    (SOF0/1 vs SOF2), and the EXIF Orientation tag parsed from the
+    APP1 TIFF directory in BOTH byte orders
+    (operators/multimodal.parse_jpeg_headers).  Fully oracled: the
+    fixture derives every field from ``doc_id`` arithmetic, so the
+    DuckDB twin recomputes what the byte-level marker walk must
+    recover — an arithmetic oracle over a genuine binary parse."""
+    from rick_and_morty_data_pipeline_project_spark.operators.multimodal import (
+        parse_jpeg_headers,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    m = synthesize_real_media(d, "doc_id", "text").filter(
+        F.col("format") == "jpeg"
+    )
+    return parse_jpeg_headers(m)
+
+
+MM_JPEG_HEADERS_SQL = """
+SELECT doc_id AS media_id,
+       CAST(doc_id % 20 + 8 AS INT) AS width,
+       CAST(doc_id % 15 + 8 AS INT) AS height,
+       CAST(3 AS INT) AS n_components,
+       doc_id % 3 = 0 AS progressive,
+       CASE WHEN doc_id % 2 = 0 THEN 'MM' ELSE 'II' END AS byte_order,
+       CAST(doc_id % 8 + 1 AS INT) AS orientation
+FROM documents
+WHERE doc_id % 4 = 3
+"""
+
+
 QUERIES: dict[str, Q] = {
     "multimodal_metadata_stats": Q(multimodal_metadata_stats, MM_META_SQL),
+    "multimodal_jpeg_headers": Q(multimodal_jpeg_headers, MM_JPEG_HEADERS_SQL),
     "multimodal_decode_features": Q(multimodal_decode_features, None),
     "multimodal_resize_dims": Q(multimodal_resize_dims, MM_RESIZE_SQL),
     "multimodal_frame_samples": Q(multimodal_frame_samples, MM_FRAMES_SQL),

@@ -173,3 +173,34 @@ def test_decode_real_media_jpeg_fill_bytes(spark):
     )
     (row,) = decode_real_media(df).collect()
     assert (row["width"], row["height"]) == (w, h)
+
+
+def test_parse_jpeg_headers_tolerates_poison_blobs(spark):
+    """Corpus-scale media always contains breakage: non-JPEG bytes,
+    truncated streams, and EXIF-less JPEGs must yield NULL metadata
+    rows, never a failed batch."""
+    from rick_and_morty_data_pipeline_project_spark.operators.multimodal import (
+        parse_jpeg_headers,
+    )
+
+    rows = [
+        (1, bytearray(b"not a jpeg at all")),
+        (2, bytearray(b"\xff\xd8\xff")),  # truncated after SOI
+        # valid-but-minimal: SOI + SOF0 + EOI, no APP1
+        (3, bytearray(
+            b"\xff\xd8"
+            + b"\xff\xc0\x00\x0b"
+            + bytes([8]) + (16).to_bytes(2, "big") + (24).to_bytes(2, "big")
+            + bytes([1, 1, 0x11, 0])
+            + b"\xff\xd9"
+        )),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {r["media_id"]: r.asDict() for r in parse_jpeg_headers(df).collect()}
+    assert len(got) == 3
+    assert got[1]["width"] is None and got[1]["orientation"] is None
+    assert got[2]["width"] is None
+    assert got[3]["width"] == 24 and got[3]["height"] == 16
+    assert got[3]["progressive"] is False
+    assert got[3]["n_components"] == 1
+    assert got[3]["orientation"] is None and got[3]["byte_order"] is None
