@@ -1,18 +1,111 @@
 """Print the driver-window rotation state: which oracled catalog
 queries have never held a CORRECTNESS_r*.json row, which window slots
-are re-checking already-green queries, and the suggested next window.
+are re-checking already-green queries, and — rule 2 of the rotation
+policy (queries/catalog.py docstring) made EXECUTABLE — which queries'
+implementations changed since their certification fingerprint was
+frozen and therefore must re-enter the window.
 
-Usage: python tools/rotation_report.py
+Fingerprints: md5 over (query function source + oracle SQL + the file
+bytes of every ``operators.*`` / ``functions.*`` module the function
+references).  Function-level granularity for the query itself (so
+adding one query to a 2,000-line module doesn't stale its siblings),
+file-level for operator modules (they are cohesive units).  The
+manifest ``tools/query_fingerprints.json`` is refreshed with
+``--update-fingerprints`` when a round's window is frozen; the default
+report diffs the live tree against it.
+
+Usage:
+  python tools/rotation_report.py                      # report
+  python tools/rotation_report.py --update-fingerprints  # freeze state
 """
 
 from __future__ import annotations
 
 import glob
+import hashlib
+import inspect
 import json
 import os
+import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+MANIFEST = os.path.join(REPO, "tools", "query_fingerprints.json")
+PKG = "rick_and_morty_data_pipeline_project_spark"
+
+_REF_RE = re.compile(
+    r"(?:operators|functions|streaming|sources)\.(\w+)"
+)
+
+
+def _module_import_map(module_name: str) -> dict[str, str]:
+    """name → package-module file path, for every ``from <pkg>.<kind>.
+    <mod> import name`` at the top of the query module (so a query
+    whose operator import sits at module level — the common style —
+    still fingerprints its operator's file)."""
+    import ast
+    import importlib
+
+    mod = importlib.import_module(module_name)
+    try:
+        tree = ast.parse(inspect.getsource(mod))
+    except (OSError, TypeError):
+        return {}
+    out: dict[str, str] = {}
+    for node in ast.walk(tree):
+        if not (isinstance(node, ast.ImportFrom) and node.module):
+            continue
+        if not node.module.startswith(PKG + "."):
+            continue
+        sub = node.module[len(PKG) + 1 :].split(".")
+        if len(sub) == 2 and sub[0] in (
+            "operators", "functions", "streaming", "sources"
+        ):
+            path = os.path.join(REPO, PKG, sub[0], sub[1] + ".py")
+            for alias in node.names:
+                out[alias.asname or alias.name] = path
+    return out
+
+
+def query_fingerprints() -> dict[str, str]:
+    from rick_and_morty_data_pipeline_project_spark.queries.catalog import _ALL
+
+    import_maps: dict[str, dict[str, str]] = {}
+    file_cache: dict[str, str] = {}
+
+    def file_text(path: str) -> str:
+        if path not in file_cache:
+            with open(path, "rb") as f:
+                file_cache[path] = f.read().decode("utf-8", "replace")
+        return file_cache[path]
+
+    fps: dict[str, str] = {}
+    for name, q in _ALL.items():
+        try:
+            src = inspect.getsource(q.fn)
+        except (OSError, TypeError):
+            src = repr(q.fn)
+        parts = [src, q.sql or ""]
+        paths: set[str] = set()
+        # inline `from ...operators.x import` / `operators.x` references
+        for m in _REF_RE.finditer(src):
+            kind = m.group(0).split(".")[0]
+            paths.add(os.path.join(REPO, PKG, kind, m.group(1) + ".py"))
+        # module-level imports actually used by this function
+        mod_name = getattr(q.fn, "__module__", "")
+        if mod_name and mod_name not in import_maps:
+            import_maps[mod_name] = _module_import_map(mod_name)
+        words = set(re.findall(r"\w+", src))
+        for nm, path in import_maps.get(mod_name, {}).items():
+            if nm in words:
+                paths.add(path)
+        for path in sorted(paths):
+            if os.path.exists(path):
+                parts.append(file_text(path))
+        fps[name] = hashlib.md5("\n".join(parts).encode()).hexdigest()
+    return fps
 
 
 def main() -> None:
@@ -21,10 +114,16 @@ def main() -> None:
         QUERIES,
     )
 
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    fps = query_fingerprints()
+    if "--update-fingerprints" in sys.argv:
+        with open(MANIFEST, "w") as f:
+            json.dump(fps, f, indent=1, sort_keys=True)
+        print(f"wrote {len(fps)} fingerprints to {MANIFEST}")
+        return
+
     green_ever: set[str] = set()
     attempted: set[str] = set()
-    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         with open(path) as f:
             rows = json.load(f)
         green = {
@@ -53,6 +152,28 @@ def main() -> None:
     print("\nnever-attempted oracled queries (rotate these in):")
     for n in never:
         print(f"  {n}")
+
+    # Rule 2: implementation changed since the frozen manifest.
+    if os.path.exists(MANIFEST):
+        with open(MANIFEST) as f:
+            frozen = json.load(f)
+        changed = sorted(
+            n for n, fp in fps.items() if frozen.get(n) not in (None, fp)
+        )
+        new = sorted(n for n in fps if n not in frozen)
+        print(f"\nrule-2 stale (fingerprint changed since manifest): "
+              f"{len(changed)}")
+        for n in changed:
+            mark = "" if n in DRIVER_WINDOW else "  <-- NOT in window"
+            print(f"  {n}{mark}")
+        if new:
+            print(f"new since manifest (no fingerprint): {len(new)}")
+            for n in new:
+                print(f"  {n}")
+    else:
+        print("\n(no fingerprint manifest yet — run with "
+              "--update-fingerprints at window freeze)")
+
     print(f"\nwindow slots already green in a prior round "
           f"(candidates to rotate out): {len(stale_slots)}")
     for n in stale_slots:
