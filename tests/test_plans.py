@@ -388,3 +388,56 @@ def test_zipf_head_is_two_stage_topk(spark):
     df = QUERIES["text_zipf_fit"].fn(spark, SF_SMALL)
     plan = formatted_plan(df)
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_incremental_bloom_sharded_no_dense_bitmap(spark):
+    """The sharded layout must contain NO dense bitmap anywhere: no
+    array literal scaling with m, no single-row broadcast nested-loop
+    attach — the filter is the sparse word relation reached by a plain
+    equi-join, and plan size is constant from m=2^20 to the true
+    100 TB sizing m=2^43."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from rick_and_morty_data_pipeline_project_spark.functions.textfns import (
+        fingerprint_col,
+    )
+    from rick_and_morty_data_pipeline_project_spark.operators.dedup import (
+        incremental_dedup_bloom,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", fingerprint_col(F.col("text")).alias("fp")
+    )
+    existing = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+
+    plans = {
+        m: formatted_plan(
+            incremental_dedup_bloom(
+                batch, existing, "fp", m_log2=m, bitmap_mode="sharded"
+            )
+        )
+        for m in (20, 43)
+    }
+    for m, plan in plans.items():
+        assert "BroadcastNestedLoopJoin" not in plan, m
+        assert "CartesianProduct" not in plan, m
+        assert "_bloom_bm" not in plan, m  # the dense-array column
+    assert abs(len(plans[43]) - len(plans[20])) < 500, (
+        len(plans[20]),
+        len(plans[43]),
+    )
+
+
+def test_jpeg_headers_plan_is_narrow(spark):
+    """The JPEG header walk is a pure narrow map: scan → synthesize →
+    filter → MapInPandas, ZERO exchanges — the binary column never
+    crosses a shuffle boundary."""
+    from rick_and_morty_data_pipeline_project_spark.queries.catalog import _ALL
+
+    plan = formatted_plan(
+        _ALL["multimodal_jpeg_headers"].fn(spark, SF_SMALL)
+    )
+    assert "Exchange" not in plan, plan
+    # two tree nodes: synthesize + parse (details section repeats them)
+    assert len(re.findall(r"MapInPandas \(\d+\)", plan)) == 2, plan
