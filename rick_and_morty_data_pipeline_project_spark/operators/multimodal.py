@@ -465,8 +465,14 @@ def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
                     "mean_byte": content.map(
                         lambda b: float(sum(b)) / len(b) if len(b) else 0.0
                     ),
+                    # fingerprint over the LOWERCASE HEX of the bytes,
+                    # not the raw blob: engine-portable (DuckDB's md5
+                    # only takes strings), equally collision-resistant,
+                    # and therefore fully SQL-oracle-able
                     "checksum": content.map(
-                        lambda b: hashlib.md5(b).hexdigest()
+                        lambda b: hashlib.md5(
+                            bytes(b).hex().encode()
+                        ).hexdigest()
                     ),
                 }
             )

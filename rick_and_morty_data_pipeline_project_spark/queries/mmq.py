@@ -51,12 +51,33 @@ GROUP BY 1, 2
 
 def multimodal_decode_features(spark, sf_dir):
     """Arrow-batched mapInPandas decode → per-media byte stats +
-    checksum.  Rows-only oracle (mean_byte over a blob is not cleanly
-    DuckDB-expressible); the Python oracle lives in
-    tests/test_multimodal.py."""
+    checksum.  Fully oracled: the fake content is the md5-chain hex
+    expansion of the text, so the DuckDB twin recomputes mean_byte by
+    hex-pair arithmetic (exact integer sum / count — bitwise float
+    parity) and the checksum over the same lowercase hex; the Python
+    decode in the Spark arm runs on the actual binary column, so the
+    match certifies the mapInPandas byte plumbing end to end."""
     d = t(spark, sf_dir, "documents")
     m = synthesize_media(d, "doc_id", "text")
     return decode_media(m, fake=True)
+
+
+MM_DECODE_SQL = """
+WITH m AS (
+  SELECT doc_id AS media_id, 'image' AS kind,
+         md5(text) || md5(md5(text)) || md5(md5(md5(text))) AS hx
+  FROM documents
+)
+SELECT media_id, kind,
+       CAST(octet_length(from_hex(hx)) AS BIGINT) AS n_bytes,
+       list_aggregate(
+         list_transform(
+           generate_series(0, CAST(octet_length(from_hex(hx)) AS INT) - 1),
+           i -> CAST('0x' || substr(hx, 2 * i + 1, 2) AS INT)
+         ), 'avg') AS mean_byte,
+       md5(hx) AS checksum
+FROM m
+"""
 
 
 def multimodal_resize_dims(spark, sf_dir):
@@ -154,7 +175,7 @@ WHERE doc_id % 4 = 3
 QUERIES: dict[str, Q] = {
     "multimodal_metadata_stats": Q(multimodal_metadata_stats, MM_META_SQL),
     "multimodal_jpeg_headers": Q(multimodal_jpeg_headers, MM_JPEG_HEADERS_SQL),
-    "multimodal_decode_features": Q(multimodal_decode_features, None),
+    "multimodal_decode_features": Q(multimodal_decode_features, MM_DECODE_SQL),
     "multimodal_resize_dims": Q(multimodal_resize_dims, MM_RESIZE_SQL),
     "multimodal_frame_samples": Q(multimodal_frame_samples, MM_FRAMES_SQL),
     "multimodal_decode_real": Q(multimodal_decode_real, None),

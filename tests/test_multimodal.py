@@ -26,9 +26,12 @@ def test_media_roundtrip(spark):
     assert row["n_bytes"] == 48  # 3 chained md5 digests = 48 bytes
     assert 0 <= row["mean_byte"] <= 255
 
-    # checksum must agree with a driver-side recompute of the same bytes
+    # checksum must agree with a driver-side recompute over the same
+    # bytes' lowercase hex (the engine-portable fingerprint definition)
     content = {r["media_id"]: bytes(r["content"]) for r in media.collect()}
-    assert row["checksum"] == hashlib.md5(content[row["media_id"]]).hexdigest()
+    assert row["checksum"] == hashlib.md5(
+        content[row["media_id"]].hex().encode()
+    ).hexdigest()
 
 
 def test_real_decode_is_stubbed(spark):
