@@ -77,14 +77,93 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
 def knn_cosine_mmr(spark, sf_dir):
     """Diversity-aware retrieval: MMR re-rank of the exact top-20
     shortlist (operators/similarity.knn_mmr) for the first 10 query
-    vectors.  Rows-only: the greedy selection is inherently sequential
-    per query (not one SQL statement); the Spark output is equality-
-    checked against a driver-side greedy replay in
-    tests/test_dedup_similarity.py, which also asserts the diversity
-    property on a clustered fixture."""
+    vectors.  Fully oracled since r5 by an UNROLLED greedy: the k=5
+    sequential selection becomes 5 chained CTEs (the PageRank-unroll
+    trick), each re-ranking the not-yet-selected shortlist by
+    ``lam·rel − (1−lam)·max-sim-to-selected`` with the Python arm's
+    exact tie-break (score desc, cosine desc, neighbor asc) and its
+    exact float constants (``1.0 − 0.7`` = 0.30000000000000004, not
+    0.3).  Residual float risk is the numpy-vs-SQL summation order in
+    the neighbor-neighbor dots (~1e-16), orders of magnitude below
+    observed selection margins — same accepted envelope as the PCA
+    canonical-literal oracle.  The driver-side greedy replay and the
+    diversity property test remain in tests/test_dedup_similarity.py."""
     e = t(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 10)
     return knn_mmr(queries, e, k=5, shortlist=20, lam=0.7)
+
+
+def _mmr_oracle_sql(k: int = 5, shortlist: int = 20, lam: float = 0.7) -> str:
+    """Unrolled-greedy DuckDB twin of :func:`knn_cosine_mmr`."""
+    lam_r = repr(lam)
+    one_minus_lam_r = repr(1.0 - lam)
+    steps = []
+    prior_names = []
+    for st in range(1, k + 1):
+        if not prior_names:
+            steps.append(f"""sel1 AS (
+  SELECT query_id, neighbor_id, cosine, 1 AS mmr_rank FROM (
+    SELECT query_id, neighbor_id, cosine,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY {lam_r} * cosine DESC, cosine DESC, neighbor_id ASC
+           ) AS rn
+    FROM cand
+  ) WHERE rn = 1
+)""")
+        else:
+            prior = " UNION ALL ".join(
+                f"SELECT query_id, neighbor_id FROM {p}" for p in prior_names
+            )
+            steps.append(f"""prior{st} AS ({prior}),
+sel{st} AS (
+  SELECT query_id, neighbor_id, cosine, {st} AS mmr_rank FROM (
+    SELECT c.query_id, c.neighbor_id, c.cosine,
+           ROW_NUMBER() OVER (PARTITION BY c.query_id
+             ORDER BY {lam_r} * c.cosine - {one_minus_lam_r} * r.red DESC,
+                      c.cosine DESC, c.neighbor_id ASC
+           ) AS rn
+    FROM cand c
+    JOIN (
+      SELECT s.query_id, s.i AS neighbor_id, MAX(s.s) AS red
+      FROM sims s JOIN prior{st} p
+        ON s.query_id = p.query_id AND s.j = p.neighbor_id
+      GROUP BY s.query_id, s.i
+    ) r ON r.query_id = c.query_id AND r.neighbor_id = c.neighbor_id
+    WHERE NOT EXISTS (
+      SELECT 1 FROM prior{st} p
+      WHERE p.query_id = c.query_id AND p.neighbor_id = c.neighbor_id
+    )
+  ) WHERE rn = 1
+)""")
+        prior_names.append(f"sel{st}")
+    union = " UNION ALL ".join(f"SELECT * FROM {p}" for p in prior_names)
+    return f"""
+WITH {_NORMED_CTE},
+q AS (SELECT vec_id AS query_id, nv AS qv FROM normed WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id, c.nv,
+         round({dot_sql("q.qv", "c.nv")}, 6) AS cosine
+  FROM q, normed c
+  WHERE q.query_id <> c.vec_id
+),
+cand AS (
+  SELECT query_id, neighbor_id, cosine, nv FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM scored
+  ) WHERE rank <= {shortlist}
+),
+sims AS (
+  SELECT a.query_id, a.neighbor_id AS i, b.neighbor_id AS j,
+         {dot_sql("a.nv", "b.nv")} AS s
+  FROM cand a JOIN cand b USING (query_id)
+),
+{",".join(steps)}
+SELECT query_id, neighbor_id, cosine, mmr_rank FROM ({union})
+"""
+
+
+KNN_MMR_SQL = _mmr_oracle_sql()
 
 
 def knn_cosine_lsh(spark, sf_dir):
@@ -678,7 +757,7 @@ QUERIES: dict[str, Q] = {
     "knn_cosine_filtered": Q(knn_cosine_filtered, KNN_FILTERED_SQL),
     "knn_cosine_bruteforce": Q(knn_cosine_bruteforce, KNN_SQL),
     "knn_cosine_lsh": Q(knn_cosine_lsh, KNN_LSH_SQL),
-    "knn_cosine_mmr": Q(knn_cosine_mmr, None),
+    "knn_cosine_mmr": Q(knn_cosine_mmr, KNN_MMR_SQL),
     "knn_cosine_ivf": Q(knn_cosine_ivf, KNN_IVF_SQL),
     "knn_recall_audit": Q(knn_recall_audit, KNN_RECALL_SQL),
     "knn_label_agreement": Q(knn_label_agreement, KNN_LABEL_AGREEMENT_SQL),
