@@ -62,6 +62,7 @@ def stream_ingest_dedup(
     checkpoint_dir: str,
     text_col: str = "text",
     id_col: str = "doc_id",
+    bloom_m_log2: int | None = None,
 ):
     """Streaming corpus INGEST with full-history dedup: every
     micro-batch of arriving documents is deduped in-batch (lowest id per
@@ -77,9 +78,13 @@ def stream_ingest_dedup(
     read-output/append cycle has no write race.  Scale: the anti-join
     shuffles fingerprints only (the corpus side projects to one column);
     at 100 TB the output is a table bucketed by fingerprint so each
-    ingest join is exchange-free on the corpus side, and the Bloom-style
-    prefix pre-filter (operators/dedup.incremental_dedup_prefiltered)
-    drops the join for definitely-new rows.
+    ingest join is exchange-free on the corpus side.  Pass
+    ``bloom_m_log2`` to route each batch through the k-hash Bloom
+    pre-filter (operators/dedup.incremental_dedup_bloom, auto layout:
+    literal / broadcast-relation / sharded word-join by m) so
+    definitely-new rows skip the exact join entirely — provably the
+    same survivors (the operator's anti-join-equivalence contract,
+    re-asserted streaming-vs-plain in tests/test_streaming.py).
 
     Returns the started StreamingQuery (availableNow trigger); caller
     awaits termination.
@@ -91,6 +96,10 @@ def stream_ingest_dedup(
     )
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        from rick_and_morty_data_pipeline_project_spark.operators.dedup import (
+            incremental_dedup_bloom,
+        )
+
         sess = batch_df.sparkSession
         fp = batch_df.withColumn("fp", fingerprint_col(F.col(text_col)))
         w = Window.partitionBy("fp").orderBy(F.asc(id_col))
@@ -104,9 +113,13 @@ def stream_ingest_dedup(
             seen = seen.unionByName(
                 sess.read.parquet(out_dir).select("fp")
             )
-        first.join(seen, "fp", "left_anti").write.mode("append").parquet(
-            out_dir
-        )
+        if bloom_m_log2 is not None:
+            new_rows = incremental_dedup_bloom(
+                first, seen, "fp", m_log2=bloom_m_log2
+            )
+        else:
+            new_rows = first.join(seen, "fp", "left_anti")
+        new_rows.write.mode("append").parquet(out_dir)
 
     return (
         stream.writeStream.foreachBatch(_sink)

@@ -256,6 +256,67 @@ def test_stream_ingest_dedup_exact_lifetime(spark, tmp_path):
     assert set(rows.values()) == want_fps
 
 
+def test_stream_ingest_dedup_bloom_prefilter_twin(spark, tmp_path):
+    """The Bloom-prefiltered ingest sink (bloom_m_log2 set; auto layout)
+    appends exactly the same curated rows as the plain anti-join sink —
+    the operator's anti-join-equivalence contract holding inside
+    foreachBatch, across in-batch, vs-corpus, and cross-batch dups."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rick_and_morty_data_pipeline_project_spark.streaming.dedup import (
+        stream_ingest_dedup,
+    )
+
+    corpus = spark.createDataFrame(
+        [(0, "corpus text zero"), (1, "corpus text one")],
+        ["doc_id", "text"],
+    )
+    in_dir = tmp_path / "incoming"
+    in_dir.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": [10, 11, 12],
+                "text": ["corpus text zero", "fresh alpha", "fresh alpha"],
+            }
+        ),
+        str(in_dir / "a.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": [20, 21, 22],
+                "text": ["fresh alpha", "fresh beta", "corpus text one"],
+            }
+        ),
+        str(in_dir / "b.parquet"),
+    )
+
+    outputs = {}
+    for label, kw in (
+        ("plain", {}),
+        ("bloom", {"bloom_m_log2": 16}),
+        ("bloom_tiny", {"bloom_m_log2": 8}),  # FP-heavy: exact join must resolve
+    ):
+        stream = (
+            spark.readStream.schema("doc_id LONG, text STRING")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(in_dir))
+        )
+        out_dir = str(tmp_path / f"curated_{label}")
+        q = stream_ingest_dedup(
+            stream, corpus, out_dir, str(tmp_path / f"ckpt_{label}"), **kw
+        )
+        q.awaitTermination()
+        outputs[label] = {
+            (r["doc_id"], r["fp"])
+            for r in spark.read.parquet(out_dir).collect()
+        }
+    assert outputs["bloom"] == outputs["plain"]
+    assert outputs["bloom_tiny"] == outputs["plain"]
+
+
 def test_zscore_stream_matches_batch(spark):
     """Streaming rolling z-score ≡ the batch events_zscore_outliers
     query: same flagged event set, same window counts, z within 1e-6
