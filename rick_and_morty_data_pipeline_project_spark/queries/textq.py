@@ -142,6 +142,87 @@ FROM documents
 
 
 # --------------------------------------------------------------------------
+#: Distilled linear quality-filter weights (bias, log-token-count,
+#: stopword ratio, distinct ratio, mean token length).  Frozen literals
+#: by design: production quality filters (fastText/DCLM-style) are
+#: trained OFFLINE on a labeled sample and distilled to a linear scorer
+#: whose inference must run engine-side at corpus scale — the engine's
+#: job is the featurize+score pass, not the training.
+QUALITY_CLF_W = (-2.0, 0.45, -1.8, 2.2, 0.15)
+
+
+def text_quality_classifier(spark, sf_dir):
+    """Model-based quality filtering: a distilled linear classifier
+    (sigmoid over engine-computed features × frozen literal weights)
+    scoring every document, with the keep/drop verdict at 0.5 — the
+    standard fastText-style quality-filter stage of an LLM data
+    pipeline, run entirely as JVM expressions (zero Python, zero
+    shuffle: one narrow corpus scan).  The 0.8 operating threshold is
+    part of the distilled model (chosen on validation data offline,
+    like the weights); it splits this corpus rather than rubber-
+    stamping it.
+
+    Float parity: features are exact integer ratios; ln/exp at the
+    6-digit rounding grain matches DuckDB (same envelope as the green
+    logprob/zipf queries).  Scale: embarrassingly parallel single scan;
+    the weights broadcast as plan literals.
+    """
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks)
+    stop_ratio = (
+        F.size(F.filter(toks, lambda x: x.isin("the", "a")))
+        / n_tokens
+    )
+    distinct_ratio = F.size(F.array_distinct(toks)) / n_tokens
+    mean_tok_len = (
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        / n_tokens
+    )
+    w0, w1, w2, w3, w4 = QUALITY_CLF_W
+    z = (
+        F.lit(w0)
+        + F.lit(w1) * F.log(n_tokens.cast("double") + F.lit(1.0))
+        + F.lit(w2) * stop_ratio
+        + F.lit(w3) * distinct_ratio
+        + F.lit(w4) * mean_tok_len
+    )
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return d.select(
+        "doc_id",
+        F.round(score, 6).alias("quality_score"),
+        (F.round(score, 6) >= 0.8).alias("keep"),
+    )
+
+
+TEXT_QUALITY_CLF_SQL = f"""
+WITH feats AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a')))
+           / len(string_split(text, ' ')) AS stop_ratio,
+         len(list_distinct(string_split(text, ' ')))
+           / len(string_split(text, ' ')) AS distinct_ratio,
+         length(replace(text, ' ', ''))
+           / len(string_split(text, ' ')) AS mean_tok_len
+  FROM documents
+),
+scored AS (
+  SELECT doc_id,
+         {QUALITY_CLF_W[0]!r} + {QUALITY_CLF_W[1]!r} * ln(CAST(n_tokens AS DOUBLE) + 1.0)
+           + {QUALITY_CLF_W[2]!r} * stop_ratio
+           + {QUALITY_CLF_W[3]!r} * distinct_ratio
+           + {QUALITY_CLF_W[4]!r} * mean_tok_len AS z
+  FROM feats
+)
+SELECT doc_id,
+       round(1.0 / (1.0 + exp(-z)), 6) AS quality_score,
+       round(1.0 / (1.0 + exp(-z)), 6) >= 0.8 AS keep
+FROM scored
+"""
+
+
+# --------------------------------------------------------------------------
 def text_emotion_by_source(spark, sf_dir):
     """AGG-1 shape (per-group mean of per-item scores) as an exact
     micro-average: Σ hits / Σ tokens per source — integer sums, so the
@@ -2419,6 +2500,9 @@ QUERIES: dict[str, Q] = {
     "text_token_stats": Q(text_token_stats, TEXT_TOKEN_SQL),
     "text_top2_emotions": Q(text_top2_emotions, TEXT_TOP2_SQL),
     "text_quality_scores": Q(text_quality_scores, TEXT_QUALITY_SQL),
+    "text_quality_classifier": Q(
+        text_quality_classifier, TEXT_QUALITY_CLF_SQL
+    ),
     "text_emotion_by_source": Q(text_emotion_by_source, TEXT_EMO_SOURCE_SQL),
     "text_filter_topk": Q(text_filter_topk, TEXT_FILTER_TOPK_SQL),
     "dedup_exact_stats": Q(dedup_exact_stats, DEDUP_EXACT_SQL),
