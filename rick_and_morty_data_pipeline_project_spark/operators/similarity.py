@@ -117,12 +117,22 @@ def train_kmeans_centroids(
         .collect()
     )
     X = np.array([r["_v"] for r in rows], dtype=np.float64)
+    return kmeans_fit_sample(X, n_cells, n_iters, seed)
+
+
+def kmeans_fit_sample(
+    X: "np.ndarray", n_cells: int, n_iters: int = 10, seed: int = 42
+) -> list[list[float]]:
+    """The pure-numpy spherical k-means core shared by the distributed
+    sampler (:func:`train_kmeans_centroids`) and the canonical oracle
+    twin (queries/vecq.py): identical input rows → bitwise-identical
+    centroids (numpy ops are deterministic per machine/process)."""
     if len(X) < n_cells:
         raise ValueError(
             f"train_kmeans_centroids: sample of {len(X)} vectors cannot "
             f"seed {n_cells} cells"
         )
-    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
     rng = np.random.RandomState(seed)
     cent = X[rng.choice(len(X), n_cells, replace=False)].copy()
     for _ in range(n_iters):
@@ -135,6 +145,40 @@ def train_kmeans_centroids(
                 if norm > 0:
                     cent[j] = mean / norm
     return [c.tolist() for c in cent]
+
+
+_XXH_P1 = 0x9E3779B185EBCA87
+_XXH_P2 = 0xC2B2AE3D27D4EB4F
+_XXH_P3 = 0x165667B19E3779F9
+_XXH_P4 = 0x85EBCA77C2B2AE63
+_XXH_P5 = 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def spark_xxhash64_long(v: int, seed: int = 42) -> int:
+    """Pure-Python twin of Spark's ``xxhash64`` on a LongType column
+    (XXH64 of the 8-byte little-endian value, default seed 42) —
+    verified value-equal against the JVM in
+    tests/test_dedup_similarity.py.  Lets the oracle side replay the
+    deterministic-sample ordering without a SparkSession."""
+    import struct
+
+    def rotl(x: int, r: int) -> int:
+        return ((x << r) | (x >> (64 - r))) & _M64
+
+    (k1,) = struct.unpack("<Q", struct.pack("<q", v))
+    acc = (seed + _XXH_P5 + 8) & _M64
+    k1 = (k1 * _XXH_P2) & _M64
+    k1 = rotl(k1, 31)
+    k1 = (k1 * _XXH_P1) & _M64
+    acc ^= k1
+    acc = (rotl(acc, 27) * _XXH_P1 + _XXH_P4) & _M64
+    acc ^= acc >> 33
+    acc = (acc * _XXH_P2) & _M64
+    acc ^= acc >> 29
+    acc = (acc * _XXH_P3) & _M64
+    acc ^= acc >> 32
+    return acc - (1 << 64) if acc >= (1 << 63) else acc
 
 
 def knn_ivf(

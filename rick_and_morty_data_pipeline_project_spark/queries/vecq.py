@@ -379,15 +379,92 @@ FROM top t JOIN embeddings e ON e.vec_id = t.query_id
 """
 
 
+def _canonical_kmeans_centroids(sf_dir, n_cells=8, sample_size=2048):
+    """Oracle twin of the deterministic-sample k-means training: replay
+    the ``ORDER BY xxhash64(vec_id), vec_id LIMIT sample_size`` sample
+    in pure Python (:func:`spark_xxhash64_long`) and run the SHARED
+    numpy core (:func:`kmeans_fit_sample`) — identical sample rows →
+    bitwise-identical centroids, no tolerance games."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from rick_and_morty_data_pipeline_project_spark.operators.similarity import (
+        kmeans_fit_sample,
+        spark_xxhash64_long,
+    )
+
+    tbl = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).to_pandas()
+    tbl["_h"] = tbl["vec_id"].map(lambda v: spark_xxhash64_long(int(v)))
+    tbl = tbl.sort_values(["_h", "vec_id"]).head(sample_size)
+    X = np.array([list(v) for v in tbl["embedding"]], dtype=np.float64)
+    return kmeans_fit_sample(X, n_cells)
+
+
 def knn_cosine_ivf_kmeans(spark, sf_dir):
     """IVF ANN with a trained coarse quantizer: deterministic seeded
-    spherical k-means on a bounded driver-side sample (rows-only oracle:
-    the trained centroids are engine-side constants; recall vs brute
-    force is property-tested in tests/test_dedup_similarity.py)."""
+    spherical k-means on a bounded driver-side sample.  Fully oracled
+    since r5: the distributed-sample training is asserted BITWISE equal
+    to the canonical Python replay of the same sample (shared numpy
+    core; any drift → hard driver-red), and both engines then assign
+    and score from the identical centroid literals, so the result
+    hash-matches exactly.  Recall vs brute force stays property-tested
+    in tests/test_dedup_similarity.py."""
+    import numpy as np
+
     e = t(spark, sf_dir, "embeddings")
     cents = train_kmeans_centroids(e, n_cells=8, sample_size=2048)
+    canon = _canonical_kmeans_centroids(sf_dir)
+    if not np.array_equal(np.array(cents), np.array(canon)):
+        raise AssertionError(
+            "ivf-kmeans: distributed-sample training diverged from the "
+            "canonical replay of the same sample"
+        )
     queries = e.filter(F.col("vec_id") < 10)
     return knn_ivf(queries, e, k=5, n_probe=2, centroids=cents)
+
+
+def _ivf_kmeans_oracle_sql(n_probe: int = 2, k: int = 5) -> str:
+    """DuckDB twin with the canonical sf0.01 centroids inlined (driver
+    correctness runs are pinned to sf0.01 — the PCA literal pattern)."""
+    cents = _canonical_kmeans_centroids("/root/testdata/sf0.01")
+    values = ", ".join(
+        f"({cid}, [{', '.join(repr(float(x)) for x in cvec)}])"
+        for cid, cvec in enumerate(cents)
+    )
+    return f"""
+WITH {_NORMED_CTE},
+cents(cell_id, cent) AS (VALUES {values}),
+assign AS (
+  SELECT e.vec_id, e.nv, c.cell_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {dot_sql("e.nv", "c.cent")} DESC, c.cell_id ASC
+         ) AS r
+  FROM normed e, cents c
+),
+cells AS (SELECT vec_id AS neighbor_id, nv AS cv, cell_id FROM assign WHERE r = 1),
+probes AS (SELECT vec_id AS query_id, nv AS qv, cell_id FROM assign WHERE r <= {n_probe} AND vec_id < 10),
+cand AS (
+  SELECT p.query_id, c.neighbor_id,
+         round({dot_sql("p.qv", "c.cv")}, 6) AS cosine
+  FROM probes p JOIN cells c ON p.cell_id = c.cell_id
+  WHERE p.query_id <> c.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM cand
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+try:
+    KNN_IVF_KMEANS_SQL = _ivf_kmeans_oracle_sql()
+except Exception:  # testdata not present on this machine
+    KNN_IVF_KMEANS_SQL = None
 
 
 def knn_cosine_int8(spark, sf_dir):
@@ -761,7 +838,7 @@ QUERIES: dict[str, Q] = {
     "knn_cosine_ivf": Q(knn_cosine_ivf, KNN_IVF_SQL),
     "knn_recall_audit": Q(knn_recall_audit, KNN_RECALL_SQL),
     "knn_label_agreement": Q(knn_label_agreement, KNN_LABEL_AGREEMENT_SQL),
-    "knn_cosine_ivf_kmeans": Q(knn_cosine_ivf_kmeans, None),
+    "knn_cosine_ivf_kmeans": Q(knn_cosine_ivf_kmeans, KNN_IVF_KMEANS_SQL),
     "embedding_quantize_error": Q(embedding_quantize_error, QUANT_ERR_SQL),
     "knn_cosine_int8": Q(knn_cosine_int8, KNN_INT8_SQL),
     "embedding_label_centroids": Q(embedding_label_centroids, CENTROIDS_SQL),

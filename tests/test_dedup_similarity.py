@@ -569,3 +569,23 @@ def test_incremental_bloom_null_fingerprint_in_corpus(spark):
         for r in batch.join(existing, "fp", "left_anti").collect()
     }
     assert got == want == {2, 3}
+
+
+def test_spark_xxhash64_long_matches_jvm(spark):
+    """The pure-Python XXH64 twin (used by the ivf-kmeans canonical
+    oracle to replay the deterministic sample ordering) is value-equal
+    to Spark's xxhash64 on longs, including negatives."""
+    from pyspark.sql import functions as F
+
+    from rick_and_morty_data_pipeline_project_spark.operators.similarity import (
+        spark_xxhash64_long,
+    )
+
+    vals = [0, 1, -1, 42, -42, 2**31, -(2**31), 2**62, -(2**62), 123456789]
+    rows = (
+        spark.createDataFrame([(v,) for v in vals], "v long")
+        .select("v", F.xxhash64(F.col("v")).alias("h"))
+        .collect()
+    )
+    for r in rows:
+        assert spark_xxhash64_long(r["v"]) == r["h"], r["v"]
