@@ -74,6 +74,14 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    # Host-load annotation: this shared host shows multi-x scheduling
+    # jitter (PERFORMANCE.md quotes 2.0-6.8 s for one query back to
+    # back); the 1-minute load average lets a reviewer separate
+    # contention from plan regressions when comparing rounds.
+    try:
+        load_1m = round(os.getloadavg()[0], 2)
+    except OSError:
+        load_1m = None
     print(
         json.dumps(
             {
@@ -82,6 +90,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "host_load_1m": load_1m,
             }
         )
     )
