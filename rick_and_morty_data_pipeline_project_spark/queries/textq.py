@@ -1254,6 +1254,83 @@ def dedup_incremental_bloom(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+def text_remove_boilerplate(spark, sf_dir):
+    """C4-style boilerplate REMOVAL (the famous "drop any line that
+    repeats across the corpus" rule, adapted to this corpus's flat
+    token streams): every document is segmented into consecutive
+    8-token spans, spans whose exact text occurs ≥ 2 times corpus-wide
+    are deleted, and the document is rebuilt from the surviving spans
+    in order.  Completes the detect→remove pair that
+    ``dedup_span_profile`` starts (that query *flags* shared spans;
+    this one produces the CLEANED corpus a training run would consume).
+
+    Scale: one shuffle keyed on the span text for the count, one
+    shuffle back on doc_id for the rebuild — both carry span-sized
+    rows, never whole documents; the rebuild is an array_sort over a
+    per-document list bounded by the document's own span count.
+    Threshold 2 is corpus-calibrated (the synthetic corpus carries
+    duplicated spans from its duplicate-document families); production
+    C4 uses ≥ 3 occurrences of a line across the crawl.
+    """
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_segs = F.ceil(F.size(toks) / F.lit(8.0)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_segs - 1),
+        lambda i: F.array_join(F.slice(toks, i * 8 + 1, 8), " "),
+    )
+    exploded = d.select(
+        "doc_id", F.posexplode(segs).alias("pos", "seg")
+    )
+    counts = exploded.groupBy("seg").agg(F.count(F.lit(1)).alias("_c"))
+    flagged = exploded.join(counts, "seg").select(
+        "doc_id", "pos", "seg", (F.col("_c") >= 2).alias("_rm")
+    )
+    ordered = F.array_sort(
+        F.collect_list(F.struct("pos", "_rm", "seg"))
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.filter(ordered, lambda s: ~s["_rm"]),
+                lambda s: s["seg"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.sum(F.col("_rm").cast("int")).alias("n_removed"),
+    )
+
+
+TEXT_REMOVE_BOILERPLATE_SQL = """
+WITH segs AS (
+  -- parallel unnests of equal-length lists zip row-wise (the engine's
+  -- ROWS FROM alignment), giving each span its 1-based position
+  SELECT doc_id,
+         unnest(generate_series(1, len(s))) AS pos,
+         unnest(s) AS seg
+  FROM (
+    SELECT doc_id,
+           list_transform(
+             generate_series(0,
+               CAST(ceil(len(string_split(text, ' ')) / 8.0) AS INT) - 1),
+             i -> array_to_string(
+               list_slice(string_split(text, ' '), i * 8 + 1, i * 8 + 8), ' ')
+           ) AS s
+    FROM documents
+  )
+),
+counts AS (SELECT seg, COUNT(*) AS c FROM segs GROUP BY seg)
+SELECT s.doc_id,
+       COALESCE(
+         string_agg(s.seg, ' ' ORDER BY s.pos) FILTER (WHERE c.c < 2),
+         '') AS clean_text,
+       CAST(COUNT(*) FILTER (WHERE c.c >= 2) AS BIGINT) AS n_removed
+FROM segs s JOIN counts c ON s.seg = c.seg
+GROUP BY s.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 def dedup_incremental_bloom_sharded(spark, sf_dir):
     """`dedup_incremental_bloom` through the SHARDED bitmap layout
     (bitmap_mode="sharded", m=2^43 — the true 100 TB sizing): probe
@@ -2527,6 +2604,9 @@ QUERIES: dict[str, Q] = {
     ),
     "dedup_incremental_bloom_sharded": Q(
         dedup_incremental_bloom_sharded, DEDUP_INCREMENTAL_SQL
+    ),
+    "text_remove_boilerplate": Q(
+        text_remove_boilerplate, TEXT_REMOVE_BOILERPLATE_SQL
     ),
     "dedup_span_profile": Q(dedup_span_profile, SPAN_PROFILE_SQL),
     "text_shard_index": Q(text_shard_index, SHARD_INDEX_SQL),
