@@ -215,11 +215,21 @@ def _ngram_cooccurrence(
     text_col: str,
     block_col: str,
     shingle_k: int,
+    size_ratio_min: float | None = None,
 ) -> DataFrame:
     """Shared inverted-index co-occurrence core for the set-similarity
     joins: (id_a, id_b, _c=|A∩B|, _na=|A|, _nb=|B|) for every ordered
     pair (id_a < id_b) sharing ≥1 shingle within a block.  See
-    :func:`ngram_jaccard_pairs` for the plan-shape rationale."""
+    :func:`ngram_jaccard_pairs` for the plan-shape rationale.
+
+    ``size_ratio_min`` applies the similarity-join LENGTH FILTER inside
+    the posting join: pairs with min(|A|,|B|)/max(|A|,|B|) below it are
+    dropped BEFORE the co-occurrence aggregation ever sees their
+    collision rows.  Exact for Jaccard thresholds (c ≤ min ⇒
+    J = c/(|A|+|B|−c) ≤ min/max), so callers pass their threshold and
+    lose nothing; on length-heterogeneous corpora (the 100 TB reality —
+    tweets next to books) this prunes the candidate space the shared
+    shingles would otherwise inflate."""
     from rick_and_morty_data_pipeline_project_spark.functions.textfns import (
         shingles_from_tokens,
         tokens_col,
@@ -244,9 +254,17 @@ def _ngram_cooccurrence(
     # the full corpus is never broadcastable, and locally the shuffle
     # join avoids computing the posting pipeline a second time for the
     # broadcast build side.
+    pair_ok = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    if size_ratio_min is not None:
+        t = F.lit(float(size_ratio_min))
+        pair_ok = (
+            pair_ok
+            & (F.col("a.n") >= t * F.col("b.n"))
+            & (F.col("b.n") >= t * F.col("a.n"))
+        )
     return (
         a.join(b.hint("shuffle_hash"), on=["_block", "_s"])
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .filter(pair_ok)
         .groupBy(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
@@ -319,7 +337,10 @@ def ngram_jaccard_pairs(
     re-ran the shingle stage 3×, ~2.5× the wall-clock); (2) two whole
     shuffles (the re-joins on id_a/id_b) disappear for the price of one
     int column in the posting shuffle."""
-    co = _ngram_cooccurrence(df, id_col, text_col, block_col, shingle_k)
+    co = _ngram_cooccurrence(
+        df, id_col, text_col, block_col, shingle_k,
+        size_ratio_min=threshold,
+    )
     return co.select(
         "id_a",
         "id_b",
