@@ -38,13 +38,14 @@ Every query outside the window stays exported (positions 51+) and is
 still cell-exact verified locally by tests/test_oracle_parity.py,
 which parametrizes the WHOLE catalog.
 
-Pending round-6 rotation (rule 2 ledger — files changed AFTER the r05
-window froze): ``operators/multimodal.py`` (EXIF/progressive fixture +
-header parse) stales the standing rows of ``multimodal_metadata_stats``,
-``multimodal_decode_features``, ``multimodal_decode_real``; new oracled
-queries ``dedup_incremental_bloom_sharded`` and
-``multimodal_jpeg_headers`` have no driver row yet.  All must enter the
-r06 window.
+Pending round-6 rotation: the rule-2 ledger is now EXECUTABLE —
+``python tools/rotation_report.py`` diffs per-query implementation
+fingerprints against the manifest frozen at this window
+(``tools/query_fingerprints.json``) and prints exactly which queries'
+code changed after the freeze plus which new oracled queries have no
+driver row.  Build the r06 window from that output (never-checked new
+queries first, then fingerprint-stale re-greens), then re-freeze with
+``--update-fingerprints``.
 """
 
 from __future__ import annotations
