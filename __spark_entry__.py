@@ -40,10 +40,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL oracle per query (omitted only for
-    genuinely non-SQL-expressible ops: sequential greedy matching,
-    ANN with engine-frozen constants — LSH hyperplanes / trained
-    k-means centroids — approximate sketches, and byte-level media
-    decode; each of those carries a Python-oracle or property test in
-    tests/ instead)."""
+    """DuckDB-runnable ANSI SQL oracle per query.  Omitted only for the
+    8 genuinely non-SQL-expressible entries: approximate-sketch state
+    (HLL/CMS/KLL twins) and byte-level media decode whose md5-chain
+    material needs md5(BLOB), which DuckDB lacks.  Formerly-rows-only
+    ANN/PCA/MMR queries are now fully oracled via canonical literals /
+    unrolled-greedy CTEs; every rows-only entry carries a Python oracle
+    or property test in tests/ instead."""
     return oracle_sql_dict()
