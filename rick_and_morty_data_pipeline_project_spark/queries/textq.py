@@ -556,6 +556,93 @@ SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY 1
 
 
 # --------------------------------------------------------------------------
+def split_leakage_safe(spark, sf_dir):
+    """Leakage-safe train/validation/test split: the split key is the
+    document's NEAR-DUP CLUSTER, not the document — hashing per-doc
+    (the naive split) puts near-duplicates of a training document into
+    the test set, silently inflating eval scores.  Composes the LSH
+    candidate pairs → connected components pipeline with a
+    deterministic md5 bucket over the cluster id (80/10/10); singleton
+    documents are their own cluster.  The hygiene twin of
+    decontamination: decontaminate_* protects against EXTERNAL eval
+    overlap, this protects the internal held-out split.
+
+    Scale: the cluster step is the bounded O(diameter) label
+    propagation already used by dedup_minhash_clusters; the assignment
+    is one narrow expression plus a left join of corpus-sized labels —
+    no new shuffle class.
+    """
+    from rick_and_morty_data_pipeline_project_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        d, "doc_id", "text", num_hashes=8, band_size=4, shingle_k=3
+    )
+    labels = connected_components(pairs, "id_a", "id_b").select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )
+    assigned = (
+        d.select("doc_id")
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 2),
+            16,
+            10,
+        ).cast("int")
+        % 10
+    )
+    split = (
+        F.when(bucket < 8, F.lit("train"))
+        .when(bucket == 8, F.lit("validation"))
+        .otherwise(F.lit("test"))
+    )
+    return assigned.select("doc_id", "cluster_id", split.alias("split"))
+
+
+SPLIT_LEAKAGE_SAFE_SQL = f"""
+WITH RECURSIVE {_BANDED_CTE_SQL},
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM cand
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM cand
+),
+reach(node, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+),
+labels AS (SELECT node, min(label) AS cluster_id FROM reach GROUP BY 1),
+assigned AS (
+  SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN labels l ON d.doc_id = l.node
+)
+SELECT doc_id, cluster_id,
+       CASE WHEN b < 8 THEN 'train'
+            WHEN b = 8 THEN 'validation'
+            ELSE 'test' END AS split
+FROM (
+  SELECT *,
+         CAST('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 2) AS INT)
+           % 10 AS b
+  FROM assigned
+)
+"""
+
+
+# --------------------------------------------------------------------------
 def decontaminate_ngram_overlap(spark, sf_dir, shingle_k: int = 3, min_shared: int = 3):
     """Train/eval decontamination: flag training documents sharing ≥
     ``min_shared`` distinct token k-grams with any held-out eval
@@ -2608,6 +2695,7 @@ QUERIES: dict[str, Q] = {
     "text_remove_boilerplate": Q(
         text_remove_boilerplate, TEXT_REMOVE_BOILERPLATE_SQL
     ),
+    "split_leakage_safe": Q(split_leakage_safe, SPLIT_LEAKAGE_SAFE_SQL),
     "dedup_span_profile": Q(dedup_span_profile, SPAN_PROFILE_SQL),
     "text_shard_index": Q(text_shard_index, SHARD_INDEX_SQL),
     "text_tfidf_cosine_pairs": Q(text_tfidf_cosine_pairs, TFIDF_COSINE_SQL),

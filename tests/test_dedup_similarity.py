@@ -589,3 +589,30 @@ def test_spark_xxhash64_long_matches_jvm(spark):
     )
     for r in rows:
         assert spark_xxhash64_long(r["v"]) == r["h"], r["v"]
+
+
+def test_split_leakage_safe_property(spark):
+    """No LSH candidate pair straddles two splits, the whole corpus is
+    assigned exactly once, and all three splits are non-degenerate at
+    sf0.001."""
+    from rick_and_morty_data_pipeline_project_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+    from rick_and_morty_data_pipeline_project_spark.queries.catalog import _ALL
+    from rick_and_morty_data_pipeline_project_spark.sources.corpus import (
+        load_table,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = _ALL["split_leakage_safe"].fn(spark, sf)
+    docs = load_table(spark, sf, "documents")
+    assert out.count() == docs.count()
+    split_of = {r["doc_id"]: r["split"] for r in out.collect()}
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=8, band_size=4, shingle_k=3
+    ).collect()
+    assert pairs, "fixture should contain near-dup candidates"
+    for r in pairs:
+        assert split_of[r["id_a"]] == split_of[r["id_b"]], (
+            r["id_a"], r["id_b"])
+    assert len(set(split_of.values())) >= 2  # bucketing actually splits
