@@ -608,6 +608,76 @@ def split_leakage_safe(spark, sf_dir):
     return assigned.select("doc_id", "cluster_id", split.alias("split"))
 
 
+def text_gopher_rules(spark, sf_dir):
+    """The published Gopher quality-filter rule set (Rae et al. 2021,
+    §A1.1 — the canonical heuristic battery most open pipelines copy),
+    evaluated per document with one PASS FLAG PER RULE plus the overall
+    verdict, adapted to this corpus's flat token streams:
+
+    * 50 ≤ word count ≤ 100,000
+    * 3 ≤ mean word length ≤ 10
+    * ≥ 80% of words contain at least one alphabetic character
+    * ≥ 2 occurrences of a stopword ('the'/'a' here — the fixture
+      vocabulary's stopword set)
+
+    (The symbol/hash/ellipsis/bullet rules are vacuous on this token
+    corpus and omitted rather than trivially-true-padded.)  Per-rule
+    flags matter operationally: pipelines tune and audit rule-by-rule
+    rejection rates, not just the conjunction.  All features are exact
+    integer ratios — bitwise float parity; one narrow JVM scan, no
+    shuffle."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    mean_len = (
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) / n
+    )
+    alpha_frac = (
+        F.size(F.filter(toks, lambda x: x.rlike("[a-zA-Z]"))) / n
+    )
+    stop_hits = F.size(F.filter(toks, lambda x: x.isin("the", "a")))
+    r_wc = (n >= 50) & (n <= 100_000)
+    r_mwl = (mean_len >= 3.0) & (mean_len <= 10.0)
+    r_alpha = alpha_frac >= 0.8
+    r_stop = stop_hits >= 2
+    return d.select(
+        "doc_id",
+        n.alias("n_words"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        r_wc.alias("pass_word_count"),
+        r_mwl.alias("pass_mean_word_len"),
+        r_alpha.alias("pass_alpha_frac"),
+        r_stop.alias("pass_stopwords"),
+        (r_wc & r_mwl & r_alpha & r_stop).alias("pass_all"),
+    )
+
+
+TEXT_GOPHER_SQL = """
+WITH feats AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n,
+         length(replace(text, ' ', ''))
+           / len(string_split(text, ' ')) AS mean_len,
+         len(list_filter(string_split(text, ' '),
+                         t -> regexp_matches(t, '[a-zA-Z]')))
+           / len(string_split(text, ' ')) AS alpha_frac,
+         len(list_filter(string_split(text, ' '),
+                         t -> t IN ('the', 'a'))) AS stop_hits
+  FROM documents
+)
+SELECT doc_id,
+       n AS n_words,
+       round(mean_len, 6) AS mean_word_len,
+       n >= 50 AND n <= 100000 AS pass_word_count,
+       mean_len >= 3.0 AND mean_len <= 10.0 AS pass_mean_word_len,
+       alpha_frac >= 0.8 AS pass_alpha_frac,
+       stop_hits >= 2 AS pass_stopwords,
+       (n >= 50 AND n <= 100000) AND (mean_len >= 3.0 AND mean_len <= 10.0)
+         AND alpha_frac >= 0.8 AND stop_hits >= 2 AS pass_all
+FROM feats
+"""
+
+
 SPLIT_LEAKAGE_SAFE_SQL = f"""
 WITH RECURSIVE {_BANDED_CTE_SQL},
 cand AS (
@@ -2696,6 +2766,7 @@ QUERIES: dict[str, Q] = {
         text_remove_boilerplate, TEXT_REMOVE_BOILERPLATE_SQL
     ),
     "split_leakage_safe": Q(split_leakage_safe, SPLIT_LEAKAGE_SAFE_SQL),
+    "text_gopher_rules": Q(text_gopher_rules, TEXT_GOPHER_SQL),
     "dedup_span_profile": Q(dedup_span_profile, SPAN_PROFILE_SQL),
     "text_shard_index": Q(text_shard_index, SHARD_INDEX_SQL),
     "text_tfidf_cosine_pairs": Q(text_tfidf_cosine_pairs, TFIDF_COSINE_SQL),

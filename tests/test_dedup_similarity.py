@@ -581,7 +581,11 @@ def test_spark_xxhash64_long_matches_jvm(spark):
         spark_xxhash64_long,
     )
 
+    import random
+
+    rng = random.Random(5)
     vals = [0, 1, -1, 42, -42, 2**31, -(2**31), 2**62, -(2**62), 123456789]
+    vals += [rng.randint(-(2**63), 2**63 - 1) for _ in range(200)]
     rows = (
         spark.createDataFrame([(v,) for v in vals], "v long")
         .select("v", F.xxhash64(F.col("v")).alias("h"))
