@@ -45,13 +45,61 @@ def curate_corpus(
     min_distinct_ratio: float = 0.3,
     capacity: int = 2048,
     n_shards: int = 32,
+    remove_boilerplate: bool = False,
+    classifier_threshold: float | None = None,
 ) -> dict[str, int]:
     """Run the full curation funnel over ``{sf_dir}/documents.parquet``
     and write the surviving corpus to ``out_dir`` partitioned by shard.
 
     Returns per-stage document counts (the funnel report).
+
+    Optional stages (both default off, preserving the classic funnel):
+
+    * ``remove_boilerplate`` — C4-style repeated-span deletion first
+      (queries/textq.text_remove_boilerplate semantics): documents are
+      rebuilt from spans whose text is corpus-unique, so later
+      fingerprints/signatures see the cleaned text.  Adds the two
+      span-sized shuffles that operator costs, nothing more.
+    * ``classifier_threshold`` — the distilled linear quality
+      classifier (queries/textq.QUALITY_CLF_W) as an extra quality
+      gate: sigmoid score ≥ threshold.  A narrow expression folded
+      into the same filter stage — no extra pass.
     """
     d = load_table(spark, sf_dir, "documents")
+    if remove_boilerplate:
+        segs_toks = F.split(F.col("text"), " ")
+        n_segs = F.ceil(F.size(segs_toks) / F.lit(8.0)).cast("int")
+        segs = F.transform(
+            F.sequence(F.lit(0), n_segs - 1),
+            lambda i: F.array_join(F.slice(segs_toks, i * 8 + 1, 8), " "),
+        )
+        exploded = d.select(
+            "doc_id", "source", "lang",
+            F.posexplode(segs).alias("pos", "seg"),
+        )
+        seg_counts = exploded.groupBy("seg").agg(
+            F.count(F.lit(1)).alias("_c")
+        )
+        ordered = F.array_sort(
+            F.collect_list(F.struct("pos", "_rm", "seg"))
+        )
+        d = (
+            exploded.join(seg_counts, "seg")
+            .select(
+                "doc_id", "source", "lang", "pos", "seg",
+                (F.col("_c") >= 2).alias("_rm"),
+            )
+            .groupBy("doc_id", "source", "lang")
+            .agg(
+                F.array_join(
+                    F.transform(
+                        F.filter(ordered, lambda s: ~s["_rm"]),
+                        lambda s: s["seg"],
+                    ),
+                    " ",
+                ).alias("text")
+            )
+        )
     toks = F.split("text", " ")
     staged = d.select(
         "doc_id",
@@ -67,10 +115,34 @@ def curate_corpus(
     obs_raw = Observation("curate_raw")
     staged = staged.observe(obs_raw, F.count(F.lit(1)).alias("n"))
 
-    quality = staged.filter(
-        (F.col("n_tokens") >= min_tokens)
-        & (F.col("_dr") >= min_distinct_ratio)
+    quality_pred = (F.col("n_tokens") >= min_tokens) & (
+        F.col("_dr") >= min_distinct_ratio
     )
+    if classifier_threshold is not None:
+        from rick_and_morty_data_pipeline_project_spark.queries.textq import (
+            QUALITY_CLF_W,
+        )
+
+        t2 = F.split(F.col("text"), " ")
+        stop_ratio = (
+            F.size(F.filter(t2, lambda x: x.isin("the", "a")))
+            / F.size(t2)
+        )
+        mean_tok_len = (
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+            / F.size(t2)
+        )
+        w0, w1, w2, w3, w4 = QUALITY_CLF_W
+        z = (
+            F.lit(w0)
+            + F.lit(w1) * F.log(F.size(t2).cast("double") + F.lit(1.0))
+            + F.lit(w2) * stop_ratio
+            + F.lit(w3) * F.col("_dr")
+            + F.lit(w4) * mean_tok_len
+        )
+        score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        quality_pred = quality_pred & (score >= F.lit(classifier_threshold))
+    quality = staged.filter(quality_pred)
     obs_quality = Observation("curate_quality")
     quality = quality.observe(obs_quality, F.count(F.lit(1)).alias("n"))
 
