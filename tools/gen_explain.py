@@ -40,6 +40,9 @@ ANNOTATED = {
     "scd2_customer_segments": "SCD2: broadcast update join + unions over one dimension read — no repeated scans per branch family",
     "dedup_incremental_bloom_sharded": "sharded Bloom (m=2^43): distinct-fingerprint probes equi-join the SPARSE word relation — no dense bitmap row, no broadcast giant; verdicts join back per fingerprint; the one remaining exact join resolves all-bits candidates",
     "multimodal_jpeg_headers": "byte-level JPEG header walk: scan → filter → one Arrow-batched MapInPandas, ZERO exchanges — the binary column never shuffles, only 7-column metadata leaves the stage",
+    "text_quality_classifier": "distilled linear classifier inference: one narrow scan, ZERO exchanges — features/sigmoid/verdict all JVM-side (higher-order-function lambdas sit outside codegen but never touch Python)",
+    "text_remove_boilerplate": "C4-style span removal: span-count agg shuffle + per-doc rebuild shuffle (the count relation joins back broadcast locally; at scale it is a third span-keyed shuffle) — whole documents never shuffle",
+    "text_gopher_rules": "Gopher rule battery: one narrow scan, zero exchanges, per-rule flags as codegen'd expressions",
     "join_fuzzy_customer_names": "FastSS fuzzy join: narrow deletion-variant explode → ONE high-cardinality equi-join (no hot blocks) → levenshtein verify on candidates only",
     "events_user_trend": "grouped OLS: six map-combinable decimal sums, one user_id shuffle, closed-form projection — no window, no iteration",
 }
