@@ -1809,6 +1809,45 @@ SELECT src AS node, round(r, 6) AS rank3 FROM r3
 
 
 # --------------------------------------------------------------------------
+def profile_table_files(spark, sf_dir):
+    """Per-FILE health audit of a parquet table: row count and key
+    bounds for every underlying file, keyed on the file's basename
+    (``input_file_name()``).  The table-ops primitive behind
+    compaction/backfill decisions at 100 TB — a skewed or truncated
+    file shows up here before it shows up as a straggler task.  One
+    scan, one shuffle on the (small) file-name key; the multi-file
+    behavior is pinned in tests/test_sinks_catalog.py over a sharded
+    write, and the driver row certifies the input_file_name ↔ DuckDB
+    ``filename=true`` parity on the corpus table."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.regexp_extract(
+                F.input_file_name(), "([^/]+)$", 1
+            ).alias("file")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_orderkey").alias("min_orderkey"),
+            F.max("l_orderkey").alias("max_orderkey"),
+        )
+    )
+
+
+# The oracle reads the sf0.01 path directly (driver correctness runs
+# are pinned to sf0.01): the pre-registered view hides filenames, and
+# DuckDB's read_parquet(filename=true) is the only way to see them.
+PROFILE_FILES_SQL = """
+SELECT regexp_extract(filename, '([^/]+)$', 1) AS file,
+       COUNT(*) AS n_rows,
+       MIN(l_orderkey) AS min_orderkey,
+       MAX(l_orderkey) AS max_orderkey
+FROM read_parquet('/root/testdata/sf0.01/lineitem.parquet', filename=true)
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
 def profile_orders_quality(spark, sf_dir):
     """One-pass data-quality profile of the orders table: row count,
     per-column null counts, exact distinct cardinalities, value bounds.
@@ -2185,6 +2224,7 @@ QUERIES: dict[str, Q] = {
     "basket_part_affinity": Q(basket_part_affinity, BASKET_SQL),
     "graph_pagerank3": Q(graph_pagerank3, PAGERANK_SQL),
     "profile_orders_quality": Q(profile_orders_quality, PROFILE_SQL),
+    "profile_table_files": Q(profile_table_files, PROFILE_FILES_SQL),
     "scalar_try_functions": Q(scalar_try_functions, SCALAR_TRY_SQL),
     "events_value_histogram": Q(events_value_histogram, HISTOGRAM_SQL),
     "events_funnel_summary": Q(events_funnel_summary, FUNNEL_SUMMARY_SQL),

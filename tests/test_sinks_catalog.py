@@ -543,3 +543,41 @@ def test_zorder_write_rejects_null_keys(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="NULL"):
         zorder_write(df2, str(tmp_path / "z2"), "a", "b")
+
+
+def test_profile_table_files_multi_file(spark, tmp_path):
+    """The per-file audit over a genuinely multi-file table: one row
+    per underlying parquet file, counts and key bounds matching a
+    pyarrow ground-truth read of each file."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+    from pyspark.sql import functions as F
+
+    src = spark.range(0, 1000).select(
+        F.col("id").alias("l_orderkey"),
+        (F.col("id") % 7).alias("v"),
+    )
+    out = str(tmp_path / "multi")
+    src.repartition(4, "l_orderkey").write.parquet(out)
+
+    audited = (
+        spark.read.parquet(out)
+        .groupBy(
+            F.regexp_extract(F.input_file_name(), "([^/]+)$", 1).alias("file")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_orderkey").alias("min_orderkey"),
+            F.max("l_orderkey").alias("max_orderkey"),
+        )
+        .collect()
+    )
+    got = {r["file"]: (r["n_rows"], r["min_orderkey"], r["max_orderkey"]) for r in audited}
+    files = [f for f in _glob.glob(f"{out}/*.parquet")]
+    assert len(files) == 4 and len(got) == 4
+    for f in files:
+        t = _pq.read_table(f)
+        ks = t.column("l_orderkey").to_pylist()
+        base = f.rsplit("/", 1)[1]
+        assert got[base] == (len(ks), min(ks), max(ks)), base
