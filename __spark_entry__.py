@@ -41,10 +41,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL oracle per query.  Omitted only for the
-    8 genuinely non-SQL-expressible entries: approximate-sketch state
-    (HLL/CMS/KLL twins) and byte-level media decode whose md5-chain
-    material needs md5(BLOB), which DuckDB lacks.  Formerly-rows-only
-    ANN/PCA/MMR queries are now fully oracled via canonical literals /
-    unrolled-greedy CTEs; every rows-only entry carries a Python oracle
-    or property test in tests/ instead."""
+    8 genuinely non-SQL-expressible entries: the approximate-sketch
+    family (agg_approx_distinct, sketch_hll_rollup,
+    sketch_cms_user_counts, events_rolling_dau_hll, plus the three
+    percentile_approx twins) and multimodal_decode_real, whose md5-chain
+    byte material needs md5(BLOB) — unavailable in DuckDB.  (Two more —
+    embedding_pca_project, knn_cosine_ivf_kmeans — carry canonical-
+    literal oracles built from the sf0.01 testdata at import and
+    degrade to rows-only only when that tree is absent.)  Every
+    rows-only entry carries a Python oracle or property test in tests/
+    instead."""
     return oracle_sql_dict()

@@ -574,6 +574,11 @@ def incremental_dedup_bloom(
     """
     if bitmap_mode not in ("auto", "literal", "relation", "sharded"):
         raise ValueError(f"bitmap_mode: {bitmap_mode!r}")
+    if not 6 <= m_log2 <= 60:
+        raise ValueError(
+            f"m_log2={m_log2}: must be in [6, 60] (one 64-bit word "
+            "minimum; 60 hash bits per probe position maximum)"
+        )
     if bitmap_mode == "relation" and m_log2 > MAX_RELATION_M_LOG2:
         raise ValueError(
             f"m_log2={m_log2} exceeds the single-row relation-mode "
@@ -594,10 +599,17 @@ def incremental_dedup_bloom(
     mask = (1 << m_log2) - 1
 
     def positions(col: Column) -> list[Column]:
+        # 15 hex chars = 60 hash bits per position (NOT 8/32: a 32-bit
+        # slice would silently cap the usable filter at m = 2^32 — the
+        # top bits of any larger bitmap would never be set OR probed,
+        # degrading the advertised (kn/m)^k FP rate 2^(m_log2-32)-fold
+        # while the exact join hides the regression).  60 bits stay
+        # inside a signed long through conv()'s decimal string, so the
+        # cast below cannot NULL out.
         return [
             F.conv(
                 F.substring(
-                    F.md5(F.concat(col, F.lit(f"#bloom{i}"))), 1, 8
+                    F.md5(F.concat(col, F.lit(f"#bloom{i}"))), 1, 15
                 ),
                 16,
                 10,

@@ -185,9 +185,11 @@ def synthesize_real_media(df: DataFrame, id_col: str, text_col: str) -> DataFram
                     # Real EXIF APP1: TIFF header + one-entry IFD0
                     # carrying Orientation (tag 0x0112) = mid % 8 + 1,
                     # alternating byte order so parsers must honor
-                    # II/MM, not assume one.
+                    # II/MM, not assume one.  JPEG mids are always
+                    # ≡ 3 (mod 4), so alternate on mid % 8 — a mid % 2
+                    # rule would leave the MM writer dead code.
                     orientation = mid % 8 + 1
-                    if mid % 2 == 0:
+                    if mid % 8 == 3:
                         bo, e = b"MM", ">"
                     else:
                         bo, e = b"II", "<"
@@ -542,15 +544,27 @@ def parse_jpeg_headers(df: DataFrame) -> DataFrame:
                     return bo, int(val)
             return bo, None
 
+        _EMPTY = {
+            "width": None,
+            "height": None,
+            "n_components": None,
+            "progressive": None,
+            "byte_order": None,
+            "orientation": None,
+        }
+
         def parse_one(content: bytes):
-            out = {
-                "width": None,
-                "height": None,
-                "n_components": None,
-                "progressive": None,
-                "byte_order": None,
-                "orientation": None,
-            }
+            # The tolerance contract lives HERE, not in the callers:
+            # truncated segments raise struct.error/IndexError from any
+            # depth of the walk, and one poison blob must yield a NULL
+            # row, never a failed Arrow batch.
+            try:
+                return _parse_unsafe(content)
+            except (struct.error, IndexError, ValueError):
+                return dict(_EMPTY)
+
+        def _parse_unsafe(content: bytes):
+            out = dict(_EMPTY)
             if content[:2] != b"\xff\xd8":
                 return out
             i = 2

@@ -67,39 +67,13 @@ def curate_corpus(
     """
     d = load_table(spark, sf_dir, "documents")
     if remove_boilerplate:
-        segs_toks = F.split(F.col("text"), " ")
-        n_segs = F.ceil(F.size(segs_toks) / F.lit(8.0)).cast("int")
-        segs = F.transform(
-            F.sequence(F.lit(0), n_segs - 1),
-            lambda i: F.array_join(F.slice(segs_toks, i * 8 + 1, 8), " "),
+        from rick_and_morty_data_pipeline_project_spark.queries.textq import (
+            remove_boilerplate_spans,
         )
-        exploded = d.select(
-            "doc_id", "source", "lang",
-            F.posexplode(segs).alias("pos", "seg"),
-        )
-        seg_counts = exploded.groupBy("seg").agg(
-            F.count(F.lit(1)).alias("_c")
-        )
-        ordered = F.array_sort(
-            F.collect_list(F.struct("pos", "_rm", "seg"))
-        )
-        d = (
-            exploded.join(seg_counts, "seg")
-            .select(
-                "doc_id", "source", "lang", "pos", "seg",
-                (F.col("_c") >= 2).alias("_rm"),
-            )
-            .groupBy("doc_id", "source", "lang")
-            .agg(
-                F.array_join(
-                    F.transform(
-                        F.filter(ordered, lambda s: ~s["_rm"]),
-                        lambda s: s["seg"],
-                    ),
-                    " ",
-                ).alias("text")
-            )
-        )
+
+        d = remove_boilerplate_spans(
+            d, ["doc_id", "source", "lang"]
+        ).withColumnRenamed("clean_text", "text").drop("n_removed")
     toks = F.split("text", " ")
     staged = d.select(
         "doc_id",
@@ -120,28 +94,14 @@ def curate_corpus(
     )
     if classifier_threshold is not None:
         from rick_and_morty_data_pipeline_project_spark.queries.textq import (
-            QUALITY_CLF_W,
+            quality_classifier_score,
         )
 
-        t2 = F.split(F.col("text"), " ")
-        stop_ratio = (
-            F.size(F.filter(t2, lambda x: x.isin("the", "a")))
-            / F.size(t2)
+        # The query's exact model, one definition: rounded sigmoid vs
+        # the threshold — no rounding-boundary drift between "copies".
+        quality_pred = quality_pred & (
+            quality_classifier_score("text") >= F.lit(classifier_threshold)
         )
-        mean_tok_len = (
-            F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
-            / F.size(t2)
-        )
-        w0, w1, w2, w3, w4 = QUALITY_CLF_W
-        z = (
-            F.lit(w0)
-            + F.lit(w1) * F.log(F.size(t2).cast("double") + F.lit(1.0))
-            + F.lit(w2) * stop_ratio
-            + F.lit(w3) * F.col("_dr")
-            + F.lit(w4) * mean_tok_len
-        )
-        score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
-        quality_pred = quality_pred & (score >= F.lit(classifier_threshold))
     quality = staged.filter(quality_pred)
     obs_quality = Observation("curate_quality")
     quality = quality.observe(obs_quality, F.count(F.lit(1)).alias("n"))

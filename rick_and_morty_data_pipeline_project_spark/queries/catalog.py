@@ -14,10 +14,12 @@ Rotation policy (round 5, standing):
 
 1. **Never-checked first.** Every oracled query that has never held a
    driver CORRECTNESS row is rotated in before anything else.  The
-   round-5 window contains all 26 such queries (the full list printed
-   by ``tools/rotation_report.py`` before this edit), which closes the
-   never-attempted set: after a green round-5 run, every oracled
-   catalog query has held at least one triple-green driver row.
+   round-5 window contains all 26 queries that were never-checked AS OF
+   the window freeze (the list ``tools/rotation_report.py`` printed
+   then).  Queries oracled later in round 5 (bloom-sharded, jpeg
+   headers, classifier, boilerplate, split, gopher, file audit, the
+   four rows-only promotions) necessarily have no r05 row — rule 1
+   applies to them at the round-6 freeze, via the same report.
 2. **Changed-file re-check rule.** Any query whose implementing file
    (operator module or query module) changed since the query's last
    green driver row MUST be rotated back in, even if it was green in a

@@ -165,7 +165,7 @@ SELECT doc_id AS media_id,
        CAST(doc_id % 15 + 8 AS INT) AS height,
        CAST(3 AS INT) AS n_components,
        doc_id % 3 = 0 AS progressive,
-       CASE WHEN doc_id % 2 = 0 THEN 'MM' ELSE 'II' END AS byte_order,
+       CASE WHEN doc_id % 8 = 3 THEN 'MM' ELSE 'II' END AS byte_order,
        CAST(doc_id % 8 + 1 AS INT) AS orientation
 FROM documents
 WHERE doc_id % 4 = 3

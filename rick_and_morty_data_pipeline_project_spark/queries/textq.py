@@ -151,6 +151,32 @@ FROM documents
 QUALITY_CLF_W = (-2.0, 0.45, -1.8, 2.2, 0.15)
 
 
+def quality_classifier_score(text_col):
+    """The distilled classifier's sigmoid score as a reusable Column —
+    the SINGLE definition shared by the catalog query, its SQL twin's
+    structure, and curate_corpus's optional gate (one definition, no
+    rounding-boundary drift between 'copies' of the same model)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = F.split(c, " ")
+    n_tokens = F.size(toks)
+    stop_ratio = (
+        F.size(F.filter(toks, lambda x: x.isin("the", "a"))) / n_tokens
+    )
+    distinct_ratio = F.size(F.array_distinct(toks)) / n_tokens
+    mean_tok_len = (
+        F.length(F.replace(c, F.lit(" "), F.lit(""))) / n_tokens
+    )
+    w0, w1, w2, w3, w4 = QUALITY_CLF_W
+    z = (
+        F.lit(w0)
+        + F.lit(w1) * F.log(n_tokens.cast("double") + F.lit(1.0))
+        + F.lit(w2) * stop_ratio
+        + F.lit(w3) * distinct_ratio
+        + F.lit(w4) * mean_tok_len
+    )
+    return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+
+
 def text_quality_classifier(spark, sf_dir):
     """Model-based quality filtering: a distilled linear classifier
     (sigmoid over engine-computed features × frozen literal weights)
@@ -168,30 +194,11 @@ def text_quality_classifier(spark, sf_dir):
     the weights broadcast as plan literals.
     """
     d = t(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    n_tokens = F.size(toks)
-    stop_ratio = (
-        F.size(F.filter(toks, lambda x: x.isin("the", "a")))
-        / n_tokens
-    )
-    distinct_ratio = F.size(F.array_distinct(toks)) / n_tokens
-    mean_tok_len = (
-        F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
-        / n_tokens
-    )
-    w0, w1, w2, w3, w4 = QUALITY_CLF_W
-    z = (
-        F.lit(w0)
-        + F.lit(w1) * F.log(n_tokens.cast("double") + F.lit(1.0))
-        + F.lit(w2) * stop_ratio
-        + F.lit(w3) * distinct_ratio
-        + F.lit(w4) * mean_tok_len
-    )
-    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    score = quality_classifier_score("text")
     return d.select(
         "doc_id",
-        F.round(score, 6).alias("quality_score"),
-        (F.round(score, 6) >= 0.8).alias("keep"),
+        score.alias("quality_score"),
+        (score >= 0.8).alias("keep"),
     )
 
 
@@ -1411,6 +1418,43 @@ def dedup_incremental_bloom(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+def remove_boilerplate_spans(
+    df, id_cols, text_col="text", span_tokens=8, min_repeats=2
+):
+    """Rebuild ``text_col`` from consecutive ``span_tokens``-token
+    spans whose exact text occurs fewer than ``min_repeats`` times
+    corpus-wide, plus an ``n_removed`` count — the single
+    implementation behind text_remove_boilerplate and curate_corpus's
+    optional cleaning stage."""
+    toks = F.split(F.col(text_col), " ")
+    n_segs = F.ceil(F.size(toks) / F.lit(float(span_tokens))).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_segs - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * span_tokens + 1, span_tokens), " "
+        ),
+    )
+    exploded = df.select(
+        *id_cols, F.posexplode(segs).alias("pos", "seg")
+    )
+    counts = exploded.groupBy("seg").agg(F.count(F.lit(1)).alias("_c"))
+    flagged = exploded.join(counts, "seg").select(
+        *id_cols, "pos", "seg",
+        (F.col("_c") >= min_repeats).alias("_rm"),
+    )
+    ordered = F.array_sort(F.collect_list(F.struct("pos", "_rm", "seg")))
+    return flagged.groupBy(*id_cols).agg(
+        F.array_join(
+            F.transform(
+                F.filter(ordered, lambda s: ~s["_rm"]),
+                lambda s: s["seg"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.sum(F.col("_rm").cast("int")).alias("n_removed"),
+    )
+
+
 def text_remove_boilerplate(spark, sf_dir):
     """C4-style boilerplate REMOVAL (the famous "drop any line that
     repeats across the corpus" rule, adapted to this corpus's flat
@@ -1430,32 +1474,7 @@ def text_remove_boilerplate(spark, sf_dir):
     C4 uses ≥ 3 occurrences of a line across the crawl.
     """
     d = t(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    n_segs = F.ceil(F.size(toks) / F.lit(8.0)).cast("int")
-    segs = F.transform(
-        F.sequence(F.lit(0), n_segs - 1),
-        lambda i: F.array_join(F.slice(toks, i * 8 + 1, 8), " "),
-    )
-    exploded = d.select(
-        "doc_id", F.posexplode(segs).alias("pos", "seg")
-    )
-    counts = exploded.groupBy("seg").agg(F.count(F.lit(1)).alias("_c"))
-    flagged = exploded.join(counts, "seg").select(
-        "doc_id", "pos", "seg", (F.col("_c") >= 2).alias("_rm")
-    )
-    ordered = F.array_sort(
-        F.collect_list(F.struct("pos", "_rm", "seg"))
-    )
-    return flagged.groupBy("doc_id").agg(
-        F.array_join(
-            F.transform(
-                F.filter(ordered, lambda s: ~s["_rm"]),
-                lambda s: s["seg"],
-            ),
-            " ",
-        ).alias("clean_text"),
-        F.sum(F.col("_rm").cast("int")).alias("n_removed"),
-    )
+    return remove_boilerplate_spans(d, ["doc_id"])
 
 
 TEXT_REMOVE_BOILERPLATE_SQL = """

@@ -393,9 +393,12 @@ def _canonical_kmeans_centroids(sf_dir, n_cells=8, sample_size=2048):
         spark_xxhash64_long,
     )
 
-    tbl = pq.read_table(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    ).to_pandas()
+    path = f"{sf_dir}/embeddings.parquet"
+    # Bounded verify (see _canonical_pca_model): replaying the sample
+    # ordering needs a full id scan — skip above 1M rows.
+    if pq.ParquetFile(path).metadata.num_rows > 1_000_000:
+        return None
+    tbl = pq.read_table(path, columns=["vec_id", "embedding"]).to_pandas()
     tbl["_h"] = tbl["vec_id"].map(lambda v: spark_xxhash64_long(int(v)))
     tbl = tbl.sort_values(["_h", "vec_id"]).head(sample_size)
     X = np.array([list(v) for v in tbl["embedding"]], dtype=np.float64)
@@ -416,7 +419,9 @@ def knn_cosine_ivf_kmeans(spark, sf_dir):
     e = t(spark, sf_dir, "embeddings")
     cents = train_kmeans_centroids(e, n_cells=8, sample_size=2048)
     canon = _canonical_kmeans_centroids(sf_dir)
-    if not np.array_equal(np.array(cents), np.array(canon)):
+    if canon is not None and not np.array_equal(
+        np.array(cents), np.array(canon)
+    ):
         raise AssertionError(
             "ivf-kmeans: distributed-sample training diverged from the "
             "canonical replay of the same sample"
@@ -463,7 +468,9 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}
 
 try:
     KNN_IVF_KMEANS_SQL = _ivf_kmeans_oracle_sql()
-except Exception:  # testdata not present on this machine
+except OSError:  # testdata not present on this machine
+    KNN_IVF_KMEANS_SQL = None
+except TypeError:  # canonical returned None (row cap) — rows-only
     KNN_IVF_KMEANS_SQL = None
 
 
@@ -758,10 +765,15 @@ def _canonical_pca_model(sf_dir, k=4):
         pca_fit_canonical,
     )
 
+    path = f"{sf_dir}/embeddings.parquet"
+    # Bounded verify: the canonical re-fit is a test harness, not the
+    # production path.  Above 1M rows (footer metadata — no data read)
+    # return None and let callers run the distributed fit alone; the
+    # driver's oracle comparison only ever happens at sf0.01.
+    if pq.ParquetFile(path).metadata.num_rows > 1_000_000:
+        return None
     tbl = (
-        pq.read_table(
-            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-        )
+        pq.read_table(path, columns=["vec_id", "embedding"])
         .to_pandas()
         .sort_values("vec_id")
     )
@@ -794,8 +806,10 @@ def embedding_pca_project(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")
     model = pca_fit(emb, "embedding", dim=64, k=4)
     canon = _canonical_pca_model(sf_dir)
-    assert_models_close(model, canon)
-    return pca_project(emb, canon, "embedding").select(
+    if canon is not None:  # None above the bounded-verify row cap
+        assert_models_close(model, canon)
+        model = canon  # shared literals → bitwise oracle parity
+    return pca_project(emb, model, "embedding").select(
         "vec_id", "label", "pc1", "pc2", "pc3", "pc4"
     )
 
@@ -824,8 +838,11 @@ def _pca_oracle_sql():
 
 try:
     PCA_PROJECT_SQL = _pca_oracle_sql()
-except Exception:  # testdata not present on this machine
+except OSError:  # testdata not present on this machine
     PCA_PROJECT_SQL = None
+# any OTHER exception is a real code regression in the canonical fit —
+# let it raise at import so tests fail loudly instead of silently
+# demoting the query to rows-only
 
 
 QUERIES: dict[str, Q] = {

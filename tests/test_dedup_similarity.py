@@ -620,3 +620,45 @@ def test_split_leakage_safe_property(spark):
         assert split_of[r["id_a"]] == split_of[r["id_b"]], (
             r["id_a"], r["id_b"])
     assert len(set(split_of.values())) >= 2  # bucketing actually splits
+
+
+def test_incremental_bloom_positions_use_full_bit_range(spark):
+    """At m_log2 > 32 the probe positions must actually reach above
+    2^32 — an 8-hex-char (32-bit) hash slice would leave the top bits
+    of a large filter permanently dead (correct results, silently
+    degraded FP rate).  Recomputes the operator's position formula at
+    m_log2=43 over the corpus fingerprints and asserts the high range
+    is populated; also pins the [6, 60] m_log2 guard."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from rick_and_morty_data_pipeline_project_spark.functions.textfns import (
+        fingerprint_col,
+    )
+    from rick_and_morty_data_pipeline_project_spark.operators.dedup import (
+        incremental_dedup_bloom,
+    )
+
+    from tests.conftest import SF_SMALL
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        fingerprint_col(F.col("text")).alias("fp")
+    )
+    mask = (1 << 43) - 1
+    pos = (
+        F.conv(F.substring(F.md5(F.concat(F.col("fp"), F.lit("#bloom0"))), 1, 15), 16, 10)
+        .cast("long")
+        .bitwiseAND(mask)
+    )
+    stats = docs.select(
+        F.max(pos).alias("mx"), F.min(pos).alias("mn")
+    ).collect()[0]
+    assert stats["mx"] > (1 << 32), stats  # high bits actually reached
+    assert stats["mn"] >= 0
+
+    batch = docs.limit(5)
+    with _pytest.raises(ValueError, match=r"\[6, 60\]"):
+        incremental_dedup_bloom(batch, docs, "fp", m_log2=61)
+    with _pytest.raises(ValueError, match=r"\[6, 60\]"):
+        incremental_dedup_bloom(batch, docs, "fp", m_log2=5)

@@ -207,3 +207,31 @@ def test_parse_jpeg_headers_tolerates_poison_blobs(spark):
     assert got[3]["progressive"] is False
     assert got[3]["n_components"] == 1
     assert got[3]["orientation"] is None and got[3]["byte_order"] is None
+
+
+def test_parse_jpeg_headers_truncated_segments(spark):
+    """The review-reproduced crashers: SOF with a lying seglen, an APP1
+    cut off inside the TIFF header, and a components byte past the
+    segment end must all yield NULL rows, not struct.error/IndexError
+    failing the Arrow batch."""
+    from rick_and_morty_data_pipeline_project_spark.operators.multimodal import (
+        parse_jpeg_headers,
+    )
+
+    rows = [
+        # SOF marker whose seglen=3 truncates the dims field
+        (1, bytearray(b"\xff\xd8\xff\xc0\x00\x03\x08")),
+        # APP1 payload ends right after the byte-order mark
+        (2, bytearray(b"\xff\xd8\xff\xe1\x00\x0aExif\x00\x00MM")),
+        # SOF seglen=7: dims parse but components byte is out of range
+        (3, bytearray(
+            b"\xff\xd8\xff\xc0\x00\x07"
+            + bytes([8]) + (16).to_bytes(2, "big") + (24).to_bytes(2, "big")
+        )),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {r["media_id"]: r.asDict() for r in parse_jpeg_headers(df).collect()}
+    assert len(got) == 3
+    for mid in (1, 2, 3):
+        assert got[mid]["width"] is None, mid
+        assert got[mid]["orientation"] is None, mid

@@ -101,9 +101,22 @@ def query_fingerprints() -> dict[str, str]:
         for nm, path in import_maps.get(mod_name, {}).items():
             if nm in words:
                 paths.add(path)
-        for path in sorted(paths):
-            if os.path.exists(path):
-                parts.append(file_text(path))
+        # TRANSITIVE closure: an operator module that itself imports
+        # functions/textfns (etc.) must pull that file into the
+        # fingerprint too, or an edit to the shared helper silently
+        # escapes the rule-2 stale detector.
+        frontier = [p2 for p2 in paths if os.path.exists(p2)]
+        seen_files = set(frontier)
+        while frontier:
+            fsrc = file_text(frontier.pop())
+            for m in _REF_RE.finditer(fsrc):
+                kind = m.group(0).split(".")[0]
+                p2 = os.path.join(REPO, PKG, kind, m.group(1) + ".py")
+                if p2 not in seen_files and os.path.exists(p2):
+                    seen_files.add(p2)
+                    frontier.append(p2)
+        for path in sorted(seen_files):
+            parts.append(file_text(path))
         fps[name] = hashlib.md5("\n".join(parts).encode()).hexdigest()
     return fps
 
