@@ -662,3 +662,52 @@ def test_incremental_bloom_positions_use_full_bit_range(spark):
         incremental_dedup_bloom(batch, docs, "fp", m_log2=61)
     with _pytest.raises(ValueError, match=r"\[6, 60\]"):
         incremental_dedup_bloom(batch, docs, "fp", m_log2=5)
+
+
+def test_remove_boilerplate_spans_fuzz_matches_reference(spark):
+    """Random corpora: the distributed span removal (segment → count →
+    ordered rebuild) equals a straight Python replay — span boundaries,
+    short tails, within-doc repeats, and the all-removed empty-string
+    case included."""
+    import random
+
+    from rick_and_morty_data_pipeline_project_spark.queries.textq import (
+        remove_boilerplate_spans,
+    )
+
+    rng = random.Random(11)
+    words = ["w%d" % i for i in range(12)]
+    for trial in range(5):
+        docs = []
+        boiler = " ".join(rng.choice(words) for _ in range(8))
+        for i in range(rng.randint(3, 12)):
+            toks = [rng.choice(words) for _ in range(rng.randint(1, 30))]
+            text = " ".join(toks)
+            if rng.random() < 0.5:  # inject the shared span at a boundary
+                text = boiler + " " + text
+            docs.append((i, text))
+
+        def ref(docs, span=8, min_rep=2):
+            segs = {}
+            for i, t in docs:
+                tk = t.split(" ")
+                segs[i] = [
+                    " ".join(tk[j : j + span])
+                    for j in range(0, len(tk), span)
+                ]
+            from collections import Counter
+
+            cnt = Counter(s for ss in segs.values() for s in ss)
+            out = {}
+            for i, ss in segs.items():
+                kept = [s for s in ss if cnt[s] < min_rep]
+                out[i] = (" ".join(kept), sum(1 for s in ss if cnt[s] >= min_rep))
+            return out
+
+        want = ref(docs)
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        got = {
+            r["doc_id"]: (r["clean_text"], r["n_removed"])
+            for r in remove_boilerplate_spans(df, ["doc_id"]).collect()
+        }
+        assert got == want, (trial, {k: (got[k], want[k]) for k in got if got[k] != want[k]})
