@@ -516,6 +516,28 @@ def connected_components(
 MAX_RELATION_M_LOG2 = 30
 
 
+def _bloom_positions(col: Column, k: int, mask: int) -> list[Column]:
+    """The k Bloom bit positions for a fingerprint column — module-level
+    so tests pin THE OPERATOR'S formula, not a copy of it.
+
+    15 hex chars = 60 hash bits per position (NOT 8/32: a 32-bit slice
+    would silently cap the usable filter at m = 2^32 — the top bits of
+    any larger bitmap would never be set OR probed, degrading the
+    advertised (kn/m)^k FP rate 2^(m_log2-32)-fold while the exact
+    join hides the regression).  60 bits stay inside a signed long
+    through conv()'s decimal string, so the cast cannot NULL out."""
+    return [
+        F.conv(
+            F.substring(F.md5(F.concat(col, F.lit(f"#bloom{i}"))), 1, 15),
+            16,
+            10,
+        )
+        .cast("long")
+        .bitwiseAND(mask)
+        for i in range(k)
+    ]
+
+
 def incremental_dedup_bloom(
     batch: DataFrame,
     existing: DataFrame,
@@ -599,25 +621,7 @@ def incremental_dedup_bloom(
     mask = (1 << m_log2) - 1
 
     def positions(col: Column) -> list[Column]:
-        # 15 hex chars = 60 hash bits per position (NOT 8/32: a 32-bit
-        # slice would silently cap the usable filter at m = 2^32 — the
-        # top bits of any larger bitmap would never be set OR probed,
-        # degrading the advertised (kn/m)^k FP rate 2^(m_log2-32)-fold
-        # while the exact join hides the regression).  60 bits stay
-        # inside a signed long through conv()'s decimal string, so the
-        # cast below cannot NULL out.
-        return [
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(col, F.lit(f"#bloom{i}"))), 1, 15
-                ),
-                16,
-                10,
-            )
-            .cast("long")
-            .bitwiseAND(mask)
-            for i in range(k)
-        ]
+        return _bloom_positions(col, k, mask)
 
     # pyspark's shiftleft/shiftright DSL functions only take a Python
     # int shift amount — dynamic (column) shifts go through F.expr

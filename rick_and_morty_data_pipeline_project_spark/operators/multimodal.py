@@ -556,15 +556,18 @@ def parse_jpeg_headers(df: DataFrame) -> DataFrame:
         def parse_one(content: bytes):
             # The tolerance contract lives HERE, not in the callers:
             # truncated segments raise struct.error/IndexError from any
-            # depth of the walk, and one poison blob must yield a NULL
-            # row, never a failed Arrow batch.
-            try:
-                return _parse_unsafe(content)
-            except (struct.error, IndexError, ValueError):
-                return dict(_EMPTY)
-
-        def _parse_unsafe(content: bytes):
+            # depth of the walk, and one poison blob must yield a row
+            # (never a failed Arrow batch) that KEEPS whatever fields
+            # parsed before the corruption — a valid SOF followed by a
+            # truncated tail still reports its dimensions.
             out = dict(_EMPTY)
+            try:
+                _walk(content, out)
+            except (struct.error, IndexError, ValueError):
+                pass
+            return out
+
+        def _walk(content: bytes, out: dict):
             if content[:2] != b"\xff\xd8":
                 return out
             i = 2
@@ -580,13 +583,19 @@ def parse_jpeg_headers(df: DataFrame) -> DataFrame:
                 seg = content[i + 4 : i + 2 + seglen]
                 if marker in (0xC0, 0xC1, 0xC2):
                     h, w = struct.unpack(">HH", seg[1:5])
+                    # dims land in `out` BEFORE the components byte is
+                    # touched — a segment truncated after the dims
+                    # still yields them (partial retention)
                     out["width"], out["height"] = int(w), int(h)
-                    out["n_components"] = int(seg[5])
                     out["progressive"] = marker == 0xC2
+                    out["n_components"] = int(seg[5])
                 elif marker == 0xE1:
-                    bo, orient = exif_orientation(seg)
-                    out["byte_order"] = bo
-                    out["orientation"] = orient
+                    try:
+                        bo, orient = exif_orientation(seg)
+                        out["byte_order"] = bo
+                        out["orientation"] = orient
+                    except (struct.error, IndexError):
+                        pass  # corrupt EXIF must not cost us later SOF
                 i += 2 + seglen
             return out
 

@@ -99,8 +99,15 @@ def curate_corpus(
 
         # The query's exact model, one definition: rounded sigmoid vs
         # the threshold — no rounding-boundary drift between "copies".
+        # staged already materializes n_tokens/_dr from the identical
+        # expressions, so hand them in rather than re-splitting.
         quality_pred = quality_pred & (
-            quality_classifier_score("text") >= F.lit(classifier_threshold)
+            quality_classifier_score(
+                "text",
+                n_tokens=F.col("n_tokens"),
+                distinct_ratio=F.col("_dr"),
+            )
+            >= F.lit(classifier_threshold)
         )
     quality = staged.filter(quality_pred)
     obs_quality = Observation("curate_quality")

@@ -151,18 +151,25 @@ FROM documents
 QUALITY_CLF_W = (-2.0, 0.45, -1.8, 2.2, 0.15)
 
 
-def quality_classifier_score(text_col):
+def quality_classifier_score(text_col, n_tokens=None, distinct_ratio=None):
     """The distilled classifier's sigmoid score as a reusable Column —
     the SINGLE definition shared by the catalog query, its SQL twin's
     structure, and curate_corpus's optional gate (one definition, no
-    rounding-boundary drift between 'copies' of the same model)."""
+    rounding-boundary drift between 'copies' of the same model).
+
+    ``n_tokens``/``distinct_ratio`` accept already-materialized feature
+    columns (curate_corpus stages both) so a caller that has them pays
+    no second split/array_distinct pass; defaults recompute from the
+    text."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     toks = F.split(c, " ")
-    n_tokens = F.size(toks)
+    if n_tokens is None:
+        n_tokens = F.size(toks)
     stop_ratio = (
         F.size(F.filter(toks, lambda x: x.isin("the", "a"))) / n_tokens
     )
-    distinct_ratio = F.size(F.array_distinct(toks)) / n_tokens
+    if distinct_ratio is None:
+        distinct_ratio = F.size(F.array_distinct(toks)) / n_tokens
     mean_tok_len = (
         F.length(F.replace(c, F.lit(" "), F.lit(""))) / n_tokens
     )

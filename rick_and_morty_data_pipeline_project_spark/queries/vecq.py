@@ -434,6 +434,8 @@ def _ivf_kmeans_oracle_sql(n_probe: int = 2, k: int = 5) -> str:
     """DuckDB twin with the canonical sf0.01 centroids inlined (driver
     correctness runs are pinned to sf0.01 — the PCA literal pattern)."""
     cents = _canonical_kmeans_centroids("/root/testdata/sf0.01")
+    if cents is None:  # row cap exceeded — no literal oracle possible
+        return None
     values = ", ".join(
         f"({cid}, [{', '.join(repr(float(x)) for x in cvec)}])"
         for cid, cvec in enumerate(cents)
@@ -469,8 +471,6 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}
 try:
     KNN_IVF_KMEANS_SQL = _ivf_kmeans_oracle_sql()
 except OSError:  # testdata not present on this machine
-    KNN_IVF_KMEANS_SQL = None
-except TypeError:  # canonical returned None (row cap) — rows-only
     KNN_IVF_KMEANS_SQL = None
 
 
@@ -822,6 +822,8 @@ def _pca_oracle_sql():
     import numpy as np
 
     canon = _canonical_pca_model("/root/testdata/sf0.01")
+    if canon is None:  # row cap exceeded — no literal oracle possible
+        return None
     cols = []
     for j, w in enumerate(canon.components, start=1):
         lit = "[" + ", ".join(repr(float(x)) for x in w) + "]"

@@ -645,12 +645,12 @@ def test_incremental_bloom_positions_use_full_bit_range(spark):
     docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
         fingerprint_col(F.col("text")).alias("fp")
     )
-    mask = (1 << 43) - 1
-    pos = (
-        F.conv(F.substring(F.md5(F.concat(F.col("fp"), F.lit("#bloom0"))), 1, 15), 16, 10)
-        .cast("long")
-        .bitwiseAND(mask)
+    from rick_and_morty_data_pipeline_project_spark.operators.dedup import (
+        _bloom_positions,
     )
+
+    mask = (1 << 43) - 1
+    pos = _bloom_positions(F.col("fp"), 1, mask)[0]
     stats = docs.select(
         F.max(pos).alias("mx"), F.min(pos).alias("mn")
     ).collect()[0]

@@ -232,6 +232,12 @@ def test_parse_jpeg_headers_truncated_segments(spark):
     df = spark.createDataFrame(rows, "media_id long, content binary")
     got = {r["media_id"]: r.asDict() for r in parse_jpeg_headers(df).collect()}
     assert len(got) == 3
-    for mid in (1, 2, 3):
+    # 1 & 2: corruption before any field parsed -> fully NULL
+    for mid in (1, 2):
         assert got[mid]["width"] is None, mid
         assert got[mid]["orientation"] is None, mid
+    # 3: dims parsed BEFORE the missing components byte -> partial
+    # retention keeps them; the unreachable field stays NULL
+    assert (got[3]["width"], got[3]["height"]) == (24, 16)
+    assert got[3]["n_components"] is None
+    assert got[3]["orientation"] is None

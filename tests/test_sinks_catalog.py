@@ -554,25 +554,17 @@ def test_profile_table_files_multi_file(spark, tmp_path):
     import pyarrow.parquet as _pq
     from pyspark.sql import functions as F
 
+    from rick_and_morty_data_pipeline_project_spark.queries.catalog import _ALL
+
     src = spark.range(0, 1000).select(
         F.col("id").alias("l_orderkey"),
         (F.col("id") % 7).alias("v"),
     )
-    out = str(tmp_path / "multi")
+    # write as {tmp}/lineitem.parquet so the REAL catalog query audits it
+    out = str(tmp_path / "lineitem.parquet")
     src.repartition(4, "l_orderkey").write.parquet(out)
 
-    audited = (
-        spark.read.parquet(out)
-        .groupBy(
-            F.regexp_extract(F.input_file_name(), "([^/]+)$", 1).alias("file")
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.min("l_orderkey").alias("min_orderkey"),
-            F.max("l_orderkey").alias("max_orderkey"),
-        )
-        .collect()
-    )
+    audited = _ALL["profile_table_files"].fn(spark, str(tmp_path)).collect()
     got = {r["file"]: (r["n_rows"], r["min_orderkey"], r["max_orderkey"]) for r in audited}
     files = [f for f in _glob.glob(f"{out}/*.parquet")]
     assert len(files) == 4 and len(got) == 4

@@ -101,6 +101,44 @@ def query_fingerprints() -> dict[str, str]:
         for nm, path in import_maps.get(mod_name, {}).items():
             if nm in words:
                 paths.add(path)
+        # SAME-MODULE helpers (e.g. quality_classifier_score,
+        # remove_boilerplate_spans live next to their queries): pull
+        # the source of every module-level function/constant the query
+        # references by name, to a fixpoint, so refactoring query logic
+        # into a sibling helper cannot hide it from the stale detector.
+        if mod_name:
+            import importlib
+
+            mod = importlib.import_module(mod_name)
+            helpers: dict[str, str] = {}
+            pending, included = sorted(words), set()
+            while pending:
+                nm = pending.pop(0)
+                if nm in included:
+                    continue
+                included.add(nm)
+                obj = getattr(mod, nm, None)
+                if obj is None or obj is q.fn:
+                    continue
+                if callable(obj) and getattr(obj, "__module__", None) == mod_name:
+                    try:
+                        hsrc = inspect.getsource(obj)
+                    except (OSError, TypeError):
+                        hsrc = repr(obj)
+                    helpers[nm] = hsrc
+                    pending.extend(
+                        sorted(set(re.findall(r"\w+", hsrc)) - included)
+                    )
+                    for m in _REF_RE.finditer(hsrc):
+                        kind = m.group(0).split(".")[0]
+                        paths.add(
+                            os.path.join(REPO, PKG, kind, m.group(1) + ".py")
+                        )
+                elif isinstance(obj, (str, int, float, tuple)):
+                    helpers[nm] = f"{nm}={obj!r}"
+            # deterministic order — a set-iteration order here would
+            # make the fingerprints themselves nondeterministic
+            parts.extend(helpers[nm] for nm in sorted(helpers))
         # TRANSITIVE closure: an operator module that itself imports
         # functions/textfns (etc.) must pull that file into the
         # fingerprint too, or an edit to the shared helper silently
