@@ -166,6 +166,74 @@ SELECT query_id, neighbor_id, cosine, mmr_rank FROM ({union})
 KNN_MMR_SQL = _mmr_oracle_sql()
 
 
+def knn_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive training (the dense-
+    retrieval staple): for each query vector, the top-5 most-similar
+    corpus vectors carrying a DIFFERENT label — maximally confusable
+    non-matches, the negatives that actually teach the model.  Same
+    exact-kNN plan as knn_cosine_bruteforce (broadcast queries, no
+    corpus shuffle, TakeOrderedAndProject per query) with the label
+    inequality fused into the pair filter, so the mining pass costs
+    exactly one scoring scan.  At 10⁹ vectors swap the scoring arm for
+    the IVF probe path — negatives only need to be HARD, not exact."""
+    e = t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("_qlabel"),
+        F.col("embedding").alias("_qe"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neg_label"),
+        F.col("embedding").alias("_ce"),
+    )
+    cos = F.round(
+        dot_col(F.col("_qe"), F.col("_ce"))
+        / (
+            F.sqrt(dot_col(F.col("_qe"), F.col("_qe")))
+            * F.sqrt(dot_col(F.col("_ce"), F.col("_ce")))
+        ),
+        6,
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("_qlabel") != F.col("neg_label"))
+        .select("query_id", "neighbor_id", "neg_label", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+    )
+
+
+KNN_HARD_NEG_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, label AS qlabel, embedding AS qe
+  FROM embeddings WHERE vec_id < 10
+),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id, c.label AS neg_label,
+         round({dot_sql("q.qe", "c.embedding")}
+               / (sqrt({dot_sql("q.qe", "q.qe")})
+                  * sqrt({dot_sql("c.embedding", "c.embedding")})), 6) AS cosine
+  FROM q, embeddings c
+  WHERE q.qlabel <> c.label
+),
+ranked AS (
+  SELECT query_id, neighbor_id, neg_label, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, neg_label, cosine, rank
+FROM ranked WHERE rank <= 5
+"""
+
+
 def knn_cosine_lsh(spark, sf_dir):
     """Approximate kNN via random-hyperplane bucketing (rows-only oracle:
     the frozen hyperplanes are engine-side constants)."""
@@ -853,6 +921,7 @@ QUERIES: dict[str, Q] = {
     "knn_cosine_filtered": Q(knn_cosine_filtered, KNN_FILTERED_SQL),
     "knn_cosine_bruteforce": Q(knn_cosine_bruteforce, KNN_SQL),
     "knn_cosine_lsh": Q(knn_cosine_lsh, KNN_LSH_SQL),
+    "knn_hard_negatives": Q(knn_hard_negatives, KNN_HARD_NEG_SQL),
     "knn_cosine_mmr": Q(knn_cosine_mmr, KNN_MMR_SQL),
     "knn_cosine_ivf": Q(knn_cosine_ivf, KNN_IVF_SQL),
     "knn_recall_audit": Q(knn_recall_audit, KNN_RECALL_SQL),
