@@ -1848,6 +1848,29 @@ GROUP BY 1
 
 
 # --------------------------------------------------------------------------
+def profile_table_files_fast(spark, sf_dir):
+    """`profile_table_files` from FOOTERS ONLY
+    (operators/tablestats.parquet_footer_stats): identical per-file
+    report — row counts from file metadata, key bounds from row-group
+    statistics — without scanning a single data page.  Same DuckDB
+    oracle as the scanning audit (the stats must agree with the data,
+    which is exactly what the driver row certifies); at 100 TB this is
+    ~KB of I/O per file vs the full table."""
+    from rick_and_morty_data_pipeline_project_spark.operators.tablestats import (
+        parquet_footer_stats,
+    )
+
+    return parquet_footer_stats(
+        spark, f"{sf_dir}/lineitem.parquet", "l_orderkey"
+    ).select(
+        "file",
+        "n_rows",
+        F.col("min_key").alias("min_orderkey"),
+        F.col("max_key").alias("max_orderkey"),
+    )
+
+
+# --------------------------------------------------------------------------
 def profile_orders_quality(spark, sf_dir):
     """One-pass data-quality profile of the orders table: row count,
     per-column null counts, exact distinct cardinalities, value bounds.
@@ -2225,6 +2248,7 @@ QUERIES: dict[str, Q] = {
     "graph_pagerank3": Q(graph_pagerank3, PAGERANK_SQL),
     "profile_orders_quality": Q(profile_orders_quality, PROFILE_SQL),
     "profile_table_files": Q(profile_table_files, PROFILE_FILES_SQL),
+    "profile_table_files_fast": Q(profile_table_files_fast, PROFILE_FILES_SQL),
     "scalar_try_functions": Q(scalar_try_functions, SCALAR_TRY_SQL),
     "events_value_histogram": Q(events_value_histogram, HISTOGRAM_SQL),
     "events_funnel_summary": Q(events_funnel_summary, FUNNEL_SUMMARY_SQL),

@@ -573,3 +573,38 @@ def test_profile_table_files_multi_file(spark, tmp_path):
         ks = t.column("l_orderkey").to_pylist()
         base = f.rsplit("/", 1)[1]
         assert got[base] == (len(ks), min(ks), max(ks)), base
+
+
+def test_footer_stats_match_scanning_audit(spark, tmp_path):
+    """The footer-only stats equal the full-scan audit row-for-row over
+    a genuinely multi-file table — metadata and data agree."""
+    from pyspark.sql import functions as F
+
+    from rick_and_morty_data_pipeline_project_spark.operators.tablestats import (
+        parquet_footer_stats,
+    )
+
+    src = spark.range(0, 5000).select(
+        F.col("id").alias("l_orderkey"), (F.col("id") * 3).alias("v")
+    )
+    out = str(tmp_path / "lineitem.parquet")
+    src.repartition(6, "l_orderkey").write.parquet(out)
+
+    scan = {
+        r["file"]: (r["n_rows"], r["min_orderkey"], r["max_orderkey"])
+        for r in spark.read.parquet(out)
+        .groupBy(
+            F.regexp_extract(F.input_file_name(), "([^/]+)$", 1).alias("file")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_orderkey").alias("min_orderkey"),
+            F.max("l_orderkey").alias("max_orderkey"),
+        )
+        .collect()
+    }
+    footer = {
+        r["file"]: (r["n_rows"], r["min_key"], r["max_key"])
+        for r in parquet_footer_stats(spark, out, "l_orderkey").collect()
+    }
+    assert footer == scan and len(footer) == 6
