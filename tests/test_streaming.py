@@ -672,3 +672,47 @@ def test_stream_scd2_equals_sequential_batch_applies(spark, tmp_path):
     # the key changed in both batches carries full three-version history
     k1 = sorted(r for r in got if r[0] == 1)
     assert [r[1] for r in k1] == ["A", "B", "C"]
+
+
+def test_stream_quality_classifier_matches_batch(spark, tmp_path):
+    """The distilled quality classifier is a pure narrow expression, so
+    it runs unchanged inside a streaming query: scored stream output ≡
+    the batch scoring of the same rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from rick_and_morty_data_pipeline_project_spark.queries.textq import (
+        quality_classifier_score,
+    )
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    docs = [(i, f"doc body {'the ' * (i % 7)}number {i} with words") for i in range(40)]
+    pq.write_table(
+        pa.table({"doc_id": [d[0] for d in docs], "text": [d[1] for d in docs]}),
+        str(in_dir / "a.parquet"),
+    )
+
+    stream = (
+        spark.readStream.schema("doc_id LONG, text STRING")
+        .parquet(str(in_dir))
+        .select("doc_id", quality_classifier_score("text").alias("score"))
+    )
+    out_dir = str(tmp_path / "out")
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {r["doc_id"]: r["score"] for r in spark.read.parquet(out_dir).collect()}
+    batch = spark.createDataFrame(docs, ["doc_id", "text"]).select(
+        "doc_id", quality_classifier_score("text").alias("score")
+    )
+    want = {r["doc_id"]: r["score"] for r in batch.collect()}
+    assert got == want and len(got) == 40
