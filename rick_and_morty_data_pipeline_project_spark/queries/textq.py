@@ -622,6 +622,88 @@ def split_leakage_safe(spark, sf_dir):
     return assigned.select("doc_id", "cluster_id", split.alias("split"))
 
 
+def text_winnowing_fingerprints(spark, sf_dir, k: int = 3, w: int = 4):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS local-fingerprinting algorithm): hash every
+    k-token shingle, slide a w-hash window, and keep the MINIMUM hash
+    of each window (rightmost on ties).  Guarantees any shared run of
+    ≥ w+k−1 tokens contributes at least one COMMON selected
+    fingerprint, at ~2/(w+1) the density of keeping every shingle —
+    the robust middle ground between whole-document fingerprints
+    (miss partial overlap) and all-shingles postings (w+1× the index).
+
+    Pure JVM array expressions per document (shingle hashes, windowed
+    rightmost-argmin, distinct) — narrow until the final distinct; hex
+    md5 strings order identically in both engines, so the DuckDB twin
+    is exact.  Output: (doc_id, pos, fp) — selected 1-based shingle
+    positions and their hashes."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_h = F.greatest(F.size(toks) - k + 1, F.lit(1))
+    # Staged projections (the minhash_signatures trick): the shingle-
+    # hash array is referenced many times by the window expressions —
+    # materialize it as its own multi-referenced alias so CollapseProject
+    # keeps the boundary and the md5s run ONCE per doc, not once per
+    # (window × reference); the inlined form measured minutes at sf0.1.
+    hashed = d.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(1), n_h),
+            lambda i: F.md5(F.array_join(F.slice(toks, i, k), " ")),
+        ).alias("_hs"),
+    )
+    hs = F.col("_hs")
+    n_starts = F.greatest(F.size(hs) - w + 1, F.lit(1))
+    # one window slice per start, materialized once, argmin'd once
+    windows = hashed.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), n_starts),
+                lambda s: F.struct(
+                    s.alias("s"), F.slice(hs, s, w).alias("win")
+                ),
+            )
+        ).alias("w"),
+    ).select("doc_id", F.col("w.s").alias("s"), F.col("w.win").alias("win"))
+    mn = F.array_min(F.col("win"))
+    pos = (
+        F.col("s")
+        + F.size("win")
+        - F.array_position(F.reverse(F.col("win")), mn)
+    )
+    return (
+        windows.select(
+            "doc_id", pos.cast("int").alias("pos"), mn.alias("fp")
+        )
+        .distinct()
+    )
+
+
+TEXT_WINNOWING_SQL = """
+WITH hs AS (
+  SELECT doc_id,
+         list_transform(
+           generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+           i -> md5(array_to_string(
+                  list_slice(string_split(text, ' '), i, i + 2), ' '))
+         ) AS h
+  FROM documents
+),
+sel AS (
+  SELECT doc_id,
+         s + len(list_slice(h, s, s + 3))
+           - list_position(list_reverse(list_slice(h, s, s + 3)),
+                           list_min(list_slice(h, s, s + 3))) AS pos,
+         list_min(list_slice(h, s, s + 3)) AS fp
+  FROM hs, LATERAL (
+    SELECT unnest(generate_series(1, greatest(len(h) - 3, 1))) AS s
+  )
+)
+SELECT DISTINCT doc_id, CAST(pos AS INT) AS pos, fp FROM sel
+"""
+
+
 def text_gopher_rules(spark, sf_dir):
     """The published Gopher quality-filter rule set (Rae et al. 2021,
     §A1.1 — the canonical heuristic battery most open pipelines copy),
@@ -2793,6 +2875,9 @@ QUERIES: dict[str, Q] = {
     ),
     "split_leakage_safe": Q(split_leakage_safe, SPLIT_LEAKAGE_SAFE_SQL),
     "text_gopher_rules": Q(text_gopher_rules, TEXT_GOPHER_SQL),
+    "text_winnowing_fingerprints": Q(
+        text_winnowing_fingerprints, TEXT_WINNOWING_SQL
+    ),
     "dedup_span_profile": Q(dedup_span_profile, SPAN_PROFILE_SQL),
     "text_shard_index": Q(text_shard_index, SHARD_INDEX_SQL),
     "text_tfidf_cosine_pairs": Q(text_tfidf_cosine_pairs, TFIDF_COSINE_SQL),

@@ -711,3 +711,42 @@ def test_remove_boilerplate_spans_fuzz_matches_reference(spark):
             for r in remove_boilerplate_spans(df, ["doc_id"]).collect()
         }
         assert got == want, (trial, {k: (got[k], want[k]) for k in got if got[k] != want[k]})
+
+
+def test_winnowing_guarantee_and_density(spark):
+    """The winnowing contract: two documents sharing a run of >= w+k-1
+    (= 6) tokens select at least one COMMON (positioned-anywhere)
+    fingerprint hash; and selection density is far below the
+    all-shingles baseline."""
+    from rick_and_morty_data_pipeline_project_spark.queries.catalog import _ALL
+    import tempfile, os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens = w+k-1
+    docs = [
+        (0, "red green " + shared + " blue yellow purple orange"),
+        (1, "one two three four " + shared + " five six"),
+        (2, "completely different words everywhere all the time here"),
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": [d[0] for d in docs],
+                    "source": ["s"] * 3,
+                    "lang": ["en"] * 3,
+                    "text": [d[1] for d in docs],
+                }
+            ),
+            os.path.join(td, "documents.parquet"),
+        )
+        out = _ALL["text_winnowing_fingerprints"].fn(spark, td).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[0] & by_doc[1], "shared 6-token run must share a fingerprint"
+    assert not (by_doc[0] & by_doc[2])
+    # density: selected fingerprints well below the shingle count
+    n_shingles_0 = len(docs[0][1].split()) - 2
+    assert len(by_doc[0]) < n_shingles_0
