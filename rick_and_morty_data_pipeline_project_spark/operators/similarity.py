@@ -413,6 +413,53 @@ def quantize_int8(
     )
 
 
+def knn_hard_negatives_bruteforce(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Hard-negative mining: per query, the top-k most-similar corpus
+    vectors with a DIFFERENT label (dense-retrieval contrastive
+    negatives).  Same plan as :func:`knn_bruteforce` — both sides
+    unit-normalized ONCE (no per-pair norm recompute), broadcast
+    queries, ``fan_out`` corpus, heap top-k — with the label
+    inequality fused into the pair filter.  Output adds the negative's
+    label."""
+    q = _normalized(queries, id_col, vec_col, "query_id", "_qv").join(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(label_col).alias("_qlabel"),
+        ),
+        "query_id",
+    )
+    c = _normalized(fan_out(corpus), id_col, vec_col, "neighbor_id", "_cv").join(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(label_col).alias("neg_label"),
+        ),
+        "neighbor_id",
+    )
+    cos = dot_col(F.col("_qv"), F.col("_cv"))
+    if round_digits is not None:
+        cos = F.round(cos, round_digits)
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("_qlabel") != F.col("neg_label"))
+        .select("query_id", "neighbor_id", "neg_label", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def knn_bruteforce_quantized(
     queries: DataFrame,
     corpus: DataFrame,

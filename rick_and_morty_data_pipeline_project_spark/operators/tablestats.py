@@ -8,17 +8,25 @@ the table and reading ~KB per file — the standard "stats from
 metadata" primitive behind compaction planning, freshness checks, and
 query-planning statistics.
 
-Distribution shape: the driver lists the file paths (file LISTING is
-cheap and is what every table format's planner does); the footer reads
-run as an Arrow-batched ``mapInPandas`` over the path relation, so a
+Distribution shape: the driver lists the file paths (a RECURSIVE walk,
+so partitioned ``key=.../part-*.parquet`` layouts are seen exactly as
+``spark.read.parquet`` would see them; file LISTING is cheap and is
+what every table format's planner does); the footer reads run as an
+Arrow-batched ``mapInPandas`` over the path relation, so a
 million-file table fans its metadata reads across the cluster instead
-of serializing them on the driver.  Only file paths and the fixed-width
-stats rows ever move.
+of serializing them on the driver.  Executors open paths through
+``pyarrow.fs.FileSystem.from_uri`` when a scheme is present, so
+hdfs://, s3:// etc. work wherever the corresponding pyarrow filesystem
+is available; bare paths and ``file:`` URIs read locally.  Only file
+paths and the fixed-width stats rows ever move.
 
-Caveat (documented, not hidden): parquet string statistics may be
-truncated by writers; this helper is exact for integer/temporal key
-columns (the driver corpus's keys), and callers needing exact bounds
-on string keys must fall back to the scanning audit.
+Caveats (documented, not hidden): parquet string statistics may be
+truncated by writers — bounds are exact for integer and temporal key
+columns (pass ``key_type`` to match; default ``long`` fits the driver
+corpus's keys) and untrustworthy for strings.  Zero-row files ARE
+reported (n_rows = 0, NULL bounds); a scanning audit cannot see them,
+so gate-equality comparisons should filter them out (the catalog query
+does).
 """
 
 from __future__ import annotations
@@ -26,19 +34,39 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _list_parquet_files(spark: SparkSession, table_dir: str) -> list[str]:
+    """Recursive listing of *.parquet under ``table_dir`` (or the file
+    itself), via the Hadoop FS API so any configured scheme works."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(table_dir)
+    fs = root.getFileSystem(conf)
+    out: list[str] = []
+    stack = [root]
+    while stack:
+        p = stack.pop()
+        for status in fs.listStatus(p):
+            sp = status.getPath()
+            name = sp.getName()
+            if status.isDirectory():
+                if not name.startswith(("_", ".")):
+                    stack.append(sp)
+            elif name.endswith(".parquet"):
+                out.append(sp.toString())
+    if not out and not fs.getFileStatus(root).isDirectory():
+        out.append(root.toString())
+    return out
+
+
 def parquet_footer_stats(
-    spark: SparkSession, table_dir: str, key_col: str
+    spark: SparkSession,
+    table_dir: str,
+    key_col: str,
+    key_type: str = "long",
 ) -> DataFrame:
     """(file, n_rows, min/max of ``key_col``) per parquet file under
     ``table_dir`` — footer reads only, distributed over the file list."""
-    jvm = spark.sparkContext._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(table_dir)
-    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
-    paths = []
-    for status in fs.listStatus(hpath):
-        p = status.getPath()
-        if p.getName().endswith(".parquet"):
-            paths.append((p.toString(),))
+    paths = [(p,) for p in _list_parquet_files(spark, table_dir)]
     if not paths:
         raise ValueError(f"no parquet files under {table_dir}")
     fdf = spark.createDataFrame(paths, "path string").repartition(
@@ -49,12 +77,24 @@ def parquet_footer_stats(
         import pandas as pd
         import pyarrow.parquet as pq
 
+        def open_md(p: str):
+            if p.startswith("file:"):
+                return pq.ParquetFile(p[len("file:"):]).metadata
+            if "://" in p:
+                import pyarrow.fs as pafs
+
+                fsys, rel = pafs.FileSystem.from_uri(p)
+                with fsys.open_input_file(rel) as f:
+                    return pq.ParquetFile(f).metadata
+            return pq.ParquetFile(p).metadata
+
         for pdf in it:
             rows = []
             for p in pdf["path"]:
-                local = p[len("file:"):] if p.startswith("file:") else p
-                md = pq.ParquetFile(local).metadata
-                names = [md.schema.column(i).name for i in range(md.num_columns)]
+                md = open_md(p)
+                names = [
+                    md.schema.column(i).name for i in range(md.num_columns)
+                ]
                 idx = names.index(key_col)
                 mn = mx = None
                 for rg in range(md.num_row_groups):
@@ -63,12 +103,13 @@ def parquet_footer_stats(
                         mn = st.min if mn is None else min(mn, st.min)
                         mx = st.max if mx is None else max(mx, st.max)
                 rows.append(
-                    (local.rsplit("/", 1)[-1], md.num_rows, mn, mx)
+                    (p.rstrip("/").rsplit("/", 1)[-1], md.num_rows, mn, mx)
                 )
             yield pd.DataFrame(
                 rows, columns=["file", "n_rows", "min_key", "max_key"]
             )
 
     return fdf.mapInPandas(
-        batches, "file string, n_rows long, min_key long, max_key long"
+        batches,
+        f"file string, n_rows long, min_key {key_type}, max_key {key_type}",
     )

@@ -1860,13 +1860,20 @@ def profile_table_files_fast(spark, sf_dir):
         parquet_footer_stats,
     )
 
-    return parquet_footer_stats(
-        spark, f"{sf_dir}/lineitem.parquet", "l_orderkey"
-    ).select(
-        "file",
-        "n_rows",
-        F.col("min_key").alias("min_orderkey"),
-        F.col("max_key").alias("max_orderkey"),
+    return (
+        parquet_footer_stats(
+            spark, f"{sf_dir}/lineitem.parquet", "l_orderkey"
+        )
+        # gate-identical semantics: a scanning audit (and its oracle)
+        # cannot see zero-row files, so exclude them here; use the
+        # operator directly when you WANT empty files surfaced
+        .filter(F.col("n_rows") > 0)
+        .select(
+            "file",
+            "n_rows",
+            F.col("min_key").alias("min_orderkey"),
+            F.col("max_key").alias("max_orderkey"),
+        )
     )
 
 

@@ -176,52 +176,23 @@ def knn_hard_negatives(spark, sf_dir):
     inequality fused into the pair filter, so the mining pass costs
     exactly one scoring scan.  At 10⁹ vectors swap the scoring arm for
     the IVF probe path — negatives only need to be HARD, not exact."""
+    from rick_and_morty_data_pipeline_project_spark.operators.similarity import (
+        knn_hard_negatives_bruteforce,
+    )
+
     e = t(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 10)
-    q = queries.select(
-        F.col("vec_id").alias("query_id"),
-        F.col("label").alias("_qlabel"),
-        F.col("embedding").alias("_qe"),
-    )
-    c = e.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("label").alias("neg_label"),
-        F.col("embedding").alias("_ce"),
-    )
-    cos = F.round(
-        dot_col(F.col("_qe"), F.col("_ce"))
-        / (
-            F.sqrt(dot_col(F.col("_qe"), F.col("_qe")))
-            * F.sqrt(dot_col(F.col("_ce"), F.col("_ce")))
-        ),
-        6,
-    )
-    scored = (
-        F.broadcast(q)
-        .crossJoin(c)
-        .filter(F.col("_qlabel") != F.col("neg_label"))
-        .select("query_id", "neighbor_id", "neg_label", cos.alias("cosine"))
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 5)
-    )
+    return knn_hard_negatives_bruteforce(queries, e, k=5)
 
 
 KNN_HARD_NEG_SQL = f"""
-WITH q AS (
-  SELECT vec_id AS query_id, label AS qlabel, embedding AS qe
-  FROM embeddings WHERE vec_id < 10
-),
+WITH {_NORMED_CTE},
+lv AS (SELECT n.vec_id, n.nv, e.label FROM normed n JOIN embeddings e USING (vec_id)),
+q AS (SELECT vec_id AS query_id, label AS qlabel, nv AS qv FROM lv WHERE vec_id < 10),
 scored AS (
   SELECT q.query_id, c.vec_id AS neighbor_id, c.label AS neg_label,
-         round({dot_sql("q.qe", "c.embedding")}
-               / (sqrt({dot_sql("q.qe", "q.qe")})
-                  * sqrt({dot_sql("c.embedding", "c.embedding")})), 6) AS cosine
-  FROM q, embeddings c
+         round({dot_sql("q.qv", "c.nv")}, 6) AS cosine
+  FROM q, lv c
   WHERE q.qlabel <> c.label
 ),
 ranked AS (

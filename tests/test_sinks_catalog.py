@@ -590,21 +590,27 @@ def test_footer_stats_match_scanning_audit(spark, tmp_path):
     out = str(tmp_path / "lineitem.parquet")
     src.repartition(6, "l_orderkey").write.parquet(out)
 
+    from rick_and_morty_data_pipeline_project_spark.queries.catalog import _ALL
+
     scan = {
         r["file"]: (r["n_rows"], r["min_orderkey"], r["max_orderkey"])
-        for r in spark.read.parquet(out)
-        .groupBy(
-            F.regexp_extract(F.input_file_name(), "([^/]+)$", 1).alias("file")
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.min("l_orderkey").alias("min_orderkey"),
-            F.max("l_orderkey").alias("max_orderkey"),
-        )
-        .collect()
+        for r in _ALL["profile_table_files"].fn(spark, str(tmp_path)).collect()
     }
     footer = {
         r["file"]: (r["n_rows"], r["min_key"], r["max_key"])
         for r in parquet_footer_stats(spark, out, "l_orderkey").collect()
     }
     assert footer == scan and len(footer) == 6
+
+    # partitioned (subdirectory) layout: the recursive walk must see
+    # exactly the files spark.read.parquet's partition discovery sees
+    pout = str(tmp_path / "parted")
+    src.withColumn("pk", (F.col("l_orderkey") % 3).cast("int")).write.partitionBy(
+        "pk"
+    ).parquet(pout)
+    footer_p = parquet_footer_stats(spark, pout, "l_orderkey").collect()
+    n_files = spark.read.parquet(pout).select(
+        F.input_file_name()
+    ).distinct().count()
+    assert len(footer_p) == n_files
+    assert sum(r["n_rows"] for r in footer_p) == 5000
