@@ -43,6 +43,8 @@ ANNOTATED = {
     "text_quality_classifier": "distilled linear classifier inference: one narrow scan, ZERO exchanges — features/sigmoid/verdict all JVM-side (higher-order-function lambdas sit outside codegen but never touch Python)",
     "text_remove_boilerplate": "C4-style span removal: span-count agg shuffle + per-doc rebuild shuffle (the count relation joins back broadcast locally; at scale it is a third span-keyed shuffle) — whole documents never shuffle",
     "text_gopher_rules": "Gopher rule battery: one narrow scan, zero exchanges, per-rule flags as codegen'd expressions",
+    "text_winnowing_fingerprints": "winnowing: staged shingle-hash projection computed once per doc (multi-referenced alias), window explode narrow, the only exchange is the final distinct",
+    "knn_hard_negatives": "hard-negative mining: both sides normalized once, broadcast queries x fan-out corpus scan, label filter fused before the per-query heap top-k",
     "join_fuzzy_customer_names": "FastSS fuzzy join: narrow deletion-variant explode → ONE high-cardinality equi-join (no hot blocks) → levenshtein verify on candidates only",
     "events_user_trend": "grouped OLS: six map-combinable decimal sums, one user_id shuffle, closed-form projection — no window, no iteration",
 }
