@@ -1287,6 +1287,135 @@ GROUP BY 1, 2
 
 
 # --------------------------------------------------------------------------
+def events_mad_outliers(spark, sf_dir):
+    """Robust per-user anomaly detection: flag events whose value sits
+    more than 3 MADs from the user's MEDIAN (median absolute
+    deviation) — the heavy-tail-safe twin of events_zscore_outliers
+    (mean/stddev blow up under exactly the outliers you're hunting;
+    median/MAD don't).
+
+    Float parity: Spark's interpolating ``percentile`` and DuckDB's
+    ``quantile_cont`` share the (lower + frac·(upper−lower)) formula
+    over identical doubles; the robust score is rounded at 6.  Scale:
+    two aggregations and the flag join all shuffle on the same
+    high-cardinality user key — one partitioning reused end-to-end,
+    nothing corpus-global.
+    """
+    e = t(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    med = e.groupBy("user_id").agg(
+        F.percentile("value", 0.5).alias("med")
+    )
+    mad = (
+        e.join(med, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.percentile(F.abs(F.col("value") - F.col("med")), 0.5).alias(
+                "mad"
+            ),
+            F.first("med").alias("med"),
+        )
+    )
+    return (
+        e.join(mad, "user_id")
+        .filter(
+            (F.col("mad") > 0)
+            & (F.abs(F.col("value") - F.col("med")) > 3 * F.col("mad"))
+        )
+        .select(
+            "user_id",
+            "event_id",
+            "value",
+            F.round("med", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+            F.round(
+                F.abs(F.col("value") - F.col("med")) / F.col("mad"), 6
+            ).alias("robust_score"),
+        )
+    )
+
+
+EVENTS_MAD_SQL = """
+WITH med AS (
+  SELECT user_id, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY user_id
+),
+mad AS (
+  SELECT e.user_id, quantile_cont(abs(e.value - m.med), 0.5) AS mad,
+         any_value(m.med) AS med
+  FROM events e JOIN med m USING (user_id)
+  GROUP BY e.user_id
+)
+SELECT e.user_id, e.event_id, e.value,
+       round(m.med, 6) AS med, round(m.mad, 6) AS mad,
+       round(abs(e.value - m.med) / m.mad, 6) AS robust_score
+FROM events e JOIN mad m USING (user_id)
+WHERE m.mad > 0 AND abs(e.value - m.med) > 3 * m.mad
+"""
+
+
+def customer_abc_pareto(spark, sf_dir):
+    """Pareto / ABC classification of customers by revenue share: rank
+    customers by total order value, take the running share of the
+    grand total, and class A (first 80% of revenue), B (to 95%), C
+    (tail) — the classic 80/20 segmentation every BI stack ships.
+
+    Scale: the window runs over the per-customer AGGREGATE (one row
+    per customer), never the order fact table; the grand total is a
+    scalar broadcast.  Decimal sums keep the shares exactly
+    reproducible; the cumulative share is rounded at 9 before
+    classification so both engines bucket identically.
+    """
+    o = t(spark, sf_dir, "orders")
+    # decimal accumulators end-to-end: group sums, the running sum, and
+    # the grand total are all EXACT, so the share is a division of
+    # identical doubles in both engines under any parallelism
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(dec("o_totalprice", 18, 2)).alias("rev_dec")
+    )
+    from pyspark.sql.window import Window as W
+
+    total = per_cust.agg(F.sum("rev_dec").alias("t_dec"))
+    w = W.orderBy(F.desc("rev_dec"), F.asc("o_custkey")).rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    cum = per_cust.crossJoin(F.broadcast(total)).select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("rev_dec").cast("double").alias("revenue"),
+        F.round(
+            F.sum("rev_dec").over(w).cast("double")
+            / F.col("t_dec").cast("double"),
+            9,
+        ).alias("cum_share"),
+    )
+    abc = (
+        F.when(F.col("cum_share") <= 0.80, F.lit("A"))
+        .when(F.col("cum_share") <= 0.95, F.lit("B"))
+        .otherwise(F.lit("C"))
+    )
+    return cum.select("custkey", "revenue", "cum_share", abc.alias("abc"))
+
+
+CUSTOMER_ABC_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey AS custkey,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec
+  FROM orders GROUP BY o_custkey
+),
+cum AS (
+  SELECT custkey, CAST(rev_dec AS DOUBLE) AS revenue,
+         round(CAST(SUM(rev_dec) OVER (ORDER BY rev_dec DESC, custkey ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               / CAST(SUM(rev_dec) OVER () AS DOUBLE), 9) AS cum_share
+  FROM per_cust
+)
+SELECT custkey, revenue, cum_share,
+       CASE WHEN cum_share <= 0.80 THEN 'A'
+            WHEN cum_share <= 0.95 THEN 'B'
+            ELSE 'C' END AS abc
+FROM cum
+"""
+
+
 def events_zscore_outliers(spark, sf_dir):
     """Rolling per-user anomaly detection: flag an event whose value
     deviates > 2 sample standard deviations from that user's preceding
@@ -2244,6 +2373,8 @@ QUERIES: dict[str, Q] = {
     "events_gap_fill": Q(events_gap_fill, GAP_FILL_SQL),
     "array_functions": Q(array_functions, ARRAY_FN_SQL),
     "agg_macro_avg_rounded": Q(agg_macro_avg_rounded, AGG_MACRO_SQL),
+    "events_mad_outliers": Q(events_mad_outliers, EVENTS_MAD_SQL),
+    "customer_abc_pareto": Q(customer_abc_pareto, CUSTOMER_ABC_SQL),
     "events_zscore_outliers": Q(events_zscore_outliers, ZSCORE_SQL),
     "view_click_attribution": Q(view_click_attribution, VIEW_CLICK_SQL),
     "scalar_bit_interleave": Q(scalar_bit_interleave, BIT_INTERLEAVE_SQL),
