@@ -279,7 +279,13 @@ def train_bpe(
     # row transfer whose only purpose is to be discarded.
     probe = words.limit(max_driver_vocab + 1).count()
     if probe <= max_driver_vocab:
-        head = words.select("word", "cnt").collect()
+        # The probe proved the true size fits, but probe and collect
+        # are two separate jobs — a relation that is non-deterministic
+        # between evaluations could pass the probe yet materialize more
+        # rows here.  The limit() keeps the driver transfer capped
+        # regardless of re-evaluation (it changes nothing when the
+        # relation is deterministic).
+        head = words.select("word", "cnt").limit(max_driver_vocab).collect()
         merges, final_rows = _train_driver(head, n_merges, stats)
         if stats is not None:
             stats.update(path="driver", pair_scan_jobs=1)

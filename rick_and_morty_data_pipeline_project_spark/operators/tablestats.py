@@ -64,8 +64,20 @@ def parquet_footer_stats(
     key_col: str,
     key_type: str = "long",
 ) -> DataFrame:
-    """(file, n_rows, min/max of ``key_col``) per parquet file under
-    ``table_dir`` — footer reads only, distributed over the file list."""
+    """(file, n_rows, min/max of ``key_col``, stats_missing) per
+    parquet file under ``table_dir`` — footer reads only, distributed
+    over the file list.
+
+    ``stats_missing`` is true when the file HAS rows but NO row group
+    carries min/max statistics for ``key_col`` (``has_min_max`` false —
+    legal parquet; some writers omit column statistics).  Such a file
+    reports NULL bounds here while a scanning audit computes real ones,
+    so without the flag it would surface only as an inexplicable
+    footer-vs-scan mismatch.  Callers comparing against a scan (e.g.
+    ``profile_table_files_fast``) should treat ``stats_missing`` rows
+    as "bounds unknown", not "bounds NULL"; a zero-row file reports
+    NULL bounds with ``stats_missing`` false (nothing to bound).  See
+    also the string-truncation caveat at the top of this module."""
     paths = [(p,) for p in _list_parquet_files(spark, table_dir)]
     if not paths:
         raise ValueError(f"no parquet files under {table_dir}")
@@ -103,13 +115,23 @@ def parquet_footer_stats(
                         mn = st.min if mn is None else min(mn, st.min)
                         mx = st.max if mx is None else max(mx, st.max)
                 rows.append(
-                    (p.rstrip("/").rsplit("/", 1)[-1], md.num_rows, mn, mx)
+                    (
+                        p.rstrip("/").rsplit("/", 1)[-1],
+                        md.num_rows,
+                        mn,
+                        mx,
+                        md.num_rows > 0 and mn is None,
+                    )
                 )
             yield pd.DataFrame(
-                rows, columns=["file", "n_rows", "min_key", "max_key"]
+                rows,
+                columns=[
+                    "file", "n_rows", "min_key", "max_key", "stats_missing"
+                ],
             )
 
     return fdf.mapInPandas(
         batches,
-        f"file string, n_rows long, min_key {key_type}, max_key {key_type}",
+        f"file string, n_rows long, min_key {key_type}, "
+        f"max_key {key_type}, stats_missing boolean",
     )

@@ -614,3 +614,38 @@ def test_footer_stats_match_scanning_audit(spark, tmp_path):
     ).distinct().count()
     assert len(footer_p) == n_files
     assert sum(r["n_rows"] for r in footer_p) == 5000
+
+
+def test_footer_stats_missing_flagged(spark, tmp_path):
+    """A legal parquet file whose writer omitted column statistics
+    (has_min_max false) reports NULL bounds WITH stats_missing=true —
+    distinguishable from a genuinely NULL-keyed file; a zero-row file
+    reports NULL bounds with stats_missing=false."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rick_and_morty_data_pipeline_project_spark.operators.tablestats import (
+        parquet_footer_stats,
+    )
+
+    d = tmp_path / "t.parquet"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"l_orderkey": [5, 1, 9]}),
+        str(d / "nostats.parquet"),
+        write_statistics=False,
+    )
+    pq.write_table(
+        pa.table({"l_orderkey": [2, 7]}), str(d / "stats.parquet")
+    )
+    pq.write_table(
+        pa.table({"l_orderkey": pa.array([], type=pa.int64())}),
+        str(d / "empty.parquet"),
+    )
+    got = {
+        r["file"]: (r["n_rows"], r["min_key"], r["max_key"], r["stats_missing"])
+        for r in parquet_footer_stats(spark, str(d), "l_orderkey").collect()
+    }
+    assert got["nostats.parquet"] == (3, None, None, True)
+    assert got["stats.parquet"] == (2, 2, 7, False)
+    assert got["empty.parquet"] == (0, None, None, False)

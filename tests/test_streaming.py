@@ -11,6 +11,24 @@ from rick_and_morty_data_pipeline_project_spark.streaming.windowed import (
 from tests.conftest import SF_SMALL
 
 
+def _pin_file_order(*paths) -> None:
+    """Force Spark's FileStreamSource to process ``paths`` in the given
+    order.  The source orders files by MODIFICATION TIME, not name —
+    when two writes land in the same mtime tick (common under
+    suite-level load) batches can swap, and greedy/first-wins ingest
+    dedup keeper sets are order-dependent by design.  Distinct,
+    strictly increasing mtimes make the tests' order-dependent
+    assertions deterministic."""
+    import os
+    import time
+
+    now = time.time()
+    step = 60.0
+    for i, p in enumerate(paths):
+        t = now - step * (len(paths) - i)
+        os.utime(p, (t, t))
+
+
 def test_custom_stateful_sessionize_matches_batch(spark):
     """applyInPandasWithState sessionizer ≡ batch gaps-and-islands for
     every CLOSED session (the final open session per user stays in
@@ -228,6 +246,7 @@ def test_stream_ingest_dedup_exact_lifetime(spark, tmp_path):
         ),
         str(in_dir / "b.parquet"),
     )
+    _pin_file_order(in_dir / "a.parquet", in_dir / "b.parquet")
     stream = (
         spark.readStream.schema("doc_id LONG, text STRING")
         .option("maxFilesPerTrigger", 1)
@@ -292,6 +311,7 @@ def test_stream_ingest_dedup_bloom_prefilter_twin(spark, tmp_path):
         ),
         str(in_dir / "b.parquet"),
     )
+    _pin_file_order(in_dir / "a.parquet", in_dir / "b.parquet")
 
     outputs = {}
     for label, kw in (
@@ -516,6 +536,7 @@ def test_stream_ingest_neardup_lsh(spark, tmp_path):
         ),
         str(in_dir / "b.parquet"),
     )
+    _pin_file_order(in_dir / "a.parquet", in_dir / "b.parquet")
     stream = (
         spark.readStream.schema("doc_id LONG, text STRING")
         .option("maxFilesPerTrigger", 1)

@@ -56,6 +56,10 @@ def norm_hash(df) -> str:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") else "/root/testdata/sf0.01"
     window_only = "--window-only" in sys.argv
+    # Path-parameterized oracles (PROFILE_FILES_SQL) capture this at
+    # entry-point import — set it BEFORE importing __spark_entry__ so
+    # the file-audit oracles read the swept SF's tree, not sf0.01.
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
 
     from pyspark.sql import SparkSession
 

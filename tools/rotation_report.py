@@ -134,8 +134,15 @@ def query_fingerprints() -> dict[str, str]:
                         paths.add(
                             os.path.join(REPO, PKG, kind, m.group(1) + ".py")
                         )
-                elif isinstance(obj, (str, int, float, tuple)):
+                elif isinstance(obj, (str, int, float, tuple, list, dict)):
+                    # dict/list included too: queries depend on module-
+                    # level tables like LANG_MARKERS / _LSH_TABLES, and
+                    # editing those must flag the query stale.  repr of
+                    # dict/list is deterministic (insertion-ordered).
                     helpers[nm] = f"{nm}={obj!r}"
+                elif isinstance(obj, (set, frozenset)):
+                    # sets have no stable iteration order — sort reprs
+                    helpers[nm] = f"{nm}={sorted(map(repr, obj))!r}"
             # deterministic order — a set-iteration order here would
             # make the fingerprints themselves nondeterministic
             parts.extend(helpers[nm] for nm in sorted(helpers))
