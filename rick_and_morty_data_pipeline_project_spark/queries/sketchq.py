@@ -106,8 +106,215 @@ def events_rolling_dau_hll(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Oracled AUDIT twins.  The sketch binaries/estimates themselves cannot
+# be reproduced by DuckDB, so the driver-checkable surface is the
+# in-query-assert pattern (same as embedding_pca_project's distributed-
+# fit assert): the query returns the EXACT counts (DuckDB-computable)
+# plus booleans computed Spark-side that certify the sketch contracts —
+# estimate inside the lg_k=12 3σ envelope, union-of-sketches exactly
+# equal to the whole-input sketch.  The oracle pins the booleans TRUE,
+# so a sketch regression turns the driver row red instead of hiding in
+# a rows-only check.
+
+
+def _hll_ok(est_col, exact_col):
+    # lg_k=12 → relative standard error ≈ 1.04/sqrt(2^12) ≈ 1.6%;
+    # allow 3σ ≈ 5% with an absolute floor of 3 for tiny groups —
+    # the same envelope tests/test_sketches.py enforces.
+    return F.abs(est_col - exact_col) <= F.greatest(
+        F.lit(3.0), 0.05 * exact_col
+    )
+
+
+def sketch_hll_accuracy_audit(spark, sf_dir):
+    """Driver-checkable accuracy contract of the HLL rollup: per-day
+    exact distinct users (hash-verified against DuckDB) plus
+    Spark-computed booleans — ``est_ok`` (per-day estimate within the
+    lg_k=12 3σ envelope; on the TOTAL row, the union-of-sketches
+    estimate within envelope of the exact global distinct) and
+    ``merge_invariant`` (TOTAL row: unioning the SAME input sketched
+    under two different partitionings — per day vs per (day,
+    event_type) — yields the identical estimate, the register-merge
+    determinism that makes persisted sketch tables re-groupable).
+
+    NOT asserted: union estimate == direct whole-input sketch estimate.
+    That held at sf0.01 but is not an HLL guarantee — a directly-built
+    sketch answers with the HIP estimator, a union discards HIP and
+    answers with the composite estimator (measured at sf0.1: direct
+    1499 vs union 1488, exact 1500 — both in-envelope, not equal).
+
+    Scale: one raw-data pass builds per-day sketch + exact distinct in
+    the same aggregate (only fixed-size sketch states and count-distinct
+    partials shuffle); the TOTAL row re-aggregates |days| sketch rows.
+    The second-partitioning sketch pass is audit-only cost, not part of
+    the production rollup.
+    """
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+    per_day = daily.select(
+        "day",
+        "exact_users",
+        _hll_ok(F.hll_sketch_estimate("sk"), F.col("exact_users")).alias(
+            "est_ok"
+        ),
+        F.lit(True).alias("merge_invariant"),
+    )
+    union_est = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk", F.lit(True))).alias(
+            "_est_union"
+        )
+    )
+    regrouped_est = (
+        e.groupBy(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type"
+        )
+        .agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk", F.lit(True))).alias(
+                "_est_regrouped"
+            )
+        )
+    )
+    exact_total = e.agg(F.count_distinct("user_id").alias("exact_users"))
+    total = (
+        exact_total.crossJoin(union_est)  # one-row frames
+        .crossJoin(regrouped_est)
+        .select(
+            F.lit("TOTAL").alias("day"),
+            "exact_users",
+            _hll_ok(F.col("_est_union"), F.col("exact_users")).alias(
+                "est_ok"
+            ),
+            (F.col("_est_union") == F.col("_est_regrouped")).alias(
+                "merge_invariant"
+            ),
+        )
+    )
+    return per_day.unionByName(total)
+
+
+HLL_AUDIT_SQL = """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS est_ok,
+       TRUE AS merge_invariant
+FROM events
+GROUP BY 1
+UNION ALL
+SELECT 'TOTAL', COUNT(DISTINCT user_id), TRUE, TRUE FROM events
+"""
+
+
+def events_rolling_dau_hll_audit(spark, sf_dir):
+    """Driver-checkable accuracy contract of the sketch-based trailing-
+    7-day DAU: per window day, the EXACT active-user count (the
+    ``events_rolling_dau`` pair-explode rewrite, hash-verified against
+    DuckDB) plus ``est_ok`` — the union-of-7-daily-sketches estimate
+    within the lg_k=12 3σ envelope of it, computed Spark-side and
+    pinned TRUE by the oracle.
+
+    Scale: the sketch arm shuffles 7 × |days| fixed-size sketch states
+    (user-cardinality-independent — the production path); the exact arm
+    explodes the distinct (user, day) pair set 7× (audit-only cost; at
+    100 TB you run the audit on a sampled day range, the production
+    query stays sketch-only).
+    """
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("_day")).agg(
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sk")
+    )
+    est = (
+        daily.select(
+            F.explode(
+                F.sequence(F.col("_day"), F.date_add(F.col("_day"), 6))
+            ).alias("win_day"),
+            "sk",
+        )
+        .groupBy("win_day")
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_union_agg("sk", F.lit(True))
+            ).alias("_est")
+        )
+    )
+    pairs = e.select(
+        "user_id", F.col("ts").cast("date").alias("_day")
+    ).distinct()
+    exact = (
+        pairs.select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("_day"), F.date_add(F.col("_day"), 6))
+            ).alias("win_day"),
+        )
+        .groupBy("win_day")
+        .agg(F.count_distinct("user_id").alias("_n"))
+    )
+    bounds = e.agg(
+        F.min(F.col("ts").cast("date")).alias("_min_day"),
+        F.max(F.col("ts").cast("date")).alias("_max_day"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("_min_day"), F.col("_max_day"))
+        ).alias("win_day")
+    )
+    return (
+        spine.join(exact, "win_day", "left")
+        .join(est, "win_day", "left")
+        .select(
+            F.date_format("win_day", "yyyy-MM-dd").alias("win_day"),
+            F.coalesce("_n", F.lit(0)).alias("n_active_7d"),
+            _hll_ok(
+                F.coalesce("_est", F.lit(0)), F.coalesce("_n", F.lit(0))
+            ).alias("est_ok"),
+        )
+    )
+
+
+ROLLING_HLL_AUDIT_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+bounds AS (
+  SELECT min(CAST(ts AS DATE)) AS min_day, max(CAST(ts AS DATE)) AS max_day
+  FROM events
+),
+contrib AS (
+  SELECT p.user_id,
+         CAST(unnest(generate_series(CAST(p.day AS TIMESTAMP),
+                                     CAST(p.day AS TIMESTAMP) + INTERVAL 6 DAY,
+                                     INTERVAL 1 DAY)) AS DATE) AS win_day
+  FROM pairs p
+),
+counted AS (
+  SELECT win_day, count(DISTINCT user_id) AS n FROM contrib GROUP BY 1
+),
+spine AS (
+  SELECT CAST(unnest(generate_series(CAST(min_day AS TIMESTAMP),
+                                     CAST(max_day AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS win_day
+  FROM bounds
+)
+SELECT strftime(s.win_day, '%Y-%m-%d') AS win_day,
+       COALESCE(c.n, 0) AS n_active_7d,
+       TRUE AS est_ok
+FROM spine s LEFT JOIN counted c USING (win_day)
+"""
+
+
 QUERIES: dict[str, Q] = {
     "sketch_hll_rollup": Q(sketch_hll_rollup, None),
     "sketch_cms_user_counts": Q(sketch_cms_user_counts, None),
     "events_rolling_dau_hll": Q(events_rolling_dau_hll, None),
+    "sketch_hll_accuracy_audit": Q(sketch_hll_accuracy_audit, HLL_AUDIT_SQL),
+    "events_rolling_dau_hll_audit": Q(
+        events_rolling_dau_hll_audit, ROLLING_HLL_AUDIT_SQL
+    ),
 }

@@ -43,25 +43,44 @@ def test_hll_rollup_daily_and_total_bounds(spark):
     assert abs(got["TOTAL"] - exact_total) <= max(3, 0.05 * exact_total)
 
 
-def test_hll_union_is_lossless(spark):
-    """Estimating the union of per-day sketches must equal estimating a
-    single sketch built over the whole input — the property that makes
-    persisted sketch tables answer coarser rollups without re-scans."""
+def test_hll_union_merge_invariant_and_in_envelope(spark):
+    """Unioning the SAME input sketched under two different
+    partitionings (per day vs per (day, event_type)) yields the
+    IDENTICAL estimate — register-merge determinism, the property that
+    makes persisted sketch tables re-groupable.  The union estimate
+    must also sit inside the lg_k=12 envelope of both the direct
+    whole-input sketch and the exact distinct.
+
+    Exact equality union == direct-whole is deliberately NOT asserted:
+    a directly-built sketch answers with the HIP estimator, a union
+    discards HIP for the composite estimator — measured at sf0.1:
+    direct 1499, union 1488, exact 1500 (equality happened to hold at
+    sf0.01's cardinality, which is why the old form of this test
+    passed; it is not an HLL guarantee)."""
     e = spark.read.parquet(f"{SF_ORACLE}/events.parquet")
-    merged = (
-        e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
-        .agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"))
-        .agg(
-            F.hll_sketch_estimate(
-                F.hll_union_agg("sk", F.lit(True))
-            ).alias("est")
+
+    def union_est(*group_cols):
+        return (
+            e.groupBy(*group_cols)
+            .agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"))
+            .agg(
+                F.hll_sketch_estimate(
+                    F.hll_union_agg("sk", F.lit(True))
+                ).alias("est")
+            )
+            .collect()[0]["est"]
         )
-        .collect()[0]["est"]
-    )
+
+    day = F.date_format("ts", "yyyy-MM-dd").alias("day")
+    merged = union_est(day)
+    regrouped = union_est(day, "event_type")
+    assert merged == regrouped
     whole = e.agg(
         F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12))).alias("est")
     ).collect()[0]["est"]
-    assert merged == whole
+    exact = e.select("user_id").distinct().count()
+    assert abs(merged - whole) <= max(3, 0.05 * exact)
+    assert abs(merged - exact) <= max(3, 0.05 * exact)
 
 
 def test_cms_estimates_one_sided_within_eps(spark):
