@@ -40,14 +40,22 @@ Every query outside the window stays exported (positions 51+) and is
 still cell-exact verified locally by tests/test_oracle_parity.py,
 which parametrizes the WHOLE catalog.
 
-Pending round-6 rotation: the rule-2 ledger is now EXECUTABLE —
-``python tools/rotation_report.py`` diffs per-query implementation
-fingerprints against the manifest frozen at this window
-(``tools/query_fingerprints.json``) and prints exactly which queries'
-code changed after the freeze plus which new oracled queries have no
-driver row.  Build the r06 window from that output (never-checked new
-queries first, then fingerprint-stale re-greens), then re-freeze with
-``--update-fingerprints``.
+The rule-2 ledger is EXECUTABLE — ``python tools/rotation_report.py``
+diffs per-query implementation fingerprints against the manifest
+frozen at the current window (``tools/query_fingerprints.json``) and
+prints which queries' code changed after the freeze plus which oracled
+queries have no driver row yet.  Each round's window is built from
+that output (never-checked first, then fingerprint-stale re-greens,
+then oldest-green refreshes), then re-frozen with
+``--update-fingerprints``; ``--assert-no-debt`` gates the round close
+on "no oracled query born before this round lacks a green row".
+
+Round-6 window (this file's ``DRIVER_WINDOW``): the 15 r5-born
+never-checked queries + 2 r6-born HLL audit twins + flagship + 11
+rule-2 stale re-greens (this round's bpe/profile edits plus the
+fingerprint expansion to dict/list module constants) + the 23 queries
+whose only green row dates to round 1 (TPC-H q4..q22, the window-
+function family, agg_cube) — the oldest coverage in the ledger.
 """
 
 from __future__ import annotations
@@ -73,9 +81,74 @@ for mod in (tpch, tpchx, tpchf, textq, vecq, extraq, mmq, reference, sketchq, bp
         _ALL[name] = q
 
 # The 50 driver-checked slots.  All must carry a full DuckDB oracle.
-# Round-5 rotation (see module docstring for the standing policy):
-# 26 never-checked queries + flagship + changed-file re-greens + classics.
+# Round-6 rotation (standing policy in the module docstring):
+# 15 never-checked (all r5-born-after-freeze) + 2 r6-born audit twins
+# + 11 fingerprint-stale re-greens (rule 2: rotation_report flagged
+# them after this round's bpe/profile edits and the fingerprint
+# coverage expansion to dict/list module constants — lexicons and
+# LANG_MARKERS now count) + 23 oldest-green refreshes (last driver row
+# r01: TPC-H q4..q22, the window-function family, agg_cube).
 DRIVER_WINDOW: tuple[str, ...] = (
+    # ========== 15 never-driver-checked oracled queries (r5-born) ====
+    "text_quality_classifier",
+    "dedup_incremental_bloom_sharded",
+    "text_remove_boilerplate",
+    "split_leakage_safe",
+    "text_gopher_rules",
+    "text_winnowing_fingerprints",
+    "knn_hard_negatives",
+    "knn_cosine_mmr",
+    "knn_cosine_ivf_kmeans",
+    "events_mad_outliers",
+    "customer_abc_pareto",
+    "profile_table_files",
+    "profile_table_files_fast",
+    "multimodal_jpeg_headers",
+    "multimodal_decode_features",
+    # ========== r6-born oracled audit twins (never-checked) ==========
+    "sketch_hll_accuracy_audit",
+    "events_rolling_dau_hll_audit",
+    # ========== flagship (standing, every round) =====================
+    "flagship_greedy_match",
+    # ========== rule-2 fingerprint-stale re-greens ===================
+    "bpe_train_merges",
+    "text_bpe_token_stats",
+    "flagship_best_match_with_replacement",
+    "text_emotion_scores",
+    "text_filter_topk",
+    "text_language_confidence",
+    "text_language_id",
+    "text_top2_emotions",
+    "unpivot_emotion_scores",
+    # ========== oldest-green refreshes (last row r01) ================
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_profit_by_nation_year",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_priority_lines",
+    "q13_customer_order_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_predicates",
+    "q20_heavy_shippers",
+    "q21_lone_fault_suppliers",
+    "q22_idle_customers",
+    "win_first_last_nth",
+    "win_lag_order_gap",
+    "win_moving_avg",
+    "win_ntile_rank_stats",
+    "win_running_total",
+    "agg_cube_flag_status",
+)
+
+# Round-5 window, retired 2026-08-14 (all 50 earned green rows in
+# CORRECTNESS_r05.json; kept for the rotation ledger):
+_R05_WINDOW: tuple[str, ...] = (
     # ================= 26 never-driver-checked oracled queries ======
     # -- §2.10 text analysis (new families) --------------------------
     "text_char_entropy",
@@ -140,15 +213,29 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "embedding_pca_project",
 )
 
-# The PCA oracle inlines canonical components fit from the sf0.01
-# testdata at import; on a machine without the testdata tree the entry
-# degrades to rows-only — keep the window all-oracled by swapping in a
-# classic exemplar.
-if _ALL["embedding_pca_project"].sql is None:
-    DRIVER_WINDOW = tuple(
-        "knn_cosine_bruteforce" if n == "embedding_pca_project" else n
-        for n in DRIVER_WINDOW
-    )
+# Canonical-literal oracles (knn_cosine_ivf_kmeans, the PCA
+# projection, ...) are fit from the sf0.01 testdata at import; on a
+# machine without the testdata tree those entries degrade to rows-only.
+# Keep the window all-oracled by swapping any degraded entry for an
+# ever-green spare that still carries its oracle.
+_SPARES = [
+    "q1_pricing_summary",
+    "q3_top_unshipped_orders",
+    "q5_nation_volume",
+    "q6_forecast_revenue",
+    "knn_cosine_bruteforce",
+    "text_quality_scores",
+    "knn_cosine_ivf",
+    "topk_two_stage_parts",
+]
+_spares = [
+    s
+    for s in _SPARES
+    if s not in DRIVER_WINDOW and _ALL[s].sql is not None
+]
+DRIVER_WINDOW = tuple(
+    n if _ALL[n].sql is not None else _spares.pop(0) for n in DRIVER_WINDOW
+)
 
 assert len(DRIVER_WINDOW) == 50, len(DRIVER_WINDOW)
 assert len(set(DRIVER_WINDOW)) == 50, "duplicate name in DRIVER_WINDOW"

@@ -17,6 +17,9 @@ report diffs the live tree against it.
 Usage:
   python tools/rotation_report.py                      # report
   python tools/rotation_report.py --update-fingerprints  # freeze state
+  python tools/rotation_report.py --assert-no-debt     # round-close
+      # gate: exit 1 if any oracled query is red-and-unfixed or has no
+      # driver row AND no window slot scheduled to earn one
 """
 
 from __future__ import annotations
@@ -236,6 +239,24 @@ def main() -> None:
           f"(candidates to rotate out): {len(stale_slots)}")
     for n in stale_slots:
         print(f"  {n}")
+
+    # --assert-no-debt: gate a round close on the standing invariant
+    # "every oracled query is green or scheduled".  Debt = attempted-
+    # but-never-green (a red row nobody fixed), or never-attempted AND
+    # not in the current window (a query with no driver row that is
+    # not even scheduled to earn one next run).  Never-attempted
+    # queries IN the window are the normal steady state of a rotating
+    # 50-slot window, not debt.
+    if "--assert-no-debt" in sys.argv:
+        debt = sorted(failed_only) + sorted(
+            n for n in never if n not in DRIVER_WINDOW
+        )
+        if debt:
+            print(f"\nDEBT ({len(debt)} queries — red or unscheduled):")
+            for n in debt:
+                print(f"  {n}")
+            sys.exit(1)
+        print("\nno debt: every oracled query is green or in-window")
 
 
 if __name__ == "__main__":
