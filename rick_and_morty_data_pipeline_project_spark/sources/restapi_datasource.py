@@ -1,16 +1,23 @@
-"""A Spark 4 Python DataSource exposing the (fake) episode REST API.
+"""A Spark 4 Python DataSource exposing the episode REST API.
 
 Demonstrates the engine's custom-source surface (SURVEY.md §2.1 SRC-1/
 SRC-2): the reference fetches `rickandmortyapi.com/api/episode/{n}` per
-episode in a driver loop; a scalable engine wraps the source in the
-DataSource API so reads are *partitioned* (each partition fetches a
-disjoint id range) and the result is a first-class DataFrame.
+episode in a driver loop (reference Scraper.py:218-233); a scalable
+engine wraps the source in the DataSource API so reads are
+*partitioned* (each partition fetches a disjoint id range) and the
+result is a first-class DataFrame.
 
-Network access is neither available nor deterministic here, so the
-reader serves the same frozen payload as
-``sources/reference_fixtures.episode_rows`` — the partitioning and
-plumbing are the real thing; swap ``_fetch_range`` with an HTTP call in
-a connected deployment.
+Two modes, selected by the ``endpoint`` reader option:
+
+* default (no ``endpoint``): deterministic offline mode — serves the
+  frozen payload from ``sources/reference_fixtures.episode_rows``.
+  This sandbox has no network, and the oracle gate needs determinism.
+* ``endpoint=<base-url>``: LIVE mode — each partition GETs
+  ``{base-url}/{id}`` for its id range with stdlib urllib (executor-
+  side, no extra dependency), parsing the ``{"id":…,"name":…}`` JSON
+  the public API returns.  Closes the only reference-surface gap (the
+  real SRC-1/SRC-2 fetch); tests/test_sinks_catalog.py gates its test
+  on actual network reachability, skipping offline.
 """
 
 from __future__ import annotations
@@ -41,6 +48,9 @@ class EpisodeApiReader(DataSourceReader):
     def __init__(self, options):
         self.n = int(options.get("n", "41"))
         self.num_partitions = int(options.get("numPartitions", "4"))
+        # live-HTTP mode: base URL like https://rickandmortyapi.com/api/episode
+        self.endpoint = options.get("endpoint")
+        self.timeout = float(options.get("timeoutSec", "10"))
 
     def partitions(self):
         step = max(1, self.n // self.num_partitions)
@@ -52,7 +62,10 @@ class EpisodeApiReader(DataSourceReader):
         return parts
 
     def read(self, partition: _RangePartition):
-        # deterministic stand-in for the per-id HTTP GET
+        if self.endpoint:
+            yield from self._read_live(partition)
+            return
+        # deterministic offline stand-in for the per-id HTTP GET
         from rick_and_morty_data_pipeline_project_spark.sources.reference_fixtures import (
             episode_rows,
         )
@@ -60,6 +73,21 @@ class EpisodeApiReader(DataSourceReader):
         for eid, name in episode_rows():
             if partition.start <= eid <= partition.end:
                 yield (eid, name)
+
+    def _read_live(self, partition: _RangePartition):
+        """Executor-side per-id GET over the partition's id range —
+        the reference's driver loop (Scraper.py:218-233), distributed.
+        stdlib urllib: no extra dependency on the executors."""
+        import json as _json
+        import urllib.request
+
+        base = self.endpoint.rstrip("/")
+        for eid in range(partition.start, partition.end + 1):
+            with urllib.request.urlopen(
+                f"{base}/{eid}", timeout=self.timeout
+            ) as resp:
+                payload = _json.loads(resp.read().decode("utf-8"))
+            yield (int(payload["id"]), str(payload["name"]))
 
 
 class EpisodeApiDataSource(DataSource):

@@ -59,3 +59,73 @@ def test_python_datasource_partitioned_read(spark):
     rows = df.collect()
     assert len(rows) == 41
     assert {r["episode_id"] for r in rows} == set(range(1, 42))
+
+
+def test_python_datasource_live_http_loopback(spark):
+    """The endpoint-option LIVE path, exercised against a loopback HTTP
+    server (the sandbox has no external network): each partition GETs
+    its id range executor-side and parses the API's JSON shape."""
+    import http.server
+    import json
+    import threading
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            eid = int(self.path.rstrip("/").rsplit("/", 1)[-1])
+            body = json.dumps(
+                {"id": eid, "name": f"Episode {eid}", "air_date": "n/a"}
+            ).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    port = srv.server_address[1]
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    try:
+        register(spark)
+        rows = (
+            spark.read.format("episode_api")
+            .option("numPartitions", "3")
+            .option("n", "12")
+            .option("endpoint", f"http://127.0.0.1:{port}/api/episode")
+            .load()
+            .collect()
+        )
+        assert {(r["episode_id"], r["episode_name"]) for r in rows} == {
+            (i, f"Episode {i}") for i in range(1, 13)
+        }
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_python_datasource_live_external(spark):
+    """LIVE mode against the real public API — network-gated: skipped
+    unless the endpoint is actually reachable (it is not from this
+    sandbox; the loopback test above covers the code path)."""
+    import urllib.request
+
+    import pytest
+
+    try:
+        urllib.request.urlopen(
+            "https://rickandmortyapi.com/api/episode/1", timeout=3
+        ).read()
+    except Exception:
+        pytest.skip("external network unreachable")
+    register(spark)
+    rows = (
+        spark.read.format("episode_api")
+        .option("n", "3")
+        .option("endpoint", "https://rickandmortyapi.com/api/episode")
+        .load()
+        .collect()
+    )
+    assert len(rows) == 3 and rows[0]["episode_name"]
