@@ -16,9 +16,11 @@ Decode has three tiers:
   external codec needed.
 * **Fake** — a deterministic byte-stats stand-in (``decode_media(
   fake=True)``) used where oracle determinism matters.
-* **Stubbed** — formats that require PIL/ffmpeg (jpeg pixels, mp4),
-  not available in this container: clearly-marked
-  ``NotImplementedError``.
+* **Stubbed** — formats that genuinely require external codecs (mp4):
+  clearly-marked ``NotImplementedError``.  Baseline JPEG pixels are no
+  longer stubbed — ``operators/jpegcodec.py`` implements the DCT codec
+  in pure Python/numpy (encode for the fixtures, decode here);
+  progressive JPEG (SOF2) remains header-only by refusal.
 
 Everything Spark-side — schema, Arrow batching, partition behavior, UDF
 signatures — is real and tested in all three tiers.
@@ -103,9 +105,11 @@ def synthesize_real_media(df: DataFrame, id_col: str, text_col: str) -> DataFram
     """Build GENUINE container bytes (fixture generator, Arrow-batched),
     round-robin by id % 4: PPM (P6) images, RIFF/WAV PCM16 audio, PNG
     (real zlib-deflated 8-bit RGB, CRC-correct chunks — any viewer opens
-    it), and JPEG (structurally valid JFIF: real SOI/APP0/SOF0/SOS
-    marker stream carrying the true dimensions; the entropy segment is
-    filler since a real DCT encoder needs a codec).  Bytes are derived
+    it), and JPEG — baseline ones (id % 3 != 0) are REAL decodable
+    JPEGs produced by the pure-Python DCT encoder
+    (operators/jpegcodec.py; any viewer opens them too), progressive
+    ones (id % 3 == 0) carry a structurally-valid SOF2 marker stream
+    with filler entropy (header-parse fixtures).  Bytes are derived
     deterministically from md5(text), so the table is stable across
     runs/engines — this is real media, not a fake byte blob."""
     src = df.select(
@@ -207,29 +211,55 @@ def synthesize_real_media(df: DataFrame, id_col: str, text_col: str) -> DataFram
                         + struct.pack(e + "I", 8)
                         + ifd0
                     )
-                    # Every third JPEG is progressive (SOF2) — the
-                    # header-only dimension/metadata parse must treat
-                    # baseline and progressive alike.
-                    sof_marker = b"\xff\xc2" if mid % 3 == 0 else b"\xff\xc0"
-                    sof0 = (
-                        bytes([8])
-                        + struct.pack(">HH", ht, w)
-                        + bytes([3])
-                        + bytes([1, 0x11, 0])
-                        + bytes([2, 0x11, 1])
-                        + bytes([3, 0x11, 1])
-                    )
-                    sos = bytes([3, 1, 0, 2, 0x11, 3, 0x11, 0, 63, 0])
-                    entropy = material(h, 24)
-                    content = (
-                        b"\xff\xd8"
-                        + b"\xff\xe0" + struct.pack(">H", len(app0) + 2) + app0
+                    app_segs = (
+                        b"\xff\xe0" + struct.pack(">H", len(app0) + 2) + app0
                         + b"\xff\xe1" + struct.pack(">H", len(app1) + 2) + app1
-                        + sof_marker + struct.pack(">H", len(sof0) + 2) + sof0
-                        + b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
-                        + entropy.replace(b"\xff", b"\xfe")
-                        + b"\xff\xd9"
                     )
+                    if mid % 3 == 0:
+                        # Every third JPEG is progressive (SOF2): the
+                        # header-only dimension/metadata parse must
+                        # treat baseline and progressive alike, and the
+                        # decoder's honest SOF2 refusal stays exercised.
+                        # Synthetic entropy data (never decoded).
+                        sof2 = (
+                            bytes([8])
+                            + struct.pack(">HH", ht, w)
+                            + bytes([3])
+                            + bytes([1, 0x11, 0])
+                            + bytes([2, 0x11, 1])
+                            + bytes([3, 0x11, 1])
+                        )
+                        sos = bytes([3, 1, 0, 2, 0x11, 3, 0x11, 0, 63, 0])
+                        entropy = material(h, 24)
+                        content = (
+                            b"\xff\xd8" + app_segs
+                            + b"\xff\xc2"
+                            + struct.pack(">H", len(sof2) + 2) + sof2
+                            + b"\xff\xda"
+                            + struct.pack(">H", len(sos) + 2) + sos
+                            + entropy.replace(b"\xff", b"\xfe")
+                            + b"\xff\xd9"
+                        )
+                    else:
+                        # Baseline JPEGs are REAL: deterministic pixel
+                        # material encoded through the pure-Python DCT
+                        # codec (operators/jpegcodec.py), same APP0/
+                        # APP1 EXIF blocks, same dimensions — the
+                        # header-walk oracle's doc-id arithmetic is
+                        # unchanged, and decode_real_media now
+                        # recovers actual pixels.
+                        import numpy as _np
+
+                        from rick_and_morty_data_pipeline_project_spark.operators.jpegcodec import (
+                            encode_baseline_jpeg,
+                        )
+
+                        pixels = _np.frombuffer(
+                            material(h, w * ht * 3), dtype=_np.uint8
+                        ).reshape(ht, w, 3)
+                        content = encode_baseline_jpeg(
+                            pixels, app_segments=app_segs
+                        )
                     rows.append(
                         (mid, "image", "jpeg", w, ht, None, content)
                     )
@@ -256,9 +286,11 @@ def decode_real_media(df: DataFrame) -> DataFrame:
     P6 header, PNG fully through stdlib ``zlib`` (chunk walk with IHDR
     dims, IDAT inflate, per-scanline filter strip — supports the
     filter-0 non-interlaced 8-bit RGB layout; other filter types need a
-    full reconstructor and raise), and JPEG header-only (SOF0/1/2
-    marker scan for dimensions — pixel decode needs a DCT codec, so
-    ``n_samples``/``mean_value`` stay NULL for JPEG).  ``mean_value``
+    full reconstructor and raise), and JPEG through the pure-Python
+    baseline DCT decoder (operators/jpegcodec.py: DQT/DHT parse,
+    Huffman + zigzag + dequant + IDCT + YCbCr→RGB — real pixels, real
+    ``mean_value``; progressive SOF2 streams fall back to the
+    header-only marker scan with NULL ``mean_value``).  ``mean_value``
     is the mean PCM16 amplitude (audio) or mean pixel byte (decoded
     images).  Formats needing external codecs (mp4 & co) raise —
     this path covers what the stdlib can truly parse, which proves the
@@ -352,8 +384,25 @@ def decode_real_media(df: DataFrame) -> DataFrame:
                 mean = float(sum(pixels)) / len(pixels) if pixels else 0.0
                 return (mid, kind, fmt, len(content), w, h, None, mean)
             if fmt == "jpeg":
-                w, h = jpeg_dims(content)
-                return (mid, kind, fmt, len(content), w, h, None, None)
+                from rick_and_morty_data_pipeline_project_spark.operators.jpegcodec import (
+                    decode_baseline_jpeg,
+                )
+
+                try:
+                    w, h, rgb = decode_baseline_jpeg(content)
+                    mean = float(rgb.astype("float64").mean())
+                except NotImplementedError:
+                    # progressive/subsampled: header-only by refusal —
+                    # dims from the marker walk, no pixel stats.
+                    w, h = jpeg_dims(content)
+                    mean = None
+                except ValueError as e:
+                    if "without SOF+SOS" not in str(e):
+                        raise  # corrupt scan fails loudly, not dims-only
+                    # metadata-only stream (SOF but no scan): dims-only
+                    w, h = jpeg_dims(content)
+                    mean = None
+                return (mid, kind, fmt, len(content), w, h, None, mean)
             raise NotImplementedError(
                 f"format {fmt!r} needs external codecs (PIL/ffmpeg), "
                 f"not available here"

@@ -59,6 +59,18 @@ def test_real_media_round_trip(spark):
     )
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(40)
+
+    def _material_for(text: str, n: int) -> bytes:
+        # mirror of the fixture's chained-md5 material stream
+        out = b""
+        h = hashlib.md5(text.encode()).hexdigest().encode()
+        while len(out) < n:
+            h_dig = hashlib.md5(h).digest()
+            out += h_dig
+            h = h_dig
+        return out[:n]
+
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
     media = synthesize_real_media(docs, "doc_id", "text")
     rows = {r["media_id"]: r for r in media.collect()}
     assert {r["format"] for r in rows.values()} == {"ppm", "wav", "png", "jpeg"}
@@ -111,7 +123,30 @@ def test_real_media_round_trip(spark):
             assert m["format"] == "jpeg"
             assert content[:2] == b"\xff\xd8" and content[-2:] == b"\xff\xd9"
             assert (d["width"], d["height"]) == (m["width"], m["height"])
-            assert d["mean_value"] is None and d["n_samples"] is None
+            assert d["n_samples"] is None
+            if mid % 3 == 0:
+                # progressive fixture: header-only by refusal
+                assert b"\xff\xc2" in content and d["mean_value"] is None
+            else:
+                # baseline fixture is a REAL JPEG: independent decode
+                # via the codec module, then check the reported mean
+                # against the decoded pixels exactly and against the
+                # pre-encode material within the flat-quant loss bound
+                import numpy as np
+
+                from rick_and_morty_data_pipeline_project_spark.operators.jpegcodec import (
+                    decode_baseline_jpeg,
+                )
+
+                w, h, rgb = decode_baseline_jpeg(content)
+                assert (w, h) == (m["width"], m["height"])
+                assert abs(
+                    d["mean_value"] - float(rgb.astype("float64").mean())
+                ) < 1e-9
+                # lossy bound: flat-quant roundtrip error ≤2/pixel
+                src = _material_for(texts[mid], w * h * 3)
+                src_mean = sum(src) / len(src)
+                assert abs(d["mean_value"] - src_mean) <= 2.0
 
 
 def test_decode_real_media_rejects_codec_formats(spark):
