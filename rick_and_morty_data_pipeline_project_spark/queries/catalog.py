@@ -108,6 +108,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # ========== r6-born oracled audit twins (never-checked) ==========
     "sketch_hll_accuracy_audit",
     "events_rolling_dau_hll_audit",
+    "multimodal_jpeg_decode_audit",
     # ========== flagship (standing, every round) =====================
     "flagship_greedy_match",
     # ========== rule-2 fingerprint-stale re-greens ===================
@@ -143,7 +144,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "win_moving_avg",
     "win_ntile_rank_stats",
     "win_running_total",
-    "agg_cube_flag_status",
 )
 
 # Round-5 window, retired 2026-08-14 (all 50 earned green rows in

@@ -159,6 +159,85 @@ def multimodal_jpeg_headers(spark, sf_dir):
     return parse_jpeg_headers(m)
 
 
+def multimodal_jpeg_decode_audit(spark, sf_dir):
+    """Driver-checkable contract of the pure-Python baseline JPEG
+    codec (operators/jpegcodec.py): for every baseline JPEG in the
+    real-container media table, decode the actual entropy stream and
+    assert the decoded image matches the pre-encode material — decoded
+    dims equal the arithmetic dims (DuckDB-checkable columns) and
+    every decoded pixel sits within the flat-quant loss bound (≤3 LSB)
+    of the deterministic material bytes the fixture encoded, reported
+    as a boolean the oracle pins TRUE.  A codec regression (DCT,
+    Huffman, stuffing, color transform) turns the row red.
+
+    Scale: narrow mapInPandas over the binary column — decode is
+    per-row CPU, no shuffle; only the 4-column audit result moves.
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from rick_and_morty_data_pipeline_project_spark.operators.jpegcodec import (
+        decode_baseline_jpeg,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    m = (
+        synthesize_real_media(d, "doc_id", "text")
+        .filter(F.col("format") == "jpeg")
+        .filter(F.col("media_id") % 3 != 0)  # baseline fixtures only
+        .join(
+            d.select(F.col("doc_id").alias("media_id"), "text"), "media_id"
+        )
+    )
+
+    def batches(it):
+        def material(seed: str, n: int) -> bytes:
+            out = b""
+            h = seed.encode()
+            while len(out) < n:
+                h = hashlib.md5(h).digest()
+                out += h
+            return out[:n]
+
+        for pdf in it:
+            rows = []
+            for mid, content, text in zip(
+                pdf["media_id"], pdf["content"], pdf["text"]
+            ):
+                mid = int(mid)
+                w, h, rgb = decode_baseline_jpeg(bytes(content))
+                src = np.frombuffer(
+                    material(
+                        hashlib.md5(text.encode()).hexdigest(), w * h * 3
+                    ),
+                    dtype=np.uint8,
+                ).reshape(h, w, 3)
+                ok = bool(
+                    int(np.abs(rgb.astype(int) - src.astype(int)).max()) <= 3
+                )
+                rows.append((mid, w, h, ok))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "decode_ok"]
+            )
+
+    return m.mapInPandas(
+        batches,
+        "media_id long, width int, height int, decode_ok boolean",
+    )
+
+
+MM_JPEG_DECODE_AUDIT_SQL = """
+SELECT doc_id AS media_id,
+       CAST(doc_id % 20 + 8 AS INT) AS width,
+       CAST(doc_id % 15 + 8 AS INT) AS height,
+       TRUE AS decode_ok
+FROM documents
+WHERE doc_id % 4 = 3 AND doc_id % 3 <> 0
+"""
+
+
 MM_JPEG_HEADERS_SQL = """
 SELECT doc_id AS media_id,
        CAST(doc_id % 20 + 8 AS INT) AS width,
@@ -175,6 +254,9 @@ WHERE doc_id % 4 = 3
 QUERIES: dict[str, Q] = {
     "multimodal_metadata_stats": Q(multimodal_metadata_stats, MM_META_SQL),
     "multimodal_jpeg_headers": Q(multimodal_jpeg_headers, MM_JPEG_HEADERS_SQL),
+    "multimodal_jpeg_decode_audit": Q(
+        multimodal_jpeg_decode_audit, MM_JPEG_DECODE_AUDIT_SQL
+    ),
     "multimodal_decode_features": Q(multimodal_decode_features, MM_DECODE_SQL),
     "multimodal_resize_dims": Q(multimodal_resize_dims, MM_RESIZE_SQL),
     "multimodal_frame_samples": Q(multimodal_frame_samples, MM_FRAMES_SQL),
