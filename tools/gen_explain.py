@@ -47,6 +47,9 @@ ANNOTATED = {
     "knn_hard_negatives": "hard-negative mining: both sides normalized once, broadcast queries x fan-out corpus scan, label filter fused before the per-query heap top-k",
     "join_fuzzy_customer_names": "FastSS fuzzy join: narrow deletion-variant explode → ONE high-cardinality equi-join (no hot blocks) → levenshtein verify on candidates only",
     "events_user_trend": "grouped OLS: six map-combinable decimal sums, one user_id shuffle, closed-form projection — no window, no iteration",
+    "sketch_hll_accuracy_audit": "HLL audit: sketch + exact distinct built in the SAME day-keyed aggregate (one raw shuffle); TOTAL row re-aggregates |days| sketch states; the regrouped merge-invariance arm is a second day+type aggregate — all one-row frames cross-joined, never a raw rescan per check",
+    "events_rolling_dau_hll_audit": "rolling-DAU audit: sketch arm shuffles 7×|days| fixed-size states (cardinality-independent); exact arm explodes the distinct pair set (audit-only); both meet on a |days|-row join",
+    "multimodal_jpeg_decode_audit": "JPEG pixel-decode audit: synthesize and decode are Arrow-batched MapInPandas stages; the pre-encode material check joins doc text back by id (broadcast at this SF; a co-partitioned self-join at scale — audit-only cost); the binary column never shuffles, only the 4-column verdict leaves the final stage",
 }
 
 
