@@ -441,3 +441,48 @@ def test_jpeg_headers_plan_is_narrow(spark):
     assert "Exchange" not in plan, plan
     # two tree nodes: synthesize + parse (details section repeats them)
     assert len(re.findall(r"MapInPandas \(\d+\)", plan)) == 2, plan
+
+
+def test_jpeg_decode_audit_binary_never_shuffles(spark):
+    """The pixel-decode audit may join doc text back by id, but the
+    binary content column must stay on the scan side of every
+    exchange: only the text lookup broadcasts, and no shuffle
+    partitioning carries the content column."""
+    from rick_and_morty_data_pipeline_project_spark.queries.catalog import _ALL
+
+    plan = formatted_plan(
+        _ALL["multimodal_jpeg_decode_audit"].fn(spark, SF_SMALL)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # decode + synthesize stages present
+    assert len(re.findall(r"MapInPandas \(\d+\)", plan)) == 2, plan
+    # any Exchange in the plan is the broadcast of the (doc_id, text)
+    # lookup — never a hash shuffle of the content-bearing side
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            raise AssertionError(f"content side shuffled: {line}")
+
+
+def test_hll_audit_single_raw_aggregate_per_arm(spark):
+    """sketch_hll_accuracy_audit builds sketch + exact distinct in the
+    SAME per-day aggregate (no COUNT(DISTINCT) expand rescan per
+    check); the TOTAL row's union arms aggregate sketch STATES, and
+    every cross-join is one-row ⨯ one-row (broadcast), never a raw
+    rescan per check."""
+    from rick_and_morty_data_pipeline_project_spark.queries.catalog import _ALL
+
+    plan = formatted_plan(
+        _ALL["sketch_hll_accuracy_audit"].fn(spark, SF_SMALL)
+    )
+    assert "hll_sketch_agg" in plan and "hll_union_agg" in plan
+    assert "CartesianProduct" not in plan
+    # the one-row total arms meet via BroadcastNestedLoopJoin Cross —
+    # acceptable ONLY because every build side is a one-row aggregate
+    # (each BNLJ build is a BroadcastExchange over a global aggregate)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("BroadcastNestedLoopJoin") == 2, tree
+    # raw events scans: per-day arm + exact-total + union + regrouped
+    # — 4 bounded arms, none explodes into a per-day rescan
+    n_scans = len(re.findall(r"Scan parquet", tree))
+    assert n_scans == 4, tree
