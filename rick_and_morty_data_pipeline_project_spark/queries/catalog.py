@@ -51,11 +51,12 @@ then oldest-green refreshes), then re-frozen with
 on "no oracled query born before this round lacks a green row".
 
 Round-6 window (this file's ``DRIVER_WINDOW``): the 15 r5-born
-never-checked queries + 2 r6-born HLL audit twins + flagship + 11
-rule-2 stale re-greens (this round's bpe/profile edits plus the
-fingerprint expansion to dict/list module constants) + the 23 queries
-whose only green row dates to round 1 (TPC-H q4..q22, the window-
-function family, agg_cube) — the oldest coverage in the ledger.
+never-checked queries + 3 r6-born audits (HLL accuracy/merge-
+invariance, rolling-DAU envelope, JPEG pixel-decode) + flagship + 14
+rule-2 stale re-greens (this round's bpe/profile/multimodal edits plus
+the fingerprint expansion to dict/list module constants) + 18 of the
+queries whose only green row dates to round 1 (TPC-H classics and the
+window-function family; the remaining five r01 refreshes go to r07).
 """
 
 from __future__ import annotations
@@ -82,12 +83,14 @@ for mod in (tpch, tpchx, tpchf, textq, vecq, extraq, mmq, reference, sketchq, bp
 
 # The 50 driver-checked slots.  All must carry a full DuckDB oracle.
 # Round-6 rotation (standing policy in the module docstring):
-# 15 never-checked (all r5-born-after-freeze) + 2 r6-born audit twins
-# + 11 fingerprint-stale re-greens (rule 2: rotation_report flagged
-# them after this round's bpe/profile edits and the fingerprint
-# coverage expansion to dict/list module constants — lexicons and
-# LANG_MARKERS now count) + 23 oldest-green refreshes (last driver row
-# r01: TPC-H q4..q22, the window-function family, agg_cube).
+# 15 never-checked (all r5-born-after-freeze) + 3 r6-born audits
+# (HLL accuracy/merge, rolling-DAU envelope, JPEG pixel decode) + 14
+# fingerprint-stale re-greens (rule 2: this round's bpe/profile/
+# multimodal edits plus the fingerprint coverage expansion to
+# dict/list module constants — lexicons and LANG_MARKERS now count)
+# + 18 oldest-green refreshes (last driver row r01: TPC-H classics and
+# the window-function family; q4/q7..q13, q15/q17/q18/q20..q22 subset
+# this round, remainder next).
 DRIVER_WINDOW: tuple[str, ...] = (
     # ========== 15 never-driver-checked oracled queries (r5-born) ====
     "text_quality_classifier",
@@ -121,6 +124,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "text_language_id",
     "text_top2_emotions",
     "unpivot_emotion_scores",
+    # multimodal.py changed this round (real-JPEG fixtures + decode) —
+    # re-green the whole oracled multimodal family
+    "multimodal_metadata_stats",
+    "multimodal_resize_dims",
+    "multimodal_frame_samples",
     # ========== oldest-green refreshes (last row r01) ================
     "q4_order_priority",
     "q7_volume_shipping",
@@ -130,12 +138,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q11_important_stock",
     "q12_priority_lines",
     "q13_customer_order_distribution",
-    "q14_promo_revenue",
     "q15_top_supplier",
-    "q16_supplier_part_counts",
     "q17_small_quantity_revenue",
     "q18_large_orders",
-    "q19_disjunctive_predicates",
     "q20_heavy_shippers",
     "q21_lone_fault_suppliers",
     "q22_idle_customers",
