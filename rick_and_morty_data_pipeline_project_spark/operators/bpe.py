@@ -274,18 +274,16 @@ def train_bpe(
     many pair-scan jobs it took.
     """
     spark = words.sparkSession
-    # Bounded size probe: count up to the cap+1 WITHOUT shipping rows
-    # to the driver — an oversize vocab costs one count job, not a 2M-
-    # row transfer whose only purpose is to be discarded.
-    probe = words.limit(max_driver_vocab + 1).count()
-    if probe <= max_driver_vocab:
-        # The probe proved the true size fits, but probe and collect
-        # are two separate jobs — a relation that is non-deterministic
-        # between evaluations could pass the probe yet materialize more
-        # rows here.  The limit() keeps the driver transfer capped
-        # regardless of re-evaluation (it changes nothing when the
-        # relation is deterministic).
-        head = words.select("word", "cnt").limit(max_driver_vocab).collect()
+    # ONE bounded collect decides the path atomically: cap+1 rows is
+    # the maximum driver transfer, and because the size check and the
+    # data come from the SAME evaluation, a relation that is
+    # non-deterministic between jobs can neither oversize the transfer
+    # (old round-4 finding) nor slip a truncated-but-accepted vocab
+    # into the driver trainer (the round-6 review's counter-finding to
+    # the first fix): an over-cap evaluation falls through to the
+    # distributed path instead of silently training on a subset.
+    head = words.select("word", "cnt").limit(max_driver_vocab + 1).collect()
+    if len(head) <= max_driver_vocab:
         merges, final_rows = _train_driver(head, n_merges, stats)
         if stats is not None:
             stats.update(path="driver", pair_scan_jobs=1)

@@ -40,6 +40,14 @@ import numpy as np
 # Shared constants
 # --------------------------------------------------------------------------
 
+class JpegNoScan(ValueError):
+    """Structurally-parsable JPEG that carries no decodable scan
+    (SOF without SOS, or neither): metadata-only streams.  A DISTINCT
+    type so callers can fall back to header-only parsing without
+    string-matching error messages — any other ValueError from the
+    decoder means a corrupt scan and should stay loud."""
+
+
 #: zigzag scan order: _ZIGZAG[k] = (row-major index holding the k-th
 #: zigzag coefficient)
 _ZIGZAG = [
@@ -447,12 +455,26 @@ def decode_baseline_jpeg(content: bytes) -> tuple[int, int, np.ndarray]:
             break
         i += 2 + seglen
     if frame is None or scan is None:
-        raise ValueError("JPEG without SOF+SOS")
+        raise JpegNoScan("JPEG without SOF+SOS")
 
     w, h, frame_comps = frame
     scan_comps, pos = scan
     if [c for c, _, _ in scan_comps] != [c for c, _ in frame_comps]:
         raise NotImplementedError("scan order differs from frame order")
+    # validate table references up front: a scan naming an undefined
+    # table must be a loud ValueError, not a KeyError escaping to the
+    # caller's batch loop
+    for ci, (cid, dc_id, ac_id) in enumerate(scan_comps):
+        if dc_id not in dc_tables or ac_id not in ac_tables:
+            raise ValueError(
+                f"scan component {cid} references undefined Huffman "
+                f"table (DC {dc_id} / AC {ac_id})"
+            )
+        if frame_comps[ci][1] not in quants:
+            raise ValueError(
+                f"frame component {cid} references undefined quant "
+                f"table {frame_comps[ci][1]}"
+            )
 
     reader = _BitReader(content, pos)
     ph, pw = -(-h // 8) * 8, -(-w // 8) * 8

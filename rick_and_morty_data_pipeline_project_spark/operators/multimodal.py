@@ -101,6 +101,23 @@ REAL_DECODED_SCHEMA = (
 )
 
 
+def material_stream(seed: str, n: int) -> bytes:
+    """Deterministic byte material: chained md5 digests from a hex-seed
+    string.  THE single definition — the fixture generator below, the
+    ``multimodal_jpeg_decode_audit`` pre-encode check, and the
+    decode-real unit test all regenerate the same stream from this
+    function; a drifted copy would make the audit compare against the
+    wrong reference."""
+    import hashlib
+
+    out = b""
+    h = seed.encode()
+    while len(out) < n:
+        h = hashlib.md5(h).digest()
+        out += h
+    return out[:n]
+
+
 def synthesize_real_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Build GENUINE container bytes (fixture generator, Arrow-batched),
     round-robin by id % 4: PPM (P6) images, RIFF/WAV PCM16 audio, PNG
@@ -117,7 +134,6 @@ def synthesize_real_media(df: DataFrame, id_col: str, text_col: str) -> DataFram
     )
 
     def batches(it: Iterator):
-        import hashlib
         import io
         import struct
         import wave
@@ -125,13 +141,7 @@ def synthesize_real_media(df: DataFrame, id_col: str, text_col: str) -> DataFram
 
         import pandas as pd
 
-        def material(seed: str, n: int) -> bytes:
-            out = b""
-            h = seed.encode()
-            while len(out) < n:
-                h = hashlib.md5(h).digest()
-                out += h
-            return out[:n]
+        material = material_stream
 
         def png_chunk(tag: bytes, data: bytes) -> bytes:
             return (
@@ -385,21 +395,19 @@ def decode_real_media(df: DataFrame) -> DataFrame:
                 return (mid, kind, fmt, len(content), w, h, None, mean)
             if fmt == "jpeg":
                 from rick_and_morty_data_pipeline_project_spark.operators.jpegcodec import (
+                    JpegNoScan,
                     decode_baseline_jpeg,
                 )
 
                 try:
                     w, h, rgb = decode_baseline_jpeg(content)
                     mean = float(rgb.astype("float64").mean())
-                except NotImplementedError:
-                    # progressive/subsampled: header-only by refusal —
-                    # dims from the marker walk, no pixel stats.
-                    w, h = jpeg_dims(content)
-                    mean = None
-                except ValueError as e:
-                    if "without SOF+SOS" not in str(e):
-                        raise  # corrupt scan fails loudly, not dims-only
-                    # metadata-only stream (SOF but no scan): dims-only
+                except (NotImplementedError, JpegNoScan):
+                    # progressive/subsampled (refused feature) or a
+                    # metadata-only stream (SOF but no scan): header-
+                    # only — dims from the marker walk, no pixel stats.
+                    # Any OTHER ValueError is a corrupt scan and stays
+                    # loud, never silently dims-only.
                     w, h = jpeg_dims(content)
                     mean = None
                 return (mid, kind, fmt, len(content), w, h, None, mean)

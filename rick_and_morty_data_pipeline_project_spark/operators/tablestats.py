@@ -68,12 +68,17 @@ def parquet_footer_stats(
     parquet file under ``table_dir`` — footer reads only, distributed
     over the file list.
 
-    ``stats_missing`` is true when the file HAS rows but NO row group
+    ``stats_missing`` is true when the file HAS rows, NO row group
     carries min/max statistics for ``key_col`` (``has_min_max`` false —
-    legal parquet; some writers omit column statistics).  Such a file
-    reports NULL bounds here while a scanning audit computes real ones,
-    so without the flag it would surface only as an inexplicable
-    footer-vs-scan mismatch.  Callers comparing against a scan (e.g.
+    legal parquet; some writers omit column statistics), AND the
+    absence is not explained by the values themselves: a row group
+    whose statistics show ``null_count == num_rows`` legitimately has
+    no min/max (the key is entirely NULL there), so an all-NULL-key
+    file reports NULL bounds with ``stats_missing`` false — genuinely
+    NULL-keyed, not under-documented.  Files flagged true report NULL
+    bounds here while a scanning audit computes real ones; without the
+    flag that would surface only as an inexplicable footer-vs-scan
+    mismatch.  Callers comparing against a scan (e.g.
     ``profile_table_files_fast``) should treat ``stats_missing`` rows
     as "bounds unknown", not "bounds NULL"; a zero-row file reports
     NULL bounds with ``stats_missing`` false (nothing to bound).  See
@@ -109,18 +114,28 @@ def parquet_footer_stats(
                 ]
                 idx = names.index(key_col)
                 mn = mx = None
+                unexplained = False
                 for rg in range(md.num_row_groups):
-                    st = md.row_group(rg).column(idx).statistics
+                    rgm = md.row_group(rg)
+                    st = rgm.column(idx).statistics
                     if st is not None and st.has_min_max:
                         mn = st.min if mn is None else min(mn, st.min)
                         mx = st.max if mx is None else max(mx, st.max)
+                    elif not (
+                        st is not None
+                        and st.has_null_count
+                        and st.null_count == rgm.num_rows
+                    ):
+                        # no min/max and NOT because the row group's
+                        # key is entirely NULL → under-documented
+                        unexplained = True
                 rows.append(
                     (
                         p.rstrip("/").rsplit("/", 1)[-1],
                         md.num_rows,
                         mn,
                         mx,
-                        md.num_rows > 0 and mn is None,
+                        md.num_rows > 0 and mn is None and unexplained,
                     )
                 )
             yield pd.DataFrame(

@@ -52,11 +52,14 @@ on "no oracled query born before this round lacks a green row".
 
 Round-6 window (this file's ``DRIVER_WINDOW``): the 15 r5-born
 never-checked queries + 3 r6-born audits (HLL accuracy/merge-
-invariance, rolling-DAU envelope, JPEG pixel-decode) + flagship + 14
+invariance, rolling-DAU envelope, JPEG pixel-decode) + flagship + 12
 rule-2 stale re-greens (this round's bpe/profile/multimodal edits plus
-the fingerprint expansion to dict/list module constants) + 18 of the
-queries whose only green row dates to round 1 (TPC-H classics and the
-window-function family; the remaining five r01 refreshes go to r07).
+the fingerprint expansion to dict/list module constants; two more
+stale entries — profile_table_files_fast and flagship_greedy_match —
+are already counted in the never-checked/flagship slots) + 19 of the
+24 queries whose only green row dates to round 1 (14 TPC-H classics +
+the 5 window functions; the remaining five r01 refreshes — q14, q16,
+q19, agg_cube_flag_status and friends — go to r07).
 """
 
 from __future__ import annotations
@@ -84,13 +87,13 @@ for mod in (tpch, tpchx, tpchf, textq, vecq, extraq, mmq, reference, sketchq, bp
 # The 50 driver-checked slots.  All must carry a full DuckDB oracle.
 # Round-6 rotation (standing policy in the module docstring):
 # 15 never-checked (all r5-born-after-freeze) + 3 r6-born audits
-# (HLL accuracy/merge, rolling-DAU envelope, JPEG pixel decode) + 14
-# fingerprint-stale re-greens (rule 2: this round's bpe/profile/
-# multimodal edits plus the fingerprint coverage expansion to
-# dict/list module constants — lexicons and LANG_MARKERS now count)
-# + 18 oldest-green refreshes (last driver row r01: TPC-H classics and
-# the window-function family; q4/q7..q13, q15/q17/q18/q20..q22 subset
-# this round, remainder next).
+# (HLL accuracy/merge, rolling-DAU envelope, JPEG pixel decode)
+# + flagship + 12 fingerprint-stale re-greens (rule 2: this round's
+# bpe/profile/multimodal edits plus the fingerprint coverage expansion
+# to dict/list module constants — lexicons and LANG_MARKERS now count)
+# + 19 oldest-green refreshes (last driver row r01: 14 TPC-H classics
+# q4/q7..q13/q15/q17/q18/q20..q22 + the 5 window functions; the five
+# remaining r01 queries go to r07).  15+3+1+12+19 = 50.
 DRIVER_WINDOW: tuple[str, ...] = (
     # ========== 15 never-driver-checked oracled queries (r5-born) ====
     "text_quality_classifier",
@@ -238,6 +241,14 @@ _spares = [
     for s in _SPARES
     if s not in DRIVER_WINDOW and _ALL[s].sql is not None
 ]
+_degraded = [n for n in DRIVER_WINDOW if _ALL[n].sql is None]
+if len(_degraded) > len(_spares):
+    raise RuntimeError(
+        f"{len(_degraded)} window entries degraded to rows-only "
+        f"(missing testdata for canonical-literal oracles: {_degraded}) "
+        f"but only {len(_spares)} oracled spares are available — "
+        "cannot keep the driver window all-oracled"
+    )
 DRIVER_WINDOW = tuple(
     n if _ALL[n].sql is not None else _spares.pop(0) for n in DRIVER_WINDOW
 )

@@ -165,10 +165,17 @@ def multimodal_jpeg_decode_audit(spark, sf_dir):
     real-container media table, decode the actual entropy stream and
     assert the decoded image matches the pre-encode material — decoded
     dims equal the arithmetic dims (DuckDB-checkable columns) and
-    every decoded pixel sits within the flat-quant loss bound (≤3 LSB)
-    of the deterministic material bytes the fixture encoded, reported
-    as a boolean the oracle pins TRUE.  A codec regression (DCT,
-    Huffman, stuffing, color transform) turns the row red.
+    every decoded pixel sits within the flat-quant loss bound of the
+    deterministic material bytes the fixture encoded, reported as a
+    boolean the oracle pins TRUE.  A codec regression (DCT, Huffman,
+    stuffing, color transform) turns the row red.
+
+    Bound: ≤5 LSB.  Measured error over 4,000 fixture-shaped images
+    maxes at 3, but the theoretical flat-quant worst case is ~4.2
+    (quantizer rounding ±0.5 per coefficient through the color
+    transform) — a driver gate must use the GUARANTEED bound, not the
+    observed one, or unlucky corpus content turns the row red with no
+    codec regression.
 
     Scale: narrow mapInPandas over the binary column — decode is
     per-row CPU, no shuffle; only the 4-column audit result moves.
@@ -180,6 +187,9 @@ def multimodal_jpeg_decode_audit(spark, sf_dir):
 
     from rick_and_morty_data_pipeline_project_spark.operators.jpegcodec import (
         decode_baseline_jpeg,
+    )
+    from rick_and_morty_data_pipeline_project_spark.operators.multimodal import (
+        material_stream as material,
     )
 
     d = t(spark, sf_dir, "documents")
@@ -193,14 +203,6 @@ def multimodal_jpeg_decode_audit(spark, sf_dir):
     )
 
     def batches(it):
-        def material(seed: str, n: int) -> bytes:
-            out = b""
-            h = seed.encode()
-            while len(out) < n:
-                h = hashlib.md5(h).digest()
-                out += h
-            return out[:n]
-
         for pdf in it:
             rows = []
             for mid, content, text in zip(
@@ -215,7 +217,7 @@ def multimodal_jpeg_decode_audit(spark, sf_dir):
                     dtype=np.uint8,
                 ).reshape(h, w, 3)
                 ok = bool(
-                    int(np.abs(rgb.astype(int) - src.astype(int)).max()) <= 3
+                    int(np.abs(rgb.astype(int) - src.astype(int)).max()) <= 5
                 )
                 rows.append((mid, w, h, ok))
             yield pd.DataFrame(

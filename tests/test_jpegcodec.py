@@ -95,6 +95,31 @@ def test_refusals_are_loud():
     buf[buf.index(b"\xff\xc0") + 1] = 0xC2
     with pytest.raises(NotImplementedError, match="progressive"):
         decode_baseline_jpeg(bytes(buf))
+    # a scan referencing an undefined Huffman table must be a loud
+    # ValueError (not a KeyError escaping into callers' batch loops):
+    # strip all four DHT segments out of a valid stream
+    import re as _re
+
+    good = encode_baseline_jpeg(_gradient(8, 8))
+    stripped = bytearray()
+    i = 0
+    while i < len(good):
+        if good[i : i + 2] == b"\xff\xc4":
+            seglen = int.from_bytes(good[i + 2 : i + 4], "big")
+            i += 2 + seglen
+            continue
+        stripped.append(good[i])
+        i += 1
+    with pytest.raises(ValueError, match="undefined Huffman"):
+        decode_baseline_jpeg(bytes(stripped))
+    # metadata-only stream (SOF, no SOS) raises the DISTINCT JpegNoScan
+    from rick_and_morty_data_pipeline_project_spark.operators.jpegcodec import (
+        JpegNoScan,
+    )
+
+    sos_at = good.index(b"\xff\xda")
+    with pytest.raises(JpegNoScan):
+        decode_baseline_jpeg(good[:sos_at] + b"\xff\xd9")
 
 
 def test_non_multiple_of_8_dims_crop_correctly():

@@ -60,15 +60,13 @@ def test_real_media_round_trip(spark):
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(40)
 
+    from rick_and_morty_data_pipeline_project_spark.operators.multimodal import (
+        material_stream,
+    )
+
     def _material_for(text: str, n: int) -> bytes:
-        # mirror of the fixture's chained-md5 material stream
-        out = b""
-        h = hashlib.md5(text.encode()).hexdigest().encode()
-        while len(out) < n:
-            h_dig = hashlib.md5(h).digest()
-            out += h_dig
-            h = h_dig
-        return out[:n]
+        # the SAME stream the fixture encoded (single shared definition)
+        return material_stream(hashlib.md5(text.encode()).hexdigest(), n)
 
     texts = {r["doc_id"]: r["text"] for r in docs.collect()}
     media = synthesize_real_media(docs, "doc_id", "text")

@@ -642,6 +642,10 @@ def test_footer_stats_missing_flagged(spark, tmp_path):
         pa.table({"l_orderkey": pa.array([], type=pa.int64())}),
         str(d / "empty.parquet"),
     )
+    pq.write_table(
+        pa.table({"l_orderkey": pa.array([None, None], type=pa.int64())}),
+        str(d / "allnull.parquet"),
+    )
     got = {
         r["file"]: (r["n_rows"], r["min_key"], r["max_key"], r["stats_missing"])
         for r in parquet_footer_stats(spark, str(d), "l_orderkey").collect()
@@ -649,3 +653,6 @@ def test_footer_stats_missing_flagged(spark, tmp_path):
     assert got["nostats.parquet"] == (3, None, None, True)
     assert got["stats.parquet"] == (2, 2, 7, False)
     assert got["empty.parquet"] == (0, None, None, False)
+    # all-NULL key: stats present, has_min_max false BECAUSE
+    # null_count == num_rows — genuinely NULL-keyed, not flagged
+    assert got["allnull.parquet"] == (2, None, None, False)

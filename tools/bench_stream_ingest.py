@@ -109,6 +109,11 @@ def main() -> int:
         print(f"batch {b:3d}  {wall:6.2f} s  kept={kept}", flush=True)
 
     secs = [r["sec"] for r in per_batch]
+    if len(secs) < 2:
+        print(json.dumps({"metric": "stream_ingest_neardup_per_batch",
+                          "per_batch": per_batch,
+                          "note": "need >=2 batches for growth stats"}))
+        return 0
     half = len(secs) // 2
     summary = {
         "metric": "stream_ingest_neardup_per_batch",
