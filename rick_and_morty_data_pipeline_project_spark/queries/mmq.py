@@ -171,11 +171,13 @@ def multimodal_jpeg_decode_audit(spark, sf_dir):
     stuffing, color transform) turns the row red.
 
     Bound: ≤5 LSB.  Measured error over 4,000 fixture-shaped images
-    maxes at 3, but the theoretical flat-quant worst case is ~4.2
-    (quantizer rounding ±0.5 per coefficient through the color
-    transform) — a driver gate must use the GUARANTEED bound, not the
-    observed one, or unlucky corpus content turns the row red with no
-    codec regression.
+    AND the full sf0.1 fixture set maxes at 3; the adversarial
+    flat-quant worst case (all 64 coefficient roundings of all three
+    planes aligned through the color transform) is far looser but
+    unattainable for md5-derived content.  A driver gate needs margin
+    over the observed maximum — 3 exactly-at-the-bound fixtures per
+    4,000 showed ≤3 had none, and an unlucky corpus would turn the row
+    red with no codec regression.
 
     Scale: narrow mapInPandas over the binary column — decode is
     per-row CPU, no shuffle; only the 4-column audit result moves.
