@@ -51,15 +51,17 @@ then oldest-green refreshes), then re-frozen with
 on "no oracled query born before this round lacks a green row".
 
 Round-6 window (this file's ``DRIVER_WINDOW``): the 15 r5-born
-never-checked queries + 3 r6-born audits (HLL accuracy/merge-
-invariance, rolling-DAU envelope, JPEG pixel-decode) + flagship + 12
-rule-2 stale re-greens (this round's bpe/profile/multimodal edits plus
-the fingerprint expansion to dict/list module constants; two more
-stale entries — profile_table_files_fast and flagship_greedy_match —
-are already counted in the never-checked/flagship slots) + 19 of the
-24 queries whose only green row dates to round 1 (14 TPC-H classics +
-the 5 window functions; the remaining five r01 refreshes — q14, q16,
-q19, agg_cube_flag_status and friends — go to r07).
+never-checked queries + 5 r6-born audits (HLL accuracy/merge-
+invariance, rolling-DAU envelope, JPEG pixel-decode, CMS one-sided
+band, approx-distinct/percentile rank-error) + flagship + 12 rule-2
+stale re-greens (this round's bpe/profile/multimodal edits plus the
+fingerprint expansion to dict/list module constants; two more stale
+entries — profile_table_files_fast and flagship_greedy_match — are
+already counted in the never-checked/flagship slots) + 17 of the 24
+queries whose only green row dates to round 1 (12 TPC-H classics +
+the 5 window functions; the remaining seven r01 refreshes — q13, q14,
+q16, q19, q20, agg_cube_flag_status and friends — go to r07).
+15+5+1+12+17 = 50.
 """
 
 from __future__ import annotations
@@ -86,14 +88,15 @@ for mod in (tpch, tpchx, tpchf, textq, vecq, extraq, mmq, reference, sketchq, bp
 
 # The 50 driver-checked slots.  All must carry a full DuckDB oracle.
 # Round-6 rotation (standing policy in the module docstring):
-# 15 never-checked (all r5-born-after-freeze) + 3 r6-born audits
-# (HLL accuracy/merge, rolling-DAU envelope, JPEG pixel decode)
-# + flagship + 12 fingerprint-stale re-greens (rule 2: this round's
-# bpe/profile/multimodal edits plus the fingerprint coverage expansion
-# to dict/list module constants — lexicons and LANG_MARKERS now count)
-# + 19 oldest-green refreshes (last driver row r01: 14 TPC-H classics
-# q4/q7..q13/q15/q17/q18/q20..q22 + the 5 window functions; the five
-# remaining r01 queries go to r07).  15+3+1+12+19 = 50.
+# 15 never-checked (all r5-born-after-freeze) + 5 r6-born audits
+# (HLL accuracy/merge, rolling-DAU envelope, JPEG pixel decode, CMS
+# band, approx-distinct/percentile rank error) + flagship + 12
+# fingerprint-stale re-greens (rule 2: this round's bpe/profile/
+# multimodal edits plus the fingerprint coverage expansion to
+# dict/list module constants — lexicons and LANG_MARKERS now count)
+# + 17 oldest-green refreshes (last driver row r01: 12 TPC-H classics
+# q4/q7..q12/q15/q17/q18/q21/q22 + the 5 window functions; the seven
+# remaining r01 queries go to r07).  15+5+1+12+17 = 50.
 DRIVER_WINDOW: tuple[str, ...] = (
     # ========== 15 never-driver-checked oracled queries (r5-born) ====
     "text_quality_classifier",
@@ -115,6 +118,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "sketch_hll_accuracy_audit",
     "events_rolling_dau_hll_audit",
     "multimodal_jpeg_decode_audit",
+    "sketch_cms_accuracy_audit",
+    "agg_approx_distinct_audit",
     # ========== flagship (standing, every round) =====================
     "flagship_greedy_match",
     # ========== rule-2 fingerprint-stale re-greens ===================
@@ -140,11 +145,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q10_returned_items",
     "q11_important_stock",
     "q12_priority_lines",
-    "q13_customer_order_distribution",
     "q15_top_supplier",
     "q17_small_quantity_revenue",
     "q18_large_orders",
-    "q20_heavy_shippers",
     "q21_lone_fault_suppliers",
     "q22_idle_customers",
     "win_first_last_nth",

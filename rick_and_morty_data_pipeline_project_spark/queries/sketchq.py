@@ -309,6 +309,52 @@ FROM spine s LEFT JOIN counted c USING (win_day)
 """
 
 
+def sketch_cms_accuracy_audit(spark, sf_dir):
+    """Driver-checkable contract of the Count-Min path: per-user exact
+    event counts (hash-verified against DuckDB) plus Spark-computed
+    booleans the oracle pins TRUE — ``lower_ok`` (est ≥ exact: the CMS
+    one-sided guarantee, HARD — a single violation means the
+    grid-decode or probe indexing is broken) and ``band_ok`` (est ≤
+    exact + eps·N: the probabilistic band, deterministic for the fixed
+    seed/data and verified at all three SFs before shipping).
+
+    Scale: identical plan to ``sketch_cms_user_counts`` — one
+    map-combinable sketch aggregate (fixed ~100 KB state per task),
+    one driver decode, Arrow-batched probe over the already-reduced
+    distinct-item relation; the N for the band rides the same one-row
+    frame.
+    """
+    e = t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    est = cms_point_estimates(
+        e, "user_id", eps=0.001, confidence=0.99, seed=42
+    )
+    n_total = e.agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        est.crossJoin(n_total)  # one-row frame
+        .select(
+            "item",
+            "exact_count",
+            (F.col("est_count") >= F.col("exact_count")).alias("lower_ok"),
+            (
+                F.col("est_count")
+                <= F.col("exact_count")
+                + F.ceil(F.lit(0.001) * F.col("_n")).cast("long")
+            ).alias("band_ok"),
+        )
+    )
+
+
+CMS_AUDIT_SQL = """
+SELECT user_id AS item,
+       COUNT(*) AS exact_count,
+       TRUE AS lower_ok,
+       TRUE AS band_ok
+FROM events
+WHERE user_id IS NOT NULL
+GROUP BY 1
+"""
+
+
 QUERIES: dict[str, Q] = {
     "sketch_hll_rollup": Q(sketch_hll_rollup, None),
     "sketch_cms_user_counts": Q(sketch_cms_user_counts, None),
@@ -317,4 +363,5 @@ QUERIES: dict[str, Q] = {
     "events_rolling_dau_hll_audit": Q(
         events_rolling_dau_hll_audit, ROLLING_HLL_AUDIT_SQL
     ),
+    "sketch_cms_accuracy_audit": Q(sketch_cms_accuracy_audit, CMS_AUDIT_SQL),
 }

@@ -682,6 +682,81 @@ GROUP BY l_returnflag
 """
 
 
+def agg_approx_distinct_audit(spark, sf_dir):
+    """Driver-checkable contract of the approximate-aggregation
+    surface (the rows-only ``agg_approx_distinct``'s audit twin):
+    per group, the exact distinct count and row count (DuckDB
+    hash-verified) plus Spark-computed booleans the oracle pins TRUE —
+
+    * ``acd_ok``: ``approx_count_distinct(rsd=0.02)`` within 3·rsd of
+      the exact distinct (3σ of the HLL++ relative standard error,
+      floor 3 for tiny groups);
+    * ``median_ok``: ``percentile_approx(0.5, accuracy=10000)``
+      returns a REAL data value whose rank sits within the documented
+      n/accuracy rank-error window of the true median rank (checked by
+      counting values ≤/< the returned value — the guarantee the
+      accuracy parameter actually makes, not a value-distance heuristic).
+
+    Scale: the first aggregate is the production plan; the rank check
+    joins the 3-row result back to the fact broadcast and re-counts —
+    one extra scan, audit-only.
+    """
+    l = t(spark, sf_dir, "lineitem")
+    agg = l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("_acd"),
+        F.percentile_approx(F.col("l_extendedprice"), 0.5, 10000).alias(
+            "_med"
+        ),
+        F.count_distinct("l_partkey").alias("exact_parts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    ranks = (
+        l.join(
+            F.broadcast(agg.select("l_returnflag", "_med")), "l_returnflag"
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") <= F.col("_med")).cast("long")
+            ).alias("_cnt_le"),
+            F.sum(
+                (F.col("l_extendedprice") < F.col("_med")).cast("long")
+            ).alias("_cnt_lt"),
+        )
+    )
+    tol = (F.col("n_rows") / F.lit(10000.0) + F.lit(1.0))
+    target = F.col("n_rows") * F.lit(0.5)
+    return (
+        agg.join(ranks, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            "n_rows",
+            (
+                F.abs(F.col("_acd") - F.col("exact_parts"))
+                <= F.greatest(
+                    F.lit(3.0), 3 * 0.02 * F.col("exact_parts")
+                )
+            ).alias("acd_ok"),
+            (
+                (F.col("_cnt_le") >= F.floor(target) - tol)
+                & (F.col("_cnt_lt") <= F.ceil(target) + tol)
+            ).alias("median_ok"),
+        )
+    )
+
+
+AGG_APPROX_AUDIT_SQL = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS exact_parts,
+       COUNT(*) AS n_rows,
+       TRUE AS acd_ok,
+       TRUE AS median_ok
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
 QUERIES: dict[str, Q] = {
     "q7_volume_shipping": Q(q7_volume_shipping, Q7_SQL),
     "q8_market_share": Q(q8_market_share, Q8_SQL),
@@ -702,4 +777,7 @@ QUERIES: dict[str, Q] = {
     "join_range_user_window": Q(join_range_user_window, JOIN_RANGE_SQL),
     "agg_approx_distinct": Q(agg_approx_distinct, None),
     "agg_exact_distinct": Q(agg_exact_distinct, AGG_EXACT_DISTINCT_SQL),
+    "agg_approx_distinct_audit": Q(
+        agg_approx_distinct_audit, AGG_APPROX_AUDIT_SQL
+    ),
 }
