@@ -50,6 +50,8 @@ ANNOTATED = {
     "sketch_hll_accuracy_audit": "HLL audit: sketch + exact distinct built in the SAME day-keyed aggregate (one raw shuffle); TOTAL row re-aggregates |days| sketch states; the regrouped merge-invariance arm is a second day+type aggregate — all one-row frames cross-joined, never a raw rescan per check",
     "events_rolling_dau_hll_audit": "rolling-DAU audit: sketch arm shuffles 7×|days| fixed-size states (cardinality-independent); exact arm explodes the distinct pair set (audit-only); both meet on a |days|-row join",
     "multimodal_jpeg_decode_audit": "JPEG pixel-decode audit: synthesize and decode are Arrow-batched MapInPandas stages; the pre-encode material check joins doc text back by id (broadcast at this SF; a co-partitioned self-join at scale — audit-only cost); the binary column never shuffles, only the 4-column verdict leaves the final stage",
+    "sketch_cms_accuracy_audit": "CMS audit: one map-combinable count_min_sketch aggregate (fixed ~100 KB state), driver decode, Arrow-batched probe over the REDUCED distinct-item relation; N rides a one-row crossJoin — raw events scanned once per arm, never per item",
+    "agg_approx_distinct_audit": "approx-agg audit: production aggregate (approx_count_distinct + percentile_approx + exact distinct in ONE groupBy) plus a broadcast join-back rank count — the percentile guarantee checked by counted ranks, one extra scan, audit-only",
 }
 
 
