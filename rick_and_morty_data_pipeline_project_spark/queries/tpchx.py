@@ -699,7 +699,9 @@ def agg_approx_distinct_audit(spark, sf_dir):
 
     Scale: the first aggregate is the production plan; the rank check
     joins the 3-row result back to the fact broadcast and re-counts —
-    one extra scan, audit-only.
+    two extra fact scans in total (the broadcast median side recomputes
+    the 3-row aggregate; Catalyst does not share the subtree), bounded
+    and audit-only.
     """
     l = t(spark, sf_dir, "lineitem")
     agg = l.groupBy("l_returnflag").agg(

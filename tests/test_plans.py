@@ -486,3 +486,43 @@ def test_hll_audit_single_raw_aggregate_per_arm(spark):
     # — 4 bounded arms, none explodes into a per-day rescan
     n_scans = len(re.findall(r"Scan parquet", tree))
     assert n_scans == 4, tree
+
+
+def test_cms_audit_probe_is_reduced_relation(spark):
+    """The CMS audit probes the already-aggregated distinct-item
+    relation through ONE ArrowEvalPython (vectorized grid lookup) —
+    raw events are never sent through Python, and N arrives as a
+    one-row broadcast, not a rescan per item."""
+    from rick_and_morty_data_pipeline_project_spark.queries.catalog import _ALL
+
+    plan = formatted_plan(
+        _ALL["sketch_cms_accuracy_audit"].fn(spark, SF_SMALL)
+    )
+    tree = plan.split("\n\n")[0]
+    assert tree.count("ArrowEvalPython") == 1, tree
+    # the Python probe sits ABOVE the item aggregate (tree text is
+    # top-down, so the probe line must appear BEFORE the aggregate
+    # that reduces raw events), never directly on the scan
+    assert tree.index("ArrowEvalPython") < tree.index("HashAggregate"), tree
+    assert "BroadcastNestedLoopJoin Cross" in tree  # the one-row N frame
+    assert len(re.findall(r"Scan parquet", tree)) == 2, tree
+
+
+def test_approx_audit_single_production_aggregate(spark):
+    """agg_approx_distinct_audit computes approx-distinct, approx-
+    median and exact distinct in ONE grouped aggregate over the fact
+    scan; the rank check is a broadcast join-back plus one more scan —
+    exactly two fact scans, no cartesian anywhere."""
+    from rick_and_morty_data_pipeline_project_spark.queries.catalog import _ALL
+
+    plan = formatted_plan(
+        _ALL["agg_approx_distinct_audit"].fn(spark, SF_SMALL)
+    )
+    tree = plan.split("\n\n")[0]
+    # 3 fact scans: production aggregate, the rank-count pass, and the
+    # broadcast median side (Catalyst does not share the agg subtree
+    # across the join-back) — bounded and audit-only, never per-group
+    assert len(re.findall(r"Scan parquet", tree)) == 3, tree
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
+    assert tree.count("BroadcastHashJoin") == 2, tree  # agg-back + final
