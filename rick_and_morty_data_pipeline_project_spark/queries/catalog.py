@@ -51,17 +51,19 @@ then oldest-green refreshes), then re-frozen with
 on "no oracled query born before this round lacks a green row".
 
 Round-6 window (this file's ``DRIVER_WINDOW``): the 15 r5-born
-never-checked queries + 5 r6-born audits (HLL accuracy/merge-
-invariance, rolling-DAU envelope, JPEG pixel-decode, CMS one-sided
-band, approx-distinct/percentile rank-error) + flagship + 12 rule-2
-stale re-greens (this round's bpe/profile/multimodal edits plus the
+never-checked queries + 6 r6-born entries (5 audits — HLL accuracy/
+merge-invariance, rolling-DAU envelope, JPEG pixel-decode, CMS
+one-sided band, approx-distinct/percentile rank-error — plus the
+cross-document exact-substring dedup treatment
+``dedup_remove_duplicate_spans``) + flagship + 12 rule-2 stale
+re-greens (this round's bpe/profile/multimodal edits plus the
 fingerprint expansion to dict/list module constants; two more stale
 entries — profile_table_files_fast and flagship_greedy_match — are
-already counted in the never-checked/flagship slots) + 17 of the 24
-queries whose only green row dates to round 1 (12 TPC-H classics +
-the 5 window functions; the remaining seven r01 refreshes — q13, q14,
-q16, q19, q20, agg_cube_flag_status and friends — go to r07).
-15+5+1+12+17 = 50.
+already counted in the never-checked/flagship slots) + 16 of the 24
+queries whose only green row dates to round 1 (11 TPC-H classics +
+the 5 window functions; the remaining eight r01 refreshes — q13, q14,
+q16, q18, q19, q20, agg_cube_flag_status and friends — go to r07).
+15+6+1+12+16 = 50.
 """
 
 from __future__ import annotations
@@ -88,15 +90,16 @@ for mod in (tpch, tpchx, tpchf, textq, vecq, extraq, mmq, reference, sketchq, bp
 
 # The 50 driver-checked slots.  All must carry a full DuckDB oracle.
 # Round-6 rotation (standing policy in the module docstring):
-# 15 never-checked (all r5-born-after-freeze) + 5 r6-born audits
-# (HLL accuracy/merge, rolling-DAU envelope, JPEG pixel decode, CMS
-# band, approx-distinct/percentile rank error) + flagship + 12
-# fingerprint-stale re-greens (rule 2: this round's bpe/profile/
-# multimodal edits plus the fingerprint coverage expansion to
-# dict/list module constants — lexicons and LANG_MARKERS now count)
-# + 17 oldest-green refreshes (last driver row r01: 12 TPC-H classics
-# q4/q7..q12/q15/q17/q18/q21/q22 + the 5 window functions; the seven
-# remaining r01 queries go to r07).  15+5+1+12+17 = 50.
+# 15 never-checked (all r5-born-after-freeze) + 6 r6-born entries
+# (5 audits — HLL accuracy/merge, rolling-DAU envelope, JPEG pixel
+# decode, CMS band, approx rank error — + the exact-substring dedup
+# treatment) + flagship + 12 fingerprint-stale re-greens (rule 2:
+# this round's bpe/profile/multimodal edits plus the fingerprint
+# coverage expansion to dict/list module constants — lexicons and
+# LANG_MARKERS now count) + 16 oldest-green refreshes (last driver
+# row r01: 11 TPC-H classics q4/q7..q12/q15/q17/q21/q22 + the 5
+# window functions; the eight remaining r01 queries go to r07).
+# 15+6+1+12+16 = 50.
 DRIVER_WINDOW: tuple[str, ...] = (
     # ========== 15 never-driver-checked oracled queries (r5-born) ====
     "text_quality_classifier",
@@ -120,6 +123,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "multimodal_jpeg_decode_audit",
     "sketch_cms_accuracy_audit",
     "agg_approx_distinct_audit",
+    "dedup_remove_duplicate_spans",
     # ========== flagship (standing, every round) =====================
     "flagship_greedy_match",
     # ========== rule-2 fingerprint-stale re-greens ===================
@@ -147,7 +151,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q12_priority_lines",
     "q15_top_supplier",
     "q17_small_quantity_revenue",
-    "q18_large_orders",
     "q21_lone_fault_suppliers",
     "q22_idle_customers",
     "win_first_last_nth",

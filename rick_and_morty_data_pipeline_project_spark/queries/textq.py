@@ -1732,6 +1732,139 @@ GROUP BY 1
 
 
 # --------------------------------------------------------------------------
+def dedup_remove_duplicate_spans(spark, sf_dir):
+    """Cross-document exact-substring DEDUP TREATMENT — the removal
+    half of ``dedup_span_profile``'s detection (the "deduplicating
+    training data at the substring level" recipe: duplicated long
+    spans are memorization fuel, so keep ONE copy corpus-wide and cut
+    the rest).  Every 8-token span that appears in more than one
+    document keeps its occurrences in the LOWEST-doc_id document
+    holding it; in every other document, all tokens covered by that
+    span are removed.  Overlapping duplicated spans union their
+    coverage; documents under 8 tokens (or with only intra-document
+    repeats — ``text_repetition_signals``'s job) pass through
+    unchanged.  Output: (doc_id, n_tokens, n_tokens_removed,
+    clean_text).
+
+    Scale: explode to (doc, pos, span) — corpus token mass, narrow;
+    one span-keyed aggregate for (distinct-doc count, keeper); join
+    back + covered-index explode (8× the duplicated-span rows only);
+    per-doc covered-set aggregate; rebuild is a JVM array
+    filter-by-index per document.  Nothing pairwise, no Python —
+    cost tracks duplicated-span mass, not |docs|².
+    """
+    d = t(spark, sf_dir, "documents")
+    tk = F.split(F.col("text"), " ")
+    staged = fan_out(d).select("doc_id", "text", tk.alias("_tk"))
+    spans = (
+        staged.filter(F.size("_tk") >= _SPAN_LEN)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_tk") - _SPAN_LEN),
+                    lambda i: F.struct(
+                        (i + 1).alias("pos"),
+                        F.concat_ws(
+                            " ", F.slice("_tk", i + 1, _SPAN_LEN)
+                        ).alias("span"),
+                    ),
+                )
+            ).alias("_ps"),
+        )
+        .select("doc_id", F.col("_ps.pos").alias("pos"), F.col("_ps.span").alias("span"))
+    )
+    dup_spans = (
+        spans.groupBy("span")
+        .agg(
+            F.count_distinct("doc_id").alias("_nd"),
+            F.min("doc_id").alias("_keeper"),
+        )
+        .filter(F.col("_nd") > 1)
+        .select("span", "_keeper")
+    )
+    covered = (
+        spans.join(dup_spans, "span")
+        .filter(F.col("doc_id") != F.col("_keeper"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + _SPAN_LEN - 1)
+            ).alias("idx"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.collect_set("idx").alias("_cov"))
+    )
+    indexed = F.transform(
+        F.col("_tk"), lambda x, i: F.struct(x.alias("t"), (i + 1).alias("i"))
+    )
+    kept = F.transform(
+        F.filter(
+            indexed, lambda s: ~F.array_contains(F.col("_cov"), s["i"])
+        ),
+        lambda s: s["t"],
+    )
+    return staged.join(covered, "doc_id", "left").select(
+        "doc_id",
+        F.size("_tk").cast("long").alias("n_tokens"),
+        F.coalesce(F.size("_cov"), F.lit(0)).cast("long").alias(
+            "n_tokens_removed"
+        ),
+        F.when(F.col("_cov").isNull(), F.col("text"))
+        .otherwise(F.array_join(kept, " "))
+        .alias("clean_text"),
+    )
+
+
+REMOVE_DUP_SPANS_SQL = f"""
+WITH tk AS (
+  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+),
+spans AS (
+  SELECT doc_id, g.i AS pos,
+         array_to_string(toks[g.i : g.i + {_SPAN_LEN - 1}], ' ') AS span
+  FROM tk, LATERAL (
+    SELECT unnest(generate_series(1, len(toks) - {_SPAN_LEN - 1})) AS i
+  ) g
+  WHERE len(toks) >= {_SPAN_LEN}
+),
+dup AS (
+  SELECT span, min(doc_id) AS keeper
+  FROM spans GROUP BY 1 HAVING count(DISTINCT doc_id) > 1
+),
+covered AS (
+  SELECT DISTINCT s.doc_id, c.ci AS idx
+  FROM spans s JOIN dup d USING (span),
+       LATERAL (
+         SELECT unnest(generate_series(s.pos, s.pos + {_SPAN_LEN - 1})) AS ci
+       ) c
+  WHERE s.doc_id <> d.keeper
+),
+cov_n AS (SELECT doc_id, count(*) AS n FROM covered GROUP BY 1),
+toks_idx AS (
+  SELECT doc_id, unnest(toks) AS tok,
+         unnest(generate_series(1, len(toks))) AS idx
+  FROM tk
+),
+kept AS (
+  SELECT ti.doc_id, string_agg(ti.tok, ' ' ORDER BY ti.idx) AS clean_text
+  FROM toks_idx ti
+  ANTI JOIN covered cv ON ti.doc_id = cv.doc_id AND ti.idx = cv.idx
+  GROUP BY 1
+)
+SELECT t.doc_id,
+       CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(cn.n, 0) AS BIGINT) AS n_tokens_removed,
+       CASE WHEN cn.n IS NULL THEN t.text
+            ELSE COALESCE(k.clean_text, '') END AS clean_text
+FROM tk t
+LEFT JOIN cov_n cn USING (doc_id)
+LEFT JOIN kept k USING (doc_id)
+"""
+
+
+# --------------------------------------------------------------------------
 def dedup_incremental_lsh(spark, sf_dir):
     """Incremental NEAR-dedup: banded-MinHash candidates between the
     arriving batch (doc_id % 10 = 0) and the existing corpus only —
@@ -2879,6 +3012,9 @@ QUERIES: dict[str, Q] = {
         text_winnowing_fingerprints, TEXT_WINNOWING_SQL
     ),
     "dedup_span_profile": Q(dedup_span_profile, SPAN_PROFILE_SQL),
+    "dedup_remove_duplicate_spans": Q(
+        dedup_remove_duplicate_spans, REMOVE_DUP_SPANS_SQL
+    ),
     "text_shard_index": Q(text_shard_index, SHARD_INDEX_SQL),
     "text_tfidf_cosine_pairs": Q(text_tfidf_cosine_pairs, TFIDF_COSINE_SQL),
     "sample_stratified_topk": Q(

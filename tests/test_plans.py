@@ -526,3 +526,21 @@ def test_approx_audit_single_production_aggregate(spark):
     assert "CartesianProduct" not in tree
     assert "BroadcastNestedLoopJoin" not in tree
     assert tree.count("BroadcastHashJoin") == 2, tree  # agg-back + final
+
+
+def test_remove_duplicate_spans_never_pairwise(spark):
+    """The exact-substring dedup treatment must stay posting-shaped:
+    span explode + span-keyed aggregate + join-backs — never a
+    cartesian/nested-loop pair space, and a bounded number of corpus
+    scans (staging, span side, dup-agg side; Catalyst does not share
+    the staged subtree)."""
+    from rick_and_morty_data_pipeline_project_spark.queries.catalog import _ALL
+
+    plan = formatted_plan(
+        _ALL["dedup_remove_duplicate_spans"].fn(spark, SF_SMALL)
+    )
+    tree = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
+    assert len(re.findall(r"Scan parquet", tree)) <= 3, tree
+    assert "Generate" in tree  # the span/index explodes

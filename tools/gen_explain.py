@@ -52,6 +52,7 @@ ANNOTATED = {
     "multimodal_jpeg_decode_audit": "JPEG pixel-decode audit: synthesize and decode are Arrow-batched MapInPandas stages; the pre-encode material check joins doc text back by id (broadcast at this SF; a co-partitioned self-join at scale — audit-only cost); the binary column never shuffles, only the 4-column verdict leaves the final stage",
     "sketch_cms_accuracy_audit": "CMS audit: one map-combinable count_min_sketch aggregate (fixed ~100 KB state), driver decode, Arrow-batched probe over the REDUCED distinct-item relation; N rides a one-row crossJoin — raw events scanned once per arm, never per item",
     "agg_approx_distinct_audit": "approx-agg audit: production aggregate (approx_count_distinct + percentile_approx + exact distinct in ONE groupBy) plus a broadcast join-back rank count — the percentile guarantee checked by counted ranks, one extra scan, audit-only",
+    "dedup_remove_duplicate_spans": "exact-substring dedup treatment: span explode (Generate) → span-keyed (distinct-docs, keeper) aggregate → join-backs for covered-index union → JVM filter-by-index rebuild — posting-shaped, cost tracks duplicated-span mass, never |docs|²",
 }
 
 
