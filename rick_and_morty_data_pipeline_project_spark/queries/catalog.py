@@ -73,6 +73,7 @@ from rick_and_morty_data_pipeline_project_spark.queries import (
     extraq,
     mmq,
     reference,
+    retrievalq,
     sketchq,
     textq,
     tpch,
@@ -83,7 +84,10 @@ from rick_and_morty_data_pipeline_project_spark.queries import (
 from rick_and_morty_data_pipeline_project_spark.queries._util import Q
 
 _ALL: dict[str, Q] = {}
-for mod in (tpch, tpchx, tpchf, textq, vecq, extraq, mmq, reference, sketchq, bpeq):
+for mod in (
+    tpch, tpchx, tpchf, textq, vecq, extraq, mmq, reference, sketchq, bpeq,
+    retrievalq,
+):
     for name, q in mod.QUERIES.items():
         assert name not in _ALL, f"duplicate query name: {name}"
         _ALL[name] = q

@@ -544,3 +544,35 @@ def test_remove_duplicate_spans_never_pairwise(spark):
     assert "BroadcastNestedLoopJoin" not in tree
     assert len(re.findall(r"Scan parquet", tree)) <= 3, tree
     assert "Generate" in tree  # the span/index explodes
+
+
+def test_bm25_topk_single_posting_pass_heap_topk(spark):
+    """BM25 retrieval must stay posting-shaped at 100 TB: the term
+    filter sits BEFORE the first exchange (only query-term postings
+    shuffle), df comes from a count window over the SAME postings
+    relation (a separate dfreq aggregate re-scans the corpus: 3 scans,
+    pinned here at ≤2 — postings + the narrow stats pass), the 1-row
+    stats relation broadcasts, and the global top-k is a heap
+    TakeOrderedAndProject, never a full Sort."""
+    plan = formatted_plan(QUERIES["text_bm25_topk"].fn(spark, SF_SMALL))
+    tree = plan.split("\n\n")[0]
+    assert "TakeOrderedAndProject" in tree, tree
+    assert len(re.findall(r"Scan parquet", tree)) <= 2, tree
+    assert "SortMergeJoin" not in tree, tree
+    assert "CartesianProduct" not in tree, tree
+    # the early term filter: an IN-list filter on the exploded term
+    # (condition text lives in the details section, not the tree)
+    assert re.search(r"term#\d+ IN \(", plan), plan[-2000:]
+
+
+def test_bm25_multiquery_window_group_limit(spark):
+    """Batched BM25 scores all queries in one posting pass and takes
+    per-query top-k via WindowGroupLimit (partial per-partition rank
+    pruning before the final merge) — never a per-query rescan, never
+    a global sort of the scored relation."""
+    plan = formatted_plan(QUERIES["text_bm25_multiquery"].fn(spark, SF_SMALL))
+    tree = plan.split("\n\n")[0]
+    assert "WindowGroupLimit" in tree, tree
+    assert len(re.findall(r"Scan parquet", tree)) <= 2, tree
+    assert "SortMergeJoin" not in tree, tree
+    assert "CartesianProduct" not in tree, tree
