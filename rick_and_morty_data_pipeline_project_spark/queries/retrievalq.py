@@ -273,7 +273,111 @@ FROM ranked WHERE rank <= {BM25_PER_QUERY_K}
 """
 
 
+# --------------------------------------------------------------------------
+# Exact phrase search (positional matching).  Every phrase is evaluated
+# against the SAME materialized token array in one narrow pass — no
+# explode, no shuffle, no per-phrase rescan.  At 100 TB this is the
+# shape that matters: phrase matching is embarrassingly parallel over
+# documents, so the only cost is the corpus scan the query already
+# pays; an exchange anywhere in this plan would be a bug (pinned in
+# tests/test_plans.py).
+_PHRASES: tuple[tuple[str, ...], ...] = (
+    ("hash", "join"),
+    ("fast", "sort"),
+    ("key", "scan"),
+)
+
+
+def _phrase_hits(tk, n, phrase: tuple[str, ...]):
+    """Occurrence count of ``phrase`` (consecutive tokens) in token
+    array ``tk`` of length ``n``.  Guarded with when(n >= L): Spark's
+    ``sequence(1, 0)`` steps DOWNWARD to [1, 0] rather than producing
+    an empty array, so short docs must short-circuit to 0 (DuckDB's
+    generate_series is empty there — the oracle has the same guard for
+    structure parity)."""
+    L = len(phrase)
+
+    def at(p, i, term):
+        return F.element_at(tk, (p + F.lit(i)).cast("int")) == F.lit(term)
+
+    def match(p):
+        cond = at(p, 0, phrase[0])
+        for i, term in enumerate(phrase[1:], start=1):
+            cond = cond & at(p, i, term)
+        return cond
+
+    starts = F.sequence(F.lit(1), (n - F.lit(L - 1)).cast("int"))
+    return F.when(
+        n >= L, F.size(F.filter(starts, match))
+    ).otherwise(F.lit(0))
+
+
+def text_phrase_search(spark, sf_dir):
+    """Exact multi-phrase search: for each phrase in ``_PHRASES``,
+    every document containing it with its occurrence count.
+
+    The token array is materialized ONCE as a projection alias and
+    referenced by all phrases (the winnowing lesson: arrays referenced
+    inside lambdas inline per reference — staging it keeps the regexp
+    split to one evaluation).  The wide→long pivot is a ``stack``
+    Generate, still narrow.  Zero exchanges end to end."""
+    d = t(spark, sf_dir, "documents")
+    staged = d.select("doc_id", tokens_col(F.col("text")).alias("_tk"))
+    n = F.size(F.col("_tk"))
+    hits = staged.select(
+        "doc_id",
+        *[
+            _phrase_hits(F.col("_tk"), n, ph).alias(f"_h{i}")
+            for i, ph in enumerate(_PHRASES)
+        ],
+    )
+    stack_args = ", ".join(
+        f"'{' '.join(ph)}', _h{i}" for i, ph in enumerate(_PHRASES)
+    )
+    return hits.selectExpr(
+        "doc_id",
+        f"stack({len(_PHRASES)}, {stack_args}) AS (phrase, n_hits)",
+    ).filter(F.col("n_hits") > 0).select("phrase", "doc_id", "n_hits")
+
+
+def _phrase_hits_sql(phrase: tuple[str, ...]) -> str:
+    L = len(phrase)
+    cond = " AND ".join(
+        f"tk[p+{i}] = '{term}'" for i, term in enumerate(phrase)
+    )
+    return (
+        f"CASE WHEN len(tk) >= {L} THEN len(list_filter("
+        f"generate_series(1, len(tk)-{L - 1}), p -> {cond})) ELSE 0 END"
+    )
+
+
+_PHRASE_ARMS = "\n  UNION ALL ".join(
+    f"SELECT doc_id, '{' '.join(ph)}' AS phrase, _h{i} AS n_hits FROM hits"
+    for i, ph in enumerate(_PHRASES)
+)
+
+_PHRASE_HIT_COLS = ",\n         ".join(
+    f"{_phrase_hits_sql(ph)} AS _h{i}" for i, ph in enumerate(_PHRASES)
+)
+
+PHRASE_SEARCH_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+),
+hits AS (
+  SELECT doc_id,
+         {_PHRASE_HIT_COLS}
+  FROM toks
+),
+long AS (
+  {_PHRASE_ARMS}
+)
+SELECT phrase, doc_id, n_hits FROM long WHERE n_hits > 0
+"""
+
+
 QUERIES: dict[str, Q] = {
     "text_bm25_topk": Q(text_bm25_topk, BM25_TOPK_SQL),
     "text_bm25_multiquery": Q(text_bm25_multiquery, BM25_MULTIQUERY_SQL),
+    "text_phrase_search": Q(text_phrase_search, PHRASE_SEARCH_SQL),
 }

@@ -576,3 +576,15 @@ def test_bm25_multiquery_window_group_limit(spark):
     assert len(re.findall(r"Scan parquet", tree)) <= 2, tree
     assert "SortMergeJoin" not in tree, tree
     assert "CartesianProduct" not in tree, tree
+
+
+def test_phrase_search_zero_exchange(spark):
+    """Exact phrase search is embarrassingly parallel over documents:
+    the token array is staged once, every phrase evaluates against it
+    in the same narrow projection, and the wide-to-long stack is a
+    Generate. ANY exchange in this plan is a bug."""
+    plan = formatted_plan(QUERIES["text_phrase_search"].fn(spark, SF_SMALL))
+    tree = plan.split("\n\n")[0]
+    assert "Exchange" not in tree, tree
+    assert "Generate" in tree, tree
+    assert len(re.findall(r"Scan parquet", tree)) == 1, tree
