@@ -2047,6 +2047,75 @@ def profile_orders_quality(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------------
+_COMPACTION_TARGET_ROWS = 5000
+
+
+def profile_compaction_plan(spark, sf_dir):
+    """Small-partition compaction planner: bin consecutive daily event
+    partitions into merge groups of ~``_COMPACTION_TARGET_ROWS`` rows
+    via running-sum bucketing — the table-ops decision behind "these
+    200 tiny date partitions should be 9 files" at 100 TB.
+
+    A partition joins the group where its FIRST row lands
+    (group = ⌊(cumsum − n_rows) / target⌋), so groups are contiguous
+    in partition order and every group except possibly the last
+    reaches the target once its final partition is added — the greedy
+    first-fit plan, expressed as two window functions instead of a
+    sequential loop.
+
+    Scale shape: the heavy work is the distributed per-day count; the
+    windows run over the partition LIST (one row per day — bounded by
+    the table's partition count, ~10⁴–10⁵ at 100 TB, kilobytes), so
+    the single-partition ordered window is over a relation that is
+    small BY CONSTRUCTION, never over the fact table."""
+    from pyspark.sql.window import Window
+
+    e = t(spark, sf_dir, "events")
+    parts = e.groupBy(
+        F.date_format(F.col("ts"), "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+    w_cum = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    planned = parts.withColumn(
+        "grp",
+        F.floor(
+            (F.sum("n_rows").over(w_cum) - F.col("n_rows"))
+            / F.lit(float(_COMPACTION_TARGET_ROWS))
+        ).cast("int"),
+    )
+    return planned.select(
+        "day",
+        "n_rows",
+        "grp",
+        F.sum("n_rows").over(Window.partitionBy("grp")).alias("group_rows"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("grp"))
+        .alias("group_parts"),
+    )
+
+
+COMPACTION_PLAN_SQL = f"""
+WITH parts AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_rows
+  FROM events GROUP BY 1
+),
+planned AS (
+  SELECT day, n_rows,
+         CAST(floor(
+           (sum(n_rows) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+            - n_rows) / {float(_COMPACTION_TARGET_ROWS)}
+         ) AS INT) AS grp
+  FROM parts
+)
+SELECT day, n_rows, grp,
+       sum(n_rows) OVER (PARTITION BY grp) AS group_rows,
+       count(*) OVER (PARTITION BY grp) AS group_parts
+FROM planned
+"""
+
+
 PROFILE_SQL = """
 SELECT count(*) AS n_rows,
        CAST(sum(CAST(o_custkey IS NULL AS BIGINT)) AS BIGINT) AS null_custkey,
@@ -2396,6 +2465,9 @@ QUERIES: dict[str, Q] = {
     "basket_part_affinity": Q(basket_part_affinity, BASKET_SQL),
     "graph_pagerank3": Q(graph_pagerank3, PAGERANK_SQL),
     "profile_orders_quality": Q(profile_orders_quality, PROFILE_SQL),
+    "profile_compaction_plan": Q(
+        profile_compaction_plan, COMPACTION_PLAN_SQL
+    ),
     "profile_table_files": Q(profile_table_files, PROFILE_FILES_SQL),
     "profile_table_files_fast": Q(profile_table_files_fast, PROFILE_FILES_SQL),
     "scalar_try_functions": Q(scalar_try_functions, SCALAR_TRY_SQL),

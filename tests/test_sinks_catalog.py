@@ -656,3 +656,41 @@ def test_footer_stats_missing_flagged(spark, tmp_path):
     # all-NULL key: stats present, has_min_max false BECAUSE
     # null_count == num_rows — genuinely NULL-keyed, not flagged
     assert got["allnull.parquet"] == (2, None, None, False)
+
+
+def test_compaction_plan_invariants(spark):
+    """The running-sum bin packer must produce CONTIGUOUS groups in
+    partition order, with every group except possibly the last
+    reaching the row target once its final partition lands (greedy
+    first-fit semantics — the exact values are oracle-checked; this
+    pins the plan's shape as a valid compaction plan)."""
+    from rick_and_morty_data_pipeline_project_spark.queries.extraq import (
+        _COMPACTION_TARGET_ROWS,
+        profile_compaction_plan,
+    )
+    from tests.conftest import SF_SMALL
+
+    rows = sorted(
+        profile_compaction_plan(spark, SF_SMALL).collect(),
+        key=lambda r: r["day"],
+    )
+    # group ids are non-decreasing along partition order (contiguity)
+    grps = [r["grp"] for r in rows]
+    assert grps == sorted(grps), grps
+    # group_rows/group_parts are consistent per group
+    by_grp = {}
+    for r in rows:
+        by_grp.setdefault(r["grp"], []).append(r)
+    for g, members in by_grp.items():
+        total = sum(r["n_rows"] for r in members)
+        assert all(r["group_rows"] == total for r in members)
+        assert all(r["group_parts"] == len(members) for r in members)
+    # greedy fill: every group but the last crosses the target once its
+    # last member is added (otherwise the next partition would have
+    # joined it)
+    last_g = max(by_grp)
+    for g, members in by_grp.items():
+        if g != last_g:
+            assert sum(r["n_rows"] for r in members) >= _COMPACTION_TARGET_ROWS - max(
+                r["n_rows"] for r in members
+            )
