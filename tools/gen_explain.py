@@ -53,6 +53,10 @@ ANNOTATED = {
     "sketch_cms_accuracy_audit": "CMS audit: one map-combinable count_min_sketch aggregate (fixed ~100 KB state), driver decode, Arrow-batched probe over the REDUCED distinct-item relation; N rides a one-row crossJoin — raw events scanned once per arm, never per item",
     "agg_approx_distinct_audit": "approx-agg audit: production aggregate (approx_count_distinct + percentile_approx + exact distinct in ONE groupBy) plus a broadcast join-back rank count — the percentile guarantee checked by counted ranks, one extra scan, audit-only",
     "dedup_remove_duplicate_spans": "exact-substring dedup treatment: span explode (Generate) → span-keyed (distinct-docs, keeper) aggregate → join-backs for covered-index union → JVM filter-by-index rebuild — posting-shaped, cost tracks duplicated-span mass, never |docs|²",
+    "text_bm25_topk": "BM25 retrieval: term filter BEFORE the first exchange (only query-term postings shuffle), df as a count window over the same postings relation (≤2 parquet scans), 1-row stats broadcast, global top-k as heap TakeOrderedAndProject",
+    "text_bm25_multiquery": "batched BM25: all queries scored in ONE posting pass (query→term map broadcast), per-query top-k via WindowGroupLimit — never a per-query rescan, never a global sort",
+    "text_phrase_search": "exact multi-phrase search: staged token array evaluated by every phrase in one narrow projection, stack Generate for wide→long — one scan, ZERO exchanges",
+    "profile_compaction_plan": "compaction planner: distributed per-day count, then running-sum bin packing over the partition LIST (one row per day — small by construction); the ordered window never sees the fact table",
 }
 
 
