@@ -2110,7 +2110,7 @@ planned AS (
   FROM parts
 )
 SELECT day, n_rows, grp,
-       sum(n_rows) OVER (PARTITION BY grp) AS group_rows,
+       CAST(sum(n_rows) OVER (PARTITION BY grp) AS BIGINT) AS group_rows,
        count(*) OVER (PARTITION BY grp) AS group_parts
 FROM planned
 """

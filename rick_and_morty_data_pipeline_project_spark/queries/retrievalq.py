@@ -62,8 +62,8 @@ _ALL_QUERY_TERMS = tuple(
 )
 
 
-def _term_postings(spark, sf_dir, terms: tuple[str, ...]):
-    """(doc_id, term, tf, dl) for query-vocabulary terms only.
+def _term_postings(docs, id_col: str, text_col: str, terms: tuple[str, ...]):
+    """(id, term, tf, dl) for query-vocabulary terms only.
 
     The term filter sits BETWEEN the explode and the first shuffle, so
     only query-term postings are ever exchanged — the 100 TB-critical
@@ -71,27 +71,25 @@ def _term_postings(spark, sf_dir, terms: tuple[str, ...]):
     BEFORE the explode and carried through the aggregate (min() of a
     per-doc constant), which avoids a second corpus pass or a join
     back to a lengths relation."""
-    d = t(spark, sf_dir, "documents")
-    toked = d.select(
-        "doc_id", tokens_col(F.col("text")).alias("_tk")
+    toked = docs.select(
+        F.col(id_col), tokens_col(F.col(text_col)).alias("_tk")
     ).select(
-        "doc_id",
+        id_col,
         F.size("_tk").alias("dl"),
         F.explode("_tk").alias("term"),
     )
     hits = toked.filter(F.col("term").isin(*terms))
-    return hits.groupBy("doc_id", "term").agg(
+    return hits.groupBy(id_col, "term").agg(
         F.count(F.lit(1)).alias("tf"), F.min("dl").alias("dl")
     )
 
 
-def _corpus_stats(spark, sf_dir):
+def _corpus_stats(docs, text_col: str):
     """One-row (n_docs, avgdl) relation; broadcast into the scoring
     join.  avgdl is derived as double(sum_dl)/n_docs — one float op,
     written identically in the oracle."""
-    d = t(spark, sf_dir, "documents")
     return (
-        d.select(F.size(tokens_col(F.col("text"))).alias("dl"))
+        docs.select(F.size(tokens_col(F.col(text_col))).alias("dl"))
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("dl").alias("sum_dl"),
@@ -102,6 +100,24 @@ def _corpus_stats(spark, sf_dir):
                 "avgdl"
             ),
         )
+    )
+
+
+def bm25_scores(docs, id_col: str, text_col: str, terms: tuple[str, ...]):
+    """Reusable BM25 core over ANY document DataFrame: (id, bm25) for
+    every document matching ≥1 query term.  Single posting pass (df
+    via count window over the postings, never a second corpus scan),
+    narrow stats pass, exact-decimal contribution sum — the scores are
+    order-insensitive and engine-portable.  Property-tested against a
+    pure-Python reference in tests/test_property.py."""
+    tf = _term_postings(docs, id_col, text_col, terms)
+    stats = _corpus_stats(docs, text_col)
+    w_term = Window.partitionBy("term")
+    return (
+        tf.withColumn("df", F.count(F.lit(1)).over(w_term))
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(F.sum(_bm25_contrib()).cast("double").alias("bm25"))
     )
 
 
@@ -141,14 +157,8 @@ def text_bm25_topk(spark, sf_dir):
     single ``TakeOrderedAndProject`` (no full sort is ever
     materialized).  Everything after the term filter is O(matching
     postings)."""
-    tf = _term_postings(spark, sf_dir, BM25_TERMS)
-    stats = _corpus_stats(spark, sf_dir)
-    w_term = Window.partitionBy("term")
-    scored = (
-        tf.withColumn("df", F.count(F.lit(1)).over(w_term))
-        .crossJoin(F.broadcast(stats))
-        .groupBy("doc_id")
-        .agg(F.sum(_bm25_contrib()).cast("double").alias("bm25"))
+    scored = bm25_scores(
+        t(spark, sf_dir, "documents"), "doc_id", "text", BM25_TERMS
     )
     return scored.orderBy(F.col("bm25").desc(), "doc_id").limit(BM25_TOPK)
 
@@ -202,12 +212,13 @@ def text_bm25_multiquery(spark, sf_dir):
     ``row_number`` over (bm25 DESC, doc_id), executed as
     WindowGroupLimit: each shuffle partition keeps only its local
     top-k before the final per-query merge."""
-    tf = _term_postings(spark, sf_dir, _ALL_QUERY_TERMS)
+    d = t(spark, sf_dir, "documents")
+    tf = _term_postings(d, "doc_id", "text", _ALL_QUERY_TERMS)
     qterms = spark.createDataFrame(
         [(qid, term) for qid, terms in BM25_QUERIES for term in terms],
         "query_id int, term string",
     )
-    stats = _corpus_stats(spark, sf_dir)
+    stats = _corpus_stats(d, "text")
     w_term = Window.partitionBy("term")
     scored = (
         tf.withColumn("df", F.count(F.lit(1)).over(w_term))

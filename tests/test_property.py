@@ -266,3 +266,65 @@ def test_fastss_fuzzy_join_complete_vs_bruteforce(spark, names):
         if _py_lev(names[i], names[j]) <= 1
     }
     assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=16),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_bm25_scores_match_python_reference(spark, texts):
+    """bm25_scores matches a direct Python implementation of Okapi BM25
+    (same tokenization, same pre-folded constants, same per-term
+    rounding) for ANY corpus — including empty strings, whitespace-only
+    docs (split(' ') yields empty-string tokens in BOTH engines), and
+    corpora where no document matches.  Scores compare within one
+    rounding grain (the engine sums exact decimals; the reference sums
+    the same quantized contributions — only the pre-rounding ln/division
+    float path may differ by ulps)."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from rick_and_morty_data_pipeline_project_spark.queries.retrievalq import (
+        bm25_scores,
+    )
+
+    terms = ("a", "b")
+    rows = list(enumerate(texts))
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r["doc_id"]: r["bm25"]
+        for r in bm25_scores(df, "doc_id", "text", terms).collect()
+    }
+
+    toks = {i: s.split(" ") for i, s in rows}
+    n_docs = len(rows)
+    dls = {i: len(tk) for i, tk in toks.items()}
+    avgdl = float(sum(dls.values())) / n_docs
+    tf: dict = {}
+    for i, tk in toks.items():
+        for term in tk:
+            if term in terms:
+                tf[(i, term)] = tf.get((i, term), 0) + 1
+    dfreq: dict = {}
+    for (_, term) in tf:
+        dfreq[term] = dfreq.get(term, 0) + 1
+    want: dict = {}
+    for (i, term), f in tf.items():
+        idf = math.log(1 + (n_docs - dfreq[term] + 0.5) / (dfreq[term] + 0.5))
+        tfc = (f * 2.2) / (f + 1.2 * (0.25 + 0.75 * (dls[i] / avgdl)))
+        contrib = Decimal(idf * tfc).quantize(
+            Decimal("0.000001"), ROUND_HALF_UP
+        )
+        want[i] = want.get(i, Decimal(0)) + contrib
+
+    assert set(got) == set(want)
+    for i, score in want.items():
+        assert abs(got[i] - float(score)) <= 2e-6, (i, got[i], score)
