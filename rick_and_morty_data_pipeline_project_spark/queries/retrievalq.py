@@ -387,8 +387,70 @@ SELECT phrase, doc_id, n_hits FROM long WHERE n_hits > 0
 """
 
 
+# --------------------------------------------------------------------------
+_SNIPPET_RADIUS = 4
+
+
+def text_bm25_snippets(spark, sf_dir):
+    """Serving-side snippet extraction for the BM25 top-k: each hit
+    document with a ±``_SNIPPET_RADIUS``-token window around the FIRST
+    occurrence of any query term — the retrieve → rank → snippet tail
+    of a search/RAG pipeline.
+
+    The 20-row top-k relation broadcasts back onto the corpus scan
+    (never the other way), and the snippet itself is pure narrow array
+    work on the staged token array: first-match position via a filtered
+    index sequence, then one slice — no explode, no extra shuffle.  A
+    top-k document always contains ≥1 query term (idf of the +1-form is
+    strictly positive), so the position list is never empty."""
+    topk = text_bm25_topk(spark, sf_dir)
+    d = t(spark, sf_dir, "documents")
+    staged = d.join(F.broadcast(topk), "doc_id").select(
+        "doc_id", "bm25", tokens_col(F.col("text")).alias("_tk")
+    )
+    tk = F.col("_tk")
+    n = F.size(tk)
+    positions = F.filter(
+        F.sequence(F.lit(1), n),
+        lambda p: F.element_at(tk, p.cast("int")).isin(*BM25_TERMS),
+    )
+    first = F.element_at(positions, 1)
+    start = F.greatest(first - _SNIPPET_RADIUS, F.lit(1))
+    end = F.least(first + _SNIPPET_RADIUS, n)
+    return staged.select(
+        "doc_id",
+        "bm25",
+        F.concat_ws(
+            " ", F.slice(tk, start, end - start + F.lit(1))
+        ).alias("snippet"),
+    )
+
+
+BM25_SNIPPETS_SQL = f"""
+WITH topk AS ({BM25_TOPK_SQL}),
+staged AS (
+  SELECT d.doc_id, topk.bm25, string_split(d.text, ' ') AS tk
+  FROM documents d JOIN topk ON d.doc_id = topk.doc_id
+),
+pos AS (
+  SELECT doc_id, bm25, tk,
+         list_filter(generate_series(1, len(tk)),
+                     p -> list_contains({list(BM25_TERMS)!r}, tk[p]))[1]
+           AS first
+  FROM staged
+)
+SELECT doc_id, bm25,
+       array_to_string(
+         list_slice(tk, greatest(first - {_SNIPPET_RADIUS}, 1),
+                        least(first + {_SNIPPET_RADIUS}, len(tk))), ' ')
+         AS snippet
+FROM pos
+"""
+
+
 QUERIES: dict[str, Q] = {
     "text_bm25_topk": Q(text_bm25_topk, BM25_TOPK_SQL),
     "text_bm25_multiquery": Q(text_bm25_multiquery, BM25_MULTIQUERY_SQL),
+    "text_bm25_snippets": Q(text_bm25_snippets, BM25_SNIPPETS_SQL),
     "text_phrase_search": Q(text_phrase_search, PHRASE_SEARCH_SQL),
 }

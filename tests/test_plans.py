@@ -588,3 +588,16 @@ def test_phrase_search_zero_exchange(spark):
     assert "Exchange" not in tree, tree
     assert "Generate" in tree, tree
     assert len(re.findall(r"Scan parquet", tree)) == 1, tree
+
+
+def test_bm25_snippets_broadcasts_topk_back(spark):
+    """Snippet extraction must broadcast the 20-row top-k relation back
+    onto the corpus scan (BroadcastHashJoin, never SortMergeJoin) and
+    do the window-slice work narrowly — three scans total (the two
+    retrieval passes + the snippet side), one heap top-k."""
+    plan = formatted_plan(QUERIES["text_bm25_snippets"].fn(spark, SF_SMALL))
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastHashJoin" in tree, tree
+    assert "SortMergeJoin" not in tree, tree
+    assert "TakeOrderedAndProject" in tree, tree
+    assert len(re.findall(r"Scan parquet", tree)) <= 3, tree
