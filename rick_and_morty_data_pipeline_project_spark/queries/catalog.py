@@ -55,19 +55,20 @@ never-checked queries + 6 r6-born entries (5 audits — HLL accuracy/
 merge-invariance, rolling-DAU envelope, JPEG pixel-decode, CMS
 one-sided band, approx-distinct/percentile rank-error — plus the
 cross-document exact-substring dedup treatment
-``dedup_remove_duplicate_spans``) + 4 late-r6-born never-checked
+``dedup_remove_duplicate_spans``) + 5 late-r6-born never-checked
 entries (BM25 top-k, batched multi-query BM25, multi-phrase search,
-compaction planner — rule 1 displaces four r01 window-function
-refreshes to r07) + flagship + 12 rule-2 stale re-greens (this
+compaction planner, BM25 snippet extraction — rule 1 displaces five
+r01 refreshes incl. win_first_last_nth to r07) + flagship + 12
+rule-2 stale re-greens (this
 round's bpe/profile/multimodal edits plus the fingerprint expansion
 to dict/list module constants; two more stale entries —
 profile_table_files_fast and flagship_greedy_match — are already
 counted in the never-checked/flagship slots) + 12 of the 24 queries
 whose only green row dates to round 1 (11 TPC-H classics +
-win_first_last_nth; the remaining eleven r01 refreshes — q13, q14,
-q16, q18, q19, q20, agg_cube_flag_status, win_lag_order_gap,
-win_moving_avg, win_ntile_rank_stats, win_running_total and friends —
-go to r07).  15+6+4+1+12+12 = 50.
+the remaining twelve r01 refreshes — q13, q14,
+q16, q18, q19, q20, agg_cube_flag_status, win_first_last_nth,
+win_lag_order_gap, win_moving_avg, win_ntile_rank_stats,
+win_running_total and friends — go to r07).  15+6+5+1+12+11 = 50.
 """
 
 from __future__ import annotations
@@ -101,14 +102,14 @@ for mod in (
 # 15 never-checked (all r5-born-after-freeze) + 6 r6-born entries
 # (5 audits — HLL accuracy/merge, rolling-DAU envelope, JPEG pixel
 # decode, CMS band, approx rank error — + the exact-substring dedup
-# treatment) + 4 late-r6-born never-checked (BM25 ×2, phrase search,
-# compaction planner) + flagship + 12 fingerprint-stale re-greens
-# (rule 2: this round's bpe/profile/multimodal edits plus the
-# fingerprint coverage expansion to dict/list module constants —
-# lexicons and LANG_MARKERS now count) + 12 oldest-green refreshes
-# (last driver row r01: 11 TPC-H classics q4/q7..q12/q15/q17/q21/q22
-# + win_first_last_nth; the eleven remaining r01 queries go to r07).
-# 15+6+4+1+12+12 = 50.
+# treatment) + 5 late-r6-born never-checked (BM25 ×2, snippets,
+# phrase search, compaction planner) + flagship + 12 fingerprint-
+# stale re-greens (rule 2: this round's bpe/profile/multimodal edits
+# plus the fingerprint coverage expansion to dict/list module
+# constants — lexicons and LANG_MARKERS now count) + 11 oldest-green
+# refreshes (last driver row r01: TPC-H classics
+# q4/q7..q12/q15/q17/q21/q22; the twelve remaining r01 queries incl.
+# win_first_last_nth go to r07).  15+6+5+1+12+11 = 50.
 DRIVER_WINDOW: tuple[str, ...] = (
     # ========== 15 never-driver-checked oracled queries (r5-born) ====
     "text_quality_classifier",
@@ -156,6 +157,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "text_bm25_multiquery",
     "text_phrase_search",
     "profile_compaction_plan",
+    "text_bm25_snippets",
     # ========== oldest-green refreshes (last row r01) ================
     "q4_order_priority",
     "q7_volume_shipping",
@@ -168,7 +170,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q17_small_quantity_revenue",
     "q21_lone_fault_suppliers",
     "q22_idle_customers",
-    "win_first_last_nth",
 )
 
 # Round-5 window, retired 2026-08-14 (all 50 earned green rows in
