@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from rick_and_morty_data_pipeline_project_spark.functions.textfns import tokens_col
+from rick_and_morty_data_pipeline_project_spark.functions.vectors import dot_sql
 from rick_and_morty_data_pipeline_project_spark.queries._util import Q, t
 
 # Okapi BM25 constants (the standard Robertson defaults), written as the
@@ -448,9 +449,334 @@ FROM pos
 """
 
 
+# --------------------------------------------------------------------------
+# Hybrid retrieval: the lexical (BM25) and dense (embedding-cosine)
+# channels fused.  The `embeddings` table is keyed by the same id space
+# as `documents` (vec_id == doc_id), standing in for per-document
+# encoder outputs; the dense query vector is the embedding of
+# ``_HYBRID_QUERY_VEC_ID`` (a stand-in for the encoded free-text query).
+_HYBRID_QUERY_VEC_ID = 0
+_RRF_K0 = 60          # the standard RRF dampening constant
+_DENSE_K = 20         # dense-channel shortlist (lexical uses BM25_TOPK)
+_FUSED_K = 15
+
+_NORMED_DOCVEC_CTE = """normed AS (
+  SELECT vec_id AS doc_id,
+         list_transform(embedding, x -> x::DOUBLE / sqrt(list_reduce(
+           list_prepend(0.0, list_transform(list_zip(embedding, embedding),
+             p -> p[1]::DOUBLE * p[2]::DOUBLE)), (acc, x) -> acc + x)))
+           AS nv
+  FROM embeddings
+)"""
+
+
+def _dense_channel(spark, sf_dir, k: int):
+    """(doc_id, cosine, dense_rank) — exact cosine top-k of the corpus
+    embeddings against the fixed query vector.  The 1-row normalized
+    query broadcasts onto the (fanned-out) corpus scan; scoring is a
+    narrow fold per row, and the top-k is a WindowGroupLimit — per-
+    partition local top-k before one tiny merge.  No corpus shuffle."""
+    from rick_and_morty_data_pipeline_project_spark.operators.parallelism import (
+        fan_out,
+    )
+    from rick_and_morty_data_pipeline_project_spark.operators.similarity import (
+        _normalized,
+    )
+
+    e = t(spark, sf_dir, "embeddings")
+    q = _normalized(
+        e.filter(F.col("vec_id") == _HYBRID_QUERY_VEC_ID),
+        "vec_id", "embedding", "_qid", "_qv",
+    ).select("_qv")
+    c = _normalized(fan_out(e), "vec_id", "embedding", "doc_id", "_cv")
+    from rick_and_morty_data_pipeline_project_spark.functions.vectors import dot_col
+
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "doc_id",
+        F.round(dot_col(F.col("_qv"), F.col("_cv")), 6).alias("cosine"),
+    )
+    w = Window.orderBy(F.col("cosine").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("dense_rank", F.row_number().over(w))
+        .filter(F.col("dense_rank") <= k)
+    )
+
+
+_DENSE_CHANNEL_SQL = f"""{_NORMED_DOCVEC_CTE},
+qv AS (SELECT nv AS qv FROM normed WHERE doc_id = {_HYBRID_QUERY_VEC_ID}),
+dense_scored AS (
+  SELECT c.doc_id, round({dot_sql("qv.qv", "c.nv")}, 6) AS cosine
+  FROM normed c CROSS JOIN qv
+),
+dense AS (
+  SELECT doc_id, cosine,
+         row_number() OVER (ORDER BY cosine DESC, doc_id) AS dense_rank
+  FROM dense_scored
+  QUALIFY dense_rank <= {{k}}
+)"""
+
+
+def text_hybrid_rrf(spark, sf_dir):
+    """Hybrid search via reciprocal-rank fusion: the BM25 top-20 and
+    the dense cosine top-20 fused with
+    ``rrf = Σ_channel 1/(60 + rank)``, top-``_FUSED_K`` overall.
+
+    The two channels never touch each other's data until both are
+    k-bounded: the fusion is a full-outer join of two ≤20-row
+    relations, so its cost is O(k) REGARDLESS of corpus size — at
+    100 TB the lexical side is the early-term-filtered posting pass and
+    the dense side one narrow scan (or its IVF variant); the fusion
+    stage is free.  Rank contributions 1/(60+r) are the same two double
+    divisions and one addition in both engines, so ordering is exact;
+    remaining ties (e.g. lex-rank-r-only vs dense-rank-r-only docs)
+    break on doc_id."""
+    lex_scored = bm25_scores(
+        t(spark, sf_dir, "documents"), "doc_id", "text", BM25_TERMS
+    )
+    w_lex = Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
+    lex = (
+        lex_scored.withColumn("lex_rank", F.row_number().over(w_lex))
+        .filter(F.col("lex_rank") <= BM25_TOPK)
+        .select("doc_id", "lex_rank")
+    )
+    dense = _dense_channel(spark, sf_dir, _DENSE_K).select(
+        "doc_id", "dense_rank"
+    )
+    k0 = F.lit(float(_RRF_K0))
+    fused = lex.join(dense, "doc_id", "full_outer").select(
+        "doc_id",
+        "lex_rank",
+        "dense_rank",
+        (
+            F.coalesce(F.lit(1.0) / (k0 + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (k0 + F.col("dense_rank")), F.lit(0.0))
+        ).alias("_rrf"),
+    )
+    return (
+        fused.orderBy(F.col("_rrf").desc(), "doc_id")
+        .limit(_FUSED_K)
+        .select(
+            "doc_id",
+            "lex_rank",
+            "dense_rank",
+            F.round(F.col("_rrf"), 6).alias("rrf"),
+        )
+    )
+
+
+HYBRID_RRF_SQL = f"""
+WITH lex_scored AS (
+  {BM25_TOPK_SQL.replace("ORDER BY bm25 DESC, doc_id", "ORDER BY bm25 DESC, doc_id -- ").replace(f"LIMIT {BM25_TOPK}", "")}
+),
+lex AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+  FROM lex_scored
+  QUALIFY lex_rank <= {BM25_TOPK}
+),
+{_DENSE_CHANNEL_SQL.format(k=_DENSE_K)},
+fused AS (
+  SELECT coalesce(l.doc_id, d.doc_id) AS doc_id, l.lex_rank, d.dense_rank,
+         coalesce(1.0 / ({_RRF_K0}.0 + l.lex_rank), 0.0)
+         + coalesce(1.0 / ({_RRF_K0}.0 + d.dense_rank), 0.0) AS _rrf
+  FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id
+)
+SELECT doc_id, lex_rank, dense_rank, round(_rrf, 6) AS rrf
+FROM fused
+ORDER BY _rrf DESC, doc_id
+LIMIT {_FUSED_K}
+"""
+
+
+# --------------------------------------------------------------------------
+_RERANK_CANDIDATES = 50
+_RERANK_K = 10
+
+
+def text_rerank_two_stage(spark, sf_dir):
+    """Two-stage retrieval — the canonical RAG serving shape: cheap
+    BM25 candidate generation (top-``_RERANK_CANDIDATES`` via the
+    inverted-index posting pass) followed by exact embedding-cosine
+    re-ranking of ONLY those candidates against the query vector.
+
+    The scale property is stage separation: stage 2's vector math runs
+    on |candidates| rows, never the corpus — the 50-row candidate list
+    broadcasts into the embedding fetch (a broadcast semi-prune of the
+    dense scan), each candidate vector is normalized AFTER the prune,
+    and the final top-k is one TakeOrderedAndProject.  Growing the
+    corpus 100× grows stage 1's posting pass; stage 2 stays O(k)."""
+    from rick_and_morty_data_pipeline_project_spark.functions.vectors import (
+        dot_col,
+        norm2_col,
+    )
+    from rick_and_morty_data_pipeline_project_spark.operators.similarity import (
+        _normalized,
+    )
+
+    cand = (
+        bm25_scores(t(spark, sf_dir, "documents"), "doc_id", "text", BM25_TERMS)
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(_RERANK_CANDIDATES)
+    )
+    e = t(spark, sf_dir, "embeddings")
+    q = _normalized(
+        e.filter(F.col("vec_id") == _HYBRID_QUERY_VEC_ID),
+        "vec_id", "embedding", "_qid", "_qv",
+    ).select("_qv")
+    fetched = e.join(
+        F.broadcast(cand), e["vec_id"] == cand["doc_id"]
+    ).select("doc_id", "bm25", "embedding")
+    # bm25 is carried THROUGH the normalization staging (same two-step
+    # shape as similarity._normalized) so the candidate subplan — the
+    # whole BM25 posting pass — is evaluated exactly once
+    staged = fetched.select(
+        "doc_id", "bm25", norm2_col(F.col("embedding")).alias("_n"),
+        "embedding",
+    )
+    cn = staged.select(
+        "doc_id",
+        "bm25",
+        F.transform(
+            "embedding", lambda x: x.cast("double") / F.col("_n")
+        ).alias("_cv"),
+    )
+    scored = cn.crossJoin(F.broadcast(q)).select(
+        "doc_id",
+        "bm25",
+        F.round(dot_col(F.col("_qv"), F.col("_cv")), 6).alias("cosine"),
+    )
+    w = Window.orderBy(F.col("cosine").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rerank", F.row_number().over(w))
+        .filter(F.col("rerank") <= _RERANK_K)
+    )
+
+
+RERANK_TWO_STAGE_SQL = f"""
+WITH lex_scored AS (
+  {BM25_TOPK_SQL.replace("ORDER BY bm25 DESC, doc_id", "ORDER BY bm25 DESC, doc_id -- ").replace(f"LIMIT {BM25_TOPK}", "")}
+),
+cand AS (
+  SELECT doc_id, bm25 FROM lex_scored
+  ORDER BY bm25 DESC, doc_id LIMIT {_RERANK_CANDIDATES}
+),
+{_NORMED_DOCVEC_CTE},
+qv AS (SELECT nv AS qv FROM normed WHERE doc_id = {_HYBRID_QUERY_VEC_ID}),
+scored AS (
+  SELECT c.doc_id, c.bm25, round({dot_sql("qv.qv", "n.nv")}, 6) AS cosine
+  FROM cand c JOIN normed n USING (doc_id) CROSS JOIN qv
+)
+SELECT doc_id, bm25, cosine,
+       row_number() OVER (ORDER BY cosine DESC, doc_id) AS rerank
+FROM scored
+QUALIFY rerank <= {_RERANK_K}
+"""
+
+
+# --------------------------------------------------------------------------
+_FEEDBACK_K = 10
+_EXPANSION_K = 15
+
+
+def text_prf_expansion(spark, sf_dir):
+    """Pseudo-relevance-feedback query expansion (RM1-style): take the
+    BM25 top-``_FEEDBACK_K`` documents as the relevance model, count
+    candidate terms inside that feedback set, weight each by corpus
+    idf, and emit the top-``_EXPANSION_K`` expansion terms.
+
+    Two cost regimes, cleanly separated: the feedback-side counts come
+    from ``_FEEDBACK_K`` documents only (the 10-row id list broadcasts
+    back onto the corpus scan — a broadcast semi-prune, then explode);
+    the corpus df relation is the one vocabulary-bounded aggregate
+    (``array_distinct`` before explode ⇒ map-side combinable, the same
+    artifact ``text_vocab_df`` maintains standalone), and the tiny
+    feedback-term relation broadcasts INTO it so only candidate terms'
+    df rows survive the join.  Scores ``fb_tf · ln(n_docs/df)`` are one
+    log, one divide, one multiply — written identically in the oracle,
+    rounded to 6 before the final order."""
+    d = t(spark, sf_dir, "documents")
+    fb_ids = (
+        bm25_scores(d, "doc_id", "text", BM25_TERMS)
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(_FEEDBACK_K)
+        .select("doc_id")
+    )
+    fb_terms = (
+        d.join(F.broadcast(fb_ids), "doc_id")
+        .select("doc_id", F.explode(tokens_col(F.col("text"))).alias("term"))
+        .filter(~F.col("term").isin(*BM25_TERMS))
+        .groupBy("term")
+        .agg(
+            F.countDistinct("doc_id").alias("fb_docs"),
+            F.count(F.lit(1)).alias("fb_tf"),
+        )
+    )
+    dfreq = (
+        d.select(
+            F.explode(F.array_distinct(tokens_col(F.col("text")))).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        dfreq.join(F.broadcast(fb_terms), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term",
+            "fb_docs",
+            "fb_tf",
+            "df",
+            F.round(
+                F.col("fb_tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ).alias("score"),
+        )
+    )
+    return scored.orderBy(F.col("score").desc(), "term").limit(_EXPANSION_K)
+
+
+PRF_EXPANSION_SQL = f"""
+WITH lex_scored AS (
+  {BM25_TOPK_SQL.replace("ORDER BY bm25 DESC, doc_id", "ORDER BY bm25 DESC, doc_id -- ").replace(f"LIMIT {BM25_TOPK}", "")}
+),
+fb AS (
+  SELECT doc_id FROM lex_scored ORDER BY bm25 DESC, doc_id
+  LIMIT {_FEEDBACK_K}
+),
+fb_terms AS (
+  SELECT term, count(DISTINCT doc_id) AS fb_docs, count(*) AS fb_tf
+  FROM (
+    SELECT d.doc_id, unnest(string_split(d.text, ' ')) AS term
+    FROM documents d JOIN fb USING (doc_id)
+  )
+  WHERE term NOT IN {BM25_TERMS!r}
+  GROUP BY 1
+),
+dfreq AS (
+  SELECT term, count(*) AS df
+  FROM (
+    SELECT unnest(list_distinct(string_split(text, ' '))) AS term
+    FROM documents
+  )
+  GROUP BY 1
+),
+nd AS (SELECT count(*) AS n_docs FROM documents)
+SELECT term, fb_docs, fb_tf, df,
+       round(fb_tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS score
+FROM dfreq JOIN fb_terms USING (term) CROSS JOIN nd
+ORDER BY score DESC, term
+LIMIT {_EXPANSION_K}
+"""
+
+
 QUERIES: dict[str, Q] = {
     "text_bm25_topk": Q(text_bm25_topk, BM25_TOPK_SQL),
     "text_bm25_multiquery": Q(text_bm25_multiquery, BM25_MULTIQUERY_SQL),
     "text_bm25_snippets": Q(text_bm25_snippets, BM25_SNIPPETS_SQL),
     "text_phrase_search": Q(text_phrase_search, PHRASE_SEARCH_SQL),
+    "text_hybrid_rrf": Q(text_hybrid_rrf, HYBRID_RRF_SQL),
+    "text_rerank_two_stage": Q(text_rerank_two_stage, RERANK_TWO_STAGE_SQL),
+    "text_prf_expansion": Q(text_prf_expansion, PRF_EXPANSION_SQL),
 }

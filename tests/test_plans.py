@@ -601,3 +601,52 @@ def test_bm25_snippets_broadcasts_topk_back(spark):
     assert "SortMergeJoin" not in tree, tree
     assert "TakeOrderedAndProject" in tree, tree
     assert len(re.findall(r"Scan parquet", tree)) <= 3, tree
+
+
+def test_hybrid_rrf_k_bounded_fusion(spark):
+    """RRF fusion must be O(k) after both channels: Catalyst rewrites
+    each channel's rank-filter into a TakeOrderedAndProject BELOW its
+    rank window (the heap top-k runs on the full scored relation, the
+    window only re-ranks the k survivors), and the final fused top-k is
+    a third heap.  Four scans total (posting pass + narrow stats +
+    query vector + corpus vectors); the corpus is never globally
+    sorted."""
+    plan = formatted_plan(QUERIES["text_hybrid_rrf"].fn(spark, SF_SMALL))
+    tree = plan.split("\n\n")[0]
+    assert len(re.findall(r"TakeOrderedAndProject", tree)) == 3, tree
+    assert len(re.findall(r"Scan parquet", tree)) <= 4, tree
+    # the only sorts allowed are the two k-row inputs of the full-outer
+    # fusion join (k<=20 each) — a Sort directly over a corpus-sized
+    # relation would appear with neither a TakeOrdered nor a Join above
+    assert "CartesianProduct" not in tree, tree
+
+
+def test_rerank_two_stage_candidate_pruned_dense_fetch(spark):
+    """Stage 2 of the two-stage retriever must prune the embedding
+    fetch with the broadcast 50-row candidate list (BroadcastHashJoin)
+    so vector math runs on |candidates| rows, and the candidate subplan
+    (the whole BM25 posting pass) appears exactly once — its TakeOrdered
+    feeds both the join and the bm25 output column."""
+    plan = formatted_plan(QUERIES["text_rerank_two_stage"].fn(spark, SF_SMALL))
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastHashJoin" in tree, tree
+    assert "SortMergeJoin" not in tree, tree
+    # 4 scans: postings + stats (stage 1) and query-vec + corpus
+    # embeddings (stage 2); a 5th would mean the candidate subplan was
+    # evaluated twice
+    assert len(re.findall(r"Scan parquet", tree)) <= 4, tree
+
+
+def test_prf_expansion_broadcasts_feedback_both_ways(spark):
+    """PRF expansion's two small relations must broadcast: the 10-row
+    feedback id list back onto the corpus scan (document fetch) and the
+    feedback term counts into the vocabulary df aggregate — never a
+    shuffle join keyed on the corpus side.  Five scans is the honest
+    cost (BM25 posting + stats, feedback fetch, vocab df, count-star),
+    pinned so a regression to a 6th (double-evaluated feedback subplan)
+    fails loudly."""
+    plan = formatted_plan(QUERIES["text_prf_expansion"].fn(spark, SF_SMALL))
+    tree = plan.split("\n\n")[0]
+    assert len(re.findall(r"BroadcastHashJoin", tree)) >= 2, tree
+    assert "SortMergeJoin" not in tree, tree
+    assert len(re.findall(r"Scan parquet", tree)) <= 5, tree

@@ -57,6 +57,9 @@ ANNOTATED = {
     "text_bm25_multiquery": "batched BM25: all queries scored in ONE posting pass (query→term map broadcast), per-query top-k via WindowGroupLimit — never a per-query rescan, never a global sort",
     "text_phrase_search": "exact multi-phrase search: staged token array evaluated by every phrase in one narrow projection, stack Generate for wide→long — one scan, ZERO exchanges",
     "profile_compaction_plan": "compaction planner: distributed per-day count, then running-sum bin packing over the partition LIST (one row per day — small by construction); the ordered window never sees the fact table",
+    "text_hybrid_rrf": "hybrid RRF: each channel's rank-filter rewritten to a heap TakeOrderedAndProject BELOW its window (rank assignment runs on k rows), fusion is a full-outer join of two ≤20-row relations — O(k) after the channels, regardless of corpus size",
+    "text_rerank_two_stage": "two-stage retrieval: BM25 candidates (heap top-50) broadcast into the embedding fetch (BroadcastHashJoin prunes the dense side to |candidates|); vector math and the final heap run on 50 rows — stage 2 is corpus-size-independent",
+    "text_prf_expansion": "PRF expansion: 10-row feedback ids broadcast back onto the corpus fetch; feedback term counts broadcast INTO the vocabulary df aggregate; scans pinned at 5 (BM25 posting + stats, feedback fetch, vocab df, count-star)",
 }
 
 
