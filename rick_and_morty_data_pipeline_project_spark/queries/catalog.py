@@ -55,21 +55,23 @@ never-checked queries + 6 r6-born entries (5 audits — HLL accuracy/
 merge-invariance, rolling-DAU envelope, JPEG pixel-decode, CMS
 one-sided band, approx-distinct/percentile rank-error — plus the
 cross-document exact-substring dedup treatment
-``dedup_remove_duplicate_spans``) + 8 late-r6-born never-checked
+``dedup_remove_duplicate_spans``) + 11 late-r6-born never-checked
 entries (BM25 top-k, batched multi-query BM25, multi-phrase search,
 compaction planner, BM25 snippet extraction, hybrid RRF fusion,
-two-stage BM25→cosine rerank, PRF query expansion — rule 1 displaces
-eight r01 refreshes incl. win_first_last_nth to r07) + flagship + 12
+two-stage BM25→cosine rerank, PRF query expansion, per-user EWMA,
+Pareto skyline, referential-integrity audit — rule 1 displaces eleven
+r01 refreshes incl. win_first_last_nth to r07) + flagship + 12
 rule-2 stale re-greens (this
 round's bpe/profile/multimodal edits plus the fingerprint expansion
 to dict/list module constants; two more stale entries —
 profile_table_files_fast and flagship_greedy_match — are already
 counted in the never-checked/flagship slots) + 12 of the 24 queries
 whose only green row dates to round 1 (11 TPC-H classics +
-the remaining r01 refreshes — q8, q11, q13, q14,
-q16, q18, q19, q20, q21, agg_cube_flag_status, win_first_last_nth,
-win_lag_order_gap, win_moving_avg, win_ntile_rank_stats,
-win_running_total and friends — go to r07).  15+6+8+1+12+8 = 50.
+the remaining r01 refreshes — q8, q10, q11, q12, q13, q14,
+q16, q18, q19, q20, q21, q22, agg_cube_flag_status,
+win_first_last_nth, win_lag_order_gap, win_moving_avg,
+win_ntile_rank_stats, win_running_total and friends — go to r07).
+15+6+11+1+12+5 = 50.
 """
 
 from __future__ import annotations
@@ -103,15 +105,16 @@ for mod in (
 # 15 never-checked (all r5-born-after-freeze) + 6 r6-born entries
 # (5 audits — HLL accuracy/merge, rolling-DAU envelope, JPEG pixel
 # decode, CMS band, approx rank error — + the exact-substring dedup
-# treatment) + 8 late-r6-born never-checked (BM25 ×2, snippets,
+# treatment) + 11 late-r6-born never-checked (BM25 ×2, snippets,
 # phrase search, compaction planner, hybrid RRF, two-stage rerank,
-# PRF expansion) + flagship + 12 fingerprint-stale re-greens (rule 2:
-# this round's bpe/profile/multimodal edits plus the fingerprint
-# coverage expansion to dict/list module constants — lexicons and
-# LANG_MARKERS now count) + 8 oldest-green refreshes (last driver row
-# r01: TPC-H classics q4/q7/q9/q10/q12/q15/q17/q22; the remaining r01
-# queries incl. q8/q11/q21/win_first_last_nth go to r07).
-# 15+6+8+1+12+8 = 50.
+# PRF expansion, per-user EWMA, Pareto skyline, referential-integrity
+# audit) + flagship + 12 fingerprint-stale re-greens (rule 2: this
+# round's bpe/profile/multimodal edits plus the fingerprint coverage
+# expansion to dict/list module constants — lexicons and LANG_MARKERS
+# now count) + 5 oldest-green refreshes (last driver row r01: TPC-H
+# classics q4/q7/q9/q15/q17; the remaining r01 queries incl.
+# q8/q10/q11/q12/q21/q22/win_first_last_nth go to r07).
+# 15+6+11+1+12+5 = 50.
 DRIVER_WINDOW: tuple[str, ...] = (
     # ========== 15 never-driver-checked oracled queries (r5-born) ====
     "text_quality_classifier",
@@ -163,15 +166,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "text_hybrid_rrf",
     "text_rerank_two_stage",
     "text_prf_expansion",
+    "events_ewma",
+    "part_skyline_pareto",
+    "audit_referential_integrity",
     # ========== oldest-green refreshes (last row r01) ================
     "q4_order_priority",
     "q7_volume_shipping",
     "q9_profit_by_nation_year",
-    "q10_returned_items",
-    "q12_priority_lines",
     "q15_top_supplier",
     "q17_small_quantity_revenue",
-    "q22_idle_customers",
 )
 
 # Round-5 window, retired 2026-08-14 (all 50 earned green rows in

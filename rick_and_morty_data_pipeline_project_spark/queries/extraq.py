@@ -2430,7 +2430,263 @@ WHERE cs.c_custkey IS NULL
 """
 
 
+# --------------------------------------------------------------------------
+_EWMA_ALPHA = 0.3
+_EWMA_ONE_MINUS = 0.7
+
+
+def events_ewma(spark, sf_dir):
+    """Per-user exponentially-weighted moving average of event values —
+    a genuinely RECURSIVE per-key operator (y₁ = x₁;
+    yₜ = α·xₜ + (1−α)·yₜ₋₁) expressed WITHOUT Python: the user's
+    time-ordered value list is collected once and the recursion is a
+    JVM left fold (``F.aggregate``) seeded with the first element,
+    mirroring DuckDB's ``list_reduce`` (which uses the head as init)
+    op-for-op, so the smoothed value is bit-identical before rounding.
+
+    Scale: one user-keyed shuffle; per-row state is the user's event
+    list — bounded by per-key cardinality, the same envelope as
+    sessionization (a key too hot for this shape is too hot for ANY
+    per-key sequential semantics and needs windowed chunking first).
+    The fold itself is codegen-adjacent JVM work, no Arrow transfer."""
+    e = t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    ordered = e.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "value"))
+        ).alias("_evs")
+    )
+    vals = ordered.select(
+        "user_id",
+        F.transform("_evs", lambda s: s["value"]).alias("_vs"),
+    )
+    a, b = F.lit(_EWMA_ALPHA), F.lit(_EWMA_ONE_MINUS)
+    ewma = F.aggregate(
+        F.slice(F.col("_vs"), 2, F.size("_vs") - 1),
+        F.element_at(F.col("_vs"), 1),
+        lambda acc, x: a * x + b * acc,
+    )
+    return vals.select(
+        "user_id",
+        F.size("_vs").alias("n_events"),
+        F.round(ewma, 6).alias("ewma"),
+    )
+
+
+EVENTS_EWMA_SQL = f"""
+WITH ordered AS (
+  SELECT user_id, list(value ORDER BY ts, event_id) AS vs
+  FROM events GROUP BY user_id
+)
+SELECT user_id, len(vs) AS n_events,
+       round(list_reduce(vs, (acc, x) -> {_EWMA_ALPHA} * x + {_EWMA_ONE_MINUS} * acc), 6)
+         AS ewma
+FROM ordered
+"""
+
+
+def part_skyline_pareto(spark, sf_dir):
+    """Skyline (Pareto-frontier) operator: parts not dominated on
+    (minimize price, maximize size) — q dominates p iff q is no worse
+    on both axes and strictly better on one.
+
+    The distributed shape exploits the BOUNDED axis: dominance
+    decomposes exactly into
+    ``(∃ size > s with min-price ≤ p) ∨ (∃ size ≥ s with min-price < p)``,
+    so the whole frontier test reduces to a running min of per-size
+    minimum prices down the size axis — a staircase relation with ONE
+    ROW PER DISTINCT SIZE (50 here; bounded by the attribute domain at
+    any corpus size, the compaction-planner argument).  The heavy
+    lifting is the map-combinable per-size min aggregate; the ordered
+    window never sees the fact table, and the staircase broadcasts
+    back onto the scan for the final per-row filter."""
+    from pyspark.sql.window import Window as W
+
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_size", "p_retailprice")
+    per_size = p.groupBy("p_size").agg(
+        F.min("p_retailprice").alias("minp")
+    )
+    w_desc = W.orderBy(F.desc("p_size")).rowsBetween(W.unboundedPreceding, 0)
+    stair = per_size.select(
+        "p_size",
+        F.min("minp").over(w_desc).alias("runmin_ge"),
+    ).select(
+        "p_size",
+        "runmin_ge",
+        F.lag("runmin_ge", 1).over(W.orderBy(F.desc("p_size"))).alias(
+            "runmin_gt"
+        ),
+    )
+    dominated = (
+        (F.col("runmin_gt").isNotNull() & (F.col("runmin_gt") <= F.col("p_retailprice")))
+        | (F.col("runmin_ge") < F.col("p_retailprice"))
+    )
+    return (
+        p.join(F.broadcast(stair), "p_size")
+        .filter(~dominated)
+        .select("p_partkey", "p_size", "p_retailprice")
+    )
+
+
+PART_SKYLINE_SQL = """
+WITH per_size AS (
+  SELECT p_size, min(p_retailprice) AS minp FROM part GROUP BY p_size
+),
+run AS (
+  SELECT p_size,
+         min(minp) OVER (ORDER BY p_size DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runmin_ge
+  FROM per_size
+),
+stair AS (
+  SELECT p_size, runmin_ge,
+         lag(runmin_ge, 1) OVER (ORDER BY p_size DESC) AS runmin_gt
+  FROM run
+)
+SELECT p.p_partkey, p.p_size, p.p_retailprice
+FROM part p JOIN stair s USING (p_size)
+WHERE NOT ((s.runmin_gt IS NOT NULL AND s.runmin_gt <= p.p_retailprice)
+           OR (s.runmin_ge < p.p_retailprice))
+"""
+
+
+def audit_referential_integrity(spark, sf_dir):
+    """Star-schema referential-integrity audit: for every FK edge, the
+    child row count and the orphan count (child rows whose FK has no
+    parent) — the batch data-quality gate run before any pipeline
+    promotes a snapshot.
+
+    Shape: ONE scan per child table, however many FK edges it carries —
+    all of a child's parents left-join in (PK side is unique, so no
+    fan-out) and every edge's orphan condition is a conditional count
+    in the SAME aggregate; lineitem's three edges cost one pass, not
+    six scans (the naive per-arm anti-join form planned 21 scans — see
+    PERFORMANCE.md).  Dimension parents broadcast; the lineitem⋈orders
+    arm shuffles like any fact-fact join.  The per-child one-row aggs
+    then unpivot into the 7-row audit.  A non-zero orphan count is the
+    signal — the synthetic snapshot audits clean, which the oracle
+    pins."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    p = t(spark, sf_dir, "part")
+
+    def nulls(pk):
+        return F.sum(F.when(F.col(pk).isNull(), 1).otherwise(0))
+
+    li_agg = (
+        li.select("l_orderkey", "l_partkey", "l_suppkey")
+        .join(o.select("o_orderkey"), li["l_orderkey"] == o["o_orderkey"], "left")
+        .join(F.broadcast(p.select("p_partkey")), li["l_partkey"] == p["p_partkey"], "left")
+        .join(F.broadcast(s.select("s_suppkey")), li["l_suppkey"] == s["s_suppkey"], "left")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            nulls("o_orderkey").alias("orph_orders"),
+            nulls("p_partkey").alias("orph_part"),
+            nulls("s_suppkey").alias("orph_supp"),
+        )
+    )
+    o_agg = (
+        o.select("o_custkey")
+        .join(F.broadcast(c.select("c_custkey")), o["o_custkey"] == c["c_custkey"], "left")
+        .agg(F.count(F.lit(1)).alias("n"), nulls("c_custkey").alias("orph"))
+    )
+    c_agg = (
+        c.select("c_nationkey")
+        .join(F.broadcast(n.select("n_nationkey")), c["c_nationkey"] == n["n_nationkey"], "left")
+        .agg(F.count(F.lit(1)).alias("n"), nulls("n_nationkey").alias("orph"))
+    )
+    s_agg = (
+        s.select("s_nationkey")
+        .join(F.broadcast(n.select("n_nationkey")), s["s_nationkey"] == n["n_nationkey"], "left")
+        .agg(F.count(F.lit(1)).alias("n"), nulls("n_nationkey").alias("orph"))
+    )
+    n_agg = (
+        n.select("n_regionkey")
+        .join(F.broadcast(r.select("r_regionkey")), n["n_regionkey"] == r["r_regionkey"], "left")
+        .agg(F.count(F.lit(1)).alias("n"), nulls("r_regionkey").alias("orph"))
+    )
+
+    li_rows = li_agg.selectExpr(
+        "stack(3, "
+        "'lineitem.l_orderkey->orders', n, orph_orders, "
+        "'lineitem.l_partkey->part', n, orph_part, "
+        "'lineitem.l_suppkey->supplier', n, orph_supp"
+        ") AS (fk_edge, child_rows, orphan_rows)"
+    )
+
+    def one(agg, label):
+        return agg.select(
+            F.lit(label).alias("fk_edge"),
+            F.col("n").alias("child_rows"),
+            F.col("orph").alias("orphan_rows"),
+        )
+
+    return (
+        li_rows
+        .unionByName(one(o_agg, "orders.o_custkey->customer"))
+        .unionByName(one(c_agg, "customer.c_nationkey->nation"))
+        .unionByName(one(s_agg, "supplier.s_nationkey->nation"))
+        .unionByName(one(n_agg, "nation.n_regionkey->region"))
+    )
+
+
+AUDIT_RI_SQL = """
+WITH li_agg AS (
+  SELECT count(*) AS n,
+         CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orph_orders,
+         CAST(sum(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orph_part,
+         CAST(sum(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orph_supp
+  FROM lineitem li
+  LEFT JOIN orders o ON li.l_orderkey = o.o_orderkey
+  LEFT JOIN part p ON li.l_partkey = p.p_partkey
+  LEFT JOIN supplier s ON li.l_suppkey = s.s_suppkey
+),
+o_agg AS (
+  SELECT count(*) AS n,
+         CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orph
+  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+),
+c_agg AS (
+  SELECT count(*) AS n,
+         CAST(sum(CASE WHEN n2.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orph
+  FROM customer c LEFT JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+),
+s_agg AS (
+  SELECT count(*) AS n,
+         CAST(sum(CASE WHEN n2.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orph
+  FROM supplier s LEFT JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+),
+n_agg AS (
+  SELECT count(*) AS n,
+         CAST(sum(CASE WHEN r.r_regionkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orph
+  FROM nation n2 LEFT JOIN region r ON n2.n_regionkey = r.r_regionkey
+)
+SELECT 'lineitem.l_orderkey->orders' AS fk_edge, n AS child_rows,
+       orph_orders AS orphan_rows FROM li_agg
+UNION ALL
+SELECT 'lineitem.l_partkey->part', n, orph_part FROM li_agg
+UNION ALL
+SELECT 'lineitem.l_suppkey->supplier', n, orph_supp FROM li_agg
+UNION ALL
+SELECT 'orders.o_custkey->customer', n, orph FROM o_agg
+UNION ALL
+SELECT 'customer.c_nationkey->nation', n, orph FROM c_agg
+UNION ALL
+SELECT 'supplier.s_nationkey->nation', n, orph FROM s_agg
+UNION ALL
+SELECT 'nation.n_regionkey->region', n, orph FROM n_agg
+"""
+
+
 QUERIES: dict[str, Q] = {
+    "events_ewma": Q(events_ewma, EVENTS_EWMA_SQL),
+    "part_skyline_pareto": Q(part_skyline_pareto, PART_SKYLINE_SQL),
+    "audit_referential_integrity": Q(
+        audit_referential_integrity, AUDIT_RI_SQL
+    ),
     "scd2_customer_segments": Q(scd2_customer_segments, SCD2_SQL),
     "join_fuzzy_customer_names": Q(
         join_fuzzy_customer_names, FUZZY_JOIN_SQL

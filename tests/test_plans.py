@@ -650,3 +650,39 @@ def test_prf_expansion_broadcasts_feedback_both_ways(spark):
     assert len(re.findall(r"BroadcastHashJoin", tree)) >= 2, tree
     assert "SortMergeJoin" not in tree, tree
     assert len(re.findall(r"Scan parquet", tree)) <= 5, tree
+
+
+def test_events_ewma_single_pass_jvm_fold(spark):
+    """The recursive EWMA must be one user-keyed shuffle over one scan,
+    with the recursion as a JVM fold — no Python stage, no join, no
+    second pass."""
+    plan = formatted_plan(QUERIES["events_ewma"].fn(spark, SF_SMALL))
+    tree = plan.split("\n\n")[0]
+    assert len(re.findall(r"Scan parquet", tree)) == 1, tree
+    assert "Join" not in tree, tree
+    assert "InPandas" not in tree and "BatchEvalPython" not in tree, tree
+
+
+def test_part_skyline_staircase_broadcast_back(spark):
+    """The skyline's ordered window must run over the per-size
+    aggregate (bounded by the attribute domain), never the fact table,
+    and the staircase must broadcast back onto the scan."""
+    plan = formatted_plan(QUERIES["part_skyline_pareto"].fn(spark, SF_SMALL))
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastHashJoin" in tree, tree
+    assert "SortMergeJoin" not in tree, tree
+    assert len(re.findall(r"Scan parquet", tree)) <= 2, tree
+
+
+def test_audit_referential_integrity_one_scan_per_child(spark):
+    """Every child table is scanned ONCE however many FK edges it
+    carries: all parents left-join into the same pass and each edge is
+    a conditional count in one aggregate (the naive per-edge anti-join
+    form planned 21 scans).  12 scans = 5 child passes + 7 parent
+    sides."""
+    plan = formatted_plan(
+        QUERIES["audit_referential_integrity"].fn(spark, SF_SMALL)
+    )
+    tree = plan.split("\n\n")[0]
+    assert len(re.findall(r"Scan parquet", tree)) <= 12, tree
+    assert len(re.findall(r"BroadcastHashJoin", tree)) >= 6, tree

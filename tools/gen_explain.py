@@ -60,6 +60,9 @@ ANNOTATED = {
     "text_hybrid_rrf": "hybrid RRF: each channel's rank-filter rewritten to a heap TakeOrderedAndProject BELOW its window (rank assignment runs on k rows), fusion is a full-outer join of two ≤20-row relations — O(k) after the channels, regardless of corpus size",
     "text_rerank_two_stage": "two-stage retrieval: BM25 candidates (heap top-50) broadcast into the embedding fetch (BroadcastHashJoin prunes the dense side to |candidates|); vector math and the final heap run on 50 rows — stage 2 is corpus-size-independent",
     "text_prf_expansion": "PRF expansion: 10-row feedback ids broadcast back onto the corpus fetch; feedback term counts broadcast INTO the vocabulary df aggregate; scans pinned at 5 (BM25 posting + stats, feedback fetch, vocab df, count-star)",
+    "events_ewma": "recursive per-key EWMA without Python: one user-keyed exchange, recursion as a JVM fold over the time-ordered collected list — no join, no Arrow stage",
+    "part_skyline_pareto": "skyline: the dominance test reduced to a running min over the per-size aggregate (one row per distinct size — bounded by the attribute domain); the window never sees the fact table; staircase broadcast back",
+    "audit_referential_integrity": "referential-integrity audit: one scan per child table for ALL its FK edges (parents left-join into the same pass; per-edge orphan conditions are conditional counts in one aggregate) — 12 scans total vs 21 for the per-edge anti-join form",
 }
 
 
