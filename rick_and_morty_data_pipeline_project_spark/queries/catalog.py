@@ -55,11 +55,12 @@ never-checked queries + 6 r6-born entries (5 audits — HLL accuracy/
 merge-invariance, rolling-DAU envelope, JPEG pixel-decode, CMS
 one-sided band, approx-distinct/percentile rank-error — plus the
 cross-document exact-substring dedup treatment
-``dedup_remove_duplicate_spans``) + 11 late-r6-born never-checked
+``dedup_remove_duplicate_spans``) + 13 late-r6-born never-checked
 entries (BM25 top-k, batched multi-query BM25, multi-phrase search,
 compaction planner, BM25 snippet extraction, hybrid RRF fusion,
 two-stage BM25→cosine rerank, PRF query expansion, per-user EWMA,
-Pareto skyline, referential-integrity audit — rule 1 displaces eleven
+Pareto skyline, referential-integrity audit, correlation matrix,
+snapshot diff — rule 1 displaces thirteen
 r01 refreshes incl. win_first_last_nth to r07) + flagship + 12
 rule-2 stale re-greens (this
 round's bpe/profile/multimodal edits plus the fingerprint expansion
@@ -67,11 +68,11 @@ to dict/list module constants; two more stale entries —
 profile_table_files_fast and flagship_greedy_match — are already
 counted in the never-checked/flagship slots) + 12 of the 24 queries
 whose only green row dates to round 1 (11 TPC-H classics +
-the remaining r01 refreshes — q8, q10, q11, q12, q13, q14,
-q16, q18, q19, q20, q21, q22, agg_cube_flag_status,
+the remaining r01 refreshes — q7, q8, q10, q11, q12, q13, q14,
+q15, q16, q18, q19, q20, q21, q22, agg_cube_flag_status,
 win_first_last_nth, win_lag_order_gap, win_moving_avg,
 win_ntile_rank_stats, win_running_total and friends — go to r07).
-15+6+11+1+12+5 = 50.
+15+6+13+1+12+3 = 50.
 """
 
 from __future__ import annotations
@@ -105,16 +106,17 @@ for mod in (
 # 15 never-checked (all r5-born-after-freeze) + 6 r6-born entries
 # (5 audits — HLL accuracy/merge, rolling-DAU envelope, JPEG pixel
 # decode, CMS band, approx rank error — + the exact-substring dedup
-# treatment) + 11 late-r6-born never-checked (BM25 ×2, snippets,
+# treatment) + 13 late-r6-born never-checked (BM25 ×2, snippets,
 # phrase search, compaction planner, hybrid RRF, two-stage rerank,
 # PRF expansion, per-user EWMA, Pareto skyline, referential-integrity
-# audit) + flagship + 12 fingerprint-stale re-greens (rule 2: this
-# round's bpe/profile/multimodal edits plus the fingerprint coverage
-# expansion to dict/list module constants — lexicons and LANG_MARKERS
-# now count) + 5 oldest-green refreshes (last driver row r01: TPC-H
-# classics q4/q7/q9/q15/q17; the remaining r01 queries incl.
-# q8/q10/q11/q12/q21/q22/win_first_last_nth go to r07).
-# 15+6+11+1+12+5 = 50.
+# audit, correlation matrix, snapshot diff) + flagship + 12
+# fingerprint-stale re-greens (rule 2: this round's bpe/profile/
+# multimodal edits plus the fingerprint coverage expansion to
+# dict/list module constants — lexicons and LANG_MARKERS now count)
+# + 3 oldest-green refreshes (last driver row r01: TPC-H classics
+# q4/q9/q17; the remaining r01 queries incl.
+# q7/q8/q10/q11/q12/q15/q21/q22/win_first_last_nth go to r07).
+# 15+6+13+1+12+3 = 50.
 DRIVER_WINDOW: tuple[str, ...] = (
     # ========== 15 never-driver-checked oracled queries (r5-born) ====
     "text_quality_classifier",
@@ -169,11 +171,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "events_ewma",
     "part_skyline_pareto",
     "audit_referential_integrity",
+    "lineitem_corr_matrix",
+    "snapshot_diff_orders",
     # ========== oldest-green refreshes (last row r01) ================
     "q4_order_priority",
-    "q7_volume_shipping",
     "q9_profit_by_nation_year",
-    "q15_top_supplier",
     "q17_small_quantity_revenue",
 )
 

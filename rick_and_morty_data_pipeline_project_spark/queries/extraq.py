@@ -2681,7 +2681,195 @@ SELECT 'nation.n_regionkey->region', n, orph FROM n_agg
 """
 
 
+# --------------------------------------------------------------------------
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+_CORR_PAIRS = tuple(
+    (_CORR_COLS[i], _CORR_COLS[j])
+    for i in range(len(_CORR_COLS))
+    for j in range(i + 1, len(_CORR_COLS))
+)
+
+
+def lineitem_corr_matrix(spark, sf_dir):
+    """Pairwise Pearson correlation matrix of the lineitem numeric
+    columns — the multi-column statistical profile every data-quality
+    stack computes before training (collinearity, drift baselines).
+
+    ONE map-combinable global aggregate carries all 15 exact decimal
+    sums (n, 4 Σx, 4 Σx², 6 Σxy) — a single reduce of ~15 numbers
+    whatever the corpus size; every pairwise r is then closed-form
+    double arithmetic on that one row (the grouped-OLS trick of
+    events_user_trend, globalized), and the 6-pair matrix unpivots via
+    ``stack``.  All inputs are ≤2-dp values bounded well inside the
+    decimal-multiply fast path of both engines (see the
+    events_user_trend precision note)."""
+    li = t(spark, sf_dir, "lineitem")
+    # stage the 4 decimal casts once per row; the 14 sum expressions
+    # then reference the staged columns instead of re-casting inside
+    # every product
+    staged = li.select(*[dec(c, 8, 2).alias(f"_d_{c}") for c in _CORR_COLS])
+    cols = {c: F.col(f"_d_{c}") for c in _CORR_COLS}
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in _CORR_COLS:
+        aggs.append(F.sum(cols[c]).alias(f"s_{c}"))
+        aggs.append(F.sum(cols[c] * cols[c]).alias(f"ss_{c}"))
+    for a, b2 in _CORR_PAIRS:
+        aggs.append(F.sum(cols[a] * cols[b2]).alias(f"sp_{a}_{b2}"))
+    s = staged.agg(*aggs)
+
+    def r_expr(a, b2):
+        n = F.col("n").cast("double")
+        sa, sb = F.col(f"s_{a}").cast("double"), F.col(f"s_{b2}").cast("double")
+        saa = F.col(f"ss_{a}").cast("double")
+        sbb = F.col(f"ss_{b2}").cast("double")
+        sab = F.col(f"sp_{a}_{b2}").cast("double")
+        return F.round(
+            (n * sab - sa * sb)
+            / F.sqrt((n * saa - sa * sa) * (n * sbb - sb * sb)),
+            6,
+        )
+
+    pairs = s.select(
+        "n",
+        *[r_expr(a, b2).alias(f"r_{a}_{b2}") for a, b2 in _CORR_PAIRS],
+    )
+    stack_args = ", ".join(
+        f"'{a}', '{b2}', r_{a}_{b2}" for a, b2 in _CORR_PAIRS
+    )
+    return pairs.selectExpr(
+        f"stack({len(_CORR_PAIRS)}, {stack_args}) AS (col_a, col_b, pearson_r)",
+        "n",
+    ).select("col_a", "col_b", "n", "pearson_r")
+
+
+_CORR_SUMS_SQL = ",\n         ".join(
+    [
+        "count(*) AS n",
+        *[
+            f"sum(CAST({c} AS DECIMAL(8,2))) AS s_{c}"
+            for c in _CORR_COLS
+        ],
+        *[
+            f"sum(CAST({c} AS DECIMAL(8,2)) * CAST({c} AS DECIMAL(8,2))) AS ss_{c}"
+            for c in _CORR_COLS
+        ],
+        *[
+            f"sum(CAST({a} AS DECIMAL(8,2)) * CAST({b} AS DECIMAL(8,2))) AS sp_{a}_{b}"
+            for a, b in _CORR_PAIRS
+        ],
+    ]
+)
+
+_CORR_ARMS_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{a}' AS col_a, '{b}' AS col_b, n,
+       round((CAST(n AS DOUBLE) * CAST(sp_{a}_{b} AS DOUBLE)
+              - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(ss_{a} AS DOUBLE)
+                     - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(ss_{b} AS DOUBLE)
+                       - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE))), 6)
+         AS pearson_r
+FROM s"""
+    for a, b in _CORR_PAIRS
+)
+
+LINEITEM_CORR_SQL = f"""
+WITH s AS (
+  SELECT {_CORR_SUMS_SQL}
+  FROM lineitem
+)
+{_CORR_ARMS_SQL}
+"""
+
+
+# --------------------------------------------------------------------------
+def snapshot_diff_orders(spark, sf_dir):
+    """Snapshot diff — the dataset-versioning primitive: classify every
+    key of two table versions as inserted / deleted / updated /
+    unchanged and count each class (plus, for updates, which column
+    changed).  Version B is derived in-query by a deterministic
+    "next-day load" rule (delete keys ≡0 mod 101, bump o_totalprice on
+    keys ≡0 mod 97, insert offset copies of keys ≡0 mod 89) so the
+    expected classes are non-trivial at every SF.
+
+    Shape: ONE full-outer join co-partitioned on the key — both sides
+    shuffle once, change detection is a null-safe column comparison
+    inside the join's projection, and the class counts are a
+    map-combinable aggregate of the join output.  At 100 TB this is
+    the minimal-movement diff: no row leaves its key partition, no
+    second pass, and the per-class result is 4 rows whatever the
+    table size."""
+    o = t(spark, sf_dir, "orders")
+    b = (
+        o.filter(F.col("o_orderkey") % 101 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 97 == 0,
+                F.col("o_totalprice") + F.lit(10.0),
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 89 == 0).withColumn(
+                "o_orderkey", F.col("o_orderkey") + F.lit(100000000)
+            )
+        )
+    )
+    a2 = o.select(
+        F.col("o_orderkey").alias("key"),
+        F.struct(*[c for c in o.columns if c != "o_orderkey"]).alias("_a"),
+    )
+    b2 = b.select(
+        F.col("o_orderkey").alias("key"),
+        F.struct(*[c for c in b.columns if c != "o_orderkey"]).alias("_b"),
+    )
+    j = a2.join(b2, "key", "full_outer")
+    change = (
+        F.when(F.col("_a").isNull(), F.lit("inserted"))
+        .when(F.col("_b").isNull(), F.lit("deleted"))
+        .when(~F.col("_a").eqNullSafe(F.col("_b")), F.lit("updated"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.select(change.alias("change_type"))
+        .groupBy("change_type")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+SNAPSHOT_DIFF_SQL = """
+WITH b AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 10.0
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 101 <> 0
+  UNION ALL
+  SELECT o_orderkey + 100000000, o_custkey, o_orderstatus, o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 89 = 0
+),
+j AS (
+  SELECT CASE
+           WHEN a.o_orderkey IS NULL THEN 'inserted'
+           WHEN b.o_orderkey IS NULL THEN 'deleted'
+           WHEN NOT (a.o_custkey IS NOT DISTINCT FROM b.o_custkey
+                     AND a.o_orderstatus IS NOT DISTINCT FROM b.o_orderstatus
+                     AND a.o_totalprice IS NOT DISTINCT FROM b.o_totalprice
+                     AND a.o_orderdate IS NOT DISTINCT FROM b.o_orderdate
+                     AND a.o_orderpriority IS NOT DISTINCT FROM b.o_orderpriority)
+             THEN 'updated'
+           ELSE 'unchanged'
+         END AS change_type
+  FROM orders a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+)
+SELECT change_type, count(*) AS n_rows FROM j GROUP BY change_type
+"""
+
+
 QUERIES: dict[str, Q] = {
+    "snapshot_diff_orders": Q(snapshot_diff_orders, SNAPSHOT_DIFF_SQL),
+    "lineitem_corr_matrix": Q(lineitem_corr_matrix, LINEITEM_CORR_SQL),
     "events_ewma": Q(events_ewma, EVENTS_EWMA_SQL),
     "part_skyline_pareto": Q(part_skyline_pareto, PART_SKYLINE_SQL),
     "audit_referential_integrity": Q(

@@ -686,3 +686,28 @@ def test_audit_referential_integrity_one_scan_per_child(spark):
     tree = plan.split("\n\n")[0]
     assert len(re.findall(r"Scan parquet", tree)) <= 12, tree
     assert len(re.findall(r"BroadcastHashJoin", tree)) >= 6, tree
+
+
+def test_corr_matrix_single_global_aggregate(spark):
+    """The whole correlation matrix must come from ONE map-combinable
+    global aggregate over one scan — 15 decimal sums reduced to a
+    single row, then closed-form doubles; no join, no window, no
+    second pass."""
+    plan = formatted_plan(QUERIES["lineitem_corr_matrix"].fn(spark, SF_SMALL))
+    tree = plan.split("\n\n")[0]
+    assert len(re.findall(r"Scan parquet", tree)) == 1, tree
+    assert "Join" not in tree, tree
+    assert "Window" not in tree, tree
+
+
+def test_snapshot_diff_copartitioned_full_outer(spark):
+    """The diff is one key-partitioned full-outer join (SortMergeJoin
+    — full outer cannot broadcast) with change classification in its
+    projection and a map-combinable class count: three scans (A + the
+    two B branches), no extra pass over the join output."""
+    plan = formatted_plan(QUERIES["snapshot_diff_orders"].fn(spark, SF_SMALL))
+    tree = plan.split("\n\n")[0]
+    assert "SortMergeJoin FullOuter" in tree.replace("  ", " ") or re.search(
+        r"SortMergeJoin.*FullOuter", tree
+    ), tree
+    assert len(re.findall(r"Scan parquet", tree)) <= 3, tree

@@ -63,6 +63,8 @@ ANNOTATED = {
     "events_ewma": "recursive per-key EWMA without Python: one user-keyed exchange, recursion as a JVM fold over the time-ordered collected list — no join, no Arrow stage",
     "part_skyline_pareto": "skyline: the dominance test reduced to a running min over the per-size aggregate (one row per distinct size — bounded by the attribute domain); the window never sees the fact table; staircase broadcast back",
     "audit_referential_integrity": "referential-integrity audit: one scan per child table for ALL its FK edges (parents left-join into the same pass; per-edge orphan conditions are conditional counts in one aggregate) — 12 scans total vs 21 for the per-edge anti-join form",
+    "lineitem_corr_matrix": "correlation matrix: ONE map-combinable global aggregate carries all 15 exact decimal sums (single reduce of ~15 numbers at any corpus size); pairwise r is closed-form double arithmetic on that one row; no join, no window",
+    "snapshot_diff_orders": "snapshot diff: one key-co-partitioned full-outer SortMergeJoin, change classification in the join projection (null-safe struct compare), map-combinable class counts — no row leaves its key partition, no second pass",
 }
 
 
