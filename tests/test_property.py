@@ -328,3 +328,131 @@ def test_bm25_scores_match_python_reference(spark, texts):
     assert set(got) == set(want)
     for i, score in want.items():
         assert abs(got[i] - float(score)) <= 2e-6, (i, got[i], score)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),      # user_id
+            st.integers(min_value=0, max_value=10_000),  # ts offset (s)
+            st.integers(min_value=-500, max_value=500),  # value ×0.01
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_events_ewma_matches_python_recursion(spark, tmp_path_factory, rows):
+    """The JVM-fold EWMA must equal the straightforward Python
+    recursion yₜ = α·xₜ + (1−α)·yₜ₋₁ over the (ts, event_id)-ordered
+    stream, for arbitrary per-user event shapes (single event, ties on
+    ts broken by event_id, negative values)."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from rick_and_morty_data_pipeline_project_spark.queries.extraq import (
+        _EWMA_ALPHA,
+        _EWMA_ONE_MINUS,
+        events_ewma,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(len(rows)),
+            "ts": [base + dt.timedelta(seconds=s) for _, s, _ in rows],
+            "user_id": [u for u, _, _ in rows],
+            "event_type": "view",
+            "value": [v / 100.0 for _, _, v in rows],
+            "props": "{}",
+        }
+    )
+    d = tmp_path_factory.mktemp("ewma")
+    pdf.to_parquet(d / "events.parquet", index=False)
+
+    got = {
+        r["user_id"]: (r["n_events"], r["ewma"])
+        for r in events_ewma(spark, str(d)).collect()
+    }
+
+    want = {}
+    for u in sorted({u for u, _, _ in rows}):
+        evs = sorted(
+            (
+                (pdf.ts[i], pdf.event_id[i], pdf.value[i])
+                for i in range(len(rows))
+                if pdf.user_id[i] == u
+            ),
+        )
+        y = evs[0][2]
+        for _, _, x in evs[1:]:
+            y = _EWMA_ALPHA * x + _EWMA_ONE_MINUS * y
+        want[u] = (len(evs), y)
+
+    assert set(got) == set(want)
+    for u in want:
+        assert got[u][0] == want[u][0]
+        assert abs(got[u][1] - want[u][1]) < 1e-9, (u, got[u], want[u])
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=8),       # p_size
+            st.integers(min_value=100, max_value=999),   # price ×0.1
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_part_skyline_matches_bruteforce_dominance(
+    spark, tmp_path_factory, rows
+):
+    """The staircase skyline must equal the O(n²) dominance
+    definition — q dominates p iff q.price ≤ p.price ∧ q.size ≥ p.size
+    with one strict — including duplicate points (mutually
+    non-dominating) and same-price/same-size ties."""
+    import pandas as pd
+
+    from rick_and_morty_data_pipeline_project_spark.queries.extraq import (
+        part_skyline_pareto,
+    )
+
+    pts = [(i, sz, pr / 10.0) for i, (sz, pr) in enumerate(rows)]
+    pdf = pd.DataFrame(
+        {
+            "p_partkey": [i for i, _, _ in pts],
+            "p_name": "x",
+            "p_brand": "b",
+            "p_type": "t",
+            "p_size": [s for _, s, _ in pts],
+            "p_retailprice": [p for _, _, p in pts],
+        }
+    )
+    d = tmp_path_factory.mktemp("skyline")
+    pdf.to_parquet(d / "part.parquet", index=False)
+
+    got = {
+        r["p_partkey"]
+        for r in part_skyline_pareto(spark, str(d)).collect()
+    }
+
+    def dominated(p):
+        _, psz, ppr = p
+        return any(
+            (qpr <= ppr and qsz >= psz and (qpr < ppr or qsz > psz))
+            for _, qsz, qpr in pts
+        )
+
+    want = {i for (i, *_), p in zip(pts, pts) if not dominated(p)}
+    assert got == want
