@@ -236,3 +236,73 @@ def zscore_stream(
         outputMode="append",
         timeoutConf="NoTimeout",
     )
+
+
+_EWMA_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("ewma", DoubleType()),
+    ]
+)
+
+
+def ewma_stream(
+    events: DataFrame, alpha: float = 0.3, one_minus: float = 0.7
+) -> DataFrame:
+    """Streaming twin of the batch ``events_ewma`` query: per-user
+    exponentially-weighted moving average maintained INCREMENTALLY —
+    state is two numbers per key (count, current ewma), O(1) whatever
+    the stream length, the canonical shape for a recursive statistic
+    on an unbounded stream.
+
+    Each micro-batch's rows are sorted by (ts, event_id) before
+    folding (a group arrives as unordered Arrow chunks), and batches
+    are assumed time-ordered across triggers (the file source's
+    mtime ordering — same contract as the ingest-dedup streams).  The
+    fold performs the identical IEEE double sequence as the batch
+    query's JVM ``F.aggregate`` (α·x + (1−α)·y, head-seeded), so after
+    draining the same data the streamed ewma is bit-equal to the batch
+    result — asserted in tests/test_streaming.py.
+
+    Emits the refreshed (user_id, n_events, ewma) row each trigger in
+    update mode; downstream keeps the latest per key."""
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("y", DoubleType())]
+    )
+
+    def fn(key, pdfs: Iterator, state) -> Iterator:
+        import pandas as pd
+
+        (user_id,) = key
+        n, y = (state.get[0], state.get[1]) if state.exists else (0, 0.0)
+        whole = pd.concat(list(pdfs), ignore_index=True)
+        if len(whole):
+            whole = whole.sort_values(["ts", "event_id"])
+            for v in whole["value"].astype(float):
+                if n == 0:
+                    y = v
+                else:
+                    # one_minus is a SEPARATE literal, not 1.0 - alpha:
+                    # IEEE 1.0-0.3 = 0.70000000000000004 ≠ the 0.7 the
+                    # batch query folds with — using it would break the
+                    # bit-equality contract with events_ewma
+                    y = alpha * v + one_minus * y
+                n += 1
+        state.update((n, y))
+        yield pd.DataFrame(
+            [(int(user_id), int(n), float(y))],
+            columns=["user_id", "n_events", "ewma"],
+        )
+
+    return (
+        events.select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=_EWMA_OUT_SCHEMA,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+    )

@@ -395,9 +395,19 @@ def test_events_ewma_matches_python_recursion(spark, tmp_path_factory, rows):
         want[u] = (len(evs), y)
 
     assert set(got) == set(want)
+    from decimal import ROUND_HALF_UP, Decimal
+
     for u in want:
         assert got[u][0] == want[u][0]
-        assert abs(got[u][1] - want[u][1]) < 1e-9, (u, got[u], want[u])
+        # the query returns round(ewma, 6); Spark's double round goes
+        # through BigDecimal.valueOf (shortest repr) with HALF_UP —
+        # mirror it exactly instead of comparing the raw fold
+        want_rounded = float(
+            Decimal(repr(want[u][1])).quantize(
+                Decimal("1e-6"), ROUND_HALF_UP
+            )
+        )
+        assert got[u][1] == want_rounded, (u, got[u], want[u])
 
 
 @settings(

@@ -737,3 +737,80 @@ def test_stream_quality_classifier_matches_batch(spark, tmp_path):
     )
     want = {r["doc_id"]: r["score"] for r in batch.collect()}
     assert got == want and len(got) == 40
+
+
+def test_ewma_stream_matches_batch_across_batches(spark, tmp_path):
+    """Streaming incremental EWMA ≡ the batch events_ewma fold, WITH
+    the state crossing a batch boundary: the corpus is split at the
+    median timestamp into two mtime-ordered files processed one per
+    trigger, so roughly half of every user's recursion happens in
+    batch 2 on state carried from batch 1.  Equality is exact (same
+    IEEE fold, same literals) up to the batch query's round(…, 6)."""
+    from rick_and_morty_data_pipeline_project_spark.streaming.stateful import (
+        ewma_stream,
+    )
+
+    from rick_and_morty_data_pipeline_project_spark.queries._util import t
+
+    ev = t(spark, SF_SMALL, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    cutoff = ev.selectExpr("percentile(unix_micros(ts), 0.5) AS c").first()[
+        "c"
+    ]
+    from pyspark.sql import functions as F
+
+    a = ev.filter(F.unix_micros("ts") < cutoff)
+    b = ev.filter(F.unix_micros("ts") >= cutoff)
+    assert a.count() > 0 and b.count() > 0
+
+    # write each split with SPARK (pandas→parquet emits nanos INT64,
+    # which the streaming reader rejects), then stage the single part
+    # files under mtime-pinned names
+    import shutil
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    for name, df in (("a", a), ("b", b)):
+        d = tmp_path / f"_{name}"
+        df.coalesce(1).write.parquet(str(d))
+        part = next(d.glob("part-*.parquet"))
+        shutil.copy(part, src / f"{name}.parquet")
+    _pin_file_order(src / "a.parquet", src / "b.parquet")
+
+    stream = spark.readStream.schema(
+        "event_id bigint, ts timestamp, user_id bigint, value double"
+    ).option("maxFilesPerTrigger", 1).parquet(str(src))
+    q = (
+        ewma_stream(stream)
+        .writeStream.format("memory")
+        .queryName("ewma_updates")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    rows = spark.sql("SELECT * FROM ewma_updates").collect()
+    latest = {}
+    for r in rows:
+        if (
+            r["user_id"] not in latest
+            or r["n_events"] > latest[r["user_id"]][0]
+        ):
+            latest[r["user_id"]] = (r["n_events"], r["ewma"])
+
+    want = {
+        r["user_id"]: (r["n_events"], r["ewma"])
+        for r in QUERIES["events_ewma"].fn(spark, SF_SMALL).collect()
+    }
+    assert latest.keys() == want.keys()
+    for u in want:
+        assert latest[u][0] == want[u][0], u
+        # want is the batch round(…, 6); the stream value is raw, so
+        # the gap is at most the rounding itself (5e-7) when the folds
+        # are bit-equal — HALF_UP vs banker's makes exact re-rounding
+        # comparison fragile on .5 boundaries
+        assert abs(latest[u][1] - want[u][1]) <= 5.000001e-7, (
+            u, latest[u], want[u]
+        )
