@@ -164,8 +164,12 @@ def text_bm25_topk(spark, sf_dir):
     return scored.orderBy(F.col("bm25").desc(), "doc_id").limit(BM25_TOPK)
 
 
-BM25_TOPK_SQL = f"""
-WITH toks AS (
+# The single-query BM25 scoring pipeline as reusable CTE clauses
+# (no final ORDER/LIMIT): every downstream oracle that needs "the
+# scored relation" — top-k, snippets, RRF fusion, two-stage rerank,
+# PRF feedback — composes this ONE definition instead of string-
+# patching the finished query.
+BM25_SCORED_CTES = f"""toks AS (
   SELECT doc_id, len(string_split(text, ' ')) AS dl,
          unnest(string_split(text, ' ')) AS term
   FROM documents
@@ -191,7 +195,10 @@ scored AS (
          , 6) AS DECIMAL(18,6))) AS DOUBLE) AS bm25
   FROM tf JOIN dfreq USING (term) CROSS JOIN stats
   GROUP BY 1
-)
+)"""
+
+BM25_TOPK_SQL = f"""
+WITH {BM25_SCORED_CTES}
 SELECT doc_id, bm25 FROM scored
 ORDER BY bm25 DESC, doc_id
 LIMIT {BM25_TOPK}
@@ -428,7 +435,11 @@ def text_bm25_snippets(spark, sf_dir):
 
 
 BM25_SNIPPETS_SQL = f"""
-WITH topk AS ({BM25_TOPK_SQL}),
+WITH {BM25_SCORED_CTES},
+topk AS (
+  SELECT doc_id, bm25 FROM scored
+  ORDER BY bm25 DESC, doc_id LIMIT {BM25_TOPK}
+),
 staged AS (
   SELECT d.doc_id, topk.bm25, string_split(d.text, ' ') AS tk
   FROM documents d JOIN topk ON d.doc_id = topk.doc_id
@@ -565,13 +576,11 @@ def text_hybrid_rrf(spark, sf_dir):
 
 
 HYBRID_RRF_SQL = f"""
-WITH lex_scored AS (
-  {BM25_TOPK_SQL.replace("ORDER BY bm25 DESC, doc_id", "ORDER BY bm25 DESC, doc_id -- ").replace(f"LIMIT {BM25_TOPK}", "")}
-),
+WITH {BM25_SCORED_CTES},
 lex AS (
   SELECT doc_id,
          row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
-  FROM lex_scored
+  FROM scored
   QUALIFY lex_rank <= {BM25_TOPK}
 ),
 {_DENSE_CHANNEL_SQL.format(k=_DENSE_K)},
@@ -653,22 +662,20 @@ def text_rerank_two_stage(spark, sf_dir):
 
 
 RERANK_TWO_STAGE_SQL = f"""
-WITH lex_scored AS (
-  {BM25_TOPK_SQL.replace("ORDER BY bm25 DESC, doc_id", "ORDER BY bm25 DESC, doc_id -- ").replace(f"LIMIT {BM25_TOPK}", "")}
-),
+WITH {BM25_SCORED_CTES},
 cand AS (
-  SELECT doc_id, bm25 FROM lex_scored
+  SELECT doc_id, bm25 FROM scored
   ORDER BY bm25 DESC, doc_id LIMIT {_RERANK_CANDIDATES}
 ),
 {_NORMED_DOCVEC_CTE},
 qv AS (SELECT nv AS qv FROM normed WHERE doc_id = {_HYBRID_QUERY_VEC_ID}),
-scored AS (
+rescored AS (
   SELECT c.doc_id, c.bm25, round({dot_sql("qv.qv", "n.nv")}, 6) AS cosine
   FROM cand c JOIN normed n USING (doc_id) CROSS JOIN qv
 )
 SELECT doc_id, bm25, cosine,
        row_number() OVER (ORDER BY cosine DESC, doc_id) AS rerank
-FROM scored
+FROM rescored
 QUALIFY rerank <= {_RERANK_K}
 """
 
@@ -738,11 +745,9 @@ def text_prf_expansion(spark, sf_dir):
 
 
 PRF_EXPANSION_SQL = f"""
-WITH lex_scored AS (
-  {BM25_TOPK_SQL.replace("ORDER BY bm25 DESC, doc_id", "ORDER BY bm25 DESC, doc_id -- ").replace(f"LIMIT {BM25_TOPK}", "")}
-),
+WITH {BM25_SCORED_CTES},
 fb AS (
-  SELECT doc_id FROM lex_scored ORDER BY bm25 DESC, doc_id
+  SELECT doc_id FROM scored ORDER BY bm25 DESC, doc_id
   LIMIT {_FEEDBACK_K}
 ),
 fb_terms AS (
@@ -754,7 +759,7 @@ fb_terms AS (
   WHERE term NOT IN {BM25_TERMS!r}
   GROUP BY 1
 ),
-dfreq AS (
+corpus_df AS (
   SELECT term, count(*) AS df
   FROM (
     SELECT unnest(list_distinct(string_split(text, ' '))) AS term
@@ -765,7 +770,7 @@ dfreq AS (
 nd AS (SELECT count(*) AS n_docs FROM documents)
 SELECT term, fb_docs, fb_tf, df,
        round(fb_tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS score
-FROM dfreq JOIN fb_terms USING (term) CROSS JOIN nd
+FROM corpus_df JOIN fb_terms USING (term) CROSS JOIN nd
 ORDER BY score DESC, term
 LIMIT {_EXPANSION_K}
 """
