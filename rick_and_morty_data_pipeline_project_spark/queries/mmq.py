@@ -159,6 +159,42 @@ def multimodal_jpeg_headers(spark, sf_dir):
     return parse_jpeg_headers(m)
 
 
+def multimodal_mp4_boxes(spark, sf_dir):
+    """Codec-free ISO-BMFF (MP4) container audit over the video media
+    table: major brand, movie timescale + duration (both mvhd
+    versions), track count, the vide-handler track's 16.16 fixed-point
+    dimensions, and total mdat payload bytes (largesize form included)
+    — parsed from genuine box structures by
+    operators/multimodal.parse_mp4_boxes.  Fully oracled: the fixture
+    derives every field from ``doc_id`` arithmetic, so the DuckDB twin
+    recomputes what the byte-level box walk must recover — the same
+    arithmetic-oracle-over-real-binary-parse pattern as
+    ``multimodal_jpeg_headers``.  Closes the reference's last stubbed
+    media format at the container level; SAMPLE decode (H.264 entropy)
+    genuinely needs a codec and stays refused in decode_real_media."""
+    from rick_and_morty_data_pipeline_project_spark.operators.multimodal import (
+        parse_mp4_boxes,
+        synthesize_mp4_media,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    m = synthesize_mp4_media(d, "doc_id", "text")
+    return parse_mp4_boxes(m)
+
+
+MM_MP4_BOXES_SQL = """
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'isom' ELSE 'mp42' END AS brand,
+       CAST(1000 * (doc_id % 3 + 1) AS BIGINT) AS timescale,
+       CAST(doc_id * 37 % 9000 + 1000 AS BIGINT) AS duration_ms,
+       CAST(doc_id % 2 + 1 AS INT) AS n_tracks,
+       CAST(doc_id % 32 + 16 AS INT) AS width,
+       CAST(doc_id % 24 + 16 AS INT) AS height,
+       CAST(doc_id % 64 + 32 AS BIGINT) AS mdat_bytes
+FROM documents
+"""
+
+
 def multimodal_jpeg_decode_audit(spark, sf_dir):
     """Driver-checkable contract of the pure-Python baseline JPEG
     codec (operators/jpegcodec.py): for every baseline JPEG in the
@@ -258,6 +294,7 @@ WHERE doc_id % 4 = 3
 QUERIES: dict[str, Q] = {
     "multimodal_metadata_stats": Q(multimodal_metadata_stats, MM_META_SQL),
     "multimodal_jpeg_headers": Q(multimodal_jpeg_headers, MM_JPEG_HEADERS_SQL),
+    "multimodal_mp4_boxes": Q(multimodal_mp4_boxes, MM_MP4_BOXES_SQL),
     "multimodal_jpeg_decode_audit": Q(
         multimodal_jpeg_decode_audit, MM_JPEG_DECODE_AUDIT_SQL
     ),

@@ -274,3 +274,97 @@ def test_parse_jpeg_headers_truncated_segments(spark):
     assert (got[3]["width"], got[3]["height"]) == (24, 16)
     assert got[3]["n_components"] is None
     assert got[3]["orientation"] is None
+
+
+def test_mp4_fixture_round_trip(spark):
+    """The box walk must recover every doc-id-arithmetic field from the
+    genuine ISO-BMFF bytes — brand, versioned-mvhd timescale/duration,
+    track count, vide-track dims, mdat payload size — across the
+    version-1 (id % 5 == 0) and largesize-mdat (id % 7 == 0) layouts."""
+    from rick_and_morty_data_pipeline_project_spark.operators.multimodal import (
+        parse_mp4_boxes,
+        synthesize_mp4_media,
+    )
+
+    d = spark.read.parquet(f"{SF_SMALL}/documents.parquet").limit(80)
+    media = synthesize_mp4_media(d, "doc_id", "text")
+    got = {r["media_id"]: r.asDict() for r in parse_mp4_boxes(media).collect()}
+    assert len(got) == 80
+    hit_v1 = hit_large = False
+    for mid, r in got.items():
+        assert r["brand"] == ("isom" if mid % 2 == 0 else "mp42")
+        assert r["timescale"] == 1000 * (mid % 3 + 1)
+        assert r["duration_ms"] == mid * 37 % 9000 + 1000
+        assert r["n_tracks"] == mid % 2 + 1
+        assert r["width"] == mid % 32 + 16
+        assert r["height"] == mid % 24 + 16
+        assert r["mdat_bytes"] == mid % 64 + 32
+        hit_v1 |= mid % 5 == 0
+        hit_large |= mid % 7 == 0
+    assert hit_v1 and hit_large  # both exotic layouts actually exercised
+
+
+def test_mp4_boxes_are_standards_conforming(spark):
+    """Box sizes must account for every byte: an independent top-level
+    walk of each fixture file (NOT parse_mp4_boxes — a shared bug would
+    self-certify) consumes it exactly as ftyp, moov, mdat with no slack
+    and no overrun, honoring the largesize mdat header form."""
+    import struct
+
+    from rick_and_morty_data_pipeline_project_spark.operators.multimodal import (
+        synthesize_mp4_media,
+    )
+
+    d = spark.read.parquet(f"{SF_SMALL}/documents.parquet").limit(40)
+    for r in synthesize_mp4_media(d, "doc_id", "text").collect():
+        content = bytes(r["content"])
+        i, tags = 0, []
+        while i < len(content):
+            (size,) = struct.unpack(">I", content[i : i + 4])
+            tags.append(content[i + 4 : i + 8])
+            if size == 1:
+                (size,) = struct.unpack(">Q", content[i + 8 : i + 16])
+            assert size >= 8, (r["media_id"], tags[-1])
+            i += size
+        assert i == len(content), r["media_id"]
+        assert tags == [b"ftyp", b"moov", b"mdat"], r["media_id"]
+        if r["media_id"] % 7 == 0:
+            # largesize form: the mdat header is size=1 + tag + 64-bit
+            # size, i.e. 16 bytes ahead of the payload
+            hdr = len(content) - (r["media_id"] % 64 + 32) - 16
+            assert content[hdr : hdr + 4] == struct.pack(">I", 1)
+            assert content[hdr + 4 : hdr + 8] == b"mdat"
+
+
+def test_parse_mp4_boxes_tolerates_poison_blobs(spark):
+    """Non-MP4 bytes, a box whose size overruns the container, and a
+    file truncated inside moov must yield partial/NULL rows, never a
+    failed Arrow batch (same tolerance contract as the JPEG walk)."""
+    import struct
+
+    from rick_and_morty_data_pipeline_project_spark.operators.multimodal import (
+        parse_mp4_boxes,
+    )
+
+    def box(tag, payload):
+        return struct.pack(">I", len(payload) + 8) + tag + payload
+
+    ftyp = box(b"ftyp", b"mp42" + struct.pack(">I", 0) + b"mp42")
+    rows = [
+        (1, bytearray(b"this is not an mp4 file, clearly")),
+        # ftyp parses, then a lying moov size overruns the buffer ->
+        # partial retention keeps the brand
+        (2, bytearray(ftyp + struct.pack(">I", 9999) + b"moov" + b"\x00" * 8)),
+        # size < 8 (impossible box) right after a valid ftyp
+        (3, bytearray(ftyp + struct.pack(">I", 3) + b"free")),
+        # empty file
+        (4, bytearray(b"")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {r["media_id"]: r.asDict() for r in parse_mp4_boxes(df).collect()}
+    assert len(got) == 4
+    assert got[1]["brand"] is None and got[1]["n_tracks"] is None
+    assert got[2]["brand"] == "mp42"  # parsed before the overrun
+    assert got[2]["n_tracks"] is None
+    assert got[3]["brand"] == "mp42"
+    assert got[4]["brand"] is None
