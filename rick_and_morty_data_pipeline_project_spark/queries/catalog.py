@@ -60,19 +60,20 @@ entries (BM25 top-k, batched multi-query BM25, multi-phrase search,
 compaction planner, BM25 snippet extraction, hybrid RRF fusion,
 two-stage BM25→cosine rerank, PRF query expansion, per-user EWMA,
 Pareto skyline, referential-integrity audit, correlation matrix,
-snapshot diff — rule 1 displaces thirteen
-r01 refreshes incl. win_first_last_nth to r07) + flagship + 12
+snapshot diff, plus the real ISO-BMFF container audit
+multimodal_mp4_boxes — rule 1 displaces fourteen
+r01 refreshes incl. win_first_last_nth and q17 to r07) + flagship + 12
 rule-2 stale re-greens (this
 round's bpe/profile/multimodal edits plus the fingerprint expansion
 to dict/list module constants; two more stale entries —
 profile_table_files_fast and flagship_greedy_match — are already
 counted in the never-checked/flagship slots) + 12 of the 24 queries
-whose only green row dates to round 1 (11 TPC-H classics +
+whose only green row dates to round 1 (TPC-H classics +
 the remaining r01 refreshes — q7, q8, q10, q11, q12, q13, q14,
 q15, q16, q18, q19, q20, q21, q22, agg_cube_flag_status,
 win_first_last_nth, win_lag_order_gap, win_moving_avg,
 win_ntile_rank_stats, win_running_total and friends — go to r07).
-15+6+13+1+12+3 = 50.
+15+6+14+1+12+2 = 50.
 """
 
 from __future__ import annotations
@@ -113,10 +114,10 @@ for mod in (
 # fingerprint-stale re-greens (rule 2: this round's bpe/profile/
 # multimodal edits plus the fingerprint coverage expansion to
 # dict/list module constants — lexicons and LANG_MARKERS now count)
-# + 3 oldest-green refreshes (last driver row r01: TPC-H classics
-# q4/q9/q17; the remaining r01 queries incl.
-# q7/q8/q10/q11/q12/q15/q21/q22/win_first_last_nth go to r07).
-# 15+6+13+1+12+3 = 50.
+# + 2 oldest-green refreshes (last driver row r01: TPC-H classics
+# q4/q9; the remaining r01 queries incl.
+# q7/q8/q10/q11/q12/q15/q17/q21/q22/win_first_last_nth go to r07).
+# 15+6+14+1+12+2 = 50.
 DRIVER_WINDOW: tuple[str, ...] = (
     # ========== 15 never-driver-checked oracled queries (r5-born) ====
     "text_quality_classifier",
@@ -173,10 +174,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "audit_referential_integrity",
     "lineitem_corr_matrix",
     "snapshot_diff_orders",
+    # ========== latest-r6-born never-checked (rule 1 displaces the
+    # q17 refresh to r07): real ISO-BMFF container audit ==============
+    "multimodal_mp4_boxes",
     # ========== oldest-green refreshes (last row r01) ================
     "q4_order_priority",
     "q9_profit_by_nation_year",
-    "q17_small_quantity_revenue",
 )
 
 # Round-5 window, retired 2026-08-14 (all 50 earned green rows in

@@ -711,3 +711,15 @@ def test_snapshot_diff_copartitioned_full_outer(spark):
         r"SortMergeJoin.*FullOuter", tree
     ), tree
     assert len(re.findall(r"Scan parquet", tree)) <= 3, tree
+
+
+def test_mp4_boxes_plan_is_narrow(spark):
+    """The MP4 box walk is the same shape as the JPEG one: scan →
+    synthesize → MapInPandas parse, ZERO exchanges — container bytes
+    never cross a shuffle boundary, only the 8-column audit result
+    would (and here it feeds the sink directly)."""
+    from rick_and_morty_data_pipeline_project_spark.queries.catalog import _ALL
+
+    plan = formatted_plan(_ALL["multimodal_mp4_boxes"].fn(spark, SF_SMALL))
+    assert "Exchange" not in plan, plan
+    assert len(re.findall(r"MapInPandas \(\d+\)", plan)) == 2, plan

@@ -65,6 +65,7 @@ ANNOTATED = {
     "audit_referential_integrity": "referential-integrity audit: one scan per child table for ALL its FK edges (parents left-join into the same pass; per-edge orphan conditions are conditional counts in one aggregate) — 12 scans total vs 21 for the per-edge anti-join form",
     "lineitem_corr_matrix": "correlation matrix: ONE map-combinable global aggregate carries all 15 exact decimal sums (single reduce of ~15 numbers at any corpus size); pairwise r is closed-form double arithmetic on that one row; no join, no window",
     "snapshot_diff_orders": "snapshot diff: one key-co-partitioned full-outer SortMergeJoin, change classification in the join projection (null-safe struct compare), map-combinable class counts — no row leaves its key partition, no second pass",
+    "multimodal_mp4_boxes": "ISO-BMFF container audit: synthesize and box-walk are two Arrow-batched MapInPandas stages over one scan, ZERO exchanges — container bytes never shuffle, only the 8-column metadata result leaves the stage",
 }
 
 
