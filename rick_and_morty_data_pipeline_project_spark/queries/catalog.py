@@ -81,6 +81,7 @@ from __future__ import annotations
 from rick_and_morty_data_pipeline_project_spark.queries import (
     bpeq,
     extraq,
+    lakeq,
     mmq,
     reference,
     retrievalq,
@@ -96,7 +97,7 @@ from rick_and_morty_data_pipeline_project_spark.queries._util import Q
 _ALL: dict[str, Q] = {}
 for mod in (
     tpch, tpchx, tpchf, textq, vecq, extraq, mmq, reference, sketchq, bpeq,
-    retrievalq,
+    retrievalq, lakeq,
 ):
     for name, q in mod.QUERIES.items():
         assert name not in _ALL, f"duplicate query name: {name}"

@@ -1,0 +1,260 @@
+"""Lakehouse table-layout and view-maintenance queries (SURVEY.md
+§2.10 extensions: the table-management operations a 100 TB pipeline
+runs BETWEEN ingest and training).
+
+Two families:
+
+* **Z-order layout audit** — `table_zorder_layout` bins rows by the
+  prefix of their Morton key (operators/zorder.py — the same interleave
+  `zorder_write` clusters files on) and reports each bin's min/max
+  rectangle over both key columns.  Tight rectangles = effective
+  file-level data skipping; rectangles spanning the domain = the
+  clustering is broken.  This is the audit you run after an
+  `OPTIMIZE ZORDER BY` to prove the layout earned its shuffle.
+
+* **Incremental materialized-view maintenance** —
+  `mv_incremental_refresh` maintains a grouped aggregate under a
+  retraction-style delta (weight −1 retracts a row, +1 asserts one;
+  an update is a retraction + assertion, possibly in a DIFFERENT
+  group).  The maintained state must equal a full recompute over the
+  post-delta table — which is exactly what the DuckDB oracle computes,
+  so the driver row certifies the algebra (not just the plumbing).
+
+Reference scope: the reference rebuilds its SQLite tables from scratch
+on every run (Scraper.py drop+create, :94 in the engine's port notes);
+these queries are the at-scale replacements — audit the layout instead
+of trusting it, apply deltas instead of recomputing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rick_and_morty_data_pipeline_project_spark.operators.zorder import (
+    morton_col,
+    morton_sql,
+)
+from rick_and_morty_data_pipeline_project_spark.queries._util import Q, dec, t
+
+_ZBITS = 16  # quantized key width
+_ZBINS = 64  # audit bins = top 6 bits of the 32-bit morton key
+_ZSHIFT = 2 * _ZBITS - 6
+
+
+def table_zorder_layout(spark, sf_dir):
+    """Z-order layout audit over lineitem (l_partkey, l_suppkey):
+    quantize both keys to 16 bits against their global min/max,
+    interleave (Morton), bin by the top 6 morton bits (64 equal-width
+    z ranges — each the key-space rectangle one clustered file would
+    cover), and report per-bin row counts and min/max spans of BOTH
+    raw keys.
+
+    Scale: one column-pruned scan; the 1-row min/max aggregate
+    broadcasts back (crossJoin of one row); quantize + interleave are
+    narrow codegen expressions; the only data shuffle is the 64-group
+    partial+final aggregate.  NO global sort — the audit costs a scan,
+    not the clustered write it validates.
+
+    Float parity: quantization is `floor((k − min) · 65535 / range)`
+    with the multiply BEFORE the divide in both engines — products stay
+    ≤ 2^53, so the doubles are exact and the floor is deterministic.
+    All output columns are integers (span fractions are left to the
+    reader: span / global span) so the driver hash is float-free.
+    """
+    li = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    stats = li.agg(
+        F.min("l_partkey").alias("_pk_min"),
+        F.max("l_partkey").alias("_pk_max"),
+        F.min("l_suppkey").alias("_sk_min"),
+        F.max("l_suppkey").alias("_sk_max"),
+    )
+    lim = float((1 << _ZBITS) - 1)
+    qa = F.floor(
+        (F.col("l_partkey") - F.col("_pk_min")).cast("double")
+        * lim
+        / F.greatest(
+            (F.col("_pk_max") - F.col("_pk_min")).cast("double"), F.lit(1.0)
+        )
+    )
+    qb = F.floor(
+        (F.col("l_suppkey") - F.col("_sk_min")).cast("double")
+        * lim
+        / F.greatest(
+            (F.col("_sk_max") - F.col("_sk_min")).cast("double"), F.lit(1.0)
+        )
+    )
+    z = morton_col(qa, qb, _ZBITS)
+    return (
+        li.crossJoin(F.broadcast(stats))
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            F.shiftright(z, _ZSHIFT).alias("zbin"),
+        )
+        .groupBy("zbin")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_partkey").alias("min_partkey"),
+            F.max("l_partkey").alias("max_partkey"),
+            F.min("l_suppkey").alias("min_suppkey"),
+            F.max("l_suppkey").alias("max_suppkey"),
+            (F.max("l_partkey") - F.min("l_partkey")).alias("partkey_span"),
+            (F.max("l_suppkey") - F.min("l_suppkey")).alias("suppkey_span"),
+        )
+    )
+
+
+TABLE_ZORDER_LAYOUT_SQL = f"""
+WITH stats AS (
+  SELECT MIN(l_partkey) AS pk_min, MAX(l_partkey) AS pk_max,
+         MIN(l_suppkey) AS sk_min, MAX(l_suppkey) AS sk_max
+  FROM lineitem
+),
+q AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(FLOOR(CAST(l_partkey - pk_min AS DOUBLE) * 65535.0
+              / GREATEST(CAST(pk_max - pk_min AS DOUBLE), 1.0)) AS BIGINT)
+           AS qa,
+         CAST(FLOOR(CAST(l_suppkey - sk_min AS DOUBLE) * 65535.0
+              / GREATEST(CAST(sk_max - sk_min AS DOUBLE), 1.0)) AS BIGINT)
+           AS qb
+  FROM lineitem, stats
+),
+zed AS (
+  SELECT l_partkey, l_suppkey,
+         CAST({morton_sql("qa", "qb", _ZBITS)} AS BIGINT) >> {_ZSHIFT}
+           AS zbin
+  FROM q
+)
+SELECT zbin,
+       COUNT(*) AS n_rows,
+       MIN(l_partkey) AS min_partkey,
+       MAX(l_partkey) AS max_partkey,
+       MIN(l_suppkey) AS min_suppkey,
+       MAX(l_suppkey) AS max_suppkey,
+       MAX(l_partkey) - MIN(l_partkey) AS partkey_span,
+       MAX(l_suppkey) - MIN(l_suppkey) AS suppkey_span
+FROM zed
+GROUP BY zbin
+"""
+
+
+def mv_incremental_refresh(spark, sf_dir):
+    """Incremental maintenance of the materialized view
+    ``orders GROUP BY (o_orderpriority, o_orderstatus) →
+    (count, exact decimal revenue)`` under a retraction-style delta.
+
+    The simulated history (all doc-id arithmetic, so the oracle can
+    replay it):
+
+    * base snapshot   = orders with ``o_orderkey % 10 != 0``
+    * inserts         = the ``% 10 == 0`` rows (new orders)
+    * updates         = base rows with ``% 7 == 0``: price doubles and
+                        status moves to 'U' — the delta carries a
+                        retraction (−1, old group, old price) AND an
+                        assertion (+1, NEW group, new price), the
+                        group-migrating case naive "UPSERT the agg"
+                        implementations corrupt
+    * deletes         = base rows with ``% 13 == 0`` (and not updated):
+                        retraction only
+
+    The maintained state is ``state ⊕ delta_agg``: aggregate the
+    weighted delta, full-outer join on the group key, add counts and
+    decimal sums, drop groups whose maintained count reaches zero.
+
+    Scale: this is THE at-scale refresh shape — the base state is never
+    rescanned (here it is simulated by one aggregate over the base
+    predicate; in production it is the stored MV), only the delta
+    shuffles, and the merge join is group-key co-partitioned.  The
+    oracle recomputes the view from the post-delta table directly, so a
+    green row certifies base ⊕ delta ≡ full recompute, including the
+    group-migration and count-to-zero edge cases.
+    """
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_orderstatus",
+        dec("o_totalprice").alias("_price"),
+    )
+    k = F.col("o_orderkey")
+    base = o.filter(k % 10 != 0)
+    state = base.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("_price").alias("_rev")
+    )
+
+    inserts = o.filter(k % 10 == 0).select(
+        "o_orderpriority",
+        "o_orderstatus",
+        F.lit(1).alias("_w"),
+        F.col("_price").alias("_p"),
+    )
+    upd_src = base.filter(k % 7 == 0)
+    retract_upd = upd_src.select(
+        "o_orderpriority",
+        "o_orderstatus",
+        F.lit(-1).alias("_w"),
+        F.col("_price").alias("_p"),
+    )
+    assert_upd = upd_src.select(
+        "o_orderpriority",
+        F.lit("U").alias("o_orderstatus"),
+        F.lit(1).alias("_w"),
+        (F.col("_price") * 2).alias("_p"),
+    )
+    retract_del = base.filter((k % 13 == 0) & (k % 7 != 0)).select(
+        "o_orderpriority",
+        "o_orderstatus",
+        F.lit(-1).alias("_w"),
+        F.col("_price").alias("_p"),
+    )
+    delta = inserts.unionByName(retract_upd).unionByName(
+        assert_upd
+    ).unionByName(retract_del)
+    delta_agg = delta.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.sum("_w").alias("_dn"),
+        F.sum(F.col("_w").cast("decimal(14,2)") * F.col("_p")).alias("_drev"),
+    )
+
+    merged = state.join(
+        delta_agg, ["o_orderpriority", "o_orderstatus"], "full_outer"
+    ).select(
+        "o_orderpriority",
+        "o_orderstatus",
+        (
+            F.coalesce(F.col("_n"), F.lit(0))
+            + F.coalesce(F.col("_dn"), F.lit(0))
+        ).alias("n_orders"),
+        (
+            F.coalesce(F.col("_rev").cast("decimal(18,2)"), F.lit(0))
+            + F.coalesce(F.col("_drev").cast("decimal(18,2)"), F.lit(0))
+        )
+        .cast("double")
+        .alias("total_price"),
+    )
+    return merged.filter(F.col("n_orders") > 0)
+
+
+MV_INCREMENTAL_SQL = """
+WITH post AS (
+  SELECT o_orderpriority,
+         CASE WHEN o_orderkey % 10 <> 0 AND o_orderkey % 7 = 0
+              THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+         CASE WHEN o_orderkey % 10 <> 0 AND o_orderkey % 7 = 0
+              THEN CAST(o_totalprice AS DECIMAL(12,2)) * 2
+              ELSE CAST(o_totalprice AS DECIMAL(12,2)) END AS price
+  FROM orders
+  WHERE NOT (o_orderkey % 10 <> 0 AND o_orderkey % 7 <> 0
+             AND o_orderkey % 13 = 0)
+)
+SELECT o_orderpriority, o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(price) AS DOUBLE) AS total_price
+FROM post
+GROUP BY o_orderpriority, o_orderstatus
+"""
+
+
+QUERIES: dict[str, Q] = {
+    "table_zorder_layout": Q(table_zorder_layout, TABLE_ZORDER_LAYOUT_SQL),
+    "mv_incremental_refresh": Q(mv_incremental_refresh, MV_INCREMENTAL_SQL),
+}
