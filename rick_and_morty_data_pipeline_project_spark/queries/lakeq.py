@@ -12,6 +12,14 @@ Two families:
   clustering is broken.  This is the audit you run after an
   `OPTIMIZE ZORDER BY` to prove the layout earned its shuffle.
 
+* **Range-partition planning** — `table_range_partition_plan` derives
+  global sort boundaries the way Spark's own RangePartitioner does:
+  draw a deterministic content-hash sample, take its discrete
+  quantiles as the K−1 cut points, then audit the plan by bucketing
+  the FULL table against the cuts and counting rows per bucket.
+  Balanced counts = the sample was representative and a global
+  `repartitionByRange`/sort-merge write will not straggle.
+
 * **Incremental materialized-view maintenance** —
   `mv_incremental_refresh` maintains a grouped aggregate under a
   retraction-style delta (weight −1 retracts a row, +1 asserts one;
@@ -28,6 +36,7 @@ of trusting it, apply deltas instead of recomputing.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from rick_and_morty_data_pipeline_project_spark.operators.zorder import (
@@ -136,6 +145,124 @@ SELECT zbin,
        MAX(l_suppkey) - MIN(l_suppkey) AS suppkey_span
 FROM zed
 GROUP BY zbin
+"""
+
+
+_RP_BUCKETS = 8  # target range partitions (K); K-1 cut points
+
+
+def table_range_partition_plan(spark, sf_dir):
+    """Range-partition planner + balance audit over lineitem keyed by
+    ``l_orderkey`` — the boundary-selection step of a global sort /
+    ``repartitionByRange`` write, made explicit and auditable.
+
+    1. **Sample** deterministically: keep a row iff the first hex char
+       of ``md5('rp:' || l_orderkey || ':' || l_linenumber)`` is '0'
+       (p = 1/16).  A content-hash predicate picks the SAME rows on
+       any cluster layout and any engine (the ``sample_hash_
+       deterministic`` pattern), unlike seed-based ``df.sample``.
+    2. **Cut points**: rank the sample by (key, linenumber) and take
+       the key value at rank ``floor(i·n/K)`` for i = 1..K−1 — the
+       sample's discrete quantiles, exactly what Spark's
+       RangePartitioner computes from its reservoir sample (it
+       collects the sample to the driver; here the rank window runs
+       over the bounded sample only, never the table).
+    3. **Audit**: broadcast the ≤K−1 cuts as one array row, bucket
+       every table row with ``size(filter(cuts, c -> c < key))`` —
+       a narrow codegen expression — and aggregate per-bucket row
+       counts and key min/max.  Near-equal ``n_rows`` proves the plan;
+       a straggler bucket means the key is skewed and the write needs
+       salting or AQE.
+
+    Scale: one pruned scan for the sample, one window over the 1/16
+    sample (bounded; production would cap it with a further hash
+    digit), one broadcast of ≤7 longs, one pruned scan + 8-group
+    aggregate for the audit.  No global sort is ever performed — the
+    planner costs two scans, not the shuffle it plans.
+
+    All outputs are integers (counts, key bounds) — float-free hash.
+    Duplicate cut values (possible under extreme skew) are kept, so
+    empty buckets surface as missing bucket ids rather than silently
+    merging — the audit's job is to show exactly that.
+    """
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    sample = li.filter(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("rp:"),
+                    F.col("l_orderkey").cast("string"),
+                    F.lit(":"),
+                    F.col("l_linenumber").cast("string"),
+                )
+            ),
+            1,
+            1,
+        )
+        == "0"
+    )
+    w = Window.orderBy("l_orderkey", "l_linenumber")
+    ranked = sample.select(
+        "l_orderkey",
+        F.row_number().over(w).cast("long").alias("_rn"),
+        F.count(F.lit(1))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .alias("_n"),
+    )
+    cut_ranks = F.array(
+        *[
+            F.floor(F.col("_n") * F.lit(i) / F.lit(_RP_BUCKETS))
+            for i in range(1, _RP_BUCKETS)
+        ]
+    )
+    cuts = ranked.filter(F.array_contains(cut_ranks, F.col("_rn"))).agg(
+        F.sort_array(F.collect_list("l_orderkey")).alias("_cuts")
+    )
+    bucket = F.size(
+        F.filter(F.col("_cuts"), lambda c: c < F.col("l_orderkey"))
+    ).alias("bucket")
+    return (
+        li.crossJoin(F.broadcast(cuts))
+        .select(bucket, "l_orderkey")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_orderkey").alias("min_key"),
+            F.max("l_orderkey").alias("max_key"),
+        )
+    )
+
+
+_RP_RANKS_SQL = ", ".join(
+    f"CAST(FLOOR(n * {i} / {_RP_BUCKETS}) AS BIGINT)"
+    for i in range(1, _RP_BUCKETS)
+)
+
+TABLE_RANGE_PARTITION_SQL = f"""
+WITH s AS (
+  SELECT l_orderkey, l_linenumber
+  FROM lineitem
+  WHERE substring(md5('rp:' || CAST(l_orderkey AS VARCHAR)
+                   || ':' || CAST(l_linenumber AS VARCHAR)), 1, 1) = '0'
+),
+r AS (
+  SELECT l_orderkey,
+         ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) AS rn,
+         COUNT(*) OVER () AS n
+  FROM s
+),
+cuts AS (
+  SELECT list(l_orderkey ORDER BY l_orderkey) AS cut_list
+  FROM r
+  WHERE rn IN ({_RP_RANKS_SQL})
+)
+SELECT CAST(len(list_filter(cut_list, c -> c < l_orderkey)) AS INTEGER)
+         AS bucket,
+       COUNT(*) AS n_rows,
+       MIN(l_orderkey) AS min_key,
+       MAX(l_orderkey) AS max_key
+FROM lineitem, cuts
+GROUP BY 1
 """
 
 
@@ -256,5 +383,8 @@ GROUP BY o_orderpriority, o_orderstatus
 
 QUERIES: dict[str, Q] = {
     "table_zorder_layout": Q(table_zorder_layout, TABLE_ZORDER_LAYOUT_SQL),
+    "table_range_partition_plan": Q(
+        table_range_partition_plan, TABLE_RANGE_PARTITION_SQL
+    ),
     "mv_incremental_refresh": Q(mv_incremental_refresh, MV_INCREMENTAL_SQL),
 }

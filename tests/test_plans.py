@@ -723,3 +723,21 @@ def test_mp4_boxes_plan_is_narrow(spark):
     plan = formatted_plan(_ALL["multimodal_mp4_boxes"].fn(spark, SF_SMALL))
     assert "Exchange" not in plan, plan
     assert len(re.findall(r"MapInPandas \(\d+\)", plan)) == 2, plan
+
+
+def test_range_partition_plan_no_global_sort_of_table(spark):
+    """The range-partition planner must sort only the bounded SAMPLE
+    (one Window over the hash-filtered 1/16 subset) and bucket the full
+    table with a broadcast of the cut array — the plan the audit
+    validates (a global sort) must never appear in the audit itself:
+    no rangepartitioning exchange, and the full-table side joins the
+    cuts via BroadcastNestedLoopJoin (one-row build side)."""
+    from rick_and_morty_data_pipeline_project_spark.queries.catalog import _ALL
+
+    plan = formatted_plan(
+        _ALL["table_range_partition_plan"].fn(spark, SF_SMALL)
+    )
+    tree = plan.split("\n\n")[0]
+    assert "rangepartitioning" not in tree.lower(), tree
+    assert "BroadcastNestedLoopJoin" in tree, tree
+    assert len(re.findall(r"Scan parquet", tree)) == 2, tree
