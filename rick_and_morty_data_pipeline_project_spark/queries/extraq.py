@@ -2048,6 +2048,109 @@ def profile_orders_quality(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+_DRIFT_CUT = "1998-01-01"  # snapshot split: mid-corpus date, SF-invariant
+
+
+def profile_drift_orders(spark, sf_dir):
+    """Deequ-style profile DRIFT between two snapshots of orders (the
+    pre/post-``_DRIFT_CUT`` halves of the table), computed in ONE scan:
+    every per-snapshot metric is a conditional aggregate (filtered
+    count / count-distinct-of-CASE / filtered decimal sum), so the two
+    profiles and their deltas cost a single map-combinable global
+    aggregate — never two passes, never a self-join of profile rows.
+
+    This is the "did yesterday's load change the shape of the data"
+    check a 100 TB ingest runs before promoting a snapshot: row-count
+    drift, categorical-cardinality drift, and mean-price drift in one
+    row.  At scale the exact count-distincts swap for
+    approx_count_distinct and the plan loses its expand, same as
+    ``profile_orders_quality``.
+
+    Float parity: prices aggregate as DECIMAL(12,2) (exact sums ≤ 2^53
+    cents), the mean divides that exact double by an exact count, and
+    both engines round the identical float to 6 digits.
+    """
+    o = t(spark, sf_dir, "orders")
+    cond_a = F.col("o_orderdate") < F.lit(_DRIFT_CUT).cast("timestamp")
+
+    def side(cond, tag):
+        n = F.count(F.when(cond, 1))
+        return [
+            n.alias(f"n_rows_{tag}"),
+            F.count_distinct(F.when(cond, F.col("o_orderstatus"))).alias(
+                f"d_status_{tag}"
+            ),
+            F.count_distinct(F.when(cond, F.col("o_orderpriority"))).alias(
+                f"d_priority_{tag}"
+            ),
+            F.round(
+                F.sum(F.when(cond, dec("o_totalprice"))).cast("double") / n, 6
+            ).alias(f"avg_price_{tag}"),
+            F.min(F.when(cond, dec("o_totalprice")))
+            .cast("double")
+            .alias(f"min_price_{tag}"),
+            F.max(F.when(cond, dec("o_totalprice")))
+            .cast("double")
+            .alias(f"max_price_{tag}"),
+        ]
+
+    return o.agg(*side(cond_a, "a"), *side(~cond_a, "b")).select(
+        "*",
+        (F.col("n_rows_b") - F.col("n_rows_a")).alias("drift_rows"),
+        (F.col("d_status_b") - F.col("d_status_a")).alias("drift_status_card"),
+        F.round(F.col("avg_price_b") - F.col("avg_price_a"), 6).alias(
+            "drift_avg_price"
+        ),
+    )
+
+
+PROFILE_DRIFT_SQL = f"""
+WITH m AS (
+  SELECT
+    COUNT(*) FILTER (WHERE o_orderdate <  TIMESTAMP '{_DRIFT_CUT}') AS n_rows_a,
+    COUNT(*) FILTER (WHERE o_orderdate >= TIMESTAMP '{_DRIFT_CUT}') AS n_rows_b,
+    COUNT(DISTINCT CASE WHEN o_orderdate < TIMESTAMP '{_DRIFT_CUT}'
+                        THEN o_orderstatus END) AS d_status_a,
+    COUNT(DISTINCT CASE WHEN o_orderdate >= TIMESTAMP '{_DRIFT_CUT}'
+                        THEN o_orderstatus END) AS d_status_b,
+    COUNT(DISTINCT CASE WHEN o_orderdate < TIMESTAMP '{_DRIFT_CUT}'
+                        THEN o_orderpriority END) AS d_priority_a,
+    COUNT(DISTINCT CASE WHEN o_orderdate >= TIMESTAMP '{_DRIFT_CUT}'
+                        THEN o_orderpriority END) AS d_priority_b,
+    ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+               FILTER (WHERE o_orderdate < TIMESTAMP '{_DRIFT_CUT}') AS DOUBLE)
+          / COUNT(*) FILTER (WHERE o_orderdate < TIMESTAMP '{_DRIFT_CUT}'), 6)
+      AS avg_price_a,
+    ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+               FILTER (WHERE o_orderdate >= TIMESTAMP '{_DRIFT_CUT}') AS DOUBLE)
+          / COUNT(*) FILTER (WHERE o_orderdate >= TIMESTAMP '{_DRIFT_CUT}'), 6)
+      AS avg_price_b,
+    CAST(MIN(CAST(o_totalprice AS DECIMAL(12,2)))
+         FILTER (WHERE o_orderdate < TIMESTAMP '{_DRIFT_CUT}') AS DOUBLE)
+      AS min_price_a,
+    CAST(MIN(CAST(o_totalprice AS DECIMAL(12,2)))
+         FILTER (WHERE o_orderdate >= TIMESTAMP '{_DRIFT_CUT}') AS DOUBLE)
+      AS min_price_b,
+    CAST(MAX(CAST(o_totalprice AS DECIMAL(12,2)))
+         FILTER (WHERE o_orderdate < TIMESTAMP '{_DRIFT_CUT}') AS DOUBLE)
+      AS max_price_a,
+    CAST(MAX(CAST(o_totalprice AS DECIMAL(12,2)))
+         FILTER (WHERE o_orderdate >= TIMESTAMP '{_DRIFT_CUT}') AS DOUBLE)
+      AS max_price_b
+  FROM orders
+)
+SELECT n_rows_a, d_status_a, d_priority_a, avg_price_a, min_price_a,
+       max_price_a,
+       n_rows_b, d_status_b, d_priority_b, avg_price_b, min_price_b,
+       max_price_b,
+       n_rows_b - n_rows_a AS drift_rows,
+       d_status_b - d_status_a AS drift_status_card,
+       ROUND(avg_price_b - avg_price_a, 6) AS drift_avg_price
+FROM m
+"""
+
+
+# --------------------------------------------------------------------------
 _COMPACTION_TARGET_ROWS = 5000
 
 
@@ -2909,6 +3012,7 @@ QUERIES: dict[str, Q] = {
     "basket_part_affinity": Q(basket_part_affinity, BASKET_SQL),
     "graph_pagerank3": Q(graph_pagerank3, PAGERANK_SQL),
     "profile_orders_quality": Q(profile_orders_quality, PROFILE_SQL),
+    "profile_drift_orders": Q(profile_drift_orders, PROFILE_DRIFT_SQL),
     "profile_compaction_plan": Q(
         profile_compaction_plan, COMPACTION_PLAN_SQL
     ),

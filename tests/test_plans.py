@@ -741,3 +741,17 @@ def test_range_partition_plan_no_global_sort_of_table(spark):
     assert "rangepartitioning" not in tree.lower(), tree
     assert "BroadcastNestedLoopJoin" in tree, tree
     assert len(re.findall(r"Scan parquet", tree)) == 2, tree
+
+
+def test_profile_drift_single_scan_conditional_aggregate(spark):
+    """Both snapshot profiles AND their drift deltas must come from one
+    scan: every per-snapshot metric is a conditional aggregate, so the
+    plan is a single global aggregate (expand for the exact distincts)
+    — no second pass, no join of profile rows, no window."""
+    from rick_and_morty_data_pipeline_project_spark.queries.catalog import _ALL
+
+    plan = formatted_plan(_ALL["profile_drift_orders"].fn(spark, SF_SMALL))
+    tree = plan.split("\n\n")[0]
+    assert len(re.findall(r"Scan parquet", tree)) == 1, tree
+    assert "Join" not in tree, tree
+    assert "Window" not in tree, tree
