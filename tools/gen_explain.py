@@ -66,6 +66,8 @@ ANNOTATED = {
     "lineitem_corr_matrix": "correlation matrix: ONE map-combinable global aggregate carries all 15 exact decimal sums (single reduce of ~15 numbers at any corpus size); pairwise r is closed-form double arithmetic on that one row; no join, no window",
     "snapshot_diff_orders": "snapshot diff: one key-co-partitioned full-outer SortMergeJoin, change classification in the join projection (null-safe struct compare), map-combinable class counts — no row leaves its key partition, no second pass",
     "multimodal_mp4_boxes": "ISO-BMFF container audit: synthesize and box-walk are two Arrow-batched MapInPandas stages over one scan, ZERO exchanges — container bytes never shuffle, only the 8-column metadata result leaves the stage",
+    "table_range_partition_plan": "range-partition planner: the rank window runs over the bounded 1/16 content-hash SAMPLE only; cuts broadcast as one array row (BroadcastNestedLoopJoin); the full table is bucketed by a narrow codegen expression — no rangepartitioning exchange, no global sort",
+    "profile_drift_orders": "profile drift: both snapshot profiles and their deltas from ONE conditional-aggregate pass (expand for exact distincts) — no join of profile rows, no second scan",
 }
 
 
