@@ -355,6 +355,108 @@ FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
 
 
 # --------------------------------------------------------------------------
+def graph_triangle_count(spark, sf_dir):
+    """Triangle census of the MinHash-LSH near-dup candidate graph —
+    the cluster-SHAPE audit behind the connected-components treatment:
+    a high global clustering coefficient (triangles close most wedges)
+    means candidate components are tight cliques and min-label
+    propagation converges in O(1) rounds; a wedge-heavy, triangle-poor
+    graph means chains/stars — transitive merges of NON-similar docs —
+    so the keeper policy needs pairwise verification, not blind CC.
+
+    Plan shape: the edge list (same banding constants as
+    ``dedup_minhash_lsh_candidates``) is ``localCheckpoint``-ed once so
+    the degree pass and the two wedge/closure joins reuse the
+    materialized pairs instead of recomputing the LSH pipeline three
+    times (the ``dedup_minhash_clusters`` lineage trick).  Triangles
+    come from the textbook two-join enumeration over id-canonical
+    edges (each triangle x<y<z counted exactly once as (x,y)+(y,z)+
+    (x,z)); wedges are a closed-form sum over the degree relation.  At
+    100 TB the refinement is degree-ordered orientation (orient edges
+    low→high degree, bounding wedge fan-out by O(√m)); on a near-dup
+    graph whose degree is already bounded by band-collision width, the
+    id-canonical form shuffles only candidate pairs — never documents.
+
+    Float parity: global clustering = 3·T/W divides two exact counts;
+    both engines round the identical double to 6.
+    """
+    d = t(spark, sf_dir, "documents")
+    e = (
+        minhash_lsh_pairs(
+            d, "doc_id", "text", num_hashes=8, band_size=4, shingle_k=3
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint()
+    )
+    deg = (
+        e.select(F.col("id_a").alias("node"))
+        .unionByName(e.select(F.col("id_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    tri = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.id_b") == F.col("e2.id_a"))
+        .join(
+            e.alias("e3"),
+            (F.col("e3.id_a") == F.col("e1.id_a"))
+            & (F.col("e3.id_b") == F.col("e2.id_b")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.expr("d * (d - 1) DIV 2")).alias("n_wedges"),
+    )
+    edges_n = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        stats.crossJoin(edges_n)
+        .crossJoin(tri)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_triangles",
+            "n_wedges",
+            F.when(
+                F.col("n_wedges") > 0,
+                F.round(
+                    F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 6
+                ),
+            ).alias("global_clustering"),
+        )
+    )
+
+
+GRAPH_TRIANGLES_SQL = f"""
+WITH {_BANDED_CTE_SQL},
+edges AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
+),
+deg AS (
+  SELECT node, COUNT(*) AS d
+  FROM (SELECT id_a AS node FROM edges
+        UNION ALL SELECT id_b AS node FROM edges)
+  GROUP BY node
+),
+agg AS (
+  SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+         (SELECT COUNT(*) FROM edges) AS n_edges,
+         (SELECT COUNT(*) FROM edges e1
+            JOIN edges e2 ON e2.id_a = e1.id_b
+            JOIN edges e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b)
+           AS n_triangles,
+         (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) FROM deg) AS n_wedges
+)
+SELECT n_nodes, n_edges, n_triangles, n_wedges,
+       CASE WHEN n_wedges > 0
+            THEN ROUND(3.0 * n_triangles / n_wedges, 6) END
+         AS global_clustering
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
 def dedup_ngram_jaccard(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(
@@ -2985,6 +3087,7 @@ QUERIES: dict[str, Q] = {
     "dedup_minhash_lsh_candidates": Q(
         dedup_minhash_lsh_candidates, DEDUP_LSH_SQL
     ),
+    "graph_triangle_count": Q(graph_triangle_count, GRAPH_TRIANGLES_SQL),
     "dedup_ngram_jaccard": Q(dedup_ngram_jaccard, DEDUP_JACCARD_SQL),
     "dedup_simhash": Q(dedup_simhash, DEDUP_SIMHASH_SQL),
     "text_repetition_signals": Q(

@@ -755,3 +755,16 @@ def test_profile_drift_single_scan_conditional_aggregate(spark):
     assert len(re.findall(r"Scan parquet", tree)) == 1, tree
     assert "Join" not in tree, tree
     assert "Window" not in tree, tree
+
+
+def test_triangle_count_reuses_checkpointed_edges(spark):
+    """The triangle census must materialize the LSH candidate edge
+    list ONCE (localCheckpoint) and feed the degree pass plus both
+    closure joins from it — the final plan reads only the checkpointed
+    RDD, never the parquet/LSH pipeline (which a naive 5-way self-join
+    would recompute per branch)."""
+    from rick_and_morty_data_pipeline_project_spark.queries.catalog import _ALL
+
+    plan = formatted_plan(_ALL["graph_triangle_count"].fn(spark, SF_SMALL))
+    assert "Scan parquet" not in plan, plan
+    assert "ExistingRDD" in plan, plan
