@@ -2048,6 +2048,64 @@ def profile_orders_quality(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+def privacy_k_anonymity(spark, sf_dir):
+    """k-anonymity / l-diversity audit of the customer table — the
+    privacy gate a training-data release runs before shipping records
+    keyed by quasi-identifiers.  QI = (c_nationkey, c_mktsegment);
+    sensitive attribute = the $1000 account-balance bucket.
+
+    Per equivalence class (one row per observed QI combination):
+    ``class_size`` (k-anonymity: the table is k-anonymous at the MIN
+    of this column), ``l_distinct`` (distinct sensitive values in the
+    class — l-diversity; a class where everyone shares one balance
+    bucket leaks the sensitive value even at high k),
+    ``reident_risk`` = 1/class_size (prosecutor-model re-id risk), and
+    ``suppress_lt5`` — the rows this class would lose under a
+    suppress-below-k=5 release policy.
+
+    Scale: one pruned scan, one QI-keyed aggregate (count + exact
+    count-distinct over a bounded bucket domain) — the class relation
+    is |QI domain| rows regardless of table size, so the audit is a
+    single shuffle whose output is tiny.  Risk ratios divide exact
+    integers; identical doubles both engines.
+    """
+    c = t(spark, sf_dir, "customer")
+    bal_bucket = F.floor(F.col("c_acctbal") / F.lit(1000.0))
+    return (
+        c.select("c_nationkey", "c_mktsegment", bal_bucket.alias("_sb"))
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("class_size"),
+            F.count_distinct("_sb").alias("l_distinct"),
+        )
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "class_size",
+            "l_distinct",
+            F.round(F.lit(1.0) / F.col("class_size"), 6).alias(
+                "reident_risk"
+            ),
+            F.when(F.col("class_size") < 5, F.col("class_size"))
+            .otherwise(F.lit(0))
+            .alias("suppress_lt5"),
+        )
+    )
+
+
+PRIVACY_K_ANON_SQL = """
+SELECT c_nationkey, c_mktsegment,
+       COUNT(*) AS class_size,
+       COUNT(DISTINCT CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT))
+         AS l_distinct,
+       ROUND(1.0 / COUNT(*), 6) AS reident_risk,
+       CASE WHEN COUNT(*) < 5 THEN COUNT(*) ELSE 0 END AS suppress_lt5
+FROM customer
+GROUP BY c_nationkey, c_mktsegment
+"""
+
+
+# --------------------------------------------------------------------------
 _DRIFT_CUT = "1998-01-01"  # snapshot split: mid-corpus date, SF-invariant
 
 
@@ -3013,6 +3071,7 @@ QUERIES: dict[str, Q] = {
     "graph_pagerank3": Q(graph_pagerank3, PAGERANK_SQL),
     "profile_orders_quality": Q(profile_orders_quality, PROFILE_SQL),
     "profile_drift_orders": Q(profile_drift_orders, PROFILE_DRIFT_SQL),
+    "privacy_k_anonymity": Q(privacy_k_anonymity, PRIVACY_K_ANON_SQL),
     "profile_compaction_plan": Q(
         profile_compaction_plan, COMPACTION_PLAN_SQL
     ),

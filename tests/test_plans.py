@@ -768,3 +768,16 @@ def test_triangle_count_reuses_checkpointed_edges(spark):
     plan = formatted_plan(_ALL["graph_triangle_count"].fn(spark, SF_SMALL))
     assert "Scan parquet" not in plan, plan
     assert "ExistingRDD" in plan, plan
+
+
+def test_k_anonymity_single_aggregate(spark):
+    """The privacy audit is one pruned scan + one QI-keyed aggregate
+    (expand for the exact sensitive-value distinct) — no join, no
+    window; the class relation is |QI domain| rows at any table size."""
+    from rick_and_morty_data_pipeline_project_spark.queries.catalog import _ALL
+
+    plan = formatted_plan(_ALL["privacy_k_anonymity"].fn(spark, SF_SMALL))
+    tree = plan.split("\n\n")[0]
+    assert len(re.findall(r"Scan parquet", tree)) == 1, tree
+    assert "Join" not in tree, tree
+    assert "Window" not in tree, tree
