@@ -2048,6 +2048,100 @@ def profile_orders_quality(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+_ROW_RULES = [
+    # (rule name, Spark violation predicate builder, SQL violation predicate)
+    ("qty_positive", lambda: F.col("l_quantity") <= 0, "l_quantity <= 0"),
+    (
+        "discount_unit_range",
+        lambda: ~F.col("l_discount").between(0.0, 1.0),
+        "l_discount NOT BETWEEN 0.0 AND 1.0",
+    ),
+    (
+        "tax_unit_range",
+        lambda: ~F.col("l_tax").between(0.0, 1.0),
+        "l_tax NOT BETWEEN 0.0 AND 1.0",
+    ),
+    (
+        "price_positive",
+        lambda: F.col("l_extendedprice") <= 0,
+        "l_extendedprice <= 0",
+    ),
+    (
+        "returnflag_domain",
+        lambda: ~F.col("l_returnflag").isin("A", "N", "R"),
+        "l_returnflag NOT IN ('A', 'N', 'R')",
+    ),
+    (
+        "linestatus_domain",
+        lambda: ~F.col("l_linestatus").isin("O", "F"),
+        "l_linestatus NOT IN ('O', 'F')",
+    ),
+    (
+        "linenumber_positive",
+        lambda: F.col("l_linenumber") < 1,
+        "l_linenumber < 1",
+    ),
+]
+
+
+def audit_row_constraints(spark, sf_dir):
+    """Deequ-style CHECK-constraint suite over lineitem: every named
+    row rule (domain membership, unit ranges, positivity) evaluated as
+    a conditional count in ONE aggregate over ONE scan, then unpivoted
+    to a (rule, n_checked, n_violations, violation_rate) report row per
+    rule — the constraint half of the data-quality family
+    (``profile_orders_quality`` profiles, ``profile_drift_orders``
+    detects drift, ``audit_referential_integrity`` checks FK edges,
+    this checks row invariants).
+
+    A rule with zero violations still reports (the audit proves the
+    PASS, not just failures); a release gate thresholds
+    ``violation_rate``.  Scale: adding a rule adds one conditional sum
+    to the same map-combinable aggregate — the scan count stays 1
+    however long the suite grows, vs one pass per rule naive.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    agg = li.agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[
+            F.count(F.when(pred(), 1)).alias(f"_v_{name}")
+            for name, pred, _ in _ROW_RULES
+        ],
+    )
+    stack_args = ", ".join(
+        f"'{name}', _v_{name}" for name, _, _ in _ROW_RULES
+    )
+    return agg.select(
+        F.expr(
+            f"stack({len(_ROW_RULES)}, {stack_args}) AS (rule, n_violations)"
+        ),
+        F.col("_n").alias("n_checked"),
+    ).select(
+        "rule",
+        "n_checked",
+        "n_violations",
+        F.round(F.col("n_violations") / F.col("n_checked"), 6).alias(
+            "violation_rate"
+        ),
+    )
+
+
+AUDIT_ROW_CONSTRAINTS_SQL = (
+    "WITH m AS (\n  SELECT COUNT(*) AS n,\n"
+    + ",\n".join(
+        f"    COUNT(*) FILTER (WHERE {sql_pred}) AS v_{name}"
+        for name, _, sql_pred in _ROW_RULES
+    )
+    + "\n  FROM lineitem\n)\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT '{name}' AS rule, n AS n_checked, v_{name} AS n_violations,"
+        f" ROUND(v_{name} / n, 6) AS violation_rate FROM m"
+        for name, _, _ in _ROW_RULES
+    )
+)
+
+
+# --------------------------------------------------------------------------
 def privacy_k_anonymity(spark, sf_dir):
     """k-anonymity / l-diversity audit of the customer table — the
     privacy gate a training-data release runs before shipping records
@@ -3072,6 +3166,9 @@ QUERIES: dict[str, Q] = {
     "profile_orders_quality": Q(profile_orders_quality, PROFILE_SQL),
     "profile_drift_orders": Q(profile_drift_orders, PROFILE_DRIFT_SQL),
     "privacy_k_anonymity": Q(privacy_k_anonymity, PRIVACY_K_ANON_SQL),
+    "audit_row_constraints": Q(
+        audit_row_constraints, AUDIT_ROW_CONSTRAINTS_SQL
+    ),
     "profile_compaction_plan": Q(
         profile_compaction_plan, COMPACTION_PLAN_SQL
     ),

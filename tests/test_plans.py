@@ -781,3 +781,15 @@ def test_k_anonymity_single_aggregate(spark):
     assert len(re.findall(r"Scan parquet", tree)) == 1, tree
     assert "Join" not in tree, tree
     assert "Window" not in tree, tree
+
+
+def test_row_constraints_one_scan_for_whole_suite(spark):
+    """Every CHECK rule must be a conditional count in the SAME
+    aggregate: one scan however long the suite grows, stack unpivot
+    after the 1-row agg — no join, no per-rule pass."""
+    from rick_and_morty_data_pipeline_project_spark.queries.catalog import _ALL
+
+    plan = formatted_plan(_ALL["audit_row_constraints"].fn(spark, SF_SMALL))
+    tree = plan.split("\n\n")[0]
+    assert len(re.findall(r"Scan parquet", tree)) == 1, tree
+    assert "Join" not in tree, tree
