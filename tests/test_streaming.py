@@ -814,3 +814,93 @@ def test_ewma_stream_matches_batch_across_batches(spark, tmp_path):
         assert abs(latest[u][1] - want[u][1]) <= 5.000001e-7, (
             u, latest[u], want[u]
         )
+
+
+def test_mv_maintain_stream_matches_batch_refresh(spark, tmp_path):
+    """Streaming MV maintenance ≡ the batch mv_incremental_refresh
+    algebra: the base snapshot streams as +1 assertions in batch 1 and
+    the full retraction delta (inserts, group-migrating updates,
+    deletes) in batch 2, so the maintained aggregate state crosses a
+    trigger boundary.  Latest-per-group (max ver) with zero-count
+    groups dropped must equal the batch query bit-for-bit — both sum
+    the same exact DECIMAL(14,2)-weighted products."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from rick_and_morty_data_pipeline_project_spark.streaming.mv import (
+        MV_DELTA_SCHEMA,
+        mv_maintain_stream,
+    )
+
+    o = spark.read.parquet(f"{SF_SMALL}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority", "o_orderstatus", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    base = o.filter(k % 10 != 0)
+
+    def rows(df, w, status=None, price_mult=1.0, seq=0):
+        return df.select(
+            "o_orderpriority",
+            (F.lit(status) if status else F.col("o_orderstatus")).alias(
+                "o_orderstatus"
+            ),
+            F.lit(w).cast("int").alias("_w"),
+            (F.col("o_totalprice") * F.lit(price_mult)).alias("_p"),
+            F.lit(seq).cast("long").alias("seq"),
+        )
+
+    batch1 = rows(base, 1, seq=0)
+    upd = base.filter(k % 7 == 0)
+    batch2 = (
+        rows(o.filter(k % 10 == 0), 1, seq=1)
+        .unionByName(rows(upd, -1, seq=1))
+        .unionByName(rows(upd, 1, status="U", price_mult=2.0, seq=1))
+        .unionByName(
+            rows(base.filter((k % 13 == 0) & (k % 7 != 0)), -1, seq=1)
+        )
+    )
+
+    src = tmp_path / "mv_incoming"
+    src.mkdir()
+    for name, df in (("a", batch1), ("b", batch2)):
+        d = tmp_path / f"_mv_{name}"
+        df.coalesce(1).write.parquet(str(d))
+        shutil.copy(next(d.glob("part-*.parquet")), src / f"{name}.parquet")
+    _pin_file_order(src / "a.parquet", src / "b.parquet")
+
+    stream = (
+        spark.readStream.schema(MV_DELTA_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        mv_maintain_stream(stream)
+        .writeStream.format("memory")
+        .queryName("mv_updates")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    latest = {}
+    for r in spark.sql("SELECT * FROM mv_updates").collect():
+        key = (r["o_orderpriority"], r["o_orderstatus"])
+        if key not in latest or r["ver"] > latest[key][2]:
+            latest[key] = (r["n_orders"], r["total_price"], r["ver"])
+    got = {
+        key: (n, p) for key, (n, p, _) in latest.items() if n > 0
+    }
+
+    want = {
+        (r["o_orderpriority"], r["o_orderstatus"]): (
+            r["n_orders"],
+            r["total_price"],
+        )
+        for r in QUERIES["mv_incremental_refresh"].fn(spark, SF_SMALL).collect()
+    }
+    assert got.keys() == want.keys()
+    for key in want:
+        assert got[key][0] == want[key][0], key
+        assert got[key][1] == want[key][1], (key, got[key], want[key])
