@@ -68,6 +68,9 @@ ANNOTATED = {
     "multimodal_mp4_boxes": "ISO-BMFF container audit: synthesize and box-walk are two Arrow-batched MapInPandas stages over one scan, ZERO exchanges — container bytes never shuffle, only the 8-column metadata result leaves the stage",
     "table_range_partition_plan": "range-partition planner: the rank window runs over the bounded 1/16 content-hash SAMPLE only; cuts broadcast as one array row (BroadcastNestedLoopJoin); the full table is bucketed by a narrow codegen expression — no rangepartitioning exchange, no global sort",
     "profile_drift_orders": "profile drift: both snapshot profiles and their deltas from ONE conditional-aggregate pass (expand for exact distincts) — no join of profile rows, no second scan",
+    "graph_triangle_count": "triangle census: zero parquet scans — the LSH edge list is localCheckpoint-ed once and the degree pass plus both closure joins read the materialized RDD (the naive 5-way self-join recomputes the LSH pipeline per branch)",
+    "privacy_k_anonymity": "k-anonymity audit: one pruned scan + one QI-keyed aggregate; the class relation is |QI domain| rows at any table size",
+    "audit_row_constraints": "CHECK-constraint suite: all 7 rules as conditional counts in ONE aggregate over ONE scan, stack unpivot after the 1-row agg",
 }
 
 
