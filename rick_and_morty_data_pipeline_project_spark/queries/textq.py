@@ -427,6 +427,84 @@ def graph_triangle_count(spark, sf_dir):
     )
 
 
+_KCORE_K = 2
+
+
+def graph_kcore_peel(spark, sf_dir):
+    """Three unrolled k-core peeling rounds (k = 2) over the MinHash-
+    LSH near-dup candidate graph — the graph-curation filter that
+    separates clique-like duplicate clusters from pendant/chain
+    matches: a 2-core survivor has ≥2 independent near-dup links
+    (strong cluster evidence), while chain ends — single weak band
+    collisions — peel away.  Reports (round, n_nodes, n_darts) per
+    round so convergence is visible (darts = directed edge slots;
+    undirected edges = darts/2).
+
+    Plan shape: the candidate edge list (same banding constants as
+    ``dedup_minhash_lsh_candidates``, materialized in both directions)
+    is ``localCheckpoint``-ed once — the three rounds' degree
+    aggregates and LEFT SEMI induced-subgraph joins all read the
+    checkpointed pairs, never recomputing the LSH pipeline (the
+    ``graph_triangle_count`` trick).  Each round is one node-keyed
+    aggregate + two semi joins over a monotonically shrinking edge
+    list; an open-ended variant loops with checkpoint truncation like
+    ``dedup_minhash_clusters``.
+    """
+    d = t(spark, sf_dir, "documents")
+    und = minhash_lsh_pairs(
+        d, "doc_id", "text", num_hashes=8, band_size=4, shingle_k=3
+    ).select("id_a", "id_b")
+    e = (
+        und.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            und.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .localCheckpoint()
+    )
+    out = None
+    for i in (1, 2, 3):
+        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_d"))
+        keep = deg.filter(F.col("_d") >= _KCORE_K).select("src")
+        e = e.join(keep, "src", "left_semi").join(
+            keep.withColumnRenamed("src", "dst"), "dst", "left_semi"
+        )
+        stats = e.agg(
+            F.count_distinct("src").alias("n_nodes"),
+            F.count(F.lit(1)).alias("n_darts"),
+        ).select(F.lit(i).alias("round"), "n_nodes", "n_darts")
+        out = stats if out is None else out.unionByName(stats)
+    return out
+
+
+GRAPH_KCORE_SQL = f"""
+WITH {_BANDED_CTE_SQL},
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
+),
+e0 AS (
+  SELECT id_a AS src, id_b AS dst FROM cand
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM cand
+),
+k1 AS (SELECT src FROM e0 GROUP BY src HAVING count(*) >= {_KCORE_K}),
+e1 AS (SELECT e.src, e.dst FROM e0 e
+       JOIN k1 a ON e.src = a.src JOIN k1 b ON e.dst = b.src),
+k2 AS (SELECT src FROM e1 GROUP BY src HAVING count(*) >= {_KCORE_K}),
+e2 AS (SELECT e.src, e.dst FROM e1 e
+       JOIN k2 a ON e.src = a.src JOIN k2 b ON e.dst = b.src),
+k3 AS (SELECT src FROM e2 GROUP BY src HAVING count(*) >= {_KCORE_K}),
+e3 AS (SELECT e.src, e.dst FROM e2 e
+       JOIN k3 a ON e.src = a.src JOIN k3 b ON e.dst = b.src)
+SELECT 1 AS round, count(DISTINCT src) AS n_nodes, count(*) AS n_darts
+FROM e1
+UNION ALL
+SELECT 2, count(DISTINCT src), count(*) FROM e2
+UNION ALL
+SELECT 3, count(DISTINCT src), count(*) FROM e3
+"""
+
+
 GRAPH_TRIANGLES_SQL = f"""
 WITH {_BANDED_CTE_SQL},
 edges AS (
@@ -3088,6 +3166,7 @@ QUERIES: dict[str, Q] = {
         dedup_minhash_lsh_candidates, DEDUP_LSH_SQL
     ),
     "graph_triangle_count": Q(graph_triangle_count, GRAPH_TRIANGLES_SQL),
+    "graph_kcore_peel": Q(graph_kcore_peel, GRAPH_KCORE_SQL),
     "dedup_ngram_jaccard": Q(dedup_ngram_jaccard, DEDUP_JACCARD_SQL),
     "dedup_simhash": Q(dedup_simhash, DEDUP_SIMHASH_SQL),
     "text_repetition_signals": Q(

@@ -793,3 +793,15 @@ def test_row_constraints_one_scan_for_whole_suite(spark):
     tree = plan.split("\n\n")[0]
     assert len(re.findall(r"Scan parquet", tree)) == 1, tree
     assert "Join" not in tree, tree
+
+
+def test_kcore_peel_reuses_checkpointed_edges(spark):
+    """All three peel rounds (degree agg + two semi joins each) must
+    read the once-checkpointed LSH edge list — zero parquet scans in
+    the peeling plan, and the induced-subgraph joins are LeftSemi."""
+    from rick_and_morty_data_pipeline_project_spark.queries.catalog import _ALL
+
+    plan = formatted_plan(_ALL["graph_kcore_peel"].fn(spark, SF_SMALL))
+    assert "Scan parquet" not in plan, plan
+    assert "ExistingRDD" in plan, plan
+    assert "LeftSemi" in plan, plan
