@@ -135,6 +135,39 @@ def test_json_round_trip(spark):
         assert a == b
 
 
+def test_orc_round_trip(spark):
+    """ORC source/sink (beyond ref): schema-preserving round trip with
+    zlib compression, including nested/array columns — the
+    Hive-ecosystem interchange format next to parquet."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id",
+        "source",
+        F.split("text", " ").alias("tokens"),
+        F.struct(F.col("n_chars").alias("chars"), F.col("lang")).alias("meta"),
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").option("compression", "zlib").orc(
+            f"{d}/docs_orc"
+        )
+        back = spark.read.orc(f"{d}/docs_orc")
+        # ORC read-back relaxes nullability (file-level nullable); names
+        # and types must survive exactly
+        assert [(f.name, f.dataType.simpleString()) for f in back.schema] == [
+            (f.name, f.dataType.simpleString()) for f in df.schema
+        ]
+        a = {
+            (r["doc_id"], tuple(r["tokens"]), r["meta"]["chars"])
+            for r in df.collect()
+        }
+        b = {
+            (r["doc_id"], tuple(r["tokens"]), r["meta"]["chars"])
+            for r in back.collect()
+        }
+        assert a == b
+
+
 def test_merge_upsert_update_insert_delete(spark, tmp_path):
     """Full MERGE triad over parquet: matched keys replaced, new keys
     inserted, delete-flagged keys removed; untouched rows survive."""
