@@ -2048,6 +2048,80 @@ def profile_orders_quality(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+def events_chi2_type_dow(spark, sf_dir):
+    """Pearson chi-square independence test between event_type and
+    day-of-week — the categorical-association twin of
+    ``lineitem_corr_matrix`` (is traffic mix stable across the week,
+    or does some event type cluster on weekends?).
+
+    One shuffle builds the |types|×7 contingency table; marginals and
+    N are WINDOW sums over that TINY relation (re-deriving them as
+    separate groupBys would make Catalyst re-scan events once per
+    marginal — 4 scans; the window form is plan-pinned at 1), so at
+    any corpus size the post-aggregate work is bounded by the category
+    domain.  Output: chi2 (rounded 6), degrees of freedom, N, and the
+    contingency cell count.
+
+    Float parity: o, row, col, N are exact int64 counts (products ≤
+    2^53, exact doubles); e and (o−e)²/e run the identical IEEE
+    sequence in both engines, and the 35-term sum's order noise
+    (~1e-16 relative) dies at round 6.
+    """
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events")
+    cnt = (
+        ev.select(
+            "event_type", (F.dayofweek("ts") - F.lit(1)).alias("dow")
+        )
+        .groupBy("event_type", "dow")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    cell = cnt.select(
+        "event_type",
+        "dow",
+        "o",
+        F.sum("o").over(Window.partitionBy("event_type")).alias("rn"),
+        F.sum("o").over(Window.partitionBy("dow")).alias("cn"),
+        F.sum("o").over(Window.partitionBy()).alias("nn"),
+    )
+    e = (F.col("rn") * F.col("cn")).cast("double") / F.col("nn")
+    return cell.agg(
+        F.round(F.sum((F.col("o") - e) * (F.col("o") - e) / e), 6).alias(
+            "chi2"
+        ),
+        (
+            (F.count_distinct("event_type") - 1)
+            * (F.count_distinct("dow") - 1)
+        ).alias("dof"),
+        F.first("nn").alias("n_events"),
+        F.count(F.lit(1)).alias("n_cells"),
+    )
+
+
+EVENTS_CHI2_SQL = """
+WITH cnt AS (
+  SELECT event_type, dayofweek(ts) AS dow, COUNT(*) AS o
+  FROM events GROUP BY 1, 2
+),
+cell AS (
+  SELECT event_type, dow, o,
+         SUM(o) OVER (PARTITION BY event_type) AS rn,
+         SUM(o) OVER (PARTITION BY dow) AS cn,
+         SUM(o) OVER () AS nn
+  FROM cnt
+)
+SELECT ROUND(SUM((o - e) * (o - e) / e), 6) AS chi2,
+       (COUNT(DISTINCT event_type) - 1) * (COUNT(DISTINCT dow) - 1) AS dof,
+       CAST(MIN(nn) AS BIGINT) AS n_events,
+       COUNT(*) AS n_cells
+FROM (SELECT event_type, dow, o,
+             CAST(rn * cn AS DOUBLE) / nn AS e, nn
+      FROM cell)
+"""
+
+
+# --------------------------------------------------------------------------
 _ROW_RULES = [
     # (rule name, Spark violation predicate builder, SQL violation predicate)
     ("qty_positive", lambda: F.col("l_quantity") <= 0, "l_quantity <= 0"),
@@ -3169,6 +3243,7 @@ QUERIES: dict[str, Q] = {
     "audit_row_constraints": Q(
         audit_row_constraints, AUDIT_ROW_CONSTRAINTS_SQL
     ),
+    "events_chi2_type_dow": Q(events_chi2_type_dow, EVENTS_CHI2_SQL),
     "profile_compaction_plan": Q(
         profile_compaction_plan, COMPACTION_PLAN_SQL
     ),

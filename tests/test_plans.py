@@ -805,3 +805,14 @@ def test_kcore_peel_reuses_checkpointed_edges(spark):
     assert "Scan parquet" not in plan, plan
     assert "ExistingRDD" in plan, plan
     assert "LeftSemi" in plan, plan
+
+
+def test_chi2_single_scan_tiny_relation_joins(spark):
+    """The chi-square statistic must build the contingency table from
+    ONE scan; marginals and expected counts join over that tiny
+    relation (broadcast N) — never a second pass over events."""
+    from rick_and_morty_data_pipeline_project_spark.queries.catalog import _ALL
+
+    plan = formatted_plan(_ALL["events_chi2_type_dow"].fn(spark, SF_SMALL))
+    tree = plan.split("\n\n")[0]
+    assert len(re.findall(r"Scan parquet", tree)) == 1, tree
