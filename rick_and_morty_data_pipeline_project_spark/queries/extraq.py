@@ -2048,6 +2048,167 @@ def profile_orders_quality(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+_KM_CENSOR_DATE = "2024-01-31"  # corpus horizon (events span 2024-01-*)
+
+
+def events_survival_km(spark, sf_dir):
+    """Kaplan-Meier survival curve for time-to-conversion: per user,
+    duration in DAYS from first ``signup`` to first subsequent
+    ``purchase``; users who never convert are right-CENSORED at the
+    corpus horizon — the estimator product-limits over the risk set so
+    censored users contribute exactly the days they were observed,
+    which a naive "average days to convert over converters" silently
+    gets wrong (it drops the slowest cohort entirely).
+
+    Per duration day t: conversions d_t, censorings c_t, risk set
+    n_t = total − Σ_{j<t}(d_j + c_j), and the survival estimate
+    S(t) = Π_{j≤t} (1 − d_j/n_j), computed as
+    ``exp(cumsum(ln(1 − d/n)))`` — both engines evaluate the identical
+    IEEE log/exp sequence left-to-right over the day-ordered window,
+    and round(…, 6) absorbs nothing more than representation noise.
+
+    Scale: ONE type-pruned pass over events — first-signup time is a
+    user-partition window MIN and the first eligible purchase a
+    conditional MIN in the user aggregate riding the SAME partitioning
+    (the two-relation join form re-scanned events 3×, plan-pinned away
+    at 1) — then ALL KM arithmetic runs on the duration-grain table,
+    which is bounded by the observation window (≤31 rows here), so the
+    single-partition cumulative windows never see event rows.
+    """
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w_u = Window.partitionBy("user_id")
+    ev2 = ev.filter(
+        F.col("event_type").isin("signup", "purchase")
+    ).withColumn(
+        "_t0",
+        F.min(
+            F.when(F.col("event_type") == "signup", F.col("ts"))
+        ).over(w_u),
+    )
+    base = (
+        ev2.filter(F.col("_t0").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.min("_t0").alias("_t0"),
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") >= F.col("_t0")),
+                    F.col("ts"),
+                )
+            ).alias("_tp"),
+        )
+    )
+    dur = base.select(
+        F.when(
+            F.col("_tp").isNotNull(),
+            F.datediff(F.to_date("_tp"), F.to_date("_t0")),
+        )
+        .otherwise(
+            F.datediff(
+                F.lit(_KM_CENSOR_DATE).cast("date"), F.to_date("_t0")
+            )
+        )
+        .alias("t"),
+        F.col("_tp").isNotNull().cast("int").alias("_conv"),
+    )
+    tab = dur.groupBy("t").agg(
+        F.sum("_conv").alias("d"),
+        F.sum(F.lit(1) - F.col("_conv")).alias("c"),
+    )
+    w_all = Window.partitionBy()
+    w_prior = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_cum = Window.orderBy("t")
+    km = tab.select(
+        "t",
+        "d",
+        "c",
+        (
+            F.sum(F.col("d") + F.col("c")).over(w_all)
+            - F.coalesce(
+                F.sum(F.col("d") + F.col("c")).over(w_prior), F.lit(0)
+            )
+        ).alias("n_risk"),
+    )
+    # the absorbing row (d == n_risk → survival term 0) must not feed
+    # ln(0) — DuckDB raises, Spark ANSI would too; guard the log and
+    # pin survival to exactly 0 from that row onward
+    term_ln = F.when(
+        F.col("d") < F.col("n_risk"),
+        F.log(
+            F.lit(1.0)
+            - F.col("d").cast("double") / F.col("n_risk").cast("double")
+        ),
+    ).otherwise(F.lit(0.0))
+    absorbed = (
+        F.sum(
+            F.when(F.col("d") >= F.col("n_risk"), 1).otherwise(0)
+        ).over(w_cum)
+        > 0
+    )
+    surv = F.when(absorbed, F.lit(0.0)).otherwise(
+        F.exp(F.sum(term_ln).over(w_cum))
+    )
+    return km.select(
+        F.col("t").alias("day"),
+        F.col("d").alias("d_conversions"),
+        F.col("c").alias("c_censored"),
+        "n_risk",
+        F.round(surv, 6).alias("survival"),
+    )
+
+
+EVENTS_SURVIVAL_SQL = f"""
+WITH ev2 AS (
+  SELECT user_id, event_type, ts,
+         MIN(CASE WHEN event_type = 'signup' THEN ts END)
+           OVER (PARTITION BY user_id) AS t0
+  FROM events WHERE event_type IN ('signup', 'purchase')
+),
+base AS (
+  SELECT user_id, MIN(t0) AS t0,
+         MIN(CASE WHEN event_type = 'purchase' AND ts >= t0
+                  THEN ts END) AS tp
+  FROM ev2 WHERE t0 IS NOT NULL GROUP BY 1
+),
+dur AS (
+  SELECT CASE WHEN tp IS NOT NULL
+              THEN date_diff('day', CAST(t0 AS DATE), CAST(tp AS DATE))
+              ELSE date_diff('day', CAST(t0 AS DATE),
+                             DATE '{_KM_CENSOR_DATE}') END AS t,
+         CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS converted
+  FROM base
+),
+tab AS (
+  SELECT t, SUM(converted) AS d, SUM(1 - converted) AS c
+  FROM dur GROUP BY 1
+),
+km AS (
+  SELECT t, d, c,
+         SUM(d + c) OVER ()
+           - COALESCE(SUM(d + c) OVER (ORDER BY t ROWS BETWEEN
+                      UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+  FROM tab
+)
+SELECT t AS day,
+       CAST(d AS BIGINT) AS d_conversions,
+       CAST(c AS BIGINT) AS c_censored,
+       CAST(n_risk AS BIGINT) AS n_risk,
+       CASE WHEN SUM(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+                 OVER (ORDER BY t) > 0
+            THEN 0.0
+            ELSE ROUND(EXP(SUM(CASE WHEN d < n_risk
+                THEN LN(1 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE))
+                ELSE 0.0 END) OVER (ORDER BY t)), 6) END AS survival
+FROM km
+"""
+
+
+# --------------------------------------------------------------------------
 def events_chi2_type_dow(spark, sf_dir):
     """Pearson chi-square independence test between event_type and
     day-of-week — the categorical-association twin of
@@ -3244,6 +3405,7 @@ QUERIES: dict[str, Q] = {
         audit_row_constraints, AUDIT_ROW_CONSTRAINTS_SQL
     ),
     "events_chi2_type_dow": Q(events_chi2_type_dow, EVENTS_CHI2_SQL),
+    "events_survival_km": Q(events_survival_km, EVENTS_SURVIVAL_SQL),
     "profile_compaction_plan": Q(
         profile_compaction_plan, COMPACTION_PLAN_SQL
     ),

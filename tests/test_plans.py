@@ -816,3 +816,17 @@ def test_chi2_single_scan_tiny_relation_joins(spark):
     plan = formatted_plan(_ALL["events_chi2_type_dow"].fn(spark, SF_SMALL))
     tree = plan.split("\n\n")[0]
     assert len(re.findall(r"Scan parquet", tree)) == 1, tree
+
+
+def test_survival_km_windows_over_duration_grain(spark):
+    """KM arithmetic must run on the duration-grain table (bounded by
+    the observation window), not events: ONE type-pruned scan (the
+    first-signup window and first-eligible-purchase aggregate share
+    the user partitioning); the two-relation join form re-scanned
+    events 3×."""
+    from rick_and_morty_data_pipeline_project_spark.queries.catalog import _ALL
+
+    plan = formatted_plan(_ALL["events_survival_km"].fn(spark, SF_SMALL))
+    tree = plan.split("\n\n")[0]
+    assert len(re.findall(r"Scan parquet", tree)) == 1, tree
+    assert "Join" not in tree, tree
