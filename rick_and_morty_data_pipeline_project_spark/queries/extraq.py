@@ -2048,6 +2048,120 @@ def profile_orders_quality(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+def events_ab_proportion_z(spark, sf_dir):
+    """Two-sample proportion z-test — the canonical A/B experiment
+    readout: users split into arms by the deterministic assignment
+    hash (``user_id % 2``), success = the user logged more purchases
+    than errors (the raw "ever purchased" rate saturates at 1.0 in
+    this corpus — a success metric needs variance); report
+    per-arm (n, conversions, rate) plus the pooled-variance z
+    statistic.  |z| > 1.96 rejects equal conversion at α = 0.05 —
+    here the split is a hash of a uniform corpus, so z ≈ 0 is itself
+    the A/A-test sanity check an experimentation pipeline runs before
+    trusting its assignment plumbing.
+
+    Scale: one type-pruned scan, one user-keyed aggregate (the
+    per-user success bit), then a 2-row arm aggregate and closed-form
+    doubles — the statistic costs one shuffle at any corpus size.
+
+    Float parity: n and x are exact counts; rates, the pooled
+    variance, and z divide/sqrt the identical exact doubles in both
+    engines; round 6 on the emitted floats.
+    """
+    ev = t(spark, sf_dir, "events").select("user_id", "event_type")
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            (
+                F.count(F.when(F.col("event_type") == "purchase", 1))
+                > F.count(F.when(F.col("event_type") == "error", 1))
+            )
+            .cast("int")
+            .alias("_conv")
+        )
+        .select((F.col("user_id") % 2).alias("arm"), "_conv")
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("_conv").alias("n_conversions"),
+    )
+    from pyspark.sql.window import Window
+
+    w_all = Window.partitionBy()
+    wide = arms.select(
+        "arm",
+        "n_users",
+        "n_conversions",
+        F.round(
+            F.col("n_conversions").cast("double") / F.col("n_users"), 6
+        ).alias("rate"),
+        F.sum("n_users").over(w_all).alias("_n_tot"),
+        F.sum("n_conversions").over(w_all).alias("_x_tot"),
+        (F.sum("n_users").over(w_all) - F.col("n_users")).alias("_n_o"),
+        (F.sum("n_conversions").over(w_all) - F.col("n_conversions")).alias(
+            "_x_o"
+        ),
+    )
+    p_pool = F.col("_x_tot").cast("double") / F.col("_n_tot")
+    diff = (
+        F.col("n_conversions").cast("double") / F.col("n_users")
+        - F.col("_x_o").cast("double") / F.col("_n_o")
+    )
+    se = F.sqrt(
+        p_pool
+        * (F.lit(1.0) - p_pool)
+        * (
+            F.lit(1.0) / F.col("n_users")
+            + F.lit(1.0) / F.col("_n_o")
+        )
+    )
+    return wide.select(
+        "arm",
+        "n_users",
+        "n_conversions",
+        "rate",
+        # se = 0 iff the pooled rate is 0 or 1 (degenerate metric) —
+        # NULL then, in both engines (ANSI Spark would raise on /0)
+        F.when(se > 0, F.round(diff / se, 6)).alias("z_vs_other"),
+    )
+
+
+EVENTS_AB_Z_SQL = """
+WITH per_user AS (
+  SELECT user_id % 2 AS arm,
+         CASE WHEN COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
+                 > COUNT(CASE WHEN event_type = 'error' THEN 1 END)
+              THEN 1 ELSE 0 END AS conv
+  FROM events GROUP BY user_id
+),
+arms AS (
+  SELECT arm, COUNT(*) AS n_users, SUM(conv) AS n_conversions
+  FROM per_user GROUP BY arm
+),
+wide AS (
+  SELECT arm, n_users, n_conversions,
+         SUM(n_users) OVER () AS n_tot,
+         SUM(n_conversions) OVER () AS x_tot,
+         SUM(n_users) OVER () - n_users AS n_o,
+         SUM(n_conversions) OVER () - n_conversions AS x_o
+  FROM arms
+)
+SELECT arm,
+       CAST(n_users AS BIGINT) AS n_users,
+       CAST(n_conversions AS BIGINT) AS n_conversions,
+       ROUND(CAST(n_conversions AS DOUBLE) / n_users, 6) AS rate,
+       CASE WHEN x_tot > 0 AND x_tot < n_tot THEN
+         ROUND(
+           (CAST(n_conversions AS DOUBLE) / n_users
+            - CAST(x_o AS DOUBLE) / n_o)
+           / SQRT((CAST(x_tot AS DOUBLE) / n_tot)
+                  * (1.0 - CAST(x_tot AS DOUBLE) / n_tot)
+                  * (1.0 / n_users + 1.0 / n_o)), 6) END AS z_vs_other
+FROM wide
+"""
+
+
+# --------------------------------------------------------------------------
 _KM_CENSOR_DATE = "2024-01-31"  # corpus horizon (events span 2024-01-*)
 
 
@@ -3406,6 +3520,7 @@ QUERIES: dict[str, Q] = {
     ),
     "events_chi2_type_dow": Q(events_chi2_type_dow, EVENTS_CHI2_SQL),
     "events_survival_km": Q(events_survival_km, EVENTS_SURVIVAL_SQL),
+    "events_ab_proportion_z": Q(events_ab_proportion_z, EVENTS_AB_Z_SQL),
     "profile_compaction_plan": Q(
         profile_compaction_plan, COMPACTION_PLAN_SQL
     ),

@@ -830,3 +830,15 @@ def test_survival_km_windows_over_duration_grain(spark):
     tree = plan.split("\n\n")[0]
     assert len(re.findall(r"Scan parquet", tree)) == 1, tree
     assert "Join" not in tree, tree
+
+
+def test_ab_ztest_single_scan(spark):
+    """The A/B z-test is one type-pruned scan + user aggregate; arm
+    totals and the statistic are windows/arithmetic over the 2-row arm
+    relation — no join, no second pass over events."""
+    from rick_and_morty_data_pipeline_project_spark.queries.catalog import _ALL
+
+    plan = formatted_plan(_ALL["events_ab_proportion_z"].fn(spark, SF_SMALL))
+    tree = plan.split("\n\n")[0]
+    assert len(re.findall(r"Scan parquet", tree)) == 1, tree
+    assert "Join" not in tree, tree
