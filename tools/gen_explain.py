@@ -71,6 +71,10 @@ ANNOTATED = {
     "graph_triangle_count": "triangle census: zero parquet scans — the LSH edge list is localCheckpoint-ed once and the degree pass plus both closure joins read the materialized RDD (the naive 5-way self-join recomputes the LSH pipeline per branch)",
     "privacy_k_anonymity": "k-anonymity audit: one pruned scan + one QI-keyed aggregate; the class relation is |QI domain| rows at any table size",
     "audit_row_constraints": "CHECK-constraint suite: all 7 rules as conditional counts in ONE aggregate over ONE scan, stack unpivot after the 1-row agg",
+    "graph_kcore_peel": "k-core peeling: all three rounds (degree agg + two LeftSemi induced-subgraph joins) read the once-checkpointed LSH edge list — zero parquet scans, monotonically shrinking edges",
+    "events_chi2_type_dow": "chi-square: ONE scan builds the contingency table; marginals/N are window sums over that 35-cell relation (per-marginal groupBys re-scanned events 4x)",
+    "events_survival_km": "Kaplan-Meier: ONE type-pruned scan (first-signup window + conditional-min aggregate share the user partitioning); all KM windows run on the <=31-row duration grain",
+    "events_ab_proportion_z": "A/B z-test: one scan + user aggregate; arm totals and the statistic are windows over the 2-row arm relation",
 }
 
 
