@@ -158,7 +158,124 @@ GROUP BY 1
 )
 
 
+def text_bpe_encode(spark, sf_dir):
+    """Full BPE ENCODE — per-document token-ID sequences under the
+    learned merges, the step that actually feeds a trainer (token
+    *stats* prove the segmentation cardinality; the encode proves
+    ORDER and id assignment too).  Deterministic id scheme shared by
+    both engines: single-char symbols get their codepoint, merge
+    products get ``256 + merge_rank`` (merged names are unique — the
+    trainer rejects name collisions, operators/bpe.py).
+
+    The sequence is emitted as an md5 fingerprint of the '|'-joined
+    ids (plus the token count), so the driver hash certifies the exact
+    id sequence without shipping megabyte rows.
+
+    Scale: segmentation and id mapping happen on the word-TYPE
+    relation (bounded by vocabulary, not corpus); the corpus is
+    scanned twice total (word count + the positioned re-join), same
+    as ``text_bpe_token_stats`` — never once per merge.  The per-doc
+    reassembly sorts each document's own word positions only.
+    """
+    words = _word_counts(spark, sf_dir)
+    merges, final = train_bpe(words, N_MERGES)
+    if merges:
+        id_map = F.create_map(
+            *[
+                x
+                for m in merges
+                for x in (F.lit(m.left + m.right), F.lit(256 + m.rank))
+            ]
+        )
+    else:  # degenerate corpus: everything single-char
+        id_map = F.create_map()
+    wordids = final.select(
+        "word", symbols_col("w").alias("_syms")
+    ).select(
+        "word",
+        F.size("_syms").cast("long").alias("n_sym"),
+        F.array_join(
+            F.transform(
+                "_syms",
+                lambda s: F.coalesce(
+                    F.element_at(id_map, s), F.ascii(s)
+                ).cast("string"),
+            ),
+            "|",
+        ).alias("_ids"),
+    )
+    d = t(spark, sf_dir, "documents")
+    from rick_and_morty_data_pipeline_project_spark.functions.textfns import (
+        tokens_col,
+    )
+
+    occ = d.select(
+        "doc_id",
+        F.posexplode(tokens_col(F.col("text"))).alias("pos", "word"),
+    ).filter(F.col("word") != "")
+    return (
+        occ.join(wordids, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_sym").alias("n_bpe_tokens"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "_ids"))
+                        ),
+                        lambda x: x["_ids"],
+                    ),
+                    "|",
+                )
+            ).alias("ids_fingerprint"),
+        )
+    )
+
+
+BPE_ENCODE_SQL = (
+    "WITH " + _WC + "," + _stages(N_MERGES) + f""",
+idmap AS (
+  {" UNION ALL ".join(
+      f"SELECT l || r AS sym, 256 + {i} AS id FROM b{i}"
+      for i in range(1, N_MERGES + 1)
+  )}
+),
+seg AS (
+  SELECT word, str_split(trim(w, chr(31)), chr(31)||chr(31)) AS s
+  FROM w{N_MERGES}
+),
+wordids AS (
+  SELECT word,
+         CAST(count(*) AS BIGINT) AS n_sym,
+         string_agg(CAST(COALESCE(m.id, ascii(x.sym)) AS VARCHAR),
+                    '|' ORDER BY x.pos) AS ids
+  FROM (
+    SELECT word, unnest(s) AS sym,
+           unnest(generate_series(1, len(s))) AS pos
+    FROM seg
+  ) x LEFT JOIN idmap m ON m.sym = x.sym
+  GROUP BY word
+),
+occ AS (
+  SELECT doc_id, word, pos FROM (
+    SELECT doc_id,
+           unnest(string_split(text, ' ')) AS word,
+           unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+    FROM documents)
+  WHERE word <> ''
+)
+SELECT occ.doc_id,
+       CAST(sum(w.n_sym) AS BIGINT) AS n_bpe_tokens,
+       md5(string_agg(w.ids, '|' ORDER BY occ.pos)) AS ids_fingerprint
+FROM occ JOIN wordids w USING (word)
+GROUP BY 1
+"""
+)
+
+
 QUERIES: dict[str, Q] = {
     "bpe_train_merges": Q(bpe_train_merges, BPE_MERGES_SQL),
     "text_bpe_token_stats": Q(text_bpe_token_stats, BPE_TOKEN_STATS_SQL),
+    "text_bpe_encode": Q(text_bpe_encode, BPE_ENCODE_SQL),
 }

@@ -842,3 +842,17 @@ def test_ab_ztest_single_scan(spark):
     tree = plan.split("\n\n")[0]
     assert len(re.findall(r"Scan parquet", tree)) == 1, tree
     assert "Join" not in tree, tree
+
+
+def test_bpe_encode_stays_jvm_and_type_relation_sized(spark):
+    """The encode maps symbols to ids via an inlined literal map over
+    the word-TYPE relation — no Python stage anywhere, and the only
+    corpus-sized relations are the two document scans (word count +
+    positioned re-join), same as the stats query."""
+    from rick_and_morty_data_pipeline_project_spark.queries.catalog import _ALL
+
+    plan = formatted_plan(_ALL["text_bpe_encode"].fn(spark, SF_SMALL))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    tree = plan.split("\n\n")[0]
+    assert len(re.findall(r"Scan parquet", tree)) <= 2, tree
