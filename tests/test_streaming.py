@@ -904,3 +904,106 @@ def test_mv_maintain_stream_matches_batch_refresh(spark, tmp_path):
     for key in want:
         assert got[key][0] == want[key][0], key
         assert got[key][1] == want[key][1], (key, got[key], want[key])
+
+
+def test_mv_maintain_stream_state_survives_restart(spark, tmp_path):
+    """Checkpointed streaming MV: run 1 drains the base assertions and
+    STOPS; run 2 (same checkpoint, new sink) drains only the delta —
+    its refreshed rows must equal base ⊕ delta for every touched
+    group, which is only possible if the aggregation state store was
+    restored across the restart (run 2's sink never saw batch 1)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from rick_and_morty_data_pipeline_project_spark.streaming.mv import (
+        MV_DELTA_SCHEMA,
+        mv_maintain_stream,
+    )
+
+    o = spark.read.parquet(f"{SF_SMALL}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority", "o_orderstatus", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    base = o.filter(k % 10 != 0)
+
+    def rows(df, w, status=None, price_mult=1.0, seq=0):
+        return df.select(
+            "o_orderpriority",
+            (F.lit(status) if status else F.col("o_orderstatus")).alias(
+                "o_orderstatus"
+            ),
+            F.lit(w).cast("int").alias("_w"),
+            (F.col("o_totalprice") * F.lit(price_mult)).alias("_p"),
+            F.lit(seq).cast("long").alias("seq"),
+        )
+
+    upd = base.filter(k % 7 == 0)
+    batch1 = rows(base, 1, seq=0)
+    batch2 = (
+        rows(o.filter(k % 10 == 0), 1, seq=1)
+        .unionByName(rows(upd, -1, seq=1))
+        .unionByName(rows(upd, 1, status="U", price_mult=2.0, seq=1))
+        .unionByName(
+            rows(base.filter((k % 13 == 0) & (k % 7 != 0)), -1, seq=1)
+        )
+    )
+
+    src = tmp_path / "mvr_incoming"
+    src.mkdir()
+    ckpt = str(tmp_path / "mvr_ckpt")
+
+    def stage(name, df):
+        d = tmp_path / f"_mvr_{name}"
+        df.coalesce(1).write.parquet(str(d))
+        shutil.copy(next(d.glob("part-*.parquet")), src / f"{name}.parquet")
+
+    def run_once(out_dir):
+        # memory sink cannot recover from a checkpoint; foreachBatch
+        # parquet appends can — each run lands its update-mode rows in
+        # its OWN directory so run 2's emissions are observable alone
+        stream = spark.readStream.schema(MV_DELTA_SCHEMA).parquet(str(src))
+
+        def sink(bdf, bid):
+            bdf.write.mode("append").parquet(out_dir)
+
+        q = (
+            mv_maintain_stream(stream)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    out1 = str(tmp_path / "mvr_out1")
+    out2 = str(tmp_path / "mvr_out2")
+    stage("a", batch1)
+    run_once(out1)
+    stage("b", batch2)
+    run_once(out2)
+
+    got = {
+        (r["o_orderpriority"], r["o_orderstatus"]): (
+            r["n_orders"],
+            r["total_price"],
+        )
+        for r in spark.read.parquet(out2).collect()
+    }
+    assert got, "run 2 emitted nothing — delta batch not processed"
+
+    want_all = {
+        (r["o_orderpriority"], r["o_orderstatus"]): (
+            r["n_orders"],
+            r["total_price"],
+        )
+        for r in QUERIES["mv_incremental_refresh"].fn(spark, SF_SMALL).collect()
+    }
+    for key, (n, p) in got.items():
+        if n > 0:
+            assert key in want_all, key
+            assert (n, p) == want_all[key], (key, (n, p), want_all[key])
+        else:
+            # retracted to zero: the batch view must not contain it
+            assert key not in want_all, key
