@@ -75,6 +75,7 @@ ANNOTATED = {
     "events_chi2_type_dow": "chi-square: ONE scan builds the contingency table; marginals/N are window sums over that 35-cell relation (per-marginal groupBys re-scanned events 4x)",
     "events_survival_km": "Kaplan-Meier: ONE type-pruned scan (first-signup window + conditional-min aggregate share the user partitioning); all KM windows run on the <=31-row duration grain",
     "events_ab_proportion_z": "A/B z-test: one scan + user aggregate; arm totals and the statistic are windows over the 2-row arm relation",
+    "text_bpe_encode": "BPE encode: symbol-to-id via an inlined literal map on the word-TYPE relation, per-doc id sequences reassembled by position — zero Python, <=2 corpus scans (word count + positioned re-join)",
 }
 
 
