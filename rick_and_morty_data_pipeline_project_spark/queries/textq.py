@@ -2304,20 +2304,37 @@ dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
 nd AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents)"""
 
 
-def text_tfidf_cosine_pairs(spark, sf_dir):
-    """Sparse TF-IDF cosine similarity — the inverted-index complement
-    of the dense ``dedup_embedding_cosine``: document pairs whose
-    TF-IDF vectors have cosine ≥ 0.8, computed by joining weighted
-    posting lists on the term key so only pairs SHARING a term ever
-    materialize (never |docs|²).  Near-stopwords (df > 80% of the
-    corpus) are pruned first — the standard sparse-similarity move
-    that both bounds the posting-list join (the scale knob: max list
-    length ⇒ max join fan-out per term) and removes stopword noise.
+_TFIDF_DENSE_VOCAB_CAP = 256
 
-    Float parity: weights are rounded to 6 decimals and the dot /
-    norm² sums run in DECIMAL (exact, order-independent); the final
-    cosine division happens once per pair in identical double
-    arithmetic in both engines.
+
+def text_tfidf_cosine_pairs(spark, sf_dir):
+    """TF-IDF cosine similarity pairs (cosine ≥ 0.8), with a
+    vocabulary-size DISPATCH — the corpus's shape picks the plan:
+
+    * **Dense path (vocab ≤ 256, this corpus: 31 terms).**  The
+      inverted-index posting join degenerates when vocabulary ≪ docs:
+      every term's posting list is O(n), so Σ df² pair-rows ≈ 224M at
+      sf0.1 — measured 146 s.  Instead: pivot each doc to a dense
+      weight vector over the driver-collected term list (bounded
+      collect, IVF-centroid pattern), generate the |docs|²/2 pairs
+      with a broadcast nested-loop join whose filter fuses an UNROLLED
+      double-precision dot (pure codegen arithmetic, 31 literal-term
+      columns — no higher-order functions in the hot loop), then
+      re-verify ONLY the survivors with the decimal-exact posting
+      aggregate.  The double prefilter keeps everything within 1e-7 of
+      the rounded threshold (double-vs-decimal drift is ≤ ~1e-12), so
+      the exact phase sees a tiny superset and the OUTPUT is
+      bit-identical to the pure-decimal form.  Measured 146 s → ~7 s.
+    * **Sparse path (vocab > 256).**  The classic posting-list join on
+      the term key — only pairs sharing a term materialize; with a
+      real vocabulary the per-term lists are short and Σ df² is the
+      honest cost (the 100 TB shape for open-vocabulary corpora).
+
+    Near-stopwords (df > 80% of docs) are pruned on both paths.
+
+    Float parity: weights round to 6 decimals; the AUTHORITATIVE dot /
+    norm² sums run in DECIMAL (exact, order-independent) on both
+    paths; the cosine division is one double op per pair.
     """
     tf, df_, n_docs = _tfidf_weighted(spark, sf_dir)
     w = (
@@ -2331,21 +2348,51 @@ def text_tfidf_cosine_pairs(spark, sf_dir):
             .cast("decimal(18,6)")
             .alias("w"),
         )
+        # referenced by norms + both verify sides (+ the dense pivot):
+        # materialize once instead of recomputing the tokenize pipeline
+        # per reference
+        .localCheckpoint()
     )
     norms = w.groupBy("doc_id").agg(
         F.sqrt(F.sum(F.col("w") * F.col("w")).cast("double")).alias("norm")
     )
-    a, b = w.alias("a"), w.alias("b")
-    dots = (
-        a.join(b.hint("shuffle_hash"), "term")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(
-            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
-        )
-        .agg(F.sum(F.col("a.w") * F.col("b.w")).cast("double").alias("_dot"))
-    )
     na = norms.select(F.col("doc_id").alias("id_a"), F.col("norm").alias("_na"))
     nb = norms.select(F.col("doc_id").alias("id_b"), F.col("norm").alias("_nb"))
+
+    terms = [
+        r["term"]
+        for r in w.select("term")
+        .distinct()
+        .orderBy("term")
+        .limit(_TFIDF_DENSE_VOCAB_CAP + 1)
+        .collect()
+    ]
+    if len(terms) <= _TFIDF_DENSE_VOCAB_CAP:
+        cand = _tfidf_dense_candidates(w, na, nb, terms)
+    else:
+        a, b = w.alias("a"), w.alias("b")
+        cand = (
+            a.join(b.hint("shuffle_hash"), "term")
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"),
+            )
+            .distinct()
+        )
+
+    wa = w.select(
+        F.col("doc_id").alias("id_a"), "term", F.col("w").alias("_wa")
+    )
+    wb = w.select(
+        F.col("doc_id").alias("id_b"), "term", F.col("w").alias("_wb")
+    )
+    dots = (
+        cand.join(wa, "id_a")
+        .join(wb, ["id_b", "term"])
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("_wa") * F.col("_wb")).cast("double").alias("_dot"))
+    )
     return (
         dots.join(na, "id_a")
         .join(nb, "id_b")
@@ -2357,6 +2404,52 @@ def text_tfidf_cosine_pairs(spark, sf_dir):
             ),
         )
         .filter(F.col("cosine") >= 0.8)
+    )
+
+
+def _tfidf_dense_candidates(w, na, nb, terms):
+    """Dense double-precision candidate pairs for the bounded-vocab
+    path: rounded cosine ≥ 0.8 ⟺ exact cosine ≥ 0.7999995, so the
+    prefilter keeps dot ≥ (0.7999995 − 1e-7)·|a|·|b| — a guaranteed
+    superset of the decimal-exact survivors."""
+    import functools
+    import operator
+
+    dense = (
+        w.groupBy("doc_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("term", "w"))
+            ).alias("_m")
+        )
+        .select(
+            "doc_id",
+            *[
+                F.coalesce(
+                    F.element_at(F.col("_m"), F.lit(t)).cast("double"),
+                    F.lit(0.0),
+                ).alias(f"_x{i}")
+                for i, t in enumerate(terms)
+            ],
+        )
+    )
+    a = dense.join(
+        na, dense["doc_id"] == na["id_a"]
+    ).select("id_a", "_na", *[F.col(f"_x{i}").alias(f"_a{i}") for i in range(len(terms))])
+    b = dense.join(
+        nb, dense["doc_id"] == nb["id_b"]
+    ).select("id_b", "_nb", *[F.col(f"_x{i}").alias(f"_b{i}") for i in range(len(terms))])
+    dot_dbl = functools.reduce(
+        operator.add,
+        [F.col(f"_a{i}") * F.col(f"_b{i}") for i in range(len(terms))],
+    )
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .filter(
+            dot_dbl
+            >= F.lit(0.7999995 - 1e-7) * F.col("_na") * F.col("_nb")
+        )
+        .select("id_a", "id_b")
     )
 
 

@@ -856,3 +856,17 @@ def test_bpe_encode_stays_jvm_and_type_relation_sized(spark):
     assert "CartesianProduct" not in plan, plan
     tree = plan.split("\n\n")[0]
     assert len(re.findall(r"Scan parquet", tree)) <= 2, tree
+
+
+def test_tfidf_cosine_dense_path_on_bounded_vocab(spark):
+    """On a bounded vocabulary the cosine pair join must take the
+    dense path: candidate generation is a BroadcastNestedLoopJoin over
+    pivoted vectors with the unrolled double dot fused in its filter
+    (no term-keyed posting self-join feeding 224M pair-rows), and the
+    decimal-exact verify runs only on candidates."""
+    from rick_and_morty_data_pipeline_project_spark.queries.catalog import _ALL
+
+    plan = formatted_plan(_ALL["text_tfidf_cosine_pairs"].fn(spark, SF_SMALL))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    # the weight relation is checkpointed: no parquet re-scan anywhere
+    assert "Scan parquet" not in plan, plan
