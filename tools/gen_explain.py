@@ -76,6 +76,7 @@ ANNOTATED = {
     "events_survival_km": "Kaplan-Meier: ONE type-pruned scan (first-signup window + conditional-min aggregate share the user partitioning); all KM windows run on the <=31-row duration grain",
     "events_ab_proportion_z": "A/B z-test: one scan + user aggregate; arm totals and the statistic are windows over the 2-row arm relation",
     "text_bpe_encode": "BPE encode: symbol-to-id via an inlined literal map on the word-TYPE relation, per-doc id sequences reassembled by position — zero Python, <=2 corpus scans (word count + positioned re-join)",
+    "text_tfidf_cosine_pairs": "tfidf cosine pairs, dense dispatch (vocab 31 <= 256): BroadcastNestedLoopJoin over pivoted vectors with the unrolled double dot fused in its filter; decimal-exact verify joins only the ~candidates; weight relation checkpointed (zero parquet scans) — the posting self-join form cost 224M pair-rows / 146 s here",
 }
 
 
