@@ -2048,6 +2048,77 @@ def profile_orders_quality(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+_KEYGAP_BUCKET = 10000
+
+
+def audit_key_gaps(spark, sf_dir):
+    """Key-space completeness audit over orders — "did we lose a
+    batch": per 10k-key bucket, the key bounds, row count, the number
+    of keys MISSING inside the bucket's own [min, max] span, and the
+    gap to the previous non-empty bucket.  A lost ingest batch shows
+    up as either a large ``missing_within`` or a positive
+    ``gap_before`` long before a full-table sort would find it.
+
+    Scale: the classic gaps-and-islands window (key − row_number) needs
+    a GLOBAL sort — a single-partition window over the whole fact
+    table.  This form gets the same evidence from one bucket-keyed
+    aggregate (narrow ``DIV`` bucketing, map-side combinable) plus a
+    lag window over the BUCKET relation, which has |keyspace|/10k rows
+    at any table size.  Distinct counts are exact within buckets
+    (bounded domain).
+    """
+    from pyspark.sql.window import Window
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey")
+    per = (
+        o.groupBy(
+            F.expr(f"o_orderkey DIV {_KEYGAP_BUCKET}").alias("bucket")
+        )
+        .agg(
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+            F.count_distinct("o_orderkey").alias("n_keys"),
+        )
+        .select(
+            "bucket",
+            "min_key",
+            "max_key",
+            "n_keys",
+            (
+                F.col("max_key") - F.col("min_key") + 1 - F.col("n_keys")
+            ).alias("missing_within"),
+        )
+    )
+    w = Window.orderBy("bucket")
+    return per.select(
+        "bucket",
+        "min_key",
+        "max_key",
+        "n_keys",
+        "missing_within",
+        F.coalesce(
+            F.col("min_key") - F.lag("max_key").over(w) - 1, F.lit(0)
+        ).alias("gap_before"),
+    )
+
+
+AUDIT_KEY_GAPS_SQL = f"""
+WITH per AS (
+  SELECT o_orderkey // {_KEYGAP_BUCKET} AS bucket,
+         MIN(o_orderkey) AS min_key,
+         MAX(o_orderkey) AS max_key,
+         COUNT(DISTINCT o_orderkey) AS n_keys
+  FROM orders GROUP BY 1
+)
+SELECT bucket, min_key, max_key, n_keys,
+       max_key - min_key + 1 - n_keys AS missing_within,
+       COALESCE(min_key - LAG(max_key) OVER (ORDER BY bucket) - 1, 0)
+         AS gap_before
+FROM per
+"""
+
+
+# --------------------------------------------------------------------------
 def events_ab_proportion_z(spark, sf_dir):
     """Two-sample proportion z-test — the canonical A/B experiment
     readout: users split into arms by the deterministic assignment
@@ -3521,6 +3592,7 @@ QUERIES: dict[str, Q] = {
     "events_chi2_type_dow": Q(events_chi2_type_dow, EVENTS_CHI2_SQL),
     "events_survival_km": Q(events_survival_km, EVENTS_SURVIVAL_SQL),
     "events_ab_proportion_z": Q(events_ab_proportion_z, EVENTS_AB_Z_SQL),
+    "audit_key_gaps": Q(audit_key_gaps, AUDIT_KEY_GAPS_SQL),
     "profile_compaction_plan": Q(
         profile_compaction_plan, COMPACTION_PLAN_SQL
     ),

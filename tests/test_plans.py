@@ -870,3 +870,16 @@ def test_tfidf_cosine_dense_path_on_bounded_vocab(spark):
     assert "BroadcastNestedLoopJoin" in plan, plan
     # the weight relation is checkpointed: no parquet re-scan anywhere
     assert "Scan parquet" not in plan, plan
+
+
+def test_key_gaps_windows_on_bucket_relation_only(spark):
+    """The completeness audit must avoid the gaps-and-islands global
+    sort: one bucket-keyed aggregate over the scan, then the lag
+    window runs on the bucket relation (|keyspace|/10k rows) — one
+    parquet scan, no join."""
+    from rick_and_morty_data_pipeline_project_spark.queries.catalog import _ALL
+
+    plan = formatted_plan(_ALL["audit_key_gaps"].fn(spark, SF_SMALL))
+    tree = plan.split("\n\n")[0]
+    assert len(re.findall(r"Scan parquet", tree)) == 1, tree
+    assert "Join" not in tree, tree
