@@ -427,6 +427,127 @@ def graph_triangle_count(spark, sf_dir):
     )
 
 
+def dedup_lsh_recall_audit(spark, sf_dir):
+    """Pair-level RECALL/PRECISION of the MinHash-LSH banding against
+    exact ground truth — the audit ``dedup_minhash_estimate_audit``
+    cannot do: that one scores the estimate on pairs the banding
+    FOUND; this one also counts the true near-dup pairs the banding
+    MISSED (fn), which is the number that decides whether 2 bands of 4
+    are enough before you trust LSH dedup at 100 TB.
+
+    Truth = exact distinct-3-gram Jaccard ≥ 0.7 over ALL pairs,
+    computed with the inverted-index posting join (only
+    shingle-sharing pairs materialize, the Jaccard length filter
+    prunes inside the join — never |docs|²).  Candidates = the same
+    banding constants as ``dedup_minhash_lsh_candidates``.  One
+    full-outer join on the pair key → a single confusion row
+    (tp/fn/fp, recall, precision).
+    """
+    from rick_and_morty_data_pipeline_project_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    truth = (
+        ngram_jaccard_pairs(
+            d.withColumn("_blk", F.lit(1)),
+            "doc_id",
+            "text",
+            "_blk",
+            shingle_k=3,
+            threshold=0.7,
+        )
+        .select("id_a", "id_b")
+        .withColumn("_t", F.lit(1))
+    )
+    cand = (
+        minhash_lsh_pairs(
+            d, "doc_id", "text", num_hashes=8, band_size=4, shingle_k=3
+        )
+        .select("id_a", "id_b")
+        .withColumn("_c", F.lit(1))
+    )
+    conf = truth.join(cand, ["id_a", "id_b"], "full_outer").agg(
+        F.count(
+            F.when(F.col("_t").isNotNull() & F.col("_c").isNotNull(), 1)
+        ).alias("tp"),
+        F.count(
+            F.when(F.col("_t").isNotNull() & F.col("_c").isNull(), 1)
+        ).alias("fn"),
+        F.count(
+            F.when(F.col("_t").isNull() & F.col("_c").isNotNull(), 1)
+        ).alias("fp"),
+    )
+    return conf.select(
+        (F.col("tp") + F.col("fn")).alias("n_truth"),
+        (F.col("tp") + F.col("fp")).alias("n_candidates"),
+        "tp",
+        "fn",
+        "fp",
+        F.when(
+            F.col("tp") + F.col("fn") > 0,
+            F.round(
+                F.col("tp").cast("double") / (F.col("tp") + F.col("fn")), 6
+            ),
+        ).alias("recall"),
+        F.when(
+            F.col("tp") + F.col("fp") > 0,
+            F.round(
+                F.col("tp").cast("double") / (F.col("tp") + F.col("fp")), 6
+            ),
+        ).alias("precision"),
+    )
+
+
+DEDUP_LSH_RECALL_SQL = f"""
+WITH {_BANDED_CTE_SQL},
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
+),
+tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+sets AS (
+  SELECT doc_id, list_distinct(
+    CASE WHEN len(toks) >= 3
+         THEN list_transform(generate_series(1, len(toks) - 2),
+                             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+         ELSE [array_to_string(toks, ' ')] END) AS s
+  FROM tok
+),
+posting AS (
+  SELECT doc_id, n, sh FROM (
+    SELECT doc_id, len(s) AS n, unnest(s) AS sh FROM sets)
+),
+truth AS (
+  -- same inverted-index shape as the engine: only shingle-sharing
+  -- pairs materialize (the n² list_intersect form was minutes at sf0.1)
+  SELECT id_a, id_b FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(count(*) AS DOUBLE) AS c,
+           any_value(a.n) AS na, any_value(b.n) AS nb
+    FROM posting a JOIN posting b
+      ON a.sh = b.sh AND a.doc_id < b.doc_id
+    GROUP BY 1, 2)
+  WHERE c / (na + nb - c) >= 0.7
+),
+conf AS (
+  SELECT
+    COUNT(CASE WHEN t.id_a IS NOT NULL AND c.id_a IS NOT NULL THEN 1 END)
+      AS tp,
+    COUNT(CASE WHEN t.id_a IS NOT NULL AND c.id_a IS NULL THEN 1 END) AS fn,
+    COUNT(CASE WHEN t.id_a IS NULL AND c.id_a IS NOT NULL THEN 1 END) AS fp
+  FROM truth t FULL OUTER JOIN cand c
+    ON t.id_a = c.id_a AND t.id_b = c.id_b
+)
+SELECT tp + fn AS n_truth, tp + fp AS n_candidates, tp, fn, fp,
+       CASE WHEN tp + fn > 0
+            THEN ROUND(CAST(tp AS DOUBLE) / (tp + fn), 6) END AS recall,
+       CASE WHEN tp + fp > 0
+            THEN ROUND(CAST(tp AS DOUBLE) / (tp + fp), 6) END AS precision
+FROM conf
+"""
+
+
 _KCORE_K = 2
 
 
@@ -3260,6 +3381,7 @@ QUERIES: dict[str, Q] = {
     ),
     "graph_triangle_count": Q(graph_triangle_count, GRAPH_TRIANGLES_SQL),
     "graph_kcore_peel": Q(graph_kcore_peel, GRAPH_KCORE_SQL),
+    "dedup_lsh_recall_audit": Q(dedup_lsh_recall_audit, DEDUP_LSH_RECALL_SQL),
     "dedup_ngram_jaccard": Q(dedup_ngram_jaccard, DEDUP_JACCARD_SQL),
     "dedup_simhash": Q(dedup_simhash, DEDUP_SIMHASH_SQL),
     "text_repetition_signals": Q(

@@ -883,3 +883,15 @@ def test_key_gaps_windows_on_bucket_relation_only(spark):
     tree = plan.split("\n\n")[0]
     assert len(re.findall(r"Scan parquet", tree)) == 1, tree
     assert "Join" not in tree, tree
+
+
+def test_lsh_recall_audit_never_all_pairs(spark):
+    """Both arms of the recall audit are collision-bounded: the exact
+    truth is the inverted-index posting join (with the Jaccard length
+    filter inside it) and the candidates come from band buckets —
+    no cartesian product anywhere in the plan."""
+    from rick_and_morty_data_pipeline_project_spark.queries.catalog import _ALL
+
+    plan = formatted_plan(_ALL["dedup_lsh_recall_audit"].fn(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
