@@ -727,3 +727,28 @@ def test_compaction_plan_invariants(spark):
             assert sum(r["n_rows"] for r in members) >= _COMPACTION_TARGET_ROWS - max(
                 r["n_rows"] for r in members
             )
+
+
+def test_observation_metrics_ride_the_write(spark):
+    """df.observe() collects audit counters ON the write pass — row
+    count and a violation count come back from the SAME job that
+    materialized the data, no second scan (the free version of the
+    audit_row_constraints pattern for in-pipeline gating)."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation("load_audit")
+    df = spark.read.parquet(f"{SF_SMALL}/orders.parquet").observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias(
+            "nonpositive_price"
+        ),
+        F.max("o_orderkey").alias("max_key"),
+    )
+    df.write.format("noop").mode("overwrite").save()
+    got = obs.get
+    want_n = spark.read.parquet(f"{SF_SMALL}/orders.parquet").count()
+    assert got["n_rows"] == want_n
+    assert got["nonpositive_price"] == 0
+    assert got["max_key"] == want_n - 1  # dense 0-based keys
