@@ -1007,3 +1007,58 @@ def test_mv_maintain_stream_state_survives_restart(spark, tmp_path):
         else:
             # retracted to zero: the batch view must not contain it
             assert key not in want_all, key
+
+
+def test_chi2_monitor_stream_matches_batch(spark, tmp_path):
+    """Streaming chi-square drift monitor ≡ the batch
+    events_chi2_type_dow: the events corpus streams through in
+    mtime-ordered halves, each micro-batch merging its counts into the
+    durable contingency table; the statistic recomputed from that
+    table after draining equals the batch query bit-for-bit."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from rick_and_morty_data_pipeline_project_spark.sources.corpus import (
+        load_table,
+    )
+    from rick_and_morty_data_pipeline_project_spark.streaming.monitor import (
+        chi2_from_contingency,
+        contingency_stream,
+    )
+
+    ev = load_table(spark, SF_SMALL, "events").select(
+        "event_id", "ts", "event_type"
+    )
+    cutoff = ev.selectExpr(
+        "percentile(unix_micros(ts), 0.5) AS c"
+    ).first()["c"]
+    a = ev.filter(F.unix_micros("ts") < cutoff)
+    b = ev.filter(F.unix_micros("ts") >= cutoff)
+    assert a.count() > 0 and b.count() > 0
+
+    src = tmp_path / "chi_incoming"
+    src.mkdir()
+    for name, df in (("a", a), ("b", b)):
+        d = tmp_path / f"_chi_{name}"
+        df.coalesce(1).write.parquet(str(d))
+        shutil.copy(next(d.glob("part-*.parquet")), src / f"{name}.parquet")
+    _pin_file_order(src / "a.parquet", src / "b.parquet")
+
+    stream = (
+        spark.readStream.schema("event_id bigint, ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    table_dir = str(tmp_path / "chi_table")
+    q = contingency_stream(
+        stream, table_dir, str(tmp_path / "chi_ckpt")
+    )
+    q.awaitTermination()
+
+    got = chi2_from_contingency(spark, table_dir).first()
+    want = QUERIES["events_chi2_type_dow"].fn(spark, SF_SMALL).first()
+    assert got["chi2"] == want["chi2"], (got, want)
+    assert got["dof"] == want["dof"]
+    assert got["n_events"] == want["n_events"]
+    assert got["n_cells"] == want["n_cells"]
