@@ -733,6 +733,59 @@ GROUP BY event_type
 """
 
 
+def scalar_variant_functions(spark, sf_dir):
+    """Spark 4 VARIANT path over the semi-structured props column —
+    the open-schema complement of ``scalar_json_functions``'s string
+    extraction: ``parse_json`` decodes each row into the binary
+    variant encoding once, typed fields come out via ``variant_get``
+    (no per-access string re-parse — the 100 TB reason VARIANT exists),
+    ``schema_of_variant`` audits schema uniformity, and a
+    ``to_json → parse_json`` round trip over a nested struct pins the
+    encode/decode cycle (doubles survive exactly — shortest-round-trip
+    serialization).
+
+    Oracle: DuckDB's JSON functions extract the same VALUES
+    (json_extract_string / json_structure) — the variant ENCODING is
+    engine-internal, the extracted data is what the hash certifies.
+    """
+    e = t(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    nested = F.parse_json(
+        F.to_json(
+            F.struct(
+                F.col("event_type").alias("t"),
+                F.struct(F.col("value").alias("v")).alias("inner"),
+            )
+        )
+    )
+    return (
+        e.select(
+            "event_type",
+            F.variant_get(v, "$.k", "int").alias("_k"),
+            F.schema_of_variant(v).alias("_sch"),
+            F.variant_get(nested, "$.inner.v", "double").alias("_vv"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("_k").alias("sum_k"),
+            F.count_distinct("_sch").alias("n_schemas"),
+            F.round(F.sum("_vv"), 4).alias("sum_value"),
+        )
+    )
+
+
+SCALAR_VARIANT_SQL = """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
+         AS sum_k,
+       CAST(COUNT(DISTINCT json_structure(props)) AS BIGINT) AS n_schemas,
+       ROUND(SUM(value), 4) AS sum_value
+FROM events
+GROUP BY event_type
+"""
+
+
 # --------------------------------------------------------------------------
 # events: time-bucket (tumbling-window) aggregation + conditional agg
 # --------------------------------------------------------------------------
@@ -831,6 +884,9 @@ QUERIES: dict[str, Q] = {
     ),
     "scalar_math_functions": Q(scalar_math_functions, SCALAR_MATH_SQL),
     "scalar_json_functions": Q(scalar_json_functions, SCALAR_JSON_SQL),
+    "scalar_variant_functions": Q(
+        scalar_variant_functions, SCALAR_VARIANT_SQL
+    ),
     "events_hourly_rollup": Q(events_hourly_rollup, EVENTS_HOURLY_SQL),
     "events_conditional_agg": Q(events_conditional_agg, EVENTS_COND_SQL),
 }
