@@ -895,3 +895,20 @@ def test_lsh_recall_audit_never_all_pairs(spark):
     plan = formatted_plan(_ALL["dedup_lsh_recall_audit"].fn(spark, SF_SMALL))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_tfidf_cosine_sparse_path_matches_dense(spark, monkeypatch):
+    """The vocab-size dispatch must be invisible in the OUTPUT: forcing
+    the cap below the corpus vocabulary routes through the sparse
+    posting-join branch, which must produce exactly the dense path's
+    pairs (both are decimal-exact against the same oracle)."""
+    from rick_and_morty_data_pipeline_project_spark.queries import textq
+
+    dense = {
+        tuple(r) for r in textq.text_tfidf_cosine_pairs(spark, SF_SMALL).collect()
+    }
+    monkeypatch.setattr(textq, "_TFIDF_DENSE_VOCAB_CAP", 1)
+    sparse = {
+        tuple(r) for r in textq.text_tfidf_cosine_pairs(spark, SF_SMALL).collect()
+    }
+    assert dense == sparse and len(dense) > 0
