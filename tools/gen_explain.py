@@ -77,6 +77,9 @@ ANNOTATED = {
     "events_ab_proportion_z": "A/B z-test: one scan + user aggregate; arm totals and the statistic are windows over the 2-row arm relation",
     "text_bpe_encode": "BPE encode: symbol-to-id via an inlined literal map on the word-TYPE relation, per-doc id sequences reassembled by position — zero Python, <=2 corpus scans (word count + positioned re-join)",
     "text_tfidf_cosine_pairs": "tfidf cosine pairs, dense dispatch (vocab 31 <= 256): BroadcastNestedLoopJoin over pivoted vectors with the unrolled double dot fused in its filter; decimal-exact verify joins only the ~candidates; weight relation checkpointed (zero parquet scans) — the posting self-join form cost 224M pair-rows / 146 s here",
+    "audit_key_gaps": "key-space completeness: bucket-keyed aggregate over one scan; the lag window runs on the bucket relation (|keyspace|/10k rows) — the gaps-and-islands evidence without the global key-row_number sort",
+    "dedup_lsh_recall_audit": "LSH recall audit: exact truth via the inverted-index posting join (length filter inside it), candidates from band buckets, one full-outer pair join — no cartesian anywhere",
+    "scalar_variant_functions": "VARIANT path: parse_json decodes each row once into the binary encoding, typed variant_get extraction, one aggregate — all JVM, no string re-parse per access",
 }
 
 
