@@ -2048,6 +2048,71 @@ def profile_orders_quality(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+def audit_benford_prices(spark, sf_dir):
+    """Benford first-digit audit over order prices — the
+    forensic-accounting screen for fabricated or truncated numeric
+    columns: naturally-occurring multiplicative amounts follow
+    P(d) = log10(1 + 1/d); a synthetic or clipped column deviates.
+    Per digit: observed count, Benford-expected count, and the
+    chi-square contribution (o−e)²/e — the total is one SUM away, and
+    TPC-H-style uniform prices SHOULD fail the test, which is exactly
+    what the audit demonstrates (detection, not decoration).
+
+    First digit extraction is arithmetic, not string formatting
+    (``floor(p / 10^floor(log10(p)))``) — engines format doubles
+    differently but compute identical IEEE log10/floor.
+
+    Scale: one pruned scan, one 9-group aggregate; expected counts are
+    per-group closed-form doubles.
+    """
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    digit = F.floor(
+        F.col("o_totalprice")
+        / F.pow(F.lit(10.0), F.floor(F.log10("o_totalprice")))
+    ).cast("int")
+    from pyspark.sql.window import Window
+
+    per = (
+        o.select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    n_tot = F.sum("n_obs").over(Window.partitionBy())
+    e = n_tot.cast("double") * F.log10(
+        F.lit(1.0) + F.lit(1.0) / F.col("digit")
+    )
+    return per.select(
+        "digit",
+        "n_obs",
+        F.round(e, 6).alias("n_expected"),
+        F.round((F.col("n_obs") - e) * (F.col("n_obs") - e) / e, 6).alias(
+            "chi2_contrib"
+        ),
+    )
+
+
+AUDIT_BENFORD_SQL = """
+WITH per AS (
+  SELECT CAST(FLOOR(o_totalprice
+              / POWER(10.0, FLOOR(LOG10(o_totalprice)))) AS INTEGER)
+           AS digit,
+         COUNT(*) AS n_obs
+  FROM orders WHERE o_totalprice >= 1
+  GROUP BY 1
+),
+tot AS (SELECT per.*, SUM(n_obs) OVER () AS n_tot FROM per)
+SELECT digit, CAST(n_obs AS BIGINT) AS n_obs,
+       ROUND(CAST(n_tot AS DOUBLE) * LOG10(1.0 + 1.0 / digit), 6)
+         AS n_expected,
+       ROUND((n_obs - CAST(n_tot AS DOUBLE) * LOG10(1.0 + 1.0 / digit))
+             * (n_obs - CAST(n_tot AS DOUBLE) * LOG10(1.0 + 1.0 / digit))
+             / (CAST(n_tot AS DOUBLE) * LOG10(1.0 + 1.0 / digit)), 6)
+         AS chi2_contrib
+FROM tot
+"""
+
+
+# --------------------------------------------------------------------------
 _KEYGAP_BUCKET = 10000
 
 
@@ -3593,6 +3658,7 @@ QUERIES: dict[str, Q] = {
     "events_survival_km": Q(events_survival_km, EVENTS_SURVIVAL_SQL),
     "events_ab_proportion_z": Q(events_ab_proportion_z, EVENTS_AB_Z_SQL),
     "audit_key_gaps": Q(audit_key_gaps, AUDIT_KEY_GAPS_SQL),
+    "audit_benford_prices": Q(audit_benford_prices, AUDIT_BENFORD_SQL),
     "profile_compaction_plan": Q(
         profile_compaction_plan, COMPACTION_PLAN_SQL
     ),

@@ -912,3 +912,15 @@ def test_tfidf_cosine_sparse_path_matches_dense(spark, monkeypatch):
         tuple(r) for r in textq.text_tfidf_cosine_pairs(spark, SF_SMALL).collect()
     }
     assert dense == sparse and len(dense) > 0
+
+
+def test_benford_audit_single_scan(spark):
+    """The Benford screen is one pruned scan + one 9-group aggregate;
+    expected counts are closed-form over the digit relation — no join,
+    no second pass."""
+    from rick_and_morty_data_pipeline_project_spark.queries.catalog import _ALL
+
+    plan = formatted_plan(_ALL["audit_benford_prices"].fn(spark, SF_SMALL))
+    tree = plan.split("\n\n")[0]
+    assert len(re.findall(r"Scan parquet", tree)) == 1, tree
+    assert "Join" not in tree, tree
