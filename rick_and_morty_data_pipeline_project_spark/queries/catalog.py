@@ -74,6 +74,17 @@ q15, q16, q18, q19, q20, q21, q22, agg_cube_flag_status,
 win_first_last_nth, win_lag_order_gap, win_moving_avg,
 win_ntile_rank_stats, win_running_total and friends — go to r07).
 15+6+14+1+12+2 = 50.
+
+Round-6 continuation (post-freeze): 16 more oracled queries were born
+after this window froze (range-partition planner, zorder layout, MV
+refresh, profile drift, triangle census, k-core peel, k-anonymity,
+CHECK-constraint suite, chi-square, Kaplan-Meier, A/B z-test,
+key-gap + Benford audits, LSH recall audit, VARIANT functions, BPE
+encode) and two went rule-2 stale (the tfidf pair after its dense-
+dispatch rewrite, plus topterms via the shared helper).  All 18 are
+rule-1/rule-2 mandatory for the r07 freeze —
+``python tools/rotation_report.py`` lists them; with the ~21 remaining
+never-attempted r5/r6 entries they fill the r07 window almost exactly.
 """
 
 from __future__ import annotations
