@@ -759,8 +759,77 @@ GROUP BY l_returnflag
 """
 
 
+def supplier_market_hhi(spark, sf_dir):
+    """Herfindahl-Hirschman market-concentration index per supplier
+    nation: each supplier's revenue share within its nation, squared
+    and summed — the antitrust-style concentration audit (HHI → 10000
+    = monopoly, → 10000/n = perfect competition) a marketplace or
+    spend pipeline runs per segment.
+
+    Scale: one fact scan → supplier-keyed decimal revenue aggregate
+    (map-side combinable) → broadcast nation join → nation-window
+    share computation over the SUPPLIER-GRAIN relation (bounded by
+    |suppliers|, never fact rows) → |nations|-row output.
+
+    Float parity: revenues are exact decimal sums; each share divides
+    two exact doubles; HHI sums |suppliers-per-nation| doubles whose
+    order noise dies at round 4.
+    """
+    from pyspark.sql.window import Window
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", dec("l_extendedprice").alias("_p")
+    )
+    sup = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(F.sum("_p").alias("_rev"))
+        .join(
+            F.broadcast(sup),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+    )
+    w = Window.partitionBy("s_nationkey")
+    share = F.col("_rev").cast("double") / F.sum("_rev").over(w).cast(
+        "double"
+    )
+    return (
+        rev.select(
+            "s_nationkey",
+            (share * share).alias("_sh2"),
+        )
+        .groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(F.sum("_sh2") * 10000, 4).alias("hhi"),
+        )
+    )
+
+
+SUPPLIER_HHI_SQL = """
+WITH rev AS (
+  SELECT s_nationkey, l_suppkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS r
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  GROUP BY 1, 2
+),
+sh AS (
+  SELECT s_nationkey,
+         CAST(r AS DOUBLE) / CAST(SUM(r) OVER (PARTITION BY s_nationkey)
+                                  AS DOUBLE) AS share
+  FROM rev
+)
+SELECT s_nationkey,
+       COUNT(*) AS n_suppliers,
+       ROUND(SUM(share * share) * 10000, 4) AS hhi
+FROM sh
+GROUP BY s_nationkey
+"""
+
+
 QUERIES: dict[str, Q] = {
     "q7_volume_shipping": Q(q7_volume_shipping, Q7_SQL),
+    "supplier_market_hhi": Q(supplier_market_hhi, SUPPLIER_HHI_SQL),
     "q8_market_share": Q(q8_market_share, Q8_SQL),
     "q9_profit_by_nation_year": Q(q9_profit_by_nation_year, Q9_SQL),
     "q10_returned_items": Q(q10_returned_items, Q10_SQL),

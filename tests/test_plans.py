@@ -924,3 +924,15 @@ def test_benford_audit_single_scan(spark):
     tree = plan.split("\n\n")[0]
     assert len(re.findall(r"Scan parquet", tree)) == 1, tree
     assert "Join" not in tree, tree
+
+
+def test_hhi_window_on_supplier_grain(spark):
+    """HHI must compute shares on the supplier-grain aggregate (the
+    nation window sees |suppliers| rows, never fact rows) with the
+    supplier dim broadcast — one fact scan."""
+    from rick_and_morty_data_pipeline_project_spark.queries.catalog import _ALL
+
+    plan = formatted_plan(_ALL["supplier_market_hhi"].fn(spark, SF_SMALL))
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastHashJoin" in tree, tree
+    assert len(re.findall(r"Scan parquet", tree)) == 2, tree
