@@ -73,18 +73,23 @@ the remaining r01 refreshes — q7, q8, q10, q11, q12, q13, q14,
 q15, q16, q18, q19, q20, q21, q22, agg_cube_flag_status,
 win_first_last_nth, win_lag_order_gap, win_moving_avg,
 win_ntile_rank_stats, win_running_total and friends — go to r07).
-15+6+14+1+12+2 = 50.
+15+6+14+1+12+2 = 50.  (Continuation amendment: the final two slots —
+the q4/q9 oldest-green refreshes — were re-assigned to the
+rule-2-stale tfidf pair after its dense-dispatch rewrite; rule 2
+outranks an r01 refresh whose code never changed.  q4/q9 move to the
+r07 refresh pool.)
 
-Round-6 continuation (post-freeze): 16 more oracled queries were born
+Round-6 continuation (post-freeze): 17 more oracled queries were born
 after this window froze (range-partition planner, zorder layout, MV
 refresh, profile drift, triangle census, k-core peel, k-anonymity,
 CHECK-constraint suite, chi-square, Kaplan-Meier, A/B z-test,
 key-gap + Benford audits, LSH recall audit, VARIANT functions, BPE
-encode) and two went rule-2 stale (the tfidf pair after its dense-
-dispatch rewrite, plus topterms via the shared helper).  All 18 are
-rule-1/rule-2 mandatory for the r07 freeze —
-``python tools/rotation_report.py`` lists them; with the ~21 remaining
-never-attempted r5/r6 entries they fill the r07 window almost exactly.
+encode, HHI).  The two rule-2-stale tfidf queries were amended INTO
+this window (above); the 17 births are rule-1 mandatory for the r07
+freeze — ``python tools/rotation_report.py`` lists them, and its
+``--assert-no-debt`` gate exempts exactly this class (born after the
+last freeze ⇔ absent from the fingerprint manifest) while still
+flagging anything older that is red or unscheduled.
 """
 
 from __future__ import annotations
@@ -189,9 +194,16 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # ========== latest-r6-born never-checked (rule 1 displaces the
     # q17 refresh to r07): real ISO-BMFF container audit ==============
     "multimodal_mp4_boxes",
-    # ========== oldest-green refreshes (last row r01) ================
-    "q4_order_priority",
-    "q9_profit_by_nation_year",
+    # ========== rule-2 re-greens (continuation amendment) ============
+    # The tfidf pair's implementation changed AFTER the r06 freeze
+    # (dense-dispatch rewrite of the cosine join; topterms shares the
+    # weighting helper), so their r05 green rows no longer certify the
+    # shipped code.  Rule 2 outranks the two oldest-green r01 refreshes
+    # that held these slots (q4/q9 — code untouched since r01, their
+    # rows still valid; they go to r07), so the window was amended
+    # before the r06 driver run.
+    "text_tfidf_cosine_pairs",
+    "text_tfidf_topterms",
 )
 
 # Round-5 window, retired 2026-08-14 (all 50 earned green rows in

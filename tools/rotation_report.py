@@ -215,6 +215,7 @@ def main() -> None:
         print(f"  {n}")
 
     # Rule 2: implementation changed since the frozen manifest.
+    frozen: dict[str, str] = {}
     if os.path.exists(MANIFEST):
         with open(MANIFEST) as f:
             frozen = json.load(f)
@@ -248,8 +249,17 @@ def main() -> None:
     # queries IN the window are the normal steady state of a rotating
     # 50-slot window, not debt.
     if "--assert-no-debt" in sys.argv:
+        # Born-after-freeze exemption: a query absent from the
+        # fingerprint manifest was created after the current window
+        # froze — it CANNOT hold a slot yet, and rule 1 forces it into
+        # the next freeze.  That is the documented steady state of a
+        # rotating window (VERDICT r5), not debt.  Anything already in
+        # the manifest at freeze time that is red, or never-attempted
+        # and unscheduled, still trips the gate.
         debt = sorted(failed_only) + sorted(
-            n for n in never if n not in DRIVER_WINDOW
+            n
+            for n in never
+            if n not in DRIVER_WINDOW and n in frozen
         )
         if debt:
             print(f"\nDEBT ({len(debt)} queries — red or unscheduled):")
