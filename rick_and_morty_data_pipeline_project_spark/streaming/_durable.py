@@ -25,8 +25,53 @@ from pyspark.sql import DataFrame
 from rick_and_morty_data_pipeline_project_spark.operators.merge import (
     _hadoop_fs,
     atomic_overwrite,
+    read_marker,
     recover_table,
 )
+
+# Hidden sidecar (underscore prefix => invisible to parquet readers)
+# recording the last micro-batch folded into the table.  It lands in
+# the SAME atomic rename as the data, which is what makes the
+# at-least-once foreachBatch contract safe for additive folds: a crash
+# between the swap and the checkpoint commit replays the batch, and
+# the replay sees batch_id <= stored and no-ops instead of
+# double-counting.
+_BATCH_MARKER = "_last_batch_id"
+
+
+def make_durable_sink(
+    table_dir: str,
+    apply_fn: Callable[[DataFrame, Optional[DataFrame]], DataFrame],
+    require_seed: bool = False,
+) -> Callable[[DataFrame, int], None]:
+    """The foreachBatch function underlying ``durable_table_sink``,
+    exposed so tests can drive it directly (including replaying a
+    batch_id, which real foreachBatch does after a crash)."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        recover_table(sess, table_dir)
+        fs, jvm = _hadoop_fs(sess, table_dir)
+        exists = fs.exists(jvm.org.apache.hadoop.fs.Path(table_dir))
+        if not exists and require_seed:
+            raise IOError(
+                f"durable_table_sink: seed table missing at {table_dir}"
+            )
+        if exists:
+            stored = read_marker(sess, table_dir, _BATCH_MARKER)
+            if stored is not None and batch_id <= int(stored):
+                # at-least-once replay of a batch already folded into
+                # the table — applying it again would double-count
+                return
+        current = sess.read.parquet(table_dir) if exists else None
+        atomic_overwrite(
+            sess,
+            apply_fn(batch_df, current),
+            table_dir,
+            marker=(_BATCH_MARKER, str(batch_id)),
+        )
+
+    return _sink
 
 
 def durable_table_sink(
@@ -39,22 +84,15 @@ def durable_table_sink(
     """Start an availableNow foreachBatch query that folds each
     micro-batch into the parquet table at ``table_dir`` via
     ``apply_fn(batch_df, current_or_None)``.  ``require_seed`` makes a
-    missing table an error instead of a first-batch bootstrap."""
+    missing table an error instead of a first-batch bootstrap.
 
-    def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        sess = batch_df.sparkSession
-        recover_table(sess, table_dir)
-        fs, jvm = _hadoop_fs(sess, table_dir)
-        exists = fs.exists(jvm.org.apache.hadoop.fs.Path(table_dir))
-        if not exists and require_seed:
-            raise IOError(
-                f"durable_table_sink: seed table missing at {table_dir}"
-            )
-        current = sess.read.parquet(table_dir) if exists else None
-        atomic_overwrite(sess, apply_fn(batch_df, current), table_dir)
-
+    Exactly-once per batch: the last-applied batch_id travels in the
+    table's atomic swap (``_last_batch_id`` sidecar) and replays are
+    skipped — see ``make_durable_sink``."""
     return (
-        stream.writeStream.foreachBatch(_sink)
+        stream.writeStream.foreachBatch(
+            make_durable_sink(table_dir, apply_fn, require_seed)
+        )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

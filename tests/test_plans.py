@@ -858,17 +858,30 @@ def test_bpe_encode_stays_jvm_and_type_relation_sized(spark):
     assert len(re.findall(r"Scan parquet", tree)) <= 2, tree
 
 
-def test_tfidf_cosine_dense_path_on_bounded_vocab(spark):
-    """On a bounded vocabulary the cosine pair join must take the
-    dense path: candidate generation is a BroadcastNestedLoopJoin over
-    pivoted vectors with the unrolled double dot fused in its filter
-    (no term-keyed posting self-join feeding 224M pair-rows), and the
-    decimal-exact verify runs only on candidates."""
+def test_tfidf_cosine_dense_path_on_bounded_shape(spark):
+    """When BOTH probes pass (vocab ≤ 256, docs ≤ 8192 — the test
+    corpus) the cosine pair join takes the constant-work dense path:
+    a BroadcastNestedLoopJoin whose total pair count is capped by the
+    doc gate, with the unrolled double dot fused in its filter."""
     from rick_and_morty_data_pipeline_project_spark.queries.catalog import _ALL
 
     plan = formatted_plan(_ALL["text_tfidf_cosine_pairs"].fn(spark, SF_SMALL))
     assert "BroadcastNestedLoopJoin" in plan, plan
     # the weight relation is checkpointed: no parquet re-scan anywhere
+    assert "Scan parquet" not in plan, plan
+
+
+def test_tfidf_cosine_prefix_path_never_all_pairs(spark, monkeypatch):
+    """Above the dense caps the plan MUST be the prefix-filtered
+    posting join: every join keyed (term / doc ids) so candidate count
+    tracks prefix collisions — no BroadcastNestedLoopJoin over all
+    |docs|²/2 pairs, no CartesianProduct, at any corpus size."""
+    from rick_and_morty_data_pipeline_project_spark.queries import textq
+
+    monkeypatch.setattr(textq, "_TFIDF_DENSE_DOC_CAP", 1)
+    plan = formatted_plan(textq.text_tfidf_cosine_pairs(spark, SF_SMALL))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
     assert "Scan parquet" not in plan, plan
 
 
@@ -897,21 +910,47 @@ def test_lsh_recall_audit_never_all_pairs(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
-def test_tfidf_cosine_sparse_path_matches_dense(spark, monkeypatch):
-    """The vocab-size dispatch must be invisible in the OUTPUT: forcing
-    the cap below the corpus vocabulary routes through the sparse
-    posting-join branch, which must produce exactly the dense path's
-    pairs (both are decimal-exact against the same oracle)."""
+def test_tfidf_cosine_prefix_candidates_are_exact_superset(spark):
+    """The prefix filter is an EXACT candidate generator: every pair
+    the all-pairs decimal computation would emit at the threshold must
+    appear in the candidate set (soundness — no lost pairs), and the
+    candidate count must be well below all |docs|²/2 pairs
+    (effectiveness — the filter actually prunes)."""
+    from rick_and_morty_data_pipeline_project_spark.queries import textq
+
+    w, norms = textq._tfidf_weight_relation(spark, SF_SMALL)
+    cand = {
+        (r["id_a"], r["id_b"])
+        for r in textq._tfidf_prefix_candidates(w, norms).collect()
+    }
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in textq.text_tfidf_cosine_pairs(spark, SF_SMALL).collect()
+    }
+    assert truth, "threshold pairs expected in the test corpus"
+    assert truth <= cand, sorted(truth - cand)[:5]
+    n_docs = norms.count()
+    assert len(cand) < n_docs * (n_docs - 1) // 2, (
+        f"prefix filter pruned nothing: {len(cand)} candidates "
+        f"for {n_docs} docs"
+    )
+
+
+def test_tfidf_cosine_prefix_path_matches_dense(spark, monkeypatch):
+    """The shape dispatch must be invisible in the OUTPUT: forcing the
+    doc cap below the corpus routes through the prefix-filtered
+    posting join, which must produce exactly the dense path's pairs
+    (both verify with the same decimal aggregate)."""
     from rick_and_morty_data_pipeline_project_spark.queries import textq
 
     dense = {
         tuple(r) for r in textq.text_tfidf_cosine_pairs(spark, SF_SMALL).collect()
     }
-    monkeypatch.setattr(textq, "_TFIDF_DENSE_VOCAB_CAP", 1)
-    sparse = {
+    monkeypatch.setattr(textq, "_TFIDF_DENSE_DOC_CAP", 1)
+    prefix = {
         tuple(r) for r in textq.text_tfidf_cosine_pairs(spark, SF_SMALL).collect()
     }
-    assert dense == sparse and len(dense) > 0
+    assert dense == prefix and len(dense) > 0
 
 
 def test_benford_audit_single_scan(spark):

@@ -1062,3 +1062,49 @@ def test_chi2_monitor_stream_matches_batch(spark, tmp_path):
     assert got["dof"] == want["dof"]
     assert got["n_events"] == want["n_events"]
     assert got["n_cells"] == want["n_cells"]
+
+
+def test_durable_sink_skips_replayed_batch(spark, tmp_path):
+    """foreachBatch is at-least-once: after a crash between the table
+    swap and the checkpoint commit, Spark re-delivers the SAME
+    batch_id.  The durable sink records the last-applied batch_id in
+    the table's own atomic swap (``_last_batch_id`` sidecar), so a
+    replay must be a no-op — an additive count fold that double-counts
+    a replayed micro-batch would silently skew every downstream
+    statistic (chi2 drift, HLL sketch, EWMA)."""
+    from pyspark.sql import functions as F
+
+    from rick_and_morty_data_pipeline_project_spark.streaming._durable import (
+        make_durable_sink,
+    )
+
+    def apply_fn(batch_df, current):
+        delta = batch_df.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+        if current is None:
+            return delta
+        return (
+            current.unionByName(delta).groupBy("k").agg(F.sum("n").alias("n"))
+        )
+
+    table_dir = str(tmp_path / "replay_table")
+    sink = make_durable_sink(table_dir, apply_fn)
+
+    b0 = spark.createDataFrame([("a",), ("b",)], "k string")
+    b1 = spark.createDataFrame([("a",)], "k string")
+    sink(b0, 0)
+    sink(b0, 0)  # crash-replay of batch 0 — must not double-count
+    sink(b1, 1)
+    sink(b1, 1)  # crash-replay of batch 1
+    got = {
+        r["k"]: r["n"] for r in spark.read.parquet(table_dir).collect()
+    }
+    assert got == {"a": 2, "b": 1}, got
+
+    # an out-of-order stale id (checkpoint already past it) is also
+    # skipped, and a NEW id still applies
+    sink(b0, 0)
+    sink(b1, 2)
+    got = {
+        r["k"]: r["n"] for r in spark.read.parquet(table_dir).collect()
+    }
+    assert got == {"a": 3, "b": 1}, got
