@@ -252,7 +252,12 @@ r AS (
   FROM s
 ),
 cuts AS (
-  SELECT list(l_orderkey ORDER BY l_orderkey) AS cut_list
+  -- COALESCE: over an empty/degenerate sample DuckDB's list() yields
+  -- NULL while Spark's collect_list yields [] — coalesce to the empty
+  -- list so both engines put every row in bucket 0 (ranks that floor
+  -- to 0 match no rn >= 1 in either engine, identically)
+  SELECT COALESCE(list(l_orderkey ORDER BY l_orderkey),
+                  CAST([] AS BIGINT[])) AS cut_list
   FROM r
   WHERE rn IN ({_RP_RANKS_SQL})
 )

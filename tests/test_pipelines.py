@@ -217,3 +217,42 @@ def test_curate_corpus_optional_stages(spark, tmp_path):
         F.length("text") != F.length("raw_text")
     ).count()
     assert changed > 0
+
+
+def test_range_partition_plan_degenerate_samples(spark, tmp_path):
+    """Round-6 advisory (lakeq): the planner and its oracle must agree
+    on degenerate samples.  Empty 1/16 sample → Spark's collect_list
+    gives [] while DuckDB's list() gives NULL (bucket NULL) unless the
+    oracle coalesces; sample n < K → ranks floor to 0 / duplicate and
+    some cuts legitimately drop — both engines must drop them the same
+    way.  Cell-exact parity on both tiny corpora."""
+    import duckdb
+
+    from rick_and_morty_data_pipeline_project_spark.queries.catalog import (
+        QUERIES,
+    )
+    from tests.oracle_harness import compare
+
+    q = QUERIES["table_range_partition_plan"]
+    # keys 1..10 with l_linenumber=1 all hash OUTSIDE the 1/16 sample
+    # (verified: md5('rp:k:1') first hex char != '0'); keys 11/13/21
+    # land inside it
+    empty_sample = [(k, 1) for k in range(1, 11)]
+    tiny_sample = empty_sample + [(11, 1), (13, 1), (21, 1)]  # n=3 < K=8
+    for name, rows in (("empty", empty_sample), ("tiny", tiny_sample)):
+        sf_dir = str(tmp_path / name)
+        spark.createDataFrame(
+            rows, ["l_orderkey", "l_linenumber"]
+        ).coalesce(1).write.parquet(f"{sf_dir}/lineitem.parquet")
+        out = q.fn(spark, sf_dir)
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW lineitem AS SELECT * FROM "
+            f"'{sf_dir}/lineitem.parquet/*.parquet'"
+        )
+        issues = compare(q.fn(spark, sf_dir), con.execute(q.sql).df())
+        assert not issues, (name, issues)
+        buckets = {r["bucket"] for r in out.collect()}
+        if name == "empty":
+            # no cuts at all → every row in bucket 0 on BOTH engines
+            assert buckets == {0}, buckets

@@ -57,3 +57,68 @@ def test_dict_constant_edit_flags_dependent_queries_stale():
     # and restoring the constant restores the fingerprints
     restored = rr.query_fingerprints()
     assert restored == before
+
+
+def test_max_age_rule_flags_old_certificates():
+    """Round-6 item 3: a green driver row older than MAX_GREEN_AGE
+    rounds is an expired certificate — compute_debt must flag it
+    unless the query is scheduled back into the window."""
+    rr = _load_rotation_report()
+    oracled = ["old_q", "fresh_q", "scheduled_old_q"]
+    newest_green = {"old_q": 1, "fresh_q": 6, "scheduled_old_q": 1}
+    fps = {n: "fp" for n in oracled}
+    failed, unscheduled, overage, _ = rr.compute_debt(
+        oracled,
+        newest_green,
+        attempted=set(oracled),
+        frozen=fps,
+        fps=fps,
+        window=("scheduled_old_q",),
+        max_round=6,
+        pending={},
+    )
+    assert overage == ["old_q"]            # age 5 > 4, not in window
+    assert failed == [] and unscheduled == []
+    # exactly at the limit (age == MAX_GREEN_AGE) is still fresh
+    newest_green["old_q"] = 2
+    _, _, overage, _ = rr.compute_debt(
+        oracled, newest_green, set(oracled), fps, fps,
+        ("scheduled_old_q",), 6, {},
+    )
+    assert overage == []
+
+
+def test_birth_exemption_lasts_one_cycle_only():
+    """Round-6 advisory: an oracled query born after the freeze (no
+    fingerprint in the manifest) is exempt from 'green or scheduled'
+    for ONE cycle.  Once a newer CORRECTNESS round exists, a still
+    unfingerprinted, unscheduled query is debt — it cannot evade the
+    driver forever by never re-freezing the manifest."""
+    rr = _load_rotation_report()
+    oracled = ["newborn"]
+    fps = {"newborn": "fp"}
+    # cycle 1: first sighting at round 6 — exempt, recorded in pending
+    failed, unscheduled, overage, pending = rr.compute_debt(
+        oracled, {}, set(), frozen={}, fps=fps, window=(),
+        max_round=6, pending={},
+    )
+    assert unscheduled == [] and pending == {"newborn": 6}
+    # cycle 2: round 7 landed, still unfingerprinted + unscheduled
+    failed, unscheduled, overage, pending = rr.compute_debt(
+        oracled, {}, set(), frozen={}, fps=fps, window=(),
+        max_round=7, pending=pending,
+    )
+    assert unscheduled == ["newborn"]
+    # ... but being in the window clears it
+    _, unscheduled, _, _ = rr.compute_debt(
+        oracled, {}, set(), frozen={}, fps=fps, window=("newborn",),
+        max_round=7, pending=pending,
+    )
+    assert unscheduled == []
+    # ... and once fingerprinted, pending entry is dropped and the
+    # standard manifest rule applies
+    _, unscheduled, _, pending = rr.compute_debt(
+        oracled, {}, set(), frozen=fps, fps=fps, window=(),
+        max_round=7, pending=pending,
+    )
+    assert pending == {} and unscheduled == ["newborn"]

@@ -18,8 +18,26 @@ Usage:
   python tools/rotation_report.py                      # report
   python tools/rotation_report.py --update-fingerprints  # freeze state
   python tools/rotation_report.py --assert-no-debt     # round-close
-      # gate: exit 1 if any oracled query is red-and-unfixed or has no
-      # driver row AND no window slot scheduled to earn one
+      # gate: exit 1 if any oracled query is red-and-unfixed, has no
+      # driver row AND no window slot scheduled to earn one, or holds
+      # only a green row older than MAX_GREEN_AGE rounds while
+      # unscheduled (certificate max-age, round-6 item 3)
+
+Gate invariants (round 7):
+
+* **Max-age**: a green driver row is a certificate with a shelf life.
+  Any oracled query whose NEWEST green row is more than
+  ``MAX_GREEN_AGE`` rounds behind the latest recorded round must be
+  back in the window, or the gate fails — the r01-only q7–q22 class
+  can never silently age past the rotation again.
+* **One-cycle birth exemption**: queries absent from the fingerprint
+  manifest (born after the freeze) are exempt from the "green or
+  scheduled" rule for EXACTLY ONE cycle.  The gate records first
+  sightings in ``tools/pending_births.json`` keyed by the round it saw
+  them; once a newer CORRECTNESS round lands, a still-unfingerprinted,
+  unscheduled query trips the gate — a new oracled query cannot evade
+  driver verification indefinitely by never re-running
+  ``--update-fingerprints``.
 """
 
 from __future__ import annotations
@@ -36,7 +54,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 MANIFEST = os.path.join(REPO, "tools", "query_fingerprints.json")
+PENDING = os.path.join(REPO, "tools", "pending_births.json")
 PKG = "rick_and_morty_data_pipeline_project_spark"
+
+# A green driver row certifies unchanged code for at most this many
+# rounds; older certificates must be re-earned (gate fails otherwise).
+MAX_GREEN_AGE = 4
 
 _REF_RE = re.compile(
     r"(?:operators|functions|streaming|sources)\.(\w+)"
@@ -169,6 +192,50 @@ def query_fingerprints() -> dict[str, str]:
     return fps
 
 
+def compute_debt(
+    oracled: list[str],
+    newest_green: dict[str, int],
+    attempted: set[str],
+    frozen: dict[str, str],
+    fps: dict[str, str],
+    window: tuple[str, ...],
+    max_round: int,
+    pending: dict[str, int],
+) -> tuple[list[str], list[str], list[str], dict[str, int]]:
+    """Pure debt computation (unit-testable without touching repo
+    state).  Returns (attempted-but-never-green, unscheduled-no-row,
+    over-age-unscheduled, updated pending-births map)."""
+    never = [n for n in oracled if n not in attempted]
+    failed_only = sorted(
+        n for n in oracled if n in attempted and n not in newest_green
+    )
+    # pending births: drop names the manifest now governs, record
+    # first sighting round for still-unfingerprinted ones
+    pending = {n: r for n, r in pending.items() if n not in frozen}
+    for n in fps:
+        if n not in frozen:
+            pending.setdefault(n, max_round)
+    debt_unscheduled = sorted(
+        n
+        for n in never
+        if n not in window
+        and (
+            n in frozen
+            # one-cycle exemption expired: first seen in an EARLIER
+            # round and still not fingerprinted/scheduled
+            or pending.get(n, max_round) < max_round
+        )
+    )
+    overage = sorted(
+        n
+        for n in oracled
+        if n in newest_green
+        and (max_round - newest_green[n]) > MAX_GREEN_AGE
+        and n not in window
+    )
+    return failed_only, debt_unscheduled, overage, pending
+
+
 def main() -> None:
     from rick_and_morty_data_pipeline_project_spark.queries.catalog import (
         DRIVER_WINDOW,
@@ -182,11 +249,16 @@ def main() -> None:
         print(f"wrote {len(fps)} fingerprints to {MANIFEST}")
         return
 
-    green_ever: set[str] = set()
+    newest_green: dict[str, int] = {}
     attempted: set[str] = set()
+    max_round = 0
     for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         with open(path) as f:
             rows = json.load(f)
+        rnum = int(
+            re.search(r"_r(\d+)", os.path.basename(path)).group(1)
+        )
+        max_round = max(max_round, rnum)
         green = {
             name
             for name, r in rows.items()
@@ -194,9 +266,11 @@ def main() -> None:
             and r.get("hash_match") and not r.get("err")
         }
         attempted |= set(rows)
-        green_ever |= green
+        for name in green:
+            newest_green[name] = max(newest_green.get(name, 0), rnum)
         print(f"{os.path.basename(path)}: {len(green)} green / {len(rows)} rows")
 
+    green_ever = set(newest_green)
     oracled = [n for n, q in QUERIES.items() if q.sql is not None]
     never = [n for n in oracled if n not in attempted]
     failed_only = sorted(
@@ -236,37 +310,59 @@ def main() -> None:
         print("\n(no fingerprint manifest yet — run with "
               "--update-fingerprints at window freeze)")
 
+    # Max-age report: certificates older than MAX_GREEN_AGE rounds.
+    aged = sorted(
+        (n for n in oracled
+         if n in newest_green
+         and (max_round - newest_green[n]) > MAX_GREEN_AGE),
+        key=lambda n: (newest_green[n], n),
+    )
+    print(f"\nover-age greens (newest green row > {MAX_GREEN_AGE} rounds "
+          f"behind r{max_round:02d}): {len(aged)}")
+    for n in aged:
+        mark = "" if n in DRIVER_WINDOW else "  <-- NOT in window"
+        print(f"  {n} (r{newest_green[n]:02d}){mark}")
+
     print(f"\nwindow slots already green in a prior round "
           f"(candidates to rotate out): {len(stale_slots)}")
     for n in stale_slots:
         print(f"  {n}")
 
     # --assert-no-debt: gate a round close on the standing invariant
-    # "every oracled query is green or scheduled".  Debt = attempted-
-    # but-never-green (a red row nobody fixed), or never-attempted AND
-    # not in the current window (a query with no driver row that is
-    # not even scheduled to earn one next run).  Never-attempted
-    # queries IN the window are the normal steady state of a rotating
-    # 50-slot window, not debt.
+    # "every oracled query is green, fresh enough, or scheduled".
+    # Debt = attempted-but-never-green (a red row nobody fixed), or
+    # never-attempted AND not in the current window (a query with no
+    # driver row that is not even scheduled to earn one next run), or
+    # a green certificate older than MAX_GREEN_AGE rounds while
+    # unscheduled.  Never-attempted queries IN the window are the
+    # normal steady state of a rotating 50-slot window, not debt.
+    # Born-after-freeze queries (absent from the manifest) are exempt
+    # for ONE cycle, tracked in tools/pending_births.json.
     if "--assert-no-debt" in sys.argv:
-        # Born-after-freeze exemption: a query absent from the
-        # fingerprint manifest was created after the current window
-        # froze — it CANNOT hold a slot yet, and rule 1 forces it into
-        # the next freeze.  That is the documented steady state of a
-        # rotating window (VERDICT r5), not debt.  Anything already in
-        # the manifest at freeze time that is red, or never-attempted
-        # and unscheduled, still trips the gate.
-        debt = sorted(failed_only) + sorted(
-            n
-            for n in never
-            if n not in DRIVER_WINDOW and n in frozen
+        pending: dict[str, int] = {}
+        if os.path.exists(PENDING):
+            with open(PENDING) as f:
+                pending = json.load(f)
+        failed_only, debt_unscheduled, overage, pending = compute_debt(
+            oracled, newest_green, attempted, frozen, fps,
+            DRIVER_WINDOW, max_round, pending,
         )
+        with open(PENDING, "w") as f:
+            json.dump(pending, f, indent=1, sort_keys=True)
+        debt = failed_only + debt_unscheduled + overage
         if debt:
-            print(f"\nDEBT ({len(debt)} queries — red or unscheduled):")
-            for n in debt:
-                print(f"  {n}")
+            print(f"\nDEBT ({len(debt)} queries — red, unscheduled, or "
+                  f"over-age):")
+            for n in failed_only:
+                print(f"  {n}  [red]")
+            for n in debt_unscheduled:
+                print(f"  {n}  [no driver row, not scheduled]")
+            for n in overage:
+                print(f"  {n}  [green r{newest_green[n]:02d}, "
+                      f"> {MAX_GREEN_AGE} rounds old, not scheduled]")
             sys.exit(1)
-        print("\nno debt: every oracled query is green or in-window")
+        print("\nno debt: every oracled query is green-and-fresh or "
+              "in-window")
 
 
 if __name__ == "__main__":
