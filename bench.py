@@ -45,6 +45,15 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # Pre-run load, captured BEFORE the JVM starts: the post-run
+    # 1-minute average is inflated by the bench itself, so only the
+    # pre-run number tells a reviewer whether the host was already
+    # contended when timing began (r6 adjudication: 14.9 s at load
+    # 5.95 vs 12.2 s at load 1.57 — same code).
+    try:
+        pre_load_1m = round(os.getloadavg()[0], 2)
+    except OSError:
+        pre_load_1m = None
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -90,6 +99,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "protocol": "min_of_3",
+                "host_load_1m_pre": pre_load_1m,
                 "host_load_1m": load_1m,
             }
         )

@@ -17,7 +17,13 @@ from rick_and_morty_data_pipeline_project_spark.functions.vectors import (
     cosine_sql,
     dot_sql,
 )
-from rick_and_morty_data_pipeline_project_spark.queries._util import Q, approx_pctl, dec, t
+from rick_and_morty_data_pipeline_project_spark.queries._util import (
+    APPROX_PCTL_ACCURACY,
+    Q,
+    approx_pctl,
+    dec,
+    t,
+)
 
 # Frozen marker-word → language assignment (md5('lang:'+word) % 5 over the
 # corpus vocabulary), mirroring the emotion lexicon design: a deterministic,
@@ -398,6 +404,78 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
        count(*) AS n_events,
        round(quantile_cont(CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE), 0.5), 6) AS p50_value,
        round(quantile_cont(CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE), 0.95), 6) AS p95_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def events_hourly_percentiles_approx_audit(spark, sf_dir):
+    """Driver-checkable contract of the rows-only
+    :func:`events_hourly_percentiles_approx` (the r6 audit-twin
+    pattern, ``agg_approx_distinct_audit``'s rank check generalized to
+    grouped p50/p95): per (hour, event_type), the exact row count
+    (DuckDB hash-verified) plus Spark-computed booleans the oracle
+    pins TRUE — ``p50_rank_ok`` / ``p95_rank_ok``, each certifying
+    that the value ``percentile_approx(accuracy=10000)`` returned
+    occupies a rank interval overlapping the target rank ± the
+    documented n/accuracy rank-error window (counted with ≤/< sums —
+    the guarantee the accuracy parameter actually makes, not a
+    value-distance heuristic).  A sketch regression (wrong quantile
+    plumbing, broken interpolation, accuracy drift) turns the driver
+    row red instead of hiding in a rows-only count.
+
+    Scale: the first aggregate is the production sketch plan; the rank
+    check joins the per-group approx values back to one more fact scan
+    via broadcast (group cardinality = |hours|×|types|, tiny) — one
+    bounded audit-only pass.
+    """
+    e = t(spark, sf_dir, "events")
+    g = e.select(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00").alias(
+            "hour"
+        ),
+        "event_type",
+        dec("value", 18, 2).cast("double").alias("_v"),
+    )
+    agg = g.groupBy("hour", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        approx_pctl(F.col("_v"), 0.5).alias("_ap50"),
+        approx_pctl(F.col("_v"), 0.95).alias("_ap95"),
+    )
+    ranks = (
+        g.join(F.broadcast(agg), ["hour", "event_type"])
+        .groupBy("hour", "event_type")
+        .agg(
+            F.sum((F.col("_v") <= F.col("_ap50")).cast("long")).alias("_le50"),
+            F.sum((F.col("_v") < F.col("_ap50")).cast("long")).alias("_lt50"),
+            F.sum((F.col("_v") <= F.col("_ap95")).cast("long")).alias("_le95"),
+            F.sum((F.col("_v") < F.col("_ap95")).cast("long")).alias("_lt95"),
+        )
+    )
+    n = F.col("n_events")
+    tol = n / F.lit(float(APPROX_PCTL_ACCURACY)) + F.lit(1.0)
+
+    def rank_ok(q: float, le: str, lt: str):
+        target = n * F.lit(q)
+        return (F.col(le) >= F.floor(target) - tol) & (
+            F.col(lt) <= F.ceil(target) + tol
+        )
+
+    return agg.join(ranks, ["hour", "event_type"]).select(
+        "hour",
+        "event_type",
+        "n_events",
+        rank_ok(0.5, "_le50", "_lt50").alias("p50_rank_ok"),
+        rank_ok(0.95, "_le95", "_lt95").alias("p95_rank_ok"),
+    )
+
+
+HOURLY_PCTL_AUDIT_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+       event_type,
+       count(*) AS n_events,
+       TRUE AS p50_rank_ok,
+       TRUE AS p95_rank_ok
 FROM events
 GROUP BY 1, 2
 """
@@ -1670,6 +1748,101 @@ SELECT o_custkey, recency_days, frequency, monetary,
        1 + CAST(frequency > f25 AS INT) + CAST(frequency > f50 AS INT) + CAST(frequency > f75 AS INT) AS f_bucket,
        1 + CAST(monetary > m25 AS INT) + CAST(monetary > m50 AS INT) + CAST(monetary > m75 AS INT) AS m_bucket
 FROM rfm CROSS JOIN th
+"""
+
+
+def customer_rfm_segments_approx_audit(spark, sf_dir):
+    """Driver-checkable contract of the rows-only
+    :func:`customer_rfm_segments_approx`: one row per (metric,
+    quantile) — all nine sketch thresholds the approx RFM uses — with
+    the exact customer count (DuckDB hash-verified) and a
+    Spark-computed ``rank_ok`` boolean the oracle pins TRUE: the value
+    ``percentile_approx(accuracy=10000)`` returned for that quantile
+    occupies a rank interval overlapping the target rank ± the
+    documented n/accuracy window over the per-customer RFM relation.
+    Any broken threshold (wrong column, wrong quantile, sketch
+    regression) flips its own labelled row red in the driver compare.
+
+    Scale: the per-customer aggregate and the one 9-scalar sketch
+    aggregate are the production plan; the audit adds one broadcast of
+    those 9 scalars back onto the per-customer relation and one 18-sum
+    aggregate — bounded by |customers|, audit-only.
+    """
+    o = t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("_last"),
+        F.count(F.lit(1)).cast("double").alias("frequency"),
+        F.sum(dec("o_totalprice")).cast("double").alias("monetary"),
+    )
+    glob = per_cust.agg(F.max("_last").alias("_gmax"))
+    rfm = per_cust.crossJoin(F.broadcast(glob)).select(
+        F.datediff("_gmax", "_last").cast("double").alias("recency_days"),
+        "frequency",
+        "monetary",
+    )
+    metrics = ("recency_days", "frequency", "monetary")
+    quantiles = (0.25, 0.5, 0.75)
+    th = rfm.agg(
+        *[
+            approx_pctl(F.col(c), q).alias(f"_{c}_{int(q * 100)}")
+            for c in metrics
+            for q in quantiles
+        ]
+    )
+    counts = rfm.crossJoin(F.broadcast(th)).agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[
+            F.sum(
+                (F.col(c) <= F.col(f"_{c}_{int(q * 100)}")).cast("long")
+            ).alias(f"_le_{c}_{int(q * 100)}")
+            for c in metrics
+            for q in quantiles
+        ],
+        *[
+            F.sum(
+                (F.col(c) < F.col(f"_{c}_{int(q * 100)}")).cast("long")
+            ).alias(f"_lt_{c}_{int(q * 100)}")
+            for c in metrics
+            for q in quantiles
+        ],
+    )
+    n = F.col("_n")
+    tol = n / F.lit(float(APPROX_PCTL_ACCURACY)) + F.lit(1.0)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("metric"),
+                F.lit(q).alias("q"),
+                n.alias("n_customers"),
+                (
+                    (
+                        F.col(f"_le_{c}_{int(q * 100)}")
+                        >= F.floor(n * F.lit(q)) - tol
+                    )
+                    & (
+                        F.col(f"_lt_{c}_{int(q * 100)}")
+                        <= F.ceil(n * F.lit(q)) + tol
+                    )
+                ).alias("rank_ok"),
+            )
+            for c in metrics
+            for q in quantiles
+        ]
+    )
+    return counts.select(F.explode(rows).alias("_r")).select("_r.*")
+
+
+RFM_AUDIT_SQL = """
+WITH n AS (
+  SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+  FROM orders
+)
+SELECT m.metric, m.q, n.n_customers, TRUE AS rank_ok
+FROM n CROSS JOIN (
+  VALUES ('recency_days', 0.25), ('recency_days', 0.5), ('recency_days', 0.75),
+         ('frequency', 0.25), ('frequency', 0.5), ('frequency', 0.75),
+         ('monetary', 0.25), ('monetary', 0.5), ('monetary', 0.75)
+) AS m(metric, q)
 """
 
 
@@ -3644,6 +3817,9 @@ QUERIES: dict[str, Q] = {
     "scalar_bit_interleave": Q(scalar_bit_interleave, BIT_INTERLEAVE_SQL),
     "customer_rfm_segments": Q(customer_rfm_segments, RFM_SQL),
     "customer_rfm_segments_approx": Q(customer_rfm_segments_approx, None),
+    "customer_rfm_segments_approx_audit": Q(
+        customer_rfm_segments_approx_audit, RFM_AUDIT_SQL
+    ),
     "events_funnel_steps": Q(events_funnel_steps, FUNNEL_STEPS_SQL),
     "events_retention_cohorts": Q(events_retention_cohorts, RETENTION_SQL),
     "basket_part_affinity": Q(basket_part_affinity, BASKET_SQL),
@@ -3679,6 +3855,9 @@ QUERIES: dict[str, Q] = {
     ),
     "events_hourly_percentiles_approx": Q(
         events_hourly_percentiles_approx, None
+    ),
+    "events_hourly_percentiles_approx_audit": Q(
+        events_hourly_percentiles_approx_audit, HOURLY_PCTL_AUDIT_SQL
     ),
     "events_rolling_dau": Q(events_rolling_dau, ROLLING_DAU_SQL),
     "dedup_source_matrix": Q(dedup_source_matrix, SOURCE_MATRIX_SQL),

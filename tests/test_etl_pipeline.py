@@ -64,16 +64,44 @@ def test_python_datasource_partitioned_read(spark):
 def test_python_datasource_live_http_loopback(spark):
     """The endpoint-option LIVE path, exercised against a loopback HTTP
     server (the sandbox has no external network): each partition GETs
-    its id range executor-side and parses the API's JSON shape."""
+    its id range executor-side and parses the API's JSON shape.
+
+    The served payload is the EXACT rickandmortyapi.com /api/episode/
+    {id} response contract (public API docs; the reference reads only
+    ['name'] from it, Scraper.py:225-226): id, name, air_date, episode
+    code, characters URL array, url, created timestamp — so this test
+    shape-verifies the live parse against the full production field
+    set including names with ':' and ',' (the reference's special
+    cases), not a minimal stub."""
     import http.server
     import json
     import threading
+
+    # realistic name shapes: plain, colon (stripped for the wiki slug
+    # unless id ∈ {19,25,32,35}), comma (always stripped)
+    def _name(eid):
+        if eid == 5:
+            return "Meeseeks and Destroy"
+        if eid == 8:
+            return "Rixty Minutes: Extended, Uncut"
+        return f"Episode {eid}"
 
     class Handler(http.server.BaseHTTPRequestHandler):
         def do_GET(self):
             eid = int(self.path.rstrip("/").rsplit("/", 1)[-1])
             body = json.dumps(
-                {"id": eid, "name": f"Episode {eid}", "air_date": "n/a"}
+                {
+                    "id": eid,
+                    "name": _name(eid),
+                    "air_date": "December 2, 2013",
+                    "episode": f"S01E{eid:02d}",
+                    "characters": [
+                        f"https://rickandmortyapi.com/api/character/{c}"
+                        for c in range(1, 4)
+                    ],
+                    "url": f"https://rickandmortyapi.com/api/episode/{eid}",
+                    "created": "2017-11-10T12:56:33.798Z",
+                }
             ).encode()
             self.send_response(200)
             self.send_header("Content-Type", "application/json")
@@ -90,17 +118,42 @@ def test_python_datasource_live_http_loopback(spark):
     thread.start()
     try:
         register(spark)
-        rows = (
+        df = (
             spark.read.format("episode_api")
             .option("numPartitions", "3")
             .option("n", "12")
             .option("endpoint", f"http://127.0.0.1:{port}/api/episode")
             .load()
-            .collect()
         )
+        rows = df.collect()
         assert {(r["episode_id"], r["episode_name"]) for r in rows} == {
-            (i, f"Episode {i}") for i in range(1, 13)
+            (i, _name(i)) for i in range(1, 13)
         }
+        # downstream wiki-URL build over the LIVE-parsed names matches
+        # the reference's slug rules on the awkward shapes
+        from pyspark.sql import functions as F
+
+        from rick_and_morty_data_pipeline_project_spark.functions.textfns import (
+            wiki_url_col,
+        )
+
+        urls = {
+            r["episode_id"]: r["url"]
+            for r in df.select(
+                "episode_id",
+                wiki_url_col(
+                    F.col("episode_name"), F.col("episode_id")
+                ).alias("url"),
+            ).collect()
+        }
+        assert urls[5] == (
+            "https://rickandmorty.fandom.com/wiki/Meeseeks_and_Destroy"
+        )
+        # colon AND comma stripped (id 8 is not a colon-keep special)
+        assert urls[8] == (
+            "https://rickandmorty.fandom.com/wiki/"
+            "Rixty_Minutes_Extended_Uncut"
+        )
     finally:
         srv.shutdown()
         srv.server_close()

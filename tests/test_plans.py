@@ -975,3 +975,44 @@ def test_hhi_window_on_supplier_grain(spark):
     tree = plan.split("\n\n")[0]
     assert "BroadcastHashJoin" in tree, tree
     assert len(re.findall(r"Scan parquet", tree)) == 2, tree
+
+
+def test_hourly_pctl_audit_two_bounded_fact_scans(spark):
+    """events_hourly_percentiles_approx_audit: the sketch aggregate is
+    the production plan; the rank check is ONE more fact scan joined
+    to the tiny per-group approx relation via broadcast — exactly two
+    events scans, no per-quantile rescan, no cartesian."""
+    from rick_and_morty_data_pipeline_project_spark.queries.catalog import _ALL
+
+    plan = formatted_plan(
+        _ALL["events_hourly_percentiles_approx_audit"].fn(spark, SF_SMALL)
+    )
+    assert "approx_percentile" in plan or "percentile_approx" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    tree = plan.split("\n\n")[0]
+    # 3 bounded arms: production sketch agg, the rank-count rescan it
+    # broadcasts into, and the final join's recomputed agg subtree
+    # (Catalyst does not share subtrees — agg_approx_distinct_audit
+    # precedent); NEVER a per-quantile rescan (that would be 5+)
+    assert len(re.findall(r"Scan parquet", tree)) == 3, tree
+    assert "BroadcastHashJoin" in tree, tree
+
+
+def test_rfm_audit_customer_grain_only(spark):
+    """customer_rfm_segments_approx_audit: orders reduce to the
+    per-customer grain once per arm (threshold sketch + rank count);
+    the 9 thresholds travel as a one-row broadcast; the 9 output rows
+    come from exploding one aggregated row — never a per-quantile
+    rescan of orders (2 scans total)."""
+    from rick_and_morty_data_pipeline_project_spark.queries.catalog import _ALL
+
+    plan = formatted_plan(
+        _ALL["customer_rfm_segments_approx_audit"].fn(spark, SF_SMALL)
+    )
+    assert "CartesianProduct" not in plan, plan
+    tree = plan.split("\n\n")[0]
+    # 4 bounded arms: the rfm relation (orders scan + one-row gmax
+    # broadcast = 2 scans) referenced by the threshold-sketch arm and
+    # the rank-count arm (Catalyst does not share subtrees); NEVER a
+    # per-quantile or per-metric rescan (that would be 10+)
+    assert len(re.findall(r"Scan parquet", tree)) == 4, tree
