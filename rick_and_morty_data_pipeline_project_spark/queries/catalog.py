@@ -90,6 +90,22 @@ freeze — ``python tools/rotation_report.py`` lists them, and its
 ``--assert-no-debt`` gate exempts exactly this class (born after the
 last freeze ⇔ absent from the fingerprint manifest) while still
 flagging anything older that is red or unscheduled.
+
+Round-7 window (this file's ``DRIVER_WINDOW``): exactly the plan the
+round-6 verdict ordered, built from ``tools/rotation_report.py``
+output.  The 17 post-r06-freeze births lead (rule 1), then the two
+r7-born audit-twin promotions (hourly-percentile and RFM-threshold
+rank audits), flagship, the two rule-2 stale re-greens (the tfidf
+pair — its candidate generation was rewritten this round: dense path
+now gated on doc count AND vocab, prefix-filtered posting join as
+the scale path), and all 28 queries whose only green row dated to
+r01 (q4/q7–q22, window functions, cube, datetime/json scalars) — the
+complete over-age list under the NEW max-age gate rule (no green
+certificate may lag the latest round by more than 4 while
+unscheduled; ``--assert-no-debt`` now enforces this and the
+one-cycle-only limit on the born-after-freeze exemption via
+``tools/pending_births.json``).  After this window the oldest green
+row anywhere in the ledger is r02.
 """
 
 from __future__ import annotations
@@ -120,22 +136,85 @@ for mod in (
         _ALL[name] = q
 
 # The 50 driver-checked slots.  All must carry a full DuckDB oracle.
-# Round-6 rotation (standing policy in the module docstring):
-# 15 never-checked (all r5-born-after-freeze) + 6 r6-born entries
-# (5 audits — HLL accuracy/merge, rolling-DAU envelope, JPEG pixel
-# decode, CMS band, approx rank error — + the exact-substring dedup
-# treatment) + 13 late-r6-born never-checked (BM25 ×2, snippets,
-# phrase search, compaction planner, hybrid RRF, two-stage rerank,
-# PRF expansion, per-user EWMA, Pareto skyline, referential-integrity
-# audit, correlation matrix, snapshot diff) + flagship + 12
-# fingerprint-stale re-greens (rule 2: this round's bpe/profile/
-# multimodal edits plus the fingerprint coverage expansion to
-# dict/list module constants — lexicons and LANG_MARKERS now count)
-# + 2 oldest-green refreshes (last driver row r01: TPC-H classics
-# q4/q9; the remaining r01 queries incl.
-# q7/q8/q10/q11/q12/q15/q17/q21/q22/win_first_last_nth go to r07).
-# 15+6+14+1+12+2 = 50.
+# Round-7 rotation (standing policy in the module docstring, plus the
+# r7 max-age rule: no green certificate may fall more than 4 rounds
+# behind the latest CORRECTNESS round while unscheduled —
+# tools/rotation_report.py --assert-no-debt enforces it):
+# 17 never-checked (all born after the r06 freeze: VARIANT functions,
+# HHI, triangle census, k-core peel, LSH recall audit, profile drift,
+# k-anonymity, CHECK constraints, chi-square, Kaplan-Meier, A/B
+# z-test, key gaps, Benford, BPE encode, zorder layout,
+# range-partition plan, MV refresh — rule 1)
+# + 2 r7-born audit-twin promotions (hourly-percentile rank audit,
+# RFM threshold rank audit — r6 item 6)
+# + flagship
+# + 2 rule-2 stale re-greens (the tfidf pair: the r7 prefix-filter /
+# doc-cap rewrite of the cosine join changes their fingerprints)
+# + 28 max-age refreshes — every query whose only green row dates to
+# r01 (q4, q7–q22, the window-function family, cube/ntile, datetime/
+# json scalars — the entire over-age list the max-age rule flags).
+# 17+2+1+2+28 = 50.
 DRIVER_WINDOW: tuple[str, ...] = (
+    # ========== 17 never-driver-checked oracled queries =============
+    "scalar_variant_functions",
+    "supplier_market_hhi",
+    "graph_triangle_count",
+    "graph_kcore_peel",
+    "dedup_lsh_recall_audit",
+    "profile_drift_orders",
+    "privacy_k_anonymity",
+    "audit_row_constraints",
+    "events_chi2_type_dow",
+    "events_survival_km",
+    "events_ab_proportion_z",
+    "audit_key_gaps",
+    "audit_benford_prices",
+    "text_bpe_encode",
+    "table_zorder_layout",
+    "table_range_partition_plan",
+    "mv_incremental_refresh",
+    # ========== r7-born audit-twin promotions (rule 1) ===============
+    "events_hourly_percentiles_approx_audit",
+    "customer_rfm_segments_approx_audit",
+    # ========== flagship (standing, every round) =====================
+    "flagship_greedy_match",
+    # ========== rule-2 fingerprint-stale re-greens ===================
+    "text_tfidf_cosine_pairs",
+    "text_tfidf_topterms",
+    # ========== 28 max-age refreshes (newest green row = r01) ========
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_profit_by_nation_year",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_priority_lines",
+    "q13_customer_order_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_predicates",
+    "q20_heavy_shippers",
+    "q21_lone_fault_suppliers",
+    "q22_idle_customers",
+    "agg_cube_flag_status",
+    "agg_distinct_suppliers",
+    "agg_sorted_string",
+    "events_conditional_agg",
+    "scalar_datetime_functions",
+    "scalar_json_functions",
+    "win_first_last_nth",
+    "win_lag_order_gap",
+    "win_moving_avg",
+    "win_ntile_rank_stats",
+    "win_running_total",
+)
+
+# Round-6 window, retired 2026-08-15 (all 50 earned green rows in
+# CORRECTNESS_r06.json; kept for the rotation ledger):
+_R06_WINDOW: tuple[str, ...] = (
     # ========== 15 never-driver-checked oracled queries (r5-born) ====
     "text_quality_classifier",
     "dedup_incremental_bloom_sharded",

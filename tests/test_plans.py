@@ -1016,3 +1016,65 @@ def test_rfm_audit_customer_grain_only(spark):
     # the rank-count arm (Catalyst does not share subtrees); NEVER a
     # per-quantile or per-metric rescan (that would be 10+)
     assert len(re.findall(r"Scan parquet", tree)) == 4, tree
+
+
+def test_interval_join_is_bucketized_equi_join(spark):
+    """join_interval_bucketized: the keyless point-in-interval join
+    must run as a bucket-keyed HASH join with the BETWEEN as residual
+    filter — never the BroadcastNestedLoopJoin Spark plans for a bare
+    range predicate (|orders|·|promos| comparisons)."""
+    from rick_and_morty_data_pipeline_project_spark.queries.catalog import _ALL
+
+    plan = formatted_plan(_ALL["join_interval_bucketized"].fn(spark, SF_SMALL))
+    tree = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in plan, plan
+    # the interval⋈point join itself is a hash join on the bucket key
+    assert "BroadcastHashJoin" in tree or "ShuffledHashJoin" in tree, tree
+    # the only BNLJ is the one-row bounds crossJoin (a broadcast of a
+    # single global-aggregate row) — the range predicate itself must
+    # never plan as a nested loop over |orders|·|promos|
+    assert tree.count("BroadcastNestedLoopJoin") <= 1, tree
+
+
+def test_jaccard_prefix_join_never_all_pairs(spark):
+    """dedup_jaccard_prefix_join: candidates come from the prefix⋈full
+    posting join (keyed on the shingle) — no BroadcastNestedLoopJoin,
+    no CartesianProduct, and the posting relation is checkpointed so
+    the corpus is never re-tokenized per arm."""
+    from rick_and_morty_data_pipeline_project_spark.queries.catalog import _ALL
+
+    plan = formatted_plan(_ALL["dedup_jaccard_prefix_join"].fn(spark, SF_SMALL))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Scan parquet" not in plan, plan
+
+
+def test_jaccard_prefix_candidates_superset_of_threshold_pairs(spark):
+    """Soundness of the Jaccard prefix filter: every pair the
+    unfiltered posting join emits at the threshold must survive the
+    prefix+length candidate generation (checked by comparing against
+    the blocked exact form run with a constant block)."""
+    from pyspark.sql import functions as F
+
+    from rick_and_morty_data_pipeline_project_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+    from rick_and_morty_data_pipeline_project_spark.operators.setjoin import (
+        jaccard_prefix_pairs,
+    )
+    from rick_and_morty_data_pipeline_project_spark.queries._util import t
+
+    d = t(spark, SF_SMALL, "documents").withColumn("_one", F.lit("x"))
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_prefix_pairs(
+            d, "doc_id", "text", shingle_k=3, threshold=0.8
+        ).collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(
+            d, "doc_id", "text", block_col="_one", shingle_k=3, threshold=0.8
+        ).collect()
+    }
+    assert got == want and len(want) > 0

@@ -53,6 +53,8 @@ ANNOTATED = {
     "sketch_cms_accuracy_audit": "CMS audit: one map-combinable count_min_sketch aggregate (fixed ~100 KB state), driver decode, Arrow-batched probe over the REDUCED distinct-item relation; N rides a one-row crossJoin — raw events scanned once per arm, never per item",
     "agg_approx_distinct_audit": "approx-agg audit: production aggregate (approx_count_distinct + percentile_approx + exact distinct in ONE groupBy) plus a broadcast join-back rank count — the percentile guarantee checked by counted ranks, one extra scan, audit-only",
     "events_hourly_percentiles_approx_audit": "grouped-percentile audit: production sketch aggregate per (hour, type) + ONE broadcast join-back rank count covering both p50 and p95 (3 bounded scans, never a per-quantile rescan); booleans pinned TRUE by the oracle",
+    "join_interval_bucketized": "keyless interval join: both sides mapped to 7-day bucket indexes (intervals explode to <=4 buckets, points to one), BroadcastHashJoin on the bucket key with the BETWEEN as residual filter; the only BNLJ is the one-row bounds crossJoin — never |orders|x|promos|",
+    "dedup_jaccard_prefix_join": "exact global Jaccard >= 0.8: rare-first prefix index probed by full postings (shuffle_hash on the shingle key), length filter inside the join, decimal-free integer-exact verify — candidates proportional to prefix collisions, posting relation checkpointed once",
     "customer_rfm_segments_approx_audit": "RFM threshold audit: per-customer aggregate, one 9-scalar sketch aggregate broadcast back, one 18-sum rank count, 9 labelled rows exploded from a single aggregated row — 4 bounded scans, never a per-metric rescan",
     "dedup_remove_duplicate_spans": "exact-substring dedup treatment: span explode (Generate) → span-keyed (distinct-docs, keeper) aggregate → join-backs for covered-index union → JVM filter-by-index rebuild — posting-shaped, cost tracks duplicated-span mass, never |docs|²",
     "text_bm25_topk": "BM25 retrieval: term filter BEFORE the first exchange (only query-term postings shuffle), df as a count window over the same postings relation (≤2 parquet scans), 1-row stats broadcast, global top-k as heap TakeOrderedAndProject",
