@@ -355,6 +355,72 @@ GROUP BY 1
 """
 
 
+_MG_K = 2
+
+
+def sketch_heavy_hitters_audit(spark, sf_dir):
+    """Driver-checkable contract of the Misra-Gries heavy-hitter
+    summary (``operators/heavyhitters.py``): per l_returnflag, the
+    exact row count (DuckDB hash-verified) plus Spark-computed
+    booleans the oracle pins TRUE —
+
+    * ``bound_ok``: the merged k=2 MG estimate is one-sided
+      (est ≤ true) and within the PROVEN total-decrement bound
+      (true − est ≤ N/(k+1)) — these hold for ANY partitioning, which
+      is what makes the booleans deterministic while the estimates
+      themselves are layout-dependent;
+    * ``found_ok``: every value with true count > N/(k+1) survives in
+      the summary (the guaranteed-capture theorem) — with three
+      near-equal flags against a k=2 summary the N/3 threshold sits at
+      the boundary, so decrements genuinely fire and the capture
+      guarantee is exercised, not vacuous.
+
+    Scale: one Arrow-batched pass reduces each partition to ≤ k rows;
+    the driver merges ≤ k·|partitions| counters (bounded collect, the
+    IVF-centroid-literal pattern) and inlines the ≤ k estimates as a
+    literal map; the exact arm is one map-combinable aggregate.
+    """
+    from rick_and_morty_data_pipeline_project_spark.operators.heavyhitters import (
+        heavy_hitters_misra_gries,
+    )
+
+    l = t(spark, sf_dir, "lineitem")
+    mg = heavy_hitters_misra_gries(
+        l.select("l_returnflag"), "l_returnflag", _MG_K
+    )
+    exact = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    tot = exact.agg(F.sum("n_rows").alias("_n"))
+    if mg:
+        pairs = []
+        for item in sorted(mg):
+            pairs += [F.lit(item), F.lit(int(mg[item]))]
+        est = F.coalesce(
+            F.element_at(F.create_map(*pairs), F.col("l_returnflag")),
+            F.lit(0),
+        )
+    else:
+        est = F.lit(0)
+    bound = F.col("_n") / F.lit(float(_MG_K + 1))
+    return exact.crossJoin(F.broadcast(tot)).select(
+        "l_returnflag",
+        "n_rows",
+        ((est <= F.col("n_rows")) & ((F.col("n_rows") - est) <= bound)).alias(
+            "bound_ok"
+        ),
+        (~(F.col("n_rows") > bound) | (est > 0)).alias("found_ok"),
+    )
+
+
+MG_AUDIT_SQL = """
+SELECT l_returnflag, count(*) AS n_rows,
+       TRUE AS bound_ok, TRUE AS found_ok
+FROM lineitem
+GROUP BY 1
+"""
+
+
 QUERIES: dict[str, Q] = {
     "sketch_hll_rollup": Q(sketch_hll_rollup, None),
     "sketch_cms_user_counts": Q(sketch_cms_user_counts, None),
@@ -364,4 +430,7 @@ QUERIES: dict[str, Q] = {
         events_rolling_dau_hll_audit, ROLLING_HLL_AUDIT_SQL
     ),
     "sketch_cms_accuracy_audit": Q(sketch_cms_accuracy_audit, CMS_AUDIT_SQL),
+    "sketch_heavy_hitters_audit": Q(
+        sketch_heavy_hitters_audit, MG_AUDIT_SQL
+    ),
 }

@@ -927,6 +927,167 @@ SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY 1
 
 
 # --------------------------------------------------------------------------
+def text_pii_redact(spark, sf_dir):
+    """PII scrubbing stage — the redaction pass every training-data
+    pipeline runs before packing: count and strip contact strings
+    (emails, phone-shaped tokens) with chained regex rewrites, emitting
+    per-document redaction counts plus an md5 of the scrubbed text so
+    the byte-exact rewrite itself is hash-verified.
+
+    The synthetic corpus carries no natural PII, so the exemplar
+    deterministically PLANTS surrogate contact strings derived from
+    doc_id before scrubbing — the operator under test is the
+    JVM-side regex pipeline (``regexp_extract_all`` counts + global
+    ``regexp_replace`` chain), and the planted material makes every
+    row observable while letting the oracle replay it byte-for-byte.
+
+    Scale: one narrow scan, zero exchanges — counts and rewrites are
+    codegen'd expressions; only (id, counts, 32-byte md5) leave the
+    stage, never the rewritten text.  Regex subset chosen to mean the
+    same thing in Java regex (Spark) and RE2 (DuckDB): character
+    classes and ``+`` only, no backrefs, no lookaround.
+    """
+    email_pat = "[a-z0-9]+@[a-z0-9.]+"
+    phone_pat = "555-[0-9]+"
+    d = t(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-"),
+        F.col("doc_id").cast("string"),
+    )
+    staged = d.select("doc_id", planted.alias("_p"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("_p"), email_pat, "<EMAIL>"),
+        phone_pat,
+        "<PHONE>",
+    )
+    return staged.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("_p"), F.lit(email_pat), F.lit(0))).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all(F.col("_p"), F.lit(phone_pat), F.lit(0))).alias(
+            "n_phones"
+        ),
+        F.md5(redacted).alias("redacted_md5"),
+        F.length(redacted).alias("n_chars_redacted"),
+    )
+
+
+TEXT_PII_SQL = """
+WITH staged AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or 555-' || CAST(doc_id AS VARCHAR) AS p
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(p, '[a-z0-9]+@[a-z0-9.]+')) AS n_emails,
+       len(regexp_extract_all(p, '555-[0-9]+')) AS n_phones,
+       md5(regexp_replace(regexp_replace(p, '[a-z0-9]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+                          '555-[0-9]+', '<PHONE>', 'g')) AS redacted_md5,
+       CAST(len(regexp_replace(regexp_replace(p, '[a-z0-9]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+                               '555-[0-9]+', '<PHONE>', 'g')) AS INTEGER)
+         AS n_chars_redacted
+FROM staged
+"""
+
+
+def sample_source_mixture(spark, sf_dir):
+    """Source-mixture sampling — the data-mixing step of corpus
+    assembly (Pile/Dolma-style): given a token budget (here 50% of the
+    corpus) and a target mixture (equal share per source), compute each
+    source's quota, select EXACTLY that many documents per source by
+    deterministic hash rank (content-addressed — the same documents are
+    chosen on any cluster layout, unlike seed-based ``df.sample``), and
+    report planned vs realized volume per source.
+
+    Scale: one per-source count aggregate (tiny), quotas broadcast
+    back, one rank window partitioned by source.  A source column with
+    very few distinct values bounds the window's parallelism — at
+    100 TB swap the rank window for the two-stage salted top-k
+    (``operators/topk.grouped_topk_salted``) once quotas are known;
+    the selection predicate (hash rank < quota) is identical.
+
+    Float-free output: counts and quotas are exact integer arithmetic
+    (budget = total // 2, per-source = budget // n_sources).
+    """
+    d = t(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_avail"))
+    glob = counts.agg(
+        F.sum("n_avail").alias("_tot"), F.count(F.lit(1)).alias("_k")
+    )
+    quota = counts.crossJoin(F.broadcast(glob)).select(
+        "source",
+        "n_avail",
+        F.least(
+            F.col("n_avail"), (F.col("_tot") / 2).cast("long") / F.col("_k")
+        )
+        .cast("long")
+        .alias("quota"),
+    )
+    w = Window.partitionBy("source").orderBy("_h", "doc_id")
+    ranked = d.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.md5(
+            F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))
+        ).alias("_h"),
+    ).withColumn("_rn", F.row_number().over(w))
+    sel = ranked.join(F.broadcast(quota), "source").filter(
+        F.col("_rn") <= F.col("quota")
+    )
+    picked = sel.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_selected"),
+        F.sum("n_chars").alias("chars_selected"),
+    )
+    return quota.join(picked, "source", "left").select(
+        "source",
+        "n_avail",
+        "quota",
+        F.coalesce("n_selected", F.lit(0)).alias("n_selected"),
+        F.coalesce("chars_selected", F.lit(0)).alias("chars_selected"),
+    )
+
+
+SOURCE_MIXTURE_SQL = """
+WITH counts AS (
+  SELECT source, count(*) AS n_avail FROM documents GROUP BY 1
+),
+totals AS (
+  SELECT CAST(sum(n_avail) AS BIGINT) AS tot,
+         CAST(count(*) AS BIGINT) AS k
+  FROM counts
+),
+quota AS (
+  SELECT source, n_avail,
+         least(n_avail, (tot // 2) // k) AS quota
+  FROM counts CROSS JOIN totals
+),
+ranked AS (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5('mix:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+),
+picked AS (
+  SELECT r.source, count(*) AS n_selected,
+         CAST(sum(r.n_chars) AS BIGINT) AS chars_selected
+  FROM ranked r JOIN quota q USING (source)
+  WHERE r.rn <= q.quota
+  GROUP BY 1
+)
+SELECT q.source, q.n_avail, q.quota,
+       COALESCE(p.n_selected, 0) AS n_selected,
+       COALESCE(p.chars_selected, 0) AS chars_selected
+FROM quota q LEFT JOIN picked p USING (source)
+"""
+
+
 def split_leakage_safe(spark, sf_dir):
     """Leakage-safe train/validation/test split: the split key is the
     document's NEAR-DUP CLUSTER, not the document — hashing per-doc
@@ -3509,6 +3670,8 @@ QUERIES: dict[str, Q] = {
     "decontaminate_ngram_overlap": Q(decontaminate_ngram_overlap, DECONTAM_SQL),
     "pipeline_filter_funnel": Q(pipeline_filter_funnel, FUNNEL_SQL),
     "text_pack_buckets": Q(text_pack_buckets, TEXT_PACK_SQL),
+    "text_pii_redact": Q(text_pii_redact, TEXT_PII_SQL),
+    "sample_source_mixture": Q(sample_source_mixture, SOURCE_MIXTURE_SQL),
     "sample_mixture_weights": Q(sample_mixture_weights, SAMPLE_MIX_SQL),
     "text_token_stats": Q(text_token_stats, TEXT_TOKEN_SQL),
     "text_top2_emotions": Q(text_top2_emotions, TEXT_TOP2_SQL),

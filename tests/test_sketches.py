@@ -183,3 +183,37 @@ def test_rolling_dau_hll_tracks_exact_twin(spark):
     assert set(exact) == set(est) and len(exact) == 30
     for day, n in exact.items():
         assert abs(est[day] - n) <= max(3, 0.05 * n), (day, est[day], n)
+
+
+def test_misra_gries_bounds_and_capture(spark):
+    """The MG invariants the audit query relies on, on a skewed
+    synthetic stream across a forced multi-partition merge: one-sided
+    undercount, total decrement <= N/(k+1), and guaranteed capture of
+    every item with true count > N/(k+1)."""
+    from pyspark.sql import functions as F
+
+    from rick_and_morty_data_pipeline_project_spark.operators.heavyhitters import (
+        heavy_hitters_misra_gries,
+    )
+
+    # 'hot' 600 rows (60%), 40 cold items 10 rows each (40%)
+    df = (
+        spark.range(1000)
+        .select(
+            F.when(F.col("id") < 600, F.lit("hot"))
+            .otherwise(F.concat(F.lit("cold"), (F.col("id") % 40)))
+            .alias("v")
+        )
+        .repartition(7)  # force a real multi-partition merge
+    )
+    k = 4
+    mg = heavy_hitters_misra_gries(df, "v", k)
+    assert len(mg) <= k
+    exact = {r["v"]: r["c"] for r in df.groupBy("v").agg(F.count(F.lit(1)).alias("c")).collect()}
+    n = sum(exact.values())
+    for v, c in exact.items():
+        est = mg.get(v, 0)
+        assert est <= c, (v, est, c)
+        assert c - est <= n / (k + 1) + 1e-9, (v, est, c)
+    # 600 > 1000/5 = 200: must be captured
+    assert mg.get("hot", 0) > 0, mg

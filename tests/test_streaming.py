@@ -1108,3 +1108,97 @@ def test_durable_sink_skips_replayed_batch(spark, tmp_path):
         r["k"]: r["n"] for r in spark.read.parquet(table_dir).collect()
     }
     assert got == {"a": 3, "b": 1}, got
+
+
+def test_session_window_stream_merges_across_batches(spark, tmp_path):
+    """Native session_window STREAMING form ≡ the batch
+    sessionize_builtin: the events corpus streams through in two
+    mtime-ordered halves split at the median timestamp, so sessions
+    spanning the cutoff exist in state when batch 2 arrives and MUST
+    merge across the micro-batch boundary (the state-store property
+    the batch form can't exercise)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from rick_and_morty_data_pipeline_project_spark.sources.corpus import (
+        load_table,
+    )
+    from rick_and_morty_data_pipeline_project_spark.streaming.sessions import (
+        sessionized_stream,
+    )
+    from rick_and_morty_data_pipeline_project_spark.streaming.stateful import (
+        sessionize_builtin,
+    )
+    from rick_and_morty_data_pipeline_project_spark.streaming.windowed import (
+        run_available_now,
+    )
+
+    from pyspark.sql.window import Window as _W
+
+    ev = load_table(spark, SF_SMALL, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    # cut at an event whose same-user predecessor is within the gap:
+    # that predecessor lands in batch 1, the event itself in batch 2,
+    # and their shared session MUST merge across the boundary
+    _wu = _W.partitionBy("user_id").orderBy("ts", "event_id")
+    _gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(_wu))
+    cutoff = (
+        ev.withColumn("_g", _gap_us)
+        .filter((F.col("_g") > 0) & (F.col("_g") <= 30 * 60 * 1_000_000))
+        .selectExpr("min(unix_micros(ts)) AS c")
+        .first()["c"]
+    )
+    assert cutoff is not None, "corpus has no intra-session event pair"
+    a = ev.filter(F.unix_micros("ts") < cutoff)
+    b = ev.filter(F.unix_micros("ts") >= cutoff)
+    assert a.count() > 0 and b.count() > 0
+
+    src = tmp_path / "sess_incoming"
+    src.mkdir()
+    for name, df in (("a", a), ("b", b)):
+        d = tmp_path / f"_sess_{name}"
+        df.coalesce(1).write.parquet(str(d))
+        shutil.copy(next(d.glob("part-*.parquet")), src / f"{name}.parquet")
+    _pin_file_order(src / "a.parquet", src / "b.parquet")
+
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    run_available_now(
+        sessionized_stream(stream, gap="30 minutes"),
+        "sess_window_test",
+        output_mode="complete",
+    )
+    got = {
+        (r["user_id"], r["session_start"]): (
+            r["session_end"], r["n_events"], r["sum_value"],
+        )
+        for r in spark.sql("SELECT * FROM sess_window_test").collect()
+    }
+    want = {
+        (r["user_id"], r["session_start"]): (
+            r["session_end"], r["n_events"], r["sum_value"],
+        )
+        for r in sessionize_builtin(ev, gap="30 minutes").collect()
+    }
+    assert got == want and len(want) > 0
+    # cross-batch merge really happened: some batch-1 session absorbed
+    # a batch-2 event (its end extends past the cutoff while its start
+    # precedes it) — otherwise the split was degenerate and the test
+    # proves nothing
+    import datetime as _dt
+
+    cut = _dt.datetime.utcfromtimestamp(cutoff / 1e6)
+    spanning = [
+        (k, v)
+        for k, v in want.items()
+        if _dt.datetime.strptime(k[1], "%Y-%m-%d %H:%M:%S") < cut
+        and _dt.datetime.strptime(v[0], "%Y-%m-%d %H:%M:%S") > cut
+    ]
+    assert spanning, "no session spans the micro-batch cutoff"

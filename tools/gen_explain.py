@@ -56,6 +56,9 @@ ANNOTATED = {
     "join_interval_bucketized": "keyless interval join: both sides mapped to 7-day bucket indexes (intervals explode to <=4 buckets, points to one), BroadcastHashJoin on the bucket key with the BETWEEN as residual filter; the only BNLJ is the one-row bounds crossJoin — never |orders|x|promos|",
     "dedup_jaccard_prefix_join": "exact global Jaccard >= 0.8: rare-first prefix index probed by full postings (shuffle_hash on the shingle key), length filter inside the join, decimal-free integer-exact verify — candidates proportional to prefix collisions, posting relation checkpointed once",
     "customer_rfm_segments_approx_audit": "RFM threshold audit: per-customer aggregate, one 9-scalar sketch aggregate broadcast back, one 18-sum rank count, 9 labelled rows exploded from a single aggregated row — 4 bounded scans, never a per-metric rescan",
+    "text_pii_redact": "PII scrub: one narrow scan, zero exchanges — regexp_extract_all counts + chained global regexp_replace are codegen'd; only (id, counts, md5) leave the stage",
+    "sample_source_mixture": "data mixing: per-source count agg (tiny) -> quotas broadcast back -> ONE rank window partitioned by source; hash-rank selection is content-addressed, layout-independent",
+    "sketch_heavy_hitters_audit": "MG heavy hitters: one Arrow-batched mapInPandas reduces each partition to <=k rows, driver merges bounded counters and inlines <=k estimates as a literal map; exact arm is one map-combinable aggregate",
     "dedup_remove_duplicate_spans": "exact-substring dedup treatment: span explode (Generate) → span-keyed (distinct-docs, keeper) aggregate → join-backs for covered-index union → JVM filter-by-index rebuild — posting-shaped, cost tracks duplicated-span mass, never |docs|²",
     "text_bm25_topk": "BM25 retrieval: term filter BEFORE the first exchange (only query-term postings shuffle), df as a count window over the same postings relation (≤2 parquet scans), 1-row stats broadcast, global top-k as heap TakeOrderedAndProject",
     "text_bm25_multiquery": "batched BM25: all queries scored in ONE posting pass (query→term map broadcast), per-query top-k via WindowGroupLimit — never a per-query rescan, never a global sort",
