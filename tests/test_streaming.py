@@ -1202,3 +1202,72 @@ def test_session_window_stream_merges_across_batches(spark, tmp_path):
         and _dt.datetime.strptime(v[0], "%Y-%m-%d %H:%M:%S") > cut
     ]
     assert spanning, "no session spans the micro-batch cutoff"
+
+
+def test_mg_table_stream_bounds_hold_per_batch(spark, tmp_path):
+    """Streaming Misra-Gries maintenance: after EVERY micro-batch the
+    durable summary obeys the batch invariants over the stream-so-far
+    (est ≤ true, true − est ≤ N/(k+1), guaranteed capture above the
+    threshold) and never exceeds k rows — driven directly through the
+    durable sink like the replay test, with a skewed item stream."""
+    from pyspark.sql import functions as F
+
+    from rick_and_morty_data_pipeline_project_spark.streaming._durable import (
+        make_durable_sink,
+    )
+    from rick_and_morty_data_pipeline_project_spark.streaming.heavyhitters_stream import (
+        _compress_k,
+    )
+
+    k = 3
+    table_dir = str(tmp_path / "mg_table")
+
+    def apply_fn(batch_df, current):
+        delta = batch_df.groupBy("item").agg(F.count(F.lit(1)).alias("est"))
+        merged = (
+            delta
+            if current is None
+            else current.unionByName(delta)
+            .groupBy("item")
+            .agg(F.sum("est").alias("est"))
+        )
+        return _compress_k(merged, k)
+
+    sink = make_durable_sink(table_dir, apply_fn)
+
+    from collections import Counter
+
+    true = Counter()
+    batches = [
+        ["hot"] * 60 + [f"c{i}" for i in range(20)],
+        ["hot"] * 40 + ["warm"] * 30 + [f"d{i}" for i in range(15)],
+        ["warm"] * 50 + [f"e{i}" for i in range(25)],
+    ]
+    for bid, items in enumerate(batches):
+        true.update(items)
+        sink(spark.createDataFrame([(x,) for x in items], "item string"), bid)
+        est = {
+            r["item"]: r["est"]
+            for r in spark.read.parquet(table_dir).collect()
+        }
+        n = sum(true.values())
+        assert len(est) <= k, est
+        for v, c in true.items():
+            e = est.get(v, 0)
+            assert e <= c, (bid, v, e, c)
+            assert c - e <= n / (k + 1) + 1e-9, (bid, v, e, c, n)
+        for v, c in true.items():
+            if c > n / (k + 1):
+                assert est.get(v, 0) > 0, (bid, v, c, n, est)
+    # the replay guard extends to the MG fold: re-applying the last
+    # batch leaves the summary byte-identical
+    before = sorted(est.items())
+    sink(
+        spark.createDataFrame([(x,) for x in batches[-1]], "item string"),
+        len(batches) - 1,
+    )
+    after = sorted(
+        (r["item"], r["est"])
+        for r in spark.read.parquet(table_dir).collect()
+    )
+    assert after == before
