@@ -49,7 +49,12 @@ def _mg_compress(counts: dict, k: int) -> dict:
 
 def mg_partition_summaries(df: DataFrame, col: str, k: int) -> DataFrame:
     """One MG summary per partition: <= k (item, est) rows each, via a
-    single Arrow-batched pass (no shuffle)."""
+    single Arrow-batched pass (no shuffle).
+
+    NULL is not an item: null rows are excluded BEFORE counting (and N
+    in any bound check must be the non-null row count).  The streaming
+    twin (``streaming/heavyhitters_stream.py``) filters nulls the same
+    way, so the two forms agree on any input."""
     import pandas as pd
 
     def fn(batches):
@@ -63,8 +68,10 @@ def mg_partition_summaries(df: DataFrame, col: str, k: int) -> DataFrame:
             {"item": list(out.keys()), "est": list(out.values())}
         )
 
-    return df.select(F.col(col).cast("string").alias(col)).mapInPandas(
-        fn, "item string, est long"
+    return (
+        df.select(F.col(col).cast("string").alias(col))
+        .filter(F.col(col).isNotNull())
+        .mapInPandas(fn, "item string, est long")
     )
 
 

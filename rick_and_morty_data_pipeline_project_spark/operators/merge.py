@@ -121,7 +121,10 @@ def atomic_overwrite(
     temp directory before the swap, so it becomes visible atomically
     WITH the data it describes (never a marker for data that didn't
     land, never data without its marker).  ``name`` must start with
-    ``_`` or ``.`` so parquet readers treat it as hidden."""
+    ``_`` or ``.`` so parquet readers treat it as hidden; ``content``
+    must be a single line (``read_marker`` reads exactly one line —
+    the write side enforces the contract instead of letting a newline
+    silently truncate on read)."""
     tmp_path = target_path + ".__merge_tmp__"
     old_path = target_path + ".__merge_old__"
     fs, jvm = _hadoop_fs(spark, target_path)
@@ -135,6 +138,10 @@ def atomic_overwrite(
     if marker is not None:
         name, content = marker
         assert name.startswith(("_", ".")), name
+        assert "\n" not in content and "\r" not in content, (
+            "marker content must be a single line (read_marker reads "
+            "one line)"
+        )
         out = fs.create(hpath(tmp_path + "/" + name), True)
         try:
             out.write(bytearray(content.encode("utf-8")))

@@ -685,7 +685,7 @@ WHERE len(list_filter(a.grams, g -> list_contains(b.grams, g)))
 
 
 def dedup_jaccard_prefix_join(spark, sf_dir):
-    """Exact GLOBAL Jaccard ≥ 0.5 pair join with NO blocking column —
+    """Exact GLOBAL Jaccard ≥ 0.8 pair join with NO blocking column —
     prefix-filtered (SSJoin/PPJoin): rare-shingle prefixes are indexed,
     probed by full posting lists, length-filtered inside the join, and
     only candidates reach the exact intersection count.  Complements

@@ -36,6 +36,13 @@ from rick_and_morty_data_pipeline_project_spark.operators.merge import (
 # between the swap and the checkpoint commit replays the batch, and
 # the replay sees batch_id <= stored and no-ops instead of
 # double-counting.
+#
+# Contract: the checkpoint directory and the table directory live and
+# die TOGETHER (the standard Structured Streaming sink contract).
+# Deleting the checkpoint but keeping the table restarts batch ids at
+# 0, which the guard cannot distinguish from a replay — those batches
+# would be skipped.  Start a new table_dir whenever you start a new
+# checkpoint.
 _BATCH_MARKER = "_last_batch_id"
 
 

@@ -29,14 +29,23 @@ from pyspark.sql import functions as F
 
 
 def _compress_k(merged: DataFrame, k: int) -> DataFrame:
-    """One MG compression over the tiny merged-counter relation:
+    """One MG compression of a merged-counter relation of ANY size:
     subtract the (k+1)-th largest count (0 when <= k rows survive)
-    and keep the strictly positive counters.  Deterministic order
-    (est desc, item asc) — ties cannot reorder the subtraction."""
+    and keep the strictly positive counters.
+
+    Compression only depends on the top k+1 counters — every row below
+    the (k+1)-th largest has est − d <= 0 and is dropped regardless —
+    so the relation first reduces through ``orderBy().limit(k+1)``
+    (TakeOrderedAndProject: a parallel heap top-k, never a single-task
+    global sort even when a micro-batch contributes millions of
+    distinct items).  The row_number window then ranks <= k+1 rows.
+    Deterministic order (est desc, item asc) — ties cannot reorder the
+    subtraction."""
     from pyspark.sql.window import Window
 
+    top = merged.orderBy(F.desc("est"), F.asc("item")).limit(k + 1)
     w = Window.orderBy(F.desc("est"), F.asc("item"))
-    ranked = merged.withColumn("_rn", F.row_number().over(w))
+    ranked = top.withColumn("_rn", F.row_number().over(w))
     dval = ranked.agg(
         F.coalesce(
             F.max(F.when(F.col("_rn") == k + 1, F.col("est"))), F.lit(0)
@@ -62,7 +71,11 @@ def mg_table_stream(
         durable_table_sink,
     )
 
-    keyed = stream.select(F.col(col).cast("string").alias("item"))
+    # NULL is not an item (matches operators/heavyhitters.py, which
+    # excludes nulls before counting)
+    keyed = stream.select(
+        F.col(col).cast("string").alias("item")
+    ).filter(F.col("item").isNotNull())
 
     def apply_fn(batch_df: DataFrame, current: DataFrame | None) -> DataFrame:
         delta = batch_df.groupBy("item").agg(

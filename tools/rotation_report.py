@@ -205,15 +205,22 @@ def compute_debt(
     """Pure debt computation (unit-testable without touching repo
     state).  Returns (attempted-but-never-green, unscheduled-no-row,
     over-age-unscheduled, updated pending-births map)."""
+    oracled_set = set(oracled)
     never = [n for n in oracled if n not in attempted]
     failed_only = sorted(
         n for n in oracled if n in attempted and n not in newest_green
     )
-    # pending births: drop names the manifest now governs, record
-    # first sighting round for still-unfingerprinted ones
-    pending = {n: r for n, r in pending.items() if n not in frozen}
+    # pending births: drop names the manifest now governs, names that
+    # no longer exist (deleted/renamed queries), and rows-only entries
+    # (sql=None can never be scheduled or become debt); record the
+    # first sighting round for still-unfingerprinted oracled ones
+    pending = {
+        n: r
+        for n, r in pending.items()
+        if n in fps and n not in frozen and n in oracled_set
+    }
     for n in fps:
-        if n not in frozen:
+        if n not in frozen and n in oracled_set:
             pending.setdefault(n, max_round)
     debt_unscheduled = sorted(
         n
@@ -273,10 +280,23 @@ def main() -> None:
     green_ever = set(newest_green)
     oracled = [n for n, q in QUERIES.items() if q.sql is not None]
     never = [n for n in oracled if n not in attempted]
-    failed_only = sorted(
-        n for n in oracled if n in attempted and n not in green_ever
-    )
     stale_slots = [n for n in DRIVER_WINDOW if n in green_ever]
+    # ONE debt computation feeds both the report and the gate (so a
+    # rule change can never make them disagree); the pending-births
+    # file is persisted only under --assert-no-debt.
+    frozen: dict[str, str] = {}
+    if os.path.exists(MANIFEST):
+        with open(MANIFEST) as f:
+            frozen = json.load(f)
+    pending: dict[str, int] = {}
+    if os.path.exists(PENDING):
+        with open(PENDING) as f:
+            pending = json.load(f)
+    failed_only, debt_unscheduled, overage, pending = compute_debt(
+        oracled, newest_green, attempted, frozen, fps,
+        DRIVER_WINDOW, max_round, pending,
+    )
+
     print(f"\noracled: {len(oracled)}; ever-green: "
           f"{len(green_ever & set(oracled))}; never-attempted: {len(never)}; "
           f"attempted-but-never-green: {len(failed_only)}")
@@ -289,10 +309,7 @@ def main() -> None:
         print(f"  {n}")
 
     # Rule 2: implementation changed since the frozen manifest.
-    frozen: dict[str, str] = {}
-    if os.path.exists(MANIFEST):
-        with open(MANIFEST) as f:
-            frozen = json.load(f)
+    if frozen:
         changed = sorted(
             n for n, fp in fps.items() if frozen.get(n) not in (None, fp)
         )
@@ -339,14 +356,6 @@ def main() -> None:
     # Born-after-freeze queries (absent from the manifest) are exempt
     # for ONE cycle, tracked in tools/pending_births.json.
     if "--assert-no-debt" in sys.argv:
-        pending: dict[str, int] = {}
-        if os.path.exists(PENDING):
-            with open(PENDING) as f:
-                pending = json.load(f)
-        failed_only, debt_unscheduled, overage, pending = compute_debt(
-            oracled, newest_green, attempted, frozen, fps,
-            DRIVER_WINDOW, max_round, pending,
-        )
         with open(PENDING, "w") as f:
             json.dump(pending, f, indent=1, sort_keys=True)
         debt = failed_only + debt_unscheduled + overage
