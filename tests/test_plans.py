@@ -1078,3 +1078,33 @@ def test_jaccard_prefix_candidates_superset_of_threshold_pairs(spark):
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_pii_redact_is_narrow(spark):
+    """PII scrub is a pure projection: one documents scan, zero
+    exchanges, no Python — counts and the chained redaction are
+    codegen'd regex expressions."""
+    from rick_and_morty_data_pipeline_project_spark.queries.catalog import _ALL
+
+    plan = formatted_plan(_ALL["text_pii_redact"].fn(spark, SF_SMALL))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    tree = plan.split("\n\n")[0]
+    assert not re.findall(r"\(\d+\) Exchange", tree), tree
+    assert len(re.findall(r"Scan parquet", tree)) == 1, tree
+
+
+def test_source_mixture_single_rank_window_per_source(spark):
+    """Source-mixture sampling: quotas come from one tiny per-source
+    aggregate broadcast back; document selection is ONE rank window
+    partitioned by source over one corpus scan arm — never a
+    per-source rescan or a cartesian."""
+    from rick_and_morty_data_pipeline_project_spark.queries.catalog import _ALL
+
+    plan = formatted_plan(_ALL["sample_source_mixture"].fn(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan, plan
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Window") == 1, tree
+    # 5 bounded arms (quota spine, rank window, and the picked arm's
+    # re-derived quota subtree — Catalyst does not share subtrees);
+    # the bound is a CONSTANT, never a per-source rescan
+    assert len(re.findall(r"Scan parquet", tree)) == 5, tree
