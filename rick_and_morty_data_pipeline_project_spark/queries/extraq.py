@@ -2289,6 +2289,84 @@ FROM tot
 _KEYGAP_BUCKET = 10000
 
 
+def audit_table_checksum(spark, sf_dir):
+    """Order-insensitive cross-engine TABLE CHECKSUM — the
+    migration-validation primitive ("did every row survive the copy?")
+    run between any two engines without sorting or shipping rows:
+    per-row md5 over a canonical key string, folded with an exact
+    order-independent SUM of the first 60 hash bits (decimal(38,0) —
+    overflow-free to ~10^18 rows), one row per audited table.
+
+    Canonicalization uses integer keys and enum strings only —
+    columns whose text form is identical in every engine by
+    construction.  Doubles/timestamps are EXCLUDED deliberately:
+    engines disagree on float/temporal print formats, and a checksum
+    over ambiguous canon forms silently compares formats, not data
+    (the float columns are covered by the decimal-sum parity the rest
+    of the catalog enforces).
+
+    Scale: one pruned scan per table, a narrow md5 projection, one
+    map-side-combinable global sum each — three scans total, outputs
+    three rows; never a sort, never a shuffle wider than the partial
+    sums.
+    """
+    def arm(name, df, cols):
+        fp = F.md5(F.concat_ws("|", *[F.col(c).cast("string") for c in cols]))
+        v = F.conv(F.substring(fp, 1, 15), 16, 10).cast("decimal(38,0)")
+        return df.agg(
+            F.lit(name).alias("table_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            # string form: DECIMAL(38) floats through some pandas
+            # bridges — canonical digit strings hash identically
+            F.sum(v).cast("decimal(38,0)").cast("string").alias(
+                "key_checksum"
+            ),
+        )
+
+    li = arm(
+        "lineitem",
+        t(spark, sf_dir, "lineitem"),
+        ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+         "l_returnflag", "l_linestatus"],
+    )
+    o = arm(
+        "orders",
+        t(spark, sf_dir, "orders"),
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+    )
+    c = arm(
+        "customer",
+        t(spark, sf_dir, "customer"),
+        ["c_custkey", "c_nationkey", "c_mktsegment"],
+    )
+    return li.unionByName(o).unionByName(c)
+
+
+AUDIT_CHECKSUM_SQL = """
+SELECT 'lineitem' AS table_name, count(*) AS n_rows,
+       CAST(sum(CAST(CAST('0x' || substring(
+         md5(CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)
+             || '|' || CAST(l_partkey AS VARCHAR) || '|' || CAST(l_suppkey AS VARCHAR)
+             || '|' || l_returnflag || '|' || l_linestatus), 1, 15) AS BIGINT)
+         AS DECIMAL(38,0))) AS VARCHAR) AS key_checksum
+FROM lineitem
+UNION ALL
+SELECT 'orders', count(*),
+       CAST(sum(CAST(CAST('0x' || substring(
+         md5(CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)
+             || '|' || o_orderstatus || '|' || o_orderpriority), 1, 15) AS BIGINT)
+         AS DECIMAL(38,0))) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'customer', count(*),
+       CAST(sum(CAST(CAST('0x' || substring(
+         md5(CAST(c_custkey AS VARCHAR) || '|' || CAST(c_nationkey AS VARCHAR)
+             || '|' || c_mktsegment), 1, 15) AS BIGINT)
+         AS DECIMAL(38,0))) AS VARCHAR)
+FROM customer
+"""
+
+
 def audit_key_gaps(spark, sf_dir):
     """Key-space completeness audit over orders — "did we lose a
     batch": per 10k-key bucket, the key bounds, row count, the number
@@ -3834,6 +3912,7 @@ QUERIES: dict[str, Q] = {
     "events_survival_km": Q(events_survival_km, EVENTS_SURVIVAL_SQL),
     "events_ab_proportion_z": Q(events_ab_proportion_z, EVENTS_AB_Z_SQL),
     "audit_key_gaps": Q(audit_key_gaps, AUDIT_KEY_GAPS_SQL),
+    "audit_table_checksum": Q(audit_table_checksum, AUDIT_CHECKSUM_SQL),
     "audit_benford_prices": Q(audit_benford_prices, AUDIT_BENFORD_SQL),
     "profile_compaction_plan": Q(
         profile_compaction_plan, COMPACTION_PLAN_SQL

@@ -1108,3 +1108,17 @@ def test_source_mixture_single_rank_window_per_source(spark):
     # re-derived quota subtree — Catalyst does not share subtrees);
     # the bound is a CONSTANT, never a per-source rescan
     assert len(re.findall(r"Scan parquet", tree)) == 5, tree
+
+
+def test_table_checksum_three_scans_no_sort(spark):
+    """The cross-engine checksum is one pruned scan + one global
+    map-combinable sum per audited table — three scans, no Sort, no
+    Window, no Join anywhere (an order-dependent plan would defeat the
+    order-insensitive fold)."""
+    from rick_and_morty_data_pipeline_project_spark.queries.catalog import _ALL
+
+    plan = formatted_plan(_ALL["audit_table_checksum"].fn(spark, SF_SMALL))
+    tree = plan.split("\n\n")[0]
+    assert len(re.findall(r"Scan parquet", tree)) == 3, tree
+    assert "Join" not in tree, tree
+    assert "(\\d+) Sort" not in tree and " Sort " not in tree, tree
