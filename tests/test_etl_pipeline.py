@@ -182,3 +182,54 @@ def test_python_datasource_live_external(spark):
         .collect()
     )
     assert len(rows) == 3 and rows[0]["episode_name"]
+
+
+def test_python_streaming_datasource_incremental_offsets(spark, tmp_path):
+    """Spark 4 Python STREAMING DataSource: the episode API read
+    incrementally — offsets advance by maxIdsPerBatch per micro-batch,
+    the drained result is exactly the fixture's 41 episodes with no
+    duplicates, and a SECOND run on the same checkpoint resumes from
+    the stored offset and ingests NOTHING new (the reference's driver
+    loop refetches everything every run; the streaming source is the
+    scale answer)."""
+    from rick_and_morty_data_pipeline_project_spark.sources.restapi_stream import (
+        register_stream,
+    )
+
+    register_stream(spark)
+    ckpt = str(tmp_path / "api_ckpt")
+    out = str(tmp_path / "api_out")
+
+    def drain():
+        q = (
+            spark.readStream.format("episode_api_stream")
+            .option("maxIdsPerBatch", "10")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # each AvailableNow run captures the one batch prefetched at query
+    # start, so every drain() is a RESTART that must resume from the
+    # checkpointed offset — ids accumulate 10 at a time, never
+    # refetched, never skipped
+    seen = []
+    for _ in range(5):
+        drain()
+        seen.append(
+            sorted(r["episode_id"] for r in spark.read.parquet(out).collect())
+        )
+    assert seen[-1] == list(range(1, 42)), seen[-1][:5]
+    sizes = [len(s) for s in seen]
+    assert sizes == sorted(sizes) and all(
+        s == sorted(set(s)) for s in seen
+    ), sizes  # monotone growth, no duplicates at any point
+
+    # fixture exhausted: one more restart ingests nothing new
+    drain()
+    again = spark.read.parquet(out).collect()
+    assert len(again) == 41, len(again)
