@@ -107,17 +107,18 @@ one-cycle-only limit on the born-after-freeze exemption via
 ``tools/pending_births.json``).  After this window the oldest green
 row anywhere in the ledger is r02.
 
-Round-7 continuation (post-freeze): 5 more oracled queries were born
+Round-7 continuation (post-freeze): 6 more oracled queries were born
 after the r07 freeze — ``join_interval_bucketized`` (keyless
 bucketized range join), ``dedup_jaccard_prefix_join`` (exact PPJoin
 set-similarity join), ``text_pii_redact``, ``sample_source_mixture``,
-``sketch_heavy_hitters_audit`` (Misra-Gries bounds) — recorded in
-``tools/pending_births.json`` at round 6; their one-cycle exemption
-expires when CORRECTNESS_r07.json lands, making them rule-1 mandatory
-for the r08 window.  The r08 window is further pre-committed by the
-max-age rule: the ~30 queries whose newest green row is r02 reach age
-5 > 4 at the r08 freeze and must all rotate in (5 births + 30
-over-age + flagship = 36 of 50 slots spoken for).
+``sketch_heavy_hitters_audit`` (Misra-Gries bounds),
+``audit_table_checksum`` (cross-engine order-insensitive fold) —
+recorded in ``tools/pending_births.json`` at round 6; their one-cycle
+exemption expires when CORRECTNESS_r07.json lands, making them rule-1
+mandatory for the r08 window.  The r08 window is further
+pre-committed by the max-age rule: the ~30 queries whose newest green
+row is r02 reach age 5 > 4 at the r08 freeze and must all rotate in
+(6 births + 30 over-age + flagship = 37 of 50 slots spoken for).
 """
 
 from __future__ import annotations
