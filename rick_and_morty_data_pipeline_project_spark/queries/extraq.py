@@ -3421,6 +3421,78 @@ WHERE cs.c_custkey IS NULL
 """
 
 
+def join_pit_segment_revenue(spark, sf_dir):
+    """POINT-IN-TIME join — the feature-store primitive: each order
+    joins the customer-segment VERSION that was valid on its order
+    date (SCD2 dimension from :func:`scd2_customer_segments`, reused
+    verbatim so the two queries can never disagree about the
+    dimension), then revenue rolls up by as-of-order-time segment.
+    Training-data pipelines need exactly this shape to avoid feature
+    leakage: joining the CURRENT segment would leak post-order
+    information into historical examples.
+
+    Join shape: equi on the dimension key (c_custkey — hash join;
+    broadcast here, shuffle-hash at scale) with the temporal interval
+    as a RESIDUAL predicate over half-open [valid_from, valid_to)
+    string dates — ISO yyyy-MM-dd compares lexicographically, so the
+    residual is engine-neutral string comparison, no date-type parity
+    risk.  Orders predating the dimension's history land in an
+    explicit PRE-HISTORY bucket (left join + coalesce) instead of
+    silently dropping.
+
+    Float parity: revenue is an exact decimal sum cast to double
+    (2 decimal places, exact); counts are longs.
+    """
+    dim = scd2_customer_segments(spark, sf_dir).select(
+        "c_custkey",
+        "c_mktsegment",
+        "valid_from",
+        "valid_to",
+    )
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_custkey"),
+        F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM-dd").alias(
+            "_d"
+        ),
+        dec("o_totalprice").alias("_price"),
+    )
+    j = o.join(
+        dim,
+        (o["o_custkey"] == dim["c_custkey"])
+        & (F.col("_d") >= F.col("valid_from"))
+        & (F.col("_d") < F.col("valid_to")),
+        "left",
+    )
+    return (
+        j.groupBy(
+            F.coalesce("c_mktsegment", F.lit("PRE-HISTORY")).alias(
+                "segment_at_order"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("_price").cast("double"), 2).alias("revenue"),
+        )
+    )
+
+
+JOIN_PIT_SQL = f"""
+WITH dim AS (
+{SCD2_SQL}
+)
+SELECT COALESCE(d.c_mktsegment, 'PRE-HISTORY') AS segment_at_order,
+       count(*) AS n_orders,
+       round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2)
+         AS revenue
+FROM orders o
+LEFT JOIN dim d
+  ON o.o_custkey = d.c_custkey
+ AND strftime(CAST(o.o_orderdate AS DATE), '%Y-%m-%d') >= d.valid_from
+ AND strftime(CAST(o.o_orderdate AS DATE), '%Y-%m-%d') <  d.valid_to
+GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 _EWMA_ALPHA = 0.3
 _EWMA_ONE_MINUS = 0.7
@@ -3867,6 +3939,7 @@ QUERIES: dict[str, Q] = {
         audit_referential_integrity, AUDIT_RI_SQL
     ),
     "scd2_customer_segments": Q(scd2_customer_segments, SCD2_SQL),
+    "join_pit_segment_revenue": Q(join_pit_segment_revenue, JOIN_PIT_SQL),
     "join_fuzzy_customer_names": Q(
         join_fuzzy_customer_names, FUZZY_JOIN_SQL
     ),

@@ -1122,3 +1122,17 @@ def test_table_checksum_three_scans_no_sort(spark):
     assert len(re.findall(r"Scan parquet", tree)) == 3, tree
     assert "Join" not in tree, tree
     assert "(\\d+) Sort" not in tree and " Sort " not in tree, tree
+
+
+def test_pit_join_is_keyed_hash_join(spark):
+    """The point-in-time join must plan as a HASH join on the
+    dimension key with the temporal interval as a residual filter —
+    never a BroadcastNestedLoopJoin over orders × versions (what a
+    bare range predicate would produce)."""
+    from rick_and_morty_data_pipeline_project_spark.queries.catalog import _ALL
+
+    plan = formatted_plan(_ALL["join_pit_segment_revenue"].fn(spark, SF_SMALL))
+    tree = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in tree, tree
+    assert "BroadcastHashJoin" in tree or "ShuffledHashJoin" in tree or "SortMergeJoin" in tree, tree

@@ -59,6 +59,7 @@ ANNOTATED = {
     "text_pii_redact": "PII scrub: one narrow scan, zero exchanges — regexp_extract_all counts + chained global regexp_replace are codegen'd; only (id, counts, md5) leave the stage",
     "sample_source_mixture": "data mixing: per-source count agg (tiny) -> quotas broadcast back -> ONE rank window partitioned by source; hash-rank selection is content-addressed, layout-independent",
     "sketch_heavy_hitters_audit": "MG heavy hitters: one Arrow-batched mapInPandas reduces each partition to <=k rows, driver merges bounded counters and inlines <=k estimates as a literal map; exact arm is one map-combinable aggregate",
+    "join_pit_segment_revenue": "point-in-time join: hash join on c_custkey with the half-open [valid_from, valid_to) string-date interval as residual filter; the SCD2 dimension is rebuilt by the shared query, orders scanned once",
     "audit_table_checksum": "cross-engine checksum: one pruned scan + one map-combinable decimal sum per table (3 arms), no Sort/Window/Join — order-insensitivity is the point of the fold",
     "dedup_remove_duplicate_spans": "exact-substring dedup treatment: span explode (Generate) → span-keyed (distinct-docs, keeper) aggregate → join-backs for covered-index union → JVM filter-by-index rebuild — posting-shaped, cost tracks duplicated-span mass, never |docs|²",
     "text_bm25_topk": "BM25 retrieval: term filter BEFORE the first exchange (only query-term postings shuffle), df as a count window over the same postings relation (≤2 parquet scans), 1-row stats broadcast, global top-k as heap TakeOrderedAndProject",
