@@ -256,3 +256,45 @@ def test_range_partition_plan_degenerate_samples(spark, tmp_path):
         if name == "empty":
             # no cuts at all → every row in bucket 0 on BOTH engines
             assert buckets == {0}, buckets
+
+
+def test_table_checksum_detects_single_row_change(spark, tmp_path):
+    """The migration checksum must actually detect corruption: copy a
+    tiny corpus, flip ONE key in ONE row of ONE table — only that
+    table's checksum changes, all row counts stay equal (the case a
+    count-only validation waves through)."""
+    from pyspark.sql import functions as F
+
+    from rick_and_morty_data_pipeline_project_spark.queries.catalog import (
+        QUERIES,
+    )
+    from tests.conftest import SF_SMALL
+
+    q = QUERIES["audit_table_checksum"]
+
+    src = str(tmp_path / "clean")
+    for t_ in ("lineitem", "orders", "customer"):
+        spark.read.parquet(f"{SF_SMALL}/{t_}.parquet").limit(
+            200
+        ).coalesce(1).write.parquet(f"{src}/{t_}.parquet")
+    base = {r["table_name"]: r for r in q.fn(spark, src).collect()}
+
+    bad = str(tmp_path / "corrupt")
+    for t_ in ("lineitem", "customer"):
+        spark.read.parquet(f"{src}/{t_}.parquet").coalesce(1).write.parquet(
+            f"{bad}/{t_}.parquet"
+        )
+    o = spark.read.parquet(f"{src}/orders.parquet")
+    first_key = o.agg(F.min("o_orderkey")).first()[0]
+    o.withColumn(
+        "o_custkey",
+        F.when(F.col("o_orderkey") == first_key, F.col("o_custkey") + 1)
+        .otherwise(F.col("o_custkey")),
+    ).coalesce(1).write.parquet(f"{bad}/orders.parquet")
+    got = {r["table_name"]: r for r in q.fn(spark, bad).collect()}
+
+    for t_ in ("lineitem", "orders", "customer"):
+        assert got[t_]["n_rows"] == base[t_]["n_rows"]
+    assert got["orders"]["key_checksum"] != base["orders"]["key_checksum"]
+    assert got["lineitem"]["key_checksum"] == base["lineitem"]["key_checksum"]
+    assert got["customer"]["key_checksum"] == base["customer"]["key_checksum"]
