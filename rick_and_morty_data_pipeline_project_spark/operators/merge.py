@@ -137,11 +137,18 @@ def atomic_overwrite(
     df.write.mode("overwrite").parquet(tmp_path)
     if marker is not None:
         name, content = marker
-        assert name.startswith(("_", ".")), name
-        assert "\n" not in content and "\r" not in content, (
-            "marker content must be a single line (read_marker reads "
-            "one line)"
-        )
+        # durability-critical contracts: raise, never assert (asserts
+        # vanish under ``python -O`` and a multi-line marker would be
+        # silently truncated by read_marker)
+        if not name.startswith(("_", ".")):
+            raise ValueError(
+                f"marker name must start with '_' or '.': {name!r}"
+            )
+        if "\n" in content or "\r" in content:
+            raise ValueError(
+                "marker content must be a single line (read_marker "
+                "reads one line)"
+            )
         out = fs.create(hpath(tmp_path + "/" + name), True)
         try:
             out.write(bytearray(content.encode("utf-8")))

@@ -2311,7 +2311,20 @@ def audit_table_checksum(spark, sf_dir):
     sums.
     """
     def arm(name, df, cols):
-        fp = F.md5(F.concat_ws("|", *[F.col(c).cast("string") for c in cols]))
+        # NULL canon must match the oracle exactly: concat_ws SKIPS
+        # NULL args while DuckDB's '||' chain nulls the whole string
+        # (dropping the row from the sum) — coalesce every column to
+        # an explicit sentinel on BOTH arms so a NULL in an audited
+        # column diverges neither engine silently.
+        fp = F.md5(
+            F.concat_ws(
+                "|",
+                *[
+                    F.coalesce(F.col(c).cast("string"), F.lit("<NULL>"))
+                    for c in cols
+                ],
+            )
+        )
         v = F.conv(F.substring(fp, 1, 15), 16, 10).cast("decimal(38,0)")
         return df.agg(
             F.lit(name).alias("table_name"),
@@ -2345,23 +2358,29 @@ def audit_table_checksum(spark, sf_dir):
 AUDIT_CHECKSUM_SQL = """
 SELECT 'lineitem' AS table_name, count(*) AS n_rows,
        CAST(sum(CAST(CAST('0x' || substring(
-         md5(CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)
-             || '|' || CAST(l_partkey AS VARCHAR) || '|' || CAST(l_suppkey AS VARCHAR)
-             || '|' || l_returnflag || '|' || l_linestatus), 1, 15) AS BIGINT)
+         md5(COALESCE(CAST(l_orderkey AS VARCHAR), '<NULL>')
+             || '|' || COALESCE(CAST(l_linenumber AS VARCHAR), '<NULL>')
+             || '|' || COALESCE(CAST(l_partkey AS VARCHAR), '<NULL>')
+             || '|' || COALESCE(CAST(l_suppkey AS VARCHAR), '<NULL>')
+             || '|' || COALESCE(l_returnflag, '<NULL>')
+             || '|' || COALESCE(l_linestatus, '<NULL>')), 1, 15) AS BIGINT)
          AS DECIMAL(38,0))) AS VARCHAR) AS key_checksum
 FROM lineitem
 UNION ALL
 SELECT 'orders', count(*),
        CAST(sum(CAST(CAST('0x' || substring(
-         md5(CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)
-             || '|' || o_orderstatus || '|' || o_orderpriority), 1, 15) AS BIGINT)
+         md5(COALESCE(CAST(o_orderkey AS VARCHAR), '<NULL>')
+             || '|' || COALESCE(CAST(o_custkey AS VARCHAR), '<NULL>')
+             || '|' || COALESCE(o_orderstatus, '<NULL>')
+             || '|' || COALESCE(o_orderpriority, '<NULL>')), 1, 15) AS BIGINT)
          AS DECIMAL(38,0))) AS VARCHAR)
 FROM orders
 UNION ALL
 SELECT 'customer', count(*),
        CAST(sum(CAST(CAST('0x' || substring(
-         md5(CAST(c_custkey AS VARCHAR) || '|' || CAST(c_nationkey AS VARCHAR)
-             || '|' || c_mktsegment), 1, 15) AS BIGINT)
+         md5(COALESCE(CAST(c_custkey AS VARCHAR), '<NULL>')
+             || '|' || COALESCE(CAST(c_nationkey AS VARCHAR), '<NULL>')
+             || '|' || COALESCE(c_mktsegment, '<NULL>')), 1, 15) AS BIGINT)
          AS DECIMAL(38,0))) AS VARCHAR)
 FROM customer
 """

@@ -995,7 +995,13 @@ FROM staged
 """
 
 
-def sample_source_mixture(spark, sf_dir):
+_MIXTURE_WINDOW_CAP = 1_000_000
+"""Largest per-source row count a single rank-window task may sort.
+Above it the per-source selection dispatches to the two-stage salted
+top-k (same double-gate pattern as the tfidf dense/prefix dispatch)."""
+
+
+def sample_source_mixture(spark, sf_dir, window_cap=_MIXTURE_WINDOW_CAP):
     """Source-mixture sampling — the data-mixing step of corpus
     assembly (Pile/Dolma-style): given a token budget (here 50% of the
     corpus) and a target mixture (equal share per source), compute each
@@ -1004,15 +1010,30 @@ def sample_source_mixture(spark, sf_dir):
     chosen on any cluster layout, unlike seed-based ``df.sample``), and
     report planned vs realized volume per source.
 
-    Scale: one per-source count aggregate (tiny), quotas broadcast
-    back, one rank window partitioned by source.  A source column with
-    very few distinct values bounds the window's parallelism — at
-    100 TB swap the rank window for the two-stage salted top-k
-    (``operators/topk.grouped_topk_salted``) once quotas are known;
-    the selection predicate (hash rank < quota) is identical.
+    Scale — double-gated like the tfidf cosine dispatch:
+
+    * **per-source count ≤ ``window_cap``**: one rank window
+      partitioned by source.  Bounded by the gate, so the
+      low-cardinality ``source`` key can no longer collapse the sort
+      of an unbounded corpus slice into one task.
+    * **above the cap**: the per-source selection is exactly a
+      per-group smallest-``qcap`` by ``(_h, doc_id)``, so it
+      dispatches to ``operators/topk.grouped_topk_salted`` — stage 1
+      ranks within ``(source, salt)`` (parallelism |sources|×32, each
+      task ~1/32 of a source), stage 2 re-ranks only the surviving
+      ≤ 32·qcap rows per source.  ``quota = least(n_avail, qcap)``
+      means the top-k output IS the selection on both branches:
+      sources under the cap keep every row, sources over it keep the
+      ``qcap`` hash-smallest — bit-identical to the window path.
+
+    The dispatch probe is one single-row aggregate collect (max
+    per-source count + the global quota), the same bounded-probe shape
+    as the tfidf vocab/doc-count gates.
 
     Float-free output: counts and quotas are exact integer arithmetic
-    (budget = total // 2, per-source = budget // n_sources).
+    (budget = total div 2, per-source = budget div n_sources — SQL
+    ``div``, mirroring the oracle's ``//`` exactly; no double
+    round-trip).
     """
     d = t(spark, sf_dir, "documents")
     counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_avail"))
@@ -1022,24 +1043,37 @@ def sample_source_mixture(spark, sf_dir):
     quota = counts.crossJoin(F.broadcast(glob)).select(
         "source",
         "n_avail",
-        F.least(
-            F.col("n_avail"), (F.col("_tot") / 2).cast("long") / F.col("_k")
-        )
+        F.least(F.col("n_avail"), F.expr("(_tot div 2) div _k"))
         .cast("long")
         .alias("quota"),
     )
-    w = Window.partitionBy("source").orderBy("_h", "doc_id")
-    ranked = d.select(
+    hashed = d.select(
         "source",
         "doc_id",
         "n_chars",
         F.md5(
             F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))
         ).alias("_h"),
-    ).withColumn("_rn", F.row_number().over(w))
-    sel = ranked.join(F.broadcast(quota), "source").filter(
-        F.col("_rn") <= F.col("quota")
     )
+    probe = counts.agg(
+        F.max("n_avail").alias("mx"),
+        F.expr("(sum(n_avail) div 2) div count(*)").alias("qcap"),
+    ).collect()[0]
+    if probe["mx"] is not None and probe["mx"] > window_cap:
+        from rick_and_morty_data_pipeline_project_spark.operators.topk import (
+            grouped_topk_salted,
+        )
+
+        sel = grouped_topk_salted(
+            hashed, ["source"], "_h", int(probe["qcap"]), tiebreak="doc_id"
+        )
+    else:
+        w = Window.partitionBy("source").orderBy("_h", "doc_id")
+        sel = (
+            hashed.withColumn("_rn", F.row_number().over(w))
+            .join(F.broadcast(quota), "source")
+            .filter(F.col("_rn") <= F.col("quota"))
+        )
     picked = sel.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_selected"),
         F.sum("n_chars").alias("chars_selected"),

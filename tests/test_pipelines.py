@@ -298,3 +298,46 @@ def test_table_checksum_detects_single_row_change(spark, tmp_path):
     assert got["orders"]["key_checksum"] != base["orders"]["key_checksum"]
     assert got["lineitem"]["key_checksum"] == base["lineitem"]["key_checksum"]
     assert got["customer"]["key_checksum"] == base["customer"]["key_checksum"]
+
+
+def test_table_checksum_null_parity_cross_engine(spark, tmp_path):
+    """ADVICE r7: ``concat_ws`` SKIPS NULL args while DuckDB's ``||``
+    chain nulls the whole canon string and silently drops the row from
+    the sum — the engines would diverge on the first NULL.  With the
+    ``<NULL>`` sentinel coalesced on BOTH arms, a NULL planted in an
+    audited enum column must yield IDENTICAL checksums across engines,
+    and the NULL row must still be counted in the fold."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from rick_and_morty_data_pipeline_project_spark.queries.catalog import (
+        QUERIES,
+    )
+    from tests.conftest import SF_SMALL
+
+    q = QUERIES["audit_table_checksum"]
+    src = str(tmp_path / "withnull")
+    for t_ in ("lineitem", "orders"):
+        spark.read.parquet(f"{SF_SMALL}/{t_}.parquet").limit(50).coalesce(
+            1
+        ).write.parquet(f"{src}/{t_}.parquet")
+    c = spark.read.parquet(f"{SF_SMALL}/customer.parquet").limit(50)
+    first = c.agg(F.min("c_custkey")).first()[0]
+    c.withColumn(
+        "c_mktsegment",
+        F.when(F.col("c_custkey") == first, F.lit(None)).otherwise(
+            F.col("c_mktsegment")
+        ),
+    ).coalesce(1).write.parquet(f"{src}/customer.parquet")
+
+    got = {r["table_name"]: r for r in q.fn(spark, src).collect()}
+    con = duckdb.connect()
+    for t_ in ("lineitem", "orders", "customer"):
+        con.execute(
+            f"CREATE VIEW {t_} AS "
+            f"SELECT * FROM '{src}/{t_}.parquet/*.parquet'"
+        )
+    ora = {r[0]: r for r in con.execute(q.sql).fetchall()}
+    for t_ in ("lineitem", "orders", "customer"):
+        assert got[t_]["n_rows"] == ora[t_][1], t_
+        assert got[t_]["key_checksum"] == str(ora[t_][2]), t_
