@@ -139,12 +139,36 @@ def hll_rollup(
     return per_key.unionByName(total)
 
 
+CMS_CANON = {
+    # Spark CountMinSketchImpl parameters for (eps=0.001,
+    # confidence=0.99, seed=42): width = ceil(2/eps), depth =
+    # ceil(log2(1/(1-confidence))), hashA = the seed-42 row-hash
+    # multipliers.  Pinned as literals so a DuckDB oracle can replay
+    # the grid arithmetic exactly (the PCA/IVF canonical-literal
+    # pattern); `cms_point_estimates(pin=CMS_CANON)` raises if the JVM
+    # sketch ever disagrees, turning a layout/seed regression into a
+    # driver-red error instead of a silent estimate drift.
+    "depth": 7,
+    "width": 2000,
+    "hash_a": (
+        1562431130,
+        117392763,
+        1467211248,
+        102948884,
+        662969970,
+        2023087525,
+        595021505,
+    ),
+}
+
+
 def cms_point_estimates(
     df: DataFrame,
     item_col: str,
     eps: float = 0.001,
     confidence: float = 0.99,
     seed: int = 42,
+    pin: "dict | None" = None,
 ) -> DataFrame:
     """Per-item exact counts alongside the Count-Min estimates read from
     ONE global sketch.
@@ -172,6 +196,17 @@ def cms_point_estimates(
         ).alias("sk")
     ).collect()[0]["sk"]
     sketch = cms_decode(bytes(raw))
+    if pin is not None and (
+        sketch.depth != pin["depth"]
+        or sketch.width != pin["width"]
+        or tuple(int(a) for a in sketch.hash_a) != tuple(pin["hash_a"])
+    ):
+        raise ValueError(
+            "count_min_sketch state diverged from the pinned canon "
+            f"(depth {sketch.depth} width {sketch.width} "
+            f"hashA {list(sketch.hash_a)}) — the grid-replay oracle "
+            "would silently diverge"
+        )
 
     @F.pandas_udf("long")
     def est(items: pd.Series) -> pd.Series:

@@ -1,13 +1,20 @@
 """Sketch-table queries: mergeable HLL rollups and Count-Min probes.
 
-Both are rows-only catalog entries (``sql=None``): the sketch binaries
-are engine-specific, so a DuckDB hash-oracle is impossible by
-construction — the same situation as ``agg_approx_distinct``.  Their
-accuracy contracts are enforced instead by tests/test_sketches.py:
-per-key HLL estimates within the lg_k=12 error envelope of the exact
-distincts, union-of-sketches == whole-input sketch *exactly* (HLL union
-losslessness), and every CMS estimate inside the one-sided
-``true ≤ est ≤ true + eps·N`` band.
+Oracle status differs by estimator family:
+
+* **Count-Min is FULLY oracled** (promoted round 8): its counters are
+  order-insensitive sums, so the estimate is a deterministic function
+  of the data alone and DuckDB replays the whole grid bit-exactly with
+  the pinned seed-42 ``hashA`` literals (``CMS_GRID_REPLAY_SQL``).
+* **HLL entries stay rows-only** (``sql=None``): DataSketches HLL
+  estimates come from engine-internal register state and HIP/composite
+  estimator choices no other engine reproduces — the irreducible core.
+  Their accuracy contracts are driver-checked through the oracled
+  audit twins below (exact distincts hash-verified + envelope/merge
+  booleans pinned TRUE) and enforced again in tests/test_sketches.py:
+  per-key estimates within the lg_k=12 error envelope, merge
+  determinism under regrouping, and every CMS estimate inside the
+  one-sided ``true ≤ est ≤ true + eps·N`` band.
 
 Reference parity note: the reference has no sketches (453-line scraper,
 Scraper.py) — these extend §2.10's training-data-pipeline surface where
@@ -20,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from rick_and_morty_data_pipeline_project_spark.operators.sketches import (
+    CMS_CANON,
     cms_point_estimates,
     hll_rollup,
 )
@@ -54,6 +62,19 @@ def sketch_cms_user_counts(spark, sf_dir):
     sketch, reported next to the exact counts with the overcount column
     making the one-sided error visible.
 
+    FULLY ORACLED (promoted r8 from rows-only): the CMS estimate is a
+    deterministic, partition-independent function of the data — each
+    counter is an order-insensitive SUM of colliding item counts — so
+    DuckDB can replay the whole grid: the oracle recomputes Spark
+    CountMinSketchImpl's signed-64-bit row hash
+    ``((a*item + ((a*item) >> 32)) & (2^31-1)) % width`` in HUGEINT
+    wraparound arithmetic with the pinned seed-42 ``hashA`` literals
+    (``operators.sketches.CMS_CANON``), rebuilds the counters from the
+    exact per-item counts, and takes the same min-over-rows — the
+    ESTIMATES themselves hash-match bit-exactly, not just bounds.  The
+    ``pin=`` guard raises (driver-red) if the JVM sketch state ever
+    drifts from the pinned canon.
+
     Scale: the sketch grid is ~100 KB at any corpus size and collects
     once on the driver (like the IVF centroid literals); the probe side
     is the already-aggregated distinct-user relation through a
@@ -62,8 +83,70 @@ def sketch_cms_user_counts(spark, sf_dir):
     """
     e = t(spark, sf_dir, "events")
     return cms_point_estimates(
-        e, "user_id", eps=0.001, confidence=0.99, seed=42
+        e, "user_id", eps=0.001, confidence=0.99, seed=42, pin=CMS_CANON
     ).orderBy("item")
+
+
+CMS_GRID_REPLAY_SQL = """
+WITH items AS (
+  SELECT user_id AS item, CAST(count(*) AS BIGINT) AS exact_count
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+),
+hash_rows AS (
+  SELECT * FROM (VALUES (1562431130), (117392763), (1467211248),
+                        (102948884), (662969970), (2023087525),
+                        (595021505)) AS h(a)
+),
+s1 AS (
+  -- signed-64-bit wraparound of hashA * item, as a nonneg mod-2^64
+  SELECT i.item, i.exact_count, h.a,
+         (((CAST(h.a AS HUGEINT) * CAST(i.item AS HUGEINT))
+            % CAST(18446744073709551616 AS HUGEINT))
+          + CAST(18446744073709551616 AS HUGEINT))
+          % CAST(18446744073709551616 AS HUGEINT) AS w64
+  FROM items i CROSS JOIN hash_rows h
+),
+s2 AS (
+  -- reinterpret as signed (two's complement)
+  SELECT item, exact_count, a,
+         CASE WHEN w64 >= CAST(9223372036854775808 AS HUGEINT)
+              THEN w64 - CAST(18446744073709551616 AS HUGEINT)
+              ELSE w64 END AS s
+  FROM s1
+),
+s3 AS (
+  -- h + (h >> 32): arithmetic shift = floor(s / 2^32)
+  SELECT item, exact_count, a,
+         s + ((s - (((s % CAST(4294967296 AS HUGEINT))
+                     + CAST(4294967296 AS HUGEINT))
+                    % CAST(4294967296 AS HUGEINT)))
+              // CAST(4294967296 AS HUGEINT)) AS t
+  FROM s2
+),
+probes AS (
+  -- wrap to 64 bits again, mask to 31 bits (& 0x7FFFFFFF = nonneg
+  -- mod 2^31), bucket = % width
+  SELECT item, exact_count, a,
+         CAST(((((t % CAST(18446744073709551616 AS HUGEINT))
+                 + CAST(18446744073709551616 AS HUGEINT))
+                % CAST(18446744073709551616 AS HUGEINT))
+               % CAST(2147483648 AS HUGEINT)) % 2000 AS BIGINT) AS bucket
+  FROM s3
+),
+counters AS (
+  SELECT a, bucket, sum(exact_count) AS cnt
+  FROM probes GROUP BY 1, 2
+),
+est AS (
+  SELECT p.item, CAST(min(c.cnt) AS BIGINT) AS est_count
+  FROM probes p JOIN counters c ON p.a = c.a AND p.bucket = c.bucket
+  GROUP BY 1
+)
+SELECT i.item, i.exact_count, e.est_count,
+       e.est_count - i.exact_count AS overcount
+FROM items i JOIN est e USING (item)
+ORDER BY item
+"""
 
 
 def events_rolling_dau_hll(spark, sf_dir):
@@ -423,7 +506,7 @@ GROUP BY 1
 
 QUERIES: dict[str, Q] = {
     "sketch_hll_rollup": Q(sketch_hll_rollup, None),
-    "sketch_cms_user_counts": Q(sketch_cms_user_counts, None),
+    "sketch_cms_user_counts": Q(sketch_cms_user_counts, CMS_GRID_REPLAY_SQL),
     "events_rolling_dau_hll": Q(events_rolling_dau_hll, None),
     "sketch_hll_accuracy_audit": Q(sketch_hll_accuracy_audit, HLL_AUDIT_SQL),
     "events_rolling_dau_hll_audit": Q(

@@ -39,7 +39,12 @@ from rick_and_morty_data_pipeline_project_spark.operators.topk import (
     top2_emotions_cols,
     two_stage_topk,
 )
-from rick_and_morty_data_pipeline_project_spark.queries._util import Q, approx_pctl, t
+from rick_and_morty_data_pipeline_project_spark.queries._util import (
+    APPROX_PCTL_ACCURACY,
+    Q,
+    approx_pctl,
+    t,
+)
 
 _EMO_SQLS = emotion_score_sqls("text")
 _EMO_SELECT = ",\n       ".join(f"{_EMO_SQLS[e]} AS {e}" for e in EMOTIONS)
@@ -2601,10 +2606,81 @@ def text_quantile_filter_approx(spark, sf_dir):
     """The 100 TB form of :func:`text_quantile_filter`: per-language
     median via ``percentile_approx`` (accuracy 10000) — the per-group
     aggregation state is a fixed-size quantile sketch instead of the
-    sorted group.  Kept-set drift vs the exact twin is bounded in
-    tests/test_approx.py.  Rows-only (sketch internals are
-    engine-specific)."""
-    return _quantile_filter(spark, sf_dir, approx_pctl)
+    sorted group.
+
+    ORACLED (promoted r8 from rows-only, the audit-twin shape): the
+    returned value of a Greenwald-Khanna sketch is layout-dependent, so
+    the driver-checked surface is per-language EXACT statistics
+    (hash-verified against DuckDB) plus Spark-computed booleans the
+    oracle pins TRUE — the GK rank guarantee, stated tie-safely on
+    value-level ranks (``#{≤ v}`` / ``#{< v}`` straddle the
+    ``0.5·n ± (ε·n + 1)`` band for ε = 1/accuracy; a two-sided bound on
+    the KEPT count would be tie-fragile — with a tie block at the
+    median, ``#{> v}`` jumps by the block size — so only the two
+    one-sided rank bounds are asserted, which hold for ANY sketch
+    merge order).  ``kept_exact`` (documents above the exact
+    interpolated median) stays in the output as the informative
+    DuckDB-checkable column.  Kept-set drift vs the exact twin remains
+    bounded in tests/test_approx.py.
+
+    Scale: same plan as the exact twin — one map-combinable per-lang
+    agg (fixed-size sketch state), thresholds broadcast back, one
+    corpus scan.
+    """
+    d = t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+    )
+    med = scored.groupBy("lang").agg(
+        F.percentile(F.col("n_tokens").cast("double"), F.lit(0.5)).alias(
+            "_exact_med"
+        ),
+        approx_pctl(F.col("n_tokens").cast("double"), 0.5).alias(
+            "_approx_med"
+        ),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    eps = 1.0 / APPROX_PCTL_ACCURACY
+    joined = scored.join(F.broadcast(med), "lang")
+    n = F.first("n_docs")
+    slack = eps * n + F.lit(1.0)
+    return joined.groupBy("lang").agg(
+        F.first("n_docs").alias("n_docs"),
+        F.sum((F.col("n_tokens") > F.col("_exact_med")).cast("long")).alias(
+            "kept_exact"
+        ),
+        (
+            F.sum((F.col("n_tokens") <= F.col("_approx_med")).cast("long"))
+            >= 0.5 * n - slack
+        ).alias("rank_lo_ok"),
+        (
+            F.sum((F.col("n_tokens") < F.col("_approx_med")).cast("long"))
+            <= 0.5 * n + slack
+        ).alias("rank_hi_ok"),
+    )
+
+
+TEXT_QUANTILE_APPROX_AUDIT_SQL = """
+WITH scored AS (
+  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+),
+med AS (
+  SELECT lang, quantile_cont(CAST(n_tokens AS DOUBLE), 0.5) AS exact_med,
+         count(*) AS n_docs
+  FROM scored GROUP BY 1
+)
+SELECT s.lang,
+       CAST(any_value(m.n_docs) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN s.n_tokens > m.exact_med THEN 1 ELSE 0 END)
+            AS BIGINT) AS kept_exact,
+       TRUE AS rank_lo_ok,
+       TRUE AS rank_hi_ok
+FROM scored s JOIN med m USING (lang)
+GROUP BY s.lang
+"""
 
 
 TEXT_QUANTILE_SQL = """
@@ -3764,7 +3840,9 @@ QUERIES: dict[str, Q] = {
     "dedup_incremental_lsh": Q(dedup_incremental_lsh, DEDUP_INCR_LSH_SQL),
     "text_chunk_overlap": Q(text_chunk_overlap, TEXT_CHUNK_SQL),
     "text_quantile_filter": Q(text_quantile_filter, TEXT_QUANTILE_SQL),
-    "text_quantile_filter_approx": Q(text_quantile_filter_approx, None),
+    "text_quantile_filter_approx": Q(
+        text_quantile_filter_approx, TEXT_QUANTILE_APPROX_AUDIT_SQL
+    ),
     "text_tfidf_topterms": Q(text_tfidf_topterms, TEXT_TFIDF_SQL),
     "text_pmi_collocations": Q(text_pmi_collocations, TEXT_PMI_SQL),
     "text_quality_normalized": Q(text_quality_normalized, TEXT_QNORM_SQL),

@@ -944,8 +944,65 @@ GROUP BY s_nationkey
 """
 
 
+def topk_salted_segment_orders(spark, sf_dir):
+    """Per-market-segment 5 cheapest orders through the SALTED
+    two-stage top-k (``operators/topk.grouped_topk_salted``) — the
+    designated scale escape hatch for per-group ranking on a
+    LOW-CARDINALITY group key (5 segments): a plain
+    ``row_number() over (partition by segment)`` collapses to 5 tasks,
+    each sorting a fifth of the fact table; the salted form ranks
+    within (segment, salt) first — parallelism 5×32, per-task input
+    1/32nd of a segment — then re-ranks only the ≤ 32·k survivors.
+    Exactness: min-k(∪ per-bucket min-k) = min-k(all rows); ties on
+    o_totalprice break by o_orderkey inside each bucket and again in
+    the bounded stage 2, so the selection is the plain window's
+    bit-for-bit (oracle = the single DuckDB rank window).
+
+    Plan-pinned in tests/test_plans.py: two Window nodes, stage 1
+    partitioned by the salt, broadcast dim join, no global
+    single-partition sort.  Exercises the same operator the
+    source-mixture sampler dispatches to above its per-source cap
+    (VERDICT r7 item 7).
+    """
+    from rick_and_morty_data_pipeline_project_spark.operators.topk import (
+        grouped_topk_salted,
+    )
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = o.join(
+        F.broadcast(c), o.o_custkey == c.c_custkey
+    ).select("c_mktsegment", "o_orderkey", "o_totalprice")
+    top = grouped_topk_salted(
+        joined, ["c_mktsegment"], "o_totalprice", 5, tiebreak="o_orderkey"
+    )
+    return top.select(
+        "c_mktsegment",
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("total_price"),
+    )
+
+
+TOPK_SALTED_SQL = """
+WITH ranked AS (
+  SELECT c.c_mktsegment, o.o_orderkey,
+         CAST(o.o_totalprice AS DOUBLE) AS total_price,
+         row_number() OVER (PARTITION BY c.c_mktsegment
+                            ORDER BY o.o_totalprice, o.o_orderkey) AS rn
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+)
+SELECT c_mktsegment, o_orderkey, total_price
+FROM ranked WHERE rn <= 5
+"""
+
+
 QUERIES: dict[str, Q] = {
     "q7_volume_shipping": Q(q7_volume_shipping, Q7_SQL),
+    "topk_salted_segment_orders": Q(
+        topk_salted_segment_orders, TOPK_SALTED_SQL
+    ),
     "supplier_market_hhi": Q(supplier_market_hhi, SUPPLIER_HHI_SQL),
     "q8_market_share": Q(q8_market_share, Q8_SQL),
     "q9_profit_by_nation_year": Q(q9_profit_by_nation_year, Q9_SQL),

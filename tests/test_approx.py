@@ -99,21 +99,37 @@ def test_hourly_percentiles_approx_close_to_exact(spark):
 
 
 def test_quantile_filter_approx_kept_set_close(spark):
-    """The approx-median language filter keeps nearly the same document
-    set as the exact twin: disagreement only for docs whose token count
-    falls between the exact and sketch medians."""
+    """The approx-median kept SET stays close to the exact twin's
+    (computed through the shared _quantile_filter path — the promoted
+    catalog query now reports per-language audit rows instead of the
+    raw kept rows), and the promoted query's GK rank-guarantee booleans
+    hold with kept_exact matching the exact twin's per-language kept
+    counts."""
+    from collections import Counter
+
+    from rick_and_morty_data_pipeline_project_spark.queries._util import (
+        approx_pctl,
+    )
     from rick_and_morty_data_pipeline_project_spark.queries.textq import (
+        _quantile_filter,
         text_quantile_filter,
         text_quantile_filter_approx,
     )
 
-    exact = {r["doc_id"] for r in text_quantile_filter(spark, SF_ORACLE).collect()}
+    exact_rows = text_quantile_filter(spark, SF_ORACLE).collect()
+    exact = {r["doc_id"] for r in exact_rows}
     approx = {
-        r["doc_id"] for r in text_quantile_filter_approx(spark, SF_ORACLE).collect()
+        r["doc_id"]
+        for r in _quantile_filter(spark, SF_ORACLE, approx_pctl).collect()
     }
     assert exact
     drift = len(exact ^ approx) / len(exact)
     assert drift < 0.05, drift
+
+    kept_by_lang = Counter(r["lang"] for r in exact_rows)
+    for r in text_quantile_filter_approx(spark, SF_ORACLE).collect():
+        assert r["rank_lo_ok"] and r["rank_hi_ok"], r
+        assert r["kept_exact"] == kept_by_lang[r["lang"]], r
 
 
 def test_rfm_segments_approx_buckets_close(spark):

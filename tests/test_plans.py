@@ -1159,3 +1159,23 @@ def test_pit_join_is_keyed_hash_join(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in tree, tree
     assert "BroadcastHashJoin" in tree or "ShuffledHashJoin" in tree or "SortMergeJoin" in tree, tree
+
+
+def test_topk_salted_exemplar_two_stage_plan(spark):
+    """The salted top-k exemplar must actually exercise the two-stage
+    shape it exists to demonstrate: dim broadcast-joined, stage-1 rank
+    window partitioned by (segment, _salt), a second bounded re-rank
+    window — and never a single global window over the raw fact rows
+    partitioned by the 5-value segment key alone."""
+    from rick_and_morty_data_pipeline_project_spark.queries.catalog import _ALL
+
+    plan = formatted_plan(
+        _ALL["topk_salted_segment_orders"].fn(spark, SF_SMALL)
+    )
+    assert "CartesianProduct" not in plan, plan
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastHashJoin" in tree, tree
+    assert len(re.findall(r"\bWindow\b", tree)) == 2, tree
+    assert "_salt" in plan, plan
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert any("_salt" in s for s in specs), plan

@@ -217,3 +217,26 @@ def test_misra_gries_bounds_and_capture(spark):
         assert c - est <= n / (k + 1) + 1e-9, (v, est, c)
     # 600 > 1000/5 = 200: must be captured
     assert mg.get("hot", 0) > 0, mg
+
+
+def test_cms_pin_guard_raises_on_canon_drift(spark):
+    """The grid-replay oracle is only sound while the JVM sketch state
+    matches the pinned canon — a drifted pin must raise (driver-red),
+    never silently estimate against the wrong hashA."""
+    import pytest
+
+    from rick_and_morty_data_pipeline_project_spark.operators.sketches import (
+        CMS_CANON,
+        cms_point_estimates,
+    )
+
+    bad = dict(CMS_CANON, hash_a=tuple([1] * CMS_CANON["depth"]))
+    with pytest.raises(ValueError, match="pinned canon"):
+        cms_point_estimates(
+            spark.range(100).withColumnRenamed("id", "v"), "v", pin=bad
+        ).collect()
+    # and the true canon passes
+    ok = cms_point_estimates(
+        spark.range(100).withColumnRenamed("id", "v"), "v", pin=CMS_CANON
+    )
+    assert ok.count() == 100
