@@ -107,18 +107,28 @@ one-cycle-only limit on the born-after-freeze exemption via
 ``tools/pending_births.json``).  After this window the oldest green
 row anywhere in the ledger is r02.
 
-Round-7 continuation (post-freeze): 6 more oracled queries were born
-after the r07 freeze — ``join_interval_bucketized`` (keyless
-bucketized range join), ``dedup_jaccard_prefix_join`` (exact PPJoin
-set-similarity join), ``text_pii_redact``, ``sample_source_mixture``,
-``sketch_heavy_hitters_audit`` (Misra-Gries bounds),
-``audit_table_checksum`` (cross-engine order-insensitive fold) —
-recorded in ``tools/pending_births.json`` at round 6; their one-cycle
-exemption expires when CORRECTNESS_r07.json lands, making them rule-1
-mandatory for the r08 window.  The r08 window is further
-pre-committed by the max-age rule: the ~30 queries whose newest green
-row is r02 reach age 5 > 4 at the r08 freeze and must all rotate in
-(6 births + 30 over-age + flagship = 37 of 50 slots spoken for).
+Round-8 window (this file's ``DRIVER_WINDOW``): exactly the plan the
+round-7 verdict ordered, built from ``tools/rotation_report.py``
+output.  The 7 r7-post-freeze births lead (rule 1 — all 7 recorded in
+``tools/pending_births.json``: ``join_interval_bucketized``,
+``dedup_jaccard_prefix_join``, ``text_pii_redact``,
+``sample_source_mixture``, ``sketch_heavy_hitters_audit``,
+``audit_table_checksum``, AND ``join_pit_segment_revenue`` — 7, not
+the 6 an earlier revision of this docstring said), then the 3 r8-born
+entries (``topk_salted_segment_orders``, the grouped-topk-salted
+exemplar with a two-stage plan pin; ``sketch_cms_user_counts`` and
+``text_quantile_filter_approx``, both PROMOTED from rows-only — the
+CMS entry now hash-matches its ESTIMATES via a DuckDB grid replay of
+the pinned seed-42 sketch, the quantile entry via the tie-safe GK
+rank-bound audit shape), the 3 rule-2 stale re-greens
+(``audit_row_constraints`` — drifted after its r07 green;
+``sketch_cms_accuracy_audit`` — the cms_point_estimates pin
+parameter; ``text_quantile_filter`` — docstring cross-reference to
+the rewritten approx twin), flagship, all 30 queries whose newest
+green row is r02 (age 6 > 4: the complete over-age list under the
+max-age rule), and 6 oldest-green r04 refreshes (no r03-vintage rows
+exist).  10 + 3 + 1 + 30 + 6 = 50.  After this window the oldest
+green row anywhere in the ledger is r04.
 """
 
 from __future__ import annotations
@@ -168,6 +178,75 @@ for mod in (
 # json scalars — the entire over-age list the max-age rule flags).
 # 17+2+1+2+28 = 50.
 DRIVER_WINDOW: tuple[str, ...] = (
+    # ========== 10 never-driver-checked oracled queries (rule 1) =====
+    # the 7 r7-post-freeze births (one-cycle exemption expired with
+    # CORRECTNESS_r07.json) + the 3 r8-born entries (salted top-k
+    # exemplar, the two rows-only promotions)
+    "join_interval_bucketized",
+    "dedup_jaccard_prefix_join",
+    "text_pii_redact",
+    "sample_source_mixture",
+    "sketch_heavy_hitters_audit",
+    "audit_table_checksum",
+    "join_pit_segment_revenue",
+    "topk_salted_segment_orders",
+    "sketch_cms_user_counts",
+    "text_quantile_filter_approx",
+    # ========== rule-2 fingerprint-stale re-greens ===================
+    # audit_row_constraints drifted after its r07 green (pre-round);
+    # sketch_cms_accuracy_audit via the cms_point_estimates pin param;
+    # text_quantile_filter via its docstring cross-reference to the
+    # rewritten approx twin
+    "audit_row_constraints",
+    "sketch_cms_accuracy_audit",
+    "text_quantile_filter",
+    # ========== flagship (standing, every round) =====================
+    "flagship_greedy_match",
+    # ========== 30 max-age refreshes (newest green row = r02, age 6 >
+    # 4 at this freeze — the complete over-age list) ==================
+    "agg_exact_distinct",
+    "agg_grouping_sets",
+    "agg_macro_avg_rounded",
+    "agg_percentiles",
+    "agg_rollup_region_nation",
+    "array_functions",
+    "dedup_embedding_cosine",
+    "dedup_simhash",
+    "embedding_label_centroids",
+    "embedding_norms",
+    "events_hourly_rollup",
+    "join_asof_click_error",
+    "join_on_expression",
+    "join_range_user_window",
+    "join_self_lineitem_pairs",
+    "join_semi_customers_with_open_orders",
+    "knn_cosine_bruteforce",
+    "pivot_event_type_by_day",
+    "q2_scan_filter_project",
+    "scalar_math_functions",
+    "scalar_null_conditional",
+    "scalar_regex_functions",
+    "sessionize_events",
+    "set_ops_customers",
+    "sort_limit_top_orders",
+    "subquery_scalar_exists",
+    "text_emotion_by_source",
+    "text_rolling_fingerprint",
+    "text_token_stats",
+    "win_range_frame",
+    # ========== oldest-green refreshes (newest green row = r04; the
+    # r02 pool is exhausted above and no r03-vintage rows exist) ======
+    "basket_part_affinity",
+    "customer_rfm_segments",
+    "decontaminate_embedding_overlap",
+    "decontaminate_ngram_overlap",
+    "dedup_minhash_estimate_audit",
+    "dedup_semantic_clusters",
+)
+
+# Round-7 window, retired 2026-08-15 (all 50 earned green rows in
+# CORRECTNESS_r07.json; kept for the rotation ledger):
+_R07_WINDOW: tuple[str, ...] = (
     # ========== 17 never-driver-checked oracled queries =============
     "scalar_variant_functions",
     "supplier_market_hhi",
