@@ -20,6 +20,21 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from rick_and_morty_data_pipeline_project_spark.queries.catalog import QUERIES
 from rick_and_morty_data_pipeline_project_spark.session import get_spark
 
+# A pre-run 1-minute load above this means timings will be contended
+# and round-over-round comparison is unreliable (r6/r7 adjudications:
+# same code measured 12.0-12.2 s quiet vs 14.9-15.7 s at load 5.9-7.0).
+QUIET_LOAD_MAX = 3.0
+
+# Builder's most recent quiet-host run (same min-of-3 protocol),
+# carried IN the artifact so a reviewer of a contended recording can
+# compare like-for-like without hunting through PERFORMANCE.md.
+# Updated whenever the builder re-measures on a quiet host.
+BUILDER_QUIET_REFERENCE = {
+    "value": 13.974,
+    "host_load_1m_pre": 0.03,
+    "recorded": "2026-08-15 (round 8)",
+}
+
 HEADLINE = [
     "q1_pricing_summary",
     "q3_top_unshipped_orders",
@@ -54,6 +69,16 @@ def main() -> None:
         pre_load_1m = round(os.getloadavg()[0], 2)
     except OSError:
         pre_load_1m = None
+    if "--require-quiet" in sys.argv and (
+        pre_load_1m is None or pre_load_1m > QUIET_LOAD_MAX
+    ):
+        print(
+            f"bench: refusing to time on a contended host "
+            f"(1-min load {pre_load_1m} > {QUIET_LOAD_MAX}); "
+            f"re-run when quiet or drop --require-quiet",
+            file=sys.stderr,
+        )
+        raise SystemExit(2)
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -102,6 +127,14 @@ def main() -> None:
                 "protocol": "min_of_3",
                 "host_load_1m_pre": pre_load_1m,
                 "host_load_1m": load_1m,
+                # self-describing contention flag + the builder's best
+                # quiet-host number for like-for-like comparison when
+                # this recording ran contended (VERDICT r7 item 6)
+                "quiet_host": (
+                    pre_load_1m is not None
+                    and pre_load_1m <= QUIET_LOAD_MAX
+                ),
+                "builder_quiet_reference": BUILDER_QUIET_REFERENCE,
             }
         )
     )

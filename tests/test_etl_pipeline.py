@@ -233,3 +233,96 @@ def test_python_streaming_datasource_incremental_offsets(spark, tmp_path):
     drain()
     again = spark.read.parquet(out).collect()
     assert len(again) == 41, len(again)
+
+
+def test_python_streaming_datasource_crash_replay_committed_range(
+    spark, tmp_path
+):
+    """Crash-recovery contract of the streaming source (VERDICT r7
+    item 8): when a batch's offsets are in the checkpoint but the run
+    died before the commit record landed, the restarted query must
+    recover that batch through ``readBetweenOffsets(start, end)`` —
+    the prefetch cache died with the failed run — and the replayed
+    range must be exactly the one the offset log pinned, with the file
+    sink's batch-id dedup keeping the output exactly-once.  Simulated
+    by restarting from a COPY of the checkpoint with the newest
+    ``commits/`` entry removed (a copy, not in-place deletion: the
+    original session's in-JVM metadata cache treats behind-its-back
+    edits as a concurrent query — the copy is exactly what a fresh
+    process sees after a crash: on-disk state only)."""
+    import json
+    import os
+    import shutil
+
+    from rick_and_morty_data_pipeline_project_spark.sources.restapi_stream import (
+        EpisodeApiStreamDataSource,
+        EpisodeApiStreamReader,
+    )
+
+    marker = str(tmp_path / "replay_calls.jsonl")
+
+    class SpyReader(EpisodeApiStreamReader):
+        def readBetweenOffsets(self, start, end):
+            with open(marker, "a") as f:
+                f.write(json.dumps([start, end]) + "\n")
+            return super().readBetweenOffsets(start, end)
+
+    class SpyDataSource(EpisodeApiStreamDataSource):
+        @classmethod
+        def name(cls):
+            return "episode_api_stream_spy"
+
+        def simpleStreamReader(self, schema):
+            return SpyReader(self.options)
+
+    spark.dataSource.register(SpyDataSource)
+    ckpt = str(tmp_path / "ckpt")
+    ckpt2 = str(tmp_path / "ckpt_after_crash")
+    out = str(tmp_path / "out")
+
+    def drain(cp):
+        q = (
+            spark.readStream.format("episode_api_stream_spy")
+            .option("maxIdsPerBatch", "10")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain(ckpt)  # batch 0: ids 1-10, offsets/0 + commits/0 written
+    assert not os.path.exists(marker), "no replay on a clean first run"
+
+    # crash simulation: the write-ahead offset survived, but neither
+    # the commit record nor the sink's transaction-log entry landed —
+    # precisely the state a mid-batch failure leaves behind.  (Without
+    # also pruning the sink log, the file sink's batch-id dedup skips
+    # the replayed batch's job entirely and readBetweenOffsets never
+    # executes — the replay would be untested.)
+    shutil.copytree(ckpt, ckpt2)
+    last = sorted(
+        f for f in os.listdir(f"{ckpt2}/commits") if not f.startswith(".")
+    )[-1]
+    for victim in (
+        f"{ckpt2}/commits/{last}",
+        f"{ckpt2}/commits/.{last}.crc",
+        f"{out}/_spark_metadata/{last}",
+        f"{out}/_spark_metadata/.{last}.crc",
+    ):
+        if os.path.exists(victim):
+            os.remove(victim)
+
+    drain(ckpt2)  # restart: must recover batch 0 via readBetweenOffsets
+    assert os.path.exists(marker), "recovery never hit readBetweenOffsets"
+    calls = [json.loads(l) for l in open(marker)]
+    assert [int(c[0]["next_id"]) for c in calls] == [1], calls
+    assert [int(c[1]["next_id"]) for c in calls] == [11], calls
+
+    # drain to exhaustion: ids exactly-once despite the replay
+    for _ in range(4):
+        drain(ckpt2)
+    got = sorted(r["episode_id"] for r in spark.read.parquet(out).collect())
+    assert got == list(range(1, 42)), (len(got), got[:5])
