@@ -22,6 +22,7 @@ from rick_and_morty_data_pipeline_project_spark.queries._util import (
     Q,
     approx_pctl,
     dec,
+    dsum,
     t,
 )
 
@@ -3949,7 +3950,322 @@ SELECT change_type, count(*) AS n_rows FROM j GROUP BY change_type
 """
 
 
+
+# --------------------------------------------------------------------------
+_SEQ_PATTERNS = [
+    # event-type initials: c=click, e=error, p=purchase, s=signup, v=view
+    ("funnel_vcp", "v.*c.*p"),
+    ("funnel_vcp_clean", "v[^e]*c[^e]*p"),
+    ("signup_to_purchase", "s.*p"),
+]
+
+
+def events_sequence_match(spark, sf_dir):
+    """CEP-lite SEQUENCE PATTERN MATCHING over per-user event streams —
+    the complex-event-processing primitive SQL engines expose as
+    MATCH_RECOGNIZE (absent from both Spark and DuckDB): each user's
+    events, ordered by (ts, event_id), collapse to a type-initial
+    string and regular expressions match ORDERED patterns with
+    arbitrary gaps — including the negative condition ("no error
+    between the funnel steps", ``v[^e]*c[^e]*p``) that min-timestamp
+    funnel queries (events_funnel_steps) cannot express.
+
+    Scale: one groupBy on the high-cardinality user key (map-side
+    combinable collect), per-user state bounded by that user's
+    activity, regexes evaluated once per USER (not per event) by
+    codegen'd JVM expressions.  This is the standard distributed CEP
+    shape: sessionless per-key sequence fold + finite-pattern scan.
+
+    Determinism: (ts, event_id) ordering is tie-free (event_id unique);
+    both engines sort the same struct order and concatenate the same
+    initials.
+    """
+    e = t(spark, sf_dir, "events")
+    seq = e.groupBy("user_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("ts"),
+                            F.col("event_id"),
+                            F.substring("event_type", 1, 1).alias("ch"),
+                        )
+                    )
+                ),
+                lambda s: s["ch"],
+            ),
+        ).alias("seq")
+    )
+    aggs = [F.count(F.lit(1)).alias("n_users")]
+    for name, pat in _SEQ_PATTERNS:
+        aggs.append(
+            F.sum(F.col("seq").rlike(pat).cast("long")).alias(name)
+        )
+    return seq.agg(*aggs)
+
+
+EVENTS_SEQUENCE_SQL = """
+WITH seq AS (
+  SELECT user_id,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS s
+  FROM events GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(CASE WHEN regexp_matches(s, 'v.*c.*p')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS funnel_vcp,
+       CAST(sum(CASE WHEN regexp_matches(s, 'v[^e]*c[^e]*p')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS funnel_vcp_clean,
+       CAST(sum(CASE WHEN regexp_matches(s, 's.*p')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS signup_to_purchase
+FROM seq
+"""
+
+
+def orders_cdc_apply(spark, sf_dir):
+    """CHANGE-DATA-CAPTURE APPLY — materialize the current snapshot
+    from a base table plus an ordered change log (the lakehouse
+    ingestion primitive behind Delta/Hudi/Iceberg merge-on-read):
+    last-writer-wins per key by sequence number, deletes drop the key.
+    The log is derived deterministically in-query from orders so both
+    engines replay the identical stream: seq 0 = the base insert for
+    every order, seq 1 = an UPDATE (status 'X', price+10) for keys
+    divisible by 5, seq 2 = a DELETE for keys divisible by 11.
+
+    Scale: one union of three narrow projections of the same scan, one
+    rank window partitioned by the HIGH-cardinality order key (no
+    parallelism collapse), aggregate output |status| rows.  At 100 TB
+    this is exactly the CDC-compaction plan: shuffle by key once,
+    resolve versions in-partition, never a global sort.  Money sums in
+    exact DECIMAL (order-insensitive), surfaced as double.
+    """
+    from pyspark.sql.window import Window
+
+    o = t(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.lit(0).alias("_seq"),
+        F.lit("I").alias("_op"),
+    )
+    upd = o.filter(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey",
+        F.lit("X").alias("o_orderstatus"),
+        (F.col("o_totalprice") + 10.0).alias("o_totalprice"),
+        F.lit(1).alias("_seq"),
+        F.lit("U").alias("_op"),
+    )
+    dele = o.filter(F.col("o_orderkey") % 11 == 0).select(
+        "o_orderkey",
+        F.lit(None).cast("string").alias("o_orderstatus"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+        F.lit(2).alias("_seq"),
+        F.lit("D").alias("_op"),
+    )
+    log = base.unionByName(upd).unionByName(dele)
+    w = Window.partitionBy("o_orderkey").orderBy(F.desc("_seq"))
+    snap = (
+        log.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & (F.col("_op") != "D"))
+    )
+    return snap.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("total_price"),
+    )
+
+
+ORDERS_CDC_SQL = """
+WITH log AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice, 0 AS seq, 'I' AS op
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, 'X', o_totalprice + 10.0, 1, 'U'
+  FROM orders WHERE o_orderkey % 5 = 0
+  UNION ALL
+  SELECT o_orderkey, NULL, NULL, 2, 'D'
+  FROM orders WHERE o_orderkey % 11 = 0
+),
+snap AS (
+  SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                               ORDER BY seq DESC) AS rn
+  FROM log
+)
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+         AS total_price
+FROM snap WHERE rn = 1 AND op <> 'D'
+GROUP BY 1
+"""
+
+
+def orders_skyline_price_date(spark, sf_dir):
+    """2-D SKYLINE (Pareto frontier): orders not dominated in
+    (earlier-or-equal date, cheaper-or-equal price, strictly better in
+    at least one) — the multi-criteria "best offers" operator.  A row
+    survives iff no strictly earlier date reached a ≤ price (prefix
+    minimum) and no same-date row is strictly cheaper.
+
+    Scale — the dimension-reduction plan, NOT a quadratic NOT EXISTS
+    and NOT a global row window: per-date minima first (a map-side
+    combinable aggregate with |dates| output rows), a lag/prefix-min
+    window over THAT tiny date relation only, then one broadcast join
+    back to the corpus.  The full fact table is scanned twice, never
+    globally sorted, never self-joined.  Duplicated (date, price)
+    points are all kept (neither dominates: no strict coordinate).
+    """
+    from pyspark.sql.window import Window
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("_d"),
+        "o_totalprice",
+    )
+    per_date = o.groupBy("_d").agg(F.min("o_totalprice").alias("_dmin"))
+    w = Window.orderBy("_d").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    spine = per_date.select(
+        "_d",
+        "_dmin",
+        F.min("_dmin").over(w).alias("_before_min"),
+    )
+    sky = (
+        o.join(F.broadcast(spine), "_d")
+        .filter(
+            (
+                F.col("_before_min").isNull()
+                | (F.col("o_totalprice") < F.col("_before_min"))
+            )
+            & (F.col("o_totalprice") <= F.col("_dmin"))
+        )
+    )
+    return sky.select(
+        F.date_format("_d", "yyyy-MM-dd").alias("o_orderdate"),
+        "o_orderkey",
+        F.col("o_totalprice").alias("total_price"),
+    ).orderBy("o_orderdate", "o_orderkey")
+
+
+ORDERS_SKYLINE_SQL = """
+WITH o AS (
+  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d, o_totalprice
+  FROM orders
+),
+per_date AS (
+  SELECT d, min(o_totalprice) AS dmin FROM o GROUP BY 1
+),
+spine AS (
+  SELECT d, dmin,
+         min(dmin) OVER (ORDER BY d
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING) AS before_min
+  FROM per_date
+)
+SELECT strftime(o.d, '%Y-%m-%d') AS o_orderdate,
+       o.o_orderkey,
+       o.o_totalprice AS total_price
+FROM o JOIN spine USING (d)
+WHERE (spine.before_min IS NULL OR o.o_totalprice < spine.before_min)
+  AND o.o_totalprice <= spine.dmin
+ORDER BY 1, 2
+"""
+
+
+_FD_CANDIDATES = [
+    # (name, table, determinant cols, dependent col)
+    ("orderkey_to_custkey", "orders", ["o_orderkey"], "o_custkey"),
+    ("custkey_to_mktsegment", "customer", ["c_custkey"], "c_mktsegment"),
+    ("orderkey_to_orderstatus_li", "lineitem", ["l_orderkey"], "l_linestatus"),
+    ("suppkey_to_nationkey", "supplier", ["s_suppkey"], "s_nationkey"),
+    ("partkey_to_brand", "part", ["p_partkey"], "p_brand"),
+]
+
+
+def audit_functional_dependencies(spark, sf_dir):
+    """FUNCTIONAL-DEPENDENCY AUDIT — data-quality profiling's "does
+    A determine B" check over a candidate list: for each FD A → B,
+    the number of A-groups, how many of them violate the dependency
+    (more than one distinct B), and the holds verdict.  Catches
+    denormalization drift (one order key carrying two statuses after a
+    bad merge) that row-level CHECK constraints cannot see.
+
+    Scale: each candidate is one map-side combinable aggregate over a
+    two-column projection (count_distinct partials), output one row —
+    never a self-join, never a sort.  The candidate list is static, so
+    the whole audit is a union of independent narrow plans.
+    """
+    arms = []
+    for name, table, det, dep in _FD_CANDIDATES:
+        g = (
+            t(spark, sf_dir, table)
+            .groupBy(*det)
+            .agg(F.count_distinct(dep).alias("_ndep"))
+        )
+        arms.append(
+            g.agg(
+                F.lit(name).alias("fd"),
+                F.count(F.lit(1)).alias("n_groups"),
+                F.sum((F.col("_ndep") > 1).cast("long")).alias(
+                    "n_violating"
+                ),
+                (F.sum((F.col("_ndep") > 1).cast("long")) == 0).alias(
+                    "holds"
+                ),
+            )
+        )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out
+
+
+AUDIT_FD_SQL = """
+SELECT 'orderkey_to_custkey' AS fd,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating,
+       sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0 AS holds
+FROM (SELECT o_orderkey, count(DISTINCT o_custkey) AS nd
+      FROM orders GROUP BY 1)
+UNION ALL
+SELECT 'custkey_to_mktsegment', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+       sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0
+FROM (SELECT c_custkey, count(DISTINCT c_mktsegment) AS nd
+      FROM customer GROUP BY 1)
+UNION ALL
+SELECT 'orderkey_to_orderstatus_li', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+       sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0
+FROM (SELECT l_orderkey, count(DISTINCT l_linestatus) AS nd
+      FROM lineitem GROUP BY 1)
+UNION ALL
+SELECT 'suppkey_to_nationkey', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+       sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0
+FROM (SELECT s_suppkey, count(DISTINCT s_nationkey) AS nd
+      FROM supplier GROUP BY 1)
+UNION ALL
+SELECT 'partkey_to_brand', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+       sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0
+FROM (SELECT p_partkey, count(DISTINCT p_brand) AS nd
+      FROM part GROUP BY 1)
+"""
+
+
 QUERIES: dict[str, Q] = {
+    "events_sequence_match": Q(events_sequence_match, EVENTS_SEQUENCE_SQL),
+    "orders_cdc_apply": Q(orders_cdc_apply, ORDERS_CDC_SQL),
+    "orders_skyline_price_date": Q(
+        orders_skyline_price_date, ORDERS_SKYLINE_SQL
+    ),
+    "audit_functional_dependencies": Q(
+        audit_functional_dependencies, AUDIT_FD_SQL
+    ),
     "snapshot_diff_orders": Q(snapshot_diff_orders, SNAPSHOT_DIFF_SQL),
     "lineitem_corr_matrix": Q(lineitem_corr_matrix, LINEITEM_CORR_SQL),
     "events_ewma": Q(events_ewma, EVENTS_EWMA_SQL),

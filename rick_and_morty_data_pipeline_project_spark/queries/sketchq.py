@@ -504,8 +504,155 @@ GROUP BY 1
 """
 
 
+
+_KMV_K = 256
+
+
+def sketch_kmv_rollup(spark, sf_dir):
+    """Daily unique users from a K-MINIMUM-VALUES sketch — the
+    PORTABLE, fully-oracled counterpart of ``sketch_hll_rollup``: KMV's
+    state is just the k smallest uniform hashes of the distinct items
+    (Bar-Yossef et al. 2002; Beyer et al. SIGMOD'07 unbiased estimator
+    ``(k-1)/u_k``), every step of which is deterministic, engine-
+    independent arithmetic — md5 → 60-bit prefix → divide by 2^60 —
+    so DuckDB reproduces the ESTIMATES bit-exactly and the driver
+    hash-checks them (unlike DataSketches HLL register state, which is
+    the documented irreducible rows-only core).  Mergeable the same
+    way sketch tables need: the union's sketch is the k smallest of
+    the concatenated minima — the TOTAL row here re-derives it from
+    the global distinct set via a heap top-k.
+
+    Scale: the per-day k-minima come from the salted two-stage top-k
+    (``grouped_topk_salted`` — day is low-cardinality, the exact shape
+    a bare per-day rank window would serialize); the TOTAL arm is a
+    TakeOrderedAndProject heap, never a global sort.  Exact per-day
+    distinct counts ride the same aggregate for the small-day exact
+    branch (count < k ⇒ the sketch IS the distinct set).
+    """
+    from rick_and_morty_data_pipeline_project_spark.operators.topk import (
+        grouped_topk_salted,
+    )
+
+    e = t(spark, sf_dir, "events")
+    pairs = e.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "user_id"
+    ).distinct()
+    hashed = pairs.select(
+        "day",
+        "user_id",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("kmv:"), F.col("user_id").cast("string")
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .cast("double")
+            / F.lit(float(1 << 60))
+        ).alias("u"),
+    )
+    exact = pairs.groupBy("day").agg(F.count(F.lit(1)).alias("n_exact"))
+    kept = grouped_topk_salted(
+        hashed, ["day"], "u", _KMV_K, tiebreak="user_id"
+    )
+    per_day = (
+        kept.groupBy("day")
+        .agg(F.max("u").alias("_uk"), F.count(F.lit(1)).alias("_nk"))
+        .join(exact, "day")
+        .select(
+            "day",
+            "n_exact",
+            F.round(
+                F.when(
+                    F.col("n_exact") < _KMV_K,
+                    F.col("n_exact").cast("double"),
+                ).otherwise(F.lit(float(_KMV_K - 1)) / F.col("_uk")),
+                6,
+            ).alias("est_users"),
+        )
+    )
+    g_hashed = hashed.select("user_id", "u").distinct()
+    g_exact = g_hashed.agg(F.count(F.lit(1)).alias("n_exact"))
+    g_kept = g_hashed.orderBy("u", "user_id").limit(_KMV_K)
+    total = (
+        g_kept.agg(F.max("u").alias("_uk"))
+        .crossJoin(g_exact)  # one-row frames
+        .select(
+            F.lit("TOTAL").alias("day"),
+            "n_exact",
+            F.round(
+                F.when(
+                    F.col("n_exact") < _KMV_K,
+                    F.col("n_exact").cast("double"),
+                ).otherwise(F.lit(float(_KMV_K - 1)) / F.col("_uk")),
+                6,
+            ).alias("est_users"),
+        )
+    )
+    return per_day.unionByName(total).orderBy("day")
+
+
+KMV_ROLLUP_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day, user_id FROM events
+),
+hashed AS (
+  SELECT day, user_id,
+         CAST(CAST('0x' || substring(
+             md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT)
+           AS DOUBLE) / 1152921504606846976.0 AS u
+  FROM pairs
+),
+ranked AS (
+  SELECT day, u,
+         row_number() OVER (PARTITION BY day ORDER BY u, user_id) AS rn,
+         count(*) OVER (PARTITION BY day) AS n_exact
+  FROM hashed
+),
+per_day AS (
+  SELECT day,
+         CAST(any_value(n_exact) AS BIGINT) AS n_exact,
+         round(CASE WHEN any_value(n_exact) < 256
+                    THEN CAST(any_value(n_exact) AS DOUBLE)
+                    ELSE 255.0 / max(CASE WHEN rn = 256 THEN u END)
+               END, 6) AS est_users
+  FROM ranked WHERE rn <= 256 GROUP BY day
+),
+g AS (
+  SELECT DISTINCT user_id, u FROM hashed
+),
+g_ranked AS (
+  SELECT u, row_number() OVER (ORDER BY u, user_id) AS rn,
+         count(*) OVER () AS n_exact
+  FROM g
+),
+total AS (
+  SELECT 'TOTAL' AS day,
+         CAST(any_value(n_exact) AS BIGINT) AS n_exact,
+         round(CASE WHEN any_value(n_exact) < 256
+                    THEN CAST(any_value(n_exact) AS DOUBLE)
+                    ELSE 255.0 / max(CASE WHEN rn = 256 THEN u END)
+               END, 6) AS est_users
+  FROM g_ranked WHERE rn <= 256
+)
+SELECT * FROM per_day
+UNION ALL
+SELECT * FROM total
+ORDER BY day
+"""
+
+
 QUERIES: dict[str, Q] = {
     "sketch_hll_rollup": Q(sketch_hll_rollup, None),
+    "sketch_kmv_rollup": Q(sketch_kmv_rollup, KMV_ROLLUP_SQL),
     "sketch_cms_user_counts": Q(sketch_cms_user_counts, CMS_GRID_REPLAY_SQL),
     "events_rolling_dau_hll": Q(events_rolling_dau_hll, None),
     "sketch_hll_accuracy_audit": Q(sketch_hll_accuracy_audit, HLL_AUDIT_SQL),

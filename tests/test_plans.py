@@ -1179,3 +1179,65 @@ def test_topk_salted_exemplar_two_stage_plan(spark):
     assert "_salt" in plan, plan
     specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
     assert any("_salt" in s for s in specs), plan
+
+
+def test_skyline_dimension_reduction_plan(spark):
+    """The 2-D skyline must use the dimension-reduction plan: per-date
+    minima (tiny relation) → prefix-min window over THAT spine only →
+    broadcast join back.  Never a self-join NOT EXISTS, never a window
+    or sort over the raw order rows."""
+    from rick_and_morty_data_pipeline_project_spark.queries.catalog import _ALL
+
+    plan = formatted_plan(
+        _ALL["orders_skyline_price_date"].fn(spark, SF_SMALL)
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    tree = plan.split("\n\n")[0]
+    # exactly one Window (over the aggregated date spine), one
+    # broadcast join back, two scans of orders (spine arm + probe arm)
+    assert len(re.findall(r"\bWindow\b", tree)) == 1, tree
+    assert "BroadcastHashJoin" in tree, tree
+    assert len(re.findall(r"Scan parquet", tree)) == 2, tree
+
+
+def test_kmv_rollup_salted_per_day_and_heap_total(spark):
+    """The KMV sketch rollup's per-day k-minima must come from the
+    salted two-stage top-k (day is low-cardinality) and the TOTAL arm
+    from a TakeOrderedAndProject heap — never a bare per-day rank
+    window over the full distinct-pair relation, never a global
+    sort."""
+    from rick_and_morty_data_pipeline_project_spark.queries.catalog import _ALL
+
+    plan = formatted_plan(_ALL["sketch_kmv_rollup"].fn(spark, SF_SMALL))
+    assert "_salt" in plan, plan
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert any("_salt" in s for s in specs), plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_cdc_apply_keyed_window_no_sort(spark):
+    """CDC apply resolves versions with one rank window partitioned by
+    the high-cardinality order key over a union of narrow projections —
+    no global sort, no join (the log is derived in-plan)."""
+    from rick_and_morty_data_pipeline_project_spark.queries.catalog import _ALL
+
+    plan = formatted_plan(_ALL["orders_cdc_apply"].fn(spark, SF_SMALL))
+    tree = plan.split("\n\n")[0]
+    assert len(re.findall(r"\bWindow\b", tree)) == 1, tree
+    assert "Join" not in tree, tree
+    assert "Union" in tree, tree
+
+
+def test_sequence_match_regex_stays_jvm_side(spark):
+    """The CEP-lite sequence matcher folds each user's events into one
+    string and evaluates the pattern regexes as codegen'd JVM
+    expressions — no Python UDF, one scan, one shuffle (the user-key
+    aggregate)."""
+    from rick_and_morty_data_pipeline_project_spark.queries.catalog import _ALL
+
+    plan = formatted_plan(_ALL["events_sequence_match"].fn(spark, SF_SMALL))
+    assert "BatchEvalPython" not in plan, plan
+    assert "ArrowEvalPython" not in plan, plan
+    tree = plan.split("\n\n")[0]
+    assert len(re.findall(r"Scan parquet", tree)) == 1, tree

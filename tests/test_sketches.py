@@ -240,3 +240,31 @@ def test_cms_pin_guard_raises_on_canon_drift(spark):
         spark.range(100).withColumnRenamed("id", "v"), "v", pin=CMS_CANON
     )
     assert ok.count() == 100
+
+
+def test_kmv_estimator_accuracy_and_exact_branch(spark):
+    """KMV contract: on the exact branch (distinct < k) the estimate
+    IS the exact count; on the estimator branch the (k-1)/u_k estimate
+    must sit within 4 standard errors (4/sqrt(k-2)) of truth — the
+    Beyer et al. unbiased-estimator bound, deterministic here because
+    the hashes are content-derived."""
+    from rick_and_morty_data_pipeline_project_spark.queries.sketchq import (
+        _KMV_K,
+        sketch_kmv_rollup,
+    )
+
+    rows = {
+        r["day"]: r
+        for r in sketch_kmv_rollup(spark, "/root/testdata/sf0.1").collect()
+    }
+    assert "TOTAL" in rows
+    est_branch = exact_branch = 0
+    for day, r in rows.items():
+        if r["n_exact"] < _KMV_K:
+            exact_branch += 1
+            assert r["est_users"] == float(r["n_exact"]), r
+        else:
+            est_branch += 1
+            rel = abs(r["est_users"] - r["n_exact"]) / r["n_exact"]
+            assert rel <= 4.0 / (_KMV_K - 2) ** 0.5, (day, r, rel)
+    assert est_branch >= 1, "estimator branch never exercised at sf0.1"

@@ -1271,3 +1271,104 @@ def test_mg_table_stream_bounds_hold_per_batch(spark, tmp_path):
         for r in spark.read.parquet(table_dir).collect()
     )
     assert after == before
+
+
+def test_cdc_apply_stream_matches_batch_snapshot(spark, tmp_path):
+    """Streaming CDC apply ≡ the batch orders_cdc_apply snapshot: the
+    SAME derived change log (base inserts seq 0, key%5 updates seq 1,
+    key%11 deletes seq 2) drains through an arbitrary micro-batch
+    slicing — updates and deletes in a LATER trigger than the base —
+    and the latest emission per key, tombstones dropped, grouped by
+    status, must equal the batch query bit-for-bit (max_by LWW is
+    order-insensitive, so slicing cannot change the converged
+    snapshot)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from rick_and_morty_data_pipeline_project_spark.streaming.cdc import (
+        CDC_CHANGE_SCHEMA,
+        cdc_apply_stream,
+    )
+
+    o = spark.read.parquet(f"{SF_SMALL}/orders.parquet").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    base = o.select(
+        "o_orderkey",
+        F.lit("I").alias("_op"),
+        "o_orderstatus",
+        "o_totalprice",
+        F.lit(0).cast("long").alias("_seq"),
+    )
+    upd = o.filter(k % 5 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("_op"),
+        F.lit("X").alias("o_orderstatus"),
+        (F.col("o_totalprice") + 10.0).alias("o_totalprice"),
+        F.lit(1).cast("long").alias("_seq"),
+    )
+    dele = o.filter(k % 11 == 0).select(
+        "o_orderkey",
+        F.lit("D").alias("_op"),
+        F.lit(None).cast("string").alias("o_orderstatus"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+        F.lit(2).cast("long").alias("_seq"),
+    )
+
+    src = tmp_path / "cdc_incoming"
+    src.mkdir()
+    for name, df in (("a", base), ("b", upd.unionByName(dele))):
+        d = tmp_path / f"_cdc_{name}"
+        df.coalesce(1).write.parquet(str(d))
+        shutil.copy(next(d.glob("part-*.parquet")), src / f"{name}.parquet")
+    _pin_file_order(src / "a.parquet", src / "b.parquet")
+
+    stream = (
+        spark.readStream.schema(CDC_CHANGE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        cdc_apply_stream(stream)
+        .writeStream.format("memory")
+        .queryName("cdc_snapshot")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    latest = {}
+    for r in spark.sql("SELECT * FROM cdc_snapshot").collect():
+        if (
+            r["o_orderkey"] not in latest
+            or r["_seq"] > latest[r["o_orderkey"]]["_seq"]
+        ):
+            latest[r["o_orderkey"]] = r
+    got = {}
+    for r in latest.values():
+        if r["_op"] == "D":
+            continue
+        n, s = got.get(r["o_orderstatus"], (0, 0.0))
+        got[r["o_orderstatus"]] = (n + 1, s)
+    # exact-decimal sums for the money comparison, like the batch arm
+    import decimal
+
+    sums = {}
+    for r in latest.values():
+        if r["_op"] == "D":
+            continue
+        sums[r["o_orderstatus"]] = sums.get(
+            r["o_orderstatus"], decimal.Decimal(0)
+        ) + decimal.Decimal(f"{r['o_totalprice']:.2f}")
+
+    want = {
+        r["o_orderstatus"]: (r["n_orders"], r["total_price"])
+        for r in QUERIES["orders_cdc_apply"].fn(spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(want)
+    for st in want:
+        assert got[st][0] == want[st][0], st
+        assert float(sums[st]) == want[st][1], (st, sums[st], want[st])

@@ -57,7 +57,15 @@ ANNOTATED = {
     "dedup_jaccard_prefix_join": "exact global Jaccard >= 0.8: rare-first prefix index probed by full postings (shuffle_hash on the shingle key), length filter inside the join, decimal-free integer-exact verify — candidates proportional to prefix collisions, posting relation checkpointed once",
     "customer_rfm_segments_approx_audit": "RFM threshold audit: per-customer aggregate, one 9-scalar sketch aggregate broadcast back, one 18-sum rank count, 9 labelled rows exploded from a single aggregated row — 4 bounded scans, never a per-metric rescan",
     "text_pii_redact": "PII scrub: one narrow scan, zero exchanges — regexp_extract_all counts + chained global regexp_replace are codegen'd; only (id, counts, md5) leave the stage",
-    "sample_source_mixture": "data mixing: per-source count agg (tiny) -> quotas broadcast back -> ONE rank window partitioned by source; hash-rank selection is content-addressed, layout-independent",
+    "sample_source_mixture": "data mixing: per-source count agg (tiny) -> quotas broadcast back -> ONE rank window partitioned by source (double-gated r8: dispatches to the salted two-stage top-k above the per-source cap, bit-identical selection); hash-rank selection is content-addressed, layout-independent",
+    "topk_salted_segment_orders": "salted two-stage top-k exemplar: stage-1 window partitioned by (segment, _salt) over the broadcast-joined facts, stage-2 re-rank over <= 32*k survivors; never one task per 5-value segment",
+    "sketch_cms_user_counts": "Count-Min promoted oracle: single count_min_sketch aggregate (fixed grid state), one bounded driver collect, Arrow-batched probe over the reduced item relation; estimates replayed bit-exactly by the DuckDB grid oracle",
+    "text_quantile_filter_approx": "approx-median audit shape: one map-combinable per-lang agg carrying exact+sketch medians, thresholds broadcast back, GK rank booleans computed over the same single corpus scan",
+    "events_sequence_match": "CEP-lite: one scan, one user-key aggregate folding ordered type-initials, regexes codegen'd per USER; no Python, no second shuffle",
+    "orders_cdc_apply": "CDC apply: union of 3 narrow projections of one table, rank window on the HIGH-cardinality key, |status|-row aggregate; no join, no global sort",
+    "orders_skyline_price_date": "2-D skyline by dimension reduction: per-date min agg (tiny spine) -> prefix-min window over the spine only -> broadcast join back; 2 scans, 1 Window, no self-join",
+    "audit_functional_dependencies": "FD audit: one count-distinct aggregate per candidate, unioned one-row arms; map-combinable, no sort",
+    "sketch_kmv_rollup": "portable KMV sketch: per-day k-minima via salted two-stage top-k, TOTAL via TakeOrderedAndProject heap; estimates cross-engine deterministic",
     "sketch_heavy_hitters_audit": "MG heavy hitters: one Arrow-batched mapInPandas reduces each partition to <=k rows, driver merges bounded counters and inlines <=k estimates as a literal map; exact arm is one map-combinable aggregate",
     "join_pit_segment_revenue": "point-in-time join: hash join on c_custkey with the half-open [valid_from, valid_to) string-date interval as residual filter; the SCD2 dimension is rebuilt by the shared query, orders scanned once",
     "audit_table_checksum": "cross-engine checksum: one pruned scan + one map-combinable decimal sum per table (3 arms), no Sort/Window/Join — order-insensitivity is the point of the fold",
