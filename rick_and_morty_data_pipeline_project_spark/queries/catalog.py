@@ -159,24 +159,18 @@ for mod in (
         _ALL[name] = q
 
 # The 50 driver-checked slots.  All must carry a full DuckDB oracle.
-# Round-7 rotation (standing policy in the module docstring, plus the
-# r7 max-age rule: no green certificate may fall more than 4 rounds
-# behind the latest CORRECTNESS round while unscheduled —
+# Round-8 rotation (standing policy in the module docstring; max-age
+# rule: no green certificate may fall more than 4 rounds behind the
+# latest CORRECTNESS round while unscheduled —
 # tools/rotation_report.py --assert-no-debt enforces it):
-# 17 never-checked (all born after the r06 freeze: VARIANT functions,
-# HHI, triangle census, k-core peel, LSH recall audit, profile drift,
-# k-anonymity, CHECK constraints, chi-square, Kaplan-Meier, A/B
-# z-test, key gaps, Benford, BPE encode, zorder layout,
-# range-partition plan, MV refresh — rule 1)
-# + 2 r7-born audit-twin promotions (hourly-percentile rank audit,
-# RFM threshold rank audit — r6 item 6)
+# 10 never-checked (the 7 r7-post-freeze births + the 3 r8-born
+# entries: salted top-k exemplar and the two rows-only promotions)
+# + 3 rule-2 fingerprint-stale re-greens
 # + flagship
-# + 2 rule-2 stale re-greens (the tfidf pair: the r7 prefix-filter /
-# doc-cap rewrite of the cosine join changes their fingerprints)
-# + 28 max-age refreshes — every query whose only green row dates to
-# r01 (q4, q7–q22, the window-function family, cube/ntile, datetime/
-# json scalars — the entire over-age list the max-age rule flags).
-# 17+2+1+2+28 = 50.
+# + 30 max-age refreshes — every query whose newest green row is r02
+#   (age 6 > 4 at this freeze; the complete over-age list)
+# + 6 oldest-green r04 refreshes (no r03-vintage rows exist).
+# 10+3+1+30+6 = 50.
 DRIVER_WINDOW: tuple[str, ...] = (
     # ========== 10 never-driver-checked oracled queries (rule 1) =====
     # the 7 r7-post-freeze births (one-cycle exemption expired with
@@ -245,7 +239,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
 )
 
 # Round-7 window, retired 2026-08-15 (all 50 earned green rows in
-# CORRECTNESS_r07.json; kept for the rotation ledger):
+# CORRECTNESS_r07.json; kept for the rotation ledger).  Composition:
+# 17 never-checked r6-post-freeze births + 2 r7-born audit-twin
+# promotions + flagship + 2 rule-2 stale re-greens (the tfidf pair,
+# whose candidate generation was rewritten in r7) + 28 max-age
+# refreshes whose only green row dated to r01; 17+2+1+2+28 = 50.
 _R07_WINDOW: tuple[str, ...] = (
     # ========== 17 never-driver-checked oracled queries =============
     "scalar_variant_functions",

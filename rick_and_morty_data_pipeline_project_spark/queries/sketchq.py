@@ -565,7 +565,7 @@ def sketch_kmv_rollup(spark, sf_dir):
     )
     per_day = (
         kept.groupBy("day")
-        .agg(F.max("u").alias("_uk"), F.count(F.lit(1)).alias("_nk"))
+        .agg(F.max("u").alias("_uk"))
         .join(exact, "day")
         .select(
             "day",

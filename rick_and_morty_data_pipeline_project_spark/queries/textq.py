@@ -2624,8 +2624,9 @@ def text_quantile_filter_approx(spark, sf_dir):
     bounded in tests/test_approx.py.
 
     Scale: same plan as the exact twin — one map-combinable per-lang
-    agg (fixed-size sketch state), thresholds broadcast back, one
-    corpus scan.
+    agg (fixed-size sketch state), thresholds broadcast back, two
+    bounded scans of documents (the agg arm and the join-back rank
+    arm; Catalyst does not share the subtree).
     """
     d = t(spark, sf_dir, "documents")
     scored = d.select(

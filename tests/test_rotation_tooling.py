@@ -122,3 +122,41 @@ def test_birth_exemption_lasts_one_cycle_only():
         max_round=7, pending=pending,
     )
     assert pending == {} and unscheduled == ["newborn"]
+
+
+def test_fingerprints_stable_across_processes():
+    """Fingerprints must be process-stable: audit_row_constraints'
+    closure includes _ROW_RULES, a constant table holding lambdas whose
+    default repr embeds a per-process memory address — the r08 manifest
+    drift bug.  Two fresh interpreters (one with the oracle env var
+    set, which changes import-time state) must agree on every
+    fingerprint."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    code = (
+        "import sys, json; sys.path.insert(0, '.'); sys.argv=['x']\n"
+        "from tools.rotation_report import query_fingerprints\n"
+        "print(json.dumps(query_fingerprints(), sort_keys=True))\n"
+    )
+    outs = []
+    for extra in ({}, {"SPARK_GRAFT_ORACLE_SF_DIR": "/root/testdata/sf0.1"}):
+        env = dict(os.environ)
+        env.pop("SPARK_GRAFT_ORACLE_SF_DIR", None)
+        env.update(extra)
+        r = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True,
+            text=True,
+            env=env,
+            cwd="/root/repo",
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        outs.append(json.loads(r.stdout))
+    assert outs[0] == outs[1], {
+        k: (outs[0][k], outs[1][k])
+        for k in outs[0]
+        if outs[0].get(k) != outs[1].get(k)
+    }

@@ -1347,22 +1347,18 @@ def test_cdc_apply_stream_matches_batch_snapshot(spark, tmp_path):
             or r["_seq"] > latest[r["o_orderkey"]]["_seq"]
         ):
             latest[r["o_orderkey"]] = r
+    # count + exact-decimal money sum per status, like the batch arm
+    import decimal
+
     got = {}
     for r in latest.values():
         if r["_op"] == "D":
             continue
-        n, s = got.get(r["o_orderstatus"], (0, 0.0))
-        got[r["o_orderstatus"]] = (n + 1, s)
-    # exact-decimal sums for the money comparison, like the batch arm
-    import decimal
-
-    sums = {}
-    for r in latest.values():
-        if r["_op"] == "D":
-            continue
-        sums[r["o_orderstatus"]] = sums.get(
-            r["o_orderstatus"], decimal.Decimal(0)
-        ) + decimal.Decimal(f"{r['o_totalprice']:.2f}")
+        n, s = got.get(r["o_orderstatus"], (0, decimal.Decimal(0)))
+        got[r["o_orderstatus"]] = (
+            n + 1,
+            s + decimal.Decimal(f"{r['o_totalprice']:.2f}"),
+        )
 
     want = {
         r["o_orderstatus"]: (r["n_orders"], r["total_price"])
@@ -1371,4 +1367,4 @@ def test_cdc_apply_stream_matches_batch_snapshot(spark, tmp_path):
     assert set(got) == set(want)
     for st in want:
         assert got[st][0] == want[st][0], st
-        assert float(sums[st]) == want[st][1], (st, sums[st], want[st])
+        assert float(got[st][1]) == want[st][1], (st, got[st], want[st])

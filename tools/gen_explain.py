@@ -60,7 +60,7 @@ ANNOTATED = {
     "sample_source_mixture": "data mixing: per-source count agg (tiny) -> quotas broadcast back -> ONE rank window partitioned by source (double-gated r8: dispatches to the salted two-stage top-k above the per-source cap, bit-identical selection); hash-rank selection is content-addressed, layout-independent",
     "topk_salted_segment_orders": "salted two-stage top-k exemplar: stage-1 window partitioned by (segment, _salt) over the broadcast-joined facts, stage-2 re-rank over <= 32*k survivors; never one task per 5-value segment",
     "sketch_cms_user_counts": "Count-Min promoted oracle: single count_min_sketch aggregate (fixed grid state), one bounded driver collect, Arrow-batched probe over the reduced item relation; estimates replayed bit-exactly by the DuckDB grid oracle",
-    "text_quantile_filter_approx": "approx-median audit shape: one map-combinable per-lang agg carrying exact+sketch medians, thresholds broadcast back, GK rank booleans computed over the same single corpus scan",
+    "text_quantile_filter_approx": "approx-median audit shape: one map-combinable per-lang agg carrying exact+sketch medians, thresholds broadcast back; two bounded scans of documents (agg arm + join-back rank arm)",
     "events_sequence_match": "CEP-lite: one scan, one user-key aggregate folding ordered type-initials, regexes codegen'd per USER; no Python, no second shuffle",
     "orders_cdc_apply": "CDC apply: union of 3 narrow projections of one table, rank window on the HIGH-cardinality key, |status|-row aggregate; no join, no global sort",
     "orders_skyline_price_date": "2-D skyline by dimension reduction: per-date min agg (tiny spine) -> prefix-min window over the spine only -> broadcast join back; 2 scans, 1 Window, no self-join",

@@ -95,6 +95,36 @@ def _module_import_map(module_name: str) -> dict[str, str]:
     return out
 
 
+_ADDR_RE = re.compile(r" at 0x[0-9a-fA-F]+")
+
+
+def _stable_repr(obj) -> str:
+    """repr that is stable across processes: container reprs embed a
+    per-process memory address for any callable element (lambda rule
+    predicates, bound methods); normalize those addresses away, and for
+    module-level functions substitute their SOURCE so editing a lambda
+    inside a constant table still flags the query stale."""
+    import inspect as _inspect
+
+    if callable(obj):
+        try:
+            return _ADDR_RE.sub("", _inspect.getsource(obj))
+        except (OSError, TypeError):
+            return _ADDR_RE.sub("", repr(obj))
+    if isinstance(obj, (list, tuple)):
+        inner = ", ".join(_stable_repr(v) for v in obj)
+        return f"[{inner}]" if isinstance(obj, list) else f"({inner})"
+    if isinstance(obj, dict):
+        return (
+            "{"
+            + ", ".join(
+                f"{k!r}: {_stable_repr(v)}" for k, v in obj.items()
+            )
+            + "}"
+        )
+    return _ADDR_RE.sub("", repr(obj))
+
+
 def query_fingerprints() -> dict[str, str]:
     from rick_and_morty_data_pipeline_project_spark.queries.catalog import _ALL
 
@@ -164,11 +194,18 @@ def query_fingerprints() -> dict[str, str]:
                     # dict/list included too: queries depend on module-
                     # level tables like LANG_MARKERS / _LSH_TABLES, and
                     # editing those must flag the query stale.  repr of
-                    # dict/list is deterministic (insertion-ordered).
-                    helpers[nm] = f"{nm}={obj!r}"
+                    # dict/list is deterministic (insertion-ordered) —
+                    # EXCEPT when a container holds callables (e.g.
+                    # _ROW_RULES' lambda predicates), whose default
+                    # repr embeds a per-process memory address; mask
+                    # those or the fingerprint drifts every run (the
+                    # r08 audit_row_constraints manifest bug).
+                    helpers[nm] = f"{nm}={_stable_repr(obj)}"
                 elif isinstance(obj, (set, frozenset)):
                     # sets have no stable iteration order — sort reprs
-                    helpers[nm] = f"{nm}={sorted(map(repr, obj))!r}"
+                    helpers[nm] = (
+                        f"{nm}={sorted(_stable_repr(v) for v in obj)!r}"
+                    )
             # deterministic order — a set-iteration order here would
             # make the fingerprints themselves nondeterministic
             parts.extend(helpers[nm] for nm in sorted(helpers))
@@ -188,7 +225,16 @@ def query_fingerprints() -> dict[str, str]:
                     frontier.append(p2)
         for path in sorted(seen_files):
             parts.append(file_text(path))
-        fps[name] = hashlib.md5("\n".join(parts).encode()).hexdigest()
+        # The profile_table_files oracles are PATH-PARAMETERIZED by
+        # design (SPARK_GRAFT_ORACLE_SF_DIR is captured into their SQL
+        # at import); mask the configured dir so the fingerprint
+        # reflects the query, not which SF the current process happens
+        # to point at.
+        sf_mask = os.environ.get(
+            "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+        )
+        blob = "\n".join(parts).replace(sf_mask, "<SF_DIR>")
+        fps[name] = hashlib.md5(blob.encode()).hexdigest()
     return fps
 
 
