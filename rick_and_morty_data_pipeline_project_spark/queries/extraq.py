@@ -4257,14 +4257,285 @@ FROM (SELECT p_partkey, count(DISTINCT p_brand) AS nd
 """
 
 
+
+def events_transition_matrix(spark, sf_dir):
+    """Markov TRANSITION MATRIX over per-user event streams — "what do
+    users do next": for every ordered (from_type → to_type) step, the
+    transition count and the conditional probability
+    P(to | from) = n / Σ_from n.  The standard product-analytics path
+    model; composes with ``events_sequence_match`` (this is the
+    1st-order summary, that is the arbitrary-pattern matcher).
+
+    Scale: one lead() window partitioned by the HIGH-cardinality user
+    key (no parallelism collapse), one map-combinable pair count, and
+    the probability normalizer is a window over the ≤ |types|² count
+    relation — constant-size at any corpus.  Probability is one
+    long/long double division, bit-identical across engines.
+    """
+    from pyspark.sql.window import Window
+
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("_next", F.lead("event_type").over(w))
+        .filter(F.col("_next").isNotNull())
+    )
+    counts = pairs.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("_next").alias("to_type"),
+    ).agg(F.count(F.lit(1)).alias("n_transitions"))
+    tot = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        (
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(tot).cast("double")
+        ).alias("p_transition"),
+    )
+
+
+EVENTS_TRANSITION_SQL = """
+WITH pairs AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events
+),
+counts AS (
+  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_transitions
+  FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, n_transitions,
+       CAST(n_transitions AS DOUBLE)
+         / CAST(sum(n_transitions) OVER (PARTITION BY from_type)
+                AS DOUBLE) AS p_transition
+FROM counts
+"""
+
+
+def events_user_trend_slope(spark, sf_dir):
+    """Per-user OLS TREND SLOPE of event value over time — the
+    feature-engineering primitive behind "is this user's engagement
+    rising or falling".  Exactness discipline: x is floor-second epoch
+    CENTERED per user (x − min(x), conditioning the normal equations —
+    raw epoch seconds ~1.7e9 would make n·Σxy − Σx·Σy catastrophic
+    cancellation), all five sufficient statistics are EXACT (integer
+    sums for x, DECIMAL(12,2) sums for the 2-decimal value column, an
+    exact decimal Σxy), and the closed form runs in double only at the
+    very end — bit-identical across engines, no estimator internals.
+
+    Scale: one min-window + one aggregate, both partitioned by the
+    high-cardinality user key; map-side combinable sums; output one
+    row per user.  Centered x ≤ the per-user activity span in seconds,
+    so Σx² stays far inside int64 for any realistic retention window
+    (2.6 M s span × millions of events/user before overflow).
+    """
+    from pyspark.sql.window import Window
+
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    base = e.select(
+        "user_id",
+        F.unix_timestamp("ts").alias("_x"),
+        dec("value", 12, 2).alias("_y"),
+    )
+    centered = base.withColumn(
+        "_xc", F.col("_x") - F.min("_x").over(w)
+    )
+    agg = centered.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("_xc").alias("_sx"),
+        F.sum(F.col("_xc") * F.col("_xc")).alias("_sxx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_y") * F.col("_xc").cast("decimal(8,0)")).alias(
+            "_sxy"
+        ),
+    )
+    n = F.col("n_events").cast("double")
+    sx = F.col("_sx").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    sy = F.col("_sy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    den = n * sxx - sx * sx
+    return (
+        agg.filter(den > 0)
+        .select(
+            "user_id",
+            "n_events",
+            F.round((n * sxy - sx * sy) / den, 9).alias("slope"),
+        )
+    )
+
+
+EVENTS_TREND_SQL = """
+WITH base AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS x,
+         CAST(value AS DECIMAL(12,2)) AS y
+  FROM events
+),
+centered AS (
+  SELECT user_id, x - min(x) OVER (PARTITION BY user_id) AS xc, y
+  FROM base
+),
+agg AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(xc) AS BIGINT) AS sx,
+         CAST(sum(xc * xc) AS BIGINT) AS sxx,
+         sum(y) AS sy,
+         sum(y * CAST(xc AS DECIMAL(8,0))) AS sxy
+  FROM centered GROUP BY 1
+)
+SELECT user_id, n_events,
+       round((CAST(n_events AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n_events AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 9) AS slope
+FROM agg
+WHERE CAST(n_events AS DOUBLE) * CAST(sxx AS DOUBLE)
+      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+"""
+
+
+
+_WPCT_PS = [("0.25", 1, 4), ("0.50", 1, 2), ("0.75", 3, 4)]
+_WPCT_BUCKETS = 256
+
+
+def lineitem_weighted_percentiles(spark, sf_dir):
+    """EXACT weighted percentiles (quantity-weighted price quartiles)
+    by two-pass COUNTING SELECTION — the scale-correct way to get an
+    exact order statistic out of a distributed table without ever
+    sorting it: pass 1 buckets the integer-cents value domain into 256
+    ranges and aggregates each bucket's total weight (map-combinable;
+    the bucket relation is a bounded driver collect, the same
+    gate-probe shape as the tfidf/CMS probes); the driver prefix-sums
+    256 rows and finds each percentile's target bucket; pass 2
+    re-scans ONLY those ≤3 buckets — the bucket bounds translate to
+    BETWEEN predicates on the raw price column, so the filter pushes
+    into the parquet scan — and ranks the few surviving distinct
+    values.  Exactness is all-integer: cents = decimal(12,2)·100,
+    whole-unit weights, and the percentile condition
+    ``b·cumW ≥ a·W`` (for p = a/b) never touches a float; the answer
+    is bit-identical to the oracle's full cumulative-window scan.
+
+    Scale: no global sort, no global window over data rows; the only
+    windows run over one bucket's distinct values (|domain|/256).  A
+    skewed bucket can be recursed with the same two passes — noted,
+    not needed at any tested SF.
+    """
+    from pyspark.sql.window import Window
+
+    li = t(spark, sf_dir, "lineitem")
+    v = li.select(
+        (dec("l_extendedprice", 12, 2) * 100).cast("long").alias("_c"),
+        F.col("l_quantity").cast("long").alias("_w"),
+    )
+    lo, hi = v.agg(F.min("_c"), F.max("_c")).collect()[0]
+    width = max(1, (int(hi) - int(lo) + _WPCT_BUCKETS) // _WPCT_BUCKETS)
+    bucketed = v.groupBy(
+        ((F.col("_c") - F.lit(int(lo))) / F.lit(width))
+        .cast("long")
+        .alias("_b")
+    ).agg(F.sum("_w").alias("_bw"))
+    rows = sorted(
+        (int(r["_b"]), int(r["_bw"])) for r in bucketed.collect()
+    )
+    total = sum(bw for _, bw in rows)
+    targets = {}  # bucket -> list of (label, a, b, prior_cum)
+    for label, a, b in _WPCT_PS:
+        cum = 0
+        for bkt, bw in rows:
+            if (cum + bw) * b >= total * a:
+                targets.setdefault(bkt, []).append((label, a, b, cum))
+                break
+            cum += bw
+    cond = None
+    for bkt in targets:
+        c_lo = int(lo) + bkt * width
+        c_hi = c_lo + width - 1
+        rng = F.col("_c").between(c_lo, c_hi)
+        cond = rng if cond is None else (cond | rng)
+    per_value = (
+        v.filter(cond)
+        .groupBy("_c")
+        .agg(F.sum("_w").alias("_vw"))
+        .withColumn(
+            "_b",
+            ((F.col("_c") - F.lit(int(lo))) / F.lit(width)).cast("long"),
+        )
+    )
+    w = Window.partitionBy("_b").orderBy("_c")
+    ranked = per_value.withColumn("_cum", F.sum("_vw").over(w))
+    arms = []
+    for bkt, specs in targets.items():
+        for label, a, b, prior in specs:
+            hit = (
+                ranked.filter(F.col("_b") == bkt)
+                .filter((F.col("_cum") + F.lit(prior)) * b >= total * a)
+                .agg(
+                    F.lit(label).alias("p"),
+                    (F.min("_c").cast("double") / 100.0).alias("value"),
+                    F.lit(total).cast("long").alias("total_weight"),
+                )
+            )
+            arms.append(hit)
+    out = arms[0]
+    for a_ in arms[1:]:
+        out = out.unionByName(a_)
+    return out.orderBy("p")
+
+
+WEIGHTED_PCT_SQL = """
+WITH v AS (
+  SELECT CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+           AS cents,
+         CAST(l_quantity AS BIGINT) AS w
+  FROM lineitem
+),
+pv AS (SELECT cents, sum(w) AS w FROM v GROUP BY 1),
+c AS (
+  SELECT cents,
+         sum(w) OVER (ORDER BY cents) AS cw,
+         (SELECT sum(w) FROM pv) AS tw
+  FROM pv
+)
+SELECT '0.25' AS p, CAST(min(cents) AS DOUBLE) / 100.0 AS value,
+       CAST(any_value(tw) AS BIGINT) AS total_weight
+FROM c WHERE cw * 4 >= tw
+UNION ALL
+SELECT '0.50', CAST(min(cents) AS DOUBLE) / 100.0,
+       CAST(any_value(tw) AS BIGINT)
+FROM c WHERE cw * 2 >= tw
+UNION ALL
+SELECT '0.75', CAST(min(cents) AS DOUBLE) / 100.0,
+       CAST(any_value(tw) AS BIGINT)
+FROM c WHERE cw * 4 >= tw * 3
+ORDER BY p
+"""
+
+
 QUERIES: dict[str, Q] = {
     "events_sequence_match": Q(events_sequence_match, EVENTS_SEQUENCE_SQL),
+    "events_transition_matrix": Q(
+        events_transition_matrix, EVENTS_TRANSITION_SQL
+    ),
+    "events_user_trend_slope": Q(
+        events_user_trend_slope, EVENTS_TREND_SQL
+    ),
     "orders_cdc_apply": Q(orders_cdc_apply, ORDERS_CDC_SQL),
     "orders_skyline_price_date": Q(
         orders_skyline_price_date, ORDERS_SKYLINE_SQL
     ),
     "audit_functional_dependencies": Q(
         audit_functional_dependencies, AUDIT_FD_SQL
+    ),
+    "lineitem_weighted_percentiles": Q(
+        lineitem_weighted_percentiles, WEIGHTED_PCT_SQL
     ),
     "snapshot_diff_orders": Q(snapshot_diff_orders, SNAPSHOT_DIFF_SQL),
     "lineitem_corr_matrix": Q(lineitem_corr_matrix, LINEITEM_CORR_SQL),

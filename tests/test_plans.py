@@ -1241,3 +1241,48 @@ def test_sequence_match_regex_stays_jvm_side(spark):
     assert "ArrowEvalPython" not in plan, plan
     tree = plan.split("\n\n")[0]
     assert len(re.findall(r"Scan parquet", tree)) == 1, tree
+
+
+def test_transition_matrix_two_windows_one_scan(spark):
+    """Transition matrix: one scan, the lead() window on the
+    high-cardinality user key, and the probability normalizer window
+    over the tiny (from,to) count relation — no join, no Python."""
+    from rick_and_morty_data_pipeline_project_spark.queries.catalog import _ALL
+
+    plan = formatted_plan(_ALL["events_transition_matrix"].fn(spark, SF_SMALL))
+    tree = plan.split("\n\n")[0]
+    assert len(re.findall(r"Scan parquet", tree)) == 1, tree
+    assert len(re.findall(r"\bWindow\b", tree)) == 2, tree
+    assert "Join" not in tree, tree
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_trend_slope_exact_sums_no_join(spark):
+    """Per-user trend slope: one scan, one per-user min window feeding
+    one map-combinable aggregate of exact sufficient statistics —
+    no join back, no Python, closed-form doubles only in the final
+    projection."""
+    from rick_and_morty_data_pipeline_project_spark.queries.catalog import _ALL
+
+    plan = formatted_plan(_ALL["events_user_trend_slope"].fn(spark, SF_SMALL))
+    tree = plan.split("\n\n")[0]
+    assert len(re.findall(r"Scan parquet", tree)) == 1, tree
+    assert len(re.findall(r"\bWindow\b", tree)) == 1, tree
+    assert "Join" not in tree, tree
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_weighted_percentiles_pass2_pushes_bucket_ranges(spark):
+    """Exact weighted percentiles: the second pass must read only the
+    target buckets — every parquet scan in the plan carries a pushed
+    BETWEEN range on the raw price column, and the only windows rank
+    within a single bucket's distinct values (partitioned by _b),
+    never the full table."""
+    from rick_and_morty_data_pipeline_project_spark.queries.catalog import _ALL
+
+    df = _ALL["lineitem_weighted_percentiles"].fn(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert pushed and all("l_extendedprice" in p for p in pushed), plan
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs and all("_b" in s for s in specs), plan

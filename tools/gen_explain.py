@@ -62,6 +62,9 @@ ANNOTATED = {
     "sketch_cms_user_counts": "Count-Min promoted oracle: single count_min_sketch aggregate (fixed grid state), one bounded driver collect, Arrow-batched probe over the reduced item relation; estimates replayed bit-exactly by the DuckDB grid oracle",
     "text_quantile_filter_approx": "approx-median audit shape: one map-combinable per-lang agg carrying exact+sketch medians, thresholds broadcast back; two bounded scans of documents (agg arm + join-back rank arm)",
     "events_sequence_match": "CEP-lite: one scan, one user-key aggregate folding ordered type-initials, regexes codegen'd per USER; no Python, no second shuffle",
+    "events_transition_matrix": "Markov transitions: lead window on the high-card user key, normalizer window over the tiny count relation; 1 scan, 2 windows, 0 joins",
+    "events_user_trend_slope": "per-user OLS slope: min-window + one aggregate of exact sufficient statistics; 1 scan, 0 joins, closed-form doubles in the final projection",
+    "lineitem_weighted_percentiles": "exact weighted quartiles by counting selection: every scan carries a pushed BETWEEN on the raw price (only the target buckets are read); windows rank within one bucket",
     "orders_cdc_apply": "CDC apply: union of 3 narrow projections of one table, rank window on the HIGH-cardinality key, |status|-row aggregate; no join, no global sort",
     "orders_skyline_price_date": "2-D skyline by dimension reduction: per-date min agg (tiny spine) -> prefix-min window over the spine only -> broadcast join back; 2 scans, 1 Window, no self-join",
     "audit_functional_dependencies": "FD audit: one count-distinct aggregate per candidate, unioned one-row arms; map-combinable, no sort",
