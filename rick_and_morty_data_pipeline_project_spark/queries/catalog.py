@@ -141,6 +141,7 @@ from rick_and_morty_data_pipeline_project_spark.queries import (
     reference,
     retrievalq,
     sketchq,
+    statsq,
     textq,
     tpch,
     tpchf,
@@ -152,7 +153,7 @@ from rick_and_morty_data_pipeline_project_spark.queries._util import Q
 _ALL: dict[str, Q] = {}
 for mod in (
     tpch, tpchx, tpchf, textq, vecq, extraq, mmq, reference, sketchq, bpeq,
-    retrievalq, lakeq,
+    retrievalq, lakeq, statsq,
 ):
     for name, q in mod.QUERIES.items():
         assert name not in _ALL, f"duplicate query name: {name}"

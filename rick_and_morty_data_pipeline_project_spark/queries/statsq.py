@@ -1,0 +1,724 @@
+"""Statistical / time-series analytics queries.
+
+Round-8 breadth family: the statistics a training-data pipeline or
+product-analytics stack runs AFTER the relational layer — interval
+concurrency (sweep line), change-point detection (CUSUM), corpus
+drift (Jensen-Shannon divergence), uncertainty quantification
+(deterministic Poisson bootstrap), temporal structure (autocorrelation)
+and concentration (Gini).  The reference pipeline stops at per-strain
+means (`/root/reference/Scraper.py:94-105`); these are the natural
+next questions over the same data model, expressed Spark-first.
+
+Every query here is fully DuckDB-oracled.  The float-parity discipline
+follows `_util`: exact integer/decimal sufficient statistics end-to-end,
+doubles only in the final closed-form expression, `round(…, 6–9)` on
+genuinely transcendental outputs (ln), ISO strings for temporal keys.
+
+Scale notes are per-query; the common theme is that every window in
+this module runs over a BOUNDED relation (daily rollups, netted
+boundary instants, per-bucket segments) — never a global sort or a
+low-cardinality rank window over raw rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rick_and_morty_data_pipeline_project_spark.queries._util import (
+    Q,
+    dec,
+    dsum,
+    iso_date,
+    t,
+)
+
+
+# --------------------------------------------------------------------------
+def events_max_concurrency(spark, sf_dir):
+    """Peak CONCURRENT SESSIONS per day by distributed SWEEP LINE —
+    "how many users were active at once", the load-planning /
+    capacity metric.  A session is a user's [first event, last event
+    + 1 s) half-open interval within a calendar day (clamped to
+    midnight so no interval straddles days).  Each interval emits a
+    +1/-1 boundary; netting deltas at identical instants makes the
+    running sum tie-order-free, and concurrency at an instant is the
+    prefix sum of netted deltas.
+
+    Scale: the classic single ``ORDER BY instant`` cumulative window
+    is a one-task global sort — wrong shape.  This plan is a SEGMENTED
+    PREFIX SUM instead: within-(day,hour) cumulative windows (each
+    partition holds only that hour's boundary instants), plus an
+    hour-block offset relation (≤ 24 rows/day) prefix-summed and
+    broadcast back.  No global window ever sees the data; the netted
+    relation itself is bounded by 2·sessions ≪ events.  The oracle
+    uses the naive one-window formulation — independent plan, same
+    answer.
+    """
+    from pyspark.sql.window import Window
+
+    e = t(spark, sf_dir, "events").select("user_id", "ts")
+    sess = (
+        e.groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("x"))
+        .select(
+            "s",
+            F.least(
+                F.col("x") + F.expr("INTERVAL 1 SECOND"),
+                F.date_add(F.col("day"), 1).cast("timestamp"),
+            ).alias("e"),
+        )
+    )
+    inst = sess.select(F.col("s").alias("i"), F.lit(1).alias("d")).unionByName(
+        sess.select(F.col("e").alias("i"), F.lit(-1).alias("d"))
+    )
+    net = (
+        inst.groupBy("i")
+        .agg(F.sum("d").alias("delta"))
+        .withColumn("day", F.to_date("i"))
+        .withColumn("hr", F.hour("i"))
+    )
+    within = (
+        Window.partitionBy("day", "hr")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offw = (
+        Window.partitionBy("day")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    blocks = (
+        net.groupBy("day", "hr")
+        .agg(F.sum("delta").alias("bd"))
+        .select(
+            "day",
+            "hr",
+            F.coalesce(F.sum("bd").over(offw), F.lit(0).cast("long")).alias(
+                "off"
+            ),
+        )
+    )
+    conc = (
+        net.withColumn("w", F.sum("delta").over(within))
+        .join(F.broadcast(blocks), ["day", "hr"])
+        .select("day", (F.col("w") + F.col("off")).alias("conc"))
+    )
+    return conc.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_instants"),
+        F.max("conc").alias("max_concurrency"),
+    ).select(
+        iso_date(F.col("day")).alias("day"),
+        "n_instants",
+        "max_concurrency",
+    )
+
+
+EVENTS_CONCURRENCY_SQL = """
+WITH sess AS (
+  SELECT min(ts) AS s,
+         least(max(ts) + INTERVAL 1 SECOND,
+               CAST(CAST(ts AS DATE) + 1 AS TIMESTAMP)) AS e
+  FROM events
+  GROUP BY user_id, CAST(ts AS DATE)
+),
+inst AS (
+  SELECT s AS i, 1 AS d FROM sess
+  UNION ALL
+  SELECT e AS i, -1 AS d FROM sess
+),
+net AS (
+  SELECT i, CAST(sum(d) AS BIGINT) AS delta FROM inst GROUP BY 1
+),
+conc AS (
+  SELECT CAST(i AS DATE) AS day,
+         sum(delta) OVER (PARTITION BY CAST(i AS DATE) ORDER BY i
+                          ROWS UNBOUNDED PRECEDING) AS c
+  FROM net
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       CAST(count(*) AS BIGINT) AS n_instants,
+       CAST(max(c) AS BIGINT) AS max_concurrency
+FROM conc
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+def events_cusum_changepoint(spark, sf_dir):
+    """CUSUM CHANGE-POINT detection over each event type's daily count
+    series — "when did the level shift".  The cumulative sum of
+    deviations from the series mean, C_d = Σ_{i≤d}(x_i − x̄), peaks in
+    magnitude at the most likely single change point (Page 1954's CUSUM
+    statistic in its offline mean-shift form).
+
+    Exactness: x̄ = S/D is rational, so the statistic is computed
+    SCALED BY D — C'_d = D·Σ_{i≤d}x_i − d·S is pure int64 (counts ≤
+    2^31, days ≤ 10^4 ⇒ far inside range), argmax ties break on the
+    earliest day, and the unscaled value is one double division at the
+    end.  Bit-identical across engines, no float accumulation.
+
+    Scale: the windows run over the DAILY-COUNT relation (|types| ×
+    |days| rows — bounded by the calendar, not the corpus); the only
+    pass over raw events is the map-combinable daily count.
+    """
+    from pyspark.sql.window import Window
+
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    wall = Window.partitionBy("event_type")
+    word = wall.orderBy("d")
+    wcum = word.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored = daily.select(
+        "event_type",
+        "d",
+        (
+            F.count(F.lit(1)).over(wall) * F.sum("x").over(wcum)
+            - F.row_number().over(word).cast("long")
+            * F.sum("x").over(wall)
+        ).alias("c_scaled"),
+        F.count(F.lit(1)).over(wall).alias("n_days"),
+    )
+    pick = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("c_scaled")).desc(), F.col("d").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            iso_date(F.col("d")).alias("change_day"),
+            "n_days",
+            "c_scaled",
+            F.round(
+                F.col("c_scaled").cast("double")
+                / F.col("n_days").cast("double"),
+                6,
+            ).alias("cusum"),
+        )
+    )
+
+
+EVENTS_CUSUM_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+scored AS (
+  SELECT event_type, d,
+         CAST(count(*) OVER w AS BIGINT)
+           * CAST(sum(x) OVER (w ORDER BY d ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT)
+         - CAST(row_number() OVER (w ORDER BY d) AS BIGINT)
+           * CAST(sum(x) OVER w AS BIGINT) AS c_scaled,
+         CAST(count(*) OVER w AS BIGINT) AS n_days
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type)
+)
+SELECT event_type,
+       strftime(d, '%Y-%m-%d') AS change_day,
+       n_days, c_scaled,
+       round(CAST(c_scaled AS DOUBLE) / CAST(n_days AS DOUBLE), 6) AS cusum
+FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY abs(c_scaled) DESC, d ASC) AS rn
+      FROM scored)
+WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
+def text_js_divergence(spark, sf_dir):
+    """Pairwise JENSEN-SHANNON DIVERGENCE between per-source unigram
+    distributions — the symmetric, bounded (≤ ln 2) corpus-drift
+    metric behind "did source A's language shift away from B", source
+    weighting, and contamination triage.  Complements
+    ``text_keyness_by_source`` (per-term log-likelihood) with a single
+    per-pair scalar.
+
+    The identity that keeps it one inner join: tokens present in only
+    one source contribute (p/2)·ln 2 each, and Σ_{a-only} p =
+    1 − Σ_shared p — so JSD = Σ_shared [½p·ln p + ½q·ln q − m·ln m]
+    + (ln2/2)·((1−Σp) + (1−Σq)) needs no full-outer union of
+    vocabularies.
+
+    Scale: the (source, token) count relation is Σ|vocab_s|; the
+    token-keyed self-join emits Σ_t |sources_t|² pairs (co-occurrence
+    shape — never |S|²·|V|); per-source totals are a broadcast dim.
+    Probabilities are exact-integer ratios in float64; only ln is
+    transcendental, summed then rounded to 6.
+    """
+    d = t(spark, sf_dir, "documents")
+    cnt = (
+        d.select("source", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = cnt.groupBy("source").agg(F.sum("c").alias("tot"))
+    probs = cnt.join(F.broadcast(tot), "source").select(
+        "source",
+        "token",
+        (F.col("c").cast("double") / F.col("tot").cast("double")).alias("p"),
+    )
+    a, b = probs.alias("a"), probs.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.token") == F.col("b.token"))
+        & (F.col("a.source") < F.col("b.source")),
+    ).select(
+        F.col("a.source").alias("source_a"),
+        F.col("b.source").alias("source_b"),
+        F.col("a.p").alias("p"),
+        F.col("b.p").alias("q"),
+    )
+    m = (F.col("p") + F.col("q")) / 2
+    term = (
+        0.5 * F.col("p") * F.log(F.col("p"))
+        + 0.5 * F.col("q") * F.log(F.col("q"))
+        - m * F.log(m)
+    )
+    ln2 = F.log(F.lit(2.0))
+    agg = pairs.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("n_shared_tokens"),
+        F.sum(term).alias("_s"),
+        F.sum("p").alias("_sp"),
+        F.sum("q").alias("_sq"),
+    )
+    return agg.select(
+        "source_a",
+        "source_b",
+        "n_shared_tokens",
+        F.round(
+            F.col("_s")
+            + (ln2 / 2) * ((1 - F.col("_sp")) + (1 - F.col("_sq"))),
+            6,
+        ).alias("jsd"),
+    )
+
+
+TEXT_JSD_SQL = """
+WITH cnt AS (
+  SELECT source, unnest(string_split(text, ' ')) AS token
+  FROM documents
+),
+cnts AS (
+  SELECT source, token, CAST(count(*) AS BIGINT) AS c
+  FROM cnt GROUP BY 1, 2
+),
+tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS tot FROM cnts GROUP BY 1),
+probs AS (
+  SELECT cnts.source, token,
+         CAST(c AS DOUBLE) / CAST(tot AS DOUBLE) AS p
+  FROM cnts JOIN tot ON cnts.source = tot.source
+),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b, a.p AS p, b.p AS q
+  FROM probs a JOIN probs b
+    ON a.token = b.token AND a.source < b.source
+)
+SELECT source_a, source_b,
+       CAST(count(*) AS BIGINT) AS n_shared_tokens,
+       round(sum(0.5 * p * ln(p) + 0.5 * q * ln(q)
+                 - ((p + q) / 2) * ln((p + q) / 2))
+             + (ln(2) / 2) * ((1 - sum(p)) + (1 - sum(q))), 6) AS jsd
+FROM pairs
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+#: Integer thresholds T_k = floor(CDF_Poisson(1)(k) · 2^32): a uniform
+#: 32-bit hash draw U maps to weight w = min{k : U < T_k} (else 9).
+#: Pinned as literals so both engines compare integers — no float CDF
+#: arithmetic in the replicate-weight path at all.
+_POISSON_T = [
+    1580030168,
+    3160060337,
+    3950075421,
+    4213413783,
+    4279248373,
+    4292415291,
+    4294609777,
+    4294923276,
+    4294962463,
+]
+_BOOT_B = 64
+
+
+def stats_bootstrap_ci(spark, sf_dir):
+    """DETERMINISTIC POISSON BOOTSTRAP confidence interval for the mean
+    order value — uncertainty quantification that replays identically
+    on any cluster layout and any engine.  Classic bootstrap resampling
+    needs n draws per replicate (a shuffle per replicate); the Poisson
+    approximation (Chamandy et al., "Estimating Uncertainty for
+    Massive Data Streams", Google 2012) gives each row an independent
+    Poisson(1) replicate weight — one narrow pass emits all B
+    replicates.  Randomness is CONTENT-ADDRESSED (md5 of key ∥
+    replicate id ⇒ uniform 32-bit draw ⇒ pinned integer inverse-CDF
+    thresholds), so both engines draw the SAME weights: the interval
+    is reproducible, not just statistically equivalent.
+
+    Exactness: weights are small ints, Σw·price is exact DECIMAL,
+    replicate means are one double division rounded to 9; the
+    percentile interpolation over B=64 sorted replicate means uses the
+    same p·(n−1) linear rule in Spark (`percentile`) and DuckDB
+    (`quantile_cont`).
+
+    Scale: the B-fold explode is map-side (no shuffle before the
+    replicate aggregate); groupBy(replica) has B=64 groups but
+    map-combines to ≤B rows per partition before the exchange; the
+    final percentile runs over exactly B rows.  The md5 bill is
+    amortized 4×: one digest is 128 bits = four independent 32-bit
+    draws, so replicates b, b+1, b+2, b+3 share the digest of
+    ``b div 4`` and slice disjoint 8-hex windows.  ``fan_out`` spreads
+    the hash stage across cores when the scan under-partitions
+    (single-file local corpus; a no-op at cluster scale).
+    """
+    from rick_and_morty_data_pipeline_project_spark.operators.parallelism import (
+        fan_out,
+    )
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    reps = fan_out(o).select(
+        "o_orderkey",
+        dec("o_totalprice", 12, 2).alias("price"),
+        F.explode(
+            F.sequence(F.lit(0), F.lit(_BOOT_B - 1))
+        ).alias("b"),
+    )
+    h = F.md5(
+        F.concat(
+            F.lit("boot:"),
+            F.col("o_orderkey").cast("string"),
+            F.lit(":"),
+            (F.col("b") - F.col("b") % 4).cast("string"),
+        )
+    )
+    u = F.conv(
+        F.substring(h, F.lit(1) + (F.col("b") % 4) * 8, F.lit(8)),
+        16,
+        10,
+    ).cast("long")
+    w = F.lit(9)
+    for k in range(len(_POISSON_T) - 1, -1, -1):
+        w = F.when(u < _POISSON_T[k], F.lit(k)).otherwise(w)
+    weighted = reps.select(
+        "b",
+        (F.col("price") * w.cast("decimal(2,0)")).alias("wp"),
+        w.cast("long").alias("w"),
+    )
+    rmeans = weighted.groupBy("b").agg(
+        F.round(
+            F.sum("wp").cast("double") / F.sum("w").cast("double"), 9
+        ).alias("rep_mean")
+    )
+    ci = rmeans.agg(
+        F.expr("percentile(rep_mean, 0.025)").alias("_lo"),
+        F.expr("percentile(rep_mean, 0.5)").alias("_med"),
+        F.expr("percentile(rep_mean, 0.975)").alias("_hi"),
+        F.count(F.lit(1)).alias("b_replicates"),
+    )
+    full = o.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(
+            F.sum(dec("o_totalprice", 12, 2)).cast("double")
+            / F.count(F.lit(1)),
+            9,
+        ).alias("mean_full"),
+    )
+    return full.crossJoin(F.broadcast(ci)).select(
+        "n_orders",
+        "b_replicates",
+        "mean_full",
+        F.round("_lo", 6).alias("boot_lo"),
+        F.round("_med", 6).alias("boot_median"),
+        F.round("_hi", 6).alias("boot_hi"),
+    )
+
+
+_T_SQL = ", ".join(str(x) for x in _POISSON_T)
+STATS_BOOTSTRAP_SQL = f"""
+WITH reps AS (
+  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS price, b
+  FROM orders
+  CROSS JOIN (SELECT unnest(generate_series(0, {_BOOT_B - 1})) AS b) g
+),
+drawn AS (
+  SELECT b, price,
+         CAST('0x' || substring(
+             md5('boot:' || CAST(o_orderkey AS VARCHAR) || ':'
+                 || CAST(b - (b % 4) AS VARCHAR)),
+             1 + (b % 4) * 8, 8) AS BIGINT) AS u
+  FROM reps
+),
+weighted AS (
+  SELECT b, price,
+         CASE {" ".join(f"WHEN u < {t_} THEN {k}" for k, t_ in enumerate(_POISSON_T))}
+              ELSE 9 END AS w
+  FROM drawn
+),
+rmeans AS (
+  SELECT b,
+         round(CAST(sum(price * CAST(w AS DECIMAL(2,0))) AS DOUBLE)
+               / CAST(sum(w) AS DOUBLE), 9) AS rep_mean
+  FROM weighted GROUP BY 1
+),
+full_ AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_orders,
+         round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+               / count(*), 9) AS mean_full
+  FROM orders
+)
+SELECT n_orders,
+       CAST(count(*) AS BIGINT) AS b_replicates,
+       mean_full,
+       round(quantile_cont(rep_mean, 0.025), 6) AS boot_lo,
+       round(quantile_cont(rep_mean, 0.5), 6) AS boot_median,
+       round(quantile_cont(rep_mean, 0.975), 6) AS boot_hi
+FROM rmeans, full_
+GROUP BY n_orders, mean_full
+"""
+
+
+# --------------------------------------------------------------------------
+_ACF_LAGS = 3
+
+
+def events_autocorrelation(spark, sf_dir):
+    """Lag-k AUTOCORRELATION of each event type's daily-count series
+    (k = 1..3) — the temporal-structure fingerprint: weekly
+    periodicity shows as a lag-7 peak, trending series decay slowly,
+    white noise sits near 0.  Input to seasonality detection and
+    anomaly baselines.
+
+    Exactness: with S = Σx and D = days, the centered series scaled by
+    D is c_t = D·x_t − S (pure int64); ACF_k = Σ c_t·c_{t+k} / Σ c_t²
+    is a ratio of exact integers (the D² factors cancel), one double
+    division rounded to 9.  No float means, no variance estimators.
+
+    Scale: everything past the map-combinable daily count runs on the
+    |types|×|days| relation — lead() windows over calendar-bounded
+    partitions, then one aggregate row per (type, lag).
+    """
+    from pyspark.sql.window import Window
+
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    wall = Window.partitionBy("event_type")
+    word = wall.orderBy("d")
+    c = (
+        F.count(F.lit(1)).over(wall) * F.col("x")
+        - F.sum("x").over(wall)
+    )
+    scored = daily.select(
+        "event_type",
+        F.count(F.lit(1)).over(wall).alias("n_days"),
+        c.alias("c"),
+        *[
+            F.lead(c, k).over(word).alias(f"c{k}")
+            for k in range(1, _ACF_LAGS + 1)
+        ],
+    )
+    agg = scored.groupBy("event_type").agg(
+        F.max("n_days").alias("n_days"),
+        F.sum(F.col("c") * F.col("c")).alias("den"),
+        *[
+            F.sum(F.col("c") * F.col(f"c{k}")).alias(f"num{k}")
+            for k in range(1, _ACF_LAGS + 1)
+        ],
+    )
+    arms = [
+        agg.select(
+            "event_type",
+            F.lit(k).alias("lag"),
+            "n_days",
+            F.round(
+                F.col(f"num{k}").cast("double") / F.col("den").cast("double"),
+                9,
+            ).alias("acf"),
+        )
+        for k in range(1, _ACF_LAGS + 1)
+    ]
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out.filter(F.col("acf").isNotNull())
+
+
+EVENTS_ACF_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+centered AS (
+  SELECT event_type, d,
+         CAST(count(*) OVER w AS BIGINT) AS n_days,
+         CAST(count(*) OVER w AS BIGINT) * x
+           - CAST(sum(x) OVER w AS BIGINT) AS c
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type)
+),
+scored AS (
+  SELECT event_type, n_days, c,
+         lead(c, 1) OVER w2 AS c1,
+         lead(c, 2) OVER w2 AS c2,
+         lead(c, 3) OVER w2 AS c3
+  FROM centered
+  WINDOW w2 AS (PARTITION BY event_type ORDER BY d)
+),
+agg AS (
+  SELECT event_type,
+         CAST(max(n_days) AS BIGINT) AS n_days,
+         CAST(sum(c * c) AS BIGINT) AS den,
+         CAST(sum(c * c1) AS BIGINT) AS num1,
+         CAST(sum(c * c2) AS BIGINT) AS num2,
+         CAST(sum(c * c3) AS BIGINT) AS num3
+  FROM scored GROUP BY 1
+)
+SELECT event_type, lag, n_days, acf FROM (
+  SELECT event_type, 1 AS lag, n_days,
+         round(CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE), 9) AS acf
+  FROM agg
+  UNION ALL
+  SELECT event_type, 2, n_days,
+         round(CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE), 9)
+  FROM agg
+  UNION ALL
+  SELECT event_type, 3, n_days,
+         round(CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE), 9)
+  FROM agg
+)
+WHERE acf IS NOT NULL
+"""
+
+
+# --------------------------------------------------------------------------
+_GINI_BUCKETS = 256
+
+
+def customer_gini_revenue(spark, sf_dir):
+    """GINI COEFFICIENT of customer revenue concentration by BUCKETED
+    SEGMENTED RANKING — "how unequal is the revenue distribution", the
+    standard concentration scalar next to ``supplier_market_hhi`` and
+    ``customer_abc_pareto``.  G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over
+    revenues sorted ascending with a unique (revenue, custkey) key.
+
+    Scale: the rank-everything formulation is a GLOBAL order — a
+    single-partition window at any real size.  This plan ranks without
+    a global sort: pass 1 histograms revenue cents into 256 value
+    ranges (map-combinable; the ≤256-row histogram is a bounded driver
+    collect, the same gate-probe shape as the weighted-percentile /
+    tfidf probes); the driver prefix-sums the bucket counts into
+    per-bucket rank OFFSETS; pass 2 ranks WITHIN each bucket (windows
+    partitioned by bucket — parallel, each seeing only its value
+    range) and adds the broadcast offset.  Skew note: a pathological
+    bucket recurses with the same two passes — not needed at any
+    tested SF.  All sufficient statistics are exact (int64 cents,
+    decimal(18,0)·decimal(18,0) rank-weighted sum ⇒ decimal(37,0),
+    overflow-free past 10^18); doubles enter only in the final closed
+    form, rounded to 9.  The oracle is the naive global-window rank —
+    independent plan, identical ranks because the composite sort key
+    is everywhere unique.
+    """
+    from pyspark.sql.window import Window
+
+    rev = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(dec("o_totalprice", 12, 2)).alias("r"))
+        .select(
+            "o_custkey",
+            "r",
+            (F.col("r") * 100).cast("long").alias("cents"),
+        )
+    )
+    lo, hi = rev.agg(F.min("cents"), F.max("cents")).collect()[0]
+    width = max(1, (int(hi) - int(lo)) // _GINI_BUCKETS + 1)
+    bucketed = rev.withColumn(
+        "bucket",
+        F.floor((F.col("cents") - F.lit(int(lo))) / F.lit(width)).cast(
+            "int"
+        ),
+    )
+    hist = {
+        row["bucket"]: row["n"]
+        for row in bucketed.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    offsets, acc = [], 0
+    for bkt in sorted(hist):
+        offsets.append((bkt, acc))
+        acc += hist[bkt]
+    off_df = spark.createDataFrame(offsets, "bucket int, off long")
+    win = Window.partitionBy("bucket").orderBy("cents", "o_custkey")
+    ranked = (
+        bucketed.withColumn("_rn", F.row_number().over(win).cast("long"))
+        .join(F.broadcast(off_df), "bucket")
+        .select(
+            "r",
+            "cents",
+            (F.col("off") + F.col("_rn")).alias("i"),
+        )
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        dsum("r", 22, 2).alias("total_revenue"),
+        F.sum("cents").alias("_sc"),
+        F.sum(
+            F.col("i").cast("decimal(18,0)")
+            * F.col("cents").cast("decimal(18,0)")
+        ).alias("_sic"),
+    )
+    n = F.col("n_customers").cast("double")
+    return agg.select(
+        "n_customers",
+        "total_revenue",
+        F.round(
+            2.0
+            * F.col("_sic").cast("double")
+            / (n * F.col("_sc").cast("double"))
+            - (n + 1.0) / n,
+            9,
+        ).alias("gini"),
+    )
+
+
+CUSTOMER_GINI_SQL = """
+WITH rev AS (
+  SELECT o_custkey,
+         sum(CAST(o_totalprice AS DECIMAL(12,2))) AS r,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1
+),
+rk AS (
+  SELECT r, cents,
+         CAST(row_number() OVER (ORDER BY cents, o_custkey) AS BIGINT) AS i
+  FROM rev
+)
+SELECT CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(r) AS DOUBLE) AS total_revenue,
+       round(2.0 * CAST(sum(CAST(i AS DECIMAL(18,0))
+                            * CAST(cents AS DECIMAL(18,0))) AS DOUBLE)
+             / (CAST(count(*) AS DOUBLE) * CAST(sum(cents) AS DOUBLE))
+             - (CAST(count(*) AS DOUBLE) + 1) / CAST(count(*) AS DOUBLE),
+             9) AS gini
+FROM rk
+"""
+
+
+QUERIES: dict[str, Q] = {
+    "events_max_concurrency": Q(
+        events_max_concurrency, EVENTS_CONCURRENCY_SQL
+    ),
+    "events_cusum_changepoint": Q(events_cusum_changepoint, EVENTS_CUSUM_SQL),
+    "text_js_divergence": Q(text_js_divergence, TEXT_JSD_SQL),
+    "stats_bootstrap_ci": Q(stats_bootstrap_ci, STATS_BOOTSTRAP_SQL),
+    "events_autocorrelation": Q(events_autocorrelation, EVENTS_ACF_SQL),
+    "customer_gini_revenue": Q(customer_gini_revenue, CUSTOMER_GINI_SQL),
+}

@@ -1243,6 +1243,24 @@ def test_sequence_match_regex_stays_jvm_side(spark):
     assert len(re.findall(r"Scan parquet", tree)) == 1, tree
 
 
+def test_fd_audit_union_of_narrow_aggregates(spark):
+    """The FD audit is a union of independent two-column aggregate
+    arms — one scan per candidate, map-combinable count_distinct
+    partials, never a self-join, never a window, never a sort."""
+    from rick_and_morty_data_pipeline_project_spark.queries.catalog import _ALL
+
+    plan = formatted_plan(
+        _ALL["audit_functional_dependencies"].fn(spark, SF_SMALL)
+    )
+    tree = plan.split("\n\n")[0]
+    assert "Union" in tree, tree
+    assert "Join" not in tree, tree
+    assert not re.search(r"\bWindow\b", tree), tree
+    assert not re.search(r"\bSort\b", tree), tree
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert len(re.findall(r"Scan parquet", tree)) == 5, tree
+
+
 def test_transition_matrix_two_windows_one_scan(spark):
     """Transition matrix: one scan, the lead() window on the
     high-cardinality user key, and the probability normalizer window
@@ -1286,3 +1304,85 @@ def test_weighted_percentiles_pass2_pushes_bucket_ranges(spark):
     assert pushed and all("l_extendedprice" in p for p in pushed), plan
     specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
     assert specs and all("_b" in s for s in specs), plan
+
+def test_concurrency_segmented_prefix_sum_plan(spark):
+    """The sweep-line concurrency query must use the segmented
+    prefix-sum shape: every cumulative window is partitioned (the
+    within-(day,hr) segments and the per-day hour-block offsets) —
+    never an unpartitioned ORDER BY instant — and the block offsets
+    come back via a broadcast join."""
+    from rick_and_morty_data_pipeline_project_spark.queries.catalog import _ALL
+
+    plan = formatted_plan(_ALL["events_max_concurrency"].fn(spark, SF_SMALL))
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan
+    assert all("day" in s for s in specs), specs
+    assert any("hr" in s for s in specs), specs
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cusum_windows_bounded_by_calendar(spark):
+    """CUSUM's windows all run over the daily-count relation
+    partitioned by event_type; one scan of events; no Python."""
+    from rick_and_morty_data_pipeline_project_spark.queries.catalog import _ALL
+
+    plan = formatted_plan(
+        _ALL["events_cusum_changepoint"].fn(spark, SF_SMALL)
+    )
+    tree = plan.split("\n\n")[0]
+    assert len(re.findall(r"Scan parquet", tree)) == 1, tree
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs and all("event_type" in s for s in specs), specs
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_jsd_token_equijoin_with_broadcast_totals(spark):
+    """JSD pairs come from a token-keyed equi-join (co-occurrence
+    shape) with per-source totals broadcast — never a cartesian or
+    nested-loop pair enumeration."""
+    from rick_and_morty_data_pipeline_project_spark.queries.catalog import _ALL
+
+    plan = formatted_plan(_ALL["text_js_divergence"].fn(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "token" in plan
+
+
+def test_bootstrap_stays_jvm_side_one_scan_per_arm(spark):
+    """The Poisson bootstrap is pure JVM codegen: md5/conv/CASE inside
+    the exploded map stage, no Python eval anywhere; the only join is
+    the broadcast cross of the two ONE-ROW summary arms."""
+    from rick_and_morty_data_pipeline_project_spark.queries.catalog import _ALL
+
+    plan = formatted_plan(_ALL["stats_bootstrap_ci"].fn(spark, SF_SMALL))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert re.search(r"\bGenerate\b", plan), plan
+    assert not re.search(r"\bSortMergeJoin\b", plan), plan
+    assert len(re.findall(r"BroadcastNestedLoopJoin", plan.split("\n\n")[0])) <= 1, plan
+
+
+def test_acf_windows_bounded_by_calendar(spark):
+    """Autocorrelation windows (centering + the lead lags) all run on
+    the |types|x|days| daily relation partitioned by event_type."""
+    from rick_and_morty_data_pipeline_project_spark.queries.catalog import _ALL
+
+    plan = formatted_plan(
+        _ALL["events_autocorrelation"].fn(spark, SF_SMALL)
+    )
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs and all("event_type" in s for s in specs), specs
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_gini_ranks_within_buckets_only(spark):
+    """Gini's ranking windows are partitioned by the value-range
+    bucket (segmented ranking) with the rank offsets broadcast back —
+    never a global unpartitioned row_number."""
+    from rick_and_morty_data_pipeline_project_spark.queries.catalog import _ALL
+
+    plan = formatted_plan(_ALL["customer_gini_revenue"].fn(spark, SF_SMALL))
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs and all("bucket" in s for s in specs), specs
+    assert "BroadcastHashJoin" in plan, plan
