@@ -129,6 +129,22 @@ green row is r02 (age 6 > 4: the complete over-age list under the
 max-age rule), and 6 oldest-green r04 refreshes (no r03-vintage rows
 exist).  10 + 3 + 1 + 30 + 6 = 50.  After this window the oldest
 green row anywhere in the ledger is r04.
+
+Round-9 obligations (accrued during r8, all in
+``tools/pending_births.json``): 16 post-r08-freeze births
+(``events_sequence_match``, ``orders_cdc_apply``,
+``orders_skyline_price_date``, ``audit_functional_dependencies``,
+``sketch_kmv_rollup``, ``events_transition_matrix``,
+``events_user_trend_slope``, ``lineitem_weighted_percentiles``, and
+the statsq family: ``events_max_concurrency``,
+``events_cusum_changepoint``, ``text_js_divergence``,
+``stats_bootstrap_ci``, ``events_autocorrelation``,
+``customer_gini_revenue``, ``stats_welch_t``,
+``events_activity_streaks``) are rule-1 mandatory, plus the 32
+r04-vintage greens not refreshed in this window reach age 5, plus
+flagship: 16 + 32 + 1 = 49 of 50 slots already spoken for — do NOT
+add further oracled births in r8's remainder without retiring an
+obligation.
 """
 
 from __future__ import annotations

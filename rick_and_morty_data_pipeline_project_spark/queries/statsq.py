@@ -712,6 +712,153 @@ FROM rk
 """
 
 
+# --------------------------------------------------------------------------
+def stats_welch_t(spark, sf_dir):
+    """WELCH'S t-TEST on mean purchase value between the two
+    deterministic experiment arms (user_id % 2 — the same assignment
+    as ``events_ab_proportion_z``, which tests proportions; this is
+    the means readout).  Unequal-variance t statistic plus the
+    Welch–Satterthwaite degrees of freedom.
+
+    Exactness: the only data-dependent aggregates are n, Σv, Σv²
+    per arm — v is a 2-decimal value, so both sums are EXACT decimals
+    (Σv² at scale 4); every downstream quantity (means, sample
+    variances, t, df) is a fixed sequence of double ops on those
+    exact sums, identical in both engines, rounded at 6–9.
+
+    Scale: one type-pruned scan, one conditional aggregate producing
+    a single row — map-side combinable, no shuffle beyond the final
+    1-row reduce.  The canonical massive-A/B readout shape.
+    """
+    e = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select((F.col("user_id") % 2).alias("arm"), dec("value", 10, 2).alias("v"))
+    )
+    arm_a, arm_b = F.col("arm") == 0, F.col("arm") == 1
+    agg = e.agg(
+        F.sum(arm_a.cast("long")).alias("n_a"),
+        F.sum(arm_b.cast("long")).alias("n_b"),
+        F.sum(F.when(arm_a, F.col("v"))).alias("sv_a"),
+        F.sum(F.when(arm_b, F.col("v"))).alias("sv_b"),
+        F.sum(F.when(arm_a, F.col("v") * F.col("v"))).alias("svv_a"),
+        F.sum(F.when(arm_b, F.col("v") * F.col("v"))).alias("svv_b"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    sva, svb = F.col("sv_a").cast("double"), F.col("sv_b").cast("double")
+    svva, svvb = F.col("svv_a").cast("double"), F.col("svv_b").cast("double")
+    var_a = (svva - sva * sva / na) / (na - 1)
+    var_b = (svvb - svb * svb / nb) / (nb - 1)
+    qa, qb = var_a / na, var_b / nb
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.round(sva / na, 9).alias("mean_a"),
+        F.round(svb / nb, 9).alias("mean_b"),
+        F.round((sva / na - svb / nb) / F.sqrt(qa + qb), 6).alias("t_stat"),
+        F.round(
+            (qa + qb) * (qa + qb) / (qa * qa / (na - 1) + qb * qb / (nb - 1)),
+            6,
+        ).alias("df"),
+    )
+
+
+STATS_WELCH_SQL = """
+WITH e AS (
+  SELECT user_id % 2 AS arm, CAST(value AS DECIMAL(10,2)) AS v
+  FROM events WHERE event_type = 'purchase'
+),
+agg AS (
+  SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         sum(CASE WHEN arm = 0 THEN v END) AS sv_a,
+         sum(CASE WHEN arm = 1 THEN v END) AS sv_b,
+         sum(CASE WHEN arm = 0 THEN v * v END) AS svv_a,
+         sum(CASE WHEN arm = 1 THEN v * v END) AS svv_b
+  FROM e
+),
+mid AS (
+  SELECT n_a, n_b,
+         CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+         CAST(sv_a AS DOUBLE) AS sva, CAST(sv_b AS DOUBLE) AS svb,
+         ((CAST(svv_a AS DOUBLE)
+           - CAST(sv_a AS DOUBLE) * CAST(sv_a AS DOUBLE)
+             / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1))
+           / CAST(n_a AS DOUBLE) AS qa,
+         ((CAST(svv_b AS DOUBLE)
+           - CAST(sv_b AS DOUBLE) * CAST(sv_b AS DOUBLE)
+             / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1))
+           / CAST(n_b AS DOUBLE) AS qb
+  FROM agg
+)
+SELECT n_a, n_b,
+       round(sva / na, 9) AS mean_a,
+       round(svb / nb, 9) AS mean_b,
+       round((sva / na - svb / nb) / sqrt(qa + qb), 6) AS t_stat,
+       round((qa + qb) * (qa + qb)
+             / (qa * qa / (na - 1) + qb * qb / (nb - 1)), 6) AS df
+FROM mid
+"""
+
+
+# --------------------------------------------------------------------------
+def events_activity_streaks(spark, sf_dir):
+    """Longest consecutive-day PURCHASE streak per user, reported as a
+    streak-length histogram — the textbook GAPS-AND-ISLANDS pattern
+    (island key = day − row_number days) driving habit/retention
+    features.  Purchase (not any-event) days keep the distribution
+    non-degenerate on a corpus where every user fires events daily.
+
+    Exactness: all integers and dates — nothing to round.
+
+    Scale: the distinct-day relation is ≤ users × days; the only
+    window is partitioned by the HIGH-cardinality user key; both
+    island aggregates are map-combinable; output is ≤ |days| rows.
+    """
+    from pyspark.sql.window import Window
+
+    days = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("user_id").orderBy("d")
+    )
+    isl = days.select("user_id", F.date_sub(F.col("d"), rn).alias("g"))
+    lens = isl.groupBy("user_id", "g").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    best = lens.groupBy("user_id").agg(F.max("len").alias("streak_len"))
+    return best.groupBy("streak_len").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
+EVENTS_STREAKS_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+  FROM events WHERE event_type = 'purchase'
+),
+isl AS (
+  SELECT user_id,
+         d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                  AS INTEGER) AS g
+  FROM days
+),
+lens AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS len
+  FROM isl GROUP BY user_id, g
+),
+best AS (
+  SELECT user_id, max(len) AS streak_len FROM lens GROUP BY 1
+)
+SELECT streak_len, CAST(count(*) AS BIGINT) AS n_users
+FROM best GROUP BY 1
+"""
+
+
 QUERIES: dict[str, Q] = {
     "events_max_concurrency": Q(
         events_max_concurrency, EVENTS_CONCURRENCY_SQL
@@ -721,4 +868,8 @@ QUERIES: dict[str, Q] = {
     "stats_bootstrap_ci": Q(stats_bootstrap_ci, STATS_BOOTSTRAP_SQL),
     "events_autocorrelation": Q(events_autocorrelation, EVENTS_ACF_SQL),
     "customer_gini_revenue": Q(customer_gini_revenue, CUSTOMER_GINI_SQL),
+    "stats_welch_t": Q(stats_welch_t, STATS_WELCH_SQL),
+    "events_activity_streaks": Q(
+        events_activity_streaks, EVENTS_STREAKS_SQL
+    ),
 }

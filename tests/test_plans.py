@@ -1386,3 +1386,35 @@ def test_gini_ranks_within_buckets_only(spark):
     specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
     assert specs and all("bucket" in s for s in specs), specs
     assert "BroadcastHashJoin" in plan, plan
+
+def test_welch_t_single_pruned_aggregate(spark):
+    """Welch's t-test is one type-pruned scan feeding one conditional
+    aggregate row — the filter reaches parquet, no join, no window,
+    no Python."""
+    from rick_and_morty_data_pipeline_project_spark.queries.catalog import _ALL
+
+    df = _ALL["stats_welch_t"].fn(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    tree = plan.split("\n\n")[0]
+    assert len(re.findall(r"Scan parquet", tree)) == 1, tree
+    assert "Join" not in tree, tree
+    assert not re.search(r"\bWindow\b", tree), tree
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    pushed = pushed_filters(df)
+    assert pushed and any("event_type" in p for p in pushed), pushed
+
+
+def test_streaks_window_on_user_key(spark):
+    """Gaps-and-islands streaks: the row_number window is partitioned
+    by the high-cardinality user key; one pruned scan; no join."""
+    from rick_and_morty_data_pipeline_project_spark.queries.catalog import _ALL
+
+    df = _ALL["events_activity_streaks"].fn(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    tree = plan.split("\n\n")[0]
+    assert len(re.findall(r"Scan parquet", tree)) == 1, tree
+    assert "Join" not in tree, tree
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs and all("user_id" in s for s in specs), specs
+    pushed = pushed_filters(df)
+    assert pushed and any("event_type" in p for p in pushed), pushed

@@ -75,6 +75,8 @@ ANNOTATED = {
     "stats_bootstrap_ci": "Poisson bootstrap: fan_out -> B-fold explode with content-addressed weights (4 draws per md5), all JVM codegen; B=64-group map-combined aggregate; percentile over exactly B rows",
     "events_autocorrelation": "lag-k ACF: daily-count relation only past the first aggregate; centering and lead windows partitioned by event_type; integer-exact numerators/denominator, one double division",
     "customer_gini_revenue": "Gini by bucketed segmented ranking: 256-bucket histogram (bounded driver collect) -> broadcast rank offsets -> row_number WITHIN buckets; exact decimal(18,0)x(18,0) rank-weighted sum, no global sort",
+    "stats_welch_t": "Welch t-test: one type-pruned scan -> one conditional aggregate row of exact decimal sufficient statistics (n, Sum v, Sum v^2 per arm); t and Satterthwaite df are closed-form doubles",
+    "events_activity_streaks": "gaps-and-islands: distinct (user, day) -> island key day - row_number (window on the HIGH-card user key) -> two map-combinable aggregates -> bounded histogram",
     "sketch_heavy_hitters_audit": "MG heavy hitters: one Arrow-batched mapInPandas reduces each partition to <=k rows, driver merges bounded counters and inlines <=k estimates as a literal map; exact arm is one map-combinable aggregate",
     "join_pit_segment_revenue": "point-in-time join: hash join on c_custkey with the half-open [valid_from, valid_to) string-date interval as residual filter; the SCD2 dimension is rebuilt by the shared query, orders scanned once",
     "audit_table_checksum": "cross-engine checksum: one pruned scan + one map-combinable decimal sum per table (3 arms), no Sort/Window/Join — order-insensitivity is the point of the fold",
