@@ -44,15 +44,23 @@ def events_max_concurrency(spark, sf_dir):
     running sum tie-order-free, and concurrency at an instant is the
     prefix sum of netted deltas.
 
+    Boundary instants stay keyed by the SESSION's day (not the
+    instant's): a session ending exactly at next midnight nets and
+    decrements inside its own day's partition — otherwise that stray
+    −1 deflates the NEXT day's running sums (both engines would have
+    agreed on the wrong number; caught by review, pinned by a unit
+    test with a 23:59:59 single-event user).
+
     Scale: the classic single ``ORDER BY instant`` cumulative window
     is a one-task global sort — wrong shape.  This plan is a SEGMENTED
-    PREFIX SUM instead: within-(day,hour) cumulative windows (each
-    partition holds only that hour's boundary instants), plus an
-    hour-block offset relation (≤ 24 rows/day) prefix-summed and
+    PREFIX SUM instead: within-(day,block) cumulative windows (block =
+    elapsed hour 0..24, so the midnight end-boundary sorts last), plus
+    a block offset relation (≤ 25 rows/day) prefix-summed and
     broadcast back.  No global window ever sees the data; the netted
-    relation itself is bounded by 2·sessions ≪ events.  The oracle
-    uses the naive one-window formulation — independent plan, same
-    answer.
+    relation itself is bounded by 2·sessions ≪ events, computed from
+    ONE scan (both boundaries explode from the same session row) and
+    localCheckpoint-ed once for its two consumers.  The oracle uses
+    the naive one-window formulation — independent plan, same answer.
     """
     from pyspark.sql.window import Window
 
@@ -61,6 +69,7 @@ def events_max_concurrency(spark, sf_dir):
         e.groupBy("user_id", F.to_date("ts").alias("day"))
         .agg(F.min("ts").alias("s"), F.max("ts").alias("x"))
         .select(
+            "day",
             "s",
             F.least(
                 F.col("x") + F.expr("INTERVAL 1 SECOND"),
@@ -68,31 +77,46 @@ def events_max_concurrency(spark, sf_dir):
             ).alias("e"),
         )
     )
-    inst = sess.select(F.col("s").alias("i"), F.lit(1).alias("d")).unionByName(
-        sess.select(F.col("e").alias("i"), F.lit(-1).alias("d"))
-    )
+    bounds = sess.select(
+        "day",
+        F.explode(
+            F.array(
+                F.struct(F.col("s").alias("i"), F.lit(1).alias("d")),
+                F.struct(F.col("e").alias("i"), F.lit(-1).alias("d")),
+            )
+        ).alias("b"),
+    ).select("day", F.col("b.i").alias("i"), F.col("b.d").alias("d"))
     net = (
-        inst.groupBy("i")
+        bounds.groupBy("day", "i")
         .agg(F.sum("d").alias("delta"))
-        .withColumn("day", F.to_date("i"))
-        .withColumn("hr", F.hour("i"))
+        .withColumn(
+            "blk",
+            F.floor(
+                (
+                    F.col("i").cast("long")
+                    - F.col("day").cast("timestamp").cast("long")
+                )
+                / 3600
+            ).cast("int"),
+        )
+        .localCheckpoint()  # tiny (≤ 2·sessions); consumed 2×
     )
     within = (
-        Window.partitionBy("day", "hr")
+        Window.partitionBy("day", "blk")
         .orderBy("i")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     offw = (
         Window.partitionBy("day")
-        .orderBy("hr")
+        .orderBy("blk")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     blocks = (
-        net.groupBy("day", "hr")
+        net.groupBy("day", "blk")
         .agg(F.sum("delta").alias("bd"))
         .select(
             "day",
-            "hr",
+            "blk",
             F.coalesce(F.sum("bd").over(offw), F.lit(0).cast("long")).alias(
                 "off"
             ),
@@ -100,7 +124,7 @@ def events_max_concurrency(spark, sf_dir):
     )
     conc = (
         net.withColumn("w", F.sum("delta").over(within))
-        .join(F.broadcast(blocks), ["day", "hr"])
+        .join(F.broadcast(blocks), ["day", "blk"])
         .select("day", (F.col("w") + F.col("off")).alias("conc"))
     )
     return conc.groupBy("day").agg(
@@ -115,23 +139,24 @@ def events_max_concurrency(spark, sf_dir):
 
 EVENTS_CONCURRENCY_SQL = """
 WITH sess AS (
-  SELECT min(ts) AS s,
+  SELECT CAST(ts AS DATE) AS day,
+         min(ts) AS s,
          least(max(ts) + INTERVAL 1 SECOND,
                CAST(CAST(ts AS DATE) + 1 AS TIMESTAMP)) AS e
   FROM events
   GROUP BY user_id, CAST(ts AS DATE)
 ),
 inst AS (
-  SELECT s AS i, 1 AS d FROM sess
+  SELECT day, s AS i, 1 AS d FROM sess
   UNION ALL
-  SELECT e AS i, -1 AS d FROM sess
+  SELECT day, e AS i, -1 AS d FROM sess
 ),
 net AS (
-  SELECT i, CAST(sum(d) AS BIGINT) AS delta FROM inst GROUP BY 1
+  SELECT day, i, CAST(sum(d) AS BIGINT) AS delta FROM inst GROUP BY 1, 2
 ),
 conc AS (
-  SELECT CAST(i AS DATE) AS day,
-         sum(delta) OVER (PARTITION BY CAST(i AS DATE) ORDER BY i
+  SELECT day,
+         sum(delta) OVER (PARTITION BY day ORDER BY i
                           ROWS UNBOUNDED PRECEDING) AS c
   FROM net
 )
@@ -243,17 +268,21 @@ def text_js_divergence(spark, sf_dir):
     + (ln2/2)·((1−Σp) + (1−Σq)) needs no full-outer union of
     vocabularies.
 
-    Scale: the (source, token) count relation is Σ|vocab_s|; the
-    token-keyed self-join emits Σ_t |sources_t|² pairs (co-occurrence
-    shape — never |S|²·|V|); per-source totals are a broadcast dim.
-    Probabilities are exact-integer ratios in float64; only ln is
-    transcendental, summed then rounded to 6.
+    Scale: the (source, token) count relation is Σ|vocab_s|,
+    localCheckpoint-ed once so the expensive tokenize/explode pass
+    over documents runs exactly once for its three consumers (totals
+    dim + both join sides); the token-keyed self-join emits
+    Σ_t |sources_t|² pairs (co-occurrence shape — never |S|²·|V|);
+    per-source totals are a broadcast dim.  Probabilities are
+    exact-integer ratios in float64; only ln is transcendental,
+    summed then rounded to 6.
     """
     d = t(spark, sf_dir, "documents")
     cnt = (
         d.select("source", F.explode(F.split("text", " ")).alias("token"))
         .groupBy("source", "token")
         .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()  # tokenize once; consumed 3×
     )
     tot = cnt.groupBy("source").agg(F.sum("c").alias("tot"))
     probs = cnt.join(F.broadcast(tot), "source").select(
@@ -437,7 +466,6 @@ def stats_bootstrap_ci(spark, sf_dir):
     )
 
 
-_T_SQL = ", ".join(str(x) for x in _POISSON_T)
 STATS_BOOTSTRAP_SQL = f"""
 WITH reps AS (
   SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS price, b
@@ -493,13 +521,19 @@ def events_autocorrelation(spark, sf_dir):
     anomaly baselines.
 
     Exactness: with S = Σx and D = days, the centered series scaled by
-    D is c_t = D·x_t − S (pure int64); ACF_k = Σ c_t·c_{t+k} / Σ c_t²
-    is a ratio of exact integers (the D² factors cancel), one double
-    division rounded to 9.  No float means, no variance estimators.
+    D is c_t = D·x_t − S (int64: ≤ ~2·10¹³ at the stated envelope of
+    2³¹ counts × 10⁴ days); the products c_t·c_{t+k} can reach ~4·10²⁶
+    — past int64 — so the sums accumulate as exact
+    decimal(18,0)×decimal(18,0) ⇒ decimal(37,0) (overflow-free past
+    10³⁷); ACF_k = Σ c_t·c_{t+k} / Σ c_t² is a ratio of exact
+    integers (the D² factors cancel), one double division rounded
+    to 9.  No float means, no variance estimators.
 
     Scale: everything past the map-combinable daily count runs on the
     |types|×|days| relation — lead() windows over calendar-bounded
-    partitions, then one aggregate row per (type, lag).
+    partitions, one aggregate row per type, and the per-lag rows
+    unpivot from THAT row via ``stack`` (no per-lag recompute of the
+    events scan).
     """
     from pyspark.sql.window import Window
 
@@ -523,29 +557,36 @@ def events_autocorrelation(spark, sf_dir):
             for k in range(1, _ACF_LAGS + 1)
         ],
     )
+    def d18(col):
+        return F.col(col).cast("decimal(18,0)")
+
     agg = scored.groupBy("event_type").agg(
         F.max("n_days").alias("n_days"),
-        F.sum(F.col("c") * F.col("c")).alias("den"),
+        F.sum(d18("c") * d18("c")).alias("den"),
         *[
-            F.sum(F.col("c") * F.col(f"c{k}")).alias(f"num{k}")
+            F.sum(d18("c") * d18(f"c{k}")).alias(f"num{k}")
             for k in range(1, _ACF_LAGS + 1)
         ],
     )
-    arms = [
-        agg.select(
-            "event_type",
-            F.lit(k).alias("lag"),
-            "n_days",
+    scored_acf = agg.select(
+        "event_type",
+        "n_days",
+        *[
             F.round(
                 F.col(f"num{k}").cast("double") / F.col("den").cast("double"),
                 9,
-            ).alias("acf"),
-        )
-        for k in range(1, _ACF_LAGS + 1)
-    ]
-    out = arms[0]
-    for a in arms[1:]:
-        out = out.unionByName(a)
+            ).alias(f"acf{k}")
+            for k in range(1, _ACF_LAGS + 1)
+        ],
+    )
+    lags = ", ".join(
+        f"{k}, acf{k}" for k in range(1, _ACF_LAGS + 1)
+    )
+    out = scored_acf.selectExpr(
+        "event_type",
+        "n_days",
+        f"stack({_ACF_LAGS}, {lags}) AS (lag, acf)",
+    ).select("event_type", "lag", "n_days", "acf")
     return out.filter(F.col("acf").isNotNull())
 
 

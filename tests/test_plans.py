@@ -1317,9 +1317,13 @@ def test_concurrency_segmented_prefix_sum_plan(spark):
     specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
     assert specs, plan
     assert all("day" in s for s in specs), specs
-    assert any("hr" in s for s in specs), specs
+    assert any("blk" in s for s in specs), specs
     assert "BroadcastHashJoin" in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the netted-instants relation is localCheckpoint-ed once — the
+    # final plan reads the RDD, never re-derives from parquet
+    tree = plan.split("\n\n")[0]
+    assert "Scan parquet" not in tree, tree
 
 
 def test_cusum_windows_bounded_by_calendar(spark):
@@ -1348,6 +1352,10 @@ def test_jsd_token_equijoin_with_broadcast_totals(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "token" in plan
+    # the (source, token) counts are localCheckpoint-ed — the final
+    # plan never re-tokenizes documents (no parquet scan, no Generate)
+    tree = plan.split("\n\n")[0]
+    assert "Scan parquet" not in tree, tree
 
 
 def test_bootstrap_stays_jvm_side_one_scan_per_arm(spark):
@@ -1374,6 +1382,10 @@ def test_acf_windows_bounded_by_calendar(spark):
     specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
     assert specs and all("event_type" in s for s in specs), specs
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the per-lag rows unpivot via stack from ONE aggregate row per
+    # type — never a per-lag recompute of the events pipeline
+    tree = plan.split("\n\n")[0]
+    assert len(re.findall(r"Scan parquet", tree)) == 1, tree
 
 
 def test_gini_ranks_within_buckets_only(spark):

@@ -69,11 +69,11 @@ ANNOTATED = {
     "orders_skyline_price_date": "2-D skyline by dimension reduction: per-date min agg (tiny spine) -> prefix-min window over the spine only -> broadcast join back; 2 scans, 1 Window, no self-join",
     "audit_functional_dependencies": "FD audit: one count-distinct aggregate per candidate, unioned one-row arms; map-combinable, no sort",
     "sketch_kmv_rollup": "portable KMV sketch: per-day k-minima via salted two-stage top-k, TOTAL via TakeOrderedAndProject heap; estimates cross-engine deterministic",
-    "events_max_concurrency": "sweep-line concurrency: netted boundary instants -> SEGMENTED prefix sum (within-(day,hr) windows + broadcast hour-block offsets) — never an unpartitioned ORDER BY instant",
+    "events_max_concurrency": "sweep-line concurrency: netted boundary instants (keyed by SESSION day — midnight end-boundaries stay in their own day) -> SEGMENTED prefix sum (within-(day,blk) windows + broadcast block offsets), net relation checkpointed once; never an unpartitioned ORDER BY instant",
     "events_cusum_changepoint": "CUSUM change point: map-combinable daily count, then every window runs on the calendar-bounded |types|x|days| relation; statistic scaled by D stays pure int64",
-    "text_js_divergence": "pairwise JSD: token-keyed equi self-join (co-occurrence shape, Sum_t |sources_t|^2 — never |S|^2 x |V|), per-source totals broadcast; one-sided tokens folded in via 1-Sum(p) closed form",
+    "text_js_divergence": "pairwise JSD: token counts checkpointed once (tokenize runs 1x for 3 consumers), token-keyed equi self-join (co-occurrence shape — never |S|^2 x |V|), per-source totals broadcast; one-sided tokens folded in via 1-Sum(p) closed form",
     "stats_bootstrap_ci": "Poisson bootstrap: fan_out -> B-fold explode with content-addressed weights (4 draws per md5), all JVM codegen; B=64-group map-combined aggregate; percentile over exactly B rows",
-    "events_autocorrelation": "lag-k ACF: daily-count relation only past the first aggregate; centering and lead windows partitioned by event_type; integer-exact numerators/denominator, one double division",
+    "events_autocorrelation": "lag-k ACF: daily-count relation only past the first aggregate; centering and lead windows partitioned by event_type; decimal(18,0)^2-exact sums, per-lag rows unpivot via stack from ONE aggregate (1 scan)",
     "customer_gini_revenue": "Gini by bucketed segmented ranking: 256-bucket histogram (bounded driver collect) -> broadcast rank offsets -> row_number WITHIN buckets; exact decimal(18,0)x(18,0) rank-weighted sum, no global sort",
     "stats_welch_t": "Welch t-test: one type-pruned scan -> one conditional aggregate row of exact decimal sufficient statistics (n, Sum v, Sum v^2 per arm); t and Satterthwaite df are closed-form doubles",
     "events_activity_streaks": "gaps-and-islands: distinct (user, day) -> island key day - row_number (window on the HIGH-card user key) -> two map-combinable aggregates -> bounded histogram",
