@@ -1368,3 +1368,66 @@ def test_cdc_apply_stream_matches_batch_snapshot(spark, tmp_path):
     for st in want:
         assert got[st][0] == want[st][0], st
         assert float(got[st][1]) == want[st][1], (st, got[st], want[st])
+
+
+def test_welch_stats_stream_matches_batch_readout(spark, tmp_path):
+    """Streaming Welch A/B monitor ≡ the batch stats_welch_t readout:
+    the same purchase rows drained in two arbitrary micro-batch slices
+    converge to the batch sufficient statistics exactly (all three
+    per-arm statistics are commutative sums), and the shared
+    welch_readout closed form over the latest per-arm emissions equals
+    the batch query row bit-for-bit."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from rick_and_morty_data_pipeline_project_spark.streaming.abtest import (
+        WELCH_EVENT_SCHEMA,
+        welch_readout,
+        welch_stats_stream,
+    )
+
+    e = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    src = tmp_path / "ab_incoming"
+    src.mkdir()
+    halves = (
+        e.filter(F.col("event_id") % 2 == 0),
+        e.filter(F.col("event_id") % 2 == 1),
+    )
+    for name, df in zip(("a", "b"), halves):
+        d = tmp_path / f"_ab_{name}"
+        df.coalesce(1).write.parquet(str(d))
+        shutil.copy(next(d.glob("part-*.parquet")), src / f"{name}.parquet")
+    _pin_file_order(src / "a.parquet", src / "b.parquet")
+
+    stream = (
+        spark.readStream.schema(WELCH_EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        welch_stats_stream(stream)
+        .writeStream.format("memory")
+        .queryName("ab_stats")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    emissions = spark.sql("SELECT * FROM ab_stats").collect()
+    assert len(emissions) >= 4, emissions  # both arms touched twice
+    latest = {}
+    for r in emissions:
+        # update-mode re-emissions only grow n; keep the final state
+        if r["arm"] not in latest or r["n"] > latest[r["arm"]]["n"]:
+            latest[r["arm"]] = r
+    state = spark.createDataFrame(
+        [(r["arm"], r["n"], r["sv"], r["svv"]) for r in latest.values()],
+        "arm long, n long, sv decimal(30,2), svv decimal(30,4)",
+    )
+    got = welch_readout(state).collect()[0]
+    want = QUERIES["stats_welch_t"].fn(spark, SF_SMALL).collect()[0]
+    assert got["n_a"] == want["n_a"] and got["n_b"] == want["n_b"]
+    for c in ("mean_a", "mean_b", "t_stat", "df"):
+        assert got[c] == want[c], (c, got[c], want[c])
