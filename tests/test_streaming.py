@@ -1431,3 +1431,69 @@ def test_welch_stats_stream_matches_batch_readout(spark, tmp_path):
     assert got["n_a"] == want["n_a"] and got["n_b"] == want["n_b"]
     for c in ("mean_a", "mean_b", "t_stat", "df"):
         assert got[c] == want[c], (c, got[c], want[c])
+
+
+def test_transition_counts_stream_matches_batch_matrix(spark, tmp_path):
+    """Streaming transition maintenance ≡ the batch lead() matrix: the
+    corpus drained in two time-ordered slices (the cross-batch
+    transition exists in neither slice alone — only the per-user
+    last-event state completes it) must sum its emitted increments to
+    the batch events_transition_matrix counts exactly."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from rick_and_morty_data_pipeline_project_spark.streaming.transitions import (
+        transition_counts_stream,
+    )
+
+    e = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    mid = e.approxQuantile("event_id", [0.5], 0.0)[0]
+    src = tmp_path / "tr_incoming"
+    src.mkdir()
+    halves = (
+        e.filter(F.col("event_id") <= mid),
+        e.filter(F.col("event_id") > mid),
+    )
+    for name, df in zip(("a", "b"), halves):
+        d = tmp_path / f"_tr_{name}"
+        df.coalesce(1).write.parquet(str(d))
+        shutil.copy(next(d.glob("part-*.parquet")), src / f"{name}.parquet")
+    _pin_file_order(src / "a.parquet", src / "b.parquet")
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        transition_counts_stream(stream)
+        .writeStream.format("memory")
+        .queryName("tr_increments")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {
+        (r["from_type"], r["to_type"]): r["total"]
+        for r in spark.sql(
+            "SELECT from_type, to_type, sum(n) AS total "
+            "FROM tr_increments GROUP BY 1, 2"
+        ).collect()
+    }
+    want = {
+        (r["from_type"], r["to_type"]): r["n_transitions"]
+        for r in QUERIES["events_transition_matrix"]
+        .fn(spark, SF_SMALL)
+        .collect()
+    }
+    assert got == want, {
+        k: (got.get(k), want.get(k))
+        for k in set(got) | set(want)
+        if got.get(k) != want.get(k)
+    }
