@@ -466,3 +466,149 @@ def test_part_skyline_matches_bruteforce_dominance(
 
     want = {i for (i, *_), p in zip(pts, pts) if not dominated(p)}
     assert got == want
+
+
+@st.composite
+def concurrency_scenario(draw):
+    """Events across ≤3 users and ≤3 days, timestamps drawn in seconds
+    (incl. second-boundary and near-midnight values, the bug class the
+    r8 review caught)."""
+    n = draw(st.integers(min_value=1, max_value=12))
+    rows = []
+    for i in range(n):
+        user = draw(st.integers(min_value=1, max_value=3))
+        day = draw(st.integers(min_value=1, max_value=3))
+        sec = draw(
+            st.one_of(
+                st.integers(min_value=0, max_value=86399),
+                st.sampled_from([0, 1, 86398, 86399]),  # boundary bias
+            )
+        )
+        rows.append((i, user, day, sec))
+    return rows
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(scenario=concurrency_scenario())
+def test_sweep_line_concurrency_matches_python_oracle(
+    spark, tmp_path_factory, scenario
+):
+    """events_max_concurrency ≡ a brute-force Python sweep: per
+    (user, day) interval [min_ts, min(max_ts+1s, midnight)), peak =
+    max over boundary instants of intervals covering them — day
+    attribution by the SESSION's day, the reviewed semantics."""
+    import datetime
+
+    from rick_and_morty_data_pipeline_project_spark.queries import statsq
+
+    base = datetime.datetime(2024, 3, 1)
+    events = [
+        (
+            i,
+            base
+            + datetime.timedelta(days=day - 1, seconds=sec),
+            user,
+            "click",
+            1.0,
+            "{}",
+        )
+        for i, user, day, sec in scenario
+    ]
+    tmp = tmp_path_factory.mktemp("sweep")
+    spark.createDataFrame(
+        events,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp / "events.parquet")
+    )
+
+    # Python oracle: brute-force interval cover counts per day
+    sessions: dict[tuple, list] = {}
+    for _i, ts, user, *_ in events:
+        key = (user, ts.date())
+        lo, hi = sessions.get(key, (ts, ts))
+        sessions[key] = (min(lo, ts), max(hi, ts))
+    by_day: dict = {}
+    for (user, day), (lo, hi) in sessions.items():
+        end = min(
+            hi + datetime.timedelta(seconds=1),
+            datetime.datetime.combine(
+                day + datetime.timedelta(days=1), datetime.time()
+            ),
+        )
+        by_day.setdefault(day, []).append((lo, end))
+    want = {}
+    for day, ivals in by_day.items():
+        instants = sorted({b for iv in ivals for b in iv})
+        peak = max(
+            sum(1 for (lo, end) in ivals if lo <= t_ < end)
+            for t_ in instants
+        )
+        want[day.isoformat()] = (len(instants), peak)
+
+    got = {
+        r["day"]: (r["n_instants"], r["max_concurrency"])
+        for r in statsq.events_max_concurrency(
+            spark, str(tmp)
+        ).collect()
+    }
+    assert got == want, (got, want)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    orders=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=5),  # custkey
+            st.integers(min_value=0, max_value=9999),  # cents
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_gini_bucketed_ranking_matches_python_oracle(
+    spark, tmp_path_factory, orders
+):
+    """customer_gini_revenue ≡ a trivially-correct Python reference:
+    ranks from a plain sort on (cents, custkey), G from the same IEEE
+    double expression — exercises duplicate revenues (forced rank
+    ties broken by key), single-customer corpora, and bucket-boundary
+    values the 256-range histogram must place consistently."""
+    from rick_and_morty_data_pipeline_project_spark.queries import statsq
+
+    tmp = tmp_path_factory.mktemp("gini")
+    rows = [
+        (i, ck, cents / 100.0)
+        for i, (ck, cents) in enumerate(orders)
+    ]
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_totalprice double"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp / "orders.parquet")
+    )
+
+    rev: dict[int, int] = {}
+    for _i, ck, price in rows:
+        rev[ck] = rev.get(ck, 0) + round(price * 100)
+    ranked = sorted(rev.items(), key=lambda kv: (kv[1], kv[0]))
+    n = len(ranked)
+    sc = sum(c for _k, c in ranked)
+    sic = sum((i + 1) * c for i, (_k, c) in enumerate(ranked))
+    if sc == 0:
+        return  # all-zero revenue: G is 0/0, filtered domain
+    want = 2.0 * float(sic) / (float(n) * float(sc)) - (
+        float(n) + 1.0
+    ) / float(n)
+
+    got = statsq.customer_gini_revenue(spark, str(tmp)).collect()[0]
+    assert got["n_customers"] == n
+    assert abs(got["gini"] - want) < 1e-9, (got["gini"], want)
