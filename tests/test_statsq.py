@@ -58,7 +58,10 @@ def test_bootstrap_draws_match_reference_md5_path(spark):
     """The replicate weights are content-addressed: weight(key, b)
     must equal the reference Python computation — md5 of
     'boot:<key>:<4*(b div 4)>', the (b%4)-th 8-hex window, compared
-    against the pinned Poisson(1) thresholds."""
+    NUMERICALLY against the pinned Poisson(1) thresholds.  The engine
+    compares the hex window lexicographically; this reference parses
+    it to an int — equality of the two proves the fixed-width-hex
+    string compare is the numeric compare."""
 
     def ref_weight(key: int, b: int) -> int:
         base = b - (b % 4)
@@ -79,12 +82,10 @@ def test_bootstrap_draws_match_reference_md5_path(spark):
             (F.col("b") - F.col("b") % 4).cast("string"),
         )
     )
-    u = F.conv(
-        F.substring(h, F.lit(1) + (F.col("b") % 4) * 8, F.lit(8)), 16, 10
-    ).cast("long")
+    h8 = F.substring(h, F.lit(1) + (F.col("b") % 4) * 8, F.lit(8))
     w = F.lit(9)
-    for k in range(len(statsq._POISSON_T) - 1, -1, -1):
-        w = F.when(u < statsq._POISSON_T[k], F.lit(k)).otherwise(w)
+    for k in range(len(statsq._POISSON_T_HEX) - 1, -1, -1):
+        w = F.when(h8 < statsq._POISSON_T_HEX[k], F.lit(k)).otherwise(w)
     got = {
         (r["o_orderkey"], r["b"]): r["w"]
         for r in df.select("o_orderkey", "b", w.alias("w")).collect()
