@@ -1,131 +1,129 @@
-"""Small-file compaction EXECUTOR — the action behind the planner.
+"""Small-file compaction planning.
 
-``queries/extraq.profile_compaction_plan`` decides "these 200 tiny
-date partitions should be 9 files"; this module performs the rewrite:
-bin consecutive partitions into ~``target_rows`` merge groups with the
-SAME first-fit running-sum rule, rewrite the table partitioned by
-merge group (one file per group), and install the result with the
-temp-write + double-rename swap so every failure point leaves a
-complete table on disk (crash recovery via ``operators/merge``'s
-protocol — the paths use the same suffix convention, so
-``recover_table`` heals a half-finished compaction too).
+Streaming ingest and per-batch appends leave tables as many small
+files; scans then pay per-file open/footer costs and lose row-group
+skipping.  The fix is periodic compaction: group small files into
+target-sized bins and rewrite each bin as one file.  This module plans
+the bins; the rewrite is a bin-keyed shuffle + hive-partitioned write.
 
-Layout contract after compaction:
-
-* directory partitioning by ``grp`` (the merge group) — the file
-  count is the PLAN's group count, one file per group, each
-  ~``target_rows`` rows (bounded above by ``target_rows`` + the
-  largest single input partition, the first-fit guarantee);
-* the original partition column survives as a DATA column, and rows
-  are sorted by it within each file, so min/max row-group statistics
-  keep partition-value pruning effective after the physical partitions
-  are gone (the standard coarsen-without-losing-pruning trade).
-
-Row preservation is verified BEFORE the swap via an ``observe`` metric
-on the write itself (no second scan): a count mismatch raises and the
-original table is never touched.
-
-Scale: the plan is computed over the per-partition count relation
-(one row per partition value — bounded by the table's partition
-count, kilobytes at 100 TB), broadcast back onto the fact scan; the
-rewrite is one shuffle by ``grp``.  The single-partition ordered
-window in the planner runs over that tiny relation only, never the
-fact table.
+Scale shape: the per-file row counts come from ONE distributed
+aggregation keyed on ``input_file_name()`` (combinable, no data
+movement beyond the per-file counts); the bin-packing runs driver-side
+over the FILE LIST — bounded by file count, not data size (a 100 TB
+table with 10⁵ files is a 10⁵-row planning problem).  Packing is
+best-fit-decreasing over a capacity-sorted bin index (bisect —
+O(F log F), never the quadratic naive first-fit).  The rewrite routes
+rows to bins via a broadcast JOIN on the plan (never a
+files-count-sized literal map expression), and writes
+``partitionBy("_bin")`` so colliding hash partitions can never merge
+two bins into one oversized file.
 """
 
 from __future__ import annotations
 
+from bisect import bisect_left, insort
+
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
-
-from rick_and_morty_data_pipeline_project_spark.operators.merge import (
-    _hadoop_fs,
-    recover_table,
-)
 
 
 def plan_compaction(
-    counts: DataFrame, part_col: str, target_rows: int
-) -> DataFrame:
-    """First-fit merge groups over a (part_col, n_rows) relation: a
-    partition joins the group where its FIRST row lands
-    (grp = ⌊(cumsum − n_rows) / target⌋), so groups are contiguous in
-    partition order and every group except possibly the last reaches
-    the target once its final partition is added.  Same rule as the
-    oracled ``profile_compaction_plan`` query, generalized to any
-    partition column."""
-    w_cum = Window.orderBy(part_col).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    return counts.select(
-        part_col,
-        "n_rows",
-        F.floor(
-            (F.sum("n_rows").over(w_cum) - F.col("n_rows"))
-            / F.lit(float(target_rows))
-        )
-        .cast("int")
-        .alias("grp"),
-    )
-
-
-def compact_table(
     spark: SparkSession,
-    table_dir: str,
-    part_col: str,
+    path: str,
     target_rows: int,
-) -> dict:
-    """Rewrite the hive-partitioned parquet table at ``table_dir`` into
-    one file per planned merge group (layout contract in the module
-    docstring).  Returns ``{"n_rows": int, "n_groups": int}``.  Safe
-    against crashes at any point: temp-write + double-rename, with
-    ``recover_table`` healing a half-finished swap on the next call."""
-    recover_table(spark, table_dir)
-    table = spark.read.parquet(table_dir)
-    n_before = table.count()
-    counts = table.groupBy(part_col).agg(F.count(F.lit(1)).alias("n_rows"))
-    plan = plan_compaction(counts, part_col, target_rows)
-    n_groups = plan.agg(F.countDistinct("grp")).collect()[0][0]
+    max_files: int = 100_000,
+) -> DataFrame:
+    """Plan compaction bins for the parquet table at ``path``.
 
-    obs = Observation("compaction_rows")
-    compacted = (
-        table.join(F.broadcast(plan.drop("n_rows")), part_col)
-        .repartition("grp")  # all rows of a group in ONE task => 1 file
-        .sortWithinPartitions(part_col)
-        .observe(obs, F.count(F.lit(1)).alias("n"))
-    )
-
-    tmp_path = table_dir + ".__merge_tmp__"
-    old_path = table_dir + ".__merge_old__"
-    fs, jvm = _hadoop_fs(spark, table_dir)
-    hpath = jvm.org.apache.hadoop.fs.Path
-    fs.delete(hpath(tmp_path), True)
-    fs.delete(hpath(old_path), True)
-    compacted.write.mode("overwrite").partitionBy("grp").parquet(tmp_path)
-    n_written = int(obs.get["n"])
-    if n_written != n_before:
-        fs.delete(hpath(tmp_path), True)
-        raise IOError(
-            f"compact_table: wrote {n_written} rows, expected {n_before}"
-            " — original table left untouched"
-        )
-    if not fs.rename(hpath(table_dir), hpath(old_path)):
-        raise IOError(f"compact_table: cannot move aside {table_dir}")
-    if not fs.rename(hpath(tmp_path), hpath(table_dir)):
-        fs.rename(hpath(old_path), hpath(table_dir))
-        raise IOError(f"compact_table: cannot install {tmp_path}")
-    fs.delete(hpath(old_path), True)
-    return {"n_rows": n_written, "n_groups": int(n_groups)}
-
-
-def data_file_stats(spark: SparkSession, table_dir: str) -> DataFrame:
-    """Per-data-file row counts for a parquet table — the before/after
-    evidence a compaction run is judged by (one narrow scan; the
-    aggregate is one row per file)."""
-    return (
-        spark.read.parquet(table_dir)
-        .select(F.input_file_name().alias("file"))
-        .groupBy("file")
+    Returns (file, n_rows, bin_id): files sharing a bin_id should be
+    rewritten together; each bin holds ≤ ``target_rows`` rows unless a
+    single file already exceeds the target (it gets its own bin).
+    """
+    stats = (
+        spark.read.parquet(path)
+        .groupBy(F.input_file_name().alias("file"))
         .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy(F.desc("n_rows"), F.asc("file"))
+        .limit(max_files + 1)
+        .collect()
     )
+    if len(stats) > max_files:
+        raise ValueError(
+            f"plan_compaction collects per-file stats to the driver: got "
+            f"> {max_files} files; raise max_files only if the driver can "
+            f"hold the file list"
+        )
+    # best-fit-decreasing: bins kept as a (remaining, bin_id) list
+    # sorted by remaining capacity; bisect finds the tightest bin that
+    # still fits — O(F log F) total, no quadratic scan
+    open_bins: list[tuple[int, int]] = []  # (remaining, bin_id) sorted
+    assignment: list[tuple[str, int, int]] = []
+    n_bins = 0
+    for row in stats:
+        f, n = row["file"], row["n_rows"]
+        i = bisect_left(open_bins, (n, -1))
+        if i < len(open_bins):
+            remaining, bin_id = open_bins.pop(i)
+            insort(open_bins, (remaining - n, bin_id))
+        else:
+            bin_id = n_bins
+            n_bins += 1
+            insort(open_bins, (max(target_rows - n, 0), bin_id))
+        assignment.append((f, n, bin_id))
+    return spark.createDataFrame(
+        assignment, "file string, n_rows long, bin_id int"
+    )
+
+
+def compact(
+    spark: SparkSession, src_path: str, dst_path: str, target_rows: int
+) -> int:
+    """Execute a compaction plan: rewrite ``src_path`` into ``dst_path``
+    hive-partitioned by compaction bin (`_bin=K/` directories, one data
+    file each).  Returns the number of bins written.
+
+    Files that appear in ``src_path`` BETWEEN the plan's listing and the
+    rewrite's re-listing (exactly the streaming-ingest scenario that
+    motivates compaction) are routed to a dedicated LEFTOVER bin rather
+    than silently dropped: the routing join is a LEFT join against the
+    plan, and a null bin_id means "file the planner never saw".  The
+    leftover bin can exceed ``target_rows`` (it absorbs whatever landed
+    mid-compaction — recompact next cycle); losing the rows would be
+    silent data loss.
+
+    Read the result with ``spark.read.parquet(dst_path)`` — `_bin` is a
+    partition column; drop it for the original schema.
+    """
+    plan = plan_compaction(spark, src_path, target_rows)
+    n_bins = plan.agg(F.max("bin_id")).first()[0]
+    n_bins = (n_bins + 1) if n_bins is not None else 0
+    df = spark.read.parquet(src_path)
+    routed = (
+        df.withColumn("_file", F.input_file_name())
+        .join(
+            F.broadcast(plan.select(F.col("file").alias("_file"),
+                                    F.col("bin_id").alias("_bin"))),
+            "_file",
+            "left",
+        )
+        .withColumn(
+            "_unplanned", F.col("_bin").isNull().cast("long")
+        )
+        .withColumn("_bin", F.coalesce(F.col("_bin"), F.lit(n_bins)))
+        .drop("_file")
+    )
+    obs = Observation("compact_unplanned")
+    routed = routed.observe(obs, F.sum("_unplanned").alias("n")).drop(
+        "_unplanned"
+    )
+    (
+        # hash partitions can merge bins (pmod collisions) but the
+        # partitionBy split writes each bin to its own directory, so a
+        # merged task still emits one file PER BIN, never a combined one
+        routed.repartition(max(n_bins, 1) + 1, F.col("_bin"))
+        .write.mode("overwrite")
+        .partitionBy("_bin")
+        .parquet(dst_path)
+    )
+    n_unplanned = int(obs.get["n"] or 0)
+    return n_bins + (1 if n_unplanned > 0 else 0)

@@ -54,13 +54,31 @@ def _footer_signatures(spark: SparkSession, table_dir: str) -> DataFrame:
     )
 
     def sniff(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from urllib.parse import unquote
+
         import pyarrow.parquet as pq
+        from pyarrow import fs as pafs
+
+        def schema_of(uri: str):
+            # binaryFile yields URL-encoded Hadoop URIs ("file:/x/a%20b",
+            # "s3a://bucket/x").  Local URIs (Hadoop's one-slash form
+            # included) read directly; remote schemes go through
+            # pyarrow's filesystem resolution (s3/hdfs/gcs, wherever
+            # pyarrow has support)
+            u = unquote(uri)
+            if u.startswith("file:"):
+                local = u[7:] if u.startswith("file://") else u[5:]
+                return pq.read_schema(local)
+            if "://" not in u:
+                return pq.read_schema(u)
+            filesystem, path = pafs.FileSystem.from_uri(u)
+            with filesystem.open_input_file(path) as f:
+                return pq.read_schema(f)
 
         for b in batches:
             sigs = []
             for p in b["path"]:
-                local = p[len("file:") :] if p.startswith("file:") else p
-                sch = pq.read_schema(local)
+                sch = schema_of(p)
                 sigs.append(
                     ";".join(
                         f"{n}:{t}"

@@ -90,7 +90,10 @@ def stream_kmv_sketch_table(
             F.col(item_col).alias("item"),
         ).distinct()
         hashed = pairs.withColumn("u", kmv_uniform_hash(F.col("item")))
-        return grouped_topk_salted(hashed, ["day"], "u", k, tiebreak="item")
+        return grouped_topk_salted(
+            hashed, ["day"], "u", k, tiebreak="item"
+        ).withColumn("k", F.lit(k))  # k travels WITH the sketch: a
+        # readout guessing a different k would silently misestimate
 
     def _apply(batch_df: DataFrame, current) -> DataFrame:
         cand = _candidates(batch_df)
@@ -99,20 +102,31 @@ def stream_kmv_sketch_table(
         # same item ⇒ same u (content-addressed), so dedup by (day,
         # item) — duplicates must not occupy two of the k slots
         merged = current.unionByName(cand).dropDuplicates(["day", "item"])
-        return grouped_topk_salted(merged, ["day"], "u", k, tiebreak="item")
+        return grouped_topk_salted(
+            merged, ["day"], "u", k, tiebreak="item"
+        ).withColumn("k", F.lit(k))
 
     return durable_table_sink(stream, table_dir, checkpoint_dir, _apply)
 
 
-def kmv_table_estimates(spark, table_dir: str, k: int = 256) -> DataFrame:
+def kmv_table_estimates(spark, table_dir: str) -> DataFrame:
     """Read the sketch table back as per-day distinct estimates plus
     the union-of-all TOTAL row.  A day holding fewer than k rows IS
     its distinct set (exact count); otherwise the Beyer et al.
-    unbiased estimate ``(k-1)/u_k``.  The TOTAL arm merges the per-day
-    minima (dedup by item, re-take k smallest) — exactly the global
-    KMV by the mergeability argument in the module docstring.  Only
-    the O(k · days) sketch rows are touched, never event data."""
+    unbiased estimate ``(k-1)/u_k``.  ``k`` is read from the table
+    itself (stored with every sketch row), never caller-supplied —
+    a wrong guess would silently fire the exact-count branch.  The
+    TOTAL arm merges the per-day minima (dedup by item, re-take k
+    smallest) — exactly the global KMV by the mergeability argument
+    in the module docstring.  Only the O(k · days) sketch rows are
+    touched, never event data."""
     sk = spark.read.parquet(table_dir)
+    ks = [r["k"] for r in sk.select("k").distinct().collect()]
+    if len(ks) != 1:
+        raise ValueError(
+            f"kmv_table_estimates: table stores conflicting k values {ks}"
+        )
+    k = int(ks[0])
 
     def _readout(grouped: DataFrame) -> DataFrame:
         return grouped.select(

@@ -101,7 +101,7 @@ def test_stream_kmv_table_bit_identical_to_batch(spark, tmp_path):
 
     got = {
         r["day"]: r["est_distinct"]
-        for r in kmv_table_estimates(spark, table_dir, k=_K).collect()
+        for r in kmv_table_estimates(spark, table_dir).collect()
     }
     want = _batch_kmv_expected(events, _K)
     n_days = events.select(
