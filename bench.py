@@ -30,9 +30,9 @@ QUIET_LOAD_MAX = 3.0
 # compare like-for-like without hunting through PERFORMANCE.md.
 # Updated whenever the builder re-measures on a quiet host.
 BUILDER_QUIET_REFERENCE = {
-    "value": 13.412,
-    "host_load_1m_pre": 1.87,
-    "recorded": "2026-08-15 (round 8, second session)",
+    "value": 11.796,
+    "host_load_1m_pre": 0.03,
+    "recorded": "2026-08-15 (round 8, third session)",
 }
 
 HEADLINE = [
