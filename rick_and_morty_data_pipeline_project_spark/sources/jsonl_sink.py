@@ -1,0 +1,161 @@
+"""Spark 4 Python DataSource WRITER: sharded-JSONL corpus export.
+
+Completes the engine's Python DataSource surface — batch reader
+(restapi_datasource.py) and streaming reader (restapi_stream.py)
+already exist; this is the write side, the training-data export shape:
+``df.write.format("jsonl_shards").mode("overwrite").save(dir)``
+produces one canonical-JSON shard per partition plus a ``_MANIFEST``
+with per-shard row counts and md5 checksums — what a downstream
+tokenizer/loader consumes to verify and schedule shards.
+
+The interesting part is the COMMIT PROTOCOL, the Hadoop
+FileOutputCommitter idea re-expressed in the Python DataSource API:
+
+* each task writes to a UNIQUE temp name under ``_staging/`` and
+  returns a :class:`WriterCommitMessage` naming (temp, final, rows,
+  md5) — a speculative or retried attempt leaves a second temp file
+  but only the attempt whose message reaches the driver is promoted;
+* ``commit()`` (driver, runs only if ALL tasks succeeded) promotes
+  temp → final via rename, removes the staging dir (sweeping loser
+  attempts), and lands ``_MANIFEST`` LAST via write-temp + rename —
+  a reader that requires the manifest therefore never observes a
+  partial export;
+* ``abort()`` (driver, any task failed) removes the staging dir; no
+  final shard or manifest ever appears.
+
+Scale: one shard per upstream partition, no driver data movement —
+the driver handles only commit messages (one tiny tuple per task).
+Shard sizing is the caller's ``repartition(n)``/coarsening choice.
+This exemplar targets a filesystem all tasks share (local/NFS in this
+container; object stores would swap the ``os`` calls for their
+client).  A vectorized variant would subclass
+``DataSourceArrowWriter`` and stream RecordBatches; the protocol is
+identical.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import uuid
+from dataclasses import dataclass
+from typing import Iterator, List, Optional
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceWriter,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import StructType
+
+MANIFEST = "_MANIFEST"
+STAGING = "_staging"
+
+
+@dataclass
+class ShardCommit(WriterCommitMessage):
+    tmp_name: str
+    final_name: str
+    n_rows: int
+    md5: str
+
+
+class JsonlShardWriter(DataSourceWriter):
+    def __init__(self, options, schema: StructType, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_shards: save(path) is required")
+        self.columns = list(schema.fieldNames())
+        # driver-side prep: a fresh staging dir per job; overwrite
+        # clears previous FINAL artifacts up front (never mid-commit)
+        os.makedirs(os.path.join(self.path, STAGING), exist_ok=True)
+        if overwrite:
+            for f in os.listdir(self.path):
+                if f.endswith(".jsonl") or f == MANIFEST:
+                    os.remove(os.path.join(self.path, f))
+
+    # -- executor side -------------------------------------------------
+    def write(self, iterator: Iterator) -> ShardCommit:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
+        tmp_name = f"attempt-{pid:05d}-{uuid.uuid4().hex}.jsonl.tmp"
+        tmp = os.path.join(self.path, STAGING, tmp_name)
+        digest = hashlib.md5()
+        n = 0
+        with open(tmp, "wb") as out:
+            for row in iterator:
+                line = (
+                    json.dumps(
+                        {c: row[c] for c in self.columns},
+                        sort_keys=True,
+                        default=str,
+                    )
+                    + "\n"
+                ).encode("utf-8")
+                out.write(line)
+                digest.update(line)
+                n += 1
+        return ShardCommit(
+            tmp_name=tmp_name,
+            final_name=f"shard-{pid:05d}.jsonl",
+            n_rows=n,
+            md5=digest.hexdigest(),
+        )
+
+    # -- driver side ----------------------------------------------------
+    def commit(self, messages: List[Optional[ShardCommit]]) -> None:
+        shards = []
+        for m in messages:
+            if m is None:  # contract: only on failure, but stay safe
+                raise IOError("jsonl_shards: missing commit message")
+            os.replace(
+                os.path.join(self.path, STAGING, m.tmp_name),
+                os.path.join(self.path, m.final_name),
+            )
+            shards.append(
+                {"shard": m.final_name, "n_rows": m.n_rows, "md5": m.md5}
+            )
+        # sweep loser attempts (speculation/retries), then the manifest
+        # lands LAST, atomically — its presence certifies completeness
+        staging = os.path.join(self.path, STAGING)
+        for leftover in os.listdir(staging):
+            os.remove(os.path.join(staging, leftover))
+        os.rmdir(staging)
+        manifest = {
+            "shards": sorted(shards, key=lambda s: s["shard"]),
+            "total_rows": sum(s["n_rows"] for s in shards),
+            "n_shards": len(shards),
+        }
+        tmp = os.path.join(self.path, MANIFEST + ".tmp")
+        with open(tmp, "w", encoding="utf-8") as out:
+            json.dump(manifest, out, sort_keys=True)
+        os.replace(tmp, os.path.join(self.path, MANIFEST))
+
+    def abort(self, messages: List[Optional[ShardCommit]]) -> None:
+        staging = os.path.join(self.path, STAGING)
+        if os.path.isdir(staging):
+            for leftover in os.listdir(staging):
+                os.remove(os.path.join(staging, leftover))
+            os.rmdir(staging)
+
+
+class JsonlShardDataSource(DataSource):
+    """``spark.dataSource.register(JsonlShardDataSource)`` then
+    ``df.write.format("jsonl_shards").save(dir)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_shards"
+
+    def writer(self, schema: StructType, overwrite: bool) -> JsonlShardWriter:
+        return JsonlShardWriter(self.options, schema, overwrite)
+
+
+def read_manifest(path: str) -> dict:
+    """The reader half of the contract: parse ``_MANIFEST`` (raises if
+    the export never committed)."""
+    with open(os.path.join(path, MANIFEST), encoding="utf-8") as f:
+        return json.load(f)

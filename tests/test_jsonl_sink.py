@@ -1,0 +1,97 @@
+"""Python DataSource writer: sharded JSONL export with a manifest
+commit protocol — committed exports round-trip and verify; failed
+jobs leave no shard and no manifest."""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from rick_and_morty_data_pipeline_project_spark.sources.jsonl_sink import (
+    MANIFEST,
+    JsonlShardDataSource,
+    read_manifest,
+)
+from rick_and_morty_data_pipeline_project_spark.sources.corpus import load_table
+from tests.conftest import SF_SMALL
+
+
+def _register(spark):
+    try:
+        spark.dataSource.register(JsonlShardDataSource)
+    except Exception as e:  # already registered in this session
+        if "already" not in str(e).lower():
+            raise
+
+
+def test_jsonl_export_commits_shards_and_manifest(spark, tmp_path):
+    _register(spark)
+    docs = load_table(spark, SF_SMALL, "documents").select(
+        "doc_id", "source", "text"
+    )
+    out = str(tmp_path / "export")
+    os.makedirs(out)
+    docs.repartition(4, "doc_id").write.format("jsonl_shards").mode(
+        "overwrite"
+    ).save(out)
+
+    man = read_manifest(out)
+    assert man["n_shards"] == 4
+    assert man["total_rows"] == docs.count()
+    files = sorted(f for f in os.listdir(out) if f.endswith(".jsonl"))
+    assert files == sorted(s["shard"] for s in man["shards"])
+    assert not os.path.exists(os.path.join(out, "_staging"))
+
+    # per-shard checksums verify, and the export round-trips exactly
+    for s in man["shards"]:
+        with open(os.path.join(out, s["shard"]), "rb") as f:
+            blob = f.read()
+        assert hashlib.md5(blob).hexdigest() == s["md5"]
+        assert blob.count(b"\n") == s["n_rows"]
+    back = spark.read.json(os.path.join(out, "*.jsonl"))
+    got = {r["doc_id"]: (r["source"], r["text"]) for r in back.collect()}
+    want = {r["doc_id"]: (r["source"], r["text"]) for r in docs.collect()}
+    assert got == want
+
+
+def test_jsonl_export_failed_job_leaves_no_artifacts(spark, tmp_path):
+    _register(spark)
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+
+    @F.udf("string")
+    def boom(doc_id):
+        if doc_id is not None:
+            raise ValueError("injected failure")
+        return ""
+
+    out = str(tmp_path / "export_fail")
+    os.makedirs(out)
+    with pytest.raises(Exception):
+        docs.withColumn("text", boom("doc_id")).repartition(3).write.format(
+            "jsonl_shards"
+        ).save(out)
+    # abort contract: no manifest, no final shard, staging swept
+    assert not os.path.exists(os.path.join(out, MANIFEST))
+    assert [f for f in os.listdir(out) if f.endswith(".jsonl")] == []
+
+
+def test_jsonl_overwrite_replaces_previous_export(spark, tmp_path):
+    _register(spark)
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id")
+    out = str(tmp_path / "export_ow")
+    os.makedirs(out)
+    docs.repartition(5).write.format("jsonl_shards").mode("overwrite").save(
+        out
+    )
+    docs.limit(7).repartition(2).write.format("jsonl_shards").mode(
+        "overwrite"
+    ).save(out)
+    man = read_manifest(out)
+    assert man["n_shards"] == 2 and man["total_rows"] == 7
+    assert (
+        len([f for f in os.listdir(out) if f.endswith(".jsonl")]) == 2
+    )  # the 5 old shards are gone
