@@ -44,6 +44,7 @@ from typing import Iterator, List, Optional
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceStreamWriter,
     DataSourceWriter,
     WriterCommitMessage,
 )
@@ -142,9 +143,98 @@ class JsonlShardWriter(DataSourceWriter):
             os.rmdir(staging)
 
 
+class JsonlShardStreamWriter(DataSourceStreamWriter):
+    """The STREAMING quadrant of the same sink: each micro-batch
+    exports batch-id-stamped shards (``batch-{id:06d}-shard-{pid:05d}
+    .jsonl``) plus its own ``_MANIFEST-{id:06d}``, landing LAST and
+    atomically.  The batch id is only known driver-side, so tasks
+    write anonymous staging temps and ``commit(messages, batchId)``
+    stamps the final names.  Replay safety (the at-least-once
+    foreachBatch/streaming-sink contract): a replayed batch's commit
+    sees its manifest already present and no-ops — the same
+    batch-id-inside-the-atomic-unit idea as ``streaming/_durable``.
+    Readers consume only shards named in manifests, so an uncommitted
+    batch is invisible."""
+
+    def __init__(self, options, schema: StructType):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_shards: option('path', …) is required")
+        self.columns = list(schema.fieldNames())
+        os.makedirs(os.path.join(self.path, STAGING), exist_ok=True)
+
+    write = JsonlShardWriter.write  # same staging-temp task protocol
+
+    def _manifest_path(self, batch_id: int) -> str:
+        return os.path.join(self.path, f"{MANIFEST}-{batch_id:06d}")
+
+    def commit(self, messages, batchId: int) -> None:  # noqa: N803
+        staging = os.path.join(self.path, STAGING)
+        if os.path.exists(self._manifest_path(batchId)):
+            # at-least-once replay of a committed batch: sweep this
+            # attempt's temps, change nothing else
+            for m in messages:
+                if m is not None:
+                    try:
+                        os.remove(os.path.join(staging, m.tmp_name))
+                    except FileNotFoundError:
+                        pass
+            return
+        shards = []
+        for m in messages:
+            if m is None:
+                raise IOError("jsonl_shards: missing commit message")
+            # m.final_name carries the task's own partition id — never
+            # trust the list position (collection order is not a
+            # contract)
+            final = f"batch-{batchId:06d}-{m.final_name}"
+            os.replace(
+                os.path.join(staging, m.tmp_name),
+                os.path.join(self.path, final),
+            )
+            shards.append({"shard": final, "n_rows": m.n_rows, "md5": m.md5})
+        manifest = {
+            "batch_id": batchId,
+            "shards": shards,
+            "total_rows": sum(s["n_rows"] for s in shards),
+            "n_shards": len(shards),
+        }
+        tmp = self._manifest_path(batchId) + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as out:
+            json.dump(manifest, out, sort_keys=True)
+        os.replace(tmp, self._manifest_path(batchId))
+
+    def abort(self, messages, batchId: int) -> None:  # noqa: N803
+        staging = os.path.join(self.path, STAGING)
+        for m in messages:
+            if m is not None:
+                try:
+                    os.remove(os.path.join(staging, m.tmp_name))
+                except FileNotFoundError:
+                    pass
+
+
+def read_stream_manifests(path: str) -> dict:
+    """Combined view over every committed micro-batch: total rows and
+    the ordered shard list.  Shards without a manifest do not exist as
+    far as a reader is concerned."""
+    batches = sorted(
+        f for f in os.listdir(path) if f.startswith(MANIFEST + "-")
+    )
+    shards, total = [], 0
+    for b in batches:
+        with open(os.path.join(path, b), encoding="utf-8") as f:
+            man = json.load(f)
+        shards += [s["shard"] for s in man["shards"]]
+        total += man["total_rows"]
+    return {"n_batches": len(batches), "total_rows": total, "shards": shards}
+
+
 class JsonlShardDataSource(DataSource):
     """``spark.dataSource.register(JsonlShardDataSource)`` then
-    ``df.write.format("jsonl_shards").save(dir)``."""
+    ``df.write.format("jsonl_shards").save(dir)`` (batch) or
+    ``df.writeStream.format("jsonl_shards").option("path", dir)``
+    (streaming, exactly-once per batch via manifest idempotence)."""
 
     @classmethod
     def name(cls) -> str:
@@ -152,6 +242,11 @@ class JsonlShardDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> JsonlShardWriter:
         return JsonlShardWriter(self.options, schema, overwrite)
+
+    def streamWriter(  # noqa: N802 — Spark API name
+        self, schema: StructType, overwrite: bool
+    ) -> JsonlShardStreamWriter:
+        return JsonlShardStreamWriter(self.options, schema)
 
 
 def read_manifest(path: str) -> dict:

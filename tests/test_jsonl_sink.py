@@ -95,3 +95,92 @@ def test_jsonl_overwrite_replaces_previous_export(spark, tmp_path):
     assert (
         len([f for f in os.listdir(out) if f.endswith(".jsonl")]) == 2
     )  # the 5 old shards are gone
+
+
+def test_jsonl_stream_writer_per_batch_manifests(spark, tmp_path):
+    """Streaming quadrant: three micro-batches each commit
+    batch-stamped shards + their own manifest; the combined manifest
+    view equals the full input; a replayed commit is a no-op."""
+    from rick_and_morty_data_pipeline_project_spark.sources.jsonl_sink import (
+        read_stream_manifests,
+    )
+
+    _register(spark)
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    in_dir = tmp_path / "incoming"
+    in_dir.mkdir()
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(
+            str(in_dir / f"chunk_{i}.parquet")
+        )
+    out = str(tmp_path / "stream_export")
+    os.makedirs(out)
+    q = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir) + "/*/")
+        .writeStream.format("jsonl_shards")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    view = read_stream_manifests(out)
+    assert view["n_batches"] == 3
+    assert view["total_rows"] == docs.count()
+    on_disk = sorted(f for f in os.listdir(out) if f.endswith(".jsonl"))
+    assert on_disk == sorted(view["shards"])  # no orphan shards
+    back = spark.read.json(os.path.join(out, "*.jsonl"))
+    assert {r["doc_id"] for r in back.collect()} == {
+        r["doc_id"] for r in docs.collect()
+    }
+
+
+def test_jsonl_stream_commit_is_replay_idempotent(spark, tmp_path):
+    """Driving commit() twice with the same batch id (the
+    at-least-once replay) must not duplicate shards, double-count the
+    manifest, or fail on the already-promoted temp."""
+    from rick_and_morty_data_pipeline_project_spark.sources.jsonl_sink import (
+        JsonlShardStreamWriter,
+        ShardCommit,
+        read_stream_manifests,
+    )
+    from pyspark.sql import types as T
+
+    out = str(tmp_path / "replay")
+    os.makedirs(out)
+    schema = T.StructType([T.StructField("x", T.LongType())])
+    w = JsonlShardStreamWriter({"path": out}, schema)
+    staging = os.path.join(out, "_staging")
+
+    def mk_temp(name, payload):
+        with open(os.path.join(staging, name), "wb") as f:
+            f.write(payload)
+
+    payload = b'{"x": 1}\n'
+    mk_temp("attempt-a.jsonl.tmp", payload)
+    msg = ShardCommit(
+        tmp_name="attempt-a.jsonl.tmp",
+        final_name="shard-00000.jsonl",
+        n_rows=1,
+        md5=hashlib.md5(payload).hexdigest(),
+    )
+    w.commit([msg], batchId=0)
+    # replay: same batch id, fresh attempt temp (real replays re-run
+    # write), must change nothing
+    mk_temp("attempt-b.jsonl.tmp", payload)
+    replay = ShardCommit(
+        tmp_name="attempt-b.jsonl.tmp",
+        final_name="shard-00000.jsonl",
+        n_rows=1,
+        md5=msg.md5,
+    )
+    w.commit([replay], batchId=0)
+
+    view = read_stream_manifests(out)
+    assert view["total_rows"] == 1 and view["n_batches"] == 1
+    shards = [f for f in os.listdir(out) if f.endswith(".jsonl")]
+    assert shards == ["batch-000000-shard-00000.jsonl"]
+    assert os.listdir(staging) == []  # replay temp swept
