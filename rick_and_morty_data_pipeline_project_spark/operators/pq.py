@@ -81,6 +81,11 @@ def train_pq_codebooks(
     as literals/broadcasts).  Bounded deterministic sample — the same
     xxhash64-ordered heap top-k the IVF trainer uses: a few MB
     collected no matter the corpus size."""
+    # NOTE: mirrors similarity.train_kmeans_centroids' sampling block
+    # verbatim and must stay in sync with it; extracting a shared
+    # helper would modify similarity.py, whose fingerprint is frozen
+    # into the current driver-window manifest — consolidate when that
+    # module next rotates anyway.
     rows = (
         corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
         .orderBy(F.asc(F.xxhash64(F.col("_id"))), F.asc("_id"))
@@ -111,7 +116,7 @@ def pq_encode(
     books = [np.array(b, dtype=np.float64) for b in codebooks]
     out_schema = T.StructType(
         [
-            T.StructField(id_col, T.LongType()),
+            T.StructField(id_col, df.schema[id_col].dataType),  # any id type
             T.StructField("codes", T.ArrayType(T.IntegerType())),
         ]
     )
@@ -150,10 +155,18 @@ def pq_topk(
     ``Σ_j lut[j][code_j]`` with zip_with/aggregate — pure codegen over
     the code bytes — and TakeOrderedAndProject keeps the heap top-k.
     Output: (query_id, vec_id, adc_dist), ``top_k`` rows per query."""
+    if not queries:
+        raise ValueError("pq_topk: queries must be non-empty")
     m = len(codebooks)
     dim = sum(len(b[0]) for b in codebooks) // m * m
     spans = _subspaces(dim, m)
     books = [np.array(b, dtype=np.float64) for b in codebooks]
+    if len(queries) > 1:
+        # every query branch scans codes_df; materialize the (tiny,
+        # m ints per row) code relation once instead of re-running the
+        # upstream encode per query (the repo's localCheckpoint
+        # multi-consumer pattern)
+        codes_df = codes_df.localCheckpoint()
     parts = []
     for qid, qvec in queries:
         q = np.asarray(qvec, dtype=np.float64)

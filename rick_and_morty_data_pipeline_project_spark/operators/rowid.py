@@ -91,7 +91,17 @@ def dense_row_ids(
     for r in sorted(counts, key=lambda r: r["_pid"]):
         offsets.append((r["_pid"], acc))
         acc += r["_n"]
-    off = df.sparkSession.createDataFrame(offsets, ["_pid", "_offset"])
+    # explicit schema: an empty input yields an empty offsets list,
+    # which schema inference would reject
+    off = df.sparkSession.createDataFrame(
+        offsets,
+        T.StructType(
+            [
+                T.StructField("_pid", T.IntegerType()),
+                T.StructField("_offset", T.LongType()),
+            ]
+        ),
+    )
     return (
         numbered.join(F.broadcast(off), "_pid")
         .withColumn(id_col, (F.col("_offset") + F.col("_local")))

@@ -68,13 +68,8 @@ class JsonlShardWriter(DataSourceWriter):
         if not self.path:
             raise ValueError("jsonl_shards: save(path) is required")
         self.columns = list(schema.fieldNames())
-        # driver-side prep: a fresh staging dir per job; overwrite
-        # clears previous FINAL artifacts up front (never mid-commit)
+        self.overwrite = overwrite
         os.makedirs(os.path.join(self.path, STAGING), exist_ok=True)
-        if overwrite:
-            for f in os.listdir(self.path):
-                if f.endswith(".jsonl") or f == MANIFEST:
-                    os.remove(os.path.join(self.path, f))
 
     # -- executor side -------------------------------------------------
     def write(self, iterator: Iterator) -> ShardCommit:
@@ -108,6 +103,21 @@ class JsonlShardWriter(DataSourceWriter):
 
     # -- driver side ----------------------------------------------------
     def commit(self, messages: List[Optional[ShardCommit]]) -> None:
+        # overwrite semantics live HERE, after every task succeeded —
+        # a failed job must leave the previous committed export
+        # untouched (deleting in __init__ would destroy it before the
+        # first task even ran).  Order: old manifest first (readers
+        # now honestly see "uncommitted"), old shards, promote, new
+        # manifest LAST — a crash at any point leaves either the old
+        # export intact or a manifest-less (= uncommitted) directory,
+        # never a manifest describing mixed generations.
+        if self.overwrite:
+            old_manifest = os.path.join(self.path, MANIFEST)
+            if os.path.exists(old_manifest):
+                os.remove(old_manifest)
+            for f in os.listdir(self.path):
+                if f.endswith(".jsonl"):
+                    os.remove(os.path.join(self.path, f))
         shards = []
         for m in messages:
             if m is None:  # contract: only on failure, but stay safe
@@ -193,13 +203,21 @@ class JsonlShardStreamWriter(DataSourceStreamWriter):
                 os.path.join(self.path, final),
             )
             shards.append({"shard": final, "n_rows": m.n_rows, "md5": m.md5})
+        # loser attempts (speculation, retries that lost the commit
+        # race, crashed tasks that never produced a message) leave
+        # temps no message names — sweep them now, batches are
+        # sequential so nothing else can own a staging temp here
+        for leftover in os.listdir(staging):
+            os.remove(os.path.join(staging, leftover))
         manifest = {
             "batch_id": batchId,
             "shards": shards,
             "total_rows": sum(s["n_rows"] for s in shards),
             "n_shards": len(shards),
         }
-        tmp = self._manifest_path(batchId) + ".tmp"
+        # the temp lives in _staging so no manifest reader can ever
+        # glob a half-written file or a crash leftover
+        tmp = os.path.join(staging, f"manifest-{batchId:06d}.tmp")
         with open(tmp, "w", encoding="utf-8") as out:
             json.dump(manifest, out, sort_keys=True)
         os.replace(tmp, self._manifest_path(batchId))
@@ -217,10 +235,12 @@ class JsonlShardStreamWriter(DataSourceStreamWriter):
 def read_stream_manifests(path: str) -> dict:
     """Combined view over every committed micro-batch: total rows and
     the ordered shard list.  Shards without a manifest do not exist as
-    far as a reader is concerned."""
-    batches = sorted(
-        f for f in os.listdir(path) if f.startswith(MANIFEST + "-")
-    )
+    far as a reader is concerned.  Only exact ``_MANIFEST-{6 digits}``
+    names count — temps and strays never match."""
+    import re
+
+    pat = re.compile(rf"^{MANIFEST}-\d{{6}}$")
+    batches = sorted(f for f in os.listdir(path) if pat.match(f))
     shards, total = [], 0
     for b in batches:
         with open(os.path.join(path, b), encoding="utf-8") as f:

@@ -184,3 +184,68 @@ def test_jsonl_stream_commit_is_replay_idempotent(spark, tmp_path):
     shards = [f for f in os.listdir(out) if f.endswith(".jsonl")]
     assert shards == ["batch-000000-shard-00000.jsonl"]
     assert os.listdir(staging) == []  # replay temp swept
+
+
+def test_jsonl_failed_overwrite_preserves_previous_export(spark, tmp_path):
+    """Overwrite deletion happens inside commit(), after every task
+    succeeded — a failed overwrite job must leave the prior committed
+    export fully readable."""
+    _register(spark)
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id")
+    out = str(tmp_path / "export_keep")
+    os.makedirs(out)
+    docs.repartition(3).write.format("jsonl_shards").mode("overwrite").save(
+        out
+    )
+    first = read_manifest(out)
+
+    @F.udf("long")
+    def boom(doc_id):
+        raise ValueError("injected failure")
+
+    with pytest.raises(Exception):
+        docs.withColumn("doc_id", boom("doc_id")).write.format(
+            "jsonl_shards"
+        ).mode("overwrite").save(out)
+    # the old export is byte-for-byte still there
+    assert read_manifest(out) == first
+    assert sorted(
+        f for f in os.listdir(out) if f.endswith(".jsonl")
+    ) == sorted(s["shard"] for s in first["shards"])
+
+
+def test_jsonl_stream_commit_sweeps_loser_attempts(spark, tmp_path):
+    """A loser-attempt temp (speculation/crashed task of THIS batch)
+    is swept by the batch's commit, and a crash-leftover manifest temp
+    can never be mistaken for a committed manifest."""
+    from rick_and_morty_data_pipeline_project_spark.sources.jsonl_sink import (
+        JsonlShardStreamWriter,
+        ShardCommit,
+        read_stream_manifests,
+    )
+    from pyspark.sql import types as T
+
+    out = str(tmp_path / "sweep")
+    os.makedirs(out)
+    w = JsonlShardStreamWriter(
+        {"path": out}, T.StructType([T.StructField("x", T.LongType())])
+    )
+    staging = os.path.join(out, "_staging")
+    payload = b'{"x": 1}\n'
+    for name in ("attempt-winner.jsonl.tmp", "attempt-loser.jsonl.tmp"):
+        with open(os.path.join(staging, name), "wb") as f:
+            f.write(payload)
+    # a crash between json.dump and os.replace of a PREVIOUS attempt
+    with open(os.path.join(out, "_MANIFEST-000009.tmp"), "w") as f:
+        f.write("{ half written")
+
+    msg = ShardCommit(
+        tmp_name="attempt-winner.jsonl.tmp",
+        final_name="shard-00000.jsonl",
+        n_rows=1,
+        md5=hashlib.md5(payload).hexdigest(),
+    )
+    w.commit([msg], batchId=0)
+    assert os.listdir(staging) == []  # loser swept with the commit
+    view = read_stream_manifests(out)  # stray .tmp never parsed
+    assert view["n_batches"] == 1 and view["total_rows"] == 1

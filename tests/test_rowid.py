@@ -66,3 +66,9 @@ def test_dense_row_ids_survive_downstream_agg(spark):
     n = li.count()
     sample = ids.filter(F.col("row_id") % 8 == 0)
     assert sample.count() == (n + 7) // 8
+
+
+def test_dense_row_ids_empty_input(spark):
+    li = load_table(spark, SF_SMALL, "orders").filter(F.lit(False))
+    out = dense_row_ids(li, KEY)
+    assert out.count() == 0 and "row_id" in out.columns
