@@ -200,3 +200,180 @@ def pq_topk(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# ---------------------------------------------------------------------
+# IVF + PQ (IVFADC) — the combined architecture: an L2 coarse
+# quantizer routes each vector to a cell, PQ encodes the RESIDUAL
+# v − centroid (Jégou et al. §IV: residual energy is far below vector
+# energy, so the same code budget quantizes much finer), and a query
+# scores codes in its n_probe nearest cells only.  Scan cost per
+# query: (n_probe / n_cells) of the corpus, m bytes per row — both
+# knobs of the 10⁹-vector bill in one plan, still pure codegen.
+#
+# Train coarse and fine stages TOGETHER (train_ivf_pq): the PQ books
+# must be fit on residuals (their actual input distribution), and the
+# coarse k-means must share ADC's L2 geometry — books trained on raw
+# vectors, or unit-norm spherical centroids (similarity.py's cosine
+# quantizer), measurably degrade recall here.
+# ---------------------------------------------------------------------
+
+
+def train_ivf_pq(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    m: int = 8,
+    k: int = 16,
+    sample_size: int = 4096,
+    n_iters: int = 10,
+    seed: int = 42,
+):
+    """(coarse_centroids, codebooks) from ONE deterministic sample:
+    L2 k-means for the cells, then per-subspace k-means on the
+    sample's residuals — the distribution the encoder will actually
+    quantize."""
+    rows = (
+        corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .orderBy(F.asc(F.xxhash64(F.col("_id"))), F.asc("_id"))
+        .limit(sample_size)
+        .collect()
+    )
+    X = np.array([r["_v"] for r in rows], dtype=np.float64)
+    C = _kmeans_l2(X, n_cells, n_iters, seed)
+    assign = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+    R = X - C[assign]
+    books = [
+        _kmeans_l2(R[:, lo:hi], k, n_iters, seed).tolist()
+        for lo, hi in _subspaces(X.shape[1], m)
+    ]
+    return C.tolist(), books
+
+
+def ivf_pq_index(
+    df: DataFrame,
+    coarse_centroids: Sequence[Sequence[float]],
+    codebooks: Sequence[Sequence[Sequence[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell_id, codes) — assignment and residual encoding in ONE
+    Arrow pass; the output relation (int + m small ints per row) IS
+    the entire search-time index."""
+    m = len(codebooks)
+    dim = sum(len(b[0]) for b in codebooks) // m * m
+    spans = _subspaces(dim, m)
+    books = [np.array(b, dtype=np.float64) for b in codebooks]
+    C = np.array(coarse_centroids, dtype=np.float64)
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType),
+            T.StructField("cell_id", T.IntegerType()),
+            T.StructField("codes", T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+    def encode(batches):
+        import pandas as pd
+
+        for b in batches:
+            V = np.array(list(b[vec_col]), dtype=np.float64)
+            d2 = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            cells = d2.argmin(axis=1).astype(np.int32)
+            R = V - C[cells]  # residuals
+            codes = np.empty((len(V), m), dtype=np.int32)
+            for j, (lo, hi) in enumerate(spans):
+                S = R[:, lo:hi]
+                dj = (books[j] ** 2).sum(axis=1)[None, :] - 2.0 * (
+                    S @ books[j].T
+                )
+                codes[:, j] = dj.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: b[id_col],
+                    "cell_id": cells,
+                    "codes": list(map(list, codes)),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(encode, out_schema)
+
+
+def ivf_pq_topk(
+    queries: Sequence[tuple],
+    index_df: DataFrame,
+    coarse_centroids: Sequence[Sequence[float]],
+    codebooks: Sequence[Sequence[Sequence[float]]],
+    n_probe: int = 2,
+    top_k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC over probed cells only.  Per query, the n_probe nearest
+    cells are picked driver-side (|cells| is tiny by construction) and
+    a PER-CELL LUT of residual distances is inlined; the scan filters
+    to the probed cells (pushed predicate over the int cell_id) and
+    scores with a CASE-selected LUT — n_probe·m·k literal doubles,
+    kilobytes.  Output: (query_id, vec_id, adc_dist), top_k per
+    query."""
+    if not queries:
+        raise ValueError("ivf_pq_topk: queries must be non-empty")
+    m = len(codebooks)
+    dim = sum(len(b[0]) for b in codebooks) // m * m
+    spans = _subspaces(dim, m)
+    books = [np.array(b, dtype=np.float64) for b in codebooks]
+    C = np.array(coarse_centroids, dtype=np.float64)
+    if len(queries) > 1:
+        index_df = index_df.localCheckpoint()
+    parts = []
+    for qid, qvec in queries:
+        q = np.asarray(qvec, dtype=np.float64)
+        cell_d2 = ((C - q[None, :]) ** 2).sum(axis=1)
+        probed = np.argsort(cell_d2, kind="stable")[:n_probe].tolist()
+        luts = {}
+        for cell in probed:
+            r = q - C[cell]
+            luts[cell] = [
+                ((books[j] - r[lo:hi][None, :]) ** 2).sum(axis=1).tolist()
+                for j, (lo, hi) in enumerate(spans)
+            ]
+
+        def lut_col(cell):
+            return F.array(
+                *[
+                    F.array(*[F.lit(float(x)) for x in row])
+                    for row in luts[cell]
+                ]
+            )
+
+        expr = None
+        for cell in probed:
+            cond = F.col("cell_id") == cell
+            expr = (
+                F.when(cond, lut_col(cell))
+                if expr is None
+                else expr.when(cond, lut_col(cell))
+            )
+        scored = (
+            index_df.filter(F.col("cell_id").isin(probed))
+            .select(
+                F.lit(qid).alias("query_id"),
+                id_col,
+                F.aggregate(
+                    F.zip_with(
+                        "codes",
+                        expr,
+                        lambda c, row: F.element_at(row, c + F.lit(1)),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("adc_dist"),
+            )
+        )
+        parts.append(
+            scored.orderBy(F.asc("adc_dist"), F.asc(id_col)).limit(top_k)
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
