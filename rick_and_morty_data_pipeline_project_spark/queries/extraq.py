@@ -4331,7 +4331,12 @@ def events_user_trend_slope(spark, sf_dir):
     high-cardinality user key; map-side combinable sums; output one
     row per user.  Centered x ≤ the per-user activity span in seconds,
     so Σx² stays far inside int64 for any realistic retention window
-    (2.6 M s span × millions of events/user before overflow).
+    (2.6 M s span × millions of events/user before overflow).  The
+    Σxy product casts the centered x to decimal(10,0) — spans to
+    10^10 s (~317 years), so the cast can never truncate a real
+    timestamp span (the r08 advisory's decimal(8,0) capped it at
+    ~3.2 years); decimal(12,2)·decimal(10,0) sums stay far inside
+    Spark's 38-digit ceiling.
     """
     from pyspark.sql.window import Window
 
@@ -4350,7 +4355,7 @@ def events_user_trend_slope(spark, sf_dir):
         F.sum("_xc").alias("_sx"),
         F.sum(F.col("_xc") * F.col("_xc")).alias("_sxx"),
         F.sum("_y").alias("_sy"),
-        F.sum(F.col("_y") * F.col("_xc").cast("decimal(8,0)")).alias(
+        F.sum(F.col("_y") * F.col("_xc").cast("decimal(10,0)")).alias(
             "_sxy"
         ),
     )
@@ -4387,7 +4392,7 @@ agg AS (
          CAST(sum(xc) AS BIGINT) AS sx,
          CAST(sum(xc * xc) AS BIGINT) AS sxx,
          sum(y) AS sy,
-         sum(y * CAST(xc AS DECIMAL(8,0))) AS sxy
+         sum(y * CAST(xc AS DECIMAL(10,0))) AS sxy
   FROM centered GROUP BY 1
 )
 SELECT user_id, n_events,

@@ -534,9 +534,15 @@ def sketch_kmv_rollup(spark, sf_dir):
     )
 
     e = t(spark, sf_dir, "events")
-    pairs = e.select(
-        F.date_format("ts", "yyyy-MM-dd").alias("day"), "user_id"
-    ).distinct()
+    # NULL guard (r08 advisory): a NULL user_id would hash to u=NULL,
+    # which Spark's ASC ordering ranks FIRST (consuming a sketch slot)
+    # while DuckDB's ORDER BY puts NULLs LAST — filter on BOTH arms so
+    # the cross-engine contract never depends on NULL-ordering defaults.
+    pairs = (
+        e.filter(F.col("user_id").isNotNull())
+        .select(F.date_format("ts", "yyyy-MM-dd").alias("day"), "user_id")
+        .distinct()
+    )
     hashed = pairs.select(
         "day",
         "user_id",
@@ -603,6 +609,7 @@ def sketch_kmv_rollup(spark, sf_dir):
 KMV_ROLLUP_SQL = """
 WITH pairs AS (
   SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day, user_id FROM events
+  WHERE user_id IS NOT NULL
 ),
 hashed AS (
   SELECT day, user_id,

@@ -616,12 +616,18 @@ scored AS (
   WINDOW w2 AS (PARTITION BY event_type ORDER BY d)
 ),
 agg AS (
+  -- HUGEINT products (r08 advisory): the Spark arm accumulates
+  -- decimal(18,0)x(18,0)=decimal(37,0) because the docstring envelope
+  -- reaches ~4e26; BIGINT*BIGINT would raise at that scale in DuckDB,
+  -- giving the two arms different safe ranges.  HUGEINT (int128)
+  -- matches the decimal(37,0) headroom; doubles enter only at the
+  -- final division, same as the Spark arm.
   SELECT event_type,
          CAST(max(n_days) AS BIGINT) AS n_days,
-         CAST(sum(c * c) AS BIGINT) AS den,
-         CAST(sum(c * c1) AS BIGINT) AS num1,
-         CAST(sum(c * c2) AS BIGINT) AS num2,
-         CAST(sum(c * c3) AS BIGINT) AS num3
+         sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS den,
+         sum(CAST(c AS HUGEINT) * CAST(c1 AS HUGEINT)) AS num1,
+         sum(CAST(c AS HUGEINT) * CAST(c2 AS HUGEINT)) AS num2,
+         sum(CAST(c AS HUGEINT) * CAST(c3 AS HUGEINT)) AS num3
   FROM scored GROUP BY 1
 )
 SELECT event_type, lag, n_days, acf FROM (

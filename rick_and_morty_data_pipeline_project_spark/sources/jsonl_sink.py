@@ -38,6 +38,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import re
 import uuid
 from dataclasses import dataclass
 from typing import Iterator, List, Optional
@@ -112,11 +113,31 @@ class JsonlShardWriter(DataSourceWriter):
         # export intact or a manifest-less (= uncommitted) directory,
         # never a manifest describing mixed generations.
         if self.overwrite:
+            # The sweep is scoped to the BATCH naming pattern
+            # (``shard-*.jsonl``): streaming shards are
+            # ``batch-NNNNNN-shard-*.jsonl`` with their own
+            # ``_MANIFEST-NNNNNN`` sidecars, and a blanket *.jsonl
+            # delete would orphan those manifests — readers would then
+            # report shards that no longer exist (r08 advisory).
+            # Sharing one directory between the two quadrants is a
+            # layout error; refuse loudly rather than half-delete.
+            stream_manifests = [
+                f
+                for f in os.listdir(self.path)
+                if re.fullmatch(MANIFEST + r"-\d{6}", f)
+            ]
+            if stream_manifests:
+                raise IOError(
+                    "jsonl_shards overwrite: directory contains "
+                    f"streaming manifests ({stream_manifests[:3]}…); "
+                    "batch overwrite into a streaming sink directory "
+                    "would orphan them — use a separate path"
+                )
             old_manifest = os.path.join(self.path, MANIFEST)
             if os.path.exists(old_manifest):
                 os.remove(old_manifest)
             for f in os.listdir(self.path):
-                if f.endswith(".jsonl"):
+                if re.fullmatch(r"shard-\d{5}\.jsonl", f):
                     os.remove(os.path.join(self.path, f))
         shards = []
         for m in messages:

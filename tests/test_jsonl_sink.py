@@ -249,3 +249,44 @@ def test_jsonl_stream_commit_sweeps_loser_attempts(spark, tmp_path):
     assert os.listdir(staging) == []  # loser swept with the commit
     view = read_stream_manifests(out)  # stray .tmp never parsed
     assert view["n_batches"] == 1 and view["total_rows"] == 1
+
+
+def test_jsonl_batch_overwrite_refuses_streaming_directory(spark, tmp_path):
+    """A batch overwrite into a directory holding streaming manifests
+    must refuse (r08 advisory): a blanket *.jsonl sweep would delete
+    ``batch-NNNNNN-shard-*.jsonl`` shards while leaving their
+    ``_MANIFEST-NNNNNN`` sidecars — readers would then report shards
+    that no longer exist.  And the scoped sweep never touches
+    stream-named shards even when no stream manifest is present."""
+    _register(spark)
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id")
+    out = str(tmp_path / "mixed")
+    os.makedirs(out)
+    # simulate a committed streaming batch in the same directory
+    with open(os.path.join(out, "batch-000000-shard-00000.jsonl"), "w") as f:
+        f.write('{"doc_id": 1}\n')
+    with open(os.path.join(out, "_MANIFEST-000000"), "w") as f:
+        f.write(
+            '{"batch_id": 0, "shards": [{"shard": '
+            '"batch-000000-shard-00000.jsonl", "n_rows": 1, "md5": "x"}], '
+            '"total_rows": 1, "n_shards": 1}'
+        )
+    with pytest.raises(Exception, match="streaming manifests"):
+        docs.write.format("jsonl_shards").mode("overwrite").save(out)
+    # the streaming artifacts survived the refused overwrite
+    assert os.path.exists(os.path.join(out, "batch-000000-shard-00000.jsonl"))
+    assert os.path.exists(os.path.join(out, "_MANIFEST-000000"))
+
+    # a stream-NAMED shard without its manifest (orphan) is also not
+    # swept: the scoped pattern only matches shard-NNNNN.jsonl
+    out2 = str(tmp_path / "orphan")
+    os.makedirs(out2)
+    orphan = os.path.join(out2, "batch-000001-shard-00000.jsonl")
+    with open(orphan, "w") as f:
+        f.write('{"doc_id": 2}\n')
+    docs.repartition(2).write.format("jsonl_shards").mode(
+        "overwrite"
+    ).save(out2)
+    assert os.path.exists(orphan)
+    m = read_manifest(out2)
+    assert m["n_shards"] == 2
