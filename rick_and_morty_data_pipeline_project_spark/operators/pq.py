@@ -78,27 +78,29 @@ def train_pq_codebooks(
     seed: int = 42,
 ) -> List[List[List[float]]]:
     """m codebooks of k centroids each (python lists, ready to inline
-    as literals/broadcasts).  Bounded deterministic sample — the same
-    xxhash64-ordered heap top-k the IVF trainer uses: a few MB
-    collected no matter the corpus size."""
-    # NOTE: mirrors similarity.train_kmeans_centroids' sampling block
-    # verbatim and must stay in sync with it; extracting a shared
-    # helper would modify similarity.py, whose fingerprint is frozen
-    # into the current driver-window manifest — consolidate when that
-    # module next rotates anyway.
-    rows = (
-        corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-        .orderBy(F.asc(F.xxhash64(F.col("_id"))), F.asc("_id"))
-        .limit(sample_size)
-        .collect()
+    as literals/broadcasts).  Bounded deterministic sample — the shared
+    xxhash64-ordered heap top-k (``similarity.
+    sample_vectors_deterministic``, also the IVF trainer's sampler): a
+    few MB collected no matter the corpus size."""
+    from rick_and_morty_data_pipeline_project_spark.operators.similarity import (
+        sample_vectors_deterministic,
     )
-    X = np.array([r["_v"] for r in rows], dtype=np.float64)
-    books = []
-    for lo, hi in _subspaces(X.shape[1], m):
-        books.append(
-            _kmeans_l2(X[:, lo:hi], k, n_iters, seed).tolist()
-        )
-    return books
+
+    X = sample_vectors_deterministic(corpus, id_col, vec_col, sample_size)
+    return pq_fit_books(X, m, k, n_iters, seed)
+
+
+def pq_fit_books(
+    X: "np.ndarray", m: int, k: int, n_iters: int = 10, seed: int = 42
+) -> List[List[List[float]]]:
+    """The pure-numpy PQ training core shared by the distributed
+    sampler (:func:`train_pq_codebooks`) and the canonical oracle twin
+    (queries/pqq.py): identical input rows → bitwise-identical
+    codebooks."""
+    return [
+        _kmeans_l2(X[:, lo:hi], k, n_iters, seed).tolist()
+        for lo, hi in _subspaces(X.shape[1], m)
+    ]
 
 
 def pq_encode(
@@ -142,6 +144,31 @@ def pq_encode(
     return df.select(id_col, vec_col).mapInPandas(encode, out_schema)
 
 
+def adc_lut(
+    books: Sequence[Sequence[Sequence[float]]],
+    spans: Sequence[tuple],
+    q: "np.ndarray",
+) -> List[List[float]]:
+    """The m×k ADC look-up table for one (residualized) query vector —
+    exact squared-L2 distances from each subvector of ``q`` to every
+    centroid.  ONE numpy expression shared by the Spark scorers below
+    and the DuckDB oracle builder (queries/pqq.py), so the literal
+    doubles inlined into both engines' plans are bitwise identical."""
+    return [
+        ((np.array(books[j], dtype=np.float64) - q[lo:hi][None, :]) ** 2)
+        .sum(axis=1)
+        .tolist()
+        for j, (lo, hi) in enumerate(spans)
+    ]
+
+
+def probe_cells(C: "np.ndarray", q: "np.ndarray", n_probe: int) -> List[int]:
+    """The n_probe nearest coarse cells for a query — stable argsort,
+    shared by :func:`ivf_pq_topk` and the oracle builder."""
+    cell_d2 = ((C - q[None, :]) ** 2).sum(axis=1)
+    return np.argsort(cell_d2, kind="stable")[:n_probe].tolist()
+
+
 def pq_topk(
     queries: Sequence[tuple],
     codes_df: DataFrame,
@@ -170,10 +197,7 @@ def pq_topk(
     parts = []
     for qid, qvec in queries:
         q = np.asarray(qvec, dtype=np.float64)
-        lut = [
-            ((books[j] - q[lo:hi][None, :]) ** 2).sum(axis=1).tolist()
-            for j, (lo, hi) in enumerate(spans)
-        ]
+        lut = adc_lut(books, spans, q)
         lut_col = F.array(
             *[
                 F.array(*[F.lit(float(x)) for x in row])
@@ -234,13 +258,26 @@ def train_ivf_pq(
     L2 k-means for the cells, then per-subspace k-means on the
     sample's residuals — the distribution the encoder will actually
     quantize."""
-    rows = (
-        corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-        .orderBy(F.asc(F.xxhash64(F.col("_id"))), F.asc("_id"))
-        .limit(sample_size)
-        .collect()
+    from rick_and_morty_data_pipeline_project_spark.operators.similarity import (
+        sample_vectors_deterministic,
     )
-    X = np.array([r["_v"] for r in rows], dtype=np.float64)
+
+    X = sample_vectors_deterministic(corpus, id_col, vec_col, sample_size)
+    return ivf_pq_fit(X, n_cells, m, k, n_iters, seed)
+
+
+def ivf_pq_fit(
+    X: "np.ndarray",
+    n_cells: int,
+    m: int,
+    k: int,
+    n_iters: int = 10,
+    seed: int = 42,
+):
+    """The pure-numpy joint IVF+PQ training core shared by
+    :func:`train_ivf_pq` and the canonical oracle twin
+    (queries/pqq.py): coarse L2 cells first, then per-subspace books
+    on the sample's RESIDUALS."""
     C = _kmeans_l2(X, n_cells, n_iters, seed)
     assign = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
     R = X - C[assign]
@@ -328,15 +365,8 @@ def ivf_pq_topk(
     parts = []
     for qid, qvec in queries:
         q = np.asarray(qvec, dtype=np.float64)
-        cell_d2 = ((C - q[None, :]) ** 2).sum(axis=1)
-        probed = np.argsort(cell_d2, kind="stable")[:n_probe].tolist()
-        luts = {}
-        for cell in probed:
-            r = q - C[cell]
-            luts[cell] = [
-                ((books[j] - r[lo:hi][None, :]) ** 2).sum(axis=1).tolist()
-                for j, (lo, hi) in enumerate(spans)
-            ]
+        probed = probe_cells(C, q, n_probe)
+        luts = {cell: adc_lut(books, spans, q - C[cell]) for cell in probed}
 
         def lut_col(cell):
             return F.array(

@@ -110,14 +110,31 @@ def train_kmeans_centroids(
     re-mean, re-normalize) ready to inline as broadcast literals in
     :func:`knn_ivf`.
     """
+    X = sample_vectors_deterministic(corpus, id_col, vec_col, sample_size)
+    return kmeans_fit_sample(X, n_cells, n_iters, seed)
+
+
+def sample_vectors_deterministic(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = 4096,
+) -> "np.ndarray":
+    """The engine's ONE deterministic driver-side vector sampler,
+    shared by every trainer (IVF spherical k-means here, PQ/IVFADC L2
+    codebooks in ``operators/pq.py``): rows ordered by ``xxhash64(id)``
+    with the id itself as tiebreak — a deterministic shuffle, so
+    replays, retries, and the pure-Python canonical oracle replay
+    (queries/vecq.py, queries/pqq.py) all see the identical sample —
+    then one heap-top-k collect, a fixed ~sample_size × dim float64
+    block no matter the corpus size."""
     rows = (
         corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
         .orderBy(F.asc(F.xxhash64(F.col("_id"))), F.asc("_id"))
         .limit(sample_size)
         .collect()
     )
-    X = np.array([r["_v"] for r in rows], dtype=np.float64)
-    return kmeans_fit_sample(X, n_cells, n_iters, seed)
+    return np.array([r["_v"] for r in rows], dtype=np.float64)
 
 
 def kmeans_fit_sample(

@@ -154,6 +154,7 @@ from rick_and_morty_data_pipeline_project_spark.queries import (
     extraq,
     lakeq,
     mmq,
+    pqq,
     reference,
     retrievalq,
     sketchq,
@@ -169,7 +170,7 @@ from rick_and_morty_data_pipeline_project_spark.queries._util import Q
 _ALL: dict[str, Q] = {}
 for mod in (
     tpch, tpchx, tpchf, textq, vecq, extraq, mmq, reference, sketchq, bpeq,
-    retrievalq, lakeq, statsq,
+    retrievalq, lakeq, statsq, pqq,
 ):
     for name, q in mod.QUERIES.items():
         assert name not in _ALL, f"duplicate query name: {name}"

@@ -1,0 +1,531 @@
+"""Driver-certified PQ / IVFADC ANN queries.
+
+The product-quantization operators (``operators/pq.py`` — Jégou,
+Douze, Schmid, "Product Quantization for Nearest Neighbor Search",
+TPAMI 2011) get their CORRECTNESS rows here: the full train → encode →
+ADC-top-k pipeline is replayed by a DuckDB oracle **bit-exactly**, the
+same canonical-literal pattern as ``knn_cosine_ivf_kmeans``
+(queries/vecq.py) but extended to cover the distributed ENCODE step,
+not just driver-side training:
+
+* **Normalization** — both engines unit-normalize with the identical
+  left-fold float64 arithmetic (``similarity._normalized`` ≡ the
+  oracle's ``list_reduce`` CTE), proven bit-equal across the whole knn
+  family since r1.
+* **Training** — driver-side and Python-deterministic: the Spark arm
+  trains on the shared xxhash64-ordered sample
+  (``similarity.sample_vectors_deterministic`` → numpy cores
+  ``pq.pq_fit_books`` / ``pq.ivf_pq_fit``) and ASSERTS the result is
+  bitwise equal to a canonical pure-Python replay of the same sample
+  (:func:`spark_xxhash64_long` ordering + the same numpy core); the
+  codebook/centroid literals are then inlined into BOTH engines.
+* **Encoding** — the distributed step the oracle must recompute.  The
+  DuckDB arm derives each vector's codes relationally (cross join
+  against the codebook VALUES, squared-L2 left-fold, first-min
+  ROW_NUMBER argmin); the Spark arm uses the real operator
+  (``pq_encode`` / ``ivf_pq_index`` — vectorized numpy under Arrow)
+  and, under the same bounded-verify guard as the canonical replay,
+  ASSERTS those codes equal a pure-JVM fold replay
+  (slice → zip_with → aggregate → array_position-of-array_min) whose
+  arithmetic order matches the oracle exactly.  numpy's pairwise/BLAS
+  summation could in principle flip a near-tie argmin vs the
+  sequential fold; on the fixed testdata it provably doesn't (the
+  assertion makes any future flip a loud driver error, never a silent
+  hash drift).
+* **ADC scoring** — the per-query m×k look-up tables are built by ONE
+  shared numpy helper (``pq.adc_lut``) and inlined as literals into
+  both plans; both engines then fold the m table look-ups
+  left-to-right (Spark ``aggregate(zip_with(codes, lut))`` ≡ the
+  oracle's explicit ``lut[1][c[1]+1] + … + lut[m][c[m]+1]`` chain) and
+  heap-top-k (TakeOrderedAndProject ≡ ROW_NUMBER ≤ k with the id
+  tiebreak).
+
+Scale story (the reason PQ exists): the scanned relation is m=8 small
+ints per vector — 384× less than d=768 float32 — and scoring is pure
+whole-stage-codegen arithmetic, no Python, no float vectors touched;
+IVFADC additionally prunes the scan to n_probe/n_cells of the corpus
+via a pushed ``cell_id IN (…)`` predicate.  The in-query assertions
+and the canonical replay are BOUNDED verification (≤1M-row corpora —
+the same gate as ``_canonical_kmeans_centroids``); above that only
+the O(sample) training collect and the real operator path run.
+
+Reference provenance: the reference pipeline (reference/Scraper.py —
+453 lines of requests + sqlite3) has no vector surface at all; this
+family is §2.10 training-data-pipeline scope mandated by the brief.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from rick_and_morty_data_pipeline_project_spark.operators.pq import (
+    _subspaces,
+    adc_lut,
+    ivf_pq_fit,
+    ivf_pq_index,
+    ivf_pq_topk,
+    pq_encode,
+    pq_fit_books,
+    pq_topk,
+    probe_cells,
+    train_ivf_pq,
+    train_pq_codebooks,
+)
+from rick_and_morty_data_pipeline_project_spark.operators.parallelism import (
+    fan_out,
+)
+from rick_and_morty_data_pipeline_project_spark.operators.similarity import (
+    _normalized,
+    sample_vectors_deterministic,  # noqa: F401  (fingerprint anchor: the
+    #   trainers sample through this shared helper — reference it here so
+    #   the rule-2 stale detector ties these queries to its source)
+    spark_xxhash64_long,
+)
+from rick_and_morty_data_pipeline_project_spark.queries._util import Q, t
+
+_M, _K = 8, 16
+_NCELLS, _NPROBE = 8, 2
+_TOPK = 5
+_SAMPLE = 4096
+_N_QUERIES = 10
+#: canonical replay / in-query assertion bound — same policy as
+#: _canonical_kmeans_centroids (a full-corpus replay needs a full scan)
+_VERIFY_CAP = 1_000_000
+
+
+# ---------------------------------------------------------------------
+# canonical pure-Python replay (the oracle's ground truth inputs)
+# ---------------------------------------------------------------------
+
+
+def _fold_norm(vec) -> list:
+    """Unit-normalize exactly like the JVM fold (`_normalized`) and the
+    oracle CTE: sequential left fold of x², element-wise divide —
+    Python floats ARE IEEE doubles, so all three agree to the bit."""
+    acc = 0.0
+    for x in vec:
+        xd = float(x)
+        acc = acc + xd * xd
+    n = math.sqrt(acc)
+    return [float(x) / n for x in vec]
+
+
+def _canonical_normed(sf_dir):
+    """vec_id → unit vector for the whole corpus, or None above the
+    bounded-verify cap."""
+    import pyarrow.parquet as pqt
+
+    path = f"{sf_dir}/embeddings.parquet"
+    if pqt.ParquetFile(path).metadata.num_rows > _VERIFY_CAP:
+        return None
+    tbl = pqt.read_table(path, columns=["vec_id", "embedding"]).to_pylist()
+    return {int(r["vec_id"]): _fold_norm(r["embedding"]) for r in tbl}
+
+
+def _canonical_sample(normed: dict):
+    """Replay ``sample_vectors_deterministic``'s xxhash64 ordering in
+    pure Python over the canonical normalized vectors."""
+    import numpy as np
+
+    order = sorted(normed, key=lambda i: (spark_xxhash64_long(i), i))
+    return np.array([normed[i] for i in order[:_SAMPLE]], dtype=np.float64)
+
+
+def _canonical_queries(normed: dict):
+    return [(i, normed[i]) for i in sorted(normed) if i < _N_QUERIES]
+
+
+# ---------------------------------------------------------------------
+# pure-JVM fold replays (in-query assertions: operator ≡ oracle
+# arithmetic on the live corpus, bounded)
+# ---------------------------------------------------------------------
+
+
+def _fold_sq_dist(vec_col, lit_vals):
+    """Σ (xᵢ − cᵢ)² as a sequential left fold — the exact arithmetic
+    order of the oracle's ``list_reduce`` replay."""
+    return F.aggregate(
+        F.zip_with(
+            vec_col,
+            F.array(*[F.lit(float(v)) for v in lit_vals]),
+            lambda x, c: (x - c) * (x - c),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _argmin_code(dists_arr):
+    """First-minimum argmin (0-based) — ties break to the lowest code
+    id on both engines (array_position-of-min ≡ ROW_NUMBER … code ASC)."""
+    return (F.array_position(dists_arr, F.array_min(dists_arr)) - 1).cast(
+        "int"
+    )
+
+
+def _jvm_pq_codes(normed_df, books, dim):
+    spans = _subspaces(dim, _M)
+    w = dim // _M
+    cols = []
+    for j, (lo, hi) in enumerate(spans):
+        dists = F.array(
+            *[
+                _fold_sq_dist(F.slice("nv", lo + 1, w), books[j][kk])
+                for kk in range(_K)
+            ]
+        )
+        cols.append(_argmin_code(dists))
+    return normed_df.select("vec_id", F.array(*cols).alias("codes"))
+
+
+def _jvm_ivfpq_index(normed_df, cents, books, dim):
+    spans = _subspaces(dim, _M)
+    w = dim // _M
+    cell_dists = F.array(
+        *[_fold_sq_dist(F.col("nv"), cents[c]) for c in range(_NCELLS)]
+    )
+    with_cell = normed_df.select(
+        "vec_id", "nv", _argmin_code(cell_dists).alias("cell_id")
+    )
+    # residual ONCE per row (CASE-selected centroid literal), then one
+    # fold per (subspace, code) over its slice — m·k folds total, not
+    # m·k·n_cells: the numpy path subtracts the centroid once too, so
+    # the arithmetic order still matches ((x − cent) − book)²
+    cent_expr = None
+    for c in range(_NCELLS):
+        cond = F.col("cell_id") == c
+        arr = F.array(*[F.lit(float(x)) for x in cents[c]])
+        cent_expr = (
+            F.when(cond, arr) if cent_expr is None else cent_expr.when(cond, arr)
+        )
+    with_rv = with_cell.select(
+        "vec_id",
+        "cell_id",
+        F.zip_with("nv", cent_expr, lambda x, cc: x - cc).alias("rv"),
+    )
+    code_cols = []
+    for j, (lo, hi) in enumerate(spans):
+        dists = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        F.slice("rv", lo + 1, w),
+                        F.array(*[F.lit(float(b)) for b in books[j][kk]]),
+                        lambda r, b: (r - b) * (r - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                for kk in range(_K)
+            ]
+        )
+        code_cols.append(_argmin_code(dists))
+    return with_rv.select(
+        "vec_id", "cell_id", F.array(*code_cols).alias("codes")
+    )
+
+
+def _assert_same_codes(op_df, jvm_df, cols, what):
+    joined = op_df.alias("a").join(jvm_df.alias("b"), "vec_id")
+    diff = None
+    for c in cols:
+        ne = F.col(f"a.{c}") != F.col(f"b.{c}")
+        diff = ne if diff is None else (diff | ne)
+    n_bad = joined.filter(diff).count()
+    if n_bad:
+        raise AssertionError(
+            f"{what}: the operator's numpy encode diverged from the "
+            f"JVM fold replay on {n_bad} vectors — a near-tie argmin "
+            "flipped between summation orders; the oracle would "
+            "hash-mismatch, failing loudly here instead"
+        )
+
+
+# ---------------------------------------------------------------------
+# the queries
+# ---------------------------------------------------------------------
+
+
+def knn_cosine_pq(spark, sf_dir):
+    """ADC top-k over the PQ-compressed corpus (unit vectors, so
+    squared-L2 ADC ranks by cosine).  The scan touches only the m-byte
+    codes relation; scoring is a codegen fold over inlined LUT
+    literals; the result is a TakeOrderedAndProject heap per query."""
+    e = t(spark, sf_dir, "embeddings")
+    # normed feeds training, the fold replay, the query collect AND the
+    # encode — materialize the tiny (id, unit-vector) relation once
+    # (the repo's localCheckpoint multi-consumer pattern); fan_out
+    # first so the m·k fold-replay assertion doesn't serialize on the
+    # unsplittable single-file local scan
+    normed = _normalized(
+        fan_out(e), "vec_id", "embedding", "vec_id", "nv"
+    ).localCheckpoint()
+    books = train_pq_codebooks(normed, vec_col="nv", m=_M, k=_K)
+    canon = _canonical_normed(sf_dir)
+    if canon is not None:
+        X = _canonical_sample(canon)
+        if books != pq_fit_books(X, _M, _K):
+            raise AssertionError(
+                "knn_cosine_pq: distributed-sample training diverged "
+                "from the canonical replay of the same sample"
+            )
+    dim = len(books) * len(books[0][0])
+    codes = pq_encode(normed, books, vec_col="nv").localCheckpoint()
+    if canon is not None:
+        _assert_same_codes(
+            codes,
+            _jvm_pq_codes(normed, books, dim),
+            ["codes"],
+            "knn_cosine_pq",
+        )
+    queries = sorted(
+        (
+            (r["vec_id"], r["nv"])
+            for r in normed.filter(F.col("vec_id") < _N_QUERIES).collect()
+        ),
+        key=lambda p: p[0],
+    )
+    out = pq_topk(queries, codes, books, top_k=_TOPK)
+    return out.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round("adc_dist", 6).alias("adc_dist"),
+    )
+
+
+def knn_cosine_ivfpq(spark, sf_dir):
+    """IVFADC: jointly-trained coarse cells + residual PQ books; the
+    query scores codes in its n_probe nearest cells only (pushed
+    ``cell_id IN (…)`` predicate), CASE-selected per-cell residual
+    LUTs, same codegen fold."""
+    e = t(spark, sf_dir, "embeddings")
+    normed = _normalized(
+        fan_out(e), "vec_id", "embedding", "vec_id", "nv"
+    ).localCheckpoint()
+    cents, books = train_ivf_pq(normed, vec_col="nv", n_cells=_NCELLS, m=_M, k=_K)
+    canon = _canonical_normed(sf_dir)
+    if canon is not None:
+        X = _canonical_sample(canon)
+        if (cents, books) != ivf_pq_fit(X, _NCELLS, _M, _K):
+            raise AssertionError(
+                "knn_cosine_ivfpq: distributed-sample joint training "
+                "diverged from the canonical replay of the same sample"
+            )
+    dim = len(cents[0])
+    idx = ivf_pq_index(normed, cents, books, vec_col="nv").localCheckpoint()
+    if canon is not None:
+        _assert_same_codes(
+            idx,
+            _jvm_ivfpq_index(normed, cents, books, dim),
+            ["cell_id", "codes"],
+            "knn_cosine_ivfpq",
+        )
+    queries = sorted(
+        (
+            (r["vec_id"], r["nv"])
+            for r in normed.filter(F.col("vec_id") < _N_QUERIES).collect()
+        ),
+        key=lambda p: p[0],
+    )
+    out = ivf_pq_topk(
+        queries, idx, cents, books, n_probe=_NPROBE, top_k=_TOPK
+    )
+    return out.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round("adc_dist", 6).alias("adc_dist"),
+    )
+
+
+# ---------------------------------------------------------------------
+# DuckDB oracles — canonical literals fit from the sf0.01 testdata at
+# import (driver correctness runs are pinned to sf0.01; the
+# _ivf_kmeans_oracle_sql / PCA-literal pattern)
+# ---------------------------------------------------------------------
+
+_SELF_DOT = (
+    "list_reduce(list_prepend(0.0, list_transform(embedding, "
+    "x -> x::DOUBLE * x::DOUBLE)), (acc, x) -> acc + x)"
+)
+
+
+def _sq_fold_sql(a: str, b: str) -> str:
+    """Σ (aᵢ − bᵢ)² as the same left fold the Spark arm uses."""
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(list_zip({a}, {b}), "
+        f"p -> (p[1]::DOUBLE - p[2]::DOUBLE) * (p[1]::DOUBLE - p[2]::DOUBLE)"
+        f")), (acc, x) -> acc + x)"
+    )
+
+
+def _lit_list(vals) -> str:
+    return "[" + ", ".join(repr(float(x)) for x in vals) + "]"
+
+
+def _lit_list2(rows) -> str:
+    return "[" + ", ".join(_lit_list(r) for r in rows) + "]"
+
+
+_ORACLE_SF_DIR = "/root/testdata/sf0.01"
+
+
+def _pq_oracle_sql() -> str | None:
+    import numpy as np
+
+    canon = _canonical_normed(_ORACLE_SF_DIR)
+    if canon is None:
+        return None
+    X = _canonical_sample(canon)
+    books = pq_fit_books(X, _M, _K)
+    dim = X.shape[1]
+    spans = _subspaces(dim, _M)
+    w = dim // _M
+    book_rows = ", ".join(
+        f"({j}, {kk}, {_lit_list(books[j][kk])})"
+        for j in range(_M)
+        for kk in range(_K)
+    )
+    lut_rows = ", ".join(
+        f"({qid}, {_lit_list2(adc_lut(books, spans, np.asarray(qv, dtype=np.float64)))})"
+        for qid, qv in _canonical_queries(canon)
+    )
+    chain = " + ".join(
+        f"l.lut[{j + 1}][c.codes[{j + 1}] + 1]" for j in range(_M)
+    )
+    return f"""
+WITH normed AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> x::DOUBLE / sqrt({_SELF_DOT})) AS nv
+  FROM embeddings
+),
+books(j, code_id, cent) AS (VALUES {book_rows}),
+dists AS (
+  SELECT n.vec_id, b.j, b.code_id,
+         {_sq_fold_sql(f"n.nv[b.j * {w} + 1 : (b.j + 1) * {w}]", "b.cent")} AS d2
+  FROM normed n, books b
+),
+argmin AS (
+  SELECT vec_id, j, code_id,
+         ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                            ORDER BY d2 ASC, code_id ASC) AS rn
+  FROM dists
+),
+codes AS (
+  SELECT vec_id, list(code_id ORDER BY j) AS codes
+  FROM argmin WHERE rn = 1 GROUP BY vec_id
+),
+luts(query_id, lut) AS (VALUES {lut_rows}),
+scored AS (
+  SELECT l.query_id, c.vec_id AS neighbor_id, {chain} AS adc
+  FROM luts l, codes c
+),
+ranked AS (
+  SELECT query_id, neighbor_id, adc,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY adc ASC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(adc, 6) AS adc_dist
+FROM ranked WHERE rank <= {_TOPK}
+"""
+
+
+def _ivfpq_oracle_sql() -> str | None:
+    import numpy as np
+
+    canon = _canonical_normed(_ORACLE_SF_DIR)
+    if canon is None:
+        return None
+    X = _canonical_sample(canon)
+    cents, books = ivf_pq_fit(X, _NCELLS, _M, _K)
+    dim = X.shape[1]
+    spans = _subspaces(dim, _M)
+    w = dim // _M
+    Cn = np.array(cents, dtype=np.float64)
+    cent_rows = ", ".join(
+        f"({c}, {_lit_list(cents[c])})" for c in range(_NCELLS)
+    )
+    book_rows = ", ".join(
+        f"({j}, {kk}, {_lit_list(books[j][kk])})"
+        for j in range(_M)
+        for kk in range(_K)
+    )
+    lut_rows = []
+    for qid, qv in _canonical_queries(canon):
+        q = np.asarray(qv, dtype=np.float64)
+        for cell in probe_cells(Cn, q, _NPROBE):
+            lut_rows.append(
+                f"({qid}, {cell}, "
+                f"{_lit_list2(adc_lut(books, spans, q - Cn[cell]))})"
+            )
+    chain = " + ".join(
+        f"l.lut[{j + 1}][c.codes[{j + 1}] + 1]" for j in range(_M)
+    )
+    return f"""
+WITH normed AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> x::DOUBLE / sqrt({_SELF_DOT})) AS nv
+  FROM embeddings
+),
+cents(cell_id, cent) AS (VALUES {cent_rows}),
+cell_d AS (
+  SELECT n.vec_id, n.nv, c.cell_id, c.cent,
+         ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                            ORDER BY {_sq_fold_sql("n.nv", "c.cent")} ASC,
+                                     c.cell_id ASC) AS rn
+  FROM normed n, cents c
+),
+assigned AS (
+  SELECT vec_id,
+         list_transform(list_zip(nv, cent),
+                        p -> p[1]::DOUBLE - p[2]::DOUBLE) AS rv,
+         cell_id
+  FROM cell_d WHERE rn = 1
+),
+books(j, code_id, bk) AS (VALUES {book_rows}),
+dists AS (
+  SELECT a.vec_id, a.cell_id, b.j, b.code_id,
+         {_sq_fold_sql(f"a.rv[b.j * {w} + 1 : (b.j + 1) * {w}]", "b.bk")} AS d2
+  FROM assigned a, books b
+),
+argmin AS (
+  SELECT vec_id, cell_id, j, code_id,
+         ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                            ORDER BY d2 ASC, code_id ASC) AS rn
+  FROM dists
+),
+codes AS (
+  SELECT vec_id, any_value(cell_id) AS cell_id,
+         list(code_id ORDER BY j) AS codes
+  FROM argmin WHERE rn = 1 GROUP BY vec_id
+),
+luts(query_id, cell_id, lut) AS (VALUES {", ".join(lut_rows)}),
+scored AS (
+  SELECT l.query_id, c.vec_id AS neighbor_id, {chain} AS adc
+  FROM luts l JOIN codes c ON c.cell_id = l.cell_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, adc,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY adc ASC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(adc, 6) AS adc_dist
+FROM ranked WHERE rank <= {_TOPK}
+"""
+
+
+try:
+    KNN_PQ_SQL = _pq_oracle_sql()
+    KNN_IVFPQ_SQL = _ivfpq_oracle_sql()
+except OSError:  # testdata not present on this machine
+    KNN_PQ_SQL = None
+    KNN_IVFPQ_SQL = None
+
+
+QUERIES: dict[str, Q] = {
+    "knn_cosine_pq": Q(knn_cosine_pq, KNN_PQ_SQL),
+    "knn_cosine_ivfpq": Q(knn_cosine_ivfpq, KNN_IVFPQ_SQL),
+}

@@ -1430,3 +1430,33 @@ def test_streaks_window_on_user_key(spark):
     assert specs and all("user_id" in s for s in specs), specs
     pushed = pushed_filters(df)
     assert pushed and any("event_type" in p for p in pushed), pushed
+
+
+def test_pq_adc_query_plan(spark):
+    """knn_cosine_pq: ADC scoring is a codegen fold over the (tiny)
+    checkpointed codes relation — per-query heap top-k
+    (TakeOrderedAndProject), no window, no join in the scoring tree."""
+    from rick_and_morty_data_pipeline_project_spark.queries.catalog import _ALL
+
+    df = _ALL["knn_cosine_pq"].fn(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+    assert "Join" not in plan, plan
+    # the scan feeding the scorer is the materialized codes relation,
+    # not a re-encode of the parquet corpus
+    assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan, plan
+
+
+def test_ivfpq_probed_scan_plan(spark):
+    """knn_cosine_ivfpq: every per-query scoring branch filters to its
+    n_probe probed cells BEFORE scoring (cell_id IN (...) on the int
+    index column) and keeps the heap top-k shape."""
+    from rick_and_morty_data_pipeline_project_spark.queries.catalog import _ALL
+
+    df = _ALL["knn_cosine_ivfpq"].fn(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+    # one probed-cell filter per query branch
+    assert len(re.findall(r"cell_id#\d+ IN", plan)) >= 10, plan
