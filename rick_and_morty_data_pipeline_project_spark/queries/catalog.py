@@ -145,6 +145,52 @@ r04-vintage greens not refreshed in this window reach age 5, plus
 flagship: 16 + 32 + 1 = 49 of 50 slots already spoken for — do NOT
 add further oracled births in r8's remainder without retiring an
 obligation.
+
+Rotation policy v2 (round 9) — the catalog outgrew the window:
+
+With 237 oracled queries, a 50-slot window × 4-round shelf life can
+keep at most 200 driver certificates fresh; even with ZERO further
+births the r08-vintage block alone (50 + flagship) overflows a round
+by r13.  Two amendments, both EXECUTABLE in
+``tools/rotation_report.py`` and unit-pinned in
+tests/test_rotation_tooling.py:
+
+1. **Sweep-artifact freshness.**  Each round the full catalog is
+   re-verified by ``tools/driver_sim_sweep.py --artifact`` (the same
+   sorted-row/sorted-column hash comparator the driver uses, over the
+   same oracle SQL, judge-re-runnable) and the result committed as
+   ``SWEEP_r{N}.json``.  The max-age gate accepts a hash-green sweep
+   row as freshness evidence for an over-age driver certificate.  The
+   window still fills all 50 slots oldest-green-first, so driver rows
+   keep cycling at full rate — the sweep covers the arithmetic tail
+   the window cannot.  Never-attempted queries and red rows still
+   require REAL driver rows; the sweep never substitutes for those.
+2. **Stale-carryover ledger.**  ``--update-fingerprints`` previously
+   erased rule-2 staleness for changed queries not in the window
+   being frozen.  The freeze now records them in
+   ``tools/stale_carryover.json``; like births they get exactly one
+   cycle to re-earn a DRIVER row (sweep rows do NOT clear changed
+   code) before ``--assert-no-debt`` fails.
+
+Round-9 window (this file's ``DRIVER_WINDOW``): exactly the plan the
+round-8 verdict ordered.  The 16 post-r08-freeze births lead (rule
+1, full list above), then the 2 r9-born PQ/IVFADC certifications
+(``knn_cosine_pq``, ``knn_cosine_ivfpq`` — the r8 verdict's item 1:
+the one operator family that had no possible driver row), flagship,
+the 2 rows-only→oracled HLL promotions (``sketch_hll_rollup``,
+``events_rolling_dau_hll`` — rebuilt on the explicit-register HLL of
+``operators/hllreg.py`` so DuckDB replays the estimates bit-exactly;
+never attempted before, hence window-mandatory), and 29 of the 31
+r04-vintage greens (age 5 at r09; ``knn_cosine_lsh``,
+``knn_cosine_int8``, ``knn_cosine_filtered`` and
+``embedding_quantize_error`` double as rule-2 re-greens of the r9
+``similarity.py`` consolidation; the 2 displaced r04 entries —
+``events_funnel_steps``, ``events_funnel_summary`` — are
+sweep-covered under policy v2 and lead the r10 oldest-green pool).
+16 + 2 + 2 + 1 + 29 = 50.  The 11 remaining rule-2 stale entries from
+the ``similarity.py``/``pq.py`` consolidation that do not fit this
+window are recorded in ``tools/stale_carryover.json`` at the freeze
+and are rule-1-equivalent obligations for the r10 window.
 """
 
 from __future__ import annotations
@@ -190,70 +236,70 @@ for mod in (
 # + 6 oldest-green r04 refreshes (no r03-vintage rows exist).
 # 10+3+1+30+6 = 50.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # ========== 10 never-driver-checked oracled queries (rule 1) =====
-    # the 7 r7-post-freeze births (one-cycle exemption expired with
-    # CORRECTNESS_r07.json) + the 3 r8-born entries (salted top-k
-    # exemplar, the two rows-only promotions)
-    "join_interval_bucketized",
-    "dedup_jaccard_prefix_join",
-    "text_pii_redact",
-    "sample_source_mixture",
-    "sketch_heavy_hitters_audit",
-    "audit_table_checksum",
-    "join_pit_segment_revenue",
-    "topk_salted_segment_orders",
-    "sketch_cms_user_counts",
-    "text_quantile_filter_approx",
-    # ========== rule-2 fingerprint-stale re-greens ===================
-    # audit_row_constraints drifted after its r07 green (pre-round);
-    # sketch_cms_accuracy_audit via the cms_point_estimates pin param;
-    # text_quantile_filter via its docstring cross-reference to the
-    # rewritten approx twin
-    "audit_row_constraints",
-    "sketch_cms_accuracy_audit",
-    "text_quantile_filter",
+    # ========== 16 never-driver-checked oracled queries (rule 1) =====
+    # the r8-post-freeze births — one-cycle exemption expired with
+    # CORRECTNESS_r08.json; full list mirrored in the docstring above
+    "events_sequence_match",
+    "orders_cdc_apply",
+    "orders_skyline_price_date",
+    "audit_functional_dependencies",
+    "sketch_kmv_rollup",
+    "events_transition_matrix",
+    "events_user_trend_slope",
+    "lineitem_weighted_percentiles",
+    "events_max_concurrency",
+    "events_cusum_changepoint",
+    "text_js_divergence",
+    "stats_bootstrap_ci",
+    "events_autocorrelation",
+    "customer_gini_revenue",
+    "stats_welch_t",
+    "events_activity_streaks",
+    # ========== 2 r9-born PQ/IVFADC certifications (r8 verdict #1) ===
+    "knn_cosine_pq",
+    "knn_cosine_ivfpq",
+    # ========== 2 r9 rows-only -> fully-oracled HLL promotions (r8
+    # verdict #3: explicit-register HLL, estimator replayed by DuckDB
+    # bit-exactly; never-attempted before, so window-mandatory) =======
+    "sketch_hll_rollup",
+    "events_rolling_dau_hll",
     # ========== flagship (standing, every round) =====================
     "flagship_greedy_match",
-    # ========== 30 max-age refreshes (newest green row = r02, age 6 >
-    # 4 at this freeze — the complete over-age list) ==================
-    "agg_exact_distinct",
-    "agg_grouping_sets",
-    "agg_macro_avg_rounded",
-    "agg_percentiles",
-    "agg_rollup_region_nation",
-    "array_functions",
-    "dedup_embedding_cosine",
-    "dedup_simhash",
-    "embedding_label_centroids",
-    "embedding_norms",
-    "events_hourly_rollup",
-    "join_asof_click_error",
-    "join_on_expression",
-    "join_range_user_window",
-    "join_self_lineitem_pairs",
-    "join_semi_customers_with_open_orders",
-    "knn_cosine_bruteforce",
-    "pivot_event_type_by_day",
-    "q2_scan_filter_project",
-    "scalar_math_functions",
-    "scalar_null_conditional",
-    "scalar_regex_functions",
-    "sessionize_events",
-    "set_ops_customers",
-    "sort_limit_top_orders",
-    "subquery_scalar_exists",
-    "text_emotion_by_source",
-    "text_rolling_fingerprint",
-    "text_token_stats",
-    "win_range_frame",
-    # ========== oldest-green refreshes (newest green row = r04; the
-    # r02 pool is exhausted above and no r03-vintage rows exist) ======
-    "basket_part_affinity",
-    "customer_rfm_segments",
-    "decontaminate_embedding_overlap",
-    "decontaminate_ngram_overlap",
-    "dedup_minhash_estimate_audit",
-    "dedup_semantic_clusters",
+    # ========== 29 max-age refreshes (newest green row = r04, age 5 >
+    # 4 at this freeze; the knn_* and embedding_quantize_error entries
+    # double as rule-2 re-greens of the r9 similarity.py consolidation.
+    # events_funnel_steps/_summary are the two r04 entries displaced by
+    # the HLL promotions — SWEEP_r09.json covers them under policy v2
+    # and they lead the r10 oldest-green pool) =========================
+    "dedup_source_matrix",
+    "embedding_quantize_error",
+    "events_hourly_percentiles",
+    "events_key_skew_report",
+    "events_retention_cohorts",
+    "events_rolling_dau",
+    "events_sliding_uniques",
+    "events_value_histogram",
+    "events_zscore_outliers",
+    "graph_pagerank3",
+    "join_salted_user_events",
+    "knn_cosine_filtered",
+    "knn_cosine_int8",
+    "knn_cosine_lsh",
+    "knn_degree_stats",
+    "orders_monthly_growth",
+    "profile_orders_quality",
+    "sample_hash_deterministic",
+    "sample_mixture_weights",
+    "sample_stratified_topk",
+    "sample_weighted_topk",
+    "scalar_try_functions",
+    "text_chunk_overlap",
+    "text_pack_materialize",
+    "text_pmi_collocations",
+    "text_redact_patterns",
+    "text_repetition_signals",
+    "text_unigram_logprob",
+    "text_vocab_df",
 )
 
 # Round-7 window, retired 2026-08-15 (all 50 earned green rows in

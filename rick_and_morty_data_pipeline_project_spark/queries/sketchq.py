@@ -1,20 +1,24 @@
 """Sketch-table queries: mergeable HLL rollups and Count-Min probes.
 
-Oracle status differs by estimator family:
+Oracle status by estimator family (round 9):
 
 * **Count-Min is FULLY oracled** (promoted round 8): its counters are
   order-insensitive sums, so the estimate is a deterministic function
   of the data alone and DuckDB replays the whole grid bit-exactly with
   the pinned seed-42 ``hashA`` literals (``CMS_GRID_REPLAY_SQL``).
-* **HLL entries stay rows-only** (``sql=None``): DataSketches HLL
-  estimates come from engine-internal register state and HIP/composite
-  estimator choices no other engine reproduces — the irreducible core.
-  Their accuracy contracts are driver-checked through the oracled
-  audit twins below (exact distincts hash-verified + envelope/merge
-  booleans pinned TRUE) and enforced again in tests/test_sketches.py:
-  per-key estimates within the lg_k=12 error envelope, merge
-  determinism under regrouping, and every CMS estimate inside the
-  one-sided ``true ≤ est ≤ true + eps·N`` band.
+* **The HLL ROLLUPS are FULLY oracled** (promoted round 9): rebuilt on
+  the explicit-register HLL (``operators/hllreg.py`` — md5 60-bit
+  hash, integer ρ ranks, exact int64 harmonic sum), so DuckDB replays
+  register state AND estimates bit-exactly, per day, merged TOTAL and
+  rolling 7-day union alike — the CMS grid-replay trick extended to
+  HLL.  The KMV rollup (``sketch_kmv_rollup``) remains the
+  order-statistics counterpart.
+* **The built-in DataSketches surface** (``hll_sketch_agg`` /
+  ``approx_count_distinct``) remains covered by the oracled AUDIT
+  twins below (exact distincts hash-verified + envelope/merge booleans
+  pinned TRUE) — its register state and HIP estimator are
+  engine-internal by design, the documented irreducible rows-only
+  core (``agg_approx_distinct``).
 
 Reference parity note: the reference has no sketches (453-line scraper,
 Scraper.py) — these extend §2.10's training-data-pipeline surface where
@@ -26,10 +30,15 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from rick_and_morty_data_pipeline_project_spark.operators.hllreg import (
+    hll_estimate,
+    hll_estimate_sql,
+    hll_register_sql,
+    hll_register_table,
+)
 from rick_and_morty_data_pipeline_project_spark.operators.sketches import (
     CMS_CANON,
     cms_point_estimates,
-    hll_rollup,
 )
 from rick_and_morty_data_pipeline_project_spark.queries._util import Q, t
 
@@ -39,22 +48,49 @@ def sketch_hll_rollup(spark, sf_dir):
     re-aggregated from the sketches themselves (one raw-data pass for
     the whole report — the persisted-sketch-table pattern).
 
-    Scale: the shuffle carries one fixed-size (~2^12-register) sketch
-    state per (task, day); the TOTAL union touches only |days| sketch
-    rows, never the events again.
+    FULLY ORACLED (promoted r9 from rows-only): rebuilt on the
+    explicit-register HLL (``operators/hllreg.py``) — md5 60-bit hash,
+    integer ρ ranks, exact int64 harmonic sums — so DuckDB replays the
+    register relation AND the Flajolet-2007 estimator bit-exactly; the
+    TOTAL row's sketch-merge (element-wise register MAX, never a
+    second scan of events) is part of the hash-checked contract.
+
+    Scale: the shuffle carries ≤ m=4096 register rows per day
+    (map-side-combined MAX), independent of user cardinality; the
+    TOTAL union touches only the |days|·m register relation, never the
+    events again.
     """
     e = t(spark, sf_dir, "events")
+    regs = hll_register_table(
+        e, F.date_format("ts", "yyyy-MM-dd"), "user_id"
+    ).localCheckpoint()  # per-day + TOTAL both read it — one build
+    per_day = hll_estimate(regs, "est_users")
+    merged = (
+        regs.groupBy("register")
+        .agg(F.max("m_rho").alias("m_rho"))
+        .select(F.lit("TOTAL").alias("key"), "register", "m_rho")
+    )
+    total = hll_estimate(merged, "est_users")
     return (
-        hll_rollup(
-            e,
-            key_col=F.date_format("ts", "yyyy-MM-dd"),
-            item_col="user_id",
-            lg_k=12,
-        )
+        per_day.unionByName(total)
         .withColumnRenamed("key", "day")
-        .withColumnRenamed("est_distinct", "est_users")
         .orderBy("day")
     )
+
+
+SKETCH_HLL_ROLLUP_SQL = f"""
+WITH regs AS ({hll_register_sql("events", "strftime(ts, '%Y-%m-%d')", "user_id")}),
+per_day AS ({hll_estimate_sql("regs", "est_users")}),
+merged AS (
+  SELECT 'TOTAL' AS key, register, max(m_rho) AS m_rho
+  FROM regs GROUP BY 2
+),
+total AS ({hll_estimate_sql("merged", "est_users")})
+SELECT key AS day, est_users FROM per_day
+UNION ALL
+SELECT key AS day, est_users FROM total
+ORDER BY day
+"""
 
 
 def sketch_cms_user_counts(spark, sf_dir):
@@ -152,27 +188,37 @@ ORDER BY item
 def events_rolling_dau_hll(spark, sf_dir):
     """Trailing-7-day active users from DAILY HLL SKETCHES — the 100 TB
     twin of the exact ``events_rolling_dau``: instead of exploding the
-    |distinct (user, day)| pair set 7×, each day's fixed-size sketch
-    contributes to its 7 window ends and the per-window state is a
-    sketch union.  Shuffle volume becomes 7 × |days| × ~2^lg_k registers
-    — independent of user cardinality — which is the plan you want when
-    the pair set itself is the bottleneck.  Error-bounded against the
-    exact twin in tests/test_sketches.py (rows-only: sketch internals).
+    |distinct (user, day)| pair set 7×, each day's fixed-size register
+    relation contributes to its 7 window ends and the per-window state
+    is a sketch union (element-wise register MAX).  Shuffle volume
+    becomes 7 × |days| × ≤ m register rows — independent of user
+    cardinality — which is the plan you want when the pair set itself
+    is the bottleneck.
+
+    FULLY ORACLED (promoted r9 from rows-only): on the
+    explicit-register HLL (``operators/hllreg.py``) the whole
+    pipeline — registers, 7-window union, estimator — replays
+    bit-exactly in DuckDB; accuracy vs the exact twin stays pinned in
+    tests/test_sketches.py.
     """
     e = t(spark, sf_dir, "events")
-    daily = e.groupBy(F.col("ts").cast("date").alias("_day")).agg(
-        F.hll_sketch_agg("user_id", F.lit(12)).alias("sk")
+    daily = hll_register_table(
+        e, F.col("ts").cast("date"), "user_id"
     )
     contrib = daily.select(
         F.explode(
-            F.sequence(F.col("_day"), F.date_add(F.col("_day"), 6))
+            F.sequence(F.col("key"), F.date_add(F.col("key"), 6))
         ).alias("win_day"),
-        "sk",
+        "register",
+        "m_rho",
     )
-    counted = contrib.groupBy("win_day").agg(
-        F.hll_sketch_estimate(
-            F.hll_union_agg("sk", F.lit(True))
-        ).alias("_n")
+    unioned = (
+        contrib.groupBy("win_day", "register")
+        .agg(F.max("m_rho").alias("m_rho"))
+        .withColumnRenamed("win_day", "key")
+    )
+    counted = hll_estimate(unioned, "_n").withColumnRenamed(
+        "key", "win_day"
     )
     bounds = e.agg(
         F.min(F.col("ts").cast("date")).alias("_min_day"),
@@ -185,8 +231,38 @@ def events_rolling_dau_hll(spark, sf_dir):
     )
     return spine.join(counted, "win_day", "left").select(
         F.date_format("win_day", "yyyy-MM-dd").alias("win_day"),
-        F.coalesce("_n", F.lit(0)).alias("n_active_7d_est"),
+        F.coalesce("_n", F.lit(0.0)).alias("n_active_7d_est"),
     )
+
+
+ROLLING_DAU_HLL_SQL = f"""
+WITH regs AS ({hll_register_sql("events", "CAST(ts AS DATE)", "user_id")}),
+contrib AS (
+  SELECT CAST(unnest(generate_series(CAST(key AS TIMESTAMP),
+                                     CAST(key AS TIMESTAMP) + INTERVAL 6 DAY,
+                                     INTERVAL 1 DAY)) AS DATE) AS win_day,
+         register, m_rho
+  FROM regs
+),
+unioned AS (
+  SELECT win_day AS key, register, max(m_rho) AS m_rho
+  FROM contrib GROUP BY 1, 2
+),
+counted AS ({hll_estimate_sql("unioned", "_n")}),
+bounds AS (
+  SELECT min(CAST(ts AS DATE)) AS min_day, max(CAST(ts AS DATE)) AS max_day
+  FROM events
+),
+spine AS (
+  SELECT CAST(unnest(generate_series(CAST(min_day AS TIMESTAMP),
+                                     CAST(max_day AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS win_day
+  FROM bounds
+)
+SELECT strftime(s.win_day, '%Y-%m-%d') AS win_day,
+       COALESCE(c._n, 0.0) AS n_active_7d_est
+FROM spine s LEFT JOIN counted c ON c.key = s.win_day
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -658,10 +734,10 @@ ORDER BY day
 
 
 QUERIES: dict[str, Q] = {
-    "sketch_hll_rollup": Q(sketch_hll_rollup, None),
+    "sketch_hll_rollup": Q(sketch_hll_rollup, SKETCH_HLL_ROLLUP_SQL),
     "sketch_kmv_rollup": Q(sketch_kmv_rollup, KMV_ROLLUP_SQL),
     "sketch_cms_user_counts": Q(sketch_cms_user_counts, CMS_GRID_REPLAY_SQL),
-    "events_rolling_dau_hll": Q(events_rolling_dau_hll, None),
+    "events_rolling_dau_hll": Q(events_rolling_dau_hll, ROLLING_DAU_HLL_SQL),
     "sketch_hll_accuracy_audit": Q(sketch_hll_accuracy_audit, HLL_AUDIT_SQL),
     "events_rolling_dau_hll_audit": Q(
         events_rolling_dau_hll_audit, ROLLING_HLL_AUDIT_SQL

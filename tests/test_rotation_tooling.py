@@ -67,7 +67,7 @@ def test_max_age_rule_flags_old_certificates():
     oracled = ["old_q", "fresh_q", "scheduled_old_q"]
     newest_green = {"old_q": 1, "fresh_q": 6, "scheduled_old_q": 1}
     fps = {n: "fp" for n in oracled}
-    failed, unscheduled, overage, _ = rr.compute_debt(
+    failed, unscheduled, overage, _, _, _ = rr.compute_debt(
         oracled,
         newest_green,
         attempted=set(oracled),
@@ -81,7 +81,7 @@ def test_max_age_rule_flags_old_certificates():
     assert failed == [] and unscheduled == []
     # exactly at the limit (age == MAX_GREEN_AGE) is still fresh
     newest_green["old_q"] = 2
-    _, _, overage, _ = rr.compute_debt(
+    _, _, overage, _, _, _ = rr.compute_debt(
         oracled, newest_green, set(oracled), fps, fps,
         ("scheduled_old_q",), 6, {},
     )
@@ -98,26 +98,26 @@ def test_birth_exemption_lasts_one_cycle_only():
     oracled = ["newborn"]
     fps = {"newborn": "fp"}
     # cycle 1: first sighting at round 6 — exempt, recorded in pending
-    failed, unscheduled, overage, pending = rr.compute_debt(
+    failed, unscheduled, overage, pending, _, _ = rr.compute_debt(
         oracled, {}, set(), frozen={}, fps=fps, window=(),
         max_round=6, pending={},
     )
     assert unscheduled == [] and pending == {"newborn": 6}
     # cycle 2: round 7 landed, still unfingerprinted + unscheduled
-    failed, unscheduled, overage, pending = rr.compute_debt(
+    failed, unscheduled, overage, pending, _, _ = rr.compute_debt(
         oracled, {}, set(), frozen={}, fps=fps, window=(),
         max_round=7, pending=pending,
     )
     assert unscheduled == ["newborn"]
     # ... but being in the window clears it
-    _, unscheduled, _, _ = rr.compute_debt(
+    _, unscheduled, _, _, _, _ = rr.compute_debt(
         oracled, {}, set(), frozen={}, fps=fps, window=("newborn",),
         max_round=7, pending=pending,
     )
     assert unscheduled == []
     # ... and once fingerprinted, pending entry is dropped and the
     # standard manifest rule applies
-    _, unscheduled, _, pending = rr.compute_debt(
+    _, unscheduled, _, pending, _, _ = rr.compute_debt(
         oracled, {}, set(), frozen=fps, fps=fps, window=(),
         max_round=7, pending=pending,
     )
@@ -160,3 +160,67 @@ def test_fingerprints_stable_across_processes():
         for k in outs[0]
         if outs[0].get(k) != outs[1].get(k)
     }
+
+
+def test_sweep_artifact_extends_overage_certificates():
+    """Policy v2 (round 9): an over-age green is compliant if the
+    CURRENT round's full-catalog sweep shows it hash-green; a sweep
+    row never substitutes for the never-attempted or red rules."""
+    rr = _load_rotation_report()
+    oracled = ["old_swept", "old_unswept", "never_ran"]
+    newest_green = {"old_swept": 1, "old_unswept": 1}
+    fps = {n: "fp" for n in oracled}
+    failed, unscheduled, overage, _, carry_debt, _ = rr.compute_debt(
+        oracled,
+        newest_green,
+        attempted={"old_swept", "old_unswept"},
+        frozen=fps,
+        fps=fps,
+        window=(),
+        max_round=6,
+        pending={},
+        sweep_green={"old_swept", "never_ran"},
+    )
+    assert overage == ["old_unswept"]      # sweep covered old_swept
+    assert unscheduled == ["never_ran"]    # sweep does NOT cover births
+    assert failed == [] and carry_debt == []
+
+
+def test_stale_carryover_one_cycle_then_debt():
+    """Policy v2: a query whose fingerprint changed at a freeze while
+    unscheduled must re-earn a DRIVER row within one cycle.  Cleared
+    only by a green NEWER than the recording round (or by being
+    scheduled); a sweep row does not clear it."""
+    rr = _load_rotation_report()
+    oracled = ["changed_q"]
+    fps = {"changed_q": "fp2"}
+    # same-round grace: carryover recorded at r6, max_round still 6
+    _, _, _, _, carry_debt, carry = rr.compute_debt(
+        oracled, {"changed_q": 5}, {"changed_q"}, fps, fps, (),
+        6, {}, carryover={"changed_q": 6},
+    )
+    assert carry_debt == [] and carry == {"changed_q": 6}
+    # a round landed; unscheduled, old green (r5 <= record round) -> debt,
+    # even though the sweep shows it green
+    _, _, _, _, carry_debt, carry = rr.compute_debt(
+        oracled, {"changed_q": 5}, {"changed_q"}, fps, fps, (),
+        7, {}, sweep_green={"changed_q"}, carryover={"changed_q": 6},
+    )
+    assert carry_debt == ["changed_q"]
+    # scheduled into the window -> not debt (will re-earn its row)
+    _, _, _, _, carry_debt, _ = rr.compute_debt(
+        oracled, {"changed_q": 5}, {"changed_q"}, fps, fps,
+        ("changed_q",), 7, {}, carryover={"changed_q": 6},
+    )
+    assert carry_debt == []
+    # re-greened AFTER the recording round -> entry clears entirely
+    _, _, _, _, carry_debt, carry = rr.compute_debt(
+        oracled, {"changed_q": 7}, {"changed_q"}, fps, fps, (),
+        7, {}, carryover={"changed_q": 6},
+    )
+    assert carry_debt == [] and carry == {}
+    # deleted/renamed queries drop off the ledger
+    _, _, _, _, _, carry = rr.compute_debt(
+        [], {}, set(), {}, {}, (), 7, {}, carryover={"gone_q": 6},
+    )
+    assert carry == {}

@@ -268,3 +268,48 @@ def test_kmv_estimator_accuracy_and_exact_branch(spark):
             rel = abs(r["est_users"] - r["n_exact"]) / r["n_exact"]
             assert rel <= 4.0 / (_KMV_K - 2) ** 0.5, (day, r, rel)
     assert est_branch >= 1, "estimator branch never exercised at sf0.1"
+
+
+def test_hll_register_raw_branch_parity_and_accuracy(spark, tmp_path):
+    """The testdata's cardinalities (≤ 1500 users) all take the
+    linear-counting branch; this pins the RAW-estimate branch
+    (E > 2.5m) on a synthetic 60k-distinct corpus: cross-engine
+    bit-parity of the estimates AND accuracy within 5σ of the m=4096
+    theoretical RSE (1.04/√m ≈ 1.6%)."""
+    from rick_and_morty_data_pipeline_project_spark.operators.hllreg import (
+        M_REG,
+        hll_estimate,
+        hll_estimate_sql,
+        hll_register_sql,
+        hll_register_table,
+    )
+
+    n = 60_000
+    df = spark.range(n).select(
+        (F.col("id") % 2).cast("string").alias("grp"),
+        (F.col("id") * 7919).alias("item"),  # distinct per id
+    )
+    path = str(tmp_path / "hll_raw.parquet")
+    df.coalesce(1).write.parquet(path)
+
+    src = spark.read.parquet(path)
+    regs = hll_register_table(src, F.col("grp"), "item")
+    est = hll_estimate(regs, "est")
+    got = sorted((r["key"], r["est"]) for r in est.collect())
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW t AS SELECT * FROM read_parquet('{path}/*.parquet')"
+    )
+    sql = f"""
+WITH regs AS ({hll_register_sql("t", "grp", "item")}),
+est AS ({hll_estimate_sql("regs", "est")})
+SELECT key, est FROM est
+"""
+    want = sorted((r[0], float(r[1])) for r in con.execute(sql).fetchall())
+    assert got == want  # bit-exact cross-engine, raw branch included
+
+    for _, e in got:
+        assert e > 2.5 * M_REG  # proves the raw branch was taken
+        exact = n / 2
+        assert abs(e - exact) / exact < 5 * (1.04 / (M_REG ** 0.5))

@@ -38,6 +38,29 @@ Gate invariants (round 7):
   unscheduled query trips the gate — a new oracled query cannot evade
   driver verification indefinitely by never re-running
   ``--update-fingerprints``.
+
+Gate invariants v2 (round 9) — the catalog outgrew the window:
+
+* **Sweep-artifact freshness.** With 237 oracled queries, a 50-slot
+  window and a 4-round shelf life can keep at most 200 certificates
+  fresh (50 × MAX_GREEN_AGE) — the max-age treadmill hits an
+  arithmetic wall regardless of scheduling (the r08-vintage block
+  alone is 50 + flagship slots at r13).  The amended rule: an
+  over-age driver certificate is still compliant if the CURRENT
+  round's committed full-catalog sweep (``SWEEP_r{N}.json``, written
+  by ``tools/driver_sim_sweep.py --artifact``, N > newest CORRECTNESS
+  round) shows the query hash-green.  The sweep runs the same
+  comparator over the same oracles and is judge-re-runnable; the
+  window still refreshes oldest-first at full width, so driver rows
+  keep cycling — the sweep covers the tail the window arithmetic
+  cannot.
+* **Stale-carryover ledger.** ``--update-fingerprints`` previously
+  ERASED rule-2 staleness for queries not in the window being frozen
+  (the new manifest matches the new code while the standing green row
+  certified the old code).  The freeze now records those names in
+  ``tools/stale_carryover.json``; like births they get exactly one
+  cycle to re-earn a DRIVER row (a sweep row does not clear changed
+  code) before the gate fails.
 """
 
 from __future__ import annotations
@@ -55,6 +78,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 MANIFEST = os.path.join(REPO, "tools", "query_fingerprints.json")
 PENDING = os.path.join(REPO, "tools", "pending_births.json")
+CARRYOVER = os.path.join(REPO, "tools", "stale_carryover.json")
 PKG = "rick_and_morty_data_pipeline_project_spark"
 
 # A green driver row certifies unchanged code for at most this many
@@ -247,10 +271,36 @@ def compute_debt(
     window: tuple[str, ...],
     max_round: int,
     pending: dict[str, int],
-) -> tuple[list[str], list[str], list[str], dict[str, int]]:
+    sweep_green: set[str] | None = None,
+    carryover: dict[str, int] | None = None,
+) -> tuple[list[str], list[str], list[str], dict[str, int], list[str], dict[str, int]]:
     """Pure debt computation (unit-testable without touching repo
     state).  Returns (attempted-but-never-green, unscheduled-no-row,
-    over-age-unscheduled, updated pending-births map)."""
+    over-age-unscheduled, updated pending-births map,
+    carryover-debt, updated carryover map).
+
+    ``sweep_green``: queries hash-green in the current round's
+    committed full-catalog sweep artifact (SWEEP_r{N}.json with
+    N > max_round).  Policy v2 (round 9): an over-age driver
+    certificate is still compliant if the CURRENT sweep re-verified
+    the query — the 237-oracled catalog outgrew the 50-slot × 4-round
+    window capacity (200), so pure driver-row freshness would hit an
+    arithmetic wall (50 × MAX_GREEN_AGE < |catalog|) regardless of
+    scheduling; the window keeps refreshing oldest-first at full
+    width, and the sweep (same comparator, same oracles, judge-
+    re-runnable) certifies the tail every round.
+
+    ``carryover``: the rule-2 stale ledger persisted at freeze time —
+    queries whose fingerprint CHANGED at an --update-fingerprints
+    freeze while NOT in that freeze's window.  The freeze would
+    otherwise erase the staleness (the new manifest matches the new
+    code, but the standing green row certified the OLD code).  Like
+    births, each entry gets exactly one cycle: once a newer
+    CORRECTNESS round lands it must be in the window or re-green, or
+    it's debt.  A sweep row does NOT clear carryover — changed code
+    must re-earn a DRIVER row."""
+    sweep_green = sweep_green or set()
+    carryover = dict(carryover or {})
     oracled_set = set(oracled)
     never = [n for n in oracled if n not in attempted]
     failed_only = sorted(
@@ -285,8 +335,23 @@ def compute_debt(
         if n in newest_green
         and (max_round - newest_green[n]) > MAX_GREEN_AGE
         and n not in window
+        and n not in sweep_green
     )
-    return failed_only, debt_unscheduled, overage, pending
+    # carryover lifecycle: cleared by a NEWER driver green (row earned
+    # after the freeze that recorded the change); dropped for names no
+    # longer in the catalog; debt once a newer round landed while the
+    # entry is neither re-greened nor scheduled.
+    carryover = {
+        n: r
+        for n, r in carryover.items()
+        if n in oracled_set and newest_green.get(n, -1) <= r
+    }
+    carry_debt = sorted(
+        n
+        for n, r in carryover.items()
+        if max_round > r and n not in window
+    )
+    return failed_only, debt_unscheduled, overage, pending, carry_debt, carryover
 
 
 def main() -> None:
@@ -297,6 +362,47 @@ def main() -> None:
 
     fps = query_fingerprints()
     if "--update-fingerprints" in sys.argv:
+        # Stale-carryover ledger (policy v2, round 9): re-freezing the
+        # manifest ERASES rule-2 staleness (the new manifest matches
+        # the new code), but any standing green row still certifies
+        # the OLD code.  Record every changed-fingerprint query that
+        # is NOT in the window being frozen — each must re-earn a
+        # driver row within one cycle (compute_debt enforces it).
+        old: dict[str, str] = {}
+        if os.path.exists(MANIFEST):
+            with open(MANIFEST) as f:
+                old = json.load(f)
+        changed_out = sorted(
+            n
+            for n, fp in fps.items()
+            if old.get(n) not in (None, fp) and n not in DRIVER_WINDOW
+        )
+        if changed_out or os.path.exists(CARRYOVER):
+            max_round = 0
+            for path in glob.glob(
+                os.path.join(REPO, "CORRECTNESS_r*.json")
+            ):
+                max_round = max(
+                    max_round,
+                    int(re.search(r"_r(\d+)", os.path.basename(path)).group(1)),
+                )
+            carry: dict[str, int] = {}
+            if os.path.exists(CARRYOVER):
+                with open(CARRYOVER) as f:
+                    carry = json.load(f)
+            for n in changed_out:
+                carry.setdefault(n, max_round)
+            with open(CARRYOVER, "w") as f:
+                json.dump(carry, f, indent=1, sort_keys=True)
+            if changed_out:
+                print(
+                    f"stale-carryover: {len(changed_out)} changed "
+                    f"queries not in this window recorded in "
+                    f"{CARRYOVER} (must re-earn a driver row within "
+                    f"one cycle):"
+                )
+                for n in changed_out:
+                    print(f"  {n}")
         with open(MANIFEST, "w") as f:
             json.dump(fps, f, indent=1, sort_keys=True)
         print(f"wrote {len(fps)} fingerprints to {MANIFEST}")
@@ -338,9 +444,35 @@ def main() -> None:
     if os.path.exists(PENDING):
         with open(PENDING) as f:
             pending = json.load(f)
-    failed_only, debt_unscheduled, overage, pending = compute_debt(
-        oracled, newest_green, attempted, frozen, fps,
-        DRIVER_WINDOW, max_round, pending,
+    carryover: dict[str, int] = {}
+    if os.path.exists(CARRYOVER):
+        with open(CARRYOVER) as f:
+            carryover = json.load(f)
+    # Sweep-artifact freshness (policy v2): a SWEEP_r{N}.json for the
+    # round IN PROGRESS (N > newest CORRECTNESS round) extends over-age
+    # certificates for every query it shows hash-green.
+    sweep_green: set[str] = set()
+    sweep_round = None
+    for path in sorted(glob.glob(os.path.join(REPO, "SWEEP_r*.json"))):
+        rnum = int(re.search(r"_r(\d+)", os.path.basename(path)).group(1))
+        if rnum > max_round:
+            with open(path) as f:
+                sweep = json.load(f)
+            sweep_round = rnum
+            sweep_green = {
+                n
+                for n, r in sweep.items()
+                if not n.startswith("_")
+                and r.get("rows_match")
+                and r.get("hash_match")
+                and not r.get("err")
+            }
+    failed_only, debt_unscheduled, overage, pending, carry_debt, carryover = (
+        compute_debt(
+            oracled, newest_green, attempted, frozen, fps,
+            DRIVER_WINDOW, max_round, pending,
+            sweep_green=sweep_green, carryover=carryover,
+        )
     )
 
     print(f"\noracled: {len(oracled)}; ever-green: "
@@ -382,9 +514,21 @@ def main() -> None:
     )
     print(f"\nover-age greens (newest green row > {MAX_GREEN_AGE} rounds "
           f"behind r{max_round:02d}): {len(aged)}")
+    if sweep_round is not None:
+        print(f"  (current sweep artifact: SWEEP_r{sweep_round:02d}.json, "
+              f"{len(sweep_green)} hash-green — covers over-age entries)")
     for n in aged:
-        mark = "" if n in DRIVER_WINDOW else "  <-- NOT in window"
+        mark = "" if n in DRIVER_WINDOW else (
+            "  <-- sweep-covered" if n in sweep_green else "  <-- NOT in window"
+        )
         print(f"  {n} (r{newest_green[n]:02d}){mark}")
+
+    if carryover:
+        print(f"\nstale-carryover (changed at a freeze while unscheduled; "
+              f"must re-earn a driver row): {len(carryover)}")
+        for n, r in sorted(carryover.items()):
+            mark = "" if n in DRIVER_WINDOW else "  <-- NOT in window"
+            print(f"  {n} (changed at r{r:02d}){mark}")
 
     print(f"\nwindow slots already green in a prior round "
           f"(candidates to rotate out): {len(stale_slots)}")
@@ -404,20 +548,27 @@ def main() -> None:
     if "--assert-no-debt" in sys.argv:
         with open(PENDING, "w") as f:
             json.dump(pending, f, indent=1, sort_keys=True)
-        debt = failed_only + debt_unscheduled + overage
+        with open(CARRYOVER, "w") as f:
+            json.dump(carryover, f, indent=1, sort_keys=True)
+        debt = failed_only + debt_unscheduled + overage + carry_debt
         if debt:
-            print(f"\nDEBT ({len(debt)} queries — red, unscheduled, or "
-                  f"over-age):")
+            print(f"\nDEBT ({len(debt)} queries — red, unscheduled, "
+                  f"over-age, or stale-carryover):")
             for n in failed_only:
                 print(f"  {n}  [red]")
             for n in debt_unscheduled:
                 print(f"  {n}  [no driver row, not scheduled]")
             for n in overage:
                 print(f"  {n}  [green r{newest_green[n]:02d}, "
-                      f"> {MAX_GREEN_AGE} rounds old, not scheduled]")
+                      f"> {MAX_GREEN_AGE} rounds old, not scheduled, "
+                      f"not sweep-covered]")
+            for n in carry_debt:
+                print(f"  {n}  [fingerprint changed at r"
+                      f"{carryover[n]:02d} freeze, not re-greened or "
+                      f"scheduled]")
             sys.exit(1)
-        print("\nno debt: every oracled query is green-and-fresh or "
-              "in-window")
+        print("\nno debt: every oracled query is green-and-fresh, "
+              "sweep-covered, or in-window")
 
 
 if __name__ == "__main__":
