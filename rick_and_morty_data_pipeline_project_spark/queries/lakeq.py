@@ -386,10 +386,115 @@ GROUP BY o_orderpriority, o_orderstatus
 """
 
 
+def orders_dense_row_ids(spark, sf_dir):
+    """Dense global row ids (0..n-1 by o_orderkey) WITHOUT a global
+    sort or single-partition window — ``operators/rowid.dense_row_ids``
+    (range-shuffle + per-task local index + broadcast prefix-sum
+    offsets) certified against the obvious-but-unscalable oracle
+    formulation ``row_number() OVER (ORDER BY o_orderkey) - 1``.
+    o_orderkey is unique in this corpus (verified in TESTDATA notes;
+    lineitem's composite key is NOT, which is why the exemplar rides
+    orders), satisfying the operator's determinism contract, so the
+    distributed assignment is bit-identical to the global window.
+
+    Scale: the only wide exchange is repartitionByRange (sampled
+    boundaries, parallel everywhere); counts collect one row per
+    shuffle partition; offsets broadcast back.  The plan contains NO
+    window operator — pinned in tests/test_plans.py.
+    """
+    from rick_and_morty_data_pipeline_project_spark.operators.rowid import (
+        dense_row_ids,
+    )
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey")
+    return dense_row_ids(o, ["o_orderkey"]).select("o_orderkey", "row_id")
+
+
+ORDERS_DENSE_ROW_IDS_SQL = """
+SELECT o_orderkey,
+       row_number() OVER (ORDER BY o_orderkey) - 1 AS row_id
+FROM orders
+"""
+
+
+def evolution_read_generations(spark, sf_dir):
+    """The schema-evolution READER (``sources/evolution.py``) as a
+    driver-certified query: the query itself stages a two-generation
+    parquet tree in a temp dir from the region table — generation 0
+    writes ``(region_id int32, name string)``, generation 1 writes
+    ``(region_id int64, region_name string, population int64)`` — then
+    reads it back through ``read_evolved`` (footer-sniffed generation
+    groups, rename map name->region_name, int->long widening, missing
+    column as typed NULL).  The staged rows are a deterministic
+    function of region, so the DuckDB oracle replays the expected
+    union directly from the region view: the driver row certifies the
+    reader's SEMANTICS (mergeSchema cannot express any of the three
+    evolutions - it raises on int->long and treats a rename as two
+    columns).
+
+    Scale note: the staging is test-scaffolding (region is 5 rows);
+    the reader itself footer-sniffs distributedly and unions ordinary
+    pushdown-capable scans - the plan story lives in
+    sources/evolution.py and tests/test_evolution.py.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from rick_and_morty_data_pipeline_project_spark.sources.evolution import (
+        read_evolved,
+    )
+
+    r = t(spark, sf_dir, "region")
+    tmp = tempfile.mkdtemp(prefix="spark_graft_evo_")
+    try:
+        r.select(
+            F.col("r_regionkey").cast("int").alias("region_id"),
+            F.col("r_name").alias("name"),
+        ).coalesce(1).write.mode("append").parquet(tmp)
+        r.select(
+            F.col("r_regionkey").cast("long").alias("region_id"),
+            F.col("r_name").alias("region_name"),
+            (F.col("r_regionkey") * 100).cast("long").alias("population"),
+        ).coalesce(1).write.mode("append").parquet(tmp)
+        target = T.StructType(
+            [
+                T.StructField("region_id", T.LongType()),
+                T.StructField("region_name", T.StringType()),
+                T.StructField("population", T.LongType()),
+            ]
+        )
+        out = read_evolved(
+            spark, tmp, target, renames={"name": "region_name"}
+        ).localCheckpoint()  # materialize before the staging dir dies
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+EVOLUTION_READ_SQL = """
+SELECT CAST(r_regionkey AS BIGINT) AS region_id,
+       r_name AS region_name,
+       CAST(NULL AS BIGINT) AS population
+FROM region
+UNION ALL
+SELECT CAST(r_regionkey AS BIGINT),
+       r_name,
+       CAST(r_regionkey * 100 AS BIGINT)
+FROM region
+"""
+
+
+
 QUERIES: dict[str, Q] = {
     "table_zorder_layout": Q(table_zorder_layout, TABLE_ZORDER_LAYOUT_SQL),
     "table_range_partition_plan": Q(
         table_range_partition_plan, TABLE_RANGE_PARTITION_SQL
     ),
     "mv_incremental_refresh": Q(mv_incremental_refresh, MV_INCREMENTAL_SQL),
+    "orders_dense_row_ids": Q(orders_dense_row_ids, ORDERS_DENSE_ROW_IDS_SQL),
+    "evolution_read_generations": Q(
+        evolution_read_generations, EVOLUTION_READ_SQL
+    ),
 }

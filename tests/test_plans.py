@@ -1460,3 +1460,16 @@ def test_ivfpq_probed_scan_plan(spark):
     assert "windowspecdefinition" not in plan, plan
     # one probed-cell filter per query branch
     assert len(re.findall(r"cell_id#\d+ IN", plan)) >= 10, plan
+
+
+def test_orders_dense_row_ids_plan_window_free(spark):
+    """The dense-row-id QUERY keeps the operator's contract: no window
+    operator anywhere (the oracle's row_number formulation is exactly
+    what the plan must NOT contain) and the only wide exchange is the
+    range repartition."""
+    from rick_and_morty_data_pipeline_project_spark.queries.catalog import _ALL
+
+    df = _ALL["orders_dense_row_ids"].fn(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "windowspecdefinition" not in plan, plan
+    assert "Window" not in plan, plan
