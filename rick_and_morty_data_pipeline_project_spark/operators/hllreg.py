@@ -97,7 +97,7 @@ def hll_register_table(
     )
 
 
-def hll_estimate(reg_df: DataFrame, est_name: str = "est") -> Column:
+def hll_estimate(reg_df: DataFrame, est_name: str = "est") -> DataFrame:
     """Aggregate a (key, register, m_rho) relation to (key, est).
 
     The caller supplies rows grouped however it likes (per day, per

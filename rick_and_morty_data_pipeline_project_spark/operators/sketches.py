@@ -110,33 +110,11 @@ def cms_decode(raw: bytes) -> CmsSketch:
     )
 
 
-def hll_rollup(
-    df: DataFrame,
-    key_col,
-    item_col: str,
-    lg_k: int = 12,
-    total_label: str = "TOTAL",
-) -> DataFrame:
-    """Per-key distinct estimates plus a union-of-sketches total row.
-
-    One pass over the raw input builds the per-key sketches (partial agg
-    → only fixed-size states shuffle); the TOTAL row is produced by
-    re-aggregating those sketches with `hll_union_agg`, never by a second
-    scan of the input — exactly how a persisted sketch table answers
-    coarser rollups at scale.
-    """
-    daily = df.groupBy(key_col.alias("key")).agg(
-        F.hll_sketch_agg(item_col, F.lit(lg_k)).alias("sk")
-    )
-    per_key = daily.select(
-        F.col("key"), F.hll_sketch_estimate("sk").alias("est_distinct")
-    )
-    total = daily.agg(
-        F.hll_sketch_estimate(
-            F.hll_union_agg("sk", F.lit(True))
-        ).alias("est_distinct")
-    ).select(F.lit(total_label).alias("key"), "est_distinct")
-    return per_key.unionByName(total)
+# NOTE: the DataSketches-based ``hll_rollup`` operator that lived here
+# through r8 was superseded in r9 by the explicit-register HLL
+# (``operators/hllreg.py``) that now powers ``sketch_hll_rollup`` —
+# the built-in ``hll_sketch_agg`` surface remains exercised directly
+# by the oracled audit twins in queries/sketchq.py.
 
 
 CMS_CANON = {

@@ -371,13 +371,21 @@ def _lit_list2(rows) -> str:
 _ORACLE_SF_DIR = "/root/testdata/sf0.01"
 
 
-def _pq_oracle_sql() -> str | None:
-    import numpy as np
-
+def _oracle_canon():
+    """ONE canonical replay shared by both oracle builders — the
+    full-corpus read + fold-normalize + xxhash sort runs once per
+    import, not once per builder."""
     canon = _canonical_normed(_ORACLE_SF_DIR)
     if canon is None:
+        return None, None
+    return canon, _canonical_sample(canon)
+
+
+def _pq_oracle_sql(canon, X) -> str | None:
+    import numpy as np
+
+    if canon is None:
         return None
-    X = _canonical_sample(canon)
     books = pq_fit_books(X, _M, _K)
     dim = X.shape[1]
     spans = _subspaces(dim, _M)
@@ -432,13 +440,11 @@ FROM ranked WHERE rank <= {_TOPK}
 """
 
 
-def _ivfpq_oracle_sql() -> str | None:
+def _ivfpq_oracle_sql(canon, X) -> str | None:
     import numpy as np
 
-    canon = _canonical_normed(_ORACLE_SF_DIR)
     if canon is None:
         return None
-    X = _canonical_sample(canon)
     cents, books = ivf_pq_fit(X, _NCELLS, _M, _K)
     dim = X.shape[1]
     spans = _subspaces(dim, _M)
@@ -518,8 +524,10 @@ FROM ranked WHERE rank <= {_TOPK}
 
 
 try:
-    KNN_PQ_SQL = _pq_oracle_sql()
-    KNN_IVFPQ_SQL = _ivfpq_oracle_sql()
+    _CANON, _X = _oracle_canon()
+    KNN_PQ_SQL = _pq_oracle_sql(_CANON, _X)
+    KNN_IVFPQ_SQL = _ivfpq_oracle_sql(_CANON, _X)
+    del _CANON, _X  # free the full-corpus replay after the literals land
 except OSError:  # testdata not present on this machine
     KNN_PQ_SQL = None
     KNN_IVFPQ_SQL = None

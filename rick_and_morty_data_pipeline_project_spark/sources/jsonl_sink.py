@@ -124,7 +124,7 @@ class JsonlShardWriter(DataSourceWriter):
             stream_manifests = [
                 f
                 for f in os.listdir(self.path)
-                if re.fullmatch(MANIFEST + r"-\d{6}", f)
+                if re.fullmatch(MANIFEST + r"-\d{6,}", f)
             ]
             if stream_manifests:
                 raise IOError(
@@ -137,7 +137,7 @@ class JsonlShardWriter(DataSourceWriter):
             if os.path.exists(old_manifest):
                 os.remove(old_manifest)
             for f in os.listdir(self.path):
-                if re.fullmatch(r"shard-\d{5}\.jsonl", f):
+                if re.fullmatch(r"shard-\d{5,}\.jsonl", f):
                     os.remove(os.path.join(self.path, f))
         shards = []
         for m in messages:
@@ -256,11 +256,13 @@ class JsonlShardStreamWriter(DataSourceStreamWriter):
 def read_stream_manifests(path: str) -> dict:
     """Combined view over every committed micro-batch: total rows and
     the ordered shard list.  Shards without a manifest do not exist as
-    far as a reader is concerned.  Only exact ``_MANIFEST-{6 digits}``
-    names count — temps and strays never match."""
+    far as a reader is concerned.  Only exact ``_MANIFEST-{digits}``
+    names count (``{:06d}`` zero-pads to AT LEAST six — batch ids past
+    10^6 grow wider, so the width is a floor, not a cap) — temps and
+    strays never match."""
     import re
 
-    pat = re.compile(rf"^{MANIFEST}-\d{{6}}$")
+    pat = re.compile(rf"^{MANIFEST}-\d{{6,}}$")
     batches = sorted(f for f in os.listdir(path) if pat.match(f))
     shards, total = [], 0
     for b in batches:

@@ -371,14 +371,20 @@ def test_pca_projection_is_narrow(spark):
 
 
 def test_hll_rollup_total_reaggregates_sketches(spark):
-    """The TOTAL row must come from hll_union_agg over the per-day
-    sketch relation — exactly two aggregate levels over ONE events scan
-    per branch, never a second COUNT(DISTINCT) pass over raw events."""
+    """The TOTAL row must come from re-aggregating the REGISTER
+    relation (element-wise MAX over the checkpointed per-day register
+    rows), never a second pass over raw events: after the
+    localCheckpoint both branches read ExistingRDD scans — zero
+    parquet scans in the final plan — and no COUNT(DISTINCT) appears
+    anywhere (r9: the rollup rides the explicit-register HLL of
+    operators/hllreg.py, so the sketch state is replayable SQL, not
+    DataSketches binaries)."""
     df = QUERIES["sketch_hll_rollup"].fn(spark, SF_SMALL)
     plan = formatted_plan(df)
-    assert "hll_union_agg" in plan, plan
-    assert "hll_sketch_agg" in plan, plan
-    assert "distinct" not in plan.lower().replace("est_distinct", ""), plan
+    assert "Scan parquet" not in plan, plan  # events read ONCE, upstream
+    assert plan.count("Scan ExistingRDD") >= 2, plan  # both branches
+    assert "distinct" not in plan.lower(), plan
+    assert "hll_sketch_agg" not in plan, plan  # no engine-internal state
 
 
 def test_zipf_head_is_two_stage_topk(spark):

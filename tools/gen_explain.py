@@ -34,7 +34,7 @@ ANNOTATED = {
     "dedup_incremental_bloom": "Bloom probe is a literal-bitmap scan predicate (no bitmap join); the one Join is the exact anti-join resolving all-bits candidates",
     "view_click_attribution": "equi-key (user) join with an event-time range residual — the batch plan of the watermarked stream-stream join; never a cross product",
     "text_shard_index": "packed-shard offset index: one shuffle on the shard key feeding a running-sum window — no Python, no join",
-    "sketch_hll_rollup": "per-day hll_sketch_agg states (partial agg → fixed-size shuffle) re-aggregated by hll_union_agg for the TOTAL — no second raw scan, no COUNT(DISTINCT)",
+    "sketch_hll_rollup": "explicit-register HLL (r9): per-day (register, max ρ) relation built once and localCheckpoint-ed; per-day estimate and the TOTAL (element-wise register MAX merge) both read the checkpointed RDD — no second raw scan, no COUNT(DISTINCT), no engine-internal sketch state; exact int64 harmonic sums, the estimator DuckDB replays bit-exactly",
     "embedding_pca_project": "PCA projection: scan + literal-component dot products, ZERO exchanges (the fit's only shuffle carries the fixed d(d+1)/2-row moment aggregate)",
     "text_char_entropy": "character entropy: one narrow pass of JVM higher-order functions, no shuffle",
     "scd2_customer_segments": "SCD2: broadcast update join + unions over one dimension read — no repeated scans per branch family",
@@ -48,6 +48,10 @@ ANNOTATED = {
     "join_fuzzy_customer_names": "FastSS fuzzy join: narrow deletion-variant explode → ONE high-cardinality equi-join (no hot blocks) → levenshtein verify on candidates only",
     "events_user_trend": "grouped OLS: six map-combinable decimal sums, one user_id shuffle, closed-form projection — no window, no iteration",
     "sketch_hll_accuracy_audit": "HLL audit: sketch + exact distinct built in the SAME day-keyed aggregate (one raw shuffle); TOTAL row re-aggregates |days| sketch states; the regrouped merge-invariance arm is a second day+type aggregate — all one-row frames cross-joined, never a raw rescan per check",
+    "knn_cosine_pq": "PQ ADC (r9): scoring scans only the checkpointed m-int codes relation — aggregate(zip_with(codes, lut)) codegen fold over inlined LUT literals, TakeOrderedAndProject heap per query; no window, no join, no Python in the scoring tree",
+    "knn_cosine_ivfpq": "IVFADC (r9): every per-query branch filters cell_id IN (probed cells) BEFORE scoring (pushed int predicate on the index relation), CASE-selected per-cell residual LUTs, same codegen fold + heap top-k",
+    "orders_dense_row_ids": "dense row ids (r9): range repartition + in-partition sort + Arrow local-index pass + broadcast prefix-sum offsets — NO window operator anywhere (the oracle's row_number formulation is exactly what this plan must not contain)",
+    "events_rolling_dau_hll": "rolling HLL DAU (r9, explicit registers): contribution explode carries ≤4096 register rows/day ×7 window ends; (win_day, register) MAX merge then the register estimator — shuffle independent of user cardinality, no raw-pair explode",
     "events_rolling_dau_hll_audit": "rolling-DAU audit: sketch arm shuffles 7×|days| fixed-size states (cardinality-independent); exact arm explodes the distinct pair set (audit-only); both meet on a |days|-row join",
     "multimodal_jpeg_decode_audit": "JPEG pixel-decode audit: synthesize and decode are Arrow-batched MapInPandas stages; the pre-encode material check joins doc text back by id (broadcast at this SF; a co-partitioned self-join at scale — audit-only cost); the binary column never shuffles, only the 4-column verdict leaves the final stage",
     "sketch_cms_accuracy_audit": "CMS audit: one map-combinable count_min_sketch aggregate (fixed ~100 KB state), driver decode, Arrow-batched probe over the REDUCED distinct-item relation; N rides a one-row crossJoin — raw events scanned once per arm, never per item",
