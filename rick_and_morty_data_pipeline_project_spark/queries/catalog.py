@@ -180,14 +180,16 @@ the one operator family that had no possible driver row), flagship,
 the 2 rows-only→oracled HLL promotions (``sketch_hll_rollup``,
 ``events_rolling_dau_hll`` — rebuilt on the explicit-register HLL of
 ``operators/hllreg.py`` so DuckDB replays the estimates bit-exactly;
-never attempted before, hence window-mandatory), and 29 of the 31
-r04-vintage greens (age 5 at r09; ``knn_cosine_lsh``,
-``knn_cosine_int8``, ``knn_cosine_filtered`` and
-``embedding_quantize_error`` double as rule-2 re-greens of the r9
-``similarity.py`` consolidation; the 2 displaced r04 entries —
-``events_funnel_steps``, ``events_funnel_summary`` — are
-sweep-covered under policy v2 and lead the r10 oldest-green pool).
-16 + 2 + 2 + 1 + 29 = 50.  The 11 remaining rule-2 stale entries from
+never attempted before, hence window-mandatory), the 2 r9-born
+lakehouse certifications (``orders_dense_row_ids``,
+``evolution_read_generations``), and 27 of the 31 r04-vintage greens
+(age 5 at r09; ``knn_cosine_lsh``, ``knn_cosine_int8``,
+``knn_cosine_filtered`` and ``embedding_quantize_error`` double as
+rule-2 re-greens of the r9 ``similarity.py`` consolidation; the 4
+displaced r04 entries — ``events_funnel_steps``,
+``events_funnel_summary``, ``dedup_source_matrix``,
+``events_key_skew_report`` — are sweep-covered under policy v2 and
+lead the r10 oldest-green pool).  16 + 2 + 2 + 2 + 1 + 27 = 50.  The 11 remaining rule-2 stale entries from
 the ``similarity.py``/``pq.py`` consolidation that do not fit this
 window are recorded in ``tools/stale_carryover.json`` at the freeze
 and are rule-1-equivalent obligations for the r10 window.
@@ -263,18 +265,22 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # bit-exactly; never-attempted before, so window-mandatory) =======
     "sketch_hll_rollup",
     "events_rolling_dau_hll",
+    # ========== 2 r9-born lakehouse certifications (r8 verdict #5:
+    # rowid vs the row_number oracle; the evolution reader vs the
+    # expected-union oracle) ==========================================
+    "orders_dense_row_ids",
+    "evolution_read_generations",
     # ========== flagship (standing, every round) =====================
     "flagship_greedy_match",
-    # ========== 29 max-age refreshes (newest green row = r04, age 5 >
+    # ========== 27 max-age refreshes (newest green row = r04, age 5 >
     # 4 at this freeze; the knn_* and embedding_quantize_error entries
     # double as rule-2 re-greens of the r9 similarity.py consolidation.
-    # events_funnel_steps/_summary are the two r04 entries displaced by
-    # the HLL promotions — SWEEP_r09.json covers them under policy v2
-    # and they lead the r10 oldest-green pool) =========================
-    "dedup_source_matrix",
+    # events_funnel_steps/_summary, dedup_source_matrix and
+    # events_key_skew_report are the four r04 entries displaced by the
+    # r9 births — SWEEP_r09.json covers them under policy v2 and they
+    # lead the r10 oldest-green pool) ==================================
     "embedding_quantize_error",
     "events_hourly_percentiles",
-    "events_key_skew_report",
     "events_retention_cohorts",
     "events_rolling_dau",
     "events_sliding_uniques",
