@@ -733,9 +733,219 @@ ORDER BY day
 """
 
 
+
+def sketch_kmv_set_ops(spark, sf_dir):
+    """KMV SET OPERATIONS — union, intersection and Jaccard estimates
+    between per-event-type audience sketches (Beyer et al. SIGMOD'07
+    §4: the combined sketch of A∪B is the k smallest of K_A ∪ K_B;
+    est_union = (k−1)/u_k; ρ = |{combined sketch members present in
+    BOTH base sketches}|/k estimates Jaccard; est_intersection =
+    ρ·est_union).  The audience-overlap question every mixture
+    designer asks ("how many users do 'click' and 'purchase' share")
+    answered from mergeable fixed-size sketch state — and, like every
+    KMV query here, every step is deterministic md5/integer/double
+    arithmetic both engines replay bit-exactly, so the ESTIMATES are
+    driver hash-checked, not just bounded.
+
+    Exact-branch honesty: when the combined sketch holds fewer than k
+    members, both base sketches are complete (a truncated sketch
+    contributes exactly k), so the "estimates" are exact and ρ is the
+    true Jaccard.  The exact_union / exact_intersection columns are
+    the one-pass audit arm over the same distinct relation.
+
+    Scale: per-type sketches ride the salted two-stage top-k
+    (event_type is low-cardinality — the bare-window shape this repo
+    always dispatches away from); the pairwise stage touches ONLY
+    sketch rows (T²·k, bounded by construction, so its rank window
+    partitions are ≤ 2k rows each); the exact audit arm is one
+    map-combined aggregate over the distinct (type, user) relation.
+    """
+    from rick_and_morty_data_pipeline_project_spark.operators.topk import (
+        grouped_topk_salted,
+    )
+    from pyspark.sql.window import Window
+
+    e = t(spark, sf_dir, "events")
+    pairs = (
+        e.filter(F.col("user_id").isNotNull())
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    hashed = pairs.select(
+        "event_type",
+        "user_id",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("kmv:"), F.col("user_id").cast("string")
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .cast("double")
+            / F.lit(float(1 << 60))
+        ).alias("u"),
+    )
+    sk = grouped_topk_salted(
+        hashed, ["event_type"], "u", _KMV_K, tiebreak="user_id"
+    ).localCheckpoint()  # both pair arms read the tiny sketch relation
+    types = sk.select("event_type").distinct()
+    tpairs = (
+        types.select(F.col("event_type").alias("type_a"))
+        .join(
+            types.select(F.col("event_type").alias("type_b")),
+            F.col("type_a") < F.col("type_b"),
+        )
+    )
+
+    def _flags(rel):
+        joined = tpairs.join(
+            rel,
+            (rel.event_type == F.col("type_a"))
+            | (rel.event_type == F.col("type_b")),
+        )
+        return joined.groupBy("type_a", "type_b", "user_id").agg(
+            F.min("u").alias("u"),
+            F.max(
+                (F.col("event_type") == F.col("type_a")).cast("int")
+            ).alias("in_a"),
+            F.max(
+                (F.col("event_type") == F.col("type_b")).cast("int")
+            ).alias("in_b"),
+        )
+
+    # sketch arm: combined k-minima per pair (bounded ≤ 2k rows/pair)
+    memb = _flags(sk)
+    w = Window.partitionBy("type_a", "type_b").orderBy("u", "user_id")
+    kept = memb.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= _KMV_K
+    )
+    est = kept.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.max("u").alias("_uk"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("_both"),
+    )
+    est = est.select(
+        "type_a",
+        "type_b",
+        F.round(
+            F.when(
+                F.col("_n") < _KMV_K, F.col("_n").cast("double")
+            ).otherwise(F.lit(float(_KMV_K - 1)) / F.col("_uk")),
+            6,
+        ).alias("est_union"),
+        (F.col("_both").cast("double") / F.col("_n").cast("double")).alias(
+            "_rho"
+        ),
+        F.col("_n").alias("_nc"),
+    ).select(
+        "type_a",
+        "type_b",
+        "est_union",
+        F.round(F.col("_rho") * F.col("est_union"), 6).alias(
+            "est_intersection"
+        ),
+        F.round("_rho", 6).alias("jaccard_est"),
+    )
+    # exact audit arm over the full distinct relation
+    hashed_full = hashed  # same relation; flags need (type, user, u)
+    exact = _flags(hashed_full).groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).alias("exact_union"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("exact_intersection"),
+    )
+    return exact.join(est, ["type_a", "type_b"]).orderBy(
+        "type_a", "type_b"
+    )
+
+
+KMV_SET_OPS_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT event_type, user_id FROM events
+  WHERE user_id IS NOT NULL
+),
+hashed AS (
+  SELECT event_type, user_id,
+         CAST(CAST('0x' || substring(
+             md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT)
+           AS DOUBLE) / 1152921504606846976.0 AS u
+  FROM pairs
+),
+sk AS (
+  SELECT event_type, user_id, u FROM (
+    SELECT event_type, user_id, u,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY u, user_id) AS rn
+    FROM hashed) WHERE rn <= 256
+),
+types AS (SELECT DISTINCT event_type FROM sk),
+tpairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b
+  FROM types a JOIN types b ON a.event_type < b.event_type
+),
+memb AS (
+  SELECT p.type_a, p.type_b, s.user_id,
+         min(s.u) AS u,
+         max(CASE WHEN s.event_type = p.type_a THEN 1 ELSE 0 END) AS in_a,
+         max(CASE WHEN s.event_type = p.type_b THEN 1 ELSE 0 END) AS in_b
+  FROM tpairs p JOIN sk s
+    ON s.event_type = p.type_a OR s.event_type = p.type_b
+  GROUP BY 1, 2, 3
+),
+kept AS (
+  SELECT * FROM (
+    SELECT type_a, type_b, user_id, u, in_a, in_b,
+           row_number() OVER (PARTITION BY type_a, type_b
+                              ORDER BY u, user_id) AS rn
+    FROM memb) WHERE rn <= 256
+),
+est AS (
+  SELECT type_a, type_b,
+         CAST(count(*) AS BIGINT) AS nc,
+         max(u) AS uk,
+         CAST(sum(in_a * in_b) AS BIGINT) AS n_both
+  FROM kept GROUP BY 1, 2
+),
+est2 AS (
+  SELECT type_a, type_b,
+         round(CASE WHEN nc < 256 THEN CAST(nc AS DOUBLE)
+                    ELSE 255.0 / uk END, 6) AS est_union,
+         CAST(n_both AS DOUBLE) / CAST(nc AS DOUBLE) AS rho
+  FROM est
+),
+exact_memb AS (
+  SELECT p.type_a, p.type_b, h.user_id,
+         max(CASE WHEN h.event_type = p.type_a THEN 1 ELSE 0 END) AS in_a,
+         max(CASE WHEN h.event_type = p.type_b THEN 1 ELSE 0 END) AS in_b
+  FROM tpairs p JOIN hashed h
+    ON h.event_type = p.type_a OR h.event_type = p.type_b
+  GROUP BY 1, 2, 3
+),
+exact AS (
+  SELECT type_a, type_b,
+         CAST(count(*) AS BIGINT) AS exact_union,
+         CAST(sum(in_a * in_b) AS BIGINT) AS exact_intersection
+  FROM exact_memb GROUP BY 1, 2
+)
+SELECT x.type_a, x.type_b, x.exact_union, x.exact_intersection,
+       e.est_union,
+       round(e.rho * e.est_union, 6) AS est_intersection,
+       round(e.rho, 6) AS jaccard_est
+FROM exact x JOIN est2 e USING (type_a, type_b)
+ORDER BY type_a, type_b
+"""
+
+
 QUERIES: dict[str, Q] = {
     "sketch_hll_rollup": Q(sketch_hll_rollup, SKETCH_HLL_ROLLUP_SQL),
     "sketch_kmv_rollup": Q(sketch_kmv_rollup, KMV_ROLLUP_SQL),
+    "sketch_kmv_set_ops": Q(sketch_kmv_set_ops, KMV_SET_OPS_SQL),
     "sketch_cms_user_counts": Q(sketch_cms_user_counts, CMS_GRID_REPLAY_SQL),
     "events_rolling_dau_hll": Q(events_rolling_dau_hll, ROLLING_DAU_HLL_SQL),
     "sketch_hll_accuracy_audit": Q(sketch_hll_accuracy_audit, HLL_AUDIT_SQL),

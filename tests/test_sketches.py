@@ -313,3 +313,44 @@ SELECT key, est FROM est
         assert e > 2.5 * M_REG  # proves the raw branch was taken
         exact = n / 2
         assert abs(e - exact) / exact < 5 * (1.04 / (M_REG ** 0.5))
+
+
+def test_kmv_set_ops_accuracy_on_partial_overlap(spark, tmp_path):
+    """The events corpus is degenerate for set ops (every user does
+    every event type — Jaccard 1.0 on all pairs, which the query
+    estimates correctly but uninterestingly).  This pins the estimator
+    on REAL overlap structure: A = users 0..999, B = 500..1499 →
+    |A∪B| = 1500, |A∩B| = 500, J = 1/3 — estimates must land within
+    4·RSE (k=256 ⇒ 1/√k = 6.25%) and the exact columns must be exact."""
+    import pyspark.sql.functions as FF
+
+    from rick_and_morty_data_pipeline_project_spark.queries import sketchq
+
+    a = spark.range(0, 1000).select(
+        FF.lit("A").alias("event_type"), FF.col("id").alias("user_id")
+    )
+    b = spark.range(500, 1500).select(
+        FF.lit("B").alias("event_type"), FF.col("id").alias("user_id")
+    )
+    df = a.unionByName(b).withColumns(
+        {
+            "event_id": FF.col("user_id"),
+            "ts": FF.lit("2026-01-01 00:00:00").cast("timestamp"),
+            "value": FF.lit(0.0),
+            "payload": FF.lit("{}"),
+        }
+    )
+    sf = str(tmp_path)
+    df.select(
+        "event_id", "ts", "user_id", "event_type", "value", "payload"
+    ).write.parquet(f"{sf}/events.parquet")
+
+    row = {
+        (r["type_a"], r["type_b"]): r
+        for r in sketchq.sketch_kmv_set_ops(spark, sf).collect()
+    }[("A", "B")]
+    assert row["exact_union"] == 1500 and row["exact_intersection"] == 500
+    rse = 1 / (256 ** 0.5)
+    assert abs(row["est_union"] - 1500) <= 4 * rse * 1500, row
+    assert abs(row["jaccard_est"] - 1 / 3) <= 4 * rse, row
+    assert abs(row["est_intersection"] - 500) <= 6 * rse * 500, row
