@@ -910,6 +910,113 @@ FROM best GROUP BY 1
 """
 
 
+
+_HOLT_ALPHA = 0.5   # exactly-representable dyadics: every multiply is
+_HOLT_BETA = 0.25   # exact, so the fold is bit-identical cross-engine
+
+
+def events_holt_forecast(spark, sf_dir):
+    """HOLT DOUBLE-EXPONENTIAL SMOOTHING per event type over the daily
+    count series — level + trend state and the one-step-ahead forecast
+    (Holt 1957; the additive-trend half of Holt-Winters), the standard
+    "is tomorrow's volume drifting" primitive next to
+    :func:`events_cusum_changepoint`'s change-point detector.
+
+    The recursion l_t = α·x_t + (1−α)(l_{t−1}+b_{t−1}),
+    b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1} is inherently sequential —
+    no window frame expresses it — so it runs as an ORDERED-LIST FOLD
+    per key: the daily series (bounded: |days| elements per key,
+    map-side-combined daily aggregate upstream) is collected per group
+    and folded by ``F.aggregate`` with a (level, trend) accumulator,
+    initialized l₁ = x₁, b₁ = x₂ − x₁, folding x₂..x_n.  No driver
+    loop, no Python, no global sort — the only shuffles are the daily
+    aggregate and the per-key collect.
+
+    Cross-engine exactness: α = 0.5 and β = 0.25 are exact binary
+    fractions, inputs are integer counts cast to double, and BOTH
+    engines fold left-to-right over the same day order (DuckDB
+    ``list_reduce`` over ``list(x ORDER BY d)`` with a two-double list
+    accumulator — its struct-typed lambda accumulator mis-evaluates,
+    measured and avoided), so level/trend/forecast agree to the bit
+    before the final round(…, 6).
+    """
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("_d")
+    ).agg(F.count(F.lit(1)).cast("double").alias("_x"))
+    ser = daily.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("_d", "_x"))).alias("_s"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    init = F.struct(
+        F.element_at("_s", 1)["_x"].alias("l"),
+        (F.element_at("_s", 2)["_x"] - F.element_at("_s", 1)["_x"]).alias(
+            "b"
+        ),
+    )
+
+    def merge(acc, el):
+        lnew = F.lit(_HOLT_ALPHA) * el["_x"] + F.lit(
+            1.0 - _HOLT_ALPHA
+        ) * (acc["l"] + acc["b"])
+        bnew = F.lit(_HOLT_BETA) * (lnew - acc["l"]) + F.lit(
+            1.0 - _HOLT_BETA
+        ) * acc["b"]
+        return F.struct(lnew.alias("l"), bnew.alias("b"))
+
+    folded = ser.filter(F.col("n_days") >= 2).select(
+        "event_type",
+        "n_days",
+        F.aggregate(
+            F.slice("_s", 2, F.size("_s") - 1), init, merge
+        ).alias("_st"),
+    )
+    return folded.select(
+        "event_type",
+        "n_days",
+        F.round(F.col("_st")["l"], 6).alias("level"),
+        F.round(F.col("_st")["b"], 6).alias("trend"),
+        F.round(F.col("_st")["l"] + F.col("_st")["b"], 6).alias(
+            "forecast_next"
+        ),
+    ).orderBy("event_type")
+
+
+EVENTS_HOLT_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, CAST(count(*) AS DOUBLE) AS x
+  FROM events GROUP BY 1, 2
+),
+ser AS (
+  SELECT event_type,
+         list(x ORDER BY d) AS s,
+         CAST(count(*) AS BIGINT) AS n_days
+  FROM daily GROUP BY 1
+),
+folded AS (
+  SELECT event_type, n_days,
+         list_reduce(
+           list_prepend([s[1], s[2] - s[1]],
+             list_transform(s[2:], x -> [x, 0.0::DOUBLE])),
+           (acc, e) -> [
+             0.5::DOUBLE * e[1] + 0.5::DOUBLE * (acc[1] + acc[2]),
+             0.25::DOUBLE * ((0.5::DOUBLE * e[1]
+                              + 0.5::DOUBLE * (acc[1] + acc[2]))
+                             - acc[1])
+               + 0.75::DOUBLE * acc[2]
+           ]
+         ) AS st
+  FROM ser WHERE n_days >= 2
+)
+SELECT event_type, n_days,
+       round(st[1], 6) AS level,
+       round(st[2], 6) AS trend,
+       round(st[1] + st[2], 6) AS forecast_next
+FROM folded
+ORDER BY event_type
+"""
+
+
 QUERIES: dict[str, Q] = {
     "events_max_concurrency": Q(
         events_max_concurrency, EVENTS_CONCURRENCY_SQL
@@ -923,4 +1030,5 @@ QUERIES: dict[str, Q] = {
     "events_activity_streaks": Q(
         events_activity_streaks, EVENTS_STREAKS_SQL
     ),
+    "events_holt_forecast": Q(events_holt_forecast, EVENTS_HOLT_SQL),
 }
