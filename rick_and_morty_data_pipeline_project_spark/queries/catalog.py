@@ -189,7 +189,16 @@ rule-2 re-greens of the r9 ``similarity.py`` consolidation; the 4
 displaced r04 entries — ``events_funnel_steps``,
 ``events_funnel_summary``, ``dedup_source_matrix``,
 ``events_key_skew_report`` — are sweep-covered under policy v2 and
-lead the r10 oldest-green pool).  16 + 2 + 2 + 2 + 1 + 27 = 50.  The 11 remaining rule-2 stale entries from
+lead the r10 oldest-green pool).  16 + 2 + 2 + 2 + 1 + 27 = 50.
+
+Round-10 obligations (accrued during r9): the 13 stale-carryover
+entries from the ``similarity.py``/``sketches.py`` consolidations
+(``tools/stale_carryover.json`` — rule-1-equivalent, one-cycle grace)
+plus the 2 post-freeze births (``sketch_kmv_set_ops``,
+``events_holt_forecast``, in ``tools/pending_births.json``) and
+flagship = 16 mandatory slots; the remaining ~34 fill oldest-green
+first (the four displaced r04 entries lead, then the r05 vintage),
+with SWEEP_r10.json covering whatever the window cannot hold.  The 11 remaining rule-2 stale entries from
 the ``similarity.py``/``pq.py`` consolidation that do not fit this
 window are recorded in ``tools/stale_carryover.json`` at the freeze
 and are rule-1-equivalent obligations for the r10 window.
