@@ -407,3 +407,115 @@ def ivf_pq_topk(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def _luts_df(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+def pq_topk_batched(
+    queries: Sequence[tuple],
+    codes_df: DataFrame,
+    codebooks: Sequence[Sequence[Sequence[float]]],
+    top_k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """All queries' ADC top-k in ONE scan of the codes relation — the
+    batch-serving shape of :func:`pq_topk`: instead of |queries| plan
+    branches (each its own scan + heap, analysis cost linear in the
+    batch), the per-query LUTs ride a broadcast relation, scoring is
+    the same ``aggregate(zip_with(codes, lut))`` fold after a
+    broadcast cross join, and the per-query top-k is the salted
+    two-stage exact top-k (query_id is low-cardinality by construction
+    — the precise shape a bare per-query rank window would serialize).
+    Identical results to :func:`pq_topk` (same LUT values via
+    :func:`adc_lut`, same distance fold, same (dist, id) ordering) —
+    pinned in tests/test_pq.py."""
+    from rick_and_morty_data_pipeline_project_spark.operators.topk import (
+        grouped_topk_salted,
+    )
+
+    if not queries:
+        raise ValueError("pq_topk_batched: queries must be non-empty")
+    m = len(codebooks)
+    dim = sum(len(b[0]) for b in codebooks) // m * m
+    spans = _subspaces(dim, m)
+    qtype = "string" if isinstance(queries[0][0], str) else "long"
+    luts = _luts_df(
+        codes_df.sparkSession,
+        [
+            (qid, adc_lut(codebooks, spans, np.asarray(qv, dtype=np.float64)))
+            for qid, qv in queries
+        ],
+        f"query_id {qtype}, lut array<array<double>>",
+    )
+    scored = codes_df.join(F.broadcast(luts)).select(
+        "query_id",
+        id_col,
+        F.aggregate(
+            F.zip_with(
+                "codes",
+                F.col("lut"),
+                lambda c, row: F.element_at(row, c + F.lit(1)),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("adc_dist"),
+    )
+    return grouped_topk_salted(
+        scored, ["query_id"], "adc_dist", top_k, tiebreak=id_col
+    )
+
+
+def ivf_pq_topk_batched(
+    queries: Sequence[tuple],
+    index_df: DataFrame,
+    coarse_centroids: Sequence[Sequence[float]],
+    codebooks: Sequence[Sequence[Sequence[float]]],
+    n_probe: int = 2,
+    top_k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Batched IVFADC: the (query_id, cell_id, residual-LUT) relation
+    broadcasts and the equi-join ON cell_id IS the probe — only rows
+    in some query's probed cells are scored, in ONE scan of the index,
+    then the salted two-stage per-query top-k.  Identical results to
+    :func:`ivf_pq_topk` (same probe_cells, same adc_lut residuals,
+    same fold and ordering)."""
+    from rick_and_morty_data_pipeline_project_spark.operators.topk import (
+        grouped_topk_salted,
+    )
+
+    if not queries:
+        raise ValueError("ivf_pq_topk_batched: queries must be non-empty")
+    m = len(codebooks)
+    dim = sum(len(b[0]) for b in codebooks) // m * m
+    spans = _subspaces(dim, m)
+    C = np.array(coarse_centroids, dtype=np.float64)
+    qtype = "string" if isinstance(queries[0][0], str) else "long"
+    rows = []
+    for qid, qvec in queries:
+        q = np.asarray(qvec, dtype=np.float64)
+        for cell in probe_cells(C, q, n_probe):
+            rows.append((qid, cell, adc_lut(codebooks, spans, q - C[cell])))
+    luts = _luts_df(
+        index_df.sparkSession,
+        rows,
+        f"query_id {qtype}, cell_id int, lut array<array<double>>",
+    )
+    scored = index_df.join(F.broadcast(luts), "cell_id").select(
+        "query_id",
+        id_col,
+        F.aggregate(
+            F.zip_with(
+                "codes",
+                F.col("lut"),
+                lambda c, row: F.element_at(row, c + F.lit(1)),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("adc_dist"),
+    )
+    return grouped_topk_salted(
+        scored, ["query_id"], "adc_dist", top_k, tiebreak=id_col
+    )

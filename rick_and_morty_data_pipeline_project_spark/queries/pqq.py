@@ -25,26 +25,31 @@ not just driver-side training:
   ROW_NUMBER argmin); the Spark arm uses the real operator
   (``pq_encode`` / ``ivf_pq_index`` — vectorized numpy under Arrow)
   and, under the same bounded-verify guard as the canonical replay,
-  ASSERTS those codes equal a pure-JVM fold replay
-  (slice → zip_with → aggregate → array_position-of-array_min) whose
-  arithmetic order matches the oracle exactly.  numpy's pairwise/BLAS
+  ASSERTS those codes equal a pure-JVM fold replay — the oracle's own
+  relational formulation run by Spark (broadcast codebook relation,
+  one shared fold expression, first-min argmin via lexicographic
+  struct MIN), O(1) plan size where the first literal-array variant
+  paid ~6 s of fixed Catalyst analysis per call.  numpy's pairwise/BLAS
   summation could in principle flip a near-tie argmin vs the
   sequential fold; on the fixed testdata it provably doesn't (the
   assertion makes any future flip a loud driver error, never a silent
   hash drift).
 * **ADC scoring** — the per-query m×k look-up tables are built by ONE
-  shared numpy helper (``pq.adc_lut``) and inlined as literals into
-  both plans; both engines then fold the m table look-ups
-  left-to-right (Spark ``aggregate(zip_with(codes, lut))`` ≡ the
-  oracle's explicit ``lut[1][c[1]+1] + … + lut[m][c[m]+1]`` chain) and
-  heap-top-k (TakeOrderedAndProject ≡ ROW_NUMBER ≤ k with the id
-  tiebreak).
+  shared numpy helper (``pq.adc_lut``); the Spark arm broadcasts them
+  as a relation and scores ALL queries in one scan
+  (``pq_topk_batched`` / ``ivf_pq_topk_batched`` — the equi-join ON
+  cell_id IS the IVFADC probe), the oracle inlines the same values as
+  literals; both engines fold the m look-ups left-to-right (Spark
+  ``aggregate(zip_with(codes, lut))`` ≡ the oracle's explicit
+  ``lut[1][c[1]+1] + … + lut[m][c[m]+1]`` chain) and take the
+  per-query top-k with the same (dist, id) ordering (salted two-stage
+  exact top-k ≡ ROW_NUMBER ≤ k).
 
 Scale story (the reason PQ exists): the scanned relation is m=8 small
 ints per vector — 384× less than d=768 float32 — and scoring is pure
 whole-stage-codegen arithmetic, no Python, no float vectors touched;
 IVFADC additionally prunes the scan to n_probe/n_cells of the corpus
-via a pushed ``cell_id IN (…)`` predicate.  The in-query assertions
+via the broadcast-hash probe join on the int cell_id.  The in-query assertions
 and the canonical replay are BOUNDED verification (≤1M-row corpora —
 the same gate as ``_canonical_kmeans_centroids``); above that only
 the O(sample) training collect and the real operator path run.
@@ -65,10 +70,10 @@ from rick_and_morty_data_pipeline_project_spark.operators.pq import (
     adc_lut,
     ivf_pq_fit,
     ivf_pq_index,
-    ivf_pq_topk,
+    ivf_pq_topk_batched,
     pq_encode,
     pq_fit_books,
-    pq_topk,
+    pq_topk_batched,
     probe_cells,
     train_ivf_pq,
     train_pq_codebooks,
@@ -143,88 +148,112 @@ def _canonical_queries(normed: dict):
 # ---------------------------------------------------------------------
 
 
-def _fold_sq_dist(vec_col, lit_vals):
-    """Σ (xᵢ − cᵢ)² as a sequential left fold — the exact arithmetic
-    order of the oracle's ``list_reduce`` replay."""
+def _sq_fold_col(a, b):
+    """Σ (aᵢ − bᵢ)² over two array COLUMNS — the exact arithmetic order
+    of the oracle's ``list_reduce`` replay, with no inlined literals."""
     return F.aggregate(
-        F.zip_with(
-            vec_col,
-            F.array(*[F.lit(float(v)) for v in lit_vals]),
-            lambda x, c: (x - c) * (x - c),
-        ),
+        F.zip_with(a, b, lambda x, c: (x - c) * (x - c)),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
 
 
-def _argmin_code(dists_arr):
-    """First-minimum argmin (0-based) — ties break to the lowest code
-    id on both engines (array_position-of-min ≡ ROW_NUMBER … code ASC)."""
-    return (F.array_position(dists_arr, F.array_min(dists_arr)) - 1).cast(
-        "int"
+def _books_df(spark, books):
+    """(j, code_id, bk array<double>) — the codebook as a (tiny,
+    broadcastable) relation, mirroring the oracle's ``books`` VALUES."""
+    return spark.createDataFrame(
+        [
+            (j, kk, [float(x) for x in books[j][kk]])
+            for j in range(len(books))
+            for kk in range(len(books[j]))
+        ],
+        "j int, code_id int, bk array<double>",
+    )
+
+
+def _codes_from_dists(dists):
+    """(vec_id[, cell_id], j, code_id, d2) → (vec_id[, cell_id],
+    codes): first-min argmin per (vec, j) via lexicographic struct MIN
+    (bit-identical d2 on both engines; ties to the lowest code id —
+    the oracle's ROW_NUMBER ORDER BY d2, code_id), then the m codes
+    reassembled in j order."""
+    keys = [c for c in ("vec_id", "cell_id") if c in dists.columns]
+    per_j = dists.groupBy(*keys, "j").agg(
+        F.min(F.struct("d2", "code_id"))["code_id"].alias("code")
+    )
+    return per_j.groupBy(*keys).agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("j", "code"))),
+            lambda s: s["code"],
+        ).alias("codes")
     )
 
 
 def _jvm_pq_codes(normed_df, books, dim):
-    spans = _subspaces(dim, _M)
+    """Relational fold replay of the encode — the oracle's formulation
+    run by Spark: normed × codebook relation, ONE fold expression
+    (O(1) plan size — the literal-array variant cost ~6 s of fixed
+    Catalyst analysis per call), first-min argmin per (vec, subspace).
+    """
     w = dim // _M
-    cols = []
-    for j, (lo, hi) in enumerate(spans):
-        dists = F.array(
-            *[
-                _fold_sq_dist(F.slice("nv", lo + 1, w), books[j][kk])
-                for kk in range(_K)
-            ]
-        )
-        cols.append(_argmin_code(dists))
-    return normed_df.select("vec_id", F.array(*cols).alias("codes"))
+    bdf = _books_df(normed_df.sparkSession, books)
+    dists = normed_df.join(F.broadcast(bdf)).select(
+        "vec_id",
+        "j",
+        "code_id",
+        _sq_fold_col(
+            F.slice("nv", F.col("j") * w + 1, w), F.col("bk")
+        ).alias("d2"),
+    )
+    return _codes_from_dists(dists)
 
 
 def _jvm_ivfpq_index(normed_df, cents, books, dim):
-    spans = _subspaces(dim, _M)
+    """Same relational replay with the coarse stage: assign each vector
+    to its first-min cell (cents as a broadcast relation), compute the
+    residual ONCE per row, then per-subspace argmin over the residual
+    books — ((x − cent) − book)², the numpy path's arithmetic order."""
     w = dim // _M
-    cell_dists = F.array(
-        *[_fold_sq_dist(F.col("nv"), cents[c]) for c in range(_NCELLS)]
+    sess = normed_df.sparkSession
+    cdf = sess.createDataFrame(
+        [(c, [float(x) for x in cents[c]]) for c in range(_NCELLS)],
+        "cell_id int, cent array<double>",
     )
-    with_cell = normed_df.select(
-        "vec_id", "nv", _argmin_code(cell_dists).alias("cell_id")
-    )
-    # residual ONCE per row (CASE-selected centroid literal), then one
-    # fold per (subspace, code) over its slice — m·k folds total, not
-    # m·k·n_cells: the numpy path subtracts the centroid once too, so
-    # the arithmetic order still matches ((x − cent) − book)²
-    cent_expr = None
-    for c in range(_NCELLS):
-        cond = F.col("cell_id") == c
-        arr = F.array(*[F.lit(float(x)) for x in cents[c]])
-        cent_expr = (
-            F.when(cond, arr) if cent_expr is None else cent_expr.when(cond, arr)
+    # argmin carries only (d2, cell_id) through the aggregate — the
+    # 64-dim vectors ride along once via any_value (identical across a
+    # vec's group) and the winning centroid joins back broadcast
+    assigned = (
+        normed_df.join(F.broadcast(cdf))
+        .select(
+            "vec_id",
+            "nv",
+            "cell_id",
+            _sq_fold_col(F.col("nv"), F.col("cent")).alias("d2"),
         )
-    with_rv = with_cell.select(
+        .groupBy("vec_id")
+        .agg(
+            F.min(F.struct("d2", "cell_id")).alias("_m"),
+            F.any_value("nv").alias("nv"),
+        )
+        .select("vec_id", F.col("_m.cell_id").alias("cell_id"), "nv")
+        .join(F.broadcast(cdf), "cell_id")
+        .select(
+            "vec_id",
+            "cell_id",
+            F.zip_with("nv", "cent", lambda x, cc: x - cc).alias("rv"),
+        )
+    )
+    bdf = _books_df(sess, books)
+    dists = assigned.join(F.broadcast(bdf)).select(
         "vec_id",
         "cell_id",
-        F.zip_with("nv", cent_expr, lambda x, cc: x - cc).alias("rv"),
+        "j",
+        "code_id",
+        _sq_fold_col(
+            F.slice("rv", F.col("j") * w + 1, w), F.col("bk")
+        ).alias("d2"),
     )
-    code_cols = []
-    for j, (lo, hi) in enumerate(spans):
-        dists = F.array(
-            *[
-                F.aggregate(
-                    F.zip_with(
-                        F.slice("rv", lo + 1, w),
-                        F.array(*[F.lit(float(b)) for b in books[j][kk]]),
-                        lambda r, b: (r - b) * (r - b),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                for kk in range(_K)
-            ]
-        )
-        code_cols.append(_argmin_code(dists))
-    return with_rv.select(
-        "vec_id", "cell_id", F.array(*code_cols).alias("codes")
-    )
+    return _codes_from_dists(dists)
 
 
 def _assert_same_codes(op_df, jvm_df, cols, what):
@@ -250,9 +279,11 @@ def _assert_same_codes(op_df, jvm_df, cols, what):
 
 def knn_cosine_pq(spark, sf_dir):
     """ADC top-k over the PQ-compressed corpus (unit vectors, so
-    squared-L2 ADC ranks by cosine).  The scan touches only the m-byte
-    codes relation; scoring is a codegen fold over inlined LUT
-    literals; the result is a TakeOrderedAndProject heap per query."""
+    squared-L2 ADC ranks by cosine).  ONE scan of the m-byte codes
+    relation scores ALL queries (broadcast LUT relation + codegen
+    fold); the per-query top-k is the salted two-stage exact top-k —
+    query_id is low-cardinality, the shape a bare rank window would
+    serialize (and |queries| separate heap branches would re-scan)."""
     e = t(spark, sf_dir, "embeddings")
     # normed feeds training, the fold replay, the query collect AND the
     # encode — materialize the tiny (id, unit-vector) relation once
@@ -287,7 +318,7 @@ def knn_cosine_pq(spark, sf_dir):
         ),
         key=lambda p: p[0],
     )
-    out = pq_topk(queries, codes, books, top_k=_TOPK)
+    out = pq_topk_batched(queries, codes, books, top_k=_TOPK)
     return out.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
@@ -297,9 +328,10 @@ def knn_cosine_pq(spark, sf_dir):
 
 def knn_cosine_ivfpq(spark, sf_dir):
     """IVFADC: jointly-trained coarse cells + residual PQ books; the
-    query scores codes in its n_probe nearest cells only (pushed
-    ``cell_id IN (…)`` predicate), CASE-selected per-cell residual
-    LUTs, same codegen fold."""
+    broadcast (query, cell, residual-LUT) relation's equi-join ON
+    cell_id IS the probe — only rows in some query's probed cells are
+    scored, in one scan of the index — then the salted two-stage
+    per-query top-k."""
     e = t(spark, sf_dir, "embeddings")
     normed = _normalized(
         fan_out(e), "vec_id", "embedding", "vec_id", "nv"
@@ -329,7 +361,7 @@ def knn_cosine_ivfpq(spark, sf_dir):
         ),
         key=lambda p: p[0],
     )
-    out = ivf_pq_topk(
+    out = ivf_pq_topk_batched(
         queries, idx, cents, books, n_probe=_NPROBE, top_k=_TOPK
     )
     return out.select(

@@ -1439,33 +1439,44 @@ def test_streaks_window_on_user_key(spark):
 
 
 def test_pq_adc_query_plan(spark):
-    """knn_cosine_pq: ADC scoring is a codegen fold over the (tiny)
-    checkpointed codes relation — per-query heap top-k
-    (TakeOrderedAndProject), no window, no join in the scoring tree."""
+    """knn_cosine_pq: ONE scan of the (tiny, checkpointed) codes
+    relation scores every query via the broadcast LUT-relation join;
+    the per-query top-k is the salted two-stage exact top-k (stage-1
+    window partitioned by (query_id, _salt)) — never |queries| scan
+    branches, never a bare per-query rank window."""
     from rick_and_morty_data_pipeline_project_spark.queries.catalog import _ALL
 
     df = _ALL["knn_cosine_pq"].fn(spark, SF_SMALL)
     plan = formatted_plan(df)
-    assert "TakeOrderedAndProject" in plan, plan
-    assert "windowspecdefinition" not in plan, plan
-    assert "Join" not in plan, plan
-    # the scan feeding the scorer is the materialized codes relation,
-    # not a re-encode of the parquet corpus
-    assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan, plan
+    # exactly two ExistingRDD scans in the tree: the materialized
+    # codes relation (once — not per query) and the broadcast LUT
+    # relation (the details section repeats node names — count the
+    # tree only)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan ExistingRDD") == 2, tree
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs and any("_salt" in sp for sp in specs), specs
+    assert "EvalPython" not in plan, plan  # scoring stays JVM-side
 
 
 def test_ivfpq_probed_scan_plan(spark):
-    """knn_cosine_ivfpq: every per-query scoring branch filters to its
-    n_probe probed cells BEFORE scoring (cell_id IN (...) on the int
-    index column) and keeps the heap top-k shape."""
+    """knn_cosine_ivfpq: the broadcast equi-join ON cell_id IS the
+    probe — only rows in some query's probed cells are scored, in one
+    scan of the index relation — then the salted two-stage top-k."""
     from rick_and_morty_data_pipeline_project_spark.queries.catalog import _ALL
 
     df = _ALL["knn_cosine_ivfpq"].fn(spark, SF_SMALL)
     plan = formatted_plan(df)
-    assert "TakeOrderedAndProject" in plan, plan
-    assert "windowspecdefinition" not in plan, plan
-    # one probed-cell filter per query branch
-    assert len(re.findall(r"cell_id#\d+ IN", plan)) >= 10, plan
+    # index relation scanned once + the broadcast (query, cell, LUT)
+    # relation; the equi-join key is the int cell_id
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan ExistingRDD") == 2, tree
+    assert "BroadcastHashJoin" in plan, plan
+    assert re.search(r"cell_id#\d+", plan), plan
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs and any("_salt" in sp for sp in specs), specs
+    assert "EvalPython" not in plan, plan
 
 
 def test_orders_dense_row_ids_plan_window_free(spark):

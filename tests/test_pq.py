@@ -333,3 +333,52 @@ def test_stream_pq_codes_table_bit_identical_across_restart(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "codes")).collect()
     }
     assert again == want
+
+
+def test_batched_topk_identical_to_per_query(spark):
+    """pq_topk_batched / ivf_pq_topk_batched (one scan + broadcast LUT
+    relation + salted two-stage top-k) return EXACTLY the per-query
+    heap variants' rows — same LUT values (shared adc_lut), same fold,
+    same (dist, id) ordering."""
+    from rick_and_morty_data_pipeline_project_spark.operators.pq import (
+        ivf_pq_index,
+        ivf_pq_topk,
+        ivf_pq_topk_batched,
+        pq_topk_batched,
+        train_ivf_pq,
+    )
+
+    emb = _corpus(spark)
+    rows = emb.select("vec_id", "embedding").collect()
+    queries = sorted(
+        ((r["vec_id"], list(r["embedding"])) for r in rows),
+        key=lambda p: p[0],
+    )[:5]
+
+    books = train_pq_codebooks(emb, m=_M, k=_K)
+    codes = pq_encode(emb, books).localCheckpoint()
+    a = sorted(map(tuple, pq_topk(queries, codes, books, top_k=7).collect()))
+    b = sorted(
+        map(tuple, pq_topk_batched(queries, codes, books, top_k=7).collect())
+    )
+    assert a == b
+
+    coarse, rbooks = train_ivf_pq(emb, n_cells=8, m=_M, k=_K)
+    idx = ivf_pq_index(emb, coarse, rbooks).localCheckpoint()
+    c = sorted(
+        map(
+            tuple,
+            ivf_pq_topk(
+                queries, idx, coarse, rbooks, n_probe=3, top_k=7
+            ).collect(),
+        )
+    )
+    d = sorted(
+        map(
+            tuple,
+            ivf_pq_topk_batched(
+                queries, idx, coarse, rbooks, n_probe=3, top_k=7
+            ).collect(),
+        )
+    )
+    assert c == d
