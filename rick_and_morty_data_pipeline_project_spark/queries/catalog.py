@@ -188,17 +188,19 @@ lakehouse certifications (``orders_dense_row_ids``,
 rule-2 re-greens of the r9 ``similarity.py`` consolidation; the 4
 displaced r04 entries — ``events_funnel_steps``,
 ``events_funnel_summary``, ``dedup_source_matrix``,
-``events_key_skew_report`` — are sweep-covered under policy v2 and
-lead the r10 oldest-green pool).  16 + 2 + 2 + 2 + 1 + 27 = 50.
+``events_key_skew_report``, ``events_sliding_uniques``,
+``events_value_histogram`` — are sweep-covered under policy v2 and
+lead the r10 oldest-green pool), plus the 2 late-r9 births scheduled
+at the second (PQ-batching) freeze: ``sketch_kmv_set_ops``,
+``events_holt_forecast``.  16 + 2 + 2 + 2 + 2 + 1 + 25 = 50.
 
 Round-10 obligations (accrued during r9): the 13 stale-carryover
 entries from the ``similarity.py``/``sketches.py`` consolidations
 (``tools/stale_carryover.json`` — rule-1-equivalent, one-cycle grace)
-plus the 2 post-freeze births (``sketch_kmv_set_ops``,
-``events_holt_forecast``, in ``tools/pending_births.json``) and
-flagship = 16 mandatory slots; the remaining ~34 fill oldest-green
-first (the four displaced r04 entries lead, then the r05 vintage),
-with SWEEP_r10.json covering whatever the window cannot hold.  The 11 remaining rule-2 stale entries from
+plus flagship = 14 mandatory slots; the remaining ~36 fill
+oldest-green first (the six displaced r04 entries lead, then the r05
+vintage), with SWEEP_r10.json covering whatever the window cannot
+hold.  The 11 remaining rule-2 stale entries from
 the ``similarity.py``/``pq.py`` consolidation that do not fit this
 window are recorded in ``tools/stale_carryover.json`` at the freeze
 and are rule-1-equivalent obligations for the r10 window.
@@ -279,21 +281,25 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # expected-union oracle) ==========================================
     "orders_dense_row_ids",
     "evolution_read_generations",
+    # ========== 2 more r9 births, scheduled at the second freeze (the
+    # PQ-batching re-freeze fingerprinted them, ending their one-cycle
+    # exemption): KMV set ops + Holt smoothing ========================
+    "sketch_kmv_set_ops",
+    "events_holt_forecast",
     # ========== flagship (standing, every round) =====================
     "flagship_greedy_match",
-    # ========== 27 max-age refreshes (newest green row = r04, age 5 >
+    # ========== 25 max-age refreshes (newest green row = r04, age 5 >
     # 4 at this freeze; the knn_* and embedding_quantize_error entries
     # double as rule-2 re-greens of the r9 similarity.py consolidation.
-    # events_funnel_steps/_summary, dedup_source_matrix and
-    # events_key_skew_report are the four r04 entries displaced by the
+    # events_funnel_steps/_summary, dedup_source_matrix,
+    # events_key_skew_report, events_sliding_uniques and
+    # events_value_histogram are the six r04 entries displaced by the
     # r9 births — SWEEP_r09.json covers them under policy v2 and they
     # lead the r10 oldest-green pool) ==================================
     "embedding_quantize_error",
     "events_hourly_percentiles",
     "events_retention_cohorts",
     "events_rolling_dau",
-    "events_sliding_uniques",
-    "events_value_histogram",
     "events_zscore_outliers",
     "graph_pagerank3",
     "join_salted_user_events",
