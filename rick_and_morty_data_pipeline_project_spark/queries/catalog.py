@@ -182,10 +182,10 @@ the 2 rows-only→oracled HLL promotions (``sketch_hll_rollup``,
 ``operators/hllreg.py`` so DuckDB replays the estimates bit-exactly;
 never attempted before, hence window-mandatory), the 2 r9-born
 lakehouse certifications (``orders_dense_row_ids``,
-``evolution_read_generations``), and 27 of the 31 r04-vintage greens
+``evolution_read_generations``), and 25 of the 31 r04-vintage greens
 (age 5 at r09; ``knn_cosine_lsh``, ``knn_cosine_int8``,
 ``knn_cosine_filtered`` and ``embedding_quantize_error`` double as
-rule-2 re-greens of the r9 ``similarity.py`` consolidation; the 4
+rule-2 re-greens of the r9 ``similarity.py`` consolidation; the six
 displaced r04 entries — ``events_funnel_steps``,
 ``events_funnel_summary``, ``dedup_source_matrix``,
 ``events_key_skew_report``, ``events_sliding_uniques``,
@@ -200,8 +200,8 @@ entries from the ``similarity.py``/``sketches.py`` consolidations
 plus flagship = 14 mandatory slots; the remaining ~36 fill
 oldest-green first (the six displaced r04 entries lead, then the r05
 vintage), with SWEEP_r10.json covering whatever the window cannot
-hold.  The 11 remaining rule-2 stale entries from
-the ``similarity.py``/``pq.py`` consolidation that do not fit this
+hold.  The 13 remaining rule-2 stale entries from the
+``similarity.py``/``sketches.py`` consolidations that do not fit this
 window are recorded in ``tools/stale_carryover.json`` at the freeze
 and are rule-1-equivalent obligations for the r10 window.
 """

@@ -584,6 +584,27 @@ GROUP BY 1
 _KMV_K = 256
 
 
+def _kmv_u(item_col):
+    """The KMV uniform hash — md5 → 60-bit prefix → divide by 2^60 —
+    shared by every KMV query (rollup, set ops) so the cross-engine
+    bit-exactness contract has ONE Spark-side definition to keep in
+    sync with the SQL twins (the adc_lut single-source pattern)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("kmv:"), item_col.cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .cast("double")
+        / F.lit(float(1 << 60))
+    )
+
+
 def sketch_kmv_rollup(spark, sf_dir):
     """Daily unique users from a K-MINIMUM-VALUES sketch — the
     PORTABLE, fully-oracled counterpart of ``sketch_hll_rollup``: KMV's
@@ -620,26 +641,7 @@ def sketch_kmv_rollup(spark, sf_dir):
         .distinct()
     )
     hashed = pairs.select(
-        "day",
-        "user_id",
-        (
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(
-                            F.lit("kmv:"), F.col("user_id").cast("string")
-                        )
-                    ),
-                    1,
-                    15,
-                ),
-                16,
-                10,
-            )
-            .cast("long")
-            .cast("double")
-            / F.lit(float(1 << 60))
-        ).alias("u"),
+        "day", "user_id", _kmv_u(F.col("user_id")).alias("u")
     )
     exact = pairs.groupBy("day").agg(F.count(F.lit(1)).alias("n_exact"))
     kept = grouped_topk_salted(
@@ -772,53 +774,50 @@ def sketch_kmv_set_ops(spark, sf_dir):
         .distinct()
     )
     hashed = pairs.select(
-        "event_type",
-        "user_id",
-        (
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(
-                            F.lit("kmv:"), F.col("user_id").cast("string")
-                        )
-                    ),
-                    1,
-                    15,
-                ),
-                16,
-                10,
-            )
-            .cast("long")
-            .cast("double")
-            / F.lit(float(1 << 60))
-        ).alias("u"),
+        "event_type", "user_id", _kmv_u(F.col("user_id")).alias("u")
     )
     sk = grouped_topk_salted(
         hashed, ["event_type"], "u", _KMV_K, tiebreak="user_id"
     ).localCheckpoint()  # both pair arms read the tiny sketch relation
     types = sk.select("event_type").distinct()
+    # the inequality pair enumeration is the ONE non-equi join here —
+    # over the |types|-row relation only (never row data); materialize
+    # its |types|² rows once for the four consuming branches
     tpairs = (
         types.select(F.col("event_type").alias("type_a"))
         .join(
             types.select(F.col("event_type").alias("type_b")),
             F.col("type_a") < F.col("type_b"),
         )
+        .localCheckpoint()
     )
 
     def _flags(rel):
-        joined = tpairs.join(
-            rel,
-            (rel.event_type == F.col("type_a"))
-            | (rel.event_type == F.col("type_b")),
+        # union of two EQUI-joins, not one OR-predicate join: an OR of
+        # equalities is not an equi-join and would plan a nested-loop
+        # evaluating every pair predicate against every row of the
+        # full distinct relation (the big input of the exact arm);
+        # split per side, both hash-join against the broadcast pairs
+        a_side = tpairs.join(
+            rel, rel.event_type == F.col("type_a")
+        ).select(
+            "type_a", "type_b", "user_id", "u",
+            F.lit(1).alias("in_a"), F.lit(0).alias("in_b"),
         )
-        return joined.groupBy("type_a", "type_b", "user_id").agg(
-            F.min("u").alias("u"),
-            F.max(
-                (F.col("event_type") == F.col("type_a")).cast("int")
-            ).alias("in_a"),
-            F.max(
-                (F.col("event_type") == F.col("type_b")).cast("int")
-            ).alias("in_b"),
+        b_side = tpairs.join(
+            rel, rel.event_type == F.col("type_b")
+        ).select(
+            "type_a", "type_b", "user_id", "u",
+            F.lit(0).alias("in_a"), F.lit(1).alias("in_b"),
+        )
+        return (
+            a_side.unionByName(b_side)
+            .groupBy("type_a", "type_b", "user_id")
+            .agg(
+                F.min("u").alias("u"),
+                F.max("in_a").alias("in_a"),
+                F.max("in_b").alias("in_b"),
+            )
         )
 
     # sketch arm: combined k-minima per pair (bounded ≤ 2k rows/pair)
@@ -844,7 +843,6 @@ def sketch_kmv_set_ops(spark, sf_dir):
         (F.col("_both").cast("double") / F.col("_n").cast("double")).alias(
             "_rho"
         ),
-        F.col("_n").alias("_nc"),
     ).select(
         "type_a",
         "type_b",

@@ -1490,3 +1490,18 @@ def test_orders_dense_row_ids_plan_window_free(spark):
     plan = formatted_plan(df)
     assert "windowspecdefinition" not in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_kmv_set_ops_joins_are_hash_joinable(spark):
+    """sketch_kmv_set_ops: the only non-equi join is the |types|²
+    pair enumeration (materialized once, never row data); every join
+    touching the distinct (type, user) relation or the sketch rows is
+    a broadcast HASH join — the OR-of-equalities formulation that
+    would nested-loop the full relation is pinned out."""
+    from rick_and_morty_data_pipeline_project_spark.queries.catalog import _ALL
+
+    df = _ALL["sketch_kmv_set_ops"].fn(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastNestedLoopJoin" not in tree, tree
+    assert "BroadcastHashJoin" in tree, tree

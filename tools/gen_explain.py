@@ -48,10 +48,12 @@ ANNOTATED = {
     "join_fuzzy_customer_names": "FastSS fuzzy join: narrow deletion-variant explode → ONE high-cardinality equi-join (no hot blocks) → levenshtein verify on candidates only",
     "events_user_trend": "grouped OLS: six map-combinable decimal sums, one user_id shuffle, closed-form projection — no window, no iteration",
     "sketch_hll_accuracy_audit": "HLL audit: sketch + exact distinct built in the SAME day-keyed aggregate (one raw shuffle); TOTAL row re-aggregates |days| sketch states; the regrouped merge-invariance arm is a second day+type aggregate — all one-row frames cross-joined, never a raw rescan per check",
-    "knn_cosine_pq": "PQ ADC (r9): scoring scans only the checkpointed m-int codes relation — aggregate(zip_with(codes, lut)) codegen fold over inlined LUT literals, TakeOrderedAndProject heap per query; no window, no join, no Python in the scoring tree",
-    "knn_cosine_ivfpq": "IVFADC (r9): every per-query branch filters cell_id IN (probed cells) BEFORE scoring (pushed int predicate on the index relation), CASE-selected per-cell residual LUTs, same codegen fold + heap top-k",
+    "knn_cosine_pq": "PQ ADC (r9, batched): ONE scan of the checkpointed m-int codes relation scores ALL queries — broadcast LUT relation join + aggregate(zip_with(codes, lut)) fold, then the salted two-stage exact per-query top-k (stage-1 window partitioned by (query_id, _salt)); no Python in the scoring tree, no per-query scan branches",
+    "knn_cosine_ivfpq": "IVFADC (r9, batched): the broadcast (query, cell, residual-LUT) relation's equi-join ON cell_id IS the probe — only rows in some query's probed cells are scored, in one scan of the index — then the salted two-stage per-query top-k",
     "orders_dense_row_ids": "dense row ids (r9): range repartition + in-partition sort + Arrow local-index pass + broadcast prefix-sum offsets — NO window operator anywhere (the oracle's row_number formulation is exactly what this plan must not contain)",
     "events_rolling_dau_hll": "rolling HLL DAU (r9, explicit registers): contribution explode carries ≤4096 register rows/day ×7 window ends; (win_day, register) MAX merge then the register estimator — shuffle independent of user cardinality, no raw-pair explode",
+    "sketch_kmv_set_ops": "KMV set ops (r9): per-type sketches via the salted two-stage top-k; the only non-equi join is the |types|-squared pair enumeration (materialized once); every join touching the distinct relation or sketch rows is a broadcast HASH join — the OR-of-equalities nested-loop formulation is pinned out",
+    "events_holt_forecast": "Holt smoothing (r9): map-combined daily aggregate, per-key ordered-list collect, one aggregate() fold — no window, no Python, no global sort; the sequential recursion lives in the fold, not a driver loop",
     "events_rolling_dau_hll_audit": "rolling-DAU audit: sketch arm shuffles 7×|days| fixed-size states (cardinality-independent); exact arm explodes the distinct pair set (audit-only); both meet on a |days|-row join",
     "multimodal_jpeg_decode_audit": "JPEG pixel-decode audit: synthesize and decode are Arrow-batched MapInPandas stages; the pre-encode material check joins doc text back by id (broadcast at this SF; a co-partitioned self-join at scale — audit-only cost); the binary column never shuffles, only the 4-column verdict leaves the final stage",
     "sketch_cms_accuracy_audit": "CMS audit: one map-combinable count_min_sketch aggregate (fixed ~100 KB state), driver decode, Arrow-batched probe over the REDUCED distinct-item relation; N rides a one-row crossJoin — raw events scanned once per arm, never per item",
