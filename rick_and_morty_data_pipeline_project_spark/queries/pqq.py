@@ -119,13 +119,16 @@ def _fold_norm(vec) -> list:
 
 def _canonical_normed(sf_dir):
     """vec_id → unit vector for the whole corpus, or None above the
-    bounded-verify cap."""
-    import pyarrow.parquet as pqt
+    bounded-verify cap.  pyarrow.dataset handles both layouts the
+    engine reads — a single parquet file (the testdata) and a
+    directory of part files (any Spark-written corpus; default
+    ignore_prefixes skips _SUCCESS/.crc sidecars)."""
+    import pyarrow.dataset as pds
 
-    path = f"{sf_dir}/embeddings.parquet"
-    if pqt.ParquetFile(path).metadata.num_rows > _VERIFY_CAP:
+    dset = pds.dataset(f"{sf_dir}/embeddings.parquet", format="parquet")
+    if dset.count_rows() > _VERIFY_CAP:
         return None
-    tbl = pqt.read_table(path, columns=["vec_id", "embedding"]).to_pylist()
+    tbl = dset.to_table(columns=["vec_id", "embedding"]).to_pylist()
     return {int(r["vec_id"]): _fold_norm(r["embedding"]) for r in tbl}
 
 
