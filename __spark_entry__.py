@@ -41,14 +41,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL oracle per query.  Omitted only for the
-    8 genuinely non-SQL-expressible entries: the approximate-sketch
-    family (agg_approx_distinct, sketch_hll_rollup,
-    sketch_cms_user_counts, events_rolling_dau_hll, plus the three
-    percentile_approx twins) and multimodal_decode_real, whose md5-chain
-    byte material needs md5(BLOB) — unavailable in DuckDB.  (Two more —
-    embedding_pca_project, knn_cosine_ivf_kmeans — carry canonical-
-    literal oracles built from the sf0.01 testdata at import and
-    degrade to rows-only only when that tree is absent.)  Every
+    FROZEN rows-only core of 4 genuinely non-SQL-expressible entries
+    (pinned in ``tests/test_rotation_tooling.py``; adjudications in
+    COVERAGE.md §rows-only): ``agg_approx_distinct`` (certifies Spark's
+    own HLL++ ``approx_count_distinct`` — engine-internal by
+    definition), ``events_hourly_percentiles_approx`` and
+    ``customer_rfm_segments_approx`` (KLL/GK sketch internals; each has
+    a fully-oracled ``_audit`` rank-window twin in the catalog), and
+    ``multimodal_decode_real``, whose md5-chain byte material needs
+    md5(BLOB) — unavailable in DuckDB.  The former rows-only sketch
+    entries (``sketch_hll_rollup``, ``sketch_cms_user_counts``,
+    ``events_rolling_dau_hll``) were promoted to full oracles in r7-r9
+    via explicit-register relational sketches.  (Two more —
+    ``embedding_pca_project``, ``knn_cosine_ivf_kmeans`` — carry
+    canonical-literal oracles built from the sf0.01 testdata at import
+    and degrade to rows-only only when that tree is absent.)  Every
     rows-only entry carries a Python oracle or property test in tests/
     instead."""
     return oracle_sql_dict()

@@ -261,6 +261,15 @@ def _jvm_ivfpq_index(normed_df, cents, books, dim):
 
 def _assert_same_codes(op_df, jvm_df, cols, what):
     joined = op_df.alias("a").join(jvm_df.alias("b"), "vec_id")
+    # the inner join would silently drop a vector missing from either
+    # side, so a row-count divergence must fail before the column check
+    n_op, n_jvm, n_joined = op_df.count(), jvm_df.count(), joined.count()
+    if not (n_op == n_jvm == n_joined):
+        raise AssertionError(
+            f"{what}: row-count divergence between the operator output "
+            f"({n_op}), the JVM fold replay ({n_jvm}) and their join "
+            f"({n_joined}) — a vector is missing from one side"
+        )
     diff = None
     for c in cols:
         ne = F.col(f"a.{c}") != F.col(f"b.{c}")

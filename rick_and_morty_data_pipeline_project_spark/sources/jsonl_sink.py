@@ -263,7 +263,13 @@ def read_stream_manifests(path: str) -> dict:
     import re
 
     pat = re.compile(rf"^{MANIFEST}-\d{{6,}}$")
-    batches = sorted(f for f in os.listdir(path) if pat.match(f))
+    # sort by the NUMERIC batch id, not lexicographically: the regex
+    # admits ids past 10^6 (the {:06d} pad is a floor), and at that
+    # boundary "-1000000" sorts lexicographically before "-999999"
+    batches = sorted(
+        (f for f in os.listdir(path) if pat.match(f)),
+        key=lambda f: int(f.rsplit("-", 1)[1]),
+    )
     shards, total = [], 0
     for b in batches:
         with open(os.path.join(path, b), encoding="utf-8") as f:

@@ -61,6 +61,10 @@ def stream_pq_codes_table(
         codes = pq_encode(
             batch.select(id_col, vec_col), codebooks, id_col, vec_col
         )
+        # intra-batch duplicates would insert duplicate rows (the
+        # anti-join only dedupes ACROSS batches); safe to drop — codes
+        # are a pure function of the vector, so duplicates are identical
+        codes = codes.dropDuplicates([id_col])
         if current is None:
             return codes
         return current.join(codes, id_col, "left_anti").unionByName(codes)

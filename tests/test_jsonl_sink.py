@@ -290,3 +290,34 @@ def test_jsonl_batch_overwrite_refuses_streaming_directory(spark, tmp_path):
     assert os.path.exists(orphan)
     m = read_manifest(out2)
     assert m["n_shards"] == 2
+
+
+def test_read_stream_manifests_orders_numerically_past_1e6(tmp_path):
+    """Regression (r10 advisory): the manifest regex admits batch ids
+    past 10^6 where '{:06d}' stops zero-padding, and '-1000000' sorts
+    LEXICOGRAPHICALLY before '-999999' — the shard list must be ordered
+    by the numeric batch id."""
+    import json
+
+    from rick_and_morty_data_pipeline_project_spark.sources.jsonl_sink import (
+        read_stream_manifests,
+    )
+
+    out = str(tmp_path)
+    for bid in (999999, 1000000, 7):
+        man = {
+            "batch_id": bid,
+            "shards": [{"shard": f"shard-{bid}.jsonl", "n_rows": 1}],
+            "total_rows": 1,
+            "n_shards": 1,
+        }
+        with open(f"{out}/_MANIFEST-{bid:06d}", "w") as f:
+            json.dump(man, f)
+
+    view = read_stream_manifests(out)
+    assert view["n_batches"] == 3
+    assert view["shards"] == [
+        "shard-7.jsonl",
+        "shard-999999.jsonl",
+        "shard-1000000.jsonl",
+    ]

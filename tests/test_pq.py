@@ -382,3 +382,37 @@ def test_batched_topk_identical_to_per_query(spark):
         )
     )
     assert c == d
+
+
+def test_stream_pq_codes_table_intra_batch_duplicates(spark, tmp_path):
+    """Regression (r10 advisory): a micro-batch containing the same
+    vec_id twice must still produce ONE row per id in the durable codes
+    table (the anti-join only dedupes across batches; duplicates are
+    identical rows since codes are a pure function of the vector)."""
+    from rick_and_morty_data_pipeline_project_spark.streaming.pq_ingest import (
+        stream_pq_codes_table,
+    )
+
+    emb = _corpus(spark).select("vec_id", "embedding").limit(20)
+    books = train_pq_codebooks(emb, m=_M, k=_K)
+    in_dir = tmp_path / "incoming"
+    in_dir.mkdir()
+    # one chunk = one micro-batch, with every vector sent TWICE
+    emb.unionAll(emb).coalesce(1).write.parquet(
+        str(in_dir / "chunk_dup.parquet")
+    )
+
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir) + "/*/")
+    )
+    stream_pq_codes_table(
+        stream, books, str(tmp_path / "codes"), str(tmp_path / "ckpt")
+    ).awaitTermination()
+
+    rows = spark.read.parquet(str(tmp_path / "codes")).collect()
+    assert len(rows) == emb.count()  # one row per id, not two
+    got = {r["vec_id"]: list(r["codes"]) for r in rows}
+    want = {r["vec_id"]: list(r["codes"]) for r in pq_encode(emb, books).collect()}
+    assert got == want

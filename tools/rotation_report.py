@@ -453,7 +453,14 @@ def main() -> None:
     # certificates for every query it shows hash-green.
     sweep_green: set[str] = set()
     sweep_round = None
-    for path in sorted(glob.glob(os.path.join(REPO, "SWEEP_r*.json"))):
+    # order by NUMERIC round (lexicographic %02d sorting breaks at
+    # round 100 and would trust a stale higher-named artifact)
+    for path in sorted(
+        glob.glob(os.path.join(REPO, "SWEEP_r*.json")),
+        key=lambda p: int(
+            re.search(r"_r(\d+)", os.path.basename(p)).group(1)
+        ),
+    ):
         rnum = int(re.search(r"_r(\d+)", os.path.basename(path)).group(1))
         if rnum > max_round:
             with open(path) as f:
