@@ -204,12 +204,29 @@ hold.  The 13 remaining rule-2 stale entries from the
 ``similarity.py``/``sketches.py`` consolidations that do not fit this
 window are recorded in ``tools/stale_carryover.json`` at the freeze
 and are rule-1-equivalent obligations for the r10 window.
+
+Round-10 window (this file's ``DRIVER_WINDOW``): exactly the plan the
+round-9 verdict ordered.  The 13 stale-carryover entries lead
+(rule-1-equivalent — changed at the r9 consolidation freezes while
+unscheduled, full list in ``tools/stale_carryover.json``), then the 6
+displaced r04 over-age entries (``dedup_source_matrix``,
+``events_funnel_steps``, ``events_funnel_summary``,
+``events_key_skew_report``, ``events_sliding_uniques``,
+``events_value_histogram`` — age 6 at this freeze), flagship, the 2
+r10-born lakehouse-maintenance certifications
+(``coarsen_layout_audit``, ``evolution_generation_census`` — the r9
+verdict's item 5, scheduled at their own birth freeze so no one-cycle
+exemption is consumed), and 28 of the 41 r05-vintage greens
+(alphabetical; the 13 remaining r05 entries are SWEEP_r10-covered
+under policy v2 and lead the r11 oldest-green pool).
+13 + 6 + 1 + 2 + 28 = 50.
 """
 
 from __future__ import annotations
 
 from rick_and_morty_data_pipeline_project_spark.queries import (
     bpeq,
+    coarsenq,
     extraq,
     lakeq,
     mmq,
@@ -229,26 +246,98 @@ from rick_and_morty_data_pipeline_project_spark.queries._util import Q
 _ALL: dict[str, Q] = {}
 for mod in (
     tpch, tpchx, tpchf, textq, vecq, extraq, mmq, reference, sketchq, bpeq,
-    retrievalq, lakeq, statsq, pqq,
+    retrievalq, lakeq, statsq, pqq, coarsenq,
 ):
     for name, q in mod.QUERIES.items():
         assert name not in _ALL, f"duplicate query name: {name}"
         _ALL[name] = q
 
 # The 50 driver-checked slots.  All must carry a full DuckDB oracle.
-# Round-8 rotation (standing policy in the module docstring; max-age
-# rule: no green certificate may fall more than 4 rounds behind the
-# latest CORRECTNESS round while unscheduled —
-# tools/rotation_report.py --assert-no-debt enforces it):
-# 10 never-checked (the 7 r7-post-freeze births + the 3 r8-born
-# entries: salted top-k exemplar and the two rows-only promotions)
-# + 3 rule-2 fingerprint-stale re-greens
+# Round-10 rotation (standing policy + policy v2 in the module
+# docstring; max-age rule: no green certificate may fall more than 4
+# rounds behind the latest CORRECTNESS round while unscheduled, and
+# stale-carryover entries must re-earn a DRIVER row within one cycle —
+# tools/rotation_report.py --assert-no-debt enforces both):
+# 13 stale-carryover re-greens (rule-1-equivalent: the r9
+#   similarity.py/sketches.py consolidations changed these while
+#   unscheduled; tools/stale_carryover.json)
+# + 6 displaced r04 over-age refreshes (age 6 at this freeze)
 # + flagship
-# + 30 max-age refreshes — every query whose newest green row is r02
-#   (age 6 > 4 at this freeze; the complete over-age list)
-# + 6 oldest-green r04 refreshes (no r03-vintage rows exist).
-# 10+3+1+30+6 = 50.
+# + 2 r10 births (the coarsen/census lakehouse certifications,
+#   scheduled at their birth freeze so no exemption is consumed)
+# + 28 oldest-green refreshes (r05 vintage, alphabetical; the 13
+#   remaining r05 entries are SWEEP_r10-covered under policy v2 and
+#   lead the r11 oldest-green pool).
+# 13+6+1+2+28 = 50.
 DRIVER_WINDOW: tuple[str, ...] = (
+    # ========== 13 stale-carryover re-greens (rule-1-equivalent) =====
+    "decontaminate_embedding_overlap",
+    "embedding_label_centroids",
+    "knn_cosine_bruteforce",
+    "knn_cosine_ivf",
+    "knn_cosine_ivf_kmeans",
+    "knn_cosine_mmr",
+    "knn_hard_negatives",
+    "knn_label_agreement",
+    "knn_recall_audit",
+    "sketch_cms_accuracy_audit",
+    "sketch_cms_user_counts",
+    "text_hybrid_rrf",
+    "text_rerank_two_stage",
+    # ========== 6 displaced r04 over-age refreshes ===================
+    "dedup_source_matrix",
+    "events_funnel_steps",
+    "events_funnel_summary",
+    "events_key_skew_report",
+    "events_sliding_uniques",
+    "events_value_histogram",
+    # ========== flagship (standing, every round) =====================
+    "flagship_greedy_match",
+    # ========== 2 r10 births: driver-certified lakehouse maintenance
+    # (queries/coarsenq.py — the r9 verdict's item 5) =================
+    "coarsen_layout_audit",
+    "evolution_generation_census",
+    # ========== 2 rule-2 re-greens: the r10 advisory fix added a
+    # row-count guard to pqq._assert_same_codes, so both PQ
+    # certifications re-earn their rows under the changed code ========
+    "knn_cosine_pq",
+    "knn_cosine_ivfpq",
+    # ========== 26 oldest-green refreshes (r05 vintage) ==============
+    "dedup_cluster_representatives",
+    "dedup_exact_stats",
+    "dedup_incremental_batch",
+    "dedup_incremental_bloom",
+    "dedup_incremental_lsh",
+    "dedup_incremental_prefilter",
+    "dedup_minhash_clusters",
+    "dedup_minhash_lsh_candidates",
+    "dedup_minhash_signatures",
+    "dedup_ngram_containment",
+    "dedup_ngram_jaccard",
+    "dedup_simhash64_pairs",
+    "dedup_simhash_pairs",
+    "dedup_span_profile",
+    "embedding_pca_project",
+    "events_gap_fill",
+    "events_sliding_rollup",
+    "events_type_bigrams",
+    "events_user_trend",
+    "join_anti_customers_without_orders",
+    "join_fuzzy_customer_names",
+    "pipeline_filter_funnel",
+    "q1_pricing_summary",
+    "q3_top_unshipped_orders",
+    "q5_nation_volume",
+    "q6_forecast_revenue",
+)
+
+# Round-9 window, retired 2026-08-15 (all 50 earned green rows in
+# CORRECTNESS_r09.json; kept for the rotation ledger).  Composition:
+# 16 r8-post-freeze births + 2 PQ/IVFADC certifications + 2 HLL
+# rows-only→oracled promotions + 2 lakehouse certifications + 2
+# late-r9 births + flagship + 25 r04-vintage max-age refreshes;
+# 16+2+2+2+2+1+25 = 50.
+_R09_WINDOW: tuple[str, ...] = (
     # ========== 16 never-driver-checked oracled queries (rule 1) =====
     # the r8-post-freeze births — one-cycle exemption expired with
     # CORRECTNESS_r08.json; full list mirrored in the docstring above

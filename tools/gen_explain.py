@@ -114,6 +114,8 @@ ANNOTATED = {
     "audit_key_gaps": "key-space completeness: bucket-keyed aggregate over one scan; the lag window runs on the bucket relation (|keyspace|/10k rows) — the gaps-and-islands evidence without the global key-row_number sort",
     "dedup_lsh_recall_audit": "LSH recall audit: exact truth via the inverted-index posting join (length filter inside it), candidates from band buckets, one full-outer pair join — no cartesian anywhere",
     "scalar_variant_functions": "VARIANT path: parse_json decodes each row once into the binary encoding, typed variant_get extraction, one aggregate — all JVM, no string re-parse per access",
+    "coarsen_layout_audit": "partition coarsener certified end-to-end (r10): stage ~81 tiny month partitions, run the first-fit in-place rewrite (plan window over one row per partition VALUE; ONE shuffle by merge group; observe-metric row verification), audit the post-coarsen layout — n_files pinned 1 per group by the oracle; cost is staging-bound (two physical table writes), the operator's own plan is the scale story",
+    "evolution_generation_census": "schema-generation census (r10): binaryFile listing → ONE Arrow-batched mapInPandas footer sniff (no row data read, bytes never shuffle) → signature-keyed count; file counts replayed by DuckDB as distinct-partition-value counts",
 }
 
 
