@@ -108,7 +108,10 @@ _VERIFY_CAP = 1_000_000
 def _fold_norm(vec) -> list:
     """Unit-normalize exactly like the JVM fold (`_normalized`) and the
     oracle CTE: sequential left fold of x², element-wise divide —
-    Python floats ARE IEEE doubles, so all three agree to the bit."""
+    Python floats ARE IEEE doubles, so all three agree to the bit.
+    This scalar form is the REFERENCE for ``_canonical_normed``'s
+    vectorized replay; their bit-equality is pinned in
+    tests/test_pq.py::test_canonical_normed_bit_equals_scalar_fold."""
     acc = 0.0
     for x in vec:
         xd = float(x)
@@ -118,31 +121,57 @@ def _fold_norm(vec) -> list:
 
 
 def _canonical_normed(sf_dir):
-    """vec_id → unit vector for the whole corpus, or None above the
-    bounded-verify cap.  pyarrow.dataset handles both layouts the
-    engine reads — a single parquet file (the testdata) and a
-    directory of part files (any Spark-written corpus; default
-    ignore_prefixes skips _SUCCESS/.crc sidecars)."""
+    """``(ids, Xn)`` — int64 vec_id array + unit-vector float64 matrix
+    for the whole corpus, or None above the bounded-verify cap.
+    pyarrow.dataset handles both layouts the engine reads — a single
+    parquet file (the testdata) and a directory of part files (any
+    Spark-written corpus; default ignore_prefixes skips _SUCCESS/.crc
+    sidecars).
+
+    The replay allocates O(rows × dim) numpy, never Python object
+    graphs (r9 verdict item 6 — ``to_pylist`` dicts were multiple GB
+    at the 1M-row cap).  Bit-exactness to the JVM fold is preserved:
+    the squared norm accumulates COLUMN-BY-COLUMN in index order —
+    the sequential left fold of ``_fold_norm``, vectorized across
+    rows — because ``np.sum``'s pairwise summation would produce a
+    different float; the divide is element-wise IEEE, identical in
+    both formulations."""
+    import numpy as np
     import pyarrow.dataset as pds
 
     dset = pds.dataset(f"{sf_dir}/embeddings.parquet", format="parquet")
     if dset.count_rows() > _VERIFY_CAP:
         return None
-    tbl = dset.to_table(columns=["vec_id", "embedding"]).to_pylist()
-    return {int(r["vec_id"]): _fold_norm(r["embedding"]) for r in tbl}
+    tbl = dset.to_table(columns=["vec_id", "embedding"])
+    ids = tbl.column("vec_id").to_numpy().astype(np.int64, copy=False)
+    X = np.stack(
+        tbl.column("embedding").to_numpy(zero_copy_only=False)
+    ).astype(np.float64)  # value-exact float32 -> float64 widening
+    acc = np.zeros(len(ids), dtype=np.float64)
+    for j in range(X.shape[1]):  # left fold over dims, all rows at once
+        acc = acc + X[:, j] * X[:, j]
+    return ids, X / np.sqrt(acc)[:, None]
 
 
-def _canonical_sample(normed: dict):
+def _canonical_sample(canon):
     """Replay ``sample_vectors_deterministic``'s xxhash64 ordering in
     pure Python over the canonical normalized vectors."""
     import numpy as np
 
-    order = sorted(normed, key=lambda i: (spark_xxhash64_long(i), i))
-    return np.array([normed[i] for i in order[:_SAMPLE]], dtype=np.float64)
+    ids, Xn = canon
+    order = sorted(
+        range(len(ids)),
+        key=lambda r: (spark_xxhash64_long(int(ids[r])), int(ids[r])),
+    )
+    return Xn[np.asarray(order[:_SAMPLE], dtype=np.int64)]
 
 
-def _canonical_queries(normed: dict):
-    return [(i, normed[i]) for i in sorted(normed) if i < _N_QUERIES]
+def _canonical_queries(canon):
+    ids, Xn = canon
+    picked = sorted(
+        (int(i), r) for r, i in enumerate(ids) if i < _N_QUERIES
+    )
+    return [(i, Xn[r]) for i, r in picked]
 
 
 # ---------------------------------------------------------------------

@@ -416,3 +416,30 @@ def test_stream_pq_codes_table_intra_batch_duplicates(spark, tmp_path):
     got = {r["vec_id"]: list(r["codes"]) for r in rows}
     want = {r["vec_id"]: list(r["codes"]) for r in pq_encode(emb, books).collect()}
     assert got == want
+
+
+def test_canonical_normed_bit_equals_scalar_fold():
+    """The r10 memory fix: _canonical_normed reads the corpus through
+    numpy (O(rows × dim) arrays, no Python object graphs) — its
+    column-by-column accumulation must stay BIT-IDENTICAL to the
+    scalar sequential left fold the oracle CTE replays (np.sum's
+    pairwise summation would not be)."""
+    import pyarrow.dataset as pds
+
+    from rick_and_morty_data_pipeline_project_spark.queries.pqq import (
+        _canonical_normed,
+        _fold_norm,
+    )
+
+    ids, Xn = _canonical_normed(SF_SMALL)
+    rows = (
+        pds.dataset(f"{SF_SMALL}/embeddings.parquet", format="parquet")
+        .to_table(columns=["vec_id", "embedding"])
+        .to_pylist()
+    )
+    by_id = {int(r["vec_id"]): r["embedding"] for r in rows}
+    assert len(ids) == len(by_id)
+    for r in range(len(ids)):
+        want = _fold_norm(by_id[int(ids[r])])
+        got = Xn[r].tolist()
+        assert got == want  # bit-for-bit, every row
