@@ -29,10 +29,24 @@ QUIET_LOAD_MAX = 3.0
 # carried IN the artifact so a reviewer of a contended recording can
 # compare like-for-like without hunting through PERFORMANCE.md.
 # Updated whenever the builder re-measures on a quiet host.
+# r10 re-measure (the r9 verdict's item 4): best of three back-to-back
+# runs of identical code, pre-loads 1.72/3.15/5.93 — the r8-era 11.796
+# (pre-load 0.03) was reproducible by NOBODY this host era (builder
+# best 13.578, judge best 15.764 on identical code) and is kept below
+# as a historical host-mode annotation, not a target.
 BUILDER_QUIET_REFERENCE = {
-    "value": 11.796,
-    "host_load_1m_pre": 0.03,
-    "recorded": "2026-08-15 (round 8, third session)",
+    "value": 14.665,
+    "host_load_1m_pre": 5.93,
+    "recorded": "2026-08-15 (round 10; three-run spread "
+    "14.665/14.747/16.349 at pre-loads 5.93/1.72/3.15 — load and "
+    "wall time do not correlate on this host)",
+    "historical_host_mode": {
+        "value": 11.796,
+        "host_load_1m_pre": 0.03,
+        "recorded": "2026-08-15 (round 8, third session)",
+        "note": "pre-r9 host era; unreproducible since (18% "
+        "run-to-run spread measured on identical code)",
+    },
 }
 
 HEADLINE = [
