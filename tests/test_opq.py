@@ -1,0 +1,112 @@
+"""OPQ (trained-rotation PQ, Ge et al. CVPR 2013 — the r9 verdict's
+stretch #9): rotation learning, distance preservation, and the
+recall/error claim vs plain PQ on a fixture with CORRELATED
+dimensions (the regime the paper targets; an isotropic fixture would
+show no gap by construction)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from rick_and_morty_data_pipeline_project_spark.operators.opq import (
+    opq_encode,
+    opq_fit,
+    quantization_mse,
+)
+from rick_and_morty_data_pipeline_project_spark.operators.pq import (
+    pq_fit_books,
+    pq_topk,
+)
+
+_M, _K = 8, 16
+
+
+def _correlated_fixture(n=1024, d=64, latent=6, seed=11):
+    """Energy concentrated in a low-dim latent subspace mixed across
+    all coordinates — plain PQ's fixed slices each see a smeared copy
+    of the same latent signal; a trained rotation can concentrate and
+    re-balance it."""
+    rng = np.random.RandomState(seed)
+    mix = np.linalg.qr(rng.randn(d, d))[0][:, :latent]  # orthonormal cols
+    Z = rng.randn(n, latent) * np.linspace(10.0, 3.0, latent)[None, :]
+    return Z @ mix.T + rng.randn(n, d) * 0.05
+
+
+def test_opq_rotation_is_orthogonal_and_deterministic():
+    X = _correlated_fixture()
+    R1, books1 = opq_fit(X, _M, _K, n_outer=4)
+    R2, books2 = opq_fit(X, _M, _K, n_outer=4)
+    assert np.allclose(R1 @ R1.T, np.eye(X.shape[1]), atol=1e-9)
+    assert (R1 == R2).all() and books1 == books2  # same sample => same fit
+
+
+def test_opq_objective_monotone_and_beats_pq():
+    """Alternating minimization cannot increase the objective, and on
+    correlated data the trained rotation must beat the identity (plain
+    PQ) by a real margin."""
+    X = _correlated_fixture()
+    mses = []
+    for outer in (0, 2, 4, 8):
+        R, books = opq_fit(X, _M, _K, n_outer=outer)
+        mses.append(quantization_mse(X, R, books))
+    assert all(b <= a + 1e-9 for a, b in zip(mses, mses[1:])), mses
+    pq_mse = quantization_mse(
+        X, np.eye(X.shape[1]), pq_fit_books(X, _M, _K)
+    )
+    assert mses[-1] < 0.8 * pq_mse, (mses[-1], pq_mse)
+
+
+def test_opq_recall_beats_pq_on_correlated_corpus(spark):
+    """End-to-end through the DISTRIBUTED path: opq_encode codes +
+    rotated queries through the unchanged pq_topk ADC scorer must
+    recall more exact-top-10 neighbors than plain PQ on the same
+    corpus (distances are preserved because R is orthogonal, so the
+    comparison is apples-to-apples)."""
+    from rick_and_morty_data_pipeline_project_spark.operators.pq import (
+        pq_encode,
+    )
+
+    X = _correlated_fixture()
+    n = len(X)
+    df = spark.createDataFrame(
+        [(int(i), X[i].tolist()) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    ).cache()
+
+    R, opq_books = opq_fit(X, _M, _K, n_outer=8)
+    pq_books = pq_fit_books(X, _M, _K)
+    opq_codes = opq_encode(df, R, opq_books)
+    pq_codes = pq_encode(df, pq_books)
+
+    q_ids = list(range(0, 200, 10))
+    ids = list(range(n))
+
+    def recall(res, rotate):
+        hits = 0
+        for qid in q_ids:
+            qa = X[qid] @ R if rotate else X[qid]
+            del qa  # exact truth is rotation-independent
+            exact = sorted(
+                ids, key=lambda v: (((X[v] - X[qid]) ** 2).sum(), v)
+            )[:10]
+            got = {r["vec_id"] for r in res if r["query_id"] == qid}
+            hits += len(got & set(exact))
+        return hits / (10 * len(q_ids))
+
+    r_opq = recall(
+        pq_topk(
+            [(i, (X[i] @ R).tolist()) for i in q_ids],
+            opq_codes,
+            opq_books,
+            top_k=10,
+        ).collect(),
+        rotate=True,
+    )
+    r_pq = recall(
+        pq_topk(
+            [(i, X[i].tolist()) for i in q_ids], pq_codes, pq_books, top_k=10
+        ).collect(),
+        rotate=False,
+    )
+    assert r_opq >= r_pq + 0.1, (r_opq, r_pq)
+    assert r_opq >= 0.3, r_opq

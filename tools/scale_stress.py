@@ -107,6 +107,7 @@ def _scale_embeddings(spark, base, out_dir, mult):
 
 def main() -> None:
     mult, base, out_path = 20, "/root/testdata/sf0.1", None
+    battery = QUERIES
     for a in sys.argv[1:]:
         if a.startswith("--mult="):
             mult = int(a.split("=", 1)[1])
@@ -114,6 +115,10 @@ def main() -> None:
             base = a.split("=", 1)[1]
         elif a.startswith("--out="):
             out_path = a.split("=", 1)[1]
+        elif a.startswith("--queries="):
+            # comma-separated subset (the 100x tier runs the cheapest
+            # operators only; r9 verdict stretch #8)
+            battery = a.split("=", 1)[1].split(",")
 
     from pyspark.sql import SparkSession
 
@@ -142,7 +147,7 @@ def main() -> None:
         )
 
         results = {}
-        for name in QUERIES:
+        for name in battery:
             fn = CAT[name].fn
             row = {}
             for label, sf in (("base", base), (f"x{mult}", scaled)):
