@@ -289,26 +289,32 @@ def _jvm_ivfpq_index(normed_df, cents, books, dim):
 
 
 def _assert_same_codes(op_df, jvm_df, cols, what):
-    joined = op_df.alias("a").join(jvm_df.alias("b"), "vec_id")
-    # the inner join would silently drop a vector missing from either
-    # side, so a row-count divergence must fail before the column check
-    n_op, n_jvm, n_joined = op_df.count(), jvm_df.count(), joined.count()
-    if not (n_op == n_jvm == n_joined):
-        raise AssertionError(
-            f"{what}: row-count divergence between the operator output "
-            f"({n_op}), the JVM fold replay ({n_jvm}) and their join "
-            f"({n_joined}) — a vector is missing from one side"
-        )
+    # FULL OUTER join so a vector missing from either side is a loud
+    # error, not silently dropped (r10 advisory) — and ONE pass over
+    # the expensive fold replay: the missing-row and diverged-codes
+    # counts ride a single aggregate (a three-counts formulation would
+    # evaluate the un-checkpointed replay three times).
+    joined = op_df.alias("a").join(jvm_df.alias("b"), "vec_id", "full_outer")
+    miss = F.col(f"a.{cols[0]}").isNull() | F.col(f"b.{cols[0]}").isNull()
     diff = None
     for c in cols:
         ne = F.col(f"a.{c}") != F.col(f"b.{c}")
         diff = ne if diff is None else (diff | ne)
-    n_bad = joined.filter(diff).count()
-    if n_bad:
+    row = joined.select(
+        F.count(F.when(miss, 1)).alias("n_missing"),
+        F.count(F.when(~miss & diff, 1)).alias("n_bad"),
+    ).collect()[0]
+    if row["n_missing"]:
+        raise AssertionError(
+            f"{what}: {row['n_missing']} vectors present on only one "
+            "side of the operator-vs-replay compare — a row went "
+            "missing from the encode or the fold replay"
+        )
+    if row["n_bad"]:
         raise AssertionError(
             f"{what}: the operator's numpy encode diverged from the "
-            f"JVM fold replay on {n_bad} vectors — a near-tie argmin "
-            "flipped between summation orders; the oracle would "
+            f"JVM fold replay on {row['n_bad']} vectors — a near-tie "
+            "argmin flipped between summation orders; the oracle would "
             "hash-mismatch, failing loudly here instead"
         )
 

@@ -443,3 +443,31 @@ def test_canonical_normed_bit_equals_scalar_fold():
         want = _fold_norm(by_id[int(ids[r])])
         got = Xn[r].tolist()
         assert got == want  # bit-for-bit, every row
+
+
+def test_assert_same_codes_catches_missing_and_diverged(spark):
+    """Regression (r10 advisory): the operator-vs-replay compare must
+    fail loudly BOTH when a vector is missing from one side (the old
+    inner join silently dropped it) and when codes diverge."""
+    import pytest
+
+    from rick_and_morty_data_pipeline_project_spark.queries.pqq import (
+        _assert_same_codes,
+    )
+
+    a = spark.createDataFrame(
+        [(1, [0, 1]), (2, [1, 1])], "vec_id long, codes array<int>"
+    )
+    b_missing = spark.createDataFrame(
+        [(1, [0, 1])], "vec_id long, codes array<int>"
+    )
+    with pytest.raises(AssertionError, match="missing"):
+        _assert_same_codes(a, b_missing, ["codes"], "t")
+
+    b_diverged = spark.createDataFrame(
+        [(1, [0, 1]), (2, [1, 2])], "vec_id long, codes array<int>"
+    )
+    with pytest.raises(AssertionError, match="diverged"):
+        _assert_same_codes(a, b_diverged, ["codes"], "t")
+
+    _assert_same_codes(a, a, ["codes"], "t")  # equal sides pass

@@ -116,6 +116,7 @@ ANNOTATED = {
     "scalar_variant_functions": "VARIANT path: parse_json decodes each row once into the binary encoding, typed variant_get extraction, one aggregate — all JVM, no string re-parse per access",
     "coarsen_layout_audit": "partition coarsener certified end-to-end (r10): stage ~81 tiny month partitions, run the first-fit in-place rewrite (plan window over one row per partition VALUE; ONE shuffle by merge group; observe-metric row verification), audit the post-coarsen layout — n_files pinned 1 per group by the oracle; cost is staging-bound (two physical table writes), the operator's own plan is the scale story",
     "evolution_generation_census": "schema-generation census (r10): binaryFile listing → ONE Arrow-batched mapInPandas footer sniff (no row data read, bytes never shuffle) → signature-keyed count; file counts replayed by DuckDB as distinct-partition-value counts",
+    "knn_cosine_opq": "OPQ ANN (r10): trained orthogonal rotation (driver-side, bounded sample) + the unchanged PQ ADC scan — rotation is one GEMM per Arrow encode batch, search still reads m=8 small ints per vector; the fold-rotation relation and single-pass full-outer code compare are BOUNDED verification (≤1M rows), switched off at production scale",
 }
 
 
