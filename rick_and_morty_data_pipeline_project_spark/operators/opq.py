@@ -42,6 +42,7 @@ from pyspark.sql import types as T
 
 from rick_and_morty_data_pipeline_project_spark.operators.pq import (
     _subspaces,
+    argmin_codes,
     pq_fit_books,
 )
 
@@ -53,12 +54,11 @@ def _reconstruct(
     centroid — the X̂ of the Procrustes step."""
     m = len(books)
     spans = _subspaces(Xr.shape[1], m)
+    B = [np.asarray(b, dtype=np.float64) for b in books]
+    codes = argmin_codes(Xr, B, spans)  # the one shared encode arithmetic
     out = np.empty_like(Xr)
     for j, (lo, hi) in enumerate(spans):
-        B = np.asarray(books[j], dtype=np.float64)
-        S = Xr[:, lo:hi]
-        d2 = (B**2).sum(axis=1)[None, :] - 2.0 * (S @ B.T)
-        out[:, lo:hi] = B[d2.argmin(axis=1)]
+        out[:, lo:hi] = B[j][codes[:, j]]
     return out
 
 
@@ -101,7 +101,7 @@ def opq_encode(
     streaming anti-join upsert (streaming/pq_ingest.py) composes
     unchanged."""
     m = len(codebooks)
-    dim = sum(len(b[0]) for b in codebooks) // m * m
+    dim = sum(len(b[0]) for b in codebooks)
     spans = _subspaces(dim, m)
     books = [np.asarray(b, dtype=np.float64) for b in codebooks]
     Rm = np.asarray(R, dtype=np.float64)
@@ -117,13 +117,7 @@ def opq_encode(
 
         for b in batches:
             V = np.array(list(b[vec_col]), dtype=np.float64) @ Rm
-            codes = np.empty((len(V), m), dtype=np.int32)
-            for j, (lo, hi) in enumerate(spans):
-                S = V[:, lo:hi]
-                d2 = (books[j] ** 2).sum(axis=1)[None, :] - 2.0 * (
-                    S @ books[j].T
-                )
-                codes[:, j] = d2.argmin(axis=1)
+            codes = argmin_codes(V, books, spans)
             yield pd.DataFrame(
                 {id_col: b[id_col], "codes": list(map(list, codes))}
             )

@@ -103,6 +103,25 @@ def pq_fit_books(
     ]
 
 
+def argmin_codes(
+    V: "np.ndarray",
+    books: Sequence["np.ndarray"],
+    spans: Sequence[tuple],
+) -> "np.ndarray":
+    """Vectorized per-subspace nearest-centroid codes for a batch —
+    THE encode arithmetic, shared by ``pq_encode``, ``ivf_pq_index``'s
+    residual path and ``opq.opq_encode`` so a tie-break or dtype change
+    can never drift between them.  ``||s − c||² = ||s||² − 2 s·c +
+    ||c||²``; the row-constant ``||s||²`` cannot change the argmin."""
+    m = len(books)
+    codes = np.empty((len(V), m), dtype=np.int32)
+    for j, (lo, hi) in enumerate(spans):
+        S = V[:, lo:hi]
+        d2 = (books[j] ** 2).sum(axis=1)[None, :] - 2.0 * (S @ books[j].T)
+        codes[:, j] = d2.argmin(axis=1)
+    return codes
+
+
 def pq_encode(
     df: DataFrame,
     codebooks: Sequence[Sequence[Sequence[float]]],
@@ -113,7 +132,7 @@ def pq_encode(
     argmin per subspace.  The codes column is the ENTIRE index the
     search path scans."""
     m = len(codebooks)
-    dim = sum(len(b[0]) for b in codebooks) // m * m
+    dim = sum(len(b[0]) for b in codebooks)
     spans = _subspaces(dim, m)
     books = [np.array(b, dtype=np.float64) for b in codebooks]
     out_schema = T.StructType(
@@ -126,15 +145,7 @@ def pq_encode(
     def encode(batches):
         for b in batches:
             V = np.array(list(b[vec_col]), dtype=np.float64)
-            codes = np.empty((len(V), m), dtype=np.int32)
-            for j, (lo, hi) in enumerate(spans):
-                S = V[:, lo:hi]
-                # ||s - c||² = ||s||² - 2 s·c + ||c||²; row-constant
-                # ||s||² cannot change the argmin
-                d2 = (books[j] ** 2).sum(axis=1)[None, :] - 2.0 * (
-                    S @ books[j].T
-                )
-                codes[:, j] = d2.argmin(axis=1)
+            codes = argmin_codes(V, books, spans)
             import pandas as pd
 
             yield pd.DataFrame(
@@ -299,7 +310,7 @@ def ivf_pq_index(
     Arrow pass; the output relation (int + m small ints per row) IS
     the entire search-time index."""
     m = len(codebooks)
-    dim = sum(len(b[0]) for b in codebooks) // m * m
+    dim = sum(len(b[0]) for b in codebooks)
     spans = _subspaces(dim, m)
     books = [np.array(b, dtype=np.float64) for b in codebooks]
     C = np.array(coarse_centroids, dtype=np.float64)
@@ -318,14 +329,7 @@ def ivf_pq_index(
             V = np.array(list(b[vec_col]), dtype=np.float64)
             d2 = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
             cells = d2.argmin(axis=1).astype(np.int32)
-            R = V - C[cells]  # residuals
-            codes = np.empty((len(V), m), dtype=np.int32)
-            for j, (lo, hi) in enumerate(spans):
-                S = R[:, lo:hi]
-                dj = (books[j] ** 2).sum(axis=1)[None, :] - 2.0 * (
-                    S @ books[j].T
-                )
-                codes[:, j] = dj.argmin(axis=1)
+            codes = argmin_codes(V - C[cells], books, spans)  # residuals
             yield pd.DataFrame(
                 {
                     id_col: b[id_col],

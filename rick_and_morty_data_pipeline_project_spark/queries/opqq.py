@@ -72,7 +72,7 @@ from rick_and_morty_data_pipeline_project_spark.queries.pqq import (
     _jvm_pq_codes,
     _lit_list,
     _lit_list2,
-    _oracle_canon,
+    ORACLE_CANON,
     _pq_oracle_sql,  # noqa: F401  (fingerprint anchor: this module's
     #   oracle tail mirrors the PQ oracle's CTE chain — tie the stale
     #   detector to its source)
@@ -226,14 +226,10 @@ FROM ranked WHERE rank <= {_TOPK}
 """
 
 
-def _build_oracle() -> str | None:
-    try:
-        canon, X = _oracle_canon()
-        return _opq_oracle_sql(canon, X)
-    except Exception:
-        return None  # rows-only fallback when the testdata tree is absent
-
-
+# pqq already ran (or OSError-skipped) the one canonical replay at its
+# import; reuse it — and let any REAL builder bug raise at import
+# instead of silently degrading the certification to rows-only (the
+# frozen-core pin exists precisely to keep this set from growing).
 QUERIES: dict[str, Q] = {
-    "knn_cosine_opq": Q(knn_cosine_opq, _build_oracle()),
+    "knn_cosine_opq": Q(knn_cosine_opq, _opq_oracle_sql(*ORACLE_CANON)),
 }

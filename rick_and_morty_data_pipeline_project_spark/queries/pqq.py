@@ -603,11 +603,14 @@ FROM ranked WHERE rank <= {_TOPK}
 
 
 try:
-    _CANON, _X = _oracle_canon()
-    KNN_PQ_SQL = _pq_oracle_sql(_CANON, _X)
-    KNN_IVFPQ_SQL = _ivfpq_oracle_sql(_CANON, _X)
-    del _CANON, _X  # free the full-corpus replay after the literals land
+    # shared with queries/opqq.py (one canonical replay per import for
+    # ALL three builders; numpy-backed since r10 — ~300 KB at sf0.01,
+    # so keeping it resident replaced the old free-after-use del)
+    ORACLE_CANON = _oracle_canon()
+    KNN_PQ_SQL = _pq_oracle_sql(*ORACLE_CANON)
+    KNN_IVFPQ_SQL = _ivfpq_oracle_sql(*ORACLE_CANON)
 except OSError:  # testdata not present on this machine
+    ORACLE_CANON = (None, None)
     KNN_PQ_SQL = None
     KNN_IVFPQ_SQL = None
 

@@ -35,6 +35,7 @@ from __future__ import annotations
 from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from rick_and_morty_data_pipeline_project_spark.operators.pq import (
     pq_encode,
@@ -62,9 +63,14 @@ def stream_pq_codes_table(
             batch.select(id_col, vec_col), codebooks, id_col, vec_col
         )
         # intra-batch duplicates would insert duplicate rows (the
-        # anti-join only dedupes ACROSS batches); safe to drop — codes
-        # are a pure function of the vector, so duplicates are identical
-        codes = codes.dropDuplicates([id_col])
+        # anti-join only dedupes ACROSS batches).  Reduce them
+        # DETERMINISTICALLY (lexicographic max over the codes array)
+        # rather than dropDuplicates' arbitrary pick: if a batch ever
+        # carries the same id with two DIFFERENT vectors, a crash-replay
+        # must still rebuild the identical table (same-vector
+        # duplicates — the documented case — are identical rows either
+        # way, since codes are a pure function of the vector)
+        codes = codes.groupBy(id_col).agg(F.max("codes").alias("codes"))
         if current is None:
             return codes
         return current.join(codes, id_col, "left_anti").unionByName(codes)

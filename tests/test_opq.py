@@ -81,11 +81,10 @@ def test_opq_recall_beats_pq_on_correlated_corpus(spark):
     q_ids = list(range(0, 200, 10))
     ids = list(range(n))
 
-    def recall(res, rotate):
+    def recall(res):
         hits = 0
         for qid in q_ids:
-            qa = X[qid] @ R if rotate else X[qid]
-            del qa  # exact truth is rotation-independent
+            # exact truth is rotation-independent (R is orthogonal)
             exact = sorted(
                 ids, key=lambda v: (((X[v] - X[qid]) ** 2).sum(), v)
             )[:10]
@@ -99,14 +98,12 @@ def test_opq_recall_beats_pq_on_correlated_corpus(spark):
             opq_codes,
             opq_books,
             top_k=10,
-        ).collect(),
-        rotate=True,
+        ).collect()
     )
     r_pq = recall(
         pq_topk(
             [(i, X[i].tolist()) for i in q_ids], pq_codes, pq_books, top_k=10
-        ).collect(),
-        rotate=False,
+        ).collect()
     )
     assert r_opq >= r_pq + 0.1, (r_opq, r_pq)
     assert r_opq >= 0.3, r_opq

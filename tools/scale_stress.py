@@ -11,7 +11,10 @@ fan_out), and times a battery of the scale-sensitive catalog queries
 min-of-2 against both the base SF and the scaled tree.
 
 Usage:
-  python tools/scale_stress.py [--mult N] [--base SF_DIR] [--out PATH]
+  python tools/scale_stress.py [--mult=N] [--base=SF_DIR] [--out=PATH]
+      [--queries=name,name,...]   (subset of the default battery —
+                                   the 100x tier runs the cheapest
+                                   operators only)
 
 The per-query ratio column is the evidence: an operator whose
 wall-clock grows ~linearly (or better) in rows while its plan holds
@@ -122,6 +125,17 @@ def main() -> None:
 
     from pyspark.sql import SparkSession
 
+    from rick_and_morty_data_pipeline_project_spark.queries.catalog import (
+        QUERIES as CAT,
+    )
+
+    # validate the battery BEFORE the expensive N-times staging: a
+    # typo'd --queries= name must fail in milliseconds, not after
+    # minutes of corpus tiling
+    unknown = [q for q in battery if q not in CAT]
+    if unknown:
+        raise SystemExit(f"unknown --queries= names: {unknown}")
+
     spark = (
         SparkSession.builder.master("local[32]")
         .config("spark.sql.shuffle.partitions", "32")
@@ -141,10 +155,6 @@ def main() -> None:
             os.symlink(
                 f"{base}/{t_}.parquet", f"{scaled}/{t_}.parquet"
             )
-
-        from rick_and_morty_data_pipeline_project_spark.queries.catalog import (
-            QUERIES as CAT,
-        )
 
         results = {}
         for name in battery:
