@@ -212,17 +212,20 @@ unscheduled, full list in ``tools/stale_carryover.json``), then the 6
 displaced r04 over-age entries (``dedup_source_matrix``,
 ``events_funnel_steps``, ``events_funnel_summary``,
 ``events_key_skew_report``, ``events_sliding_uniques``,
-``events_value_histogram`` — age 6 at this freeze), flagship, the 3
+``events_value_histogram`` — age 6 at this freeze), flagship, the 4
 r10 births (``coarsen_layout_audit`` and
 ``evolution_generation_census`` — the r9 verdict's item 5 — plus
-``knn_cosine_opq``, the stretch-#9 OPQ certification; all scheduled
-at their own birth freeze so no one-cycle exemption is consumed), the
-2 rule-2 PQ re-greens (``knn_cosine_pq``/``knn_cosine_ivfpq`` — the
-r10 advisory fix added a row-count guard to their shared assertion
-helper), and 25 of the 41 r05-vintage greens (alphabetical; the 16
-remaining r05 entries are SWEEP_r10-covered under policy v2 and lead
-the r11 oldest-green pool).
-13 + 6 + 1 + 3 + 2 + 25 = 50.
+``knn_cosine_opq``, the stretch-#9 OPQ certification, and
+``compact_layout_audit``, the file-granularity compaction executor
+that retires the lakehouse family's last tests-only surface; all
+scheduled at their own birth freeze so no one-cycle exemption is
+consumed), the 2 rule-2 PQ re-greens
+(``knn_cosine_pq``/``knn_cosine_ivfpq`` — the r10 advisory fix added
+a row-count guard to their shared assertion helper), and 24 of the 41
+r05-vintage greens (alphabetical; the 17 remaining r05 entries are
+SWEEP_r10-covered under policy v2 and lead the r11 oldest-green
+pool).
+13 + 6 + 1 + 4 + 2 + 24 = 50.
 """
 
 from __future__ import annotations
@@ -230,6 +233,7 @@ from __future__ import annotations
 from rick_and_morty_data_pipeline_project_spark.queries import (
     bpeq,
     coarsenq,
+    compactq,
     extraq,
     lakeq,
     mmq,
@@ -250,7 +254,7 @@ from rick_and_morty_data_pipeline_project_spark.queries._util import Q
 _ALL: dict[str, Q] = {}
 for mod in (
     tpch, tpchx, tpchf, textq, vecq, extraq, mmq, reference, sketchq, bpeq,
-    retrievalq, lakeq, statsq, pqq, coarsenq, opqq,
+    retrievalq, lakeq, statsq, pqq, coarsenq, opqq, compactq,
 ):
     for name, q in mod.QUERIES.items():
         assert name not in _ALL, f"duplicate query name: {name}"
@@ -267,14 +271,14 @@ for mod in (
 #   unscheduled; tools/stale_carryover.json)
 # + 6 displaced r04 over-age refreshes (age 6 at this freeze)
 # + flagship
-# + 3 r10 births (the coarsen/census lakehouse certifications + the
-#   OPQ certification, scheduled at their birth freeze so no
+# + 4 r10 births (the coarsen/census/compact lakehouse certifications
+#   + the OPQ certification, scheduled at their birth freeze so no
 #   exemption is consumed)
 # + 2 rule-2 PQ re-greens (the advisory row-count-guard change)
-# + 25 oldest-green refreshes (r05 vintage, alphabetical; the 16
+# + 24 oldest-green refreshes (r05 vintage, alphabetical; the 17
 #   remaining r05 entries are SWEEP_r10-covered under policy v2 and
 #   lead the r11 oldest-green pool).
-# 13+6+1+3+2+25 = 50.
+# 13+6+1+4+2+24 = 50.
 DRIVER_WINDOW: tuple[str, ...] = (
     # ========== 13 stale-carryover re-greens (rule-1-equivalent) =====
     "decontaminate_embedding_overlap",
@@ -299,18 +303,19 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "events_value_histogram",
     # ========== flagship (standing, every round) =====================
     "flagship_greedy_match",
-    # ========== 3 r10 births: driver-certified lakehouse maintenance
-    # + the OPQ certification (queries/opqq.py, stretch #9)
+    # ========== 4 r10 births: driver-certified lakehouse maintenance
+    # (coarsenq + compactq) + the OPQ certification (opqq, stretch #9)
     # (queries/coarsenq.py — the r9 verdict's item 5) =================
     "coarsen_layout_audit",
     "evolution_generation_census",
     "knn_cosine_opq",
+    "compact_layout_audit",
     # ========== 2 rule-2 re-greens: the r10 advisory fix added a
     # row-count guard to pqq._assert_same_codes, so both PQ
     # certifications re-earn their rows under the changed code ========
     "knn_cosine_pq",
     "knn_cosine_ivfpq",
-    # ========== 25 oldest-green refreshes (r05 vintage) ==============
+    # ========== 24 oldest-green refreshes (r05 vintage) ==============
     "dedup_cluster_representatives",
     "dedup_exact_stats",
     "dedup_incremental_batch",
@@ -332,7 +337,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "events_user_trend",
     "join_anti_customers_without_orders",
     "join_fuzzy_customer_names",
-    "pipeline_filter_funnel",
     "q1_pricing_summary",
     "q3_top_unshipped_orders",
     "q5_nation_volume",
@@ -571,7 +575,6 @@ _R05_WINDOW: tuple[str, ...] = (
     "text_pack_buckets",
     "text_shard_index",
     "unpivot_emotion_scores",
-    "pipeline_filter_funnel",
     # -- §2.10 dedup (containment / span / incremental Bloom) --------
     "dedup_ngram_containment",
     "dedup_span_profile",

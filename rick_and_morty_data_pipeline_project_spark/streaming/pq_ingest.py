@@ -52,16 +52,39 @@ def stream_pq_codes_table(
     checkpoint_dir: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    rotation=None,
 ):
     """Maintain a durable (id, codes) parquet table from a vector
     stream: encode each micro-batch with the frozen ``codebooks`` and
     upsert by id (new codes win — idempotent, since codes are a pure
-    function of the vector)."""
+    function of the vector).
+
+    ``rotation``: an optional frozen orthogonal matrix — pass the R
+    from ``opq.opq_fit`` to maintain an OPQ codes table instead (the
+    encode becomes ``opq.opq_encode``: one extra GEMM per Arrow batch;
+    codes stay a pure function of (vector, R, books), so every
+    idempotence/restart property carries over unchanged — pinned in
+    tests/test_pq.py).  Like the books, R is frozen by design:
+    re-fitting a rotation on the stream would re-shape every
+    previously issued code."""
 
     def _apply(batch: DataFrame, current: Optional[DataFrame]) -> DataFrame:
-        codes = pq_encode(
-            batch.select(id_col, vec_col), codebooks, id_col, vec_col
-        )
+        if rotation is not None:
+            from rick_and_morty_data_pipeline_project_spark.operators.opq import (
+                opq_encode,
+            )
+
+            codes = opq_encode(
+                batch.select(id_col, vec_col),
+                rotation,
+                codebooks,
+                id_col,
+                vec_col,
+            )
+        else:
+            codes = pq_encode(
+                batch.select(id_col, vec_col), codebooks, id_col, vec_col
+            )
         # intra-batch duplicates would insert duplicate rows (the
         # anti-join only dedupes ACROSS batches).  Reduce them
         # DETERMINISTICALLY (lexicographic max over the codes array)

@@ -471,3 +471,52 @@ def test_assert_same_codes_catches_missing_and_diverged(spark):
         _assert_same_codes(a, b_diverged, ["codes"], "t")
 
     _assert_same_codes(a, a, ["codes"], "t")  # equal sides pass
+
+
+def test_stream_opq_codes_table_matches_batch(spark, tmp_path):
+    """The rotation parameter (r10): streaming encode-on-arrival with a
+    frozen OPQ rotation maintains a table bit-identical to one batch
+    opq_encode over the same rows, across two micro-batches."""
+    from rick_and_morty_data_pipeline_project_spark.operators.opq import (
+        opq_encode,
+        opq_fit,
+    )
+    from rick_and_morty_data_pipeline_project_spark.streaming.pq_ingest import (
+        stream_pq_codes_table,
+    )
+
+    emb = _corpus(spark).select("vec_id", "embedding").limit(40)
+    X = np.array(
+        [r["embedding"] for r in emb.orderBy("vec_id").collect()],
+        dtype=np.float64,
+    )
+    R, books = opq_fit(X, _M, _K, n_outer=2)
+    in_dir = tmp_path / "incoming"
+    in_dir.mkdir()
+    for i in range(2):
+        emb.filter(F.col("vec_id") % 2 == i).coalesce(1).write.parquet(
+            str(in_dir / f"chunk_{i}.parquet")
+        )
+
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir) + "/*/")
+    )
+    stream_pq_codes_table(
+        stream,
+        books,
+        str(tmp_path / "codes"),
+        str(tmp_path / "ckpt"),
+        rotation=R,
+    ).awaitTermination()
+
+    got = {
+        r["vec_id"]: list(r["codes"])
+        for r in spark.read.parquet(str(tmp_path / "codes")).collect()
+    }
+    want = {
+        r["vec_id"]: list(r["codes"])
+        for r in opq_encode(emb, R, books).collect()
+    }
+    assert got == want

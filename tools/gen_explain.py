@@ -117,6 +117,7 @@ ANNOTATED = {
     "coarsen_layout_audit": "partition coarsener certified end-to-end (r10): stage ~81 tiny month partitions, run the first-fit in-place rewrite (plan window over one row per partition VALUE; ONE shuffle by merge group; observe-metric row verification), audit the post-coarsen layout — n_files pinned 1 per group by the oracle; cost is staging-bound (two physical table writes), the operator's own plan is the scale story",
     "evolution_generation_census": "schema-generation census (r10): binaryFile listing → ONE Arrow-batched mapInPandas footer sniff (no row data read, bytes never shuffle) → signature-keyed count; file counts replayed by DuckDB as distinct-partition-value counts",
     "knn_cosine_opq": "OPQ ANN (r10): trained orthogonal rotation (driver-side, bounded sample) + the unchanged PQ ADC scan — rotation is one GEMM per Arrow encode batch, search still reads m=8 small ints per vector; the fold-rotation relation and single-pass full-outer code compare are BOUNDED verification (≤1M rows), switched off at production scale",
+    "compact_layout_audit": "small-file compaction certified end-to-end (r10): per-file counts from ONE input_file_name aggregate, BFD packing driver-side over the file LIST (bounded by file count, not data), rewrite = one bin-keyed shuffle + partitionBy write (one file per bin, pinned by the oracle); staging-bound cost like coarsen — the operator plan is the scale story",
 }
 
 
