@@ -107,3 +107,69 @@ def test_opq_recall_beats_pq_on_correlated_corpus(spark):
     )
     assert r_opq >= r_pq + 0.1, (r_opq, r_pq)
     assert r_opq >= 0.3, r_opq
+
+
+def test_opq_ivf_beats_plain_ivfpq_on_correlated_corpus(spark):
+    """The faiss-style OPQ→IVF→PQ composition: on correlated data the
+    rotated index must beat plain IVFADC end-to-end through the
+    distributed path (same cells/books budget, full probe so the
+    comparison isolates quantization quality)."""
+    from rick_and_morty_data_pipeline_project_spark.operators.opq import (
+        opq_ivf_fit,
+        opq_ivf_index,
+    )
+    from rick_and_morty_data_pipeline_project_spark.operators.pq import (
+        ivf_pq_fit,
+        ivf_pq_index,
+        ivf_pq_topk,
+    )
+
+    X = _correlated_fixture()
+    n = len(X)
+    df = spark.createDataFrame(
+        [(int(i), X[i].tolist()) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    ).cache()
+
+    n_cells = 8
+    R, o_cents, o_books = opq_ivf_fit(X, n_cells, _M, _K, n_outer=8)
+    p_cents, p_books = ivf_pq_fit(X, n_cells, _M, _K)
+
+    idx_o = opq_ivf_index(df, R, o_cents, o_books)
+    idx_p = ivf_pq_index(df, p_cents, p_books)
+
+    q_ids = list(range(0, 200, 10))
+    ids = list(range(n))
+
+    def recall(res):
+        hits = 0
+        for qid in q_ids:
+            exact = sorted(
+                ids, key=lambda v: (((X[v] - X[qid]) ** 2).sum(), v)
+            )[:10]
+            got = {r["vec_id"] for r in res if r["query_id"] == qid}
+            hits += len(got & set(exact))
+        return hits / (10 * len(q_ids))
+
+    r_opq = recall(
+        ivf_pq_topk(
+            [(i, (X[i] @ R).tolist()) for i in q_ids],
+            idx_o,
+            o_cents,
+            o_books,
+            n_probe=n_cells,
+            top_k=10,
+        ).collect()
+    )
+    r_pq = recall(
+        ivf_pq_topk(
+            [(i, X[i].tolist()) for i in q_ids],
+            idx_p,
+            p_cents,
+            p_books,
+            n_probe=n_cells,
+            top_k=10,
+        ).collect()
+    )
+    assert r_opq >= r_pq + 0.05, (r_opq, r_pq)
+    assert r_opq >= 0.3, r_opq
