@@ -248,13 +248,14 @@ from rick_and_morty_data_pipeline_project_spark.queries import (
     tpchf,
     tpchx,
     vecq,
+    vecxq,
 )
 from rick_and_morty_data_pipeline_project_spark.queries._util import Q
 
 _ALL: dict[str, Q] = {}
 for mod in (
     tpch, tpchx, tpchf, textq, vecq, extraq, mmq, reference, sketchq, bpeq,
-    retrievalq, lakeq, statsq, pqq, coarsenq, opqq, compactq,
+    retrievalq, lakeq, statsq, pqq, coarsenq, opqq, compactq, vecxq,
 ):
     for name, q in mod.QUERIES.items():
         assert name not in _ALL, f"duplicate query name: {name}"

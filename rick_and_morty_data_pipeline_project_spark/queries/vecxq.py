@@ -1,0 +1,252 @@
+"""Vector-compression query family: binary-quantized kNN, multi-probe
+LSH, and sparse Johnson–Lindenstrauss projection.
+
+All three are fully hash-verified against DuckDB: the sign bits /
+bucket strings / projection matrix are frozen deterministic constants
+inlined as literals on BOTH sides, integer stages (word packing,
+Hamming) are exact by construction, and every float stage reuses the
+engine-wide normalize-then-left-fold dot the rest of the oracle suite
+already proves bit-equal (queries/vecq.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rick_and_morty_data_pipeline_project_spark.functions.vectors import (
+    cosine_sql,
+    dot_sql,
+)
+from rick_and_morty_data_pipeline_project_spark.operators.binquant import (
+    WORD_BITS,
+    knn_binary,
+    knn_lsh_multiprobe,
+)
+from rick_and_morty_data_pipeline_project_spark.operators.randproj import (
+    jl_matrix,
+    jl_scale,
+)
+from rick_and_morty_data_pipeline_project_spark.operators.similarity import (
+    _hyperplanes,
+)
+from rick_and_morty_data_pipeline_project_spark.queries._util import Q, t
+
+_DIM = 64
+_K = 5
+_SHORTLIST = 50
+_MP_PLANES = 6  # multi-probe table: same planes as table 0 of knn_cosine_lsh
+_JL_OUT = 16
+_JL_SEED = 7
+
+
+def knn_cosine_binary(spark, sf_dir):
+    """1-bit binary-quantization ANN: Hamming shortlist over packed
+    sign words (two BIGINTs per 64-dim vector — 32× smaller than
+    float32), exact cosine rerank on the 50-row shortlist only.  The
+    candidate stage is xor+popcount in whole-stage codegen; floats are
+    touched for |queries|·50 pairs, never |queries|·|corpus|."""
+    e = t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    return knn_binary(
+        queries, e, dim=_DIM, k=_K, shortlist=_SHORTLIST
+    )
+
+
+def _word_sql(vec: str, lo: int, n: int) -> str:
+    """BIGINT sign-word over ``vec[lo..lo+n-1]`` (1-based inclusive
+    slice), bit i weighted 2^i — mirrors binquant.sign_word_cols."""
+    weights = ", ".join(f"CAST({1 << i} AS BIGINT)" for i in range(n))
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(list_zip({vec}[{lo}:{lo + n - 1}], [{weights}]), "
+        f"p -> CASE WHEN p[1] >= 0 THEN p[2] ELSE CAST(0 AS BIGINT) END)), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+_N_WORDS = (_DIM + WORD_BITS - 1) // WORD_BITS
+_WORD_EXPRS = ",\n         ".join(
+    f"{_word_sql('embedding', w * WORD_BITS + 1, min(WORD_BITS, _DIM - w * WORD_BITS))} AS w{w}"
+    for w in range(_N_WORDS)
+)
+_HAMMING_SQL = " + ".join(
+    f"CAST(bit_count(xor(q.w{w}, c.w{w})) AS INT)" for w in range(_N_WORDS)
+)
+
+_DOT_SELF = dot_sql("embedding", "embedding")
+
+KNN_BINARY_SQL = f"""
+WITH words AS (
+  SELECT vec_id,
+         {_WORD_EXPRS}
+  FROM embeddings
+),
+ham AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ({_HAMMING_SQL}) AS hamming
+  FROM words q, words c
+  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+),
+short AS (
+  SELECT query_id, neighbor_id, hamming,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY hamming ASC, neighbor_id ASC) AS r
+  FROM ham
+),
+normed AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE / sqrt({_DOT_SELF})) AS nv
+  FROM embeddings
+),
+rer AS (
+  SELECT s.query_id, s.neighbor_id, s.hamming,
+         round({dot_sql("nq.nv", "nc.nv")}, 6) AS cosine
+  FROM short s
+  JOIN normed nq ON nq.vec_id = s.query_id
+  JOIN normed nc ON nc.vec_id = s.neighbor_id
+  WHERE s.r <= {_SHORTLIST}
+),
+ranked AS (
+  SELECT query_id, neighbor_id, hamming, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM rer
+)
+SELECT query_id, neighbor_id, hamming, cosine, rank
+FROM ranked WHERE rank <= {_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Multi-probe LSH: ONE table (the same seed-42 planes as table 0 of
+# knn_cosine_lsh), each query probing base + all Hamming-1 buckets.
+_MP_TABLE = _hyperplanes(_DIM, _MP_PLANES, 42)
+
+
+def knn_cosine_lsh_multiprobe(spark, sf_dir):
+    """Multi-probe LSH ANN (Lv et al., VLDB'07, 1-step probing): one
+    hash table does the recall work of several — the query probes its
+    own sign-bit bucket plus the 6 Hamming-1 perturbations.  Candidate
+    pairs are structurally unique (one corpus bucket × distinct probe
+    strings), so the plan has no dedup shuffle."""
+    e = t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    return knn_lsh_multiprobe(queries, e, _MP_TABLE, k=_K)
+
+
+def _lit_list_sql(plane: list[float]) -> str:
+    return "[" + ", ".join(repr(float(x)) for x in plane) + "]"
+
+
+def _bucket_sql(vec: str) -> str:
+    bits = " || ".join(
+        f"(CASE WHEN {dot_sql(vec, _lit_list_sql(p))} >= 0 "
+        f"THEN '1' ELSE '0' END)"
+        for p in _MP_TABLE
+    )
+    return f"({bits})"
+
+
+def _probe_sql(b: str, i: int) -> str:
+    """Probe string with 1-based bit ``i`` flipped."""
+    return (
+        f"(substr({b}, 1, {i - 1}) || "
+        f"(CASE WHEN substr({b}, {i}, 1) = '1' THEN '0' ELSE '1' END) || "
+        f"substr({b}, {i + 1}))"
+    )
+
+
+_PROBES_SQL = ", ".join(
+    ["bucket"] + [_probe_sql("bucket", i) for i in range(1, _MP_PLANES + 1)]
+)
+
+KNN_MULTIPROBE_SQL = f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_bucket_sql("embedding")} AS bucket
+  FROM embeddings
+),
+qp AS (
+  SELECT vec_id AS query_id, embedding AS qe,
+         unnest([{_PROBES_SQL}]) AS probe
+  FROM b WHERE vec_id < 10
+),
+cand AS (
+  SELECT qp.query_id, c.vec_id AS neighbor_id,
+         round({cosine_sql("qp.qe", "c.embedding")}, 6) AS cosine
+  FROM qp JOIN b c ON qp.probe = c.bucket
+  WHERE qp.query_id <> c.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM cand
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sparse JL projection: the matrix is seeded and data-independent, so
+# (unlike the PCA twin) the oracle needs no canonical-model staging —
+# the ±1/0 rows inline as pure literals.
+_JL_MATRIX = jl_matrix(_DIM, _JL_OUT, _JL_SEED)
+_JL_SCALE = jl_scale(_JL_OUT)
+
+
+def embedding_jl_project(spark, sf_dir):
+    """Achlioptas sparse random projection 64 → 16 (seeded ±1/0 matrix,
+    scale sqrt(3/16)) with the per-vector JL distortion audit
+    (norm_ratio = ‖proj‖/‖x‖).  One narrow per-row map — zero shuffle;
+    4× less dot-product work for every downstream ANN stage."""
+    from rick_and_morty_data_pipeline_project_spark.operators.randproj import (
+        jl_project,
+    )
+
+    e = t(spark, sf_dir, "embeddings")
+    return jl_project(e, _JL_MATRIX)
+
+
+_JL_PROJ_EXPRS = ",\n    ".join(
+    f"({_JL_SCALE!r} * {dot_sql('embedding', _lit_list_sql(row))})"
+    for row in _JL_MATRIX
+)
+
+JL_PROJECT_SQL = f"""
+WITH proj AS (
+  SELECT vec_id,
+         [{_JL_PROJ_EXPRS}] AS p,
+         sqrt({_DOT_SELF}) AS onorm
+  FROM embeddings
+),
+staged AS (
+  SELECT vec_id, p,
+         sqrt(list_reduce(list_prepend(0.0,
+                list_transform(p, x -> x * x)), (acc, x) -> acc + x))
+           / onorm AS ratio
+  FROM proj
+)
+SELECT vec_id,
+       generate_subscripts(p, 1) - 1 AS pos,
+       round(unnest(p), 6) AS proj_value,
+       round(ratio, 6) AS norm_ratio
+FROM staged
+"""
+
+
+QUERIES = {
+    "knn_cosine_binary": Q(
+        knn_cosine_binary,
+        KNN_BINARY_SQL,
+        "binary sign-quantized ANN: packed-word Hamming shortlist + exact rerank",
+    ),
+    "knn_cosine_lsh_multiprobe": Q(
+        knn_cosine_lsh_multiprobe,
+        KNN_MULTIPROBE_SQL,
+        "multi-probe LSH (1 table, Hamming-1 probe set)",
+    ),
+    "embedding_jl_project": Q(
+        embedding_jl_project,
+        JL_PROJECT_SQL,
+        "sparse Johnson-Lindenstrauss projection with distortion audit",
+    ),
+}
