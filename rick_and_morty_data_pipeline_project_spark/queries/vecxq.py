@@ -233,6 +233,49 @@ FROM staged
 """
 
 
+# ---------------------------------------------------------------------------
+# Exact all-pairs kNN graph (SemDeDup/clustering prerequisite) via
+# Arrow-batched blocked GEMM.  Oracle is the plain all-pairs fold +
+# rank; parity holds because scores round to 6 digits BEFORE ranking
+# and the rounding margin is empirically pinned at every shipped SF
+# (tests/test_vecx.py::test_gemm_graph_rounding_margin).
+
+
+def knn_graph_gemm(spark, sf_dir):
+    """Top-5 cosine neighbors for EVERY vector — one numpy GEMM per
+    Arrow batch against the broadcast unit-normalized corpus, per-row
+    exact top-k inside the batch, zero shuffle.  The vectorized scale
+    path for brute-force scoring: BLAS does the n·k·dim inner loop,
+    not a per-pair JVM fold."""
+    from rick_and_morty_data_pipeline_project_spark.operators.gemmknn import (
+        knn_graph_gemm as _graph,
+    )
+
+    e = t(spark, sf_dir, "embeddings")
+    return _graph(e, k=_K)
+
+
+KNN_GRAPH_SQL = f"""
+WITH normed AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE / sqrt({_DOT_SELF})) AS nv
+  FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round({dot_sql("q.nv", "c.nv")}, 6) AS cosine
+  FROM normed q, normed c
+  WHERE q.vec_id <> c.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {_K}
+"""
+
+
 QUERIES = {
     "knn_cosine_binary": Q(
         knn_cosine_binary,
@@ -248,5 +291,10 @@ QUERIES = {
         embedding_jl_project,
         JL_PROJECT_SQL,
         "sparse Johnson-Lindenstrauss projection with distortion audit",
+    ),
+    "knn_graph_gemm": Q(
+        knn_graph_gemm,
+        KNN_GRAPH_SQL,
+        "exact all-pairs kNN graph via Arrow-batched blocked GEMM",
     ),
 }

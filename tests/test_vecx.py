@@ -119,6 +119,66 @@ def test_binary_candidate_stage_is_integer_only(spark):
     assert "BroadcastNestedLoopJoin" in plan
 
 
+def test_gemm_graph_matches_bruteforce_subset(spark):
+    # the all-pairs graph restricted to the 10 standard query vectors
+    # must equal the fold-based exact kNN, pair for pair, cosine for
+    # cosine (both round to 6 before ranking)
+    from rick_and_morty_data_pipeline_project_spark.operators.gemmknn import (
+        knn_graph_gemm,
+    )
+
+    e = t(spark, SF_ORACLE, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"]): (r["cosine"], r["rank"])
+        for r in knn_bruteforce(q, e, k=5).collect()
+    }
+    graph = {
+        (r["query_id"], r["neighbor_id"]): (r["cosine"], r["rank"])
+        for r in knn_graph_gemm(e, k=5)
+        .filter(F.col("query_id") < 10)
+        .collect()
+    }
+    assert graph == exact
+
+
+def test_gemm_graph_rounding_margin():
+    # parity between the GEMM engine path and the fold oracle holds
+    # because no unrounded score sits near a 1e-6 rounding boundary
+    # within float noise: GEMM-vs-fold divergence is bounded by
+    # ~dim·eps ≈ 1.4e-14 for unit vectors, and the measured minimum
+    # boundary distance is 1.5e-13 / 1.6e-12 / 1.1e-13 score units at
+    # sf0.001/0.01/0.1 — ≥ 8× the noise bound everywhere, 100× at the
+    # driver-compare SF.  Pin > 2e-14 so a testdata regen that lands a
+    # score ON a boundary fails loudly here, not as a silent hash flip.
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        tbl = pq.read_table(f"/root/testdata/{sf}/embeddings.parquet")
+        X = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)
+        X /= np.linalg.norm(X, axis=1, keepdims=True)
+        worst = 1.0
+        for lo in range(0, len(X), 1000):
+            sims = X[lo : lo + 1000] @ X.T
+            frac = np.abs(np.modf(sims * 1e6)[0])
+            margin = np.abs(frac - 0.5).min()
+            worst = min(worst, float(margin))
+        assert worst * 1e-6 > 2e-14, (sf, worst)
+
+
+def test_gemm_graph_cap_guard(spark):
+    import pytest
+
+    from rick_and_morty_data_pipeline_project_spark.operators.gemmknn import (
+        knn_graph_gemm,
+    )
+
+    e = t(spark, SF_ORACLE, "embeddings")
+    with pytest.raises(ValueError, match="broadcast cap"):
+        knn_graph_gemm(e, k=5, max_broadcast_rows=10)
+
+
 def test_jl_norm_ratio_concentration(spark):
     e = t(spark, SF_ORACLE, "embeddings")
     out = jl_project(e, jl_matrix(64, 16, 7))
