@@ -236,6 +236,7 @@ from rick_and_morty_data_pipeline_project_spark.queries import (
     compactq,
     extraq,
     lakeq,
+    lmq,
     mmq,
     opqq,
     pqq,
@@ -255,7 +256,7 @@ from rick_and_morty_data_pipeline_project_spark.queries._util import Q
 _ALL: dict[str, Q] = {}
 for mod in (
     tpch, tpchx, tpchf, textq, vecq, extraq, mmq, reference, sketchq, bpeq,
-    retrievalq, lakeq, statsq, pqq, coarsenq, opqq, compactq, vecxq,
+    retrievalq, lakeq, statsq, pqq, coarsenq, opqq, compactq, vecxq, lmq,
 ):
     for name, q in mod.QUERIES.items():
         assert name not in _ALL, f"duplicate query name: {name}"
