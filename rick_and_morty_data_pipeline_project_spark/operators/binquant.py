@@ -149,7 +149,9 @@ def knn_binary(
         )
 
     nq = normed(queries, "query_id", "_qv")
-    nc = normed(corpus, "neighbor_id", "_cv")
+    # fan_out: the rerank re-scan must parallelize even off a
+    # single-file local corpus (no-op on a real multi-file table)
+    nc = normed(fan_out(corpus), "neighbor_id", "_cv")
     rer = (
         F.broadcast(short)
         .join(nc, "neighbor_id")
@@ -220,7 +222,7 @@ def knn_lsh_multiprobe(
     )
 
     n_planes = len(planes)
-    c = corpus.select(
+    c = fan_out(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv_raw"),
         lsh_bucket_col(F.col(vec_col), planes).alias("bucket"),

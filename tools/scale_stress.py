@@ -46,6 +46,12 @@ QUERIES = [
     # ANN: train + Arrow encode + batched ADC over the scaled corpus
     "knn_cosine_pq",
     "knn_cosine_ivfpq",
+    # r10-continuation births: compressed/bucketed candidate generation
+    # (binary words, multi-probe buckets), narrow projection, LM counts
+    "knn_cosine_binary",
+    "knn_cosine_lsh_multiprobe",
+    "embedding_jl_project",
+    "text_kneser_ney_score",
 ]
 
 
@@ -108,6 +114,22 @@ def _scale_embeddings(spark, base, out_dir, mult):
     )
 
 
+def _scale_documents(spark, base, out_dir, mult):
+    from pyspark.sql import functions as F
+
+    d = spark.read.parquet(f"{base}/documents.parquet")
+    tiles = [
+        d.withColumn("doc_id", F.col("doc_id") + i * 1_000_000_000)
+        for i in range(mult)
+    ]
+    df = tiles[0]
+    for t_ in tiles[1:]:
+        df = df.unionByName(t_)
+    df.repartition(32).write.mode("overwrite").parquet(
+        f"{out_dir}/documents.parquet"
+    )
+
+
 def main() -> None:
     mult, base, out_path = 20, "/root/testdata/sf0.1", None
     battery = QUERIES
@@ -149,8 +171,9 @@ def main() -> None:
         _scale_events(spark, base, scaled, mult)
         _scale_orders(spark, base, scaled, mult)
         _scale_embeddings(spark, base, scaled, mult)
+        _scale_documents(spark, base, scaled, mult)
         for t_ in (
-            "region nation customer supplier part lineitem documents"
+            "region nation customer supplier part lineitem"
         ).split():
             os.symlink(
                 f"{base}/{t_}.parquet", f"{scaled}/{t_}.parquet"
