@@ -173,6 +173,140 @@ def knn_binary(
     )
 
 
+def knn_ivf_binary(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = 5,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    shortlist: int = 30,
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF × binary quantization — the composed 10⁹-vector recipe:
+    coarse cells bound WHICH vectors are touched (|corpus|·n_probe/
+    n_cells candidates per query), sign words bound WHAT is read per
+    touched vector (8 bytes, xor+popcount), and only the Hamming
+    shortlist ever reaches float arithmetic.  This is the same
+    composition FAISS ships as IVF+PQ, with the cheaper 1-bit code —
+    and the same deterministic head-id coarse quantizer as
+    operators/similarity.knn_ivf, so the oracle replays every stage.
+
+    Plan shape: centroids are a driver-side literal (one bounded
+    head-k job); cell assignment is a narrow per-row expression (zero
+    corpus shuffle); probes broadcast into the cell equi-join; the
+    shortlist rank is the only shuffle, carrying integer rows; the
+    rerank joins the BROADCAST shortlist back to the corpus scan.
+    """
+    import math
+
+    from rick_and_morty_data_pipeline_project_spark.operators.similarity import (
+        _normalized,
+    )
+
+    def _unit(vec):
+        acc = 0.0
+        for x in vec:
+            acc = acc + float(x) * float(x)
+        n = math.sqrt(acc)
+        return [float(x) / n for x in vec]
+
+    cent_rows = (
+        corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .orderBy(F.asc("_id"))
+        .limit(n_cells)
+        .collect()
+    )
+    cent_pairs = [(r["_id"], _unit(r["_v"])) for r in cent_rows]
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    cents_lit = F.array(
+        *[
+            F.struct(
+                F.lit(cid).cast(id_type).alias("cell_id"),
+                F.array(*[F.lit(x) for x in cvec]).alias("cent"),
+            )
+            for cid, cvec in cent_pairs
+        ]
+    )
+
+    def _cmp(l, r):  # sim desc, cell_id asc — same order as the oracle
+        return (
+            F.when(l["sim"] > r["sim"], F.lit(-1))
+            .when(l["sim"] < r["sim"], F.lit(1))
+            .when(l["cell_id"] < r["cell_id"], F.lit(-1))
+            .when(l["cell_id"] > r["cell_id"], F.lit(1))
+            .otherwise(F.lit(0))
+        )
+
+    def assign_words(df: DataFrame, out_id: str, nprobe: int) -> DataFrame:
+        """(id, cell_id, sign words): normalize for the cell argmax,
+        pack words from the RAW vector (sign bits are scale-invariant,
+        and the raw-vector definition is what the oracle replays)."""
+        nv = _normalized(df, id_col, vec_col, out_id, "_nv")
+        raw = df.select(F.col(id_col).alias(out_id), F.col(vec_col).alias("_v"))
+        sims = F.transform(
+            cents_lit,
+            lambda c: F.struct(
+                dot_col(F.col("_nv"), c["cent"]).alias("sim"),
+                c["cell_id"].alias("cell_id"),
+            ),
+        )
+        top = F.slice(F.array_sort(sims, _cmp), 1, nprobe)
+        ws = sign_word_cols(F.col("_v"), dim)
+        assigned = nv.select(
+            out_id, F.explode(top).alias("_c")
+        ).select(out_id, F.col("_c.cell_id").alias("cell_id"))
+        words = raw.select(
+            out_id, *[w.alias(f"_{out_id}_w{i}") for i, w in enumerate(ws)]
+        )
+        return assigned.join(words, out_id)
+
+    nwords = (dim + WORD_BITS - 1) // WORD_BITS
+    cells = assign_words(fan_out(corpus), "neighbor_id", 1)
+    probes = assign_words(queries, "query_id", n_probe)
+    ham = hamming_col(
+        [F.col(f"_query_id_w{i}") for i in range(nwords)],
+        [F.col(f"_neighbor_id_w{i}") for i in range(nwords)],
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(cells, "cell_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", ham.alias("hamming"))
+    )
+    w_short = Window.partitionBy("query_id").orderBy(
+        F.asc("hamming"), F.asc("neighbor_id")
+    )
+    short = (
+        cand.withColumn("_r", F.row_number().over(w_short))
+        .filter(F.col("_r") <= shortlist)
+        .drop("_r")
+    )
+    nq = _normalized(queries, id_col, vec_col, "query_id", "_qv")
+    nc = _normalized(fan_out(corpus), id_col, vec_col, "neighbor_id", "_cv")
+    rer = (
+        F.broadcast(short)
+        .join(nc, "neighbor_id")
+        .join(F.broadcast(nq), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "hamming",
+            F.round(dot_col(F.col("_qv"), F.col("_cv")), round_digits).alias(
+                "cosine"
+            ),
+        )
+    )
+    w_final = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return rer.withColumn("rank", F.row_number().over(w_final)).filter(
+        F.col("rank") <= k
+    )
+
+
 def probe_bucket_cols(base: Column, n_planes: int) -> list[Column]:
     """The multi-probe sequence for a sign-bit bucket string: the base
     bucket plus every bucket at Hamming distance 1 (one per flipped

@@ -117,6 +117,91 @@ FROM ranked WHERE rank <= {_K}
 
 
 # ---------------------------------------------------------------------------
+# IVF × binary: the composed 10⁹-vector recipe — coarse cells bound
+# WHICH vectors are touched, sign words bound WHAT is read per touched
+# vector.  Same deterministic head-id coarse quantizer as
+# knn_cosine_ivf, so every stage replays in SQL.
+_IVFB_SHORTLIST = 30
+
+
+def knn_cosine_ivf_binary(spark, sf_dir):
+    """IVF (8 head-id cells, 2-probe) with an in-cell binary Hamming
+    shortlist and exact cosine rerank — candidates bounded by the cell
+    join, bytes-per-candidate bounded by the 1-bit code, floats only
+    on the 30-row shortlist."""
+    from rick_and_morty_data_pipeline_project_spark.operators.binquant import (
+        knn_ivf_binary,
+    )
+
+    e = t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    return knn_ivf_binary(
+        queries, e, dim=_DIM, k=_K, n_cells=8, n_probe=2,
+        shortlist=_IVFB_SHORTLIST,
+    )
+
+
+KNN_IVF_BINARY_SQL = f"""
+WITH normed AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE / sqrt({_DOT_SELF})) AS nv
+  FROM embeddings
+),
+words AS (
+  SELECT vec_id,
+         {_WORD_EXPRS}
+  FROM embeddings
+),
+assign AS (
+  SELECT e.vec_id, c.cell_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {dot_sql("e.nv", "c.cent")} DESC, c.cell_id ASC
+         ) AS r
+  FROM normed e, (SELECT vec_id AS cell_id, nv AS cent
+                  FROM normed ORDER BY vec_id LIMIT 8) c
+),
+cells AS (
+  SELECT a.vec_id AS neighbor_id, a.cell_id, w.w0, w.w1
+  FROM assign a JOIN words w ON w.vec_id = a.vec_id
+  WHERE a.r = 1
+),
+probes AS (
+  SELECT a.vec_id AS query_id, a.cell_id, w.w0, w.w1
+  FROM assign a JOIN words w ON w.vec_id = a.vec_id
+  WHERE a.r <= 2 AND a.vec_id < 10
+),
+ham AS (
+  SELECT q.query_id, c.neighbor_id,
+         ({_HAMMING_SQL}) AS hamming
+  FROM probes q JOIN cells c ON q.cell_id = c.cell_id
+  WHERE q.query_id <> c.neighbor_id
+),
+short AS (
+  SELECT query_id, neighbor_id, hamming,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY hamming ASC, neighbor_id ASC) AS r
+  FROM ham
+),
+rer AS (
+  SELECT s.query_id, s.neighbor_id, s.hamming,
+         round({dot_sql("nq.nv", "nc.nv")}, 6) AS cosine
+  FROM short s
+  JOIN normed nq ON nq.vec_id = s.query_id
+  JOIN normed nc ON nc.vec_id = s.neighbor_id
+  WHERE s.r <= {_IVFB_SHORTLIST}
+),
+ranked AS (
+  SELECT query_id, neighbor_id, hamming, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM rer
+)
+SELECT query_id, neighbor_id, hamming, cosine, rank
+FROM ranked WHERE rank <= {_K}
+"""
+
+
+# ---------------------------------------------------------------------------
 # Multi-probe LSH: ONE table (the same seed-42 planes as table 0 of
 # knn_cosine_lsh), each query probing base + all Hamming-1 buckets.
 _MP_TABLE = _hyperplanes(_DIM, _MP_PLANES, 42)
@@ -296,5 +381,10 @@ QUERIES = {
         knn_graph_gemm,
         KNN_GRAPH_SQL,
         "exact all-pairs kNN graph via Arrow-batched blocked GEMM",
+    ),
+    "knn_cosine_ivf_binary": Q(
+        knn_cosine_ivf_binary,
+        KNN_IVF_BINARY_SQL,
+        "IVF cells x in-cell binary Hamming shortlist + exact rerank",
     ),
 }
