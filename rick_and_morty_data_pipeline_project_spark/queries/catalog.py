@@ -227,24 +227,26 @@ SWEEP_r10-covered under policy v2 and lead the r11 oldest-green
 pool).
 13 + 6 + 1 + 4 + 2 + 24 = 50.
 
-Round-10 continuation (post-freeze): 6 more fully-oracled queries were
-born after this window froze, extending the ANN/embedding and LM
-families — ``knn_cosine_binary`` (1-bit sign-word Hamming prefilter +
-exact rerank), ``knn_cosine_lsh_multiprobe`` (Lv VLDB'07 1-step
+Round-10 continuation (post-freeze): 7 more fully-oracled queries were
+born after this window froze, extending the ANN/embedding, dedup and
+LM families — ``knn_cosine_binary`` (1-bit sign-word Hamming prefilter
++ exact rerank), ``knn_cosine_lsh_multiprobe`` (Lv VLDB'07 1-step
 probing, no dedup shuffle), ``embedding_jl_project`` (Achlioptas
 sparse JL with distortion audit), ``knn_graph_gemm`` (exact all-pairs
 kNN graph via Arrow-batched blocked GEMM, 10× the fold path),
-``text_kneser_ney_score`` (interpolated KN bigram perplexity), and
+``text_kneser_ney_score`` (interpolated KN bigram perplexity),
 ``knn_cosine_ivf_binary`` (IVF cells × in-cell binary Hamming — the
-composed 10⁹-vector recipe).  All are recorded in
-``tools/pending_births.json`` (one-cycle exemption) and are rule-1
-mandatory for the r11 window alongside the 17 SWEEP_r10-covered r05
-entries.
+composed 10⁹-vector recipe), and ``dedup_bbit_minhash_audit`` (Li &
+König b-bit MinHash, bias-corrected estimates vs full sketch vs exact
+Jaccard).  All are recorded in ``tools/pending_births.json``
+(one-cycle exemption) and are rule-1 mandatory for the r11 window
+alongside the 17 SWEEP_r10-covered r05 entries.
 """
 
 from __future__ import annotations
 
 from rick_and_morty_data_pipeline_project_spark.queries import (
+    bbitq,
     bpeq,
     coarsenq,
     compactq,
@@ -270,7 +272,7 @@ from rick_and_morty_data_pipeline_project_spark.queries._util import Q
 _ALL: dict[str, Q] = {}
 for mod in (
     tpch, tpchx, tpchf, textq, vecq, extraq, mmq, reference, sketchq, bpeq,
-    retrievalq, lakeq, statsq, pqq, coarsenq, opqq, compactq, vecxq, lmq,
+    retrievalq, lakeq, statsq, pqq, coarsenq, opqq, compactq, vecxq, lmq, bbitq,
 ):
     for name, q in mod.QUERIES.items():
         assert name not in _ALL, f"duplicate query name: {name}"
