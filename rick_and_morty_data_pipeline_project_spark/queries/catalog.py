@@ -227,7 +227,7 @@ SWEEP_r10-covered under policy v2 and lead the r11 oldest-green
 pool).
 13 + 6 + 1 + 4 + 2 + 24 = 50.
 
-Round-10 continuation (post-freeze): 7 more fully-oracled queries were
+Round-10 continuation (post-freeze): 8 more fully-oracled queries were
 born after this window froze, extending the ANN/embedding, dedup and
 LM families — ``knn_cosine_binary`` (1-bit sign-word Hamming prefilter
 + exact rerank), ``knn_cosine_lsh_multiprobe`` (Lv VLDB'07 1-step
@@ -236,9 +236,11 @@ sparse JL with distortion audit), ``knn_graph_gemm`` (exact all-pairs
 kNN graph via Arrow-batched blocked GEMM, 10× the fold path),
 ``text_kneser_ney_score`` (interpolated KN bigram perplexity),
 ``knn_cosine_ivf_binary`` (IVF cells × in-cell binary Hamming — the
-composed 10⁹-vector recipe), and ``dedup_bbit_minhash_audit`` (Li &
+composed 10⁹-vector recipe), ``dedup_bbit_minhash_audit`` (Li &
 König b-bit MinHash, bias-corrected estimates vs full sketch vs exact
-Jaccard).  All are recorded in ``tools/pending_births.json``
+Jaccard), and ``knn_recall_matrix`` (the recall@5 dashboard over all
+five candidate-restricting variants, oracle composed from their
+proven SQL).  All are recorded in ``tools/pending_births.json``
 (one-cycle exemption) and are rule-1 mandatory for the r11 window
 alongside the 17 SWEEP_r10-covered r05 entries.
 """

@@ -361,6 +361,108 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# Recall matrix: the index-quality dashboard an ANN deployment runs
+# after every rebuild — recall@5 per query for EVERY approximate
+# variant against the exact top-5, in one relation.  Each arm is the
+# variant's own catalog query (same parameters), so the matrix is
+# deterministic and the oracle composes the variants' already-proven
+# SQL verbatim as CTEs — nothing re-derived, nothing re-tuned.
+
+
+def knn_recall_matrix(spark, sf_dir):
+    """(variant, query_id, n_hits, recall) for the five
+    candidate-restricting ANN variants: LSH, multi-probe LSH, IVF,
+    binary, IVF×binary.  Zero-hit queries appear with recall 0 (left
+    join from the exact arm), so a broken index reads 0.0, not
+    missing-row."""
+    from rick_and_morty_data_pipeline_project_spark.operators.binquant import (
+        knn_binary,
+        knn_ivf_binary,
+        knn_lsh_multiprobe,
+    )
+    from rick_and_morty_data_pipeline_project_spark.operators.similarity import (
+        knn_bruteforce,
+        knn_ivf,
+        knn_lsh,
+    )
+
+    e = t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    exact = knn_bruteforce(queries, e, k=_K).select(
+        "query_id", "neighbor_id"
+    )
+    variants = {
+        "lsh": knn_lsh(queries, e, k=_K, dim=_DIM, n_planes=6),
+        "lsh_multiprobe": knn_lsh_multiprobe(queries, e, _MP_TABLE, k=_K),
+        "ivf": knn_ivf(queries, e, k=_K, n_cells=8, n_probe=2),
+        "binary": knn_binary(queries, e, dim=_DIM, k=_K, shortlist=_SHORTLIST),
+        "ivf_binary": knn_ivf_binary(
+            queries, e, dim=_DIM, k=_K, n_cells=8, n_probe=2,
+            shortlist=_IVFB_SHORTLIST,
+        ),
+    }
+    arms = []
+    for name, df in variants.items():
+        v = df.select(
+            "query_id", "neighbor_id", F.lit(1).alias("_hit")
+        )
+        arm = (
+            exact.join(v, ["query_id", "neighbor_id"], "left")
+            .groupBy("query_id")
+            .agg(F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hits"))
+            .select(
+                F.lit(name).alias("variant"),
+                "query_id",
+                F.col("n_hits").cast("long").alias("n_hits"),
+                (F.col("n_hits") / F.lit(float(_K))).alias("recall"),
+            )
+        )
+        arms.append(arm)
+    out = arms[0]
+    for arm in arms[1:]:
+        out = out.unionByName(arm)
+    return out
+
+
+def _matrix_arm_sql(name: str, variant_sql: str) -> str:
+    return f"""
+SELECT '{name}' AS variant, e.query_id,
+       CAST(count(v.neighbor_id) AS BIGINT) AS n_hits,
+       count(v.neighbor_id) / {float(_K)!r} AS recall
+FROM exact e
+LEFT JOIN ({variant_sql}) v
+  ON v.query_id = e.query_id AND v.neighbor_id = e.neighbor_id
+GROUP BY e.query_id
+"""
+
+
+def _build_matrix_sql() -> str:
+    from rick_and_morty_data_pipeline_project_spark.queries.vecq import (
+        KNN_IVF_SQL,
+        KNN_LSH_SQL,
+        KNN_SQL,
+    )
+
+    arms = "\nUNION ALL\n".join(
+        _matrix_arm_sql(name, sql)
+        for name, sql in (
+            ("lsh", KNN_LSH_SQL),
+            ("lsh_multiprobe", KNN_MULTIPROBE_SQL),
+            ("ivf", KNN_IVF_SQL),
+            ("binary", KNN_BINARY_SQL),
+            ("ivf_binary", KNN_IVF_BINARY_SQL),
+        )
+    )
+    return f"""
+WITH exact AS ({KNN_SQL})
+{arms}
+"""
+
+
+KNN_RECALL_MATRIX_SQL = _build_matrix_sql()
+
+
 QUERIES = {
     "knn_cosine_binary": Q(
         knn_cosine_binary,
@@ -386,5 +488,10 @@ QUERIES = {
         knn_cosine_ivf_binary,
         KNN_IVF_BINARY_SQL,
         "IVF cells x in-cell binary Hamming shortlist + exact rerank",
+    ),
+    "knn_recall_matrix": Q(
+        knn_recall_matrix,
+        KNN_RECALL_MATRIX_SQL,
+        "recall@5 per query for every candidate-restricting ANN variant",
     ),
 }

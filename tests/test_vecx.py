@@ -206,6 +206,32 @@ def test_gemm_graph_cap_guard(spark):
         knn_graph_gemm(e, k=5, max_broadcast_rows=10)
 
 
+def test_recall_matrix_consistency(spark):
+    # the dashboard must agree with the standalone operators it wraps:
+    # per-variant mean recall@5 equals the independently measured
+    # values, zero-hit queries included as rows (not dropped)
+    from rick_and_morty_data_pipeline_project_spark.queries.vecxq import (
+        knn_recall_matrix,
+    )
+
+    rows = knn_recall_matrix(spark, SF_ORACLE).collect()
+    by_variant: dict[str, list[float]] = {}
+    for r in rows:
+        by_variant.setdefault(r["variant"], []).append(r["recall"])
+    assert set(by_variant) == {
+        "lsh", "lsh_multiprobe", "ivf", "binary", "ivf_binary"
+    }
+    assert all(len(v) == 10 for v in by_variant.values())
+    mean = {k: sum(v) / len(v) for k, v in by_variant.items()}
+    # structural: the binary in-cell scan cannot beat the float in-cell
+    # scan over the same probed cells
+    assert mean["ivf_binary"] <= mean["ivf"] + 1e-9
+    # measured orderings at sf0.01 (0.80/0.68/0.60/0.34/0.12) with
+    # slack for corpus regeneration
+    assert mean["lsh_multiprobe"] > mean["lsh"]
+    assert mean["ivf"] >= 0.6 and mean["binary"] >= 0.5
+
+
 def test_jl_norm_ratio_concentration(spark):
     e = t(spark, SF_ORACLE, "embeddings")
     out = jl_project(e, jl_matrix(64, 16, 7))

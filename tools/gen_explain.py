@@ -118,6 +118,14 @@ ANNOTATED = {
     "evolution_generation_census": "schema-generation census (r10): binaryFile listing → ONE Arrow-batched mapInPandas footer sniff (no row data read, bytes never shuffle) → signature-keyed count; file counts replayed by DuckDB as distinct-partition-value counts",
     "knn_cosine_opq": "OPQ ANN (r10): trained orthogonal rotation (driver-side, bounded sample) + the unchanged PQ ADC scan — rotation is one GEMM per Arrow encode batch, search still reads m=8 small ints per vector; the fold-rotation relation and single-pass full-outer code compare are BOUNDED verification (≤1M rows), switched off at production scale",
     "compact_layout_audit": "small-file compaction certified end-to-end (r10): per-file counts from ONE input_file_name aggregate, BFD packing driver-side over the file LIST (bounded by file count, not data), rewrite = one bin-keyed shuffle + partitionBy write (one file per bin, pinned by the oracle); staging-bound cost like coarsen — the operator plan is the scale story",
+    "knn_cosine_binary": "binary-quantized ANN (r10 continuation): the candidate stage reads ONLY two BIGINT sign words per corpus row (32× less than float32) — xor+popcount inside WholeStageCodegen, queries broadcast (BroadcastNestedLoopJoin), corpus never shuffles; floats appear only in the 50-row-per-query shortlist rerank joins",
+    "knn_cosine_lsh_multiprobe": "multi-probe LSH (r10 continuation): probe strings are substring surgery on ONE computed bucket (hyperplane dots evaluated once per row, not once per probe); candidate pairs structurally unique → NO dedup exchange in the plan, unlike the OR-amplified multi-table variant",
+    "knn_cosine_ivf_binary": "IVF × binary composition (r10 continuation): centroid literals inlined (narrow cell assignment, zero corpus shuffle), probes broadcast into the cell equi-join, Hamming shortlist is the only shuffle and carries integer rows only; the rerank joins the BROADCAST shortlist back to the corpus scan",
+    "knn_graph_gemm": "exact all-pairs kNN graph (r10 continuation): ONE mapInPandas stage — numpy GEMM per Arrow batch against the broadcast normalized corpus, per-row exact top-k inside the batch; ZERO exchanges in the whole plan (the top-k needs no shuffle because every batch sees the full broadcast corpus); 10× the fold path on identical output",
+    "embedding_jl_project": "sparse JL projection (r10 continuation): literal ±1/0 matrix inlined → 16 fold dots + posexplode, one narrow pass, ZERO exchanges; data-independent (nothing trained, nothing staged)",
+    "text_kneser_ney_score": "Kneser-Ney bigram LM (r10 continuation): two map-combinable count aggregations build the model (bigram types → histories/continuations/type total), scoring joins the doc bigram stream on the bigram key once; the model relation is |types|, far smaller than the token stream",
+    "dedup_bbit_minhash_audit": "b-bit MinHash audit (r10 continuation): signatures are the same one-pass narrow md5 pipeline as the LSH family (ReusedExchange across the pair/sig/gram branches); the b=4 agreement is a nibble compare over already-computed components — no extra hashing for the 8×-smaller sketch",
+    "knn_recall_matrix": "ANN recall dashboard (r10 continuation): six full pipelines (exact + 5 variants) in ONE plan — each arm is the variant's own catalog plan unchanged (broadcast probes, narrow assignments, integer candidate stages), joined to the exact arm and unioned; cost is the sum of its parts by design (it IS six queries), the per-arm plans are the scale story",
 }
 
 
