@@ -227,9 +227,9 @@ SWEEP_r10-covered under policy v2 and lead the r11 oldest-green
 pool).
 13 + 6 + 1 + 4 + 2 + 24 = 50.
 
-Round-10 continuation (post-freeze): 8 more fully-oracled queries were
-born after this window froze, extending the ANN/embedding, dedup and
-LM families — ``knn_cosine_binary`` (1-bit sign-word Hamming prefilter
+Round-10 continuation (post-freeze): 10 more fully-oracled queries
+were born after this window froze, extending the ANN/embedding, dedup,
+LM and statistics families — ``knn_cosine_binary`` (1-bit sign-word Hamming prefilter
 + exact rerank), ``knn_cosine_lsh_multiprobe`` (Lv VLDB'07 1-step
 probing, no dedup shuffle), ``embedding_jl_project`` (Achlioptas
 sparse JL with distortion audit), ``knn_graph_gemm`` (exact all-pairs
@@ -240,7 +240,10 @@ composed 10⁹-vector recipe), ``dedup_bbit_minhash_audit`` (Li &
 König b-bit MinHash, bias-corrected estimates vs full sketch vs exact
 Jaccard), and ``knn_recall_matrix`` (the recall@5 dashboard over all
 five candidate-restricting variants, oracle composed from their
-proven SQL).  All are recorded in ``tools/pending_births.json``
+proven SQL), ``events_mann_whitney`` (midrank rank-sum with
+tie-corrected z), and ``events_theil_sen_slope`` (median of pairwise
+daily slopes — the robust OLS twin).  All are recorded in
+``tools/pending_births.json``
 (one-cycle exemption) and are rule-1 mandatory for the r11 window
 alongside the 17 SWEEP_r10-covered r05 entries.
 """
@@ -256,6 +259,7 @@ from rick_and_morty_data_pipeline_project_spark.queries import (
     lakeq,
     lmq,
     mmq,
+    npstatq,
     opqq,
     pqq,
     reference,
@@ -274,7 +278,7 @@ from rick_and_morty_data_pipeline_project_spark.queries._util import Q
 _ALL: dict[str, Q] = {}
 for mod in (
     tpch, tpchx, tpchf, textq, vecq, extraq, mmq, reference, sketchq, bpeq,
-    retrievalq, lakeq, statsq, pqq, coarsenq, opqq, compactq, vecxq, lmq, bbitq,
+    retrievalq, lakeq, statsq, pqq, coarsenq, opqq, compactq, vecxq, lmq, bbitq, npstatq,
 ):
     for name, q in mod.QUERIES.items():
         assert name not in _ALL, f"duplicate query name: {name}"

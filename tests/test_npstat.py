@@ -1,0 +1,153 @@
+"""Nonparametric statistics (queries/npstatq.py) — semantics pinned
+against independent pure-Python references on hand-checkable corpora
+(oracle parity cannot catch a formula bug both engines share)."""
+
+from __future__ import annotations
+
+import math
+
+from rick_and_morty_data_pipeline_project_spark.queries import npstatq
+
+
+def _run_patched(spark, fn, df):
+    """Run a catalog query body against a synthetic events frame."""
+    orig = npstatq.t
+    try:
+        npstatq.t = lambda s, sf, name: df  # noqa: ARG005
+        return fn(spark, "unused").collect()
+    finally:
+        npstatq.t = orig
+
+
+def _mw_reference(treat: list[float], base: list[float]):
+    """Independent midrank Mann–Whitney with tie-corrected z."""
+    combined = sorted(
+        [(v, "t") for v in treat] + [(v, "b") for v in base]
+    )
+    n = len(combined)
+    ranks: dict[int, float] = {}
+    i = 0
+    while i < n:
+        j = i
+        while j < n and combined[j][0] == combined[i][0]:
+            j += 1
+        mid = (i + 1 + j) / 2.0  # mean of ranks i+1..j
+        for k in range(i, j):
+            ranks[k] = mid
+        i = j
+    r1 = sum(ranks[k] for k in range(n) if combined[k][1] == "t")
+    n1, n2 = len(treat), len(base)
+    u1 = r1 - n1 * (n1 + 1) / 2.0
+    # tie counts
+    ties: dict[float, int] = {}
+    for v, _ in combined:
+        ties[v] = ties.get(v, 0) + 1
+    tsum = sum(c**3 - c for c in ties.values())
+    sigma = math.sqrt(
+        n1 * n2 / 12.0 * ((n + 1) - tsum / (n * (n - 1)))
+    )
+    z = (u1 - n1 * n2 / 2.0) / sigma
+    return u1, z
+
+
+def test_mann_whitney_hand_checked(spark):
+    treat = [3.0, 5.0, 5.0, 9.0, 12.0]
+    base = [1.0, 2.0, 5.0, 7.0]
+    rows = [
+        ("e1", "2024-01-01 00:00:00", v) for v in treat
+    ] + [
+        ("view", "2024-01-01 00:00:00", v) for v in base
+    ]
+    df = spark.createDataFrame(
+        [(i, t, ts, v) for i, (t, ts, v) in enumerate(rows)],
+        "user_id long, event_type string, ts string, value double",
+    ).selectExpr(
+        "user_id", "event_type", "CAST(ts AS TIMESTAMP) ts", "value"
+    )
+    got = _run_patched(spark, npstatq.events_mann_whitney, df)
+    assert len(got) == 1
+    r = got[0]
+    u_ref, z_ref = _mw_reference(treat, base)
+    assert r["event_type"] == "e1"
+    assert (r["n_treat"], r["n_base"]) == (5, 4)
+    assert abs(r["u_stat"] - round(u_ref, 6)) < 1e-9
+    assert abs(r["z"] - round(z_ref, 6)) < 1e-6
+
+
+def test_mann_whitney_symmetry_on_identical_samples(spark):
+    # identical value multisets in both arms → U = n1·n2/2, z = 0
+    vals = [1.0, 2.0, 3.0, 4.0]
+    rows = [("e1", v) for v in vals] + [("view", v) for v in vals]
+    df = spark.createDataFrame(
+        [(i, t, "2024-01-01 00:00:00", v) for i, (t, v) in enumerate(rows)],
+        "user_id long, event_type string, ts string, value double",
+    ).selectExpr(
+        "user_id", "event_type", "CAST(ts AS TIMESTAMP) ts", "value"
+    )
+    r = _run_patched(spark, npstatq.events_mann_whitney, df)[0]
+    assert r["u_stat"] == 8.0  # 4·4/2
+    assert r["z"] == 0.0
+
+
+def _ts_reference(series: list[tuple[int, float]]) -> float:
+    slopes = sorted(
+        (y2 - y1) / (x2 - x1)
+        for i, (x1, y1) in enumerate(series)
+        for (x2, y2) in series[i + 1 :]
+    )
+    n = len(slopes)
+    # p·(n−1) linear interpolation at p=0.5 (Spark percentile /
+    # DuckDB quantile_cont)
+    pos = 0.5 * (n - 1)
+    lo, hi = int(math.floor(pos)), int(math.ceil(pos))
+    frac = pos - lo
+    return slopes[lo] + (slopes[hi] - slopes[lo]) * frac
+
+
+def _events_from_daily(spark, daily: list[tuple[str, float]]):
+    return spark.createDataFrame(
+        [
+            (1, "click", f"{d} 12:00:00", v)
+            for d, v in daily
+        ],
+        "user_id long, event_type string, ts string, value double",
+    ).selectExpr(
+        "user_id", "event_type", "CAST(ts AS TIMESTAMP) ts", "value"
+    )
+
+
+def test_theil_sen_hand_checked(spark):
+    daily = [
+        ("2024-01-01", 1.0),
+        ("2024-01-02", 3.0),
+        ("2024-01-03", 4.0),
+        ("2024-01-05", 10.0),
+    ]
+    df = _events_from_daily(spark, daily)
+    r = _run_patched(spark, npstatq.events_theil_sen_slope, df)[0]
+    series = [(i, v) for i, (_, v) in enumerate(daily)]
+    # rebuild with real day numbers (gap on Jan 4)
+    series = [(0, 1.0), (1, 3.0), (2, 4.0), (4, 10.0)]
+    assert (r["n_days"], r["n_pairs"]) == (4, 6)
+    assert abs(r["theil_sen_slope"] - round(_ts_reference(series), 6)) < 1e-9
+
+
+def test_theil_sen_robust_to_outlier_vs_ols(spark):
+    # a clean slope-1 series with ONE wild day: the slope median moves
+    # a little, the OLS slope is dragged far more
+    clean = [(f"2024-01-{d:02d}", float(d)) for d in range(1, 11)]
+    spiked = clean[:-1] + [("2024-01-10", 1000.0)]
+    df = _events_from_daily(spark, spiked)
+    r = _run_patched(spark, npstatq.events_theil_sen_slope, df)[0]
+    ts_slope = r["theil_sen_slope"]
+    series = [(d - 1, v) for d, (_, v) in enumerate(spiked, start=1)]
+    xs = [x for x, _ in series]
+    ys = [y for _, y in series]
+    n = len(xs)
+    xbar, ybar = sum(xs) / n, sum(ys) / n
+    ols = sum((x - xbar) * (y - ybar) for x, y in series) / sum(
+        (x - xbar) ** 2 for x in xs
+    )
+    assert abs(ts_slope - 1.0) < 2.0  # near the clean slope
+    assert ols > 50.0  # OLS dragged by the outlier
+    assert abs(ts_slope - 1.0) < abs(ols - 1.0) / 10
