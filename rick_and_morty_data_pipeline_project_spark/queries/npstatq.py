@@ -230,6 +230,87 @@ GROUP BY s.user_id, d.n_days
 """
 
 
+def events_kendall_tau(spark, sf_dir):
+    """Per-user Kendall τ-b between day number and daily mean value —
+    the nonparametric monotone-trend test (no x-ties: days are
+    distinct; y-ties corrected in the denominator).  Concordant /
+    discordant / tied counts are exact integers over the bounded
+    per-user pair relation (days² ≤ ~500 rows/user); τ divides at the
+    very end.  Output: (user_id, n_days, concordant, discordant,
+    tau_b) for users whose days aren't all value-tied."""
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.to_date("ts").alias("_d"),
+        dec("value", 12, 2).alias("_y"),
+    )
+    daily = e.groupBy("user_id", "_d").agg(
+        (F.sum("_y").cast("double") / F.count(F.lit(1))).alias("y"),
+        F.datediff(F.first("_d"), F.lit("1970-01-01").cast("date")).alias(
+            "x"
+        ),
+    )
+    a = daily.select("user_id", F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = daily.select("user_id", F.col("x").alias("xb"), F.col("y").alias("yb"))
+    pairs = a.join(b, "user_id").filter(F.col("xa") < F.col("xb"))
+    agg = pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum((F.col("yb") > F.col("ya")).cast("long")).alias("concordant"),
+        F.sum((F.col("yb") < F.col("ya")).cast("long")).alias("discordant"),
+        F.sum((F.col("yb") == F.col("ya")).cast("long")).alias("_ty"),
+    )
+    days = daily.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_days"))
+    n0 = F.col("n0")
+    tau = (F.col("concordant") - F.col("discordant")).cast("double") / F.sqrt(
+        n0.cast("double") * (n0 - F.col("_ty")).cast("double")
+    )
+    return (
+        agg.filter(F.col("_ty") < n0)
+        .join(days, "user_id")
+        .select(
+            "user_id",
+            "n_days",
+            "concordant",
+            "discordant",
+            F.round(tau, 6).alias("tau_b"),
+        )
+    )
+
+
+KENDALL_SQL = """
+WITH base AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         CAST(value AS DECIMAL(12,2)) AS yv
+  FROM events
+),
+daily AS (
+  SELECT user_id, d,
+         CAST(SUM(yv) AS DOUBLE) / COUNT(*) AS y,
+         datediff('day', DATE '1970-01-01', d) AS x
+  FROM base GROUP BY user_id, d
+),
+agg AS (
+  SELECT a.user_id,
+         CAST(COUNT(*) AS BIGINT) AS n0,
+         CAST(SUM(CASE WHEN b.y > a.y THEN 1 ELSE 0 END) AS BIGINT)
+           AS concordant,
+         CAST(SUM(CASE WHEN b.y < a.y THEN 1 ELSE 0 END) AS BIGINT)
+           AS discordant,
+         CAST(SUM(CASE WHEN b.y = a.y THEN 1 ELSE 0 END) AS BIGINT) AS ty
+  FROM daily a JOIN daily b
+    ON a.user_id = b.user_id AND a.x < b.x
+  GROUP BY 1
+),
+days AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_days
+         FROM daily GROUP BY 1)
+SELECT g.user_id, d.n_days, g.concordant, g.discordant,
+       round(CAST(g.concordant - g.discordant AS DOUBLE)
+             / sqrt(CAST(g.n0 AS DOUBLE) * CAST(g.n0 - g.ty AS DOUBLE)), 6)
+         AS tau_b
+FROM agg g JOIN days d ON d.user_id = g.user_id
+WHERE g.ty < g.n0
+"""
+
+
 QUERIES = {
     "events_mann_whitney": Q(
         events_mann_whitney,
@@ -240,5 +321,10 @@ QUERIES = {
         events_theil_sen_slope,
         THEIL_SEN_SQL,
         "per-user Theil-Sen robust slope (median of pairwise daily slopes)",
+    ),
+    "events_kendall_tau": Q(
+        events_kendall_tau,
+        KENDALL_SQL,
+        "per-user Kendall tau-b monotone-trend test (y-tie corrected)",
     ),
 }

@@ -132,6 +132,56 @@ def test_theil_sen_hand_checked(spark):
     assert abs(r["theil_sen_slope"] - round(_ts_reference(series), 6)) < 1e-9
 
 
+def _kendall_reference(series: list[tuple[int, float]]):
+    c = d = ty = 0
+    for i, (x1, y1) in enumerate(series):
+        for x2, y2 in series[i + 1 :]:
+            if y2 > y1:
+                c += 1
+            elif y2 < y1:
+                d += 1
+            else:
+                ty += 1
+    n0 = c + d + ty
+    return c, d, (c - d) / math.sqrt(n0 * (n0 - ty))
+
+
+def test_kendall_tau_hand_checked(spark):
+    daily = [
+        ("2024-01-01", 1.0),
+        ("2024-01-02", 3.0),
+        ("2024-01-03", 2.0),
+        ("2024-01-04", 3.0),   # tie with day 2
+        ("2024-01-06", 5.0),
+    ]
+    df = _events_from_daily(spark, daily)
+    r = _run_patched(spark, npstatq.events_kendall_tau, df)[0]
+    series = [(0, 1.0), (1, 3.0), (2, 2.0), (3, 3.0), (5, 5.0)]
+    c, d, tau = _kendall_reference(series)
+    assert (r["n_days"], r["concordant"], r["discordant"]) == (5, c, d)
+    assert abs(r["tau_b"] - round(tau, 6)) < 1e-9
+
+
+def test_kendall_tau_extremes(spark):
+    # strictly increasing → τ = 1; strictly decreasing → τ = −1;
+    # all-tied y → row filtered out (denominator would be 0)
+    inc = [(f"2024-01-{d:02d}", float(d)) for d in range(1, 6)]
+    assert _run_patched(
+        spark, npstatq.events_kendall_tau, _events_from_daily(spark, inc)
+    )[0]["tau_b"] == 1.0
+    dec_ = [(f"2024-01-{d:02d}", float(10 - d)) for d in range(1, 6)]
+    assert _run_patched(
+        spark, npstatq.events_kendall_tau, _events_from_daily(spark, dec_)
+    )[0]["tau_b"] == -1.0
+    flat = [(f"2024-01-{d:02d}", 7.0) for d in range(1, 6)]
+    assert (
+        _run_patched(
+            spark, npstatq.events_kendall_tau, _events_from_daily(spark, flat)
+        )
+        == []
+    )
+
+
 def test_theil_sen_robust_to_outlier_vs_ols(spark):
     # a clean slope-1 series with ONE wild day: the slope median moves
     # a little, the OLS slope is dragged far more
