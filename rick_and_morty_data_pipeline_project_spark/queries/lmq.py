@@ -123,10 +123,85 @@ FROM agg
 """
 
 
+def text_turing_estimates(spark, sf_dir):
+    """Turing frequency re-estimates over the unigram distribution
+    (Good 1953; the Gale & Sampson 1995 presentation): for each
+    observed frequency class r, the count-of-counts N_r and the
+    Turing-adjusted frequency r* = (r+1)·N_{r+1}/N_r (0 where the
+    successor class is empty — the gap SGT smoothing exists to fill,
+    kept raw here so the estimator is exactly replayable), plus the
+    Good-Turing unseen-probability mass N_1/N every LM backoff scheme
+    allocates to novel events.
+
+    Scale: two map-combinable count aggregations (token counts, then
+    counts-of-counts); the class relation is |distinct frequencies| —
+    tens of rows regardless of corpus size; the r → r+1 lookup is a
+    self-join on that tiny relation.  Output: (r, n_r, r_star,
+    unseen_mass)."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokens_col(F.col("text"))).alias("w"))
+    counts = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    cc = counts.groupBy("c").agg(F.count(F.lit(1)).alias("n_r"))
+    nxt = cc.select(
+        (F.col("c") - 1).alias("c"), F.col("n_r").alias("_n_next")
+    )
+    totals = counts.agg(
+        F.sum("c").cast("long").alias("_n_total"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("_n1"),
+    )
+    out = (
+        cc.join(nxt, "c", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col("c").alias("r"),
+            "n_r",
+            F.round(
+                (F.col("c") + 1).cast("double")
+                * F.coalesce(F.col("_n_next"), F.lit(0)).cast("double")
+                / F.col("n_r").cast("double"),
+                6,
+            ).alias("r_star"),
+            F.round(
+                F.col("_n1").cast("double") / F.col("_n_total").cast("double"),
+                6,
+            ).alias("unseen_mass"),
+        )
+    )
+    return out
+
+
+TURING_SQL = """
+WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+counts AS (SELECT w, count(*) AS c FROM toks GROUP BY 1),
+cc AS (SELECT c, count(*) AS n_r FROM counts GROUP BY 1),
+totals AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n_total,
+         CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+  FROM counts
+)
+SELECT cc.c AS r, cc.n_r,
+       round(CAST(cc.c + 1 AS DOUBLE)
+             * CAST(COALESCE(nxt.n_r, 0) AS DOUBLE)
+             / CAST(cc.n_r AS DOUBLE), 6) AS r_star,
+       round(CAST(t.n1 AS DOUBLE) / CAST(t.n_total AS DOUBLE), 6)
+         AS unseen_mass
+FROM cc
+LEFT JOIN cc nxt ON nxt.c = cc.c + 1
+CROSS JOIN totals t
+"""
+
+
 QUERIES = {
     "text_kneser_ney_score": Q(
         text_kneser_ney_score,
         KNESER_NEY_SQL,
         "interpolated Kneser-Ney bigram LM perplexity per document",
+    ),
+    "text_turing_estimates": Q(
+        text_turing_estimates,
+        TURING_SQL,
+        "Good-Turing frequency re-estimates + unseen mass per class",
     ),
 }

@@ -88,6 +88,36 @@ def test_kneser_ney_hand_checked_corpus(spark):
         assert abs(gppl - round(math.exp(-lp), 6)) < 1e-6
 
 
+def test_turing_estimates_hand_checked(spark):
+    # corpus: a×3, b×2, c×2, d×1, e×1, f×1  → N=10
+    # N_1=3, N_2=2, N_3=1; r*=  r=1: 2·N2/N1=4/3;  r=2: 3·N3/N2=1.5;
+    # r=3: 4·N4/N3=0 (gap).  unseen mass = N1/N = 0.3
+    docs = {1: "a a b c d", 2: "a b c e f"}
+    df = spark.createDataFrame(
+        [(k, v) for k, v in docs.items()], "doc_id long, text string"
+    )
+    import rick_and_morty_data_pipeline_project_spark.queries.lmq as lmq
+
+    orig = lmq.t
+    try:
+        lmq.t = lambda s, sf, name: df  # noqa: ARG005
+        rows = {
+            r["r"]: r for r in lmq.text_turing_estimates(spark, "x").collect()
+        }
+    finally:
+        lmq.t = orig
+    assert set(rows) == {1, 2, 3}
+    assert rows[1]["n_r"] == 3 and abs(rows[1]["r_star"] - round(4 / 3, 6)) < 1e-9
+    assert rows[2]["n_r"] == 2 and rows[2]["r_star"] == 1.5
+    assert rows[3]["n_r"] == 1 and rows[3]["r_star"] == 0.0
+    assert all(r["unseen_mass"] == 0.3 for r in rows.values())
+    # Good-Turing mass identity: Σ_r N_r·r* = Σ_s≥2 s·N_s = N − N_1,
+    # so adjusted observed mass + unseen mass = 1 EXACTLY (gap classes
+    # contribute 0 to both sides)
+    adj = sum(rows[r]["r_star"] * rows[r]["n_r"] for r in rows) / 10.0
+    assert abs(adj + rows[1]["unseen_mass"] - 1.0) < 1e-6
+
+
 def test_kneser_ney_probabilities_sum_to_one(spark):
     # interpolated KN is a proper distribution: for each history w1,
     # Σ_w2∈V P(w2|w1) ≈ (c-D sum) + λ(w1)·Σ P_cont = 1 when summed over
