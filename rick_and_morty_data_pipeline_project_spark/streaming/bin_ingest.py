@@ -1,0 +1,83 @@
+"""Streaming binary-quantization encode-on-arrival — the 1-bit tier of
+the ingest family (streaming/pq_ingest.py is the 8-byte-code tier).
+
+As embedding rows arrive, each micro-batch is packed into sign words
+(``operators/binquant.sign_word_cols`` — the identical expression the
+batch path and the ``knn_cosine_binary`` oracle use) and folded into a
+durable (id, w0, w1, …) parquet table: the Hamming-prefilter index
+grows incrementally at ~8 bytes per 64-dim vector, no raw-vector
+storage on the hot path.
+
+Determinism contract: words are a pure function of the vector's signs
+— arrival order, batch boundaries, restarts and replays cannot change
+them — so the maintained table is BIT-IDENTICAL to a one-shot batch
+pack over the same rows (pinned in tests/test_vecx.py).  There is
+nothing to train and hence nothing to freeze: binary quantization has
+no index-poisoning surface at all, which is exactly why it is the
+cheapest tier.
+
+Durability: streaming/_durable.py — recover-before-exists, batch id
+riding the atomic table swap, at-least-once replays no-op; the fold is
+the same anti-join upsert keyed by id as the PQ tier, with intra-batch
+duplicates reduced deterministically.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rick_and_morty_data_pipeline_project_spark.operators.binquant import (
+    sign_word_cols,
+)
+from rick_and_morty_data_pipeline_project_spark.streaming._durable import (
+    durable_table_sink,
+)
+
+
+def pack_words_df(
+    df: DataFrame,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, w0, w1, …): the batch-side packing this stream maintains
+    incrementally — shared so the streaming≡batch test compares the
+    same expression, not a re-implementation."""
+    ws = sign_word_cols(F.col(vec_col), dim)
+    return df.select(
+        F.col(id_col),
+        *[w.alias(f"w{i}") for i, w in enumerate(ws)],
+    )
+
+
+def stream_binary_words_table(
+    stream: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Maintain a durable (id, sign words) parquet table from a vector
+    stream: pack each micro-batch and upsert by id (idempotent — words
+    are a pure function of the vector)."""
+
+    def _apply(batch: DataFrame, current: Optional[DataFrame]) -> DataFrame:
+        words = pack_words_df(
+            batch.select(id_col, vec_col), dim, id_col, vec_col
+        )
+        # deterministic intra-batch duplicate reduction (see
+        # pq_ingest._apply): same-id rows collapse to the max word
+        # tuple so a crash-replay rebuilds the identical table
+        word_cols = [c for c in words.columns if c != id_col]
+        words = words.groupBy(id_col).agg(
+            F.max(F.struct(*word_cols)).alias("_w")
+        ).select(id_col, *[F.col(f"_w.{c}").alias(c) for c in word_cols])
+        if current is None:
+            return words
+        return current.join(words, id_col, "left_anti").unionByName(words)
+
+    return durable_table_sink(stream, table_dir, checkpoint_dir, _apply)

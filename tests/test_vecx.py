@@ -266,6 +266,51 @@ def test_jl_projection_linearity(spark):
     assert r1 == r2
 
 
+def test_stream_binary_words_bit_identical_across_restart(spark, tmp_path):
+    # streaming sign-word ingest: the durable table after (run over 3
+    # chunks) + (checkpoint-resumed run over a 4th) is BIT-IDENTICAL
+    # to the one-shot batch pack over all rows
+    from rick_and_morty_data_pipeline_project_spark.streaming.bin_ingest import (
+        pack_words_df,
+        stream_binary_words_table,
+    )
+    from tests.conftest import SF_SMALL
+
+    emb = t(spark, SF_SMALL, "embeddings").select("vec_id", "embedding")
+    in_dir = tmp_path / "incoming"
+    in_dir.mkdir()
+    for i in range(3):
+        emb.filter(F.col("vec_id") % 4 == i).coalesce(1).write.parquet(
+            str(in_dir / f"chunk_{i}.parquet")
+        )
+
+    def start():
+        stream = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(in_dir) + "/*/")
+        )
+        return stream_binary_words_table(
+            stream, str(tmp_path / "words"), str(tmp_path / "ckpt")
+        )
+
+    start().awaitTermination()
+    emb.filter(F.col("vec_id") % 4 == 3).coalesce(1).write.parquet(
+        str(in_dir / "chunk_3.parquet")
+    )
+    start().awaitTermination()
+
+    got = {
+        r["vec_id"]: (r["w0"], r["w1"])
+        for r in spark.read.parquet(str(tmp_path / "words")).collect()
+    }
+    want = {
+        r["vec_id"]: (r["w0"], r["w1"])
+        for r in pack_words_df(emb).collect()
+    }
+    assert got == want
+
+
 def test_jl_matrix_is_sparse_and_seeded(spark):
     m = jl_matrix(64, 16, 7)
     assert m == jl_matrix(64, 16, 7)  # deterministic
