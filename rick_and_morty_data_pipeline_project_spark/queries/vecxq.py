@@ -463,6 +463,122 @@ WITH exact AS ({KNN_SQL})
 KNN_RECALL_MATRIX_SQL = _build_matrix_sql()
 
 
+# ---------------------------------------------------------------------------
+# Label-outlier audit: the "mislabeled embedding" detector a curation
+# pipeline runs before training on labeled vectors (confident-learning
+# shape): cosine of each vector to its OWN label centroid, z-scored
+# within the label — a vector far below its label's typical
+# self-similarity is a labeling or embedding defect.
+
+
+def embedding_outlier_scores(spark, sf_dir):
+    """(vec_id, label, cos_to_centroid, z_score, is_outlier) — all
+    relational: centroids are a (label, pos) aggregate (never
+    collected), the similarity is a pos-keyed join + sum, and the
+    z-score is one more label-keyed aggregate joined back.  The
+    outlier flag derives from the ROUNDED z (bit-equal across
+    engines), so the boolean cannot flip on float noise.  Scale: every
+    stage is a map-combinable aggregate or an equi-join on
+    (label, pos) / label — no stage holds more than |labels|·dim or
+    |rows| records."""
+    e = t(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "x")
+    ).select("vec_id", "label", "pos", F.col("x").cast("double").alias("x"))
+    cent = ex.groupBy("label", "pos").agg(F.avg("x").alias("c"))
+    norms = e.select(
+        "vec_id",
+        F.sqrt(
+            F.aggregate(
+                F.transform("embedding", lambda v: v.cast("double")),
+                F.lit(0.0),
+                lambda acc, v: acc + v * v,
+            )
+        ).alias("vnorm"),
+    )
+    cnorm = cent.groupBy("label").agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("cnorm")
+    )
+    dots = (
+        ex.join(cent, ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(F.sum(F.col("x") * F.col("c")).alias("dot"))
+    )
+    sims = (
+        dots.join(norms, "vec_id")
+        .join(cnorm, "label")
+        .select(
+            "vec_id",
+            "label",
+            (F.col("dot") / (F.col("vnorm") * F.col("cnorm"))).alias("_sim"),
+        )
+    )
+    stats = sims.groupBy("label").agg(
+        F.avg("_sim").alias("_mu"),
+        F.sqrt(
+            F.avg(F.col("_sim") * F.col("_sim"))
+            - F.avg("_sim") * F.avg("_sim")
+        ).alias("_sd"),
+    )
+    z = (F.col("_sim") - F.col("_mu")) / F.col("_sd")
+    out = sims.join(stats, "label").select(
+        "vec_id",
+        "label",
+        F.round(F.col("_sim"), 6).alias("cos_to_centroid"),
+        F.round(z, 6).alias("z_score"),
+    )
+    return out.select(
+        "vec_id",
+        "label",
+        "cos_to_centroid",
+        "z_score",
+        (F.col("z_score") < F.lit(-2.0)).alias("is_outlier"),
+    )
+
+
+OUTLIER_SQL = """
+WITH ex AS (
+  SELECT vec_id, label,
+         generate_subscripts(embedding, 1) - 1 AS pos,
+         unnest(embedding)::DOUBLE AS x
+  FROM embeddings
+),
+cent AS (SELECT label, pos, avg(x) AS c FROM ex GROUP BY 1, 2),
+norms AS (
+  SELECT vec_id,
+         sqrt(list_reduce(list_prepend(0.0,
+           list_transform(embedding, v -> v::DOUBLE * v::DOUBLE)),
+           (acc, v) -> acc + v)) AS vnorm
+  FROM embeddings
+),
+cnorm AS (SELECT label, sqrt(sum(c * c)) AS cnorm FROM cent GROUP BY 1),
+dots AS (
+  SELECT ex.vec_id, ex.label, sum(ex.x * cent.c) AS dot
+  FROM ex JOIN cent ON cent.label = ex.label AND cent.pos = ex.pos
+  GROUP BY 1, 2
+),
+sims AS (
+  SELECT d.vec_id, d.label, d.dot / (n.vnorm * cn.cnorm) AS sim
+  FROM dots d JOIN norms n ON n.vec_id = d.vec_id
+  JOIN cnorm cn ON cn.label = d.label
+),
+stats AS (
+  SELECT label, avg(sim) AS mu,
+         sqrt(avg(sim * sim) - avg(sim) * avg(sim)) AS sd
+  FROM sims GROUP BY 1
+),
+scored AS (
+  SELECT s.vec_id, s.label,
+         round(s.sim, 6) AS cos_to_centroid,
+         round((s.sim - st.mu) / st.sd, 6) AS z_score
+  FROM sims s JOIN stats st ON st.label = s.label
+)
+SELECT vec_id, label, cos_to_centroid, z_score,
+       z_score < -2.0 AS is_outlier
+FROM scored
+"""
+
+
 QUERIES = {
     "knn_cosine_binary": Q(
         knn_cosine_binary,
@@ -493,5 +609,10 @@ QUERIES = {
         knn_recall_matrix,
         KNN_RECALL_MATRIX_SQL,
         "recall@5 per query for every candidate-restricting ANN variant",
+    ),
+    "embedding_outlier_scores": Q(
+        embedding_outlier_scores,
+        OUTLIER_SQL,
+        "label-outlier audit: z-scored cosine to own label centroid",
     ),
 }

@@ -311,6 +311,37 @@ def test_stream_binary_words_bit_identical_across_restart(spark, tmp_path):
     assert got == want
 
 
+def test_outlier_scores_flag_planted_outlier(spark):
+    # a tight label cluster plus one anti-aligned vector: the plant
+    # must be the label's minimum-z row and carry the outlier flag
+    import rick_and_morty_data_pipeline_project_spark.queries.vecxq as vecxq
+
+    base = [1.0] * 32 + [0.0] * 32
+    rows = []
+    for i in range(20):
+        v = list(base)
+        v[i % 32] = 0.9  # slight per-vector jitter, same direction
+        rows.append((i, v, 0))
+    rows.append((99, [-1.0] * 32 + [0.0] * 32, 0))  # anti-aligned plant
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    orig = vecxq.t
+    try:
+        vecxq.t = lambda s, sf, name: df  # noqa: ARG005
+        got = {
+            r["vec_id"]: r
+            for r in vecxq.embedding_outlier_scores(spark, "x").collect()
+        }
+    finally:
+        vecxq.t = orig
+    assert len(got) == 21
+    plant = got[99]
+    assert plant["is_outlier"]
+    assert plant["z_score"] == min(r["z_score"] for r in got.values())
+    assert sum(1 for r in got.values() if r["is_outlier"]) == 1
+
+
 def test_jl_matrix_is_sparse_and_seeded(spark):
     m = jl_matrix(64, 16, 7)
     assert m == jl_matrix(64, 16, 7)  # deterministic
