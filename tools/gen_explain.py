@@ -123,9 +123,14 @@ ANNOTATED = {
     "knn_cosine_ivf_binary": "IVF × binary composition (r10 continuation): centroid literals inlined (narrow cell assignment, zero corpus shuffle), probes broadcast into the cell equi-join, Hamming shortlist is the only shuffle and carries integer rows only; the rerank joins the BROADCAST shortlist back to the corpus scan",
     "knn_graph_gemm": "exact all-pairs kNN graph (r10 continuation): ONE mapInPandas stage — numpy GEMM per Arrow batch against the broadcast normalized corpus, per-row exact top-k inside the batch; ZERO exchanges in the whole plan (the top-k needs no shuffle because every batch sees the full broadcast corpus); 10× the fold path on identical output",
     "embedding_jl_project": "sparse JL projection (r10 continuation): literal ±1/0 matrix inlined → 16 fold dots + posexplode, one narrow pass, ZERO exchanges; data-independent (nothing trained, nothing staged)",
-    "text_kneser_ney_score": "Kneser-Ney bigram LM (r10 continuation): two map-combinable count aggregations build the model (bigram types → histories/continuations/type total), scoring joins the doc bigram stream on the bigram key once; the model relation is |types|, far smaller than the token stream",
     "dedup_bbit_minhash_audit": "b-bit MinHash audit (r10 continuation): signatures are the same one-pass narrow md5 pipeline as the LSH family (ReusedExchange across the pair/sig/gram branches); the b=4 agreement is a nibble compare over already-computed components — no extra hashing for the 8×-smaller sketch",
     "knn_recall_matrix": "ANN recall dashboard (r10 continuation): six full pipelines (exact + 5 variants) in ONE plan — each arm is the variant's own catalog plan unchanged (broadcast probes, narrow assignments, integer candidate stages), joined to the exact arm and unioned; cost is the sum of its parts by design (it IS six queries), the per-arm plans are the scale story",
+    "events_mann_whitney": "Mann-Whitney U (r10 continuation): tie relation is |distinct values| per pair (not |rows|) — one value-keyed aggregate, one bounded window for cumulative counts, one pair-keyed aggregate; rank quantities are exact half-integers so the float rank-sum is order-independent",
+    "events_theil_sen_slope": "Theil-Sen slope (r10 continuation): user-keyed self-join bounded by days² per user (≤ ~500 rows/user), exact percentile over the bounded slope relation — never a global quadratic",
+    "events_kendall_tau": "Kendall tau-b (r10 continuation): same bounded per-user pair relation as Theil-Sen; concordant/discordant/tied counts are exact integer aggregates, tau divides at the very end",
+    "text_kneser_ney_score": "Kneser-Ney bigram LM (r10 continuation): two map-combinable count aggregations build the model (histories/continuations/type total from ONE bigram-type relation), the scoring join shuffles the doc bigram stream on its key once",
+    "text_turing_estimates": "Good-Turing (r10 continuation): counts -> counts-of-counts (two map-combinable aggs); the class relation is |distinct frequencies| (tens of rows at any corpus size), the r->r+1 lookup a self-join on it",
+    "embedding_outlier_scores": "label-outlier audit (r10 continuation): centroids stay a (label,pos) aggregate — never collected; similarity is a (label,pos) equi-join + sum; z-stats one more label-keyed aggregate joined back — no stage holds more than |labels|·dim or |rows| records",
 }
 
 
