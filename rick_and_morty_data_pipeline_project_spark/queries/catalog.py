@@ -227,7 +227,7 @@ SWEEP_r10-covered under policy v2 and lead the r11 oldest-green
 pool).
 13 + 6 + 1 + 4 + 2 + 24 = 50.
 
-Round-10 continuation (post-freeze): 13 more fully-oracled queries
+Round-10 continuation (post-freeze): 14 more fully-oracled queries
 were born after this window froze, extending the ANN/embedding, dedup,
 LM and statistics families — ``knn_cosine_binary`` (1-bit sign-word Hamming prefilter
 + exact rerank), ``knn_cosine_lsh_multiprobe`` (Lv VLDB'07 1-step
@@ -244,8 +244,10 @@ proven SQL), ``events_mann_whitney`` (midrank rank-sum with
 tie-corrected z), ``events_theil_sen_slope`` (median of pairwise
 daily slopes — the robust OLS twin), ``events_kendall_tau``
 (τ-b monotone-trend test, y-tie corrected), ``text_turing_estimates`` (Good-Turing frequency re-estimates +
-unseen mass), and ``embedding_outlier_scores`` (label-outlier audit:
-z-scored cosine to own label centroid, flag from the rounded z).  All are recorded in
+unseen mass), ``embedding_outlier_scores`` (label-outlier audit:
+z-scored cosine to own label centroid, flag from the rounded z), and
+``events_seasonal_decompose`` (additive 7-day-trend + zero-sum
+day-of-week seasonal split).  All are recorded in
 ``tools/pending_births.json``
 (one-cycle exemption) and are rule-1 mandatory for the r11 window
 alongside the 17 SWEEP_r10-covered r05 entries.

@@ -311,6 +311,85 @@ WHERE g.ty < g.n0
 """
 
 
+def events_seasonal_decompose(spark, sf_dir):
+    """Classical additive seasonal decomposition of the corpus-wide
+    daily value series (the moving-average method STL refines):
+    trend = centered 7-day moving mean, seasonal = day-of-week mean of
+    the detrended series (re-centered to sum to zero over the week so
+    trend + seasonal + residual = y exactly), residual = remainder —
+    the forecasting/monitoring primitive that complements the Holt and
+    EWMA entries with an explicit seasonality split.
+
+    Scale: one day-keyed aggregate (map-combinable exact decimal
+    sums), then windows/joins over the |days| relation only — the raw
+    stream is touched once.  Output: (d, y, trend, seasonal, residual)
+    rounded to 6."""
+    e = t(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("_d"), dec("value", 12, 2).alias("_y")
+    )
+    daily = e.groupBy("_d").agg(
+        (F.sum("_y").cast("double") / F.count(F.lit(1))).alias("y")
+    )
+    w7 = (
+        Window.orderBy("_d").rowsBetween(-3, 3)
+    )
+    detr = daily.select(
+        "_d",
+        "y",
+        (F.col("y") - F.avg("y").over(w7)).alias("_detr"),
+        F.avg("y").over(w7).alias("trend"),
+        F.dayofweek("_d").alias("_dow"),
+    )
+    dow = detr.groupBy("_dow").agg(F.avg("_detr").alias("_s_raw"))
+    center = dow.agg(
+        (F.sum("_s_raw") / F.count(F.lit(1))).alias("_s_mean")
+    )
+    seas = dow.crossJoin(F.broadcast(center)).select(
+        "_dow", (F.col("_s_raw") - F.col("_s_mean")).alias("_seasonal")
+    )
+    out = detr.join(seas, "_dow").select(
+        F.date_format("_d", "yyyy-MM-dd").alias("d"),
+        F.round("y", 6).alias("y"),
+        F.round("trend", 6).alias("trend"),
+        F.round("_seasonal", 6).alias("seasonal"),
+        F.round(
+            F.col("y") - F.col("trend") - F.col("_seasonal"), 6
+        ).alias("residual"),
+    )
+    return out
+
+
+SEASONAL_SQL = """
+WITH base AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(value AS DECIMAL(12,2)) AS yv
+  FROM events
+),
+daily AS (
+  SELECT d, CAST(SUM(yv) AS DOUBLE) / COUNT(*) AS y
+  FROM base GROUP BY 1
+),
+detr AS (
+  SELECT d, y,
+         y - AVG(y) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+           AS detr,
+         AVG(y) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+           AS trend,
+         dayofweek(d) + 1 AS dow
+  FROM daily
+),
+dow AS (SELECT dow, AVG(detr) AS s_raw FROM detr GROUP BY 1),
+center AS (SELECT SUM(s_raw) / COUNT(*) AS s_mean FROM dow),
+seas AS (SELECT dow, s_raw - c.s_mean AS seasonal
+         FROM dow CROSS JOIN center c)
+SELECT strftime(dt.d, '%Y-%m-%d') AS d,
+       round(dt.y, 6) AS y,
+       round(dt.trend, 6) AS trend,
+       round(s.seasonal, 6) AS seasonal,
+       round(dt.y - dt.trend - s.seasonal, 6) AS residual
+FROM detr dt JOIN seas s ON s.dow = dt.dow
+"""
+
+
 QUERIES = {
     "events_mann_whitney": Q(
         events_mann_whitney,
@@ -326,5 +405,10 @@ QUERIES = {
         events_kendall_tau,
         KENDALL_SQL,
         "per-user Kendall tau-b monotone-trend test (y-tie corrected)",
+    ),
+    "events_seasonal_decompose": Q(
+        events_seasonal_decompose,
+        SEASONAL_SQL,
+        "additive seasonal decomposition: 7-day trend + zero-sum dow seasonal",
     ),
 }

@@ -182,6 +182,44 @@ def test_kendall_tau_extremes(spark):
     )
 
 
+def test_seasonal_decompose_recovers_planted_weekly_pattern(spark):
+    # 28 days of y = 100 + weekly effect (zero-sum): interior rows'
+    # 7-day centered MA is exactly 100, so the dow seasonal estimates
+    # recover the planted effects and the additive identity holds
+    import datetime
+
+    effects = [6.0, -2.0, 3.0, -4.0, 1.0, -5.0, 1.0]  # Σ = 0
+    rows = []
+    d0 = datetime.date(2024, 1, 1)
+    for i in range(28):
+        d = d0 + datetime.timedelta(days=i)
+        y = 100.0 + effects[i % 7]
+        rows.append((i, "click", f"{d} 12:00:00", y))
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts string, value double"
+    ).selectExpr(
+        "user_id", "event_type", "CAST(ts AS TIMESTAMP) ts", "value"
+    )
+    out = _run_patched(spark, npstatq.events_seasonal_decompose, df)
+    assert len(out) == 28
+    for r in out:
+        # additive identity up to the 1e-6 output rounding
+        assert abs(r["y"] - (r["trend"] + r["seasonal"] + r["residual"])) < 3e-6
+    interior = [r for r in out if "2024-01-04" <= r["d"] <= "2024-01-25"]
+    for r in interior:
+        assert abs(r["trend"] - 100.0) < 1e-6  # MA of zero-sum pattern
+    # each dow's seasonal estimate near its planted effect (edge rows
+    # bias the dow means slightly)
+    got_eff = {}
+    for r in out:
+        dow_idx = (
+            datetime.date.fromisoformat(r["d"]) - d0
+        ).days % 7
+        got_eff.setdefault(dow_idx, r["seasonal"])
+    for i, eff in enumerate(effects):
+        assert abs(got_eff[i] - eff) < 1.0, (i, got_eff[i], eff)
+
+
 def test_theil_sen_robust_to_outlier_vs_ols(spark):
     # a clean slope-1 series with ONE wild day: the slope median moves
     # a little, the OLS slope is dragged far more
