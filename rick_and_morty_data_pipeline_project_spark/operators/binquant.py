@@ -135,23 +135,14 @@ def knn_binary(
         .drop("_r")
     )
 
-    def normed(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
-        staged = df.select(
-            F.col(id_col).alias(out_id),
-            norm2_col(F.col(vec_col)).alias("_n"),
-            F.col(vec_col).alias("_v"),
-        )
-        return staged.select(
-            out_id,
-            F.transform(
-                "_v", lambda x: x.cast("double") / F.col("_n")
-            ).alias(out_vec),
-        )
+    from rick_and_morty_data_pipeline_project_spark.operators.similarity import (
+        _normalized,
+    )
 
-    nq = normed(queries, "query_id", "_qv")
+    nq = _normalized(queries, id_col, vec_col, "query_id", "_qv")
     # fan_out: the rerank re-scan must parallelize even off a
     # single-file local corpus (no-op on a real multi-file table)
-    nc = normed(fan_out(corpus), "neighbor_id", "_cv")
+    nc = _normalized(fan_out(corpus), id_col, vec_col, "neighbor_id", "_cv")
     rer = (
         F.broadcast(short)
         .join(nc, "neighbor_id")
@@ -206,6 +197,14 @@ def knn_ivf_binary(
         _normalized,
     )
 
+    # NB: _unit / the head-id centroid collect / cents_lit / _cmp
+    # deliberately mirror similarity.knn_ivf's internals byte-for-byte
+    # rather than extracting a shared helper: similarity.py's file
+    # bytes fingerprint 13 frozen driver certificates (rotation rule
+    # 2), so a cross-module refactor would stale all of them for a
+    # pure-style win.  If knn_ivf's quantizer arithmetic ever changes,
+    # this copy (and both oracles' `assign` CTEs) must change with it
+    # — tests/test_vecx.py's parity + recall pins would both go red.
     def _unit(vec):
         acc = 0.0
         for x in vec:
@@ -241,11 +240,24 @@ def knn_ivf_binary(
         )
 
     def assign_words(df: DataFrame, out_id: str, nprobe: int) -> DataFrame:
-        """(id, cell_id, sign words): normalize for the cell argmax,
-        pack words from the RAW vector (sign bits are scale-invariant,
-        and the raw-vector definition is what the oracle replays)."""
-        nv = _normalized(df, id_col, vec_col, out_id, "_nv")
-        raw = df.select(F.col(id_col).alias(out_id), F.col(vec_col).alias("_v"))
+        """(id, cell_id, sign words) in ONE narrow pipeline — no
+        corpus self-join: the staged projection carries the raw vector
+        alongside the unit-normalized one, so the cell argmax
+        (normalized dot — _normalized's exact arithmetic, staged norm)
+        and the sign words (RAW vector — the scale-invariant
+        definition the oracle replays) come out of the same pass."""
+        staged = df.select(
+            F.col(id_col).alias(out_id),
+            norm2_col(F.col(vec_col)).alias("_n"),
+            F.col(vec_col).alias("_v"),
+        )
+        nv = staged.select(
+            out_id,
+            F.transform(
+                "_v", lambda x: x.cast("double") / F.col("_n")
+            ).alias("_nv"),
+            "_v",
+        )
         sims = F.transform(
             cents_lit,
             lambda c: F.struct(
@@ -255,13 +267,15 @@ def knn_ivf_binary(
         )
         top = F.slice(F.array_sort(sims, _cmp), 1, nprobe)
         ws = sign_word_cols(F.col("_v"), dim)
-        assigned = nv.select(
-            out_id, F.explode(top).alias("_c")
-        ).select(out_id, F.col("_c.cell_id").alias("cell_id"))
-        words = raw.select(
-            out_id, *[w.alias(f"_{out_id}_w{i}") for i, w in enumerate(ws)]
+        return nv.select(
+            out_id,
+            F.explode(top).alias("_c"),
+            *[w.alias(f"_{out_id}_w{i}") for i, w in enumerate(ws)],
+        ).select(
+            out_id,
+            F.col("_c.cell_id").alias("cell_id"),
+            *[f"_{out_id}_w{i}" for i in range((dim + WORD_BITS - 1) // WORD_BITS)],
         )
-        return assigned.join(words, out_id)
 
     nwords = (dim + WORD_BITS - 1) // WORD_BITS
     cells = assign_words(fan_out(corpus), "neighbor_id", 1)

@@ -39,6 +39,12 @@ from rick_and_morty_data_pipeline_project_spark.queries._util import Q, t
 
 _B_COLLISION = 0.0625  # C = 2^-4, exact dyadic
 _NUM_HASHES = 8
+#: width of ONE MinHash component in hex chars (a 32-bit md5 slice —
+#: see functions/textfns.minhash_components).  Coincidentally equal to
+#: _NUM_HASHES here but semantically unrelated: the last-hex-char
+#: nibble extraction must key off THIS constant, or retuning the
+#: signature length would silently read '' == '' as agreement.
+_COMPONENT_HEX_WIDTH = 8
 
 
 def _bbit_agreement(sa, sb):
@@ -50,7 +56,8 @@ def _bbit_agreement(sa, sb):
             sa,
             sb,
             lambda x, y: F.when(
-                F.substring(x, _NUM_HASHES, 1) == F.substring(y, _NUM_HASHES, 1),
+                F.substring(x, _COMPONENT_HEX_WIDTH, 1)
+                == F.substring(y, _COMPONENT_HEX_WIDTH, 1),
                 F.lit(1),
             ).otherwise(F.lit(0)),
         ),
@@ -124,8 +131,8 @@ pairs AS (
          len(list_filter(generate_series(1, {_NUM_HASHES}),
                          i -> a.sig[i] = b.sig[i])) / {_NUM_HASHES} AS est_full,
          (len(list_filter(generate_series(1, {_NUM_HASHES}),
-                          i -> substr(a.sig[i], {_NUM_HASHES}, 1)
-                             = substr(b.sig[i], {_NUM_HASHES}, 1)))
+                          i -> substr(a.sig[i], {_COMPONENT_HEX_WIDTH}, 1)
+                             = substr(b.sig[i], {_COMPONENT_HEX_WIDTH}, 1)))
             / {_NUM_HASHES}.0 - {_B_COLLISION!r}) / {1.0 - _B_COLLISION!r}
            AS est_b4
   FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id

@@ -122,6 +122,10 @@ FROM ranked WHERE rank <= {_K}
 # vector.  Same deterministic head-id coarse quantizer as
 # knn_cosine_ivf, so every stage replays in SQL.
 _IVFB_SHORTLIST = 30
+# word-column projection generated from _N_WORDS so a _DIM retune
+# cannot desynchronize the cells/probes CTEs from _WORD_EXPRS /
+# _HAMMING_SQL (which are already generated)
+_W_COLS = ", ".join(f"w.w{i}" for i in range(_N_WORDS))
 
 
 def knn_cosine_ivf_binary(spark, sf_dir):
@@ -161,12 +165,12 @@ assign AS (
                   FROM normed ORDER BY vec_id LIMIT 8) c
 ),
 cells AS (
-  SELECT a.vec_id AS neighbor_id, a.cell_id, w.w0, w.w1
+  SELECT a.vec_id AS neighbor_id, a.cell_id, {_W_COLS}
   FROM assign a JOIN words w ON w.vec_id = a.vec_id
   WHERE a.r = 1
 ),
 probes AS (
-  SELECT a.vec_id AS query_id, a.cell_id, w.w0, w.w1
+  SELECT a.vec_id AS query_id, a.cell_id, {_W_COLS}
   FROM assign a JOIN words w ON w.vec_id = a.vec_id
   WHERE a.r <= 2 AND a.vec_id < 10
 ),

@@ -121,7 +121,7 @@ ANNOTATED = {
     "knn_cosine_binary": "binary-quantized ANN (r10 continuation): the candidate stage reads ONLY two BIGINT sign words per corpus row (32× less than float32) — xor+popcount inside WholeStageCodegen, queries broadcast (BroadcastNestedLoopJoin), corpus never shuffles; floats appear only in the 50-row-per-query shortlist rerank joins",
     "knn_cosine_lsh_multiprobe": "multi-probe LSH (r10 continuation): probe strings are substring surgery on ONE computed bucket (hyperplane dots evaluated once per row, not once per probe); candidate pairs structurally unique → NO dedup exchange in the plan, unlike the OR-amplified multi-table variant",
     "knn_cosine_ivf_binary": "IVF × binary composition (r10 continuation): centroid literals inlined (narrow cell assignment, zero corpus shuffle), probes broadcast into the cell equi-join, Hamming shortlist is the only shuffle and carries integer rows only; the rerank joins the BROADCAST shortlist back to the corpus scan",
-    "knn_graph_gemm": "exact all-pairs kNN graph (r10 continuation): ONE mapInPandas stage — numpy GEMM per Arrow batch against the broadcast normalized corpus, per-row exact top-k inside the batch; ZERO exchanges in the whole plan (the top-k needs no shuffle because every batch sees the full broadcast corpus); 10× the fold path on identical output",
+    "knn_graph_gemm": "exact all-pairs kNN graph (r10 continuation): ONE mapInPandas stage — numpy GEMM per Arrow batch against the broadcast normalized corpus, per-row exact top-k inside the batch; no key shuffle and no top-k exchange anywhere (every batch sees the full broadcast corpus, so the top-k completes batch-locally) — the plan's only Exchange is fan_out's local round-robin repartition; 10× the fold path on identical output",
     "embedding_jl_project": "sparse JL projection (r10 continuation): literal ±1/0 matrix inlined → 16 fold dots + posexplode, one narrow pass, ZERO exchanges; data-independent (nothing trained, nothing staged)",
     "dedup_bbit_minhash_audit": "b-bit MinHash audit (r10 continuation): signatures are the same one-pass narrow md5 pipeline as the LSH family (ReusedExchange across the pair/sig/gram branches); the b=4 agreement is a nibble compare over already-computed components — no extra hashing for the 8×-smaller sketch",
     "knn_recall_matrix": "ANN recall dashboard (r10 continuation): six full pipelines (exact + 5 variants) in ONE plan — each arm is the variant's own catalog plan unchanged (broadcast probes, narrow assignments, integer candidate stages), joined to the exact arm and unioned; cost is the sum of its parts by design (it IS six queries), the per-arm plans are the scale story",
@@ -131,6 +131,7 @@ ANNOTATED = {
     "text_kneser_ney_score": "Kneser-Ney bigram LM (r10 continuation): two map-combinable count aggregations build the model (histories/continuations/type total from ONE bigram-type relation), the scoring join shuffles the doc bigram stream on its key once",
     "text_turing_estimates": "Good-Turing (r10 continuation): counts -> counts-of-counts (two map-combinable aggs); the class relation is |distinct frequencies| (tens of rows at any corpus size), the r->r+1 lookup a self-join on it",
     "embedding_outlier_scores": "label-outlier audit (r10 continuation): centroids stay a (label,pos) aggregate — never collected; similarity is a (label,pos) equi-join + sum; z-stats one more label-keyed aggregate joined back — no stage holds more than |labels|·dim or |rows| records",
+    "events_seasonal_decompose": "seasonal decomposition (r10 continuation): one day-keyed aggregate touches the raw stream once; the 7-row moving window, dow means and re-centering all run on the |days| relation — the single-partition window is |days| rows by construction",
 }
 
 
