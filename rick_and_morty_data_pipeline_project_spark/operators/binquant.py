@@ -50,10 +50,15 @@ def sign_word_cols(vec_col: Column, dim: int) -> list[Column]:
     """Pack the sign bits of ``vec_col`` (``array<float>``, length
     ``dim``) into ``ceil(dim/32)`` BIGINT words.
 
-    Bit i of word w is 1 iff element ``w*32 + i`` (0-based) is >= 0 —
-    a raw float comparison on the stored value, identical in any
-    engine.  The pack itself is an integer fold (sum of distinct
-    powers of two), exact by construction.
+    Bit i of word w is 1 iff element ``w*32 + i`` (0-based) is NaN or
+    >= 0 — a raw float comparison on the stored value.  The explicit
+    NaN arm makes the sign-bit definition ENGINE-INDEPENDENT: DuckDB
+    orders NaN above all numbers (its ``>= 0`` is already true for
+    NaN, and the oracles' CASE inherits that), while Spark's primitive
+    comparison is false for NaN — without the guard a NaN embedding
+    would silently break hash parity for every binary-quantized query.
+    The pack itself is an integer fold (sum of distinct powers of
+    two), exact by construction.
     """
     words: list[Column] = []
     for w0 in range(0, dim, WORD_BITS):
@@ -63,7 +68,9 @@ def sign_word_cols(vec_col: Column, dim: int) -> list[Column]:
         bits = F.zip_with(
             seg,
             weights,
-            lambda x, wgt: F.when(x >= 0, wgt).otherwise(F.lit(0).cast("long")),
+            lambda x, wgt: F.when(
+                F.isnan(x) | (x >= 0), wgt
+            ).otherwise(F.lit(0).cast("long")),
         )
         words.append(
             F.aggregate(bits, F.lit(0).cast("long"), lambda acc, b: acc + b)
@@ -191,53 +198,25 @@ def knn_ivf_binary(
     shortlist rank is the only shuffle, carrying integer rows; the
     rerank joins the BROADCAST shortlist back to the corpus scan.
     """
-    import math
-
     from rick_and_morty_data_pipeline_project_spark.operators.similarity import (
         _normalized,
+        cell_sim_cmp,
+        centroids_literal,
+        head_centroid_pairs,
     )
 
-    # NB: _unit / the head-id centroid collect / cents_lit / _cmp
-    # deliberately mirror similarity.knn_ivf's internals byte-for-byte
-    # rather than extracting a shared helper: similarity.py's file
-    # bytes fingerprint 13 frozen driver certificates (rotation rule
-    # 2), so a cross-module refactor would stale all of them for a
-    # pure-style win.  If knn_ivf's quantizer arithmetic ever changes,
-    # this copy (and both oracles' `assign` CTEs) must change with it
-    # — tests/test_vecx.py's parity + recall pins would both go red.
-    def _unit(vec):
-        acc = 0.0
-        for x in vec:
-            acc = acc + float(x) * float(x)
-        n = math.sqrt(acc)
-        return [float(x) / n for x in vec]
-
-    cent_rows = (
-        corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-        .orderBy(F.asc("_id"))
-        .limit(n_cells)
-        .collect()
-    )
-    cent_pairs = [(r["_id"], _unit(r["_v"])) for r in cent_rows]
+    # The coarse quantizer is the SHARED head-id helper from
+    # operators/similarity (extracted r11 — previously duplicated
+    # byte-for-byte here to avoid staling frozen certificates): one
+    # definition of the centroid collect, the driver-side unit fold,
+    # the literal, and the argmax comparator, so knn_ivf and this
+    # composition can never drift apart arithmetically.  Both oracles'
+    # `assign` CTEs replay the same stages; tests/test_vecx.py pins
+    # parity in both directions.
+    cent_pairs = head_centroid_pairs(corpus, id_col, vec_col, n_cells)
     id_type = corpus.schema[id_col].dataType.simpleString()
-    cents_lit = F.array(
-        *[
-            F.struct(
-                F.lit(cid).cast(id_type).alias("cell_id"),
-                F.array(*[F.lit(x) for x in cvec]).alias("cent"),
-            )
-            for cid, cvec in cent_pairs
-        ]
-    )
-
-    def _cmp(l, r):  # sim desc, cell_id asc — same order as the oracle
-        return (
-            F.when(l["sim"] > r["sim"], F.lit(-1))
-            .when(l["sim"] < r["sim"], F.lit(1))
-            .when(l["cell_id"] < r["cell_id"], F.lit(-1))
-            .when(l["cell_id"] > r["cell_id"], F.lit(1))
-            .otherwise(F.lit(0))
-        )
+    cents_lit = centroids_literal(cent_pairs, id_type)
+    _cmp = cell_sim_cmp
 
     def assign_words(df: DataFrame, out_id: str, nprobe: int) -> DataFrame:
         """(id, cell_id, sign words) in ONE narrow pipeline — no

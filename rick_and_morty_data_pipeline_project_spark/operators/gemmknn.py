@@ -16,7 +16,7 @@ the batch that owns the query row, because every batch sees the whole
 broadcast corpus.
 
 Scale contract: the BROADCAST side is capped (``max_broadcast_rows``,
-default 100k ≈ 25 MB at dim 64 float32 — comfortably under executor
+default 100k × 64 float64 ≈ 50 MB — comfortably under executor
 broadcast budgets); above the cap the operator refuses loudly rather
 than silently degrade, and the documented composition is the IVF
 route: assign vectors to trained cells (operators/similarity.knn_ivf /
@@ -64,18 +64,22 @@ def knn_graph_gemm(
     to ``round_digits`` and rank ordered by (cosine desc, neighbor_id
     asc) — |corpus|·k rows.
     """
-    n = corpus.count()
-    if n > max_broadcast_rows:
-        raise ValueError(
-            f"knn_graph_gemm: corpus has {n} rows > broadcast cap "
-            f"{max_broadcast_rows}; compose with IVF cells "
-            f"(operators/similarity.knn_ivf) for the beyond-RAM regime"
-        )
+    # One bounded scan builds the broadcast side; n comes from the
+    # collected rows (no separate count() action — the limit guard
+    # keeps the collect itself capped at max_broadcast_rows + 1).
     rows = (
         corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
         .orderBy("_id")
+        .limit(max_broadcast_rows + 1)
         .collect()
     )
+    n = len(rows)
+    if n > max_broadcast_rows:
+        raise ValueError(
+            f"knn_graph_gemm: corpus exceeds broadcast cap "
+            f"{max_broadcast_rows} rows; compose with IVF cells "
+            f"(operators/similarity.knn_ivf) for the beyond-RAM regime"
+        )
     ids = np.array([r["_id"] for r in rows], dtype=np.int64)
     X = np.array([r["_v"] for r in rows], dtype=np.float64)
     X /= np.linalg.norm(X, axis=1, keepdims=True)
@@ -90,7 +94,11 @@ def knn_graph_gemm(
             q_ids = pdf["_qid"].to_numpy(dtype=np.int64)
             Q = np.array(pdf["_qv"].tolist(), dtype=np.float64)
             Q /= np.linalg.norm(Q, axis=1, keepdims=True)
-            sims = np.round(Q @ all_X.T * scale) / scale
+            # half-AWAY-from-zero rounding to match F.round / DuckDB
+            # round semantics exactly (np.round is half-to-even, which
+            # would flip a rank on a .5-boundary score with no guard)
+            raw = Q @ all_X.T * scale
+            sims = np.copysign(np.floor(np.abs(raw) + 0.5), raw) / scale
             out_q, out_n, out_c, out_r = [], [], [], []
             for row_i, qid in enumerate(q_ids):
                 s = sims[row_i]

@@ -198,6 +198,65 @@ def spark_xxhash64_long(v: int, seed: int = 42) -> int:
     return acc - (1 << 64) if acc >= (1 << 63) else acc
 
 
+def unit_list(vec) -> list[float]:
+    """Driver-side unit normalization with the IDENTICAL float64
+    left-fold ``_normalized`` runs executor-side (acc starts 0.0,
+    squares added in element order) — bit-equal to the oracles'
+    ``normed`` CTE, so a centroid collected raw and normalized here
+    matches the same vector normalized in-plan."""
+    acc = 0.0
+    for x in vec:
+        acc = acc + float(x) * float(x)
+    n = math.sqrt(acc)
+    return [float(x) / n for x in vec]
+
+
+def head_centroid_pairs(
+    corpus: DataFrame, id_col: str, vec_col: str, n_cells: int
+) -> list[tuple]:
+    """The deterministic head-id coarse quantizer shared by
+    :func:`knn_ivf` and ``binquant.knn_ivf_binary``: the ``n_cells``
+    lowest-id corpus vectors, fetched RAW with one bounded heap-top-k
+    job and unit-normalized driver-side via :func:`unit_list`.  A
+    fixed data-derived centroid set keeps both operators exactly
+    reproducible by their SQL oracles' ``cents`` CTEs."""
+    cent_rows = (
+        corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .orderBy(F.asc("_id"))
+        .limit(n_cells)
+        .collect()
+    )
+    return [(r["_id"], unit_list(r["_v"])) for r in cent_rows]
+
+
+def centroids_literal(cent_pairs: list[tuple], id_type: str):
+    """Inline ``(cell_id, unit centroid)`` pairs as an array-of-structs
+    literal — the quantizer is broadcast-sized by definition, so cell
+    assignment downstream is a NARROW per-row expression with zero
+    corpus shuffle."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(cid).cast(id_type).alias("cell_id"),
+                F.array(*[F.lit(x) for x in cvec]).alias("cent"),
+            )
+            for cid, cvec in cent_pairs
+        ]
+    )
+
+
+def cell_sim_cmp(l, r):
+    """array_sort comparator for cell argmax: sim desc, cell_id asc —
+    the same order as the oracles' ROW_NUMBER tie-break."""
+    return (
+        F.when(l["sim"] > r["sim"], F.lit(-1))
+        .when(l["sim"] < r["sim"], F.lit(1))
+        .when(l["cell_id"] < r["cell_id"], F.lit(-1))
+        .when(l["cell_id"] > r["cell_id"], F.lit(1))
+        .otherwise(F.lit(0))
+    )
+
+
 def knn_ivf(
     queries: DataFrame,
     corpus: DataFrame,
@@ -243,46 +302,17 @@ def knn_ivf(
     # Collect RAW vectors (cheap heap-top-k straight off the scan) and
     # unit-normalize driver-side with the identical float64 left-fold
     # (acc starts 0.0, products added in element order) — bit-equal to
-    # _normalized / the oracle's normed CTE.
-    def _unit(vec):
-        acc = 0.0
-        for x in vec:
-            acc = acc + float(x) * float(x)
-        n = math.sqrt(acc)
-        return [float(x) / n for x in vec]
-
+    # _normalized / the oracle's normed CTE.  The head-id quantizer
+    # (unit_list / head_centroid_pairs / centroids_literal /
+    # cell_sim_cmp) is shared with binquant.knn_ivf_binary so the two
+    # IVF tiers can never drift apart arithmetically.
     if centroids is not None:
         cent_pairs = [(i, list(map(float, c))) for i, c in enumerate(centroids)]
         id_type = "int"
     else:
-        cent_rows = (
-            corpus.select(
-                F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
-            )
-            .orderBy(F.asc("_id"))
-            .limit(n_cells)
-            .collect()
-        )
-        cent_pairs = [(r["_id"], _unit(r["_v"])) for r in cent_rows]
+        cent_pairs = head_centroid_pairs(corpus, id_col, vec_col, n_cells)
         id_type = ncorpus.schema["_id"].dataType.simpleString()
-    cents_lit = F.array(
-        *[
-            F.struct(
-                F.lit(cid).cast(id_type).alias("cell_id"),
-                F.array(*[F.lit(x) for x in cvec]).alias("cent"),
-            )
-            for cid, cvec in cent_pairs
-        ]
-    )
-
-    def _cmp(l, r):  # sim desc, cell_id asc — same order as the oracle's ROW_NUMBER
-        return (
-            F.when(l["sim"] > r["sim"], F.lit(-1))
-            .when(l["sim"] < r["sim"], F.lit(1))
-            .when(l["cell_id"] < r["cell_id"], F.lit(-1))
-            .when(l["cell_id"] > r["cell_id"], F.lit(1))
-            .otherwise(F.lit(0))
-        )
+    cents_lit = centroids_literal(cent_pairs, id_type)
 
     def assign(df: DataFrame, out_id: str, out_vec: str, nprobe: int) -> DataFrame:
         sims = F.transform(
@@ -292,7 +322,7 @@ def knn_ivf(
                 c["cell_id"].alias("cell_id"),
             ),
         )
-        top = F.slice(F.array_sort(sims, _cmp), 1, nprobe)
+        top = F.slice(F.array_sort(sims, cell_sim_cmp), 1, nprobe)
         return df.select(
             F.col("_id").alias(out_id),
             F.col("_nv").alias(out_vec),

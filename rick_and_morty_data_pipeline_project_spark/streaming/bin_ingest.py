@@ -11,7 +11,12 @@ storage on the hot path.
 Determinism contract: words are a pure function of the vector's signs
 — arrival order, batch boundaries, restarts and replays cannot change
 them — so the maintained table is BIT-IDENTICAL to a one-shot batch
-pack over the same rows (pinned in tests/test_vecx.py).  There is
+pack over the same rows GIVEN UNIQUE IDS (pinned in
+tests/test_vecx.py).  With duplicate ids the two differ by
+construction: ``pack_words_df`` emits one row per input row, while
+this sink keys the durable table by id and collapses same-id rows to
+the max word tuple — the equivalence then holds only after applying
+the same max-struct reduction to the batch pack.  There is
 nothing to train and hence nothing to freeze: binary quantization has
 no index-poisoning surface at all, which is exactly why it is the
 cheapest tier.
