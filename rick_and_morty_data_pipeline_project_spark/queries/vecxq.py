@@ -12,6 +12,7 @@ already proves bit-equal (queries/vecq.py).
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from rick_and_morty_data_pipeline_project_spark.functions.vectors import (
     cosine_sql,
@@ -206,6 +207,91 @@ FROM ranked WHERE rank <= {_K}
 
 
 # ---------------------------------------------------------------------------
+# SQ8 — the 8-bit scalar-quantization tier (FAISS ScalarQuantizer
+# QT_8bit shape): per-dimension min/max train stats over the
+# unit-normalized corpus, one byte per dimension (4× smaller than
+# float32), asymmetric ADC search (raw query × decoded codes) with an
+# exact rerank of the shortlist.  Completes the quantization ladder:
+# 1-bit binquant / 8-byte PQ / 64-byte SQ8 / full float.
+_SQ_SHORTLIST = 50
+
+
+def knn_cosine_sq8(spark, sf_dir):
+    """SQ8 scalar-quantized ANN: per-dimension byte codes (64 bytes
+    per 64-dim vector), ADC shortlist (raw unit query × affinely
+    decoded codes), exact cosine rerank on the 50-row shortlist only.
+    Train stats are ONE broadcast 2×dim row — zero corpus shuffle on
+    the encode path."""
+    from rick_and_morty_data_pipeline_project_spark.operators.sq import knn_sq8
+
+    e = t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    return knn_sq8(queries, e, dim=_DIM, k=_K, shortlist=_SQ_SHORTLIST)
+
+
+_SQ_MINS = ", ".join(f"min(nv[{d + 1}])" for d in range(_DIM))
+_SQ_MAXS = ", ".join(f"max(nv[{d + 1}])" for d in range(_DIM))
+
+# encode: clamp(floor((x-min)/(max-min)*255 + 0.5), 0, 255), degenerate
+# dim → 0; decode: min + code*(max-min)/255.0 — textually the same
+# IEEE expression sequence operators/sq.py evaluates, so ADC scores
+# are bit-equal before the rank.
+_SQ_CODE_LAMBDA = (
+    "p -> CASE WHEN p[3] = p[2] THEN CAST(0 AS BIGINT) "
+    "ELSE least(CAST(255 AS BIGINT), greatest(CAST(0 AS BIGINT), "
+    "CAST(floor((p[1] - p[2]) / (p[3] - p[2]) * 255.0 + 0.5) AS BIGINT))) END"
+)
+_SQ_DECODE_LAMBDA = "p -> p[2] + CAST(p[1] AS DOUBLE) * (p[3] - p[2]) / 255.0"
+
+KNN_SQ8_SQL = f"""
+WITH normed AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE / sqrt({_DOT_SELF})) AS nv
+  FROM embeddings
+),
+stats AS (
+  SELECT [{_SQ_MINS}] AS mins, [{_SQ_MAXS}] AS maxs FROM normed
+),
+decoded AS (
+  SELECT n.vec_id,
+         list_transform(
+           list_zip(
+             list_transform(list_zip(n.nv, s.mins, s.maxs), {_SQ_CODE_LAMBDA}),
+             s.mins, s.maxs),
+           {_SQ_DECODE_LAMBDA}) AS dv
+  FROM normed n, stats s
+),
+adc AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {dot_sql("q.nv", "c.dv")} AS adc_raw
+  FROM normed q, decoded c
+  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+),
+short AS (
+  SELECT query_id, neighbor_id, adc_raw,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY adc_raw DESC, neighbor_id ASC) AS r
+  FROM adc
+),
+rer AS (
+  SELECT s.query_id, s.neighbor_id, round(s.adc_raw, 6) AS adc,
+         round({dot_sql("nq.nv", "nc.nv")}, 6) AS cosine
+  FROM short s
+  JOIN normed nq ON nq.vec_id = s.query_id
+  JOIN normed nc ON nc.vec_id = s.neighbor_id
+  WHERE s.r <= {_SQ_SHORTLIST}
+),
+ranked AS (
+  SELECT query_id, neighbor_id, adc, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM rer
+)
+SELECT query_id, neighbor_id, adc, cosine, rank
+FROM ranked WHERE rank <= {_K}
+"""
+
+
+# ---------------------------------------------------------------------------
 # Multi-probe LSH: ONE table (the same seed-42 planes as table 0 of
 # knn_cosine_lsh), each query probing base + all Hamming-1 buckets.
 _MP_TABLE = _hyperplanes(_DIM, _MP_PLANES, 42)
@@ -374,12 +460,28 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {_K}
 # SQL verbatim as CTEs — nothing re-derived, nothing re-tuned.
 
 
+# bootstrap-CI constants for the recall dashboard: B replicates of a
+# classic n-out-of-n resample over the _RM_N per-query recalls, with
+# CONTENT-ADDRESSED draws (md5 of variant∥replicate∥slot → 8-hex
+# window vs pinned decile thresholds) so both engines resample the
+# SAME queries — the statsq Poisson-bootstrap machinery's hex-compare
+# trick, with a fixed n-draw resample so no replicate can come up
+# empty at n=10.
+_RM_B = 64
+_RM_N = 10
+_RM_T_HEX = [format((k * (1 << 32)) // _RM_N, "08x") for k in range(1, _RM_N)]
+
+
 def knn_recall_matrix(spark, sf_dir):
-    """(variant, query_id, n_hits, recall) for the five
-    candidate-restricting ANN variants: LSH, multi-probe LSH, IVF,
-    binary, IVF×binary.  Zero-hit queries appear with recall 0 (left
-    join from the exact arm), so a broken index reads 0.0, not
-    missing-row."""
+    """(variant, query_id, n_hits, recall, mean_recall, boot_lo,
+    boot_hi) for the six candidate-restricting ANN variants: LSH,
+    multi-probe LSH, IVF, binary, IVF×binary, SQ8.  Zero-hit queries
+    appear with recall 0 (left join from the exact arm), so a broken
+    index reads 0.0, not missing-row.  mean_recall is the variant's
+    recall@5 over the 10 queries; [boot_lo, boot_hi] is a
+    deterministic 95% bootstrap interval (B=64 md5-addressed
+    resamples), making cross-variant comparisons defensible rather
+    than point estimates."""
     from rick_and_morty_data_pipeline_project_spark.operators.binquant import (
         knn_binary,
         knn_ivf_binary,
@@ -390,6 +492,7 @@ def knn_recall_matrix(spark, sf_dir):
         knn_ivf,
         knn_lsh,
     )
+    from rick_and_morty_data_pipeline_project_spark.operators.sq import knn_sq8
 
     e = t(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 10)
@@ -405,6 +508,7 @@ def knn_recall_matrix(spark, sf_dir):
             queries, e, dim=_DIM, k=_K, n_cells=8, n_probe=2,
             shortlist=_IVFB_SHORTLIST,
         ),
+        "sq8": knn_sq8(queries, e, dim=_DIM, k=_K, shortlist=_SQ_SHORTLIST),
     }
     arms = []
     for name, df in variants.items():
@@ -426,7 +530,86 @@ def knn_recall_matrix(spark, sf_dir):
     out = arms[0]
     for arm in arms[1:]:
         out = out.unionByName(arm)
-    return out
+
+    # ---- deterministic bootstrap CI over the per-query recalls ----
+    # Replicate sums use integer n_hits (exact), divided once by
+    # n·k = 50 — no float accumulation order to diverge between
+    # engines; the percentile interpolation is the Spark `percentile`
+    # ≡ DuckDB `quantile_cont` p·(n−1) rule statsq already proves.
+    idx = out.select(
+        "variant",
+        "n_hits",
+        (
+            F.row_number().over(
+                Window.partitionBy("variant").orderBy("query_id")
+            )
+            - 1
+        ).alias("_qidx"),
+    )
+    draws = (
+        out.select("variant")
+        .distinct()
+        .select(
+            "variant",
+            F.explode(F.sequence(F.lit(0), F.lit(_RM_B - 1))).alias("_b"),
+        )
+        .select(
+            "variant",
+            "_b",
+            F.explode(F.sequence(F.lit(0), F.lit(_RM_N - 1))).alias("_i"),
+        )
+    )
+    h8 = F.substring(
+        F.md5(
+            F.concat(
+                F.lit("rmboot:"),
+                F.col("variant"),
+                F.lit(":"),
+                F.col("_b").cast("string"),
+                F.lit(":"),
+                F.col("_i").cast("string"),
+            )
+        ),
+        1,
+        8,
+    )
+    qidx = F.lit(0)
+    for thex in _RM_T_HEX:
+        qidx = qidx + (h8 >= F.lit(thex)).cast("int")
+    reps = (
+        draws.select("variant", "_b", qidx.alias("_qidx"))
+        .join(idx, ["variant", "_qidx"])
+        .groupBy("variant", "_b")
+        .agg(F.sum("n_hits").alias("_rs"))
+        .select(
+            "variant",
+            (F.col("_rs").cast("double") / F.lit(float(_RM_N * _K))).alias(
+                "_rm"
+            ),
+        )
+    )
+    ci = reps.groupBy("variant").agg(
+        F.round(F.expr("percentile(_rm, 0.025)"), 6).alias("boot_lo"),
+        F.round(F.expr("percentile(_rm, 0.975)"), 6).alias("boot_hi"),
+    )
+    means = out.groupBy("variant").agg(
+        F.round(
+            F.sum("n_hits").cast("double") / F.lit(float(_RM_N * _K)), 6
+        ).alias("mean_recall")
+    )
+    return (
+        out.join(F.broadcast(means), "variant")
+        .join(F.broadcast(ci), "variant")
+        .select(
+            "variant",
+            "query_id",
+            "n_hits",
+            "recall",
+            "mean_recall",
+            "boot_lo",
+            "boot_hi",
+        )
+    )
 
 
 def _matrix_arm_sql(name: str, variant_sql: str) -> str:
@@ -456,11 +639,55 @@ def _build_matrix_sql() -> str:
             ("ivf", KNN_IVF_SQL),
             ("binary", KNN_BINARY_SQL),
             ("ivf_binary", KNN_IVF_BINARY_SQL),
+            ("sq8", KNN_SQ8_SQL),
         )
     )
+    qidx_sql = " + ".join(
+        f"CASE WHEN h8 >= '{thex}' THEN 1 ELSE 0 END" for thex in _RM_T_HEX
+    )
     return f"""
-WITH exact AS ({KNN_SQL})
+WITH exact AS ({KNN_SQL}),
+matrix AS (
 {arms}
+),
+idx AS (
+  SELECT variant, n_hits,
+         ROW_NUMBER() OVER (PARTITION BY variant ORDER BY query_id) - 1 AS qidx
+  FROM matrix
+),
+draws AS (
+  SELECT v.variant, b.b,
+         substr(md5('rmboot:' || v.variant || ':' || CAST(b.b AS VARCHAR)
+                    || ':' || CAST(i.i AS VARCHAR)), 1, 8) AS h8
+  FROM (SELECT DISTINCT variant FROM matrix) v,
+       (SELECT unnest(generate_series(0, {_RM_B - 1})) AS b) b,
+       (SELECT unnest(generate_series(0, {_RM_N - 1})) AS i) i
+),
+dq AS (
+  SELECT variant, b, ({qidx_sql}) AS qidx FROM draws
+),
+reps AS (
+  SELECT d.variant, d.b,
+         sum(x.n_hits) / {float(_RM_N * _K)!r} AS rm
+  FROM dq d JOIN idx x ON x.variant = d.variant AND x.qidx = d.qidx
+  GROUP BY d.variant, d.b
+),
+ci AS (
+  SELECT variant,
+         round(quantile_cont(rm, 0.025), 6) AS boot_lo,
+         round(quantile_cont(rm, 0.975), 6) AS boot_hi
+  FROM reps GROUP BY variant
+),
+means AS (
+  SELECT variant,
+         round(sum(n_hits) / {float(_RM_N * _K)!r}, 6) AS mean_recall
+  FROM matrix GROUP BY variant
+)
+SELECT m.variant, m.query_id, m.n_hits, m.recall,
+       mn.mean_recall, c.boot_lo, c.boot_hi
+FROM matrix m
+JOIN means mn ON mn.variant = m.variant
+JOIN ci c ON c.variant = m.variant
 """
 
 
@@ -609,10 +836,15 @@ QUERIES = {
         KNN_IVF_BINARY_SQL,
         "IVF cells x in-cell binary Hamming shortlist + exact rerank",
     ),
+    "knn_cosine_sq8": Q(
+        knn_cosine_sq8,
+        KNN_SQ8_SQL,
+        "SQ8 scalar-quantized ANN: byte codes, ADC shortlist + exact rerank",
+    ),
     "knn_recall_matrix": Q(
         knn_recall_matrix,
         KNN_RECALL_MATRIX_SQL,
-        "recall@5 per query for every candidate-restricting ANN variant",
+        "recall@5 + bootstrap CI per candidate-restricting ANN variant",
     ),
     "embedding_outlier_scores": Q(
         embedding_outlier_scores,

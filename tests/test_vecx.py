@@ -216,10 +216,12 @@ def test_recall_matrix_consistency(spark):
 
     rows = knn_recall_matrix(spark, SF_ORACLE).collect()
     by_variant: dict[str, list[float]] = {}
+    ci: dict[str, tuple] = {}
     for r in rows:
         by_variant.setdefault(r["variant"], []).append(r["recall"])
+        ci[r["variant"]] = (r["boot_lo"], r["mean_recall"], r["boot_hi"])
     assert set(by_variant) == {
-        "lsh", "lsh_multiprobe", "ivf", "binary", "ivf_binary"
+        "lsh", "lsh_multiprobe", "ivf", "binary", "ivf_binary", "sq8"
     }
     assert all(len(v) == 10 for v in by_variant.values())
     mean = {k: sum(v) / len(v) for k, v in by_variant.items()}
@@ -230,6 +232,18 @@ def test_recall_matrix_consistency(spark):
     # slack for corpus regeneration
     assert mean["lsh_multiprobe"] > mean["lsh"]
     assert mean["ivf"] >= 0.6 and mean["binary"] >= 0.5
+    # the CI columns must bracket the point estimate, agree with the
+    # independently computed per-query mean, and the bootstrap of a
+    # non-constant sample must have nonzero width
+    for k, vals in by_variant.items():
+        lo, m, hi = ci[k]
+        assert lo <= m + 1e-9 and m <= hi + 1e-9, (k, ci[k])
+        assert abs(m - sum(vals) / len(vals)) < 1e-6, (k, ci[k])
+        if max(vals) > min(vals):
+            assert hi - lo > 0, (k, ci[k])
+    # SQ8 is the gentlest tier: 8-bit codes must not lose more recall
+    # than the 1-bit sign codes
+    assert mean["sq8"] >= mean["binary"] - 1e-9
 
 
 def test_jl_norm_ratio_concentration(spark):
@@ -350,3 +364,80 @@ def test_jl_matrix_is_sparse_and_seeded(spark):
     zero_frac = flat.count(0.0) / len(flat)
     assert 0.55 <= zero_frac <= 0.78  # E = 2/3
     assert abs(jl_scale(16) - (3.0 / 16) ** 0.5) < 1e-12
+
+
+def test_sq8_codes_bytes_and_roundtrip_accuracy(spark):
+    # codes land in [0, 255]; the affine roundtrip reconstructs unit
+    # vectors to well under one quantization step per dimension
+    from rick_and_morty_data_pipeline_project_spark.operators.similarity import (
+        _normalized,
+    )
+    from rick_and_morty_data_pipeline_project_spark.operators.sq import (
+        sq8_code_col,
+        sq8_decode_col,
+        sq8_train_stats,
+    )
+
+    e = t(spark, SF_ORACLE, "embeddings")
+    nc = _normalized(e, "vec_id", "embedding", "vec_id", "_nv")
+    stats = sq8_train_stats(nc, "_nv", 64)
+    coded = nc.crossJoin(F.broadcast(stats)).select(
+        "vec_id",
+        F.col("_nv"),
+        sq8_code_col(F.col("_nv"), F.col("_mins"), F.col("_maxs")).alias(
+            "_code"
+        ),
+        "_mins",
+        "_maxs",
+    )
+    audit = coded.select(
+        F.array_min("_code").alias("cmin"),
+        F.array_max("_code").alias("cmax"),
+        F.aggregate(
+            F.zip_with(
+                "_nv",
+                sq8_decode_col(F.col("_code"), F.col("_mins"), F.col("_maxs")),
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("sq_err"),
+        F.zip_with(
+            "_maxs", "_mins", lambda mx, mn: (mx - mn) / 255.0
+        ).alias("_steps"),
+    ).agg(
+        F.min("cmin").alias("lo"),
+        F.max("cmax").alias("hi"),
+        F.max("sq_err").alias("worst_sq_err"),
+        F.max(F.aggregate(
+            "_steps", F.lit(0.0), lambda acc, s: acc + s * s
+        )).alias("step_budget"),
+    ).collect()[0]
+    assert audit["lo"] >= 0 and audit["hi"] <= 255
+    # worst per-vector squared error ≤ Σ (step/2)² over dims
+    assert audit["worst_sq_err"] <= audit["step_budget"] / 4 + 1e-12
+
+
+def test_sq8_recall_beats_binary_and_matches_exact_top1(spark):
+    from rick_and_morty_data_pipeline_project_spark.operators.sq import knn_sq8
+
+    e = t(spark, SF_ORACLE, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    exact = _pairs(knn_bruteforce(q, e, k=5))
+    sq8 = knn_sq8(q, e, dim=64, k=5, shortlist=50)
+    approx = _pairs(sq8)
+    binary = _pairs(knn_binary(q, e, dim=64, k=5, shortlist=50))
+    assert _recall(approx, exact) >= _recall(binary, exact)
+    # 8-bit quantization is gentle: measured 1.0 at sf0.01; floor at
+    # 0.9 leaves room for corpus regeneration only
+    assert _recall(approx, exact) >= 0.9
+    # rerank is exact: every returned cosine equals the bruteforce
+    # cosine for the same pair
+    bf = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in knn_bruteforce(q, e, k=5).collect()
+    }
+    for r in sq8.collect():
+        key = (r["query_id"], r["neighbor_id"])
+        if key in bf:
+            assert abs(r["cosine"] - bf[key]) < 1e-12
