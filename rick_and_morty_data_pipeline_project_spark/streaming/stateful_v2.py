@@ -23,6 +23,9 @@ Attempt log (retried each round per the standing verdict item):
 * r8 (2026-08-15): retried — still ModuleNotFoundError (``google``
   namespace package absent entirely); installs remain prohibited, so
   the gate stands and the two pytest skips remain honest.
+* r11 (2026-08-16): retried — ``import google.protobuf`` still
+  ModuleNotFoundError and ``importlib.util.find_spec('google')`` is
+  None (namespace package absent); gate unchanged.
 """
 
 from __future__ import annotations
