@@ -251,6 +251,28 @@ day-of-week seasonal split).  All are recorded in
 ``tools/pending_births.json``
 (one-cycle exemption) and are rule-1 mandatory for the r11 window
 alongside the 17 SWEEP_r10-covered r05 entries.
+
+Round-11 window (this file's ``DRIVER_WINDOW``): exactly the plan the
+round-10 verdict ordered, plus the rule-2 fallout of this round's own
+code motion.  The 14 rule-1 pending births lead
+(``tools/pending_births.json`` — the r10-continuation ANN/dedup/LM/
+statistics families), then 17 of the 18 rule-2 re-greens created by
+the r11 IVF-helper extraction and the binquant NaN-guard fix (both
+touch ``operators/similarity.py``/``binquant.py``, whose file bytes
+fingerprint every similarity-family certificate; the set INCLUDES the
+verdict-named ``knn_cosine_opq`` re-certification, the one entry
+whose green row had already diverged from its code), the round's one
+new birth ``knn_cosine_sq8`` (the SQ8 tier that completes the
+quantization ladder, plus bootstrap-CI columns on
+``knn_recall_matrix``) scheduled at its own birth freeze, flagship,
+and the 17 r05-vintage over-age refreshes the round-10 verdict named
+(SWEEP_r11-covered while the window was composed, driver-certified
+here).  14 + 17 + 1 + 1 + 17 = 50.  The 18th stale entry,
+``text_rerank_two_stage`` (r10-green, its rerank arithmetic untouched
+by the extraction), goes to the one-cycle stale-carryover ledger and
+is rule-2 mandatory for r12 — the window could not hold all 51
+obligations, and displacing a verdict-named entry would have been
+worse.
 """
 
 from __future__ import annotations
@@ -290,25 +312,87 @@ for mod in (
         _ALL[name] = q
 
 # The 50 driver-checked slots.  All must carry a full DuckDB oracle.
-# Round-10 rotation (standing policy + policy v2 in the module
-# docstring; max-age rule: no green certificate may fall more than 4
-# rounds behind the latest CORRECTNESS round while unscheduled, and
-# stale-carryover entries must re-earn a DRIVER row within one cycle —
-# tools/rotation_report.py --assert-no-debt enforces both):
-# 13 stale-carryover re-greens (rule-1-equivalent: the r9
-#   similarity.py/sketches.py consolidations changed these while
-#   unscheduled; tools/stale_carryover.json)
-# + 6 displaced r04 over-age refreshes (age 6 at this freeze)
+# Round-11 rotation (standing policy + policy v2 in the module
+# docstring):
+# 14 rule-1 pending births (tools/pending_births.json — the
+#   r10-continuation ANN/dedup/LM/statistics families)
+# + 17 rule-2 re-greens (this round's IVF-helper extraction +
+#   binquant NaN guard changed similarity.py/binquant.py, staling
+#   every similarity-family certificate; includes the verdict-named
+#   knn_cosine_opq re-certification.  The 18th stale entry,
+#   text_rerank_two_stage, goes to the one-cycle stale-carryover
+#   ledger — r10-green, r12-mandatory)
+# + the r11 birth knn_cosine_sq8, scheduled at its own birth freeze
+#   so no exemption is consumed
 # + flagship
-# + 4 r10 births (the coarsen/census/compact lakehouse certifications
-#   + the OPQ certification, scheduled at their birth freeze so no
-#   exemption is consumed)
-# + 2 rule-2 PQ re-greens (the advisory row-count-guard change)
-# + 24 oldest-green refreshes (r05 vintage, alphabetical; the 17
-#   remaining r05 entries are SWEEP_r10-covered under policy v2 and
-#   lead the r11 oldest-green pool).
-# 13+6+1+4+2+24 = 50.
+# + 17 r05-vintage over-age refreshes (verdict-named; SWEEP_r11-
+#   covered while this window was composed).
+# 14+17+1+1+17 = 50.
 DRIVER_WINDOW: tuple[str, ...] = (
+    # ========== 14 rule-1 pending births (r10 continuation) =========
+    "knn_cosine_binary",
+    "knn_cosine_lsh_multiprobe",
+    "embedding_jl_project",
+    "knn_graph_gemm",
+    "knn_cosine_ivf_binary",
+    "knn_recall_matrix",
+    "embedding_outlier_scores",
+    "text_kneser_ney_score",
+    "text_turing_estimates",
+    "dedup_bbit_minhash_audit",
+    "events_mann_whitney",
+    "events_theil_sen_slope",
+    "events_kendall_tau",
+    "events_seasonal_decompose",
+    # ========== 18 rule-2 re-greens (r11 similarity/binquant edits;
+    # includes the knn_cosine_opq re-certification) ==================
+    "decontaminate_embedding_overlap",
+    "embedding_label_centroids",
+    "embedding_quantize_error",
+    "knn_cosine_bruteforce",
+    "knn_cosine_filtered",
+    "knn_cosine_int8",
+    "knn_cosine_ivf",
+    "knn_cosine_ivf_kmeans",
+    "knn_cosine_ivfpq",
+    "knn_cosine_lsh",
+    "knn_cosine_mmr",
+    "knn_cosine_opq",
+    "knn_cosine_pq",
+    "knn_hard_negatives",
+    "knn_label_agreement",
+    "knn_recall_audit",
+    "text_hybrid_rrf",
+    # ========== r11 birth, scheduled at its own freeze ===============
+    "knn_cosine_sq8",
+    # ========== flagship (standing, every round) =====================
+    "flagship_greedy_match",
+    # ========== 17 r05-vintage over-age refreshes (verdict-named) ====
+    "pipeline_filter_funnel",
+    "q6_forecast_revenue",
+    "scalar_bit_interleave",
+    "scalar_string_functions",
+    "scd2_customer_segments",
+    "text_bigram_logprob",
+    "text_char_entropy",
+    "text_feature_hashing",
+    "text_keyness_by_source",
+    "text_pack_buckets",
+    "text_quality_normalized",
+    "text_quality_scores",
+    "text_shard_index",
+    "text_zipf_fit",
+    "topk_two_stage_parts",
+    "view_click_attribution",
+    "win_rank_top_orders_per_customer",
+)
+
+# Round-10 window, retired 2026-08-16 (all 50 earned green rows in
+# CORRECTNESS_r10.json; kept for the rotation ledger).  Composition:
+# 13 stale-carryover re-greens + 6 displaced r04 over-age refreshes +
+# flagship + 4 r10 births + 2 rule-2 PQ re-greens + 24 r05-vintage
+# oldest-green refreshes; 13+6+1+4+2+24 = 50.
+_R10_WINDOW: tuple[str, ...] = (
     # ========== 13 stale-carryover re-greens (rule-1-equivalent) =====
     "decontaminate_embedding_overlap",
     "embedding_label_centroids",
