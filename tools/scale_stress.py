@@ -101,14 +101,19 @@ def _scale_orders(spark, base, out_dir, mult):
 def _scale_embeddings(spark, base, out_dir, mult):
     from pyspark.sql import functions as F
 
+    # explode-based tiling (not a mult-way union chain): identical
+    # rows/offsets, but the plan stays one narrow stage even at
+    # mult=600 (the union formulation costs Catalyst O(mult) analysis)
     e = spark.read.parquet(f"{base}/embeddings.parquet")
-    tiles = [
-        e.withColumn("vec_id", F.col("vec_id") + i * 1_000_000_000)
-        for i in range(mult)
-    ]
-    df = tiles[0]
-    for t_ in tiles[1:]:
-        df = df.unionByName(t_)
+    df = e.select(
+        F.explode(F.sequence(F.lit(0), F.lit(mult - 1))).alias("_i"),
+        *[F.col(c) for c in e.columns],
+    ).select(
+        (F.col("vec_id") + F.col("_i").cast("long") * 1_000_000_000).alias(
+            "vec_id"
+        ),
+        *[F.col(c) for c in e.columns if c != "vec_id"],
+    )
     df.repartition(32).write.mode("overwrite").parquet(
         f"{out_dir}/embeddings.parquet"
     )
@@ -133,6 +138,7 @@ def _scale_documents(spark, base, out_dir, mult):
 def main() -> None:
     mult, base, out_path = 20, "/root/testdata/sf0.1", None
     battery = QUERIES
+    tables_filter = {"events", "orders", "embeddings", "documents"}
     for a in sys.argv[1:]:
         if a.startswith("--mult="):
             mult = int(a.split("=", 1)[1])
@@ -144,6 +150,12 @@ def main() -> None:
             # comma-separated subset (the 100x tier runs the cheapest
             # operators only; r9 verdict stretch #8)
             battery = a.split("=", 1)[1].split(",")
+        elif a.startswith("--tables="):
+            # tile only these tables, symlink the rest at base scale —
+            # lets a single-table decade (e.g. embeddings ×600 to push
+            # PQ past its 1M-row bounded-verify cap) run without
+            # staging 60M event rows it never reads (r11)
+            tables_filter = set(a.split("=", 1)[1].split(","))
 
     from pyspark.sql import SparkSession
 
@@ -168,13 +180,20 @@ def main() -> None:
 
     scaled = tempfile.mkdtemp(prefix="spark_graft_scale_")
     try:
-        _scale_events(spark, base, scaled, mult)
-        _scale_orders(spark, base, scaled, mult)
-        _scale_embeddings(spark, base, scaled, mult)
-        _scale_documents(spark, base, scaled, mult)
-        for t_ in (
-            "region nation customer supplier part lineitem"
-        ).split():
+        scalers = {
+            "events": _scale_events,
+            "orders": _scale_orders,
+            "embeddings": _scale_embeddings,
+            "documents": _scale_documents,
+        }
+        passthrough = ["region", "nation", "customer", "supplier",
+                       "part", "lineitem"]
+        for t_, fn_ in scalers.items():
+            if t_ in tables_filter:
+                fn_(spark, base, scaled, mult)
+            else:
+                passthrough.append(t_)
+        for t_ in passthrough:
             os.symlink(
                 f"{base}/{t_}.parquet", f"{scaled}/{t_}.parquet"
             )
