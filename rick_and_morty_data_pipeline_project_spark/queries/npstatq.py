@@ -27,6 +27,8 @@ global quadratic.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -390,6 +392,359 @@ FROM detr dt JOIN seas s ON s.dow = dt.dow
 """
 
 
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov–Smirnov: the distribution-equality test that
+# needs no binning and no distributional assumption — D = sup
+# |ECDF_a − ECDF_b| over the pooled values.  Determinism: D is
+# computed as an INTEGER — max |ca·n_b − cb·n_a| over the pooled
+# distinct-value relation (cumulative integer counts, one bounded
+# window like Mann–Whitney) — and becomes a double through exactly
+# one division; the α=0.05 decision compares against
+# c(α)·sqrt((n_a+n_b)/(n_a·n_b)) with c(α)=sqrt(−ln(α/2)/2) inlined
+# as a Python literal, so no libm log ever runs in either engine.
+
+_KS_A = "click"
+_KS_ALPHA_C = repr(math.sqrt(-math.log(0.025) / 2))  # 1.3581015157406195
+
+
+def events_ks_test(spark, sf_dir):
+    """One row: (n_a, n_b, d_num, d_stat, lambda_stat, reject_05) for
+    '{a}' vs '{b}' event values.  d_num = max|ca·n_b − cb·n_a| is
+    exact integer arithmetic; d_stat = d_num/(n_a·n_b); lambda is the
+    asymptotic sqrt(n_a·n_b/(n_a+n_b))·D.  Scale: one value-keyed
+    aggregate over the two samples, one |distinct values|-bounded
+    cumulative window (the documented Mann–Whitney shape), one max.
+    (Count products need n_a·max(ca) ≲ 2⁶³; at genuinely huge n
+    switch d_num to DECIMAL.)""".format(a=_KS_A, b=_BASELINE)
+    ev = (
+        t(spark, sf_dir, "events")
+        .select("event_type", dec("value", 12, 2).alias("_v"))
+        .filter(
+            F.col("_v").isNotNull()
+            & F.col("event_type").isin(_KS_A, _BASELINE)
+        )
+    )
+    cnt = ev.groupBy("_v").agg(
+        F.sum(F.when(F.col("event_type") == _KS_A, 1).otherwise(0))
+        .cast("long")
+        .alias("na"),
+        F.sum(F.when(F.col("event_type") == _BASELINE, 1).otherwise(0))
+        .cast("long")
+        .alias("nb"),
+    )
+    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = cnt.select(
+        F.sum("na").over(w).alias("ca"), F.sum("nb").over(w).alias("cb")
+    )
+    tot = cnt.agg(
+        F.sum("na").cast("long").alias("n_a"),
+        F.sum("nb").cast("long").alias("n_b"),
+    )
+    d = cum.crossJoin(F.broadcast(tot)).agg(
+        F.max(
+            F.abs(F.col("ca") * F.col("n_b") - F.col("cb") * F.col("n_a"))
+        ).alias("d_num"),
+        F.first("n_a").alias("n_a"),
+        F.first("n_b").alias("n_b"),
+    )
+    na_d = F.col("n_a").cast("double")
+    nb_d = F.col("n_b").cast("double")
+    d_stat = F.col("d_num").cast("double") / (na_d * nb_d)
+    return d.select(
+        "n_a",
+        "n_b",
+        F.col("d_num").cast("long").alias("d_num"),
+        F.round(d_stat, 9).alias("d_stat"),
+        F.round(d_stat * F.sqrt(na_d * nb_d / (na_d + nb_d)), 6).alias(
+            "lambda_stat"
+        ),
+        (
+            d_stat
+            > F.lit(float(_KS_ALPHA_C)) * F.sqrt((na_d + nb_d) / (na_d * nb_d))
+        ).alias("reject_05"),
+    )
+
+
+KS_SQL = f"""
+WITH ev AS (
+  SELECT event_type, CAST(value AS DECIMAL(12,2)) AS v
+  FROM events
+  WHERE value IS NOT NULL AND event_type IN ('{_KS_A}', '{_BASELINE}')
+),
+cnt AS (
+  SELECT v,
+         CAST(SUM(CASE WHEN event_type = '{_KS_A}' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         CAST(SUM(CASE WHEN event_type = '{_BASELINE}' THEN 1 ELSE 0 END) AS BIGINT) AS nb
+  FROM ev GROUP BY v
+),
+cum AS (
+  SELECT SUM(na) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+         SUM(nb) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+  FROM cnt
+),
+tot AS (
+  SELECT CAST(SUM(na) AS BIGINT) AS n_a, CAST(SUM(nb) AS BIGINT) AS n_b
+  FROM cnt
+),
+d AS (
+  SELECT max(abs(c.ca * t.n_b - c.cb * t.n_a)) AS d_num,
+         any_value(t.n_a) AS n_a, any_value(t.n_b) AS n_b
+  FROM cum c, tot t
+)
+SELECT n_a, n_b, CAST(d_num AS BIGINT) AS d_num,
+       round(CAST(d_num AS DOUBLE)
+             / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 9) AS d_stat,
+       round(CAST(d_num AS DOUBLE)
+             / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+             * sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                    / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))), 6)
+         AS lambda_stat,
+       CAST(d_num AS DOUBLE)
+         / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+         > {_KS_ALPHA_C}
+           * sqrt((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                  / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))
+         AS reject_05
+FROM d
+"""
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation between two daily series (click count vs
+# purchase count per day) — the monotone-association twin of Kendall
+# tau that production dashboards default to.  Determinism: midranks
+# are stored DOUBLED (2·midrank = 2·min_rank + ties − 1, an integer),
+# every moment is an exact integer power/cross sum (order-free), and
+# ρ's Pearson form over the doubled ranks (scale-invariant) turns
+# into doubles through one identical expression on both sides.
+
+_SP_X = "click"
+_SP_Y = "purchase"
+
+
+def events_spearman_daily(spark, sf_dir):
+    """One row: (n_days, rho, t_stat) — Spearman ρ of daily '{x}'
+    count vs daily '{y}' count, midrank tie handling, plus the
+    t = ρ·sqrt((n−2)/(1−ρ²)) trend statistic.  Scale: one day-keyed
+    aggregate touches the raw stream once; ranks and moments run on
+    the |days| relation.""".format(x=_SP_X, y=_SP_Y)
+    ev = t(spark, sf_dir, "events")
+    days = ev.groupBy(F.to_date("ts").alias("_day")).agg(
+        F.sum(F.when(F.col("event_type") == _SP_X, 1).otherwise(0))
+        .cast("long")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == _SP_Y, 1).otherwise(0))
+        .cast("long")
+        .alias("y"),
+    )
+
+    def dbl_rank(col):
+        return (
+            F.lit(2) * F.rank().over(Window.orderBy(col))
+            + F.count(F.lit(1)).over(Window.partitionBy(col))
+            - F.lit(1)
+        ).cast("long")
+
+    ranked = days.select(
+        dbl_rank(F.col("x")).alias("rx"), dbl_rank(F.col("y")).alias("ry")
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("rx").cast("long").alias("sx"),
+        F.sum("ry").cast("long").alias("sy"),
+        F.sum(F.col("rx") * F.col("rx")).cast("long").alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).cast("long").alias("syy"),
+        F.sum(F.col("rx") * F.col("ry")).cast("long").alias("sxy"),
+    )
+    num = (
+        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ).cast("double")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    ) * F.sqrt(
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    rho = num / den
+    nd = F.col("n").cast("double")
+    return s.select(
+        F.col("n").alias("n_days"),
+        F.round(rho, 9).alias("rho"),
+        F.round(
+            rho * F.sqrt((nd - 2.0) / (1.0 - rho * rho)), 6
+        ).alias("t_stat"),
+    )
+
+
+SPEARMAN_SQL = f"""
+WITH days AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(SUM(CASE WHEN event_type = '{_SP_X}' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN event_type = '{_SP_Y}' THEN 1 ELSE 0 END) AS BIGINT) AS y
+  FROM events GROUP BY 1
+),
+ranked AS (
+  SELECT CAST(2 * rank() OVER (ORDER BY x)
+              + count(*) OVER (PARTITION BY x) - 1 AS BIGINT) AS rx,
+         CAST(2 * rank() OVER (ORDER BY y)
+              + count(*) OVER (PARTITION BY y) - 1 AS BIGINT) AS ry
+  FROM days
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(rx) AS BIGINT) AS sx, CAST(sum(ry) AS BIGINT) AS sy,
+         CAST(sum(rx * rx) AS BIGINT) AS sxx,
+         CAST(sum(ry * ry) AS BIGINT) AS syy,
+         CAST(sum(rx * ry) AS BIGINT) AS sxy
+  FROM ranked
+)
+SELECT n AS n_days,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 9) AS rho,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+             * sqrt((CAST(n AS DOUBLE) - 2.0)
+                    / (1.0 - (CAST(n * sxy - sx * sy AS DOUBLE)
+                              / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                                 * sqrt(CAST(n * syy - sy * sy AS DOUBLE))))
+                           * (CAST(n * sxy - sx * sy AS DOUBLE)
+                              / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                                 * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))))),
+             6) AS t_stat
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# Chi-squared independence test (event_type × day-of-week): the
+# categorical-association workhorse.  Determinism: observed and
+# marginal counts are exact integers; the χ² sum — the one place a
+# float accumulation order could diverge — runs as a SEQUENTIAL FOLD
+# over the (type, dow)-sorted cell array (F.aggregate ≡ DuckDB
+# list_reduce, the Holt-forecast pattern), so both engines add the 35
+# cell terms in the identical order.  Zero cells are materialized by
+# the type×dow grid join, so sparse days still contribute (0−e)²/e.
+
+
+def events_chi2_independence(spark, sf_dir):
+    """One row: (n_rows, n_types, n_dows, df, chi2) for event_type ×
+    day-of-week.  Spark dayofweek ≡ DuckDB dayofweek+1 (the
+    events_seasonal_decompose pin), normalized to 0-based on the
+    Spark side.  Scale: one (type, dow) aggregate over the stream;
+    the fold runs over ≤ |types|·7 cells."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_type", (F.dayofweek("ts") - 1).alias("_dow")
+    )
+    obs = ev.groupBy("event_type", "_dow").agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    )
+    grid = (
+        obs.select("event_type")
+        .distinct()
+        .crossJoin(obs.select("_dow").distinct())
+    )
+    cells = (
+        grid.join(obs, ["event_type", "_dow"], "left")
+        .select(
+            "event_type",
+            "_dow",
+            F.coalesce(F.col("o"), F.lit(0)).cast("long").alias("o"),
+        )
+    )
+    rt = cells.groupBy("event_type").agg(F.sum("o").cast("long").alias("rt"))
+    ct = cells.groupBy("_dow").agg(F.sum("o").cast("long").alias("ct"))
+    full = (
+        cells.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "_dow")
+        .select("event_type", "_dow", "o", "rt", "ct")
+    )
+    packed = full.agg(
+        F.array_sort(
+            F.collect_list(F.struct("event_type", "_dow", "o", "rt", "ct"))
+        ).alias("arr"),
+        F.sum("o").cast("long").alias("n"),
+        F.countDistinct("event_type").cast("long").alias("n_types"),
+        F.countDistinct("_dow").cast("long").alias("n_dows"),
+    )
+    nd = F.col("n").cast("double")
+    terms = F.transform(
+        F.col("arr"),
+        lambda s: (
+            (
+                s["o"].cast("double")
+                - s["rt"].cast("double") * s["ct"].cast("double") / nd
+            )
+            * (
+                s["o"].cast("double")
+                - s["rt"].cast("double") * s["ct"].cast("double") / nd
+            )
+        )
+        / (s["rt"].cast("double") * s["ct"].cast("double") / nd),
+    )
+    chi2 = F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
+    return packed.select(
+        F.col("n").alias("n_rows"),
+        "n_types",
+        "n_dows",
+        ((F.col("n_types") - 1) * (F.col("n_dows") - 1)).alias("df"),
+        F.round(chi2, 9).alias("chi2"),
+    )
+
+
+CHI2_SQL = """
+WITH ev AS (
+  SELECT event_type, dayofweek(ts) AS dow FROM events
+),
+obs AS (
+  SELECT event_type, dow, CAST(count(*) AS BIGINT) AS o
+  FROM ev GROUP BY 1, 2
+),
+grid AS (
+  SELECT t.event_type, d.dow
+  FROM (SELECT DISTINCT event_type FROM obs) t,
+       (SELECT DISTINCT dow FROM obs) d
+),
+cells AS (
+  SELECT g.event_type, g.dow, CAST(COALESCE(o.o, 0) AS BIGINT) AS o
+  FROM grid g LEFT JOIN obs o
+    ON o.event_type = g.event_type AND o.dow = g.dow
+),
+rt AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS rt
+       FROM cells GROUP BY 1),
+ct AS (SELECT dow, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
+full_c AS (
+  SELECT c.event_type, c.dow, c.o, r.rt, d.ct
+  FROM cells c JOIN rt r ON r.event_type = c.event_type
+  JOIN ct d ON d.dow = c.dow
+),
+packed AS (
+  SELECT list(struct_pack(event_type := event_type, dow := dow,
+                          o := o, rt := rt, ct := ct)
+              ORDER BY event_type, dow) AS arr,
+         CAST(sum(o) AS BIGINT) AS n,
+         CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+         CAST(count(DISTINCT dow) AS BIGINT) AS n_dows
+  FROM full_c
+)
+SELECT n AS n_rows, n_types, n_dows,
+       (n_types - 1) * (n_dows - 1) AS df,
+       round(list_reduce(list_prepend(0.0, list_transform(arr,
+         s -> ((CAST(s.o AS DOUBLE)
+                - CAST(s.rt AS DOUBLE) * CAST(s.ct AS DOUBLE)
+                  / CAST(n AS DOUBLE))
+               * (CAST(s.o AS DOUBLE)
+                  - CAST(s.rt AS DOUBLE) * CAST(s.ct AS DOUBLE)
+                    / CAST(n AS DOUBLE)))
+              / (CAST(s.rt AS DOUBLE) * CAST(s.ct AS DOUBLE)
+                 / CAST(n AS DOUBLE)))),
+         (acc, x) -> acc + x), 9) AS chi2
+FROM packed
+"""
+
+
 QUERIES = {
     "events_mann_whitney": Q(
         events_mann_whitney,
@@ -410,5 +765,20 @@ QUERIES = {
         events_seasonal_decompose,
         SEASONAL_SQL,
         "additive seasonal decomposition: 7-day trend + zero-sum dow seasonal",
+    ),
+    "events_ks_test": Q(
+        events_ks_test,
+        KS_SQL,
+        "two-sample Kolmogorov-Smirnov (integer-exact D, literal c(alpha))",
+    ),
+    "events_spearman_daily": Q(
+        events_spearman_daily,
+        SPEARMAN_SQL,
+        "Spearman rank correlation of two daily series (doubled midranks)",
+    ),
+    "events_chi2_independence": Q(
+        events_chi2_independence,
+        CHI2_SQL,
+        "chi-squared independence (type x dow), sorted-fold cell sum",
     ),
 }

@@ -11,6 +11,8 @@ already proves bit-equal (queries/vecq.py).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -702,6 +704,265 @@ KNN_RECALL_MATRIX_SQL = _build_matrix_sql()
 # self-similarity is a labeling or embedding defect.
 
 
+# ---------------------------------------------------------------------------
+# Hubness audit (Radovanović et al., JMLR'10): the high-dimensional
+# ANN pathology metric — the k-occurrence distribution N_k(x) (how
+# often each vector appears in OTHER vectors' exact top-k) and its
+# skewness.  A right-skewed N_k means a few "hub" vectors dominate
+# neighbor lists, degrading every candidate-restricting index at
+# once; production vector stores audit this after each reindex.
+# Built on the exact GEMM graph, so the oracle composes the proven
+# KNN_GRAPH_SQL verbatim.  Determinism: moments come from EXACT
+# integer power sums (Σc, Σc², Σc³ over integer occurrence counts —
+# order-free), converted to doubles through one identical expression
+# sequence on both sides.
+
+
+def knn_hubness_audit(spark, sf_dir):
+    """(k_occurrences, n_vectors, n_total, max_occ, zero_frac,
+    skew_g1): the N_5 histogram with the distribution summary repeated
+    per row.  Vectors in nobody's top-5 appear as the k_occurrences=0
+    bucket (left join from the corpus), so a degenerate hub corpus
+    reads as mass at 0 + a long tail, not missing rows.  Scale: the
+    graph is the audited GEMM operator; everything downstream is two
+    integer aggregates over |corpus| rows."""
+    from rick_and_morty_data_pipeline_project_spark.operators.gemmknn import (
+        knn_graph_gemm as _graph,
+    )
+
+    e = t(spark, sf_dir, "embeddings")
+    graph = _graph(e, k=_K)
+    cnt = graph.groupBy(
+        F.col("neighbor_id").alias("vec_id")
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    occ = (
+        e.select("vec_id")
+        .join(cnt, "vec_id", "left")
+        .select(F.coalesce(F.col("_c"), F.lit(0)).cast("long").alias("c"))
+    )
+    sums = occ.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+        F.sum(F.col("c") * F.col("c") * F.col("c")).alias("s3"),
+        F.max("c").alias("max_occ"),
+        F.sum(F.when(F.col("c") == 0, 1).otherwise(0)).alias("zeros"),
+    )
+    nd = F.col("n").cast("double")
+    mom = sums.select(
+        "n",
+        "max_occ",
+        "zeros",
+        (F.col("s1").cast("double") / nd).alias("mu"),
+        (F.col("s2").cast("double") / nd).alias("r2"),
+        (F.col("s3").cast("double") / nd).alias("r3"),
+    )
+    mu = F.col("mu")
+    summ = mom.select(
+        "n",
+        "max_occ",
+        "zeros",
+        "mu",
+        (F.col("r2") - mu * mu).alias("m2"),
+        (
+            F.col("r3") - F.lit(3.0) * mu * F.col("r2")
+            + F.lit(2.0) * mu * mu * mu
+        ).alias("m3"),
+    )
+    hist = occ.groupBy(F.col("c").alias("k_occurrences")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors")
+    )
+    return hist.crossJoin(F.broadcast(summ)).select(
+        "k_occurrences",
+        "n_vectors",
+        F.col("n").cast("long").alias("n_total"),
+        F.col("max_occ").cast("long").alias("max_occ"),
+        F.round(F.col("zeros").cast("double") / F.col("n").cast("double"), 9).alias(
+            "zero_frac"
+        ),
+        F.round(
+            F.col("m3") / (F.col("m2") * F.sqrt(F.col("m2"))), 9
+        ).alias("skew_g1"),
+    )
+
+
+HUBNESS_SQL = f"""
+WITH graph AS ({KNN_GRAPH_SQL}),
+occ AS (
+  SELECT CAST(count(g.neighbor_id) AS BIGINT) AS c
+  FROM embeddings e LEFT JOIN graph g ON g.neighbor_id = e.vec_id
+  GROUP BY e.vec_id
+),
+sums AS (
+  SELECT count(*) AS n, sum(c) AS s1, sum(c*c) AS s2, sum(c*c*c) AS s3,
+         max(c) AS max_occ,
+         sum(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS zeros
+  FROM occ
+),
+mom AS (
+  SELECT n, max_occ, zeros,
+         CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+         CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+         CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3
+  FROM sums
+),
+summ AS (
+  SELECT n, max_occ, zeros, mu,
+         r2 - mu * mu AS m2,
+         r3 - 3.0 * mu * r2 + 2.0 * mu * mu * mu AS m3
+  FROM mom
+),
+hist AS (
+  SELECT c AS k_occurrences, CAST(count(*) AS BIGINT) AS n_vectors
+  FROM occ GROUP BY c
+)
+SELECT h.k_occurrences, h.n_vectors,
+       CAST(s.n AS BIGINT) AS n_total,
+       CAST(s.max_occ AS BIGINT) AS max_occ,
+       round(CAST(s.zeros AS DOUBLE) / CAST(s.n AS DOUBLE), 9) AS zero_frac,
+       round(s.m3 / (s.m2 * sqrt(s.m2)), 9) AS skew_g1
+FROM hist h, summ s
+"""
+
+
+# ---------------------------------------------------------------------------
+# nDCG@5 label-relevance evaluation — the ranking-quality metric a
+# retrieval deployment reports next to recall: graded position-
+# discounted gain of the exact top-5 under same-label relevance.
+# Determinism trick: the 5-slot binary relevance vector is folded to
+# an INTEGER pattern (Σ rel·2^(rank-1), an order-free integer sum),
+# and DCG/IDCG/nDCG are looked up from PYTHON-COMPUTED LITERALS (32
+# patterns × 3 metrics) inlined identically on both sides — no float
+# summation ever happens at query time, so log2's libm cannot enter
+# the plan at all.
+
+_NDCG_K = 5
+_NDCG_W = [1.0 / math.log2(r + 1) for r in range(1, _NDCG_K + 1)]
+_NDCG_DCG = {
+    p: sum(w for i, w in enumerate(_NDCG_W) if p & (1 << i))
+    for p in range(1 << _NDCG_K)
+}
+_NDCG_IDCG = {m: sum(_NDCG_W[:m]) for m in range(_NDCG_K + 1)}
+_NDCG_NDCG = {
+    p: (_NDCG_DCG[p] / _NDCG_IDCG[bin(p).count("1")] if p else 0.0)
+    for p in range(1 << _NDCG_K)
+}
+
+
+def knn_ndcg_label_eval(spark, sf_dir):
+    """(query_id, q_label, rel_pattern, n_relevant, dcg, idcg, ndcg)
+    for the 10 standard query vectors over the exact top-5 under
+    same-label binary relevance.  rel_pattern is the bit-packed
+    relevance vector (bit r-1 = neighbor at rank r shares the query's
+    label); dcg/idcg/ndcg come from the 32-entry literal table.
+    Scale: the exact arm is the audited broadcast top-k; the label
+    join touches k·|queries| rows; the metric stage is one integer
+    aggregate plus a literal CASE."""
+    from rick_and_morty_data_pipeline_project_spark.operators.similarity import (
+        knn_bruteforce,
+    )
+
+    e = t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    nn = knn_bruteforce(queries, e, k=_NDCG_K).select(
+        "query_id", "neighbor_id", "rank"
+    )
+    qlab = e.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("q_label")
+    )
+    nlab = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("n_label"),
+    )
+    rel = (
+        nn.join(F.broadcast(qlab), "query_id")
+        .join(nlab, "neighbor_id")
+        .select(
+            "query_id",
+            "q_label",
+            F.when(F.col("n_label") == F.col("q_label"), 1)
+            .otherwise(0)
+            .alias("_rel"),
+            "rank",
+        )
+    )
+    pat = rel.groupBy("query_id", "q_label").agg(
+        F.sum(
+            F.col("_rel")
+            * F.pow(F.lit(2), F.col("rank") - 1).cast("long")
+        ).cast("long").alias("rel_pattern"),
+        F.sum("_rel").cast("long").alias("n_relevant"),
+    )
+
+    def _case(table):
+        expr = F.lit(table[0])
+        for p in range(1, 1 << _NDCG_K):
+            expr = F.when(F.col("rel_pattern") == p, F.lit(table[p])).otherwise(
+                expr
+            )
+        return expr
+
+    return pat.select(
+        "query_id",
+        "q_label",
+        "rel_pattern",
+        "n_relevant",
+        _case(_NDCG_DCG).alias("dcg"),
+        _case([_NDCG_IDCG[bin(p).count("1")] for p in range(1 << _NDCG_K)]).alias(
+            "idcg"
+        ),
+        _case(_NDCG_NDCG).alias("ndcg"),
+    )
+
+
+def _ndcg_case_sql(table) -> str:
+    whens = "\n    ".join(
+        f"WHEN {p} THEN {table[p]!r}" for p in range(1, 1 << _NDCG_K)
+    )
+    return f"CASE rel_pattern {whens}\n    ELSE {table[0]!r} END"
+
+
+NDCG_SQL = f"""
+WITH normed AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE / sqrt({_DOT_SELF})) AS nv
+  FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round({dot_sql("q.nv", "c.nv")}, 6) AS cosine
+  FROM normed q, normed c
+  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+),
+topk AS (
+  SELECT query_id, neighbor_id, rank FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM scored
+  ) WHERE rank <= {_NDCG_K}
+),
+rel AS (
+  SELECT t.query_id, eq.label AS q_label, t.rank,
+         CASE WHEN en.label = eq.label THEN 1 ELSE 0 END AS r
+  FROM topk t
+  JOIN embeddings eq ON eq.vec_id = t.query_id
+  JOIN embeddings en ON en.vec_id = t.neighbor_id
+),
+pat AS (
+  SELECT query_id, q_label,
+         CAST(sum(r * CAST(power(2, rank - 1) AS BIGINT)) AS BIGINT)
+           AS rel_pattern,
+         CAST(sum(r) AS BIGINT) AS n_relevant
+  FROM rel GROUP BY query_id, q_label
+)
+SELECT query_id, q_label, rel_pattern, n_relevant,
+       {_ndcg_case_sql(_NDCG_DCG)} AS dcg,
+       {_ndcg_case_sql([_NDCG_IDCG[bin(p).count("1")] for p in range(1 << _NDCG_K)])} AS idcg,
+       {_ndcg_case_sql(_NDCG_NDCG)} AS ndcg
+FROM pat
+"""
+
+
 def embedding_outlier_scores(spark, sf_dir):
     """(vec_id, label, cos_to_centroid, z_score, is_outlier) — all
     relational: centroids are a (label, pos) aggregate (never
@@ -850,5 +1111,15 @@ QUERIES = {
         embedding_outlier_scores,
         OUTLIER_SQL,
         "label-outlier audit: z-scored cosine to own label centroid",
+    ),
+    "knn_hubness_audit": Q(
+        knn_hubness_audit,
+        HUBNESS_SQL,
+        "k-occurrence hubness audit over the exact GEMM graph (+ skewness)",
+    ),
+    "knn_ndcg_label_eval": Q(
+        knn_ndcg_label_eval,
+        NDCG_SQL,
+        "nDCG@5 of exact top-k under same-label relevance (literal table)",
     ),
 }

@@ -239,3 +239,124 @@ def test_theil_sen_robust_to_outlier_vs_ols(spark):
     assert abs(ts_slope - 1.0) < 2.0  # near the clean slope
     assert ols > 50.0  # OLS dragged by the outlier
     assert abs(ts_slope - 1.0) < abs(ols - 1.0) / 10
+
+
+def _events_frame(spark, rows):
+    """rows: (event_type, ts_string, value)."""
+    return spark.createDataFrame(
+        [(i, t_, ts, v) for i, (t_, ts, v) in enumerate(rows)],
+        "user_id long, event_type string, ts string, value double",
+    ).selectExpr(
+        "user_id", "event_type", "CAST(ts AS TIMESTAMP) ts", "value"
+    )
+
+
+def test_ks_hand_checked(spark):
+    # click = {1,2,3,4}, view = {3,4,5,6}: pooled values 1..6,
+    # ECDF gap maxes at v=2: |2/4 - 0/4| = 0.5  → d_num = 2*4 - 0*4 = 8
+    rows = [("click", "2024-01-01 00:00:00", float(v)) for v in (1, 2, 3, 4)]
+    rows += [("view", "2024-01-01 00:00:00", float(v)) for v in (3, 4, 5, 6)]
+    r = _run_patched(spark, npstatq.events_ks_test, _events_frame(spark, rows))[0]
+    assert (r["n_a"], r["n_b"]) == (4, 4)
+    assert r["d_num"] == 8
+    assert abs(r["d_stat"] - 0.5) < 1e-12
+    # critical value at n=4/4 is 1.3581·sqrt(8/16) ≈ 0.960 → no reject
+    assert not r["reject_05"]
+
+
+def test_ks_identical_samples_is_zero(spark):
+    rows = [(t_, "2024-01-01 00:00:00", float(v))
+            for t_ in ("click", "view") for v in (1, 2, 2, 7)]
+    r = _run_patched(spark, npstatq.events_ks_test, _events_frame(spark, rows))[0]
+    assert r["d_num"] == 0 and r["d_stat"] == 0.0 and not r["reject_05"]
+
+
+def test_ks_disjoint_samples_reject(spark):
+    # fully separated samples → D = 1; with n=40/40 the 0.05 critical
+    # value is 1.3581·sqrt(80/1600) ≈ 0.304 → reject
+    rows = [("click", "2024-01-01 00:00:00", float(v)) for v in range(40)]
+    rows += [("view", "2024-01-01 00:00:00", float(v + 100)) for v in range(40)]
+    r = _run_patched(spark, npstatq.events_ks_test, _events_frame(spark, rows))[0]
+    assert abs(r["d_stat"] - 1.0) < 1e-12
+    assert r["reject_05"]
+
+
+def _spearman_reference(xs, ys):
+    def midranks(vals):
+        s = sorted(range(len(vals)), key=lambda i: vals[i])
+        out = [0.0] * len(vals)
+        i = 0
+        while i < len(vals):
+            j = i
+            while j < len(vals) and vals[s[j]] == vals[s[i]]:
+                j += 1
+            mid = (i + 1 + j) / 2.0
+            for k in range(i, j):
+                out[s[k]] = mid
+            i = j
+        return out
+    rx, ry = midranks(xs), midranks(ys)
+    n = len(xs)
+    mx, my = sum(rx) / n, sum(ry) / n
+    num = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+    den = math.sqrt(sum((a - mx) ** 2 for a in rx)) * math.sqrt(
+        sum((b - my) ** 2 for b in ry)
+    )
+    return num / den
+
+
+def test_spearman_hand_checked_with_ties(spark):
+    # 6 days: click counts [1,2,2,3,5,4], purchase [2,1,3,3,4,6]
+    days = ["2024-01-0%d 00:00:00" % d for d in range(1, 7)]
+    clicks = [1, 2, 2, 3, 5, 4]
+    purchases = [2, 1, 3, 3, 4, 6]
+    rows = []
+    for d, c, p in zip(days, clicks, purchases):
+        rows += [("click", d, 1.0)] * c + [("purchase", d, 1.0)] * p
+    r = _run_patched(
+        spark, npstatq.events_spearman_daily, _events_frame(spark, rows)
+    )[0]
+    assert r["n_days"] == 6
+    ref = _spearman_reference(clicks, purchases)
+    assert abs(r["rho"] - round(ref, 9)) < 1e-9
+
+
+def test_spearman_perfect_monotone(spark):
+    days = ["2024-01-0%d 00:00:00" % d for d in range(1, 6)]
+    rows = []
+    for i, d in enumerate(days):
+        rows += [("click", d, 1.0)] * (i + 1) + [("purchase", d, 1.0)] * (
+            2 * i + 1
+        )
+    r = _run_patched(
+        spark, npstatq.events_spearman_daily, _events_frame(spark, rows)
+    )[0]
+    assert abs(r["rho"] - 1.0) < 1e-12
+
+
+def test_chi2_hand_checked(spark):
+    # 2 types × 2 dows: obs = [[10, 20], [20, 10]] — χ² =
+    # Σ(o−e)²/e with e = 15 everywhere → 4·(25/15) = 6.666666667
+    # 2024-01-01 is a Monday, 2024-01-02 a Tuesday
+    rows = []
+    rows += [("click", "2024-01-01 00:00:00", 1.0)] * 10
+    rows += [("click", "2024-01-02 00:00:00", 1.0)] * 20
+    rows += [("view", "2024-01-01 00:00:00", 1.0)] * 20
+    rows += [("view", "2024-01-02 00:00:00", 1.0)] * 10
+    r = _run_patched(
+        spark, npstatq.events_chi2_independence, _events_frame(spark, rows)
+    )[0]
+    assert (r["n_rows"], r["n_types"], r["n_dows"], r["df"]) == (60, 2, 2, 1)
+    assert abs(r["chi2"] - round(60 * (100 / 900), 9)) < 1e-9
+
+
+def test_chi2_independent_uniform_is_zero(spark):
+    rows = []
+    for t_ in ("click", "view", "error"):
+        for d in ("2024-01-01 00:00:00", "2024-01-02 00:00:00"):
+            rows += [(t_, d, 1.0)] * 7
+    r = _run_patched(
+        spark, npstatq.events_chi2_independence, _events_frame(spark, rows)
+    )[0]
+    assert r["chi2"] == 0.0
+    assert r["df"] == 2

@@ -441,3 +441,128 @@ def test_sq8_recall_beats_binary_and_matches_exact_top1(spark):
         key = (r["query_id"], r["neighbor_id"])
         if key in bf:
             assert abs(r["cosine"] - bf[key]) < 1e-12
+
+
+def test_hubness_audit_identities(spark):
+    # histogram masses and moments must satisfy the exact identities:
+    # Σ n_vectors = n_total, Σ k_occ·n_vectors = n·k (every query
+    # emits exactly k graph edges), zero_frac consistent with the 0
+    # bucket
+    import rick_and_morty_data_pipeline_project_spark.queries.vecxq as vecxq
+
+    rows = vecxq.knn_hubness_audit(spark, SF_ORACLE).collect()
+    n_total = rows[0]["n_total"]
+    assert sum(r["n_vectors"] for r in rows) == n_total
+    assert sum(r["k_occurrences"] * r["n_vectors"] for r in rows) == n_total * 5
+    zero_bucket = next(
+        (r["n_vectors"] for r in rows if r["k_occurrences"] == 0), 0
+    )
+    assert abs(rows[0]["zero_frac"] - round(zero_bucket / n_total, 9)) < 1e-12
+    assert rows[0]["max_occ"] == max(r["k_occurrences"] for r in rows)
+
+
+def test_hubness_skew_matches_numpy(spark):
+    # the integer-power-sum g1 must equal numpy's population skewness
+    # over the reconstructed count multiset
+    import numpy as np
+
+    import rick_and_morty_data_pipeline_project_spark.queries.vecxq as vecxq
+
+    rows = vecxq.knn_hubness_audit(spark, SF_ORACLE).collect()
+    counts = np.repeat(
+        [r["k_occurrences"] for r in rows],
+        [r["n_vectors"] for r in rows],
+    ).astype(float)
+    m2 = ((counts - counts.mean()) ** 2).mean()
+    m3 = ((counts - counts.mean()) ** 3).mean()
+    assert abs(rows[0]["skew_g1"] - m3 / m2**1.5) < 1e-6
+
+
+def test_ndcg_literal_tables_and_bounds(spark):
+    import math as _m
+
+    import rick_and_morty_data_pipeline_project_spark.queries.vecxq as vecxq
+
+    # table spot checks against the direct formula
+    w = [1.0 / _m.log2(r + 1) for r in range(1, 6)]
+    assert vecxq._NDCG_DCG[0b00001] == w[0]
+    assert vecxq._NDCG_DCG[0b10000] == w[4]
+    assert abs(vecxq._NDCG_DCG[0b10101] - (w[0] + w[2] + w[4])) < 1e-15
+    assert vecxq._NDCG_NDCG[0b11111] == 1.0
+    assert vecxq._NDCG_NDCG[0] == 0.0
+    # a prefix-packed pattern is ideal → ndcg exactly 1
+    assert vecxq._NDCG_NDCG[0b00111] == 1.0
+    # shifting relevance to worse ranks strictly lowers ndcg
+    assert vecxq._NDCG_NDCG[0b00011] > vecxq._NDCG_NDCG[0b00110]
+
+    rows = vecxq.knn_ndcg_label_eval(spark, SF_ORACLE).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert 0.0 <= r["ndcg"] <= 1.0 + 1e-15
+        assert r["dcg"] <= r["idcg"] + 1e-15
+        assert bin(r["rel_pattern"]).count("1") == r["n_relevant"]
+        if r["n_relevant"]:
+            assert abs(
+                r["ndcg"] - r["dcg"] / r["idcg"]
+            ) < 1e-12
+        else:
+            assert r["ndcg"] == 0.0
+
+
+def test_stream_sq8_codes_bit_identical_across_restart(spark, tmp_path):
+    # streaming SQ8 ingest against FROZEN train stats: the durable
+    # table after (run over 3 chunks) + (checkpoint-resumed run over a
+    # 4th) is BIT-IDENTICAL to the one-shot batch encode over all rows
+    from rick_and_morty_data_pipeline_project_spark.operators.sq import (
+        sq8_train_stats,
+    )
+    from rick_and_morty_data_pipeline_project_spark.operators.similarity import (
+        _normalized,
+    )
+    from rick_and_morty_data_pipeline_project_spark.streaming.sq_ingest import (
+        sq8_codes_df,
+        stream_sq8_codes_table,
+    )
+    from tests.conftest import SF_SMALL
+
+    emb = t(spark, SF_SMALL, "embeddings").select("vec_id", "embedding")
+    # freeze stats once on the full (trusted) corpus
+    nc = _normalized(emb, "vec_id", "embedding", "vec_id", "_nv")
+    stats = sq8_train_stats(nc, "_nv", 64).collect()[0]
+    mins, maxs = list(stats["_mins"]), list(stats["_maxs"])
+
+    in_dir = tmp_path / "incoming"
+    in_dir.mkdir()
+    for i in range(3):
+        emb.filter(F.col("vec_id") % 4 == i).coalesce(1).write.parquet(
+            str(in_dir / f"chunk_{i}.parquet")
+        )
+
+    def start():
+        stream = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(in_dir) + "/*/")
+        )
+        return stream_sq8_codes_table(
+            stream, str(tmp_path / "codes"), str(tmp_path / "ckpt"),
+            mins, maxs,
+        )
+
+    start().awaitTermination()
+    emb.filter(F.col("vec_id") % 4 == 3).coalesce(1).write.parquet(
+        str(in_dir / "chunk_3.parquet")
+    )
+    start().awaitTermination()
+
+    got = {
+        r["vec_id"]: tuple(r["codes"])
+        for r in spark.read.parquet(str(tmp_path / "codes")).collect()
+    }
+    want = {
+        r["vec_id"]: tuple(r["codes"])
+        for r in sq8_codes_df(emb, mins, maxs).collect()
+    }
+    assert got == want
+    # codes are genuine bytes
+    assert all(0 <= c <= 255 for v in got.values() for c in v)
