@@ -126,6 +126,11 @@ ANNOTATED = {
     "dedup_bbit_minhash_audit": "b-bit MinHash audit (r10 continuation): signatures are the same one-pass narrow md5 pipeline as the LSH family (ReusedExchange across the pair/sig/gram branches); the b=4 agreement is a nibble compare over already-computed components — no extra hashing for the 8×-smaller sketch",
     "knn_recall_matrix": "ANN recall dashboard (r10 continuation; +SQ8 arm and bootstrap-CI columns r11): seven full pipelines (exact + 6 variants) in ONE plan — each arm is the variant's own catalog plan unchanged (broadcast probes, narrow assignments, integer candidate stages), joined to the exact arm and unioned; the CI stage adds only a |variants|·B·n md5-draw relation (3,840 rows) joined to the 60-row matrix — cost is the sum of the arms by design (it IS seven queries), the per-arm plans are the scale story",
     "knn_cosine_sq8": "SQ8 scalar-quantized ANN (r11): train stats are ONE partial+final aggregate broadcast as a 1-row relation into the code/decode projection (zero corpus shuffle on the encode path); the ADC candidate stage is BroadcastNestedLoopJoin with the 10 queries built-side over the 64-byte-per-vector code scan; WindowGroupLimit heap pushdown on BOTH the shortlist and final ranks — the corpus's only Exchange is fan_out's local round-robin",
+    "knn_hubness_audit": "hubness audit (r11): the graph stage is the audited GEMM mapInPandas plan; downstream is a count aggregate, a corpus left join, and TWO integer aggregates (histogram + power sums) — the skewness comes from exact integers, no float accumulation anywhere",
+    "knn_ndcg_label_eval": "nDCG@5 label eval (r11): exact arm is the audited broadcast top-k; the label joins touch k·|queries| rows (query labels broadcast); the metric stage is one integer SUM (the bit pattern) plus literal CASE lookups — no float summation, no log in the plan",
+    "events_ks_test": "two-sample KS (r11): one value-keyed aggregate over the two samples, one |distinct-values|-bounded cumulative window (the documented Mann-Whitney shape), one integer MAX — D leaves integer arithmetic only in the final projection",
+    "events_spearman_daily": "Spearman daily (r11): one day-keyed aggregate touches the raw stream once; doubled-midrank windows and the moment aggregate run on the |days| relation (deliberately single-partition at |days| rows)",
+    "events_chi2_independence": "chi-squared independence (r11): one (type,dow) aggregate over the stream; the grid/margin joins are broadcast; the fold runs over a ≤|types|·7-element array in a single row — order-pinned by array_sort",
     "events_mann_whitney": "Mann-Whitney U (r10 continuation): tie relation is |distinct values| per pair (not |rows|) — one value-keyed aggregate, one bounded window for cumulative counts, one pair-keyed aggregate; rank quantities are exact half-integers so the float rank-sum is order-independent",
     "events_theil_sen_slope": "Theil-Sen slope (r10 continuation): user-keyed self-join bounded by days² per user (≤ ~500 rows/user), exact percentile over the bounded slope relation — never a global quadratic",
     "events_kendall_tau": "Kendall tau-b (r10 continuation): same bounded per-user pair relation as Theil-Sen; concordant/discordant/tied counts are exact integer aggregates, tau divides at the very end",
