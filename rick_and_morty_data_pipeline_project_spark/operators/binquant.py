@@ -50,15 +50,17 @@ def sign_word_cols(vec_col: Column, dim: int) -> list[Column]:
     """Pack the sign bits of ``vec_col`` (``array<float>``, length
     ``dim``) into ``ceil(dim/32)`` BIGINT words.
 
-    Bit i of word w is 1 iff element ``w*32 + i`` (0-based) is NaN or
-    >= 0 — a raw float comparison on the stored value.  The explicit
-    NaN arm makes the sign-bit definition ENGINE-INDEPENDENT: DuckDB
-    orders NaN above all numbers (its ``>= 0`` is already true for
-    NaN, and the oracles' CASE inherits that), while Spark's primitive
-    comparison is false for NaN — without the guard a NaN embedding
-    would silently break hash parity for every binary-quantized query.
-    The pack itself is an integer fold (sum of distinct powers of
-    two), exact by construction.
+    Bit i of word w is 1 iff element ``w*32 + i`` (0-based) is >= 0 —
+    a raw float comparison on the stored value, and ENGINE-INDEPENDENT
+    including for NaN: Spark SQL's comparison operators follow its
+    NaN-high ordering semantics (``double('NaN') >= 0`` is true, also
+    inside ``zip_with`` lambdas over ``array<float>`` — verified
+    empirically on this PySpark in r11), and DuckDB orders NaN above
+    all numbers, so BOTH engines set the bit for NaN.  (An r10
+    advisory claimed Spark's comparison is false for NaN; the r11
+    investigation falsified that premise, so no explicit isnan arm is
+    needed.)  The pack itself is an integer fold (sum of distinct
+    powers of two), exact by construction.
     """
     words: list[Column] = []
     for w0 in range(0, dim, WORD_BITS):
@@ -68,9 +70,7 @@ def sign_word_cols(vec_col: Column, dim: int) -> list[Column]:
         bits = F.zip_with(
             seg,
             weights,
-            lambda x, wgt: F.when(
-                F.isnan(x) | (x >= 0), wgt
-            ).otherwise(F.lit(0).cast("long")),
+            lambda x, wgt: F.when(x >= 0, wgt).otherwise(F.lit(0).cast("long")),
         )
         words.append(
             F.aggregate(bits, F.lit(0).cast("long"), lambda acc, b: acc + b)

@@ -94,11 +94,27 @@ def knn_graph_gemm(
             q_ids = pdf["_qid"].to_numpy(dtype=np.int64)
             Q = np.array(pdf["_qv"].tolist(), dtype=np.float64)
             Q /= np.linalg.norm(Q, axis=1, keepdims=True)
-            # half-AWAY-from-zero rounding to match F.round / DuckDB
-            # round semantics exactly (np.round is half-to-even, which
-            # would flip a rank on a .5-boundary score with no guard)
+            # EXACT half-away-from-zero rounding on the scaled score,
+            # bit-matching DuckDB round() over the |scaled| <= 1e6
+            # cosine domain (probed r11: DuckDB v1.0 deviates from
+            # half-away only above ~1e15 — unreachable for a rounded
+            # cosine) (np.round is
+            # half-to-even — verified to differ at exact .5 scaled
+            # values; the bare floor(|x|+0.5) idiom double-rounds when
+            # |x|+0.5 rounds UP across an integer, e.g. |x| =
+            # 0.49999999999999994).  The correction term is exact:
+            # for r = floor(|x|+0.5), |x| - (r-1) is computed without
+            # rounding error (Sterbenz — the operands are within a
+            # factor of two), so "did floor overshoot" is decided on
+            # the true fraction.  Spark's own F.round (decimal
+            # HALF_UP) can still differ at representation boundaries;
+            # the margin property test excludes those for the shipped
+            # corpora (test_gemm_graph_rounding_margin).
             raw = Q @ all_X.T * scale
-            sims = np.copysign(np.floor(np.abs(raw) + 0.5), raw) / scale
+            av = np.abs(raw)
+            r = np.floor(av + 0.5)
+            r = np.where(av - (r - 1.0) < 0.5, r - 1.0, r)
+            sims = np.copysign(r, raw) / scale
             out_q, out_n, out_c, out_r = [], [], [], []
             for row_i, qid in enumerate(q_ids):
                 s = sims[row_i]

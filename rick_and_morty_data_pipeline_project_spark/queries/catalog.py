@@ -344,8 +344,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "events_theil_sen_slope",
     "events_kendall_tau",
     "events_seasonal_decompose",
-    # ========== 18 rule-2 re-greens (r11 similarity/binquant edits;
-    # includes the knn_cosine_opq re-certification) ==================
+    # ========== 17 rule-2 re-greens (r11 similarity/binquant edits;
+    # includes the knn_cosine_opq re-certification; the 18th stale
+    # entry, text_rerank_two_stage, is in stale_carryover.json) ======
     "decontaminate_embedding_overlap",
     "embedding_label_centroids",
     "embedding_quantize_error",

@@ -447,6 +447,10 @@ def events_ks_test(spark, sf_dir):
         F.first("n_a").alias("n_a"),
         F.first("n_b").alias("n_b"),
     )
+    # degenerate-sample guard (r11 review): an absent sample makes
+    # n_a·n_b = 0 — Spark float division would emit NaN while DuckDB
+    # yields NULL, so both sides gate on the same integer condition.
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
     na_d = F.col("n_a").cast("double")
     nb_d = F.col("n_b").cast("double")
     d_stat = F.col("d_num").cast("double") / (na_d * nb_d)
@@ -454,13 +458,15 @@ def events_ks_test(spark, sf_dir):
         "n_a",
         "n_b",
         F.col("d_num").cast("long").alias("d_num"),
-        F.round(d_stat, 9).alias("d_stat"),
-        F.round(d_stat * F.sqrt(na_d * nb_d / (na_d + nb_d)), 6).alias(
-            "lambda_stat"
-        ),
-        (
+        F.when(ok, F.round(d_stat, 9)).alias("d_stat"),
+        F.when(
+            ok, F.round(d_stat * F.sqrt(na_d * nb_d / (na_d + nb_d)), 6)
+        ).alias("lambda_stat"),
+        F.when(
+            ok,
             d_stat
-            > F.lit(float(_KS_ALPHA_C)) * F.sqrt((na_d + nb_d) / (na_d * nb_d))
+            > F.lit(float(_KS_ALPHA_C))
+            * F.sqrt((na_d + nb_d) / (na_d * nb_d)),
         ).alias("reject_05"),
     )
 
@@ -494,19 +500,23 @@ d AS (
   FROM cum c, tot t
 )
 SELECT n_a, n_b, CAST(d_num AS BIGINT) AS d_num,
-       round(CAST(d_num AS DOUBLE)
-             / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 9) AS d_stat,
-       round(CAST(d_num AS DOUBLE)
-             / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
-             * sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
-                    / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))), 6)
-         AS lambda_stat,
-       CAST(d_num AS DOUBLE)
-         / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
-         > {_KS_ALPHA_C}
-           * sqrt((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
-                  / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))
-         AS reject_05
+       CASE WHEN n_a > 0 AND n_b > 0 THEN
+         round(CAST(d_num AS DOUBLE)
+               / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 9)
+       END AS d_stat,
+       CASE WHEN n_a > 0 AND n_b > 0 THEN
+         round(CAST(d_num AS DOUBLE)
+               / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+               * sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                      / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))), 6)
+       END AS lambda_stat,
+       CASE WHEN n_a > 0 AND n_b > 0 THEN
+         CAST(d_num AS DOUBLE)
+           / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+           > {_KS_ALPHA_C}
+             * sqrt((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                    / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))
+       END AS reject_05
 FROM d
 """
 
@@ -558,21 +568,35 @@ def events_spearman_daily(spark, sf_dir):
         F.sum(F.col("ry") * F.col("ry")).cast("long").alias("syy"),
         F.sum(F.col("rx") * F.col("ry")).cast("long").alias("sxy"),
     )
-    num = (
-        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
-    ).cast("double")
-    den = F.sqrt(
-        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-    ) * F.sqrt(
-        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    # degenerate-input guards (r11 review): a constant series makes a
+    # variance term 0 (Spark NaN vs DuckDB NULL on 0/0), and a
+    # perfectly monotone pair makes |rho| = 1 — where the t statistic
+    # is undefined BUT float rho_raw may land a few ulps inside ±1
+    # (sqrt(vx)·sqrt(vy) ≠ sqrt(vx·vy) bitwise), which would amplify
+    # rounding noise into a huge meaningless t.  Both degeneracies are
+    # decided EXACTLY in integers: vx, vy > 0, and num² < vx·vy
+    # (Cauchy–Schwarz is tight iff |rho| = 1).  Integer products are
+    # bounded by 16·n_days⁶ — exact in int64 to ~460 days, and ANSI
+    # mode fails loudly beyond.
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    num_i = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))
+    staged = s.select(
+        "n",
+        F.when((vx > 0) & (vy > 0), num_i.cast("double") / den).alias(
+            "rho_raw"
+        ),
+        (num_i * num_i < vx * vy).alias("_strict"),
     )
-    rho = num / den
+    rho = F.col("rho_raw")
     nd = F.col("n").cast("double")
-    return s.select(
+    return staged.select(
         F.col("n").alias("n_days"),
         F.round(rho, 9).alias("rho"),
-        F.round(
-            rho * F.sqrt((nd - 2.0) / (1.0 - rho * rho)), 6
+        F.when(
+            rho.isNotNull() & (F.col("n") > 2) & F.col("_strict"),
+            F.round(rho * F.sqrt((nd - 2.0) / (1.0 - rho * rho)), 6),
         ).alias("t_stat"),
     )
 
@@ -598,23 +622,25 @@ s AS (
          CAST(sum(ry * ry) AS BIGINT) AS syy,
          CAST(sum(rx * ry) AS BIGINT) AS sxy
   FROM ranked
+),
+staged AS (
+  SELECT n,
+         CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+              THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                   / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                      * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+         END AS rho_raw,
+         (n * sxy - sx * sy) * (n * sxy - sx * sy)
+           < (n * sxx - sx * sx) * (n * syy - sy * sy) AS strict_cs
+  FROM s
 )
 SELECT n AS n_days,
-       round(CAST(n * sxy - sx * sy AS DOUBLE)
-             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 9) AS rho,
-       round(CAST(n * sxy - sx * sy AS DOUBLE)
-             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-                * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
-             * sqrt((CAST(n AS DOUBLE) - 2.0)
-                    / (1.0 - (CAST(n * sxy - sx * sy AS DOUBLE)
-                              / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-                                 * sqrt(CAST(n * syy - sy * sy AS DOUBLE))))
-                           * (CAST(n * sxy - sx * sy AS DOUBLE)
-                              / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-                                 * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))))),
-             6) AS t_stat
-FROM s
+       round(rho_raw, 9) AS rho,
+       CASE WHEN rho_raw IS NOT NULL AND n > 2 AND strict_cs
+            THEN round(rho_raw * sqrt((CAST(n AS DOUBLE) - 2.0)
+                                      / (1.0 - rho_raw * rho_raw)), 6)
+       END AS t_stat
+FROM staged
 """
 
 

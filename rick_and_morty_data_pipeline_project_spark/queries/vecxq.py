@@ -532,6 +532,11 @@ def knn_recall_matrix(spark, sf_dir):
     out = arms[0]
     for arm in arms[1:]:
         out = out.unionByName(arm)
+    # localCheckpoint: the 60-row matrix feeds the output rows AND the
+    # means AND the CI replicate join — without it Spark re-executes
+    # all six ANN arm pipelines once per branch (r11 review; the
+    # repo's multi-consumer pattern, see pqq/statsq)
+    out = out.localCheckpoint()
 
     # ---- deterministic bootstrap CI over the per-query recalls ----
     # Replicate sums use integer n_hits (exact), divided once by
@@ -735,10 +740,14 @@ def knn_hubness_audit(spark, sf_dir):
     cnt = graph.groupBy(
         F.col("neighbor_id").alias("vec_id")
     ).agg(F.count(F.lit(1)).alias("_c"))
+    # localCheckpoint: occ feeds BOTH the moments aggregate and the
+    # histogram — without it each branch re-runs the GEMM graph
+    # (r11 review); the checkpointed relation is |corpus| integers
     occ = (
         e.select("vec_id")
         .join(cnt, "vec_id", "left")
         .select(F.coalesce(F.col("_c"), F.lit(0)).cast("long").alias("c"))
+        .localCheckpoint()
     )
     sums = occ.agg(
         F.count(F.lit(1)).alias("n"),
@@ -780,8 +789,13 @@ def knn_hubness_audit(spark, sf_dir):
         F.round(F.col("zeros").cast("double") / F.col("n").cast("double"), 9).alias(
             "zero_frac"
         ),
-        F.round(
-            F.col("m3") / (F.col("m2") * F.sqrt(F.col("m2"))), 9
+        # m2 = 0 exactly when every count is equal (integer-derived
+        # moments) — Spark would emit NaN where DuckDB's division
+        # yields NULL, so the degenerate skew is an explicit NULL on
+        # the same exact condition in both engines (r11 review)
+        F.when(
+            F.col("m2") > 0,
+            F.round(F.col("m3") / (F.col("m2") * F.sqrt(F.col("m2"))), 9),
         ).alias("skew_g1"),
     )
 
@@ -820,7 +834,9 @@ SELECT h.k_occurrences, h.n_vectors,
        CAST(s.n AS BIGINT) AS n_total,
        CAST(s.max_occ AS BIGINT) AS max_occ,
        round(CAST(s.zeros AS DOUBLE) / CAST(s.n AS DOUBLE), 9) AS zero_frac,
-       round(s.m3 / (s.m2 * sqrt(s.m2)), 9) AS skew_g1
+       CASE WHEN s.m2 > 0
+            THEN round(s.m3 / (s.m2 * sqrt(s.m2)), 9)
+       END AS skew_g1
 FROM hist h, summ s
 """
 

@@ -61,17 +61,65 @@ def test_mp4_sample_decode_refused_loudly(spark):
         decode_media(df, fake=False)
 
 
-def test_frozen_refusal_set_is_exactly_two():
-    """The adjudication freezes EXACTLY these two refusal surfaces.
-    Every other NotImplementedError in the multimodal family must be a
-    sub-feature guard of an implemented surface (bit depths, filter
-    types, subsampling), not a whole-surface refusal — enumerated here
-    so a new whole-surface refusal cannot ship silently."""
+def test_frozen_refusal_set_is_exactly_the_adjudicated_messages():
+    """Derive every ``raise NotImplementedError(<literal>)`` from the
+    multimodal family's SOURCE and pin the exact message set.  A new
+    refusal (whole-surface or sub-feature) cannot ship without going
+    red here and updating BOTH this frozen set and the COVERAGE.md
+    adjudication table in the same change."""
+    import ast
+    import inspect
+
+    from rick_and_morty_data_pipeline_project_spark.operators import (
+        jpegcodec,
+        multimodal,
+    )
+
+    found: set[str] = set()
+    for mod in (jpegcodec, multimodal):
+        tree = ast.parse(inspect.getsource(mod))
+        for node in ast.walk(tree):
+            if not (
+                isinstance(node, ast.Raise)
+                and isinstance(node.exc, ast.Call)
+                and isinstance(node.exc.func, ast.Name)
+                and node.exc.func.id == "NotImplementedError"
+            ):
+                continue
+            parts = []
+            for arg in node.exc.args:
+                for sub in ast.walk(arg):
+                    if isinstance(sub, ast.Constant) and isinstance(
+                        sub.value, str
+                    ):
+                        parts.append(sub.value)
+            found.add("".join(parts))
+
     frozen = {
-        "progressive-jpeg-pixels",  # jpegcodec SOF2 guard
-        "mp4-sample-decode",  # decode_media real-codec gate
+        # the TWO adjudicated whole-surface refusals (COVERAGE.md
+        # §"Multimodal refusals — FROZEN at 2"):
+        "progressive JPEG (SOF2) needs successive-approximation "
+        "passes — baseline only",
+        "real image/audio decoding requires PIL/ffmpeg, not available "
+        "in this environment; use fake=True for the deterministic stub",
+        # sub-feature guards of IMPLEMENTED surfaces (loud refusals of
+        # codec variants, not whole surfaces):
+        "16-bit quant tables",
+        "-bit precision",
+        "-component JPEG",
+        "chroma subsampling (only 4:4:4 supported)",
+        "restart intervals (DRI)",
+        "scan order differs from frame order",
+        "PNG decode here covers 8-bit RGB non-interlaced; other "
+        "layouts need a full reconstructor",
+        "PNG filter type  not supported (fixtures write filter 0)",
+        "format  needs external codecs (PIL/ffmpeg), not available here",
     }
-    assert frozen == {"progressive-jpeg-pixels", "mp4-sample-decode"}
+    assert found == frozen, (
+        f"multimodal refusal surface drifted: "
+        f"new={sorted(found - frozen)} removed={sorted(frozen - found)} "
+        "— update COVERAGE.md's adjudication table and this pin together"
+    )
 
 
 def test_progressive_fallback_keeps_header_dims(spark):

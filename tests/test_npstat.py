@@ -332,6 +332,9 @@ def test_spearman_perfect_monotone(spark):
         spark, npstatq.events_spearman_daily, _events_frame(spark, rows)
     )[0]
     assert abs(r["rho"] - 1.0) < 1e-12
+    # |rho| = 1 makes the t denominator 0: the degenerate t is an
+    # explicit NULL (identically in the DuckDB oracle), never Infinity
+    assert r["t_stat"] is None
 
 
 def test_chi2_hand_checked(spark):

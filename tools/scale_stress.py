@@ -156,6 +156,16 @@ def main() -> None:
             # PQ past its 1M-row bounded-verify cap) run without
             # staging 60M event rows it never reads (r11)
             tables_filter = set(a.split("=", 1)[1].split(","))
+            bad_tables = tables_filter - {
+                "events", "orders", "embeddings", "documents"
+            }
+            if bad_tables:
+                # a typo here would silently symlink everything at
+                # base scale and record unscaled timings as a
+                # "scaled" run — fail in milliseconds instead
+                raise SystemExit(
+                    f"unknown --tables= names: {sorted(bad_tables)}"
+                )
 
     from pyspark.sql import SparkSession
 
