@@ -771,6 +771,294 @@ FROM packed
 """
 
 
+# ---------------------------------------------------------------------------
+# CUSUM changepoint monitor over the daily event series (Page 1954) —
+# the standard drift detector a data pipeline runs on ingest volume.
+# Relational form, NO sequential fold: the clamped recursion
+# S_t = max(0, S_{t-1} + d_t) equals P_t − min(0, min_{j≤t} P_j) for
+# prefix sums P of the deviations, so two cumulative windows compute
+# the whole series.  Determinism: deviations are SCALED INTEGERS
+# (d_i = 10·n·x_i − 11·S1 encodes x_i − μ − μ/10 exactly), so the
+# cumulative sums are exact regardless of either engine's window
+# aggregation order (DuckDB's segment-tree frames reorder float adds;
+# integers don't care).  The alarm threshold h = 2μ compares as
+# 20·S1 in the same scaling — an integer comparison.
+
+
+def events_cusum_daily(spark, sf_dir):
+    """(day, x, cusum, is_alarm) for the daily total-event count:
+    upper CUSUM with allowance k = μ/10 and threshold h = 2μ.
+    Scale: one day-keyed aggregate over the stream; both windows run
+    on the |days| relation (deliberately single-partition at |days|
+    rows, the family's documented shape).  Integer products are
+    bounded by 20·n_days·Σx — exact in int64 far past any daily
+    corpus; ANSI fails loudly beyond."""
+    ev = t(spark, sf_dir, "events")
+    days = ev.groupBy(
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    tot = days.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s1"),
+    )
+    d = days.crossJoin(F.broadcast(tot)).select(
+        "day",
+        "x",
+        "n",
+        "s1",
+        (
+            F.lit(10) * F.col("n") * F.col("x") - F.lit(11) * F.col("s1")
+        ).alias("_dev"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    p = d.select(
+        "day", "x", "n", "s1", F.sum("_dev").over(w).alias("_p")
+    )
+    s_scaled = F.col("_p") - F.least(
+        F.lit(0).cast("long"), F.min("_p").over(w)
+    )
+    return p.select(
+        "day",
+        "x",
+        F.round(
+            s_scaled.cast("double")
+            / (F.lit(10.0) * F.col("n").cast("double")),
+            9,
+        ).alias("cusum"),
+        (s_scaled > F.lit(20) * F.col("s1")).alias("is_alarm"),
+    )
+
+
+CUSUM_SQL = """
+WITH days AS (
+  SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s1
+  FROM days
+),
+d AS (
+  SELECT day, x, n, s1, 10 * n * x - 11 * s1 AS dev
+  FROM days, tot
+),
+p AS (
+  SELECT day, x, n, s1,
+         SUM(dev) OVER (ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pp
+  FROM d
+),
+s AS (
+  SELECT day, x, n, s1,
+         pp - least(CAST(0 AS BIGINT),
+                    MIN(pp) OVER (ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+           AS s_scaled
+  FROM p
+)
+SELECT day, x,
+       round(CAST(s_scaled AS DOUBLE)
+             / (10.0 * CAST(n AS DOUBLE)), 9) AS cusum,
+       s_scaled > 20 * s1 AS is_alarm
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# Gini concentration of customer spend — the inequality measure a
+# marketplace reports ("what share of revenue sits in the top
+# whale accounts").  Exact: spend is whole CENTS (the dec(12,2)
+# pattern), ranks are deterministic (amount, custkey), and
+# G = (2·Σ i·wᵢ − (n+1)·Σw) / (n·Σw) comes entirely from exact
+# integer sums with one final division.
+
+
+def orders_gini_concentration(spark, sf_dir):
+    """One row: (n_customers, total_spend, gini).  Rank-weighted sums
+    bound by n·Σcents (≲10¹⁶ at sf0.1 — int64-exact; DECIMAL is the
+    documented switch at warehouse scale).  Scale: one customer
+    aggregate, one |customers| rank window, one moment aggregate."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (dec("o_totalprice", 12, 2) * 100).cast("long").alias("_cents"),
+    )
+    per = o.groupBy("o_custkey").agg(
+        F.sum("_cents").cast("long").alias("w")
+    )
+    ranked = per.select(
+        "w",
+        F.row_number()
+        .over(Window.orderBy(F.asc("w"), F.asc("o_custkey")))
+        .cast("long")
+        .alias("i"),
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("w").cast("long").alias("sw"),
+        F.sum(F.col("i") * F.col("w")).cast("long").alias("siw"),
+    )
+    return s.select(
+        F.col("n").alias("n_customers"),
+        F.round(F.col("sw").cast("double") / 100.0, 2).alias("total_spend"),
+        F.round(
+            (
+                F.lit(2) * F.col("siw") - (F.col("n") + 1) * F.col("sw")
+            ).cast("double")
+            / (F.col("n") * F.col("sw")).cast("double"),
+            9,
+        ).alias("gini"),
+    )
+
+
+GINI_SQL = """
+WITH per AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                       AS BIGINT)) AS BIGINT) AS w
+  FROM orders GROUP BY 1
+),
+ranked AS (
+  SELECT w,
+         CAST(ROW_NUMBER() OVER (ORDER BY w ASC, o_custkey ASC)
+              AS BIGINT) AS i
+  FROM per
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(w) AS BIGINT) AS sw,
+         CAST(sum(i * w) AS BIGINT) AS siw
+  FROM ranked
+)
+SELECT n AS n_customers,
+       round(CAST(sw AS DOUBLE) / 100.0, 2) AS total_spend,
+       round(CAST(2 * siw - (n + 1) * sw AS DOUBLE)
+             / CAST(n * sw AS DOUBLE), 9) AS gini
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit of order totals — the classic fabricated-
+# data / data-quality screen.  The first significant digit comes from
+# INTEGER CENTS rendered as a string (prices ≥ 0.01, so the leading
+# cent digit IS the leading significant digit) — no log10 at runtime;
+# the Benford expectations log10(1 + 1/d) and the χ²(df=8, 0.05)
+# critical value 15.50731… are Python literals inlined on both sides.
+
+_BENFORD_P = [math.log10(1 + 1 / d) for d in range(1, 10)]
+_CHI2_CRIT_8 = 15.50731305586545  # χ²(0.95, df=8)
+
+
+def orders_benford_audit(spark, sf_dir):
+    """(digit, observed, expected, chi2, reject_05): per-digit counts
+    vs the Benford expectation over order totals, with the overall χ²
+    (computed from exact integer counts and literal probabilities in
+    digit order — sum of 9 literal-weighted terms, identical in both
+    engines) repeated per row.  Scale: one narrow projection + one
+    9-group aggregate."""
+    o = t(spark, sf_dir, "orders").select(
+        (dec("o_totalprice", 12, 2) * 100).cast("long").alias("_cents")
+    )
+    dig = o.select(
+        F.substring(F.col("_cents").cast("string"), 1, 1)
+        .cast("int")
+        .alias("digit")
+    )
+    # localCheckpoint: the 9-row digit relation feeds the output rows,
+    # the chi2 aggregate AND the n total — one orders scan, not three
+    obs = dig.groupBy("digit").agg(
+        F.count(F.lit(1)).cast("long").alias("observed")
+    ).localCheckpoint()
+    n = obs.agg(F.sum("observed").cast("long").alias("n"))
+    full = obs.crossJoin(F.broadcast(n))
+    nd = F.col("n").cast("double")
+    # chi2 as a digit-ordered literal fold: Σ_d (o_d − n·p_d)²/(n·p_d)
+    # — o_d looked up per digit from the 9-row relation via
+    # conditional sums (exact integers), the division order pinned by
+    # the Python-side loop
+    per_digit_o = [
+        F.sum(F.when(F.col("digit") == d, F.col("observed")).otherwise(0))
+        .cast("long")
+        for d in range(1, 10)
+    ]
+    agg = obs.agg(
+        F.sum("observed").cast("long").alias("n"),
+        *[o_.alias(f"o{d}") for d, o_ in zip(range(1, 10), per_digit_o)],
+    )
+    nd2 = F.col("n").cast("double")
+    chi2 = F.lit(0.0)
+    for d, pd in zip(range(1, 10), _BENFORD_P):
+        e = nd2 * F.lit(pd)
+        chi2 = chi2 + (F.col(f"o{d}").cast("double") - e) * (
+            F.col(f"o{d}").cast("double") - e
+        ) / e
+    stats = agg.select(
+        F.round(chi2, 9).alias("chi2"),
+        (chi2 > F.lit(_CHI2_CRIT_8)).alias("reject_05"),
+    )
+    expected = F.lit(0.0)
+    for d, pd in zip(range(1, 10), _BENFORD_P):
+        expected = F.when(F.col("digit") == d, nd * F.lit(pd)).otherwise(
+            expected
+        )
+    return (
+        full.crossJoin(F.broadcast(stats))
+        .select(
+            "digit",
+            "observed",
+            F.round(expected, 6).alias("expected"),
+            "chi2",
+            "reject_05",
+        )
+    )
+
+
+def _benford_chi2_sql() -> str:
+    terms = " + ".join(
+        f"(CAST(o{d} AS DOUBLE) - CAST(n AS DOUBLE) * {p!r})"
+        f" * (CAST(o{d} AS DOUBLE) - CAST(n AS DOUBLE) * {p!r})"
+        f" / (CAST(n AS DOUBLE) * {p!r})"
+        for d, p in zip(range(1, 10), _BENFORD_P)
+    )
+    o_cols = ", ".join(
+        f"CAST(SUM(CASE WHEN digit = {d} THEN observed ELSE 0 END) AS BIGINT) AS o{d}"
+        for d in range(1, 10)
+    )
+    exp_case = " ".join(
+        f"WHEN f.digit = {d} THEN CAST(nn.n AS DOUBLE) * {p!r}"
+        for d, p in zip(range(1, 10), _BENFORD_P)
+    )
+    return f"""
+WITH dig AS (
+  SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                          AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+  FROM orders
+),
+obs AS (
+  SELECT digit, CAST(count(*) AS BIGINT) AS observed
+  FROM dig GROUP BY 1
+),
+agg AS (
+  SELECT CAST(SUM(observed) AS BIGINT) AS n, {o_cols}
+  FROM obs
+),
+stats AS (
+  SELECT round({terms}, 9) AS chi2,
+         ({terms}) > {_CHI2_CRIT_8!r} AS reject_05
+  FROM agg
+),
+nn AS (SELECT CAST(SUM(observed) AS BIGINT) AS n FROM obs)
+SELECT f.digit, f.observed,
+       round(CASE {exp_case} ELSE 0.0 END, 6) AS expected,
+       s.chi2, s.reject_05
+FROM obs f, stats s, nn
+"""
+
+
+BENFORD_SQL = _benford_chi2_sql()
+
+
 QUERIES = {
     "events_mann_whitney": Q(
         events_mann_whitney,
@@ -806,5 +1094,20 @@ QUERIES = {
         events_chi2_independence,
         CHI2_SQL,
         "chi-squared independence (type x dow), sorted-fold cell sum",
+    ),
+    "events_cusum_daily": Q(
+        events_cusum_daily,
+        CUSUM_SQL,
+        "CUSUM changepoint monitor, exact-integer cumulative windows",
+    ),
+    "orders_gini_concentration": Q(
+        orders_gini_concentration,
+        GINI_SQL,
+        "Gini concentration of customer spend from exact cent sums",
+    ),
+    "orders_benford_audit": Q(
+        orders_benford_audit,
+        BENFORD_SQL,
+        "Benford first-digit audit with literal expectations + chi2",
     ),
 }

@@ -363,3 +363,110 @@ def test_chi2_independent_uniform_is_zero(spark):
     )[0]
     assert r["chi2"] == 0.0
     assert r["df"] == 2
+
+
+def _orders_frame(spark, rows):
+    """rows: (o_custkey, o_totalprice)."""
+    return spark.createDataFrame(
+        [(i, ck, "O", tp, "2024-01-01 00:00:00", "1-URGENT")
+         for i, (ck, tp) in enumerate(rows)],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).selectExpr(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "CAST(o_orderdate AS TIMESTAMP) o_orderdate", "o_orderpriority"
+    )
+
+
+def _cusum_reference(xs):
+    """Python twin of the scaled recursion: S_t = max(0, S_{t-1} +
+    (x_t - mu - mu/10)), alarm when S_t > 2*mu."""
+    n, s1 = len(xs), sum(xs)
+    s_scaled, out = 0, []
+    for x in xs:
+        s_scaled = max(0, s_scaled + 10 * n * x - 11 * s1)
+        out.append((s_scaled / (10.0 * n), s_scaled > 20 * s1))
+    return out
+
+
+def test_cusum_planted_step_alarms(spark):
+    xs = [10] * 10 + [30] * 10
+    rows = []
+    for i, x in enumerate(xs):
+        day = "2024-01-%02d 00:00:00" % (i + 1)
+        rows += [("click", day, 1.0)] * x
+    got = sorted(
+        _run_patched(spark, npstatq.events_cusum_daily,
+                     _events_frame(spark, rows)),
+        key=lambda r: r["day"],
+    )
+    ref = _cusum_reference(xs)
+    assert len(got) == 20
+    for r, (cus, alarm) in zip(got, ref):
+        assert abs(r["cusum"] - round(cus, 9)) < 1e-9
+        assert r["is_alarm"] == alarm
+    # the step must actually fire the alarm, and never before the step
+    assert not any(r["is_alarm"] for r in got[:10])
+    assert any(r["is_alarm"] for r in got[10:])
+
+
+def test_cusum_steady_series_never_alarms(spark):
+    rows = []
+    for i in range(14):
+        rows += [("view", "2024-01-%02d 00:00:00" % (i + 1), 1.0)] * 5
+    got = _run_patched(
+        spark, npstatq.events_cusum_daily, _events_frame(spark, rows)
+    )
+    assert all(not r["is_alarm"] for r in got)
+    assert all(r["cusum"] == 0.0 for r in got)  # x == mu ⇒ dev < 0
+
+
+def _run_patched_orders(spark, fn, df):
+    orig = npstatq.t
+    try:
+        npstatq.t = lambda s, sf, name: df  # noqa: ARG005
+        return fn(spark, "unused").collect()
+    finally:
+        npstatq.t = orig
+
+
+def test_gini_extremes(spark):
+    # equal spends → G = 0
+    r = _run_patched_orders(
+        spark, npstatq.orders_gini_concentration,
+        _orders_frame(spark, [(c, 100.0) for c in range(10)]),
+    )[0]
+    assert r["n_customers"] == 10 and r["gini"] == 0.0
+    assert abs(r["total_spend"] - 1000.0) < 1e-9
+    # one whale holds everything above epsilon → G → (n-1)/n with the
+    # exact-cents floor: hand value for w = [1 cent ×9, 10^6 cents]
+    rows = [(c, 0.01) for c in range(9)] + [(9, 10000.0)]
+    r = _run_patched_orders(
+        spark, npstatq.orders_gini_concentration, _orders_frame(spark, rows)
+    )[0]
+    w = [1] * 9 + [1000000]
+    siw = sum((i + 1) * wi for i, wi in enumerate(w))
+    n, sw = 10, sum(w)
+    ref = (2 * siw - (n + 1) * sw) / (n * sw)
+    assert abs(r["gini"] - round(ref, 9)) < 1e-12
+
+
+def test_benford_hand_checked(spark):
+    import math as _m
+
+    # 30 orders with first digit 1, 10 with first digit 2
+    rows = [(c, 1.23) for c in range(30)] + [(c, 25.00) for c in range(10)]
+    got = _run_patched_orders(
+        spark, npstatq.orders_benford_audit, _orders_frame(spark, rows)
+    )
+    by_digit = {r["digit"]: r for r in got}
+    assert set(by_digit) == {1, 2}
+    assert by_digit[1]["observed"] == 30 and by_digit[2]["observed"] == 10
+    n = 40
+    p = [_m.log10(1 + 1 / d) for d in range(1, 10)]
+    o = [30, 10] + [0] * 7
+    ref = sum((oi - n * pi) ** 2 / (n * pi) for oi, pi in zip(o, p))
+    assert abs(got[0]["chi2"] - round(ref, 9)) < 1e-6
+    assert abs(by_digit[1]["expected"] - round(n * p[0], 6)) < 1e-9
+    # digits {1,2} only out of 40 draws is wildly non-Benford
+    assert got[0]["reject_05"]
