@@ -11,6 +11,8 @@ exactly (see functions/emotions.py, functions/textfns.py docstrings).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -3763,10 +3765,148 @@ GROUP BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Jensen–Shannon source-drift audit: JSD between each source's unigram
+# distribution and the CORPUS distribution — the mixture-curation
+# dashboard number ("which source drifted from the blend").
+# Determinism: the only float-order hazard (the Σ over vocabulary of
+# p·ln(p/m) terms) runs as a w-SORTED transform+fold (the chi2
+# pattern), and the out-of-source-vocabulary remainder collapses to
+# the CLOSED FORM ½·ln2·(1 − coverage) — coverage is an exact integer
+# ratio — so no full-vocab scan per source and no unordered float sum
+# anywhere.  ln parity is the established keyness/logprob precedent.
+
+_LN2 = repr(math.log(2.0))
+
+
+def text_js_divergence_sources(spark, sf_dir):
+    """(source, n_terms, n_tokens, coverage, jsd_nats, jsd_bits) —
+    JSD(P_source ‖ P_corpus) per source.  For w in the source's
+    vocabulary the term is p·ln(p/m) + q·ln(q/m) with m = (p+q)/2;
+    for the (possibly enormous) rest of the corpus vocabulary P = 0
+    exactly, so those terms sum to ln2·Σq = ln2·(1 − coverage) —
+    computed from one exact integer sum, never enumerated.  Scale:
+    token aggregates are map-combinable; the fold runs over
+    |source vocabulary| entries inside one row per source."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(tokens_col(F.col("text"))).alias("w")
+    )
+    st = toks.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("a")
+    )
+    tw = toks.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("cw"))
+    n_all = toks.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    j = st.join(tw, "w").crossJoin(F.broadcast(n_all))
+    packed = j.groupBy("source").agg(
+        F.array_sort(F.collect_list(F.struct("w", "a", "cw"))).alias("arr"),
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum("a").cast("long").alias("ns"),
+        F.sum("cw").cast("long").alias("cov_num"),
+        F.first("n").alias("n"),
+    )
+    ns_d = F.col("ns").cast("double")
+    n_d = F.col("n").cast("double")
+    terms = F.transform(
+        F.col("arr"),
+        lambda s: (
+            (s["a"].cast("double") / ns_d)
+            * F.log(
+                (s["a"].cast("double") / ns_d)
+                / (
+                    (
+                        s["a"].cast("double") / ns_d
+                        + s["cw"].cast("double") / n_d
+                    )
+                    / 2.0
+                )
+            )
+            + (s["cw"].cast("double") / n_d)
+            * F.log(
+                (s["cw"].cast("double") / n_d)
+                / (
+                    (
+                        s["a"].cast("double") / ns_d
+                        + s["cw"].cast("double") / n_d
+                    )
+                    / 2.0
+                )
+            )
+        ),
+    )
+    fold = F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
+    cov = F.col("cov_num").cast("double") / n_d
+    jsd = 0.5 * fold + 0.5 * F.lit(float(_LN2)) * (1.0 - cov)
+    return packed.select(
+        "source",
+        "n_terms",
+        F.col("ns").alias("n_tokens"),
+        F.round(cov, 9).alias("coverage"),
+        F.round(jsd, 6).alias("jsd_nats"),
+        F.round(jsd / F.lit(float(_LN2)), 6).alias("jsd_bits"),
+    )
+
+
+TEXT_JSD_SQL = f"""
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+),
+st AS (SELECT source, w, CAST(count(*) AS BIGINT) AS a
+       FROM toks GROUP BY 1, 2),
+tw AS (SELECT w, CAST(count(*) AS BIGINT) AS cw FROM toks GROUP BY 1),
+n_all AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks),
+j AS (
+  SELECT st.source, st.w, st.a, tw.cw, n_all.n
+  FROM st JOIN tw ON tw.w = st.w, n_all
+),
+packed AS (
+  SELECT source,
+         list(struct_pack(w := w, a := a, cw := cw) ORDER BY w) AS arr,
+         CAST(count(*) AS BIGINT) AS n_terms,
+         CAST(sum(a) AS BIGINT) AS ns,
+         CAST(sum(cw) AS BIGINT) AS cov_num,
+         any_value(n) AS n
+  FROM j GROUP BY source
+),
+folded AS (
+  SELECT source, n_terms, ns, cov_num, n,
+         list_reduce(list_prepend(0.0, list_transform(arr,
+           s -> (CAST(s.a AS DOUBLE) / CAST(ns AS DOUBLE))
+                * ln((CAST(s.a AS DOUBLE) / CAST(ns AS DOUBLE))
+                     / ((CAST(s.a AS DOUBLE) / CAST(ns AS DOUBLE)
+                         + CAST(s.cw AS DOUBLE) / CAST(n AS DOUBLE))
+                        / 2.0))
+                + (CAST(s.cw AS DOUBLE) / CAST(n AS DOUBLE))
+                  * ln((CAST(s.cw AS DOUBLE) / CAST(n AS DOUBLE))
+                       / ((CAST(s.a AS DOUBLE) / CAST(ns AS DOUBLE)
+                           + CAST(s.cw AS DOUBLE) / CAST(n AS DOUBLE))
+                          / 2.0)))),
+           (acc, x) -> acc + x) AS fold
+  FROM packed
+)
+SELECT source, n_terms, ns AS n_tokens,
+       round(CAST(cov_num AS DOUBLE) / CAST(n AS DOUBLE), 9) AS coverage,
+       round(0.5 * fold
+             + 0.5 * {_LN2}
+               * (1.0 - CAST(cov_num AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+         AS jsd_nats,
+       round((0.5 * fold
+              + 0.5 * {_LN2}
+                * (1.0 - CAST(cov_num AS DOUBLE) / CAST(n AS DOUBLE)))
+             / {_LN2}, 6) AS jsd_bits
+FROM folded
+"""
+
+
 QUERIES: dict[str, Q] = {
     "text_char_entropy": Q(text_char_entropy, TEXT_CHAR_ENTROPY_SQL),
     "text_feature_hashing": Q(text_feature_hashing, TEXT_FEATURE_HASH_SQL),
     "text_zipf_fit": Q(text_zipf_fit, TEXT_ZIPF_SQL),
+    "text_js_divergence_sources": Q(
+        text_js_divergence_sources,
+        TEXT_JSD_SQL,
+        "Jensen-Shannon drift of each source vs the corpus mixture",
+    ),
     "text_keyness_by_source": Q(text_keyness_by_source, TEXT_KEYNESS_SQL),
     "text_bigram_logprob": Q(text_bigram_logprob, TEXT_BIGRAM_LM_SQL),
     "dedup_ngram_containment": Q(

@@ -470,3 +470,60 @@ def test_benford_hand_checked(spark):
     assert abs(by_digit[1]["expected"] - round(n * p[0], 6)) < 1e-9
     # digits {1,2} only out of 40 draws is wildly non-Benford
     assert got[0]["reject_05"]
+
+
+def test_jsd_hand_checked_vs_full_vocab_reference(spark):
+    # two tiny sources with known unigram distributions: the query's
+    # closed-form out-of-vocabulary remainder must reproduce the FULL
+    # per-word JSD definition computed directly in Python
+    import math as _m
+
+    from rick_and_morty_data_pipeline_project_spark.queries import textq
+
+    docs = [
+        (1, "a a a b", "en", "s1", 7),
+        (2, "b c", "en", "s2", 3),
+        (3, "c c d", "en", "s2", 5),
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    orig = textq.t
+    try:
+        textq.t = lambda s, sf, name: df  # noqa: ARG005
+        got = {
+            r["source"]: r
+            for r in textq.text_js_divergence_sources(spark, "x").collect()
+        }
+    finally:
+        textq.t = orig
+
+    corpus = {"a": 3, "b": 2, "c": 3, "d": 1}
+    n = sum(corpus.values())
+
+    def jsd_full(src_counts):
+        ns = sum(src_counts.values())
+        out = 0.0
+        for w, cw in corpus.items():
+            p = src_counts.get(w, 0) / ns
+            q = cw / n
+            m = (p + q) / 2.0
+            if p > 0:
+                out += 0.5 * p * _m.log(p / m)
+            out += 0.5 * q * _m.log(q / m)
+        return out
+
+    for src, counts in (
+        ("s1", {"a": 3, "b": 1}),
+        ("s2", {"b": 1, "c": 3, "d": 1}),
+    ):
+        r = got[src]
+        ref = jsd_full(counts)
+        assert abs(r["jsd_nats"] - round(ref, 6)) < 1e-6, (src, ref, r)
+        cov = sum(corpus[w] for w in counts) / n
+        assert abs(r["coverage"] - round(cov, 9)) < 1e-12
+        assert abs(r["jsd_bits"] - round(ref / _m.log(2), 6)) < 2e-6
+    # identical-to-corpus distribution ⇒ JSD → 0; disjointness raises
+    # it — s2 (covers 6/9 mass) must sit below a fully disjoint bound
+    assert 0.0 < got["s1"]["jsd_nats"] < _m.log(2)
+    assert 0.0 < got["s2"]["jsd_nats"] < _m.log(2)
