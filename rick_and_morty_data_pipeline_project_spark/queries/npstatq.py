@@ -875,10 +875,13 @@ FROM s
 
 
 def orders_gini_concentration(spark, sf_dir):
-    """One row: (n_customers, total_spend, gini).  Rank-weighted sums
-    bound by n·Σcents (≲10¹⁶ at sf0.1 — int64-exact; DECIMAL is the
-    documented switch at warehouse scale).  Scale: one customer
-    aggregate, one |customers| rank window, one moment aggregate."""
+    """One row: (n_customers, total_spend, gini).  The rank-weighted
+    sum runs in DECIMAL(38,0) ≡ DuckDB HUGEINT (int64 overflows at
+    ~10⁶ customers — the r11 ×100 stress hit exactly that, loudly,
+    under ANSI), so the moments stay exact at any corpus size; the
+    final formula converts the exact integers to double through one
+    identical expression.  Scale: one customer aggregate, one
+    |customers| rank window, one moment aggregate."""
     o = t(spark, sf_dir, "orders").select(
         "o_custkey",
         (dec("o_totalprice", 12, 2) * 100).cast("long").alias("_cents"),
@@ -895,17 +898,18 @@ def orders_gini_concentration(spark, sf_dir):
     )
     s = ranked.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("w").cast("long").alias("sw"),
-        F.sum(F.col("i") * F.col("w")).cast("long").alias("siw"),
+        F.sum(F.col("w").cast("decimal(38,0)")).alias("sw"),
+        F.sum(
+            F.col("i").cast("decimal(19,0)") * F.col("w").cast("decimal(19,0)")
+        ).alias("siw"),
     )
+    nd = F.col("n").cast("decimal(38,0)")
     return s.select(
         F.col("n").alias("n_customers"),
         F.round(F.col("sw").cast("double") / 100.0, 2).alias("total_spend"),
         F.round(
-            (
-                F.lit(2) * F.col("siw") - (F.col("n") + 1) * F.col("sw")
-            ).cast("double")
-            / (F.col("n") * F.col("sw")).cast("double"),
+            (F.lit(2) * F.col("siw") - (nd + 1) * F.col("sw")).cast("double")
+            / (nd * F.col("sw")).cast("double"),
             9,
         ).alias("gini"),
     )
@@ -926,14 +930,14 @@ ranked AS (
 ),
 s AS (
   SELECT CAST(count(*) AS BIGINT) AS n,
-         CAST(sum(w) AS BIGINT) AS sw,
-         CAST(sum(i * w) AS BIGINT) AS siw
+         CAST(sum(CAST(w AS HUGEINT)) AS HUGEINT) AS sw,
+         CAST(sum(CAST(i AS HUGEINT) * CAST(w AS HUGEINT)) AS HUGEINT) AS siw
   FROM ranked
 )
 SELECT n AS n_customers,
        round(CAST(sw AS DOUBLE) / 100.0, 2) AS total_spend,
-       round(CAST(2 * siw - (n + 1) * sw AS DOUBLE)
-             / CAST(n * sw AS DOUBLE), 9) AS gini
+       round(CAST(2 * siw - (CAST(n AS HUGEINT) + 1) * sw AS DOUBLE)
+             / CAST(CAST(n AS HUGEINT) * sw AS DOUBLE), 9) AS gini
 FROM s
 """
 

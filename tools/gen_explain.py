@@ -131,6 +131,10 @@ ANNOTATED = {
     "events_ks_test": "two-sample KS (r11): one value-keyed aggregate over the two samples, one |distinct-values|-bounded cumulative window (the documented Mann-Whitney shape), one integer MAX — D leaves integer arithmetic only in the final projection",
     "events_spearman_daily": "Spearman daily (r11): one day-keyed aggregate touches the raw stream once; doubled-midrank windows and the moment aggregate run on the |days| relation (deliberately single-partition at |days| rows)",
     "events_chi2_independence": "chi-squared independence (r11): one (type,dow) aggregate over the stream; the grid/margin joins are broadcast; the fold runs over a ≤|types|·7-element array in a single row — order-pinned by array_sort",
+    "events_cusum_daily": "CUSUM monitor (r11 continuation): one day-keyed aggregate touches the stream once; the clamped recursion is TWO cumulative windows over SCALED-INTEGER deviations on the |days| relation — exact under any frame-aggregation order, no sequential fold, no Python",
+    "orders_gini_concentration": "Gini concentration (r11 continuation): one customer aggregate, one |customers| rank window (the single deliberate exchange), one moment aggregate over exact cent integers",
+    "orders_benford_audit": "Benford audit (r11 continuation): narrow integer-cents projection, one 9-group aggregate (localCheckpointed — orders scans once for output+chi2+total), literal-table expected values; no log in the plan",
+    "text_js_divergence_sources": "JSD source drift (r11 continuation): map-combinable token aggregates; the per-source fold runs inside one row over |source vocab| entries, and the out-of-vocab mass is the closed-form coverage term — no full-vocab scan per source, no unordered float sum",
     "events_mann_whitney": "Mann-Whitney U (r10 continuation): tie relation is |distinct values| per pair (not |rows|) — one value-keyed aggregate, one bounded window for cumulative counts, one pair-keyed aggregate; rank quantities are exact half-integers so the float rank-sum is order-independent",
     "events_theil_sen_slope": "Theil-Sen slope (r10 continuation): user-keyed self-join bounded by days² per user (≤ ~500 rows/user), exact percentile over the bounded slope relation — never a global quadratic",
     "events_kendall_tau": "Kendall tau-b (r10 continuation): same bounded per-user pair relation as Theil-Sen; concordant/discordant/tied counts are exact integer aggregates, tau divides at the very end",
