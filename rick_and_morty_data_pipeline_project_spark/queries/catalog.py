@@ -273,6 +273,21 @@ by the extraction), goes to the one-cycle stale-carryover ledger and
 is rule-2 mandatory for r12 — the window could not hold all 51
 obligations, and displacing a verdict-named entry would have been
 worse.
+
+Round-12 window (this file's ``DRIVER_WINDOW``): exactly the plan the
+round-11 verdict ordered.  The 51-item rotation debt decomposes as
+9 rule-1 pending births (``tools/pending_births.json`` — the r11
+continuation statistics/ANN-eval families: KS, Spearman-daily, chi²
+independence, CUSUM-daily, Gini concentration, Benford, JS source
+drift, hubness, nDCG), the twice-stale ``text_rerank_two_stage``
+(fingerprint changed at the r10 freeze, carryover ledger — must not
+carry a third cycle), flagship, and the 41-entry r06 over-age cohort
+that crossed the >4-round line together.  11 mandatory slots + 41
+candidates > 50, so per policy v2 the two r06 entries NOT named by
+the r11 verdict and not load-bearing in any §2 table row —
+``unpivot_emotion_scores`` and ``snapshot_diff_orders`` — stay out of
+the window and are covered by the fresh SWEEP_r12.json regenerated
+BEFORE any r12 code motion (verdict item 1a).  9 + 1 + 1 + 39 = 50.
 """
 
 from __future__ import annotations
@@ -312,23 +327,82 @@ for mod in (
         _ALL[name] = q
 
 # The 50 driver-checked slots.  All must carry a full DuckDB oracle.
-# Round-11 rotation (standing policy + policy v2 in the module
+# Round-12 rotation (standing policy + policy v2 in the module
 # docstring):
-# 14 rule-1 pending births (tools/pending_births.json — the
-#   r10-continuation ANN/dedup/LM/statistics families)
-# + 17 rule-2 re-greens (this round's IVF-helper extraction +
-#   binquant NaN guard changed similarity.py/binquant.py, staling
-#   every similarity-family certificate; includes the verdict-named
-#   knn_cosine_opq re-certification.  The 18th stale entry,
-#   text_rerank_two_stage, goes to the one-cycle stale-carryover
-#   ledger — r10-green, r12-mandatory)
-# + the r11 birth knn_cosine_sq8, scheduled at its own birth freeze
-#   so no exemption is consumed
+# 9 rule-1 pending births (tools/pending_births.json — the r11
+#   continuation statistics/ANN-eval families)
+# + text_rerank_two_stage (stale-carryover ledger since the r10
+#   freeze; second cycle — verdict-mandatory, must not carry again)
 # + flagship
-# + 17 r05-vintage over-age refreshes (verdict-named; SWEEP_r11-
-#   covered while this window was composed).
-# 14+17+1+1+17 = 50.
+# + 39 of the 41 r06-vintage over-age refreshes (the r06 mega-round's
+#   cohort aged past MAX_GREEN_AGE as a block; the 2 left out —
+#   unpivot_emotion_scores, snapshot_diff_orders — are not verdict-
+#   named, not §2-load-bearing, and are covered by the SWEEP_r12.json
+#   regenerated before any r12 code motion).
+# 9+1+1+39 = 50.
 DRIVER_WINDOW: tuple[str, ...] = (
+    # ========== 9 rule-1 pending births (r11 continuation) ==========
+    "events_ks_test",
+    "events_spearman_daily",
+    "events_chi2_independence",
+    "events_cusum_daily",
+    "orders_gini_concentration",
+    "orders_benford_audit",
+    "text_js_divergence_sources",
+    "knn_hubness_audit",
+    "knn_ndcg_label_eval",
+    # ========== stale-carryover re-green (rule-2, second cycle) =====
+    "text_rerank_two_stage",
+    # ========== flagship (standing, every round) =====================
+    "flagship_greedy_match",
+    # ========== 39 r06-vintage over-age refreshes ====================
+    "agg_approx_distinct_audit",
+    "audit_referential_integrity",
+    "bpe_train_merges",
+    "customer_abc_pareto",
+    "dedup_incremental_bloom_sharded",
+    "dedup_remove_duplicate_spans",
+    "events_ewma",
+    "events_mad_outliers",
+    "events_rolling_dau_hll_audit",
+    "flagship_best_match_with_replacement",
+    "lineitem_corr_matrix",
+    "multimodal_decode_features",
+    "multimodal_frame_samples",
+    "multimodal_jpeg_decode_audit",
+    "multimodal_jpeg_headers",
+    "multimodal_metadata_stats",
+    "multimodal_mp4_boxes",
+    "multimodal_resize_dims",
+    "part_skyline_pareto",
+    "profile_compaction_plan",
+    "profile_table_files",
+    "profile_table_files_fast",
+    "sketch_hll_accuracy_audit",
+    "split_leakage_safe",
+    "text_bm25_multiquery",
+    "text_bm25_snippets",
+    "text_bm25_topk",
+    "text_bpe_token_stats",
+    "text_emotion_scores",
+    "text_filter_topk",
+    "text_gopher_rules",
+    "text_language_confidence",
+    "text_language_id",
+    "text_phrase_search",
+    "text_prf_expansion",
+    "text_quality_classifier",
+    "text_remove_boilerplate",
+    "text_top2_emotions",
+    "text_winnowing_fingerprints",
+)
+
+# Round-11 window, retired 2026-08-16 (all 50 earned green rows in
+# CORRECTNESS_r11.json; kept for the rotation ledger).  Composition:
+# 14 rule-1 pending births + 17 rule-2 similarity-family re-greens +
+# the knn_cosine_sq8 birth + flagship + 17 r05-vintage over-age
+# refreshes; 14+17+1+1+17 = 50.
+_R11_WINDOW: tuple[str, ...] = (
     # ========== 14 rule-1 pending births (r10 continuation) =========
     "knn_cosine_binary",
     "knn_cosine_lsh_multiprobe",

@@ -26,6 +26,11 @@ Attempt log (retried each round per the standing verdict item):
 * r11 (2026-08-16): retried — ``import google.protobuf`` still
   ModuleNotFoundError and ``importlib.util.find_spec('google')`` is
   None (namespace package absent); gate unchanged.
+* r12 (2026-08-16): retried — ``import google.protobuf`` →
+  ModuleNotFoundError (``google`` namespace package still absent);
+  ``StatefulProcessor`` itself imports fine, only the state-server
+  protobuf wire dependency is missing; installs remain prohibited,
+  gate and the two honest skips stand.
 """
 
 from __future__ import annotations
