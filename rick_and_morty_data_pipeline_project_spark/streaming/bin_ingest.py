@@ -29,16 +29,14 @@ duplicates reduced deterministically.
 
 from __future__ import annotations
 
-from typing import Optional
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from rick_and_morty_data_pipeline_project_spark.operators.binquant import (
     sign_word_cols,
 )
-from rick_and_morty_data_pipeline_project_spark.streaming._durable import (
-    durable_table_sink,
+from rick_and_morty_data_pipeline_project_spark.streaming._ingest_common import (
+    encode_upsert_sink,
 )
 
 
@@ -68,21 +66,15 @@ def stream_binary_words_table(
 ):
     """Maintain a durable (id, sign words) parquet table from a vector
     stream: pack each micro-batch and upsert by id (idempotent — words
-    are a pure function of the vector)."""
+    are a pure function of the vector).  Fold skeleton (deterministic
+    duplicate reduction + anti-join upsert + durable swap) is the
+    shared ``_ingest_common.encode_upsert_sink``."""
 
-    def _apply(batch: DataFrame, current: Optional[DataFrame]) -> DataFrame:
-        words = pack_words_df(
+    def _encode(batch: DataFrame) -> DataFrame:
+        return pack_words_df(
             batch.select(id_col, vec_col), dim, id_col, vec_col
         )
-        # deterministic intra-batch duplicate reduction (see
-        # pq_ingest._apply): same-id rows collapse to the max word
-        # tuple so a crash-replay rebuilds the identical table
-        word_cols = [c for c in words.columns if c != id_col]
-        words = words.groupBy(id_col).agg(
-            F.max(F.struct(*word_cols)).alias("_w")
-        ).select(id_col, *[F.col(f"_w.{c}").alias(c) for c in word_cols])
-        if current is None:
-            return words
-        return current.join(words, id_col, "left_anti").unionByName(words)
 
-    return durable_table_sink(stream, table_dir, checkpoint_dir, _apply)
+    return encode_upsert_sink(
+        stream, table_dir, checkpoint_dir, _encode, id_col
+    )

@@ -32,16 +32,15 @@ different algorithm.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Sequence
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 from rick_and_morty_data_pipeline_project_spark.operators.pq import (
     pq_encode,
 )
-from rick_and_morty_data_pipeline_project_spark.streaming._durable import (
-    durable_table_sink,
+from rick_and_morty_data_pipeline_project_spark.streaming._ingest_common import (
+    encode_upsert_sink,
 )
 
 
@@ -68,34 +67,29 @@ def stream_pq_codes_table(
     re-fitting a rotation on the stream would re-shape every
     previously issued code."""
 
-    def _apply(batch: DataFrame, current: Optional[DataFrame]) -> DataFrame:
+    # Fold skeleton (deterministic intra-batch duplicate reduction +
+    # anti-join upsert + durable swap) is the shared
+    # ``_ingest_common.encode_upsert_sink``; only the encode differs
+    # per tier.  The skeleton's max-over-struct reduction orders
+    # exactly like the bare array max this tier originally used
+    # (struct comparison delegates to its single array field).
+    def _encode(batch: DataFrame) -> DataFrame:
         if rotation is not None:
             from rick_and_morty_data_pipeline_project_spark.operators.opq import (
                 opq_encode,
             )
 
-            codes = opq_encode(
+            return opq_encode(
                 batch.select(id_col, vec_col),
                 rotation,
                 codebooks,
                 id_col,
                 vec_col,
             )
-        else:
-            codes = pq_encode(
-                batch.select(id_col, vec_col), codebooks, id_col, vec_col
-            )
-        # intra-batch duplicates would insert duplicate rows (the
-        # anti-join only dedupes ACROSS batches).  Reduce them
-        # DETERMINISTICALLY (lexicographic max over the codes array)
-        # rather than dropDuplicates' arbitrary pick: if a batch ever
-        # carries the same id with two DIFFERENT vectors, a crash-replay
-        # must still rebuild the identical table (same-vector
-        # duplicates — the documented case — are identical rows either
-        # way, since codes are a pure function of the vector)
-        codes = codes.groupBy(id_col).agg(F.max("codes").alias("codes"))
-        if current is None:
-            return codes
-        return current.join(codes, id_col, "left_anti").unionByName(codes)
+        return pq_encode(
+            batch.select(id_col, vec_col), codebooks, id_col, vec_col
+        )
 
-    return durable_table_sink(stream, table_dir, checkpoint_dir, _apply)
+    return encode_upsert_sink(
+        stream, table_dir, checkpoint_dir, _encode, id_col
+    )

@@ -31,7 +31,7 @@ the same anti-join upsert keyed by id as the PQ and binary tiers.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -40,8 +40,8 @@ from rick_and_morty_data_pipeline_project_spark.operators.similarity import (
     _normalized,
 )
 from rick_and_morty_data_pipeline_project_spark.operators.sq import sq8_code_col
-from rick_and_morty_data_pipeline_project_spark.streaming._durable import (
-    durable_table_sink,
+from rick_and_morty_data_pipeline_project_spark.streaming._ingest_common import (
+    encode_upsert_sink,
 )
 
 
@@ -76,22 +76,15 @@ def stream_sq8_codes_table(
     """Maintain a durable (id, codes) parquet table from a vector
     stream: encode each micro-batch against the FROZEN stats and
     upsert by id (idempotent — codes are a pure function of the
-    vector and the frozen grid)."""
+    vector and the frozen grid).  Fold skeleton (deterministic
+    duplicate reduction + anti-join upsert + durable swap) is the
+    shared ``_ingest_common.encode_upsert_sink``."""
 
-    def _apply(batch: DataFrame, current: Optional[DataFrame]) -> DataFrame:
-        codes = sq8_codes_df(
+    def _encode(batch: DataFrame) -> DataFrame:
+        return sq8_codes_df(
             batch.select(id_col, vec_col), mins, maxs, id_col, vec_col
         )
-        # deterministic intra-batch duplicate reduction (pq_ingest
-        # pattern): same-id rows collapse to the max code tuple so a
-        # crash-replay rebuilds the identical table
-        codes = (
-            codes.groupBy(id_col)
-            .agg(F.max(F.struct(F.col("codes"))).alias("_c"))
-            .select(id_col, F.col("_c.codes").alias("codes"))
-        )
-        if current is None:
-            return codes
-        return current.join(codes, id_col, "left_anti").unionByName(codes)
 
-    return durable_table_sink(stream, table_dir, checkpoint_dir, _apply)
+    return encode_upsert_sink(
+        stream, table_dir, checkpoint_dir, _encode, id_col
+    )
