@@ -288,6 +288,27 @@ the r11 verdict and not load-bearing in any §2 table row —
 ``unpivot_emotion_scores`` and ``snapshot_diff_orders`` — stay out of
 the window and are covered by the fresh SWEEP_r12.json regenerated
 BEFORE any r12 code motion (verdict item 1a).  9 + 1 + 1 + 39 = 50.
+
+Round-12 mid-round amendment: the verdict-ordered sf0.1 full-catalog
+sweep (item 6) caught two REAL scale-dependent divergences the sf0.01
+certification could not see — ``knn_ndcg_label_eval`` (DuckDB lexes a
+17-digit DCG literal as DECIMAL(18,17) and its int64-scaled
+decimal→double conversion double-rounds 1 ULP off Python's strtod;
+fixed to CAST('…' AS DOUBLE) string parses) and
+``events_theil_sen_slope`` (even-count slope medians land exactly on
+.5 decimal boundaries — -2.0490625 — where Spark HALF_UP and DuckDB
+round() disagree; fixed by emitting the bit-identical raw median,
+unrounded).  ndcg was already in-window (rule-1 birth); theil_sen
+swaps IN for the r06 refresh ``text_emotion_scores`` (its operator
+path stays window-exercised via ``text_top2_emotions``, and it joins
+the two sweep-covered leftouts).  The round's one birth,
+``knn_frontier_recall_cost`` (verdict stretch 8 — the recall-vs-cost
+Pareto frontier, fully oracled, MATCH at all three SFs), is scheduled
+at its own freeze, displacing the r06 refresh ``events_ewma``.
+Final composition: 9 births + carryover + flagship + 37 r06 refreshes
++ 1 rule-2 re-green + 1 r12 birth = 50; sweep-covered leftouts:
+``unpivot_emotion_scores``, ``snapshot_diff_orders``,
+``text_emotion_scores``, ``events_ewma``.
 """
 
 from __future__ import annotations
@@ -362,7 +383,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "customer_abc_pareto",
     "dedup_incremental_bloom_sharded",
     "dedup_remove_duplicate_spans",
-    "events_ewma",
     "events_mad_outliers",
     "events_rolling_dau_hll_audit",
     "flagship_best_match_with_replacement",
@@ -384,7 +404,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "text_bm25_snippets",
     "text_bm25_topk",
     "text_bpe_token_stats",
-    "text_emotion_scores",
     "text_filter_topk",
     "text_gopher_rules",
     "text_language_confidence",
@@ -395,6 +414,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "text_remove_boilerplate",
     "text_top2_emotions",
     "text_winnowing_fingerprints",
+    # ========== rule-2 re-green (mid-round amendment): the sf0.1
+    # sweep's round-tie fix changed this query's code after its r11
+    # certification ====================================================
+    "events_theil_sen_slope",
+    # ========== r12 birth, scheduled at its own freeze (verdict
+    # stretch 8 — the recall-vs-cost Pareto frontier); displaces the
+    # r06 refresh events_ewma into the sweep-covered leftouts =========
+    "knn_frontier_recall_cost",
 )
 
 # Round-11 window, retired 2026-08-16 (all 50 earned green rows in

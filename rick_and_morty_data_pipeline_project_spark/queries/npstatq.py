@@ -161,7 +161,17 @@ def events_theil_sen_slope(spark, sf_dir):
     swing the OLS twin (``events_user_trend_slope``): one wild day
     moves OLS by its leverage but shifts the slope median by at most
     one order statistic.  Output: (user_id, n_days, n_pairs,
-    theil_sen_slope)."""
+    theil_sen_slope).
+
+    The slope median is emitted at FULL double precision, not rounded:
+    slopes are differences of 2-decimal daily means over integer day
+    gaps (small-denominator rationals), so even-count medians land
+    exactly on .5 decimal boundaries where Spark's HALF_UP round and
+    DuckDB's round() disagree — the r12 sf0.1 sweep caught two users
+    at -2.0490625/-0.2564375 flipping the 6th digit.  The raw medians
+    themselves are bit-identical: per-pair slopes are the same IEEE
+    expression in both engines and exact-percentile interpolation is
+    the proven Spark percentile ≡ DuckDB quantile_cont p·(n−1) rule."""
     e = t(spark, sf_dir, "events").select(
         "user_id",
         F.to_date("ts").alias("_d"),
@@ -201,7 +211,7 @@ def events_theil_sen_slope(spark, sf_dir):
             "user_id",
             "n_days",
             "n_pairs",
-            F.round(F.col("_med"), 6).alias("theil_sen_slope"),
+            F.col("_med").alias("theil_sen_slope"),
         )
     )
 
@@ -226,7 +236,7 @@ slopes AS (
 days AS (SELECT user_id, COUNT(*) AS n_days FROM daily GROUP BY 1)
 SELECT s.user_id, d.n_days,
        CAST(COUNT(*) AS BIGINT) AS n_pairs,
-       round(quantile_cont(s.slope, 0.5), 6) AS theil_sen_slope
+       quantile_cont(s.slope, 0.5) AS theil_sen_slope
 FROM slopes s JOIN days d ON d.user_id = s.user_id
 GROUP BY s.user_id, d.n_days
 """

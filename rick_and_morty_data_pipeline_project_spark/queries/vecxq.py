@@ -932,10 +932,18 @@ def knn_ndcg_label_eval(spark, sf_dir):
 
 
 def _ndcg_case_sql(table) -> str:
+    # CAST('…' AS DOUBLE), not a bare numeric literal: DuckDB lexes a
+    # 17-significant-digit literal as DECIMAL(18,17) and converts
+    # decimal→double through an int64-scaled division whose numerator
+    # exceeds 2⁵³ — a double-rounding that lands 1 ULP off Python's
+    # strtod for w(5)=1/log2(6).  Invisible at sf0.01 (no rank-5-only
+    # pattern occurs); caught by the r12 sf0.1 full-catalog sweep.
+    # The string cast is the correctly-rounded parse on both engines.
     whens = "\n    ".join(
-        f"WHEN {p} THEN {table[p]!r}" for p in range(1, 1 << _NDCG_K)
+        f"WHEN {p} THEN CAST('{table[p]!r}' AS DOUBLE)"
+        for p in range(1, 1 << _NDCG_K)
     )
-    return f"CASE rel_pattern {whens}\n    ELSE {table[0]!r} END"
+    return f"CASE rel_pattern {whens}\n    ELSE CAST('{table[0]!r}' AS DOUBLE) END"
 
 
 NDCG_SQL = f"""
@@ -1087,6 +1095,400 @@ FROM scored
 """
 
 
+# ---------------------------------------------------------------------------
+# Recall-vs-cost Pareto frontier (r11 verdict stretch item 8): the
+# decision-tool completion of knn_recall_matrix.  The matrix answers
+# "how accurate is each candidate-restricting variant"; this query
+# joins that recall@5 to a DETERMINISTIC candidate-stage cost model —
+# the quantity an ANN deployment actually trades off — and flags the
+# Pareto-optimal variants.
+#
+# Cost model (FAISS-style bytes-touched accounting, fully countable in
+# both engines — no wall-clock, so the whole row set stays oracled):
+#   cand_pairs      pairs entering the variant's CHEAP scoring stage —
+#                   actual bucket/cell collision counts for the
+#                   bucket-restricted tiers (computed with the SAME
+#                   bucket/cell expressions the operators themselves
+#                   use: lsh_bucket_col / probe_bucket_cols /
+#                   head_centroid_pairs+cell_sim_cmp), |queries|·(N−1)
+#                   for the full-scan compressed tiers
+#   bytes_per_cand  bytes read per candidate at that stage: dim·4
+#                   (float32 vectors) for the exact-scoring tiers, 8
+#                   (2 packed sign words) for binary, dim (byte codes)
+#                   for SQ8
+#   rerank_pairs    pairs entering the exact float rerank (Σ_q
+#                   min(shortlist, cand_q); 0 for tiers whose cheap
+#                   stage IS the exact score)
+#   cost_bytes      cand_pairs·bytes_per_cand + rerank_pairs·dim·4
+# on_frontier: no other variant has (recall ≥ AND cost <) or
+# (recall > AND cost ≤) — strict Pareto dominance over exact integers
+# and one 6-dp-rounded ratio, so the flag cannot float-diverge.
+# ivf and ivf_binary share the head-id coarse quantizer (n_cells=8,
+# n_probe=2), so they share cand_pairs by construction — the frontier
+# makes the 32× bytes_per_cand gap between them legible.
+
+_FRONT_FLOAT_BYTES = _DIM * 4  # float32 storage per vector
+_FRONT_BIN_BYTES = _N_WORDS * 4  # packed 32-bit sign words
+_FRONT_SQ_BYTES = _DIM  # one byte code per dimension
+_FRONT_IVFB_SHORT = 30  # knn_ivf_binary's shortlist
+_FRONT_SHORT = 50  # binary / sq8 shortlist
+
+
+def knn_frontier_recall_cost(spark, sf_dir):
+    """(variant, mean_recall, cand_pairs, bytes_per_cand,
+    rerank_pairs, cost_bytes, on_frontier) — one row per
+    candidate-restricting ANN variant; see the cost-model comment
+    above.  Recall arms are the knn_recall_matrix pipelines; candidate
+    counts reuse the operators' own bucket/cell expressions so the
+    cost column counts what the variants actually score."""
+    from rick_and_morty_data_pipeline_project_spark.functions.vectors import (
+        dot_col,
+    )
+    from rick_and_morty_data_pipeline_project_spark.operators.binquant import (
+        knn_ivf_binary,
+        probe_bucket_cols,
+    )
+    from rick_and_morty_data_pipeline_project_spark.operators.similarity import (
+        _normalized,
+        cell_sim_cmp,
+        centroids_literal,
+        head_centroid_pairs,
+        knn_bruteforce,
+        knn_ivf,
+        knn_lsh,
+        lsh_bucket_col,
+    )
+    from rick_and_morty_data_pipeline_project_spark.operators.sq import knn_sq8
+
+    e = t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+
+    # ---- recall arms (the matrix's variants, means only) ----
+    exact = (
+        knn_bruteforce(queries, e, k=_K)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint()
+    )
+    variants = {
+        "lsh": knn_lsh(queries, e, k=_K, dim=_DIM, n_planes=6),
+        "lsh_multiprobe": knn_lsh_multiprobe(queries, e, _MP_TABLE, k=_K),
+        "ivf": knn_ivf(queries, e, k=_K, n_cells=8, n_probe=2),
+        "binary": knn_binary(
+            queries, e, dim=_DIM, k=_K, shortlist=_SHORTLIST
+        ),
+        "ivf_binary": knn_ivf_binary(
+            queries, e, dim=_DIM, k=_K, n_cells=8, n_probe=2,
+            shortlist=_IVFB_SHORTLIST,
+        ),
+        "sq8": knn_sq8(queries, e, dim=_DIM, k=_K, shortlist=_SQ_SHORTLIST),
+    }
+    hit_arms = []
+    for name, df in variants.items():
+        hit_arms.append(
+            exact.join(
+                df.select("query_id", "neighbor_id"),
+                ["query_id", "neighbor_id"],
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+            .select(F.lit(name).alias("variant"), "n_hits")
+        )
+    hits = hit_arms[0]
+    for arm in hit_arms[1:]:
+        hits = hits.unionByName(arm)
+
+    # ---- candidate-stage counts ----
+    # corpus size (full-scan tiers touch every non-self vector)
+    ncorp = e.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+
+    # lsh: distinct bucket collisions across the 3 OR-amplified tables
+    # (same seeds/planes as knn_lsh's defaults: seed 42 + 1000·table)
+    tables = [_hyperplanes(_DIM, 6, 42 + 1000 * ti) for ti in range(3)]
+
+    def with_buckets(df, out_id):
+        keys = F.array(
+            *[
+                F.concat_ws(
+                    "#",
+                    F.lit(str(ti)),
+                    lsh_bucket_col(F.col("embedding"), planes),
+                )
+                for ti, planes in enumerate(tables)
+            ]
+        )
+        return df.select(
+            F.col("vec_id").alias(out_id), F.explode(keys).alias("bucket")
+        )
+
+    lsh_tot = (
+        with_buckets(queries, "query_id")
+        .join(with_buckets(e, "neighbor_id"), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .dropDuplicates()
+        .agg(F.count(F.lit(1)).cast("long").alias("_cand"))
+    )
+
+    # multiprobe: probe-string hits against the one-bucket corpus
+    # (structurally unique pairs — no distinct needed, mirroring the
+    # operator's no-dedup plan)
+    cb = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        lsh_bucket_col(F.col("embedding"), _MP_TABLE).alias("bucket"),
+    )
+    qp = queries.select(
+        F.col("vec_id").alias("query_id"),
+        lsh_bucket_col(F.col("embedding"), _MP_TABLE).alias("_b"),
+    ).select(
+        "query_id",
+        F.explode(
+            F.array(*probe_bucket_cols(F.col("_b"), _MP_PLANES))
+        ).alias("bucket"),
+    )
+    mp_tot = (
+        F.broadcast(qp)
+        .join(cb, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("_cand"))
+    )
+
+    # ivf / ivf_binary: probed-cell memberships under the shared
+    # head-id coarse quantizer (identical pair count for both tiers);
+    # per-query counts also bound ivf_binary's exact rerank
+    cent_pairs = head_centroid_pairs(e, "vec_id", "embedding", 8)
+    cents_lit = centroids_literal(
+        cent_pairs, e.schema["vec_id"].dataType.simpleString()
+    )
+    nc = _normalized(e, "vec_id", "embedding", "_id", "_nv")
+    nq = _normalized(queries, "vec_id", "embedding", "_id", "_nv")
+
+    def cellof(df, out_id, nprobe):
+        sims = F.transform(
+            cents_lit,
+            lambda c: F.struct(
+                dot_col(F.col("_nv"), c["cent"]).alias("sim"),
+                c["cell_id"].alias("cell_id"),
+            ),
+        )
+        top = F.slice(F.array_sort(sims, cell_sim_cmp), 1, nprobe)
+        return df.select(
+            F.col("_id").alias(out_id), F.explode(top).alias("_c")
+        ).select(out_id, F.col("_c.cell_id").alias("cell_id"))
+
+    ivf_per_q = (
+        F.broadcast(cellof(nq, "query_id", 2))
+        .join(cellof(nc, "neighbor_id", 1), "cell_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("_cnt"))
+    )
+    ivf_tot = ivf_per_q.agg(
+        F.sum("_cnt").cast("long").alias("_cand"),
+        F.sum(F.least(F.lit(_FRONT_IVFB_SHORT).cast("long"), F.col("_cnt")))
+        .cast("long")
+        .alias("_rer"),
+    )
+
+    # ---- per-variant cost rows ----
+    def _lits(b, r):
+        return (
+            F.lit(int(b)).cast("long").alias("bytes_per_cand"),
+            r.cast("long").alias("rerank_pairs"),
+        )
+
+    zero = F.lit(0)
+    full_scan = (F.lit(10) * (F.col("_n") - 1)).cast("long")
+    full_rer = F.lit(10) * F.least(
+        F.lit(_FRONT_SHORT).cast("long"), F.col("_n") - 1
+    )
+    cost_rows = [
+        lsh_tot.select(
+            F.lit("lsh").alias("variant"),
+            F.col("_cand").alias("cand_pairs"),
+            *_lits(_FRONT_FLOAT_BYTES, zero),
+        ),
+        mp_tot.select(
+            F.lit("lsh_multiprobe").alias("variant"),
+            F.col("_cand").alias("cand_pairs"),
+            *_lits(_FRONT_FLOAT_BYTES, zero),
+        ),
+        ivf_tot.select(
+            F.lit("ivf").alias("variant"),
+            F.col("_cand").alias("cand_pairs"),
+            *_lits(_FRONT_FLOAT_BYTES, zero),
+        ),
+        ncorp.select(
+            F.lit("binary").alias("variant"),
+            full_scan.alias("cand_pairs"),
+            *_lits(_FRONT_BIN_BYTES, full_rer),
+        ),
+        ivf_tot.select(
+            F.lit("ivf_binary").alias("variant"),
+            F.col("_cand").alias("cand_pairs"),
+            *_lits(_FRONT_BIN_BYTES, F.col("_rer")),
+        ),
+        ncorp.select(
+            F.lit("sq8").alias("variant"),
+            full_scan.alias("cand_pairs"),
+            *_lits(_FRONT_SQ_BYTES, full_rer),
+        ),
+    ]
+    costs = cost_rows[0]
+    for row in cost_rows[1:]:
+        costs = costs.unionByName(row)
+
+    m = (
+        hits.join(costs, "variant")
+        .select(
+            "variant",
+            F.round(
+                F.col("n_hits").cast("double") / F.lit(float(_RM_N * _K)), 6
+            ).alias("mean_recall"),
+            "cand_pairs",
+            "bytes_per_cand",
+            "rerank_pairs",
+            (
+                F.col("cand_pairs") * F.col("bytes_per_cand")
+                + F.col("rerank_pairs") * F.lit(int(_FRONT_FLOAT_BYTES))
+            )
+            .cast("long")
+            .alias("cost_bytes"),
+        )
+        # 6-row relation feeds the output AND the dominance self-join
+        # — without the checkpoint every ANN arm re-executes per branch
+        # (the knn_recall_matrix lesson)
+        .localCheckpoint()
+    )
+    other = m.select(
+        F.col("mean_recall").alias("_or"), F.col("cost_bytes").alias("_oc")
+    )
+    dominated = (
+        (F.col("_or") >= F.col("mean_recall"))
+        & (F.col("_oc") < F.col("cost_bytes"))
+    ) | (
+        (F.col("_or") > F.col("mean_recall"))
+        & (F.col("_oc") <= F.col("cost_bytes"))
+    )
+    return (
+        m.join(other, dominated, "left_outer")
+        .groupBy(
+            "variant",
+            "mean_recall",
+            "cand_pairs",
+            "bytes_per_cand",
+            "rerank_pairs",
+            "cost_bytes",
+        )
+        .agg(F.count(F.col("_oc")).alias("_ndom"))
+        .select(
+            "variant",
+            "mean_recall",
+            "cand_pairs",
+            "bytes_per_cand",
+            "rerank_pairs",
+            "cost_bytes",
+            (F.col("_ndom") == 0).alias("on_frontier"),
+        )
+    )
+
+
+def _build_frontier_sql() -> str:
+    from rick_and_morty_data_pipeline_project_spark.queries.vecq import (
+        _ASSIGN_SQL,
+        _LSH_BUCKETS,
+        _NORMED_CTE,
+        KNN_IVF_SQL,
+        KNN_LSH_SQL,
+        KNN_SQL,
+    )
+
+    hit_arms = "\nUNION ALL\n".join(
+        f"""  SELECT '{name}' AS variant, CAST(count(*) AS BIGINT) AS n_hits
+  FROM exact e JOIN ({sql}) v
+    ON v.query_id = e.query_id AND v.neighbor_id = e.neighbor_id"""
+        for name, sql in (
+            ("lsh", KNN_LSH_SQL),
+            ("lsh_multiprobe", KNN_MULTIPROBE_SQL),
+            ("ivf", KNN_IVF_SQL),
+            ("binary", KNN_BINARY_SQL),
+            ("ivf_binary", KNN_IVF_BINARY_SQL),
+            ("sq8", KNN_SQ8_SQL),
+        )
+    )
+    fb, bb, sb = _FRONT_FLOAT_BYTES, _FRONT_BIN_BYTES, _FRONT_SQ_BYTES
+    return f"""
+WITH {_NORMED_CTE},
+exact AS (SELECT query_id, neighbor_id FROM ({KNN_SQL})),
+hits AS (
+{hit_arms}
+),
+ncorp AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+b3 AS (SELECT vec_id, unnest([{_LSH_BUCKETS}]) AS bucket FROM embeddings),
+lshc AS (
+  SELECT CAST(count(*) AS BIGINT) AS cand FROM (
+    SELECT DISTINCT q.vec_id AS qa, c.vec_id AS ca
+    FROM b3 q JOIN b3 c USING (bucket)
+    WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id)
+),
+mb AS (SELECT vec_id, {_bucket_sql("embedding")} AS bucket FROM embeddings),
+mq AS (SELECT vec_id AS query_id, unnest([{_PROBES_SQL}]) AS probe
+       FROM mb WHERE vec_id < 10),
+mpc AS (
+  SELECT CAST(count(*) AS BIGINT) AS cand
+  FROM mq q JOIN mb c ON q.probe = c.bucket
+  WHERE q.query_id <> c.vec_id
+),
+assign AS ({_ASSIGN_SQL}),
+ivfq AS (
+  SELECT p.vec_id AS query_id, count(*) AS cnt
+  FROM assign p JOIN assign c ON p.cell_id = c.cell_id AND c.r = 1
+  WHERE p.r <= 2 AND p.vec_id < 10 AND p.vec_id <> c.vec_id
+  GROUP BY p.vec_id
+),
+ivfc AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS cand,
+         CAST(sum(least({_FRONT_IVFB_SHORT}, cnt)) AS BIGINT) AS rer
+  FROM ivfq
+),
+costs AS (
+  SELECT 'lsh' AS variant, cand AS cand_pairs,
+         CAST({fb} AS BIGINT) AS bytes_per_cand,
+         CAST(0 AS BIGINT) AS rerank_pairs FROM lshc
+  UNION ALL SELECT 'lsh_multiprobe', cand, CAST({fb} AS BIGINT),
+         CAST(0 AS BIGINT) FROM mpc
+  UNION ALL SELECT 'ivf', cand, CAST({fb} AS BIGINT),
+         CAST(0 AS BIGINT) FROM ivfc
+  UNION ALL SELECT 'binary', CAST(10 * (n - 1) AS BIGINT),
+         CAST({bb} AS BIGINT),
+         CAST(10 * least({_FRONT_SHORT}, n - 1) AS BIGINT) FROM ncorp
+  UNION ALL SELECT 'ivf_binary', cand, CAST({bb} AS BIGINT), rer FROM ivfc
+  UNION ALL SELECT 'sq8', CAST(10 * (n - 1) AS BIGINT),
+         CAST({sb} AS BIGINT),
+         CAST(10 * least({_FRONT_SHORT}, n - 1) AS BIGINT) FROM ncorp
+),
+m AS (
+  SELECT h.variant,
+         round(h.n_hits / {float(_RM_N * _K)!r}, 6) AS mean_recall,
+         c.cand_pairs, c.bytes_per_cand, c.rerank_pairs,
+         CAST(c.cand_pairs * c.bytes_per_cand
+              + c.rerank_pairs * {fb} AS BIGINT) AS cost_bytes
+  FROM hits h JOIN costs c USING (variant)
+)
+SELECT variant, mean_recall, cand_pairs, bytes_per_cand, rerank_pairs,
+       cost_bytes,
+       NOT EXISTS (
+         SELECT 1 FROM m o
+         WHERE (o.mean_recall >= m.mean_recall
+                AND o.cost_bytes < m.cost_bytes)
+            OR (o.mean_recall > m.mean_recall
+                AND o.cost_bytes <= m.cost_bytes)
+       ) AS on_frontier
+FROM m
+"""
+
+
+FRONTIER_SQL = _build_frontier_sql()
+
+
 QUERIES = {
     "knn_cosine_binary": Q(
         knn_cosine_binary,
@@ -1132,6 +1534,11 @@ QUERIES = {
         knn_hubness_audit,
         HUBNESS_SQL,
         "k-occurrence hubness audit over the exact GEMM graph (+ skewness)",
+    ),
+    "knn_frontier_recall_cost": Q(
+        knn_frontier_recall_cost,
+        FRONTIER_SQL,
+        "recall@5 vs candidate-stage byte cost + Pareto frontier flag",
     ),
     "knn_ndcg_label_eval": Q(
         knn_ndcg_label_eval,

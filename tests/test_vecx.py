@@ -566,3 +566,41 @@ def test_stream_sq8_codes_bit_identical_across_restart(spark, tmp_path):
     assert got == want
     # codes are genuine bytes
     assert all(0 <= c <= 255 for v in got.values() for c in v)
+
+
+# ---------------------------------------------------------------------------
+# Recall-vs-cost Pareto frontier (r12): the on_frontier flag must obey
+# the strict-dominance rule, independently replayed in Python over the
+# query's own output — catches any drift between the Spark dominance
+# join, the SQL NOT EXISTS, and the intended definition.
+
+
+def test_frontier_pareto_flag_matches_python_replay(spark):
+    from rick_and_morty_data_pipeline_project_spark.queries.vecxq import (
+        knn_frontier_recall_cost,
+    )
+
+    rows = knn_frontier_recall_cost(spark, SF_ORACLE).collect()
+    assert len(rows) == 6
+    pts = [
+        (r["variant"], r["mean_recall"], r["cost_bytes"], r["on_frontier"])
+        for r in rows
+    ]
+    for v, rec, cost, flag in pts:
+        dominated = any(
+            (orec >= rec and ocost < cost)
+            or (orec > rec and ocost <= cost)
+            for ov, orec, ocost, _ in pts
+            if ov != v
+        )
+        assert flag == (not dominated), v
+    # structural invariants: the max-recall variant and the min-cost
+    # variant are always on the frontier
+    by_recall = max(pts, key=lambda p: (p[1], -p[2]))
+    by_cost = min(pts, key=lambda p: (p[2], -p[1]))
+    assert by_recall[3] and by_cost[3]
+    # ivf and ivf_binary share the coarse quantizer -> same cand_pairs
+    cp = {r["variant"]: r["cand_pairs"] for r in rows}
+    assert cp["ivf"] == cp["ivf_binary"]
+    # full-scan tiers touch every non-self corpus vector
+    assert cp["binary"] == cp["sq8"]
