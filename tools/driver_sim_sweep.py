@@ -31,6 +31,23 @@ TABLES = (
     "documents embeddings"
 ).split()
 
+# Queries whose DuckDB oracle inlines canonical literals fit from the
+# sf0.01 testdata at import (the documented canonical-literal pattern:
+# PCA components, k-means/PQ/OPQ codebooks, the BFD compaction plan).
+# At any OTHER scale factor the literal side diverges BY DESIGN — the
+# r12 sf0.1 sweep confirmed exactly this set and nothing else (after
+# fixing the two real divergences it caught, see PERFORMANCE.md).
+# A non-sf0.01 sweep reports them as SKIP instead of FAIL so the exit
+# code stays meaningful for the entries whose oracles ARE portable.
+CANONICAL_SF001_ORACLES = {
+    "embedding_pca_project",
+    "knn_cosine_ivf_kmeans",
+    "knn_cosine_pq",
+    "knn_cosine_ivfpq",
+    "knn_cosine_opq",
+    "compact_layout_audit",
+}
+
 
 def norm_hash(df) -> str:
     df = df[sorted(df.columns)]
@@ -86,6 +103,12 @@ def main() -> int:
 
     qs, osql = E.queries(), E.oracle_sql()
     names = list(qs)[:50] if window_only else [n for n in qs if n in osql]
+    skipped = []
+    if os.path.realpath(sf_dir) != os.path.realpath("/root/testdata/sf0.01"):
+        skipped = [n for n in names if n in CANONICAL_SF001_ORACLES]
+        names = [n for n in names if n not in CANONICAL_SF001_ORACLES]
+        for n in skipped:
+            print(f"{n}: SKIP (canonical-literal sf0.01 oracle)", flush=True)
     bad = []
     rows: dict[str, dict] = {}
     for name in names:
@@ -119,7 +142,8 @@ def main() -> int:
             print(f"{name}: OK ({len(s)} rows)", flush=True)
     for name, why in bad:
         print(f"FAIL {name}: {why}")
-    print(f"\n{len(names) - len(bad)}/{len(names)} OK")
+    tail = f" ({len(skipped)} canonical-literal skips)" if skipped else ""
+    print(f"\n{len(names) - len(bad)}/{len(names)} OK{tail}")
     if "--artifact" in sys.argv:
         # SWEEP_r{N}.json: the committed full-catalog certificate for
         # the round IN PROGRESS (N = newest CORRECTNESS round + 1, i.e.
