@@ -1489,6 +1489,205 @@ FROM m
 FRONTIER_SQL = _build_frontier_sql()
 
 
+# ---------------------------------------------------------------------------
+# IVF probe-sweep tuning curve (r12 continuation): the frontier answers
+# "which TIER"; this answers the next operational question — "how many
+# probes" — by measuring recall@5 and candidate cost at EVERY n_probe
+# 1..n_cells in one relation.  The trick that makes it one pass: each
+# corpus vector lives in exactly one cell, so every (query, neighbor)
+# pair carries exactly one probe rank pr (the rank of the neighbor's
+# cell in the query's centroid ordering); the candidate set at probe
+# level p is simply the pairs with pr ≤ p.  Score each pair ONCE, fan
+# it to its qualifying probe levels (≤ n_cells× on a pair relation
+# already bounded by |queries|·N), and rank per (p, query).  At 100 TB
+# the pair scoring is the same broadcast-probes/cell-join shape as
+# knn_ivf itself; the fan-out multiplies a |queries|-bounded relation,
+# never the corpus.
+
+
+def knn_ivf_probe_frontier(spark, sf_dir):
+    """(n_probe, cand_pairs, n_hits, mean_recall, marginal_recall)
+    for n_probe = 1..8 under the shared head-id coarse quantizer —
+    the recall-vs-probes tuning curve an IVF deployment reads to pick
+    its operating point.  marginal_recall is the recall bought by the
+    p-th probe (lag difference; identical IEEE ops both engines)."""
+    from rick_and_morty_data_pipeline_project_spark.functions.vectors import (
+        dot_col,
+    )
+    from rick_and_morty_data_pipeline_project_spark.operators.similarity import (
+        _normalized,
+        cell_sim_cmp,
+        centroids_literal,
+        head_centroid_pairs,
+        knn_bruteforce,
+    )
+
+    e = t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    n_cells = 8
+
+    cent_pairs = head_centroid_pairs(e, "vec_id", "embedding", n_cells)
+    cents_lit = centroids_literal(
+        cent_pairs, e.schema["vec_id"].dataType.simpleString()
+    )
+    nc = _normalized(e, "vec_id", "embedding", "_id", "_nv")
+    nq = _normalized(queries, "vec_id", "embedding", "_id", "_nv")
+
+    def simsort(df):
+        sims = F.transform(
+            cents_lit,
+            lambda c: F.struct(
+                dot_col(F.col("_nv"), c["cent"]).alias("sim"),
+                c["cell_id"].alias("cell_id"),
+            ),
+        )
+        return F.array_sort(sims, cell_sim_cmp)
+
+    cells = nc.select(
+        F.col("_id").alias("neighbor_id"),
+        F.col("_nv").alias("_cv"),
+        F.element_at(simsort(nc), 1)["cell_id"].alias("cell_id"),
+    )
+    probes = nq.select(
+        F.col("_id").alias("query_id"),
+        F.col("_nv").alias("_qv"),
+        F.posexplode(simsort(nq)).alias("_pos", "_c"),
+    ).select(
+        "query_id",
+        "_qv",
+        (F.col("_pos") + 1).alias("pr"),
+        F.col("_c.cell_id").alias("cell_id"),
+    )
+    pairs = (
+        F.broadcast(probes)
+        .join(cells, "cell_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "pr",
+            F.round(dot_col(F.col("_qv"), F.col("_cv")), 6).alias("cosine"),
+        )
+    )
+    px = pairs.select(
+        "query_id",
+        "neighbor_id",
+        "cosine",
+        F.explode(F.sequence(F.col("pr"), F.lit(n_cells))).alias("n_probe"),
+    )
+    exact = knn_bruteforce(queries, e, k=_K).select(
+        "query_id", "neighbor_id"
+    )
+    w = Window.partitionBy("n_probe", "query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    hits = (
+        px.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= _K)
+        .join(exact, ["query_id", "neighbor_id"])
+        .groupBy("n_probe")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    cand = px.groupBy("n_probe").agg(
+        F.count(F.lit(1)).cast("long").alias("cand_pairs")
+    )
+    p_range = spark.range(1, n_cells + 1).select(
+        F.col("id").cast("int").alias("n_probe")
+    )
+    m = (
+        p_range.join(cand, "n_probe", "left")
+        .join(hits, "n_probe", "left")
+        .select(
+            "n_probe",
+            F.coalesce(F.col("cand_pairs"), F.lit(0)).cast("long").alias(
+                "cand_pairs"
+            ),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias(
+                "n_hits"
+            ),
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+                / F.lit(float(_RM_N * _K)),
+                6,
+            ).alias("mean_recall"),
+        )
+    )
+    wseq = Window.orderBy("n_probe")  # 8-row relation (n_cells literal)
+    return m.select(
+        "n_probe",
+        "cand_pairs",
+        "n_hits",
+        "mean_recall",
+        (
+            F.col("mean_recall")
+            - F.coalesce(F.lag("mean_recall").over(wseq), F.lit(0.0))
+        ).alias("marginal_recall"),
+    )
+
+
+def _build_probe_frontier_sql() -> str:
+    from rick_and_morty_data_pipeline_project_spark.queries.vecq import (
+        _ASSIGN_SQL,
+        _NORMED_CTE,
+        KNN_SQL,
+    )
+
+    return f"""
+WITH {_NORMED_CTE},
+assign AS ({_ASSIGN_SQL}),
+cells AS (SELECT vec_id AS neighbor_id, nv AS cv, cell_id
+          FROM assign WHERE r = 1),
+probes AS (SELECT vec_id AS query_id, nv AS qv, cell_id, r AS pr
+           FROM assign WHERE vec_id < 10),
+pairs AS (
+  SELECT p.query_id, c.neighbor_id, p.pr,
+         round({dot_sql("p.qv", "c.cv")}, 6) AS cosine
+  FROM probes p JOIN cells c ON p.cell_id = c.cell_id
+  WHERE p.query_id <> c.neighbor_id
+),
+px AS (
+  SELECT query_id, neighbor_id, cosine,
+         unnest(generate_series(pr, 8)) AS n_probe
+  FROM pairs
+),
+exact AS (SELECT query_id, neighbor_id FROM ({KNN_SQL})),
+hits AS (
+  SELECT n_probe, CAST(count(*) AS BIGINT) AS n_hits
+  FROM (
+    SELECT n_probe, query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY n_probe, query_id
+                              ORDER BY cosine DESC, neighbor_id ASC) AS rk
+    FROM px
+  ) r JOIN exact e
+    ON e.query_id = r.query_id AND e.neighbor_id = r.neighbor_id
+  WHERE r.rk <= {_K}
+  GROUP BY n_probe
+),
+cand AS (
+  SELECT n_probe, CAST(count(*) AS BIGINT) AS cand_pairs
+  FROM px GROUP BY n_probe
+),
+m AS (
+  SELECT g.p AS n_probe,
+         CAST(coalesce(c.cand_pairs, 0) AS BIGINT) AS cand_pairs,
+         CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+         round(coalesce(h.n_hits, 0) / {float(_RM_N * _K)!r}, 6)
+           AS mean_recall
+  FROM (SELECT unnest(generate_series(1, 8)) AS p) g
+  LEFT JOIN cand c ON c.n_probe = g.p
+  LEFT JOIN hits h ON h.n_probe = g.p
+)
+SELECT n_probe, cand_pairs, n_hits, mean_recall,
+       mean_recall - coalesce(lag(mean_recall)
+                              OVER (ORDER BY n_probe), 0.0)
+         AS marginal_recall
+FROM m
+"""
+
+
+PROBE_FRONTIER_SQL = _build_probe_frontier_sql()
+
+
 QUERIES = {
     "knn_cosine_binary": Q(
         knn_cosine_binary,
@@ -1539,6 +1738,11 @@ QUERIES = {
         knn_frontier_recall_cost,
         FRONTIER_SQL,
         "recall@5 vs candidate-stage byte cost + Pareto frontier flag",
+    ),
+    "knn_ivf_probe_frontier": Q(
+        knn_ivf_probe_frontier,
+        PROBE_FRONTIER_SQL,
+        "IVF recall-vs-probes tuning curve (all n_probe levels, one pass)",
     ),
     "knn_ndcg_label_eval": Q(
         knn_ndcg_label_eval,

@@ -604,3 +604,34 @@ def test_frontier_pareto_flag_matches_python_replay(spark):
     assert cp["ivf"] == cp["ivf_binary"]
     # full-scan tiers touch every non-self corpus vector
     assert cp["binary"] == cp["sq8"]
+
+
+def test_ivf_probe_frontier_structure(spark):
+    """The probe-sweep curve's structural invariants: recall and
+    candidate count are monotone non-decreasing in n_probe; probing
+    ALL cells is exhaustive search, so recall@5 is exactly 1.0 at
+    n_probe = n_cells; and the n_probe=2 row reproduces the standing
+    knn_cosine_ivf configuration's candidate count (shared
+    quantizer, same probe rule)."""
+    from rick_and_morty_data_pipeline_project_spark.queries.vecxq import (
+        knn_frontier_recall_cost,
+        knn_ivf_probe_frontier,
+    )
+
+    rows = sorted(
+        knn_ivf_probe_frontier(spark, SF_ORACLE).collect(),
+        key=lambda r: r["n_probe"],
+    )
+    assert [r["n_probe"] for r in rows] == list(range(1, 9))
+    recalls = [r["mean_recall"] for r in rows]
+    cands = [r["cand_pairs"] for r in rows]
+    assert recalls == sorted(recalls)
+    assert cands == sorted(cands)
+    assert recalls[-1] == 1.0  # all cells probed == exhaustive
+    assert abs(sum(r["marginal_recall"] for r in rows) - recalls[-1]) < 1e-12
+    # cross-check against the tier frontier's ivf candidate count
+    tier = {
+        r["variant"]: r["cand_pairs"]
+        for r in knn_frontier_recall_cost(spark, SF_ORACLE).collect()
+    }
+    assert cands[1] == tier["ivf"]
