@@ -1574,7 +1574,11 @@ def knn_ivf_probe_frontier(spark, sf_dir):
         "neighbor_id",
         "cosine",
         F.explode(F.sequence(F.col("pr"), F.lit(n_cells))).alias("n_probe"),
-    )
+    # localCheckpoint: px feeds BOTH the hits branch (window + exact
+    # join) and the cand count — without it the assignment + pair
+    # scoring pipeline executes once per branch (the knn_recall_matrix
+    # multi-consumer lesson); the relation is |queries|·N·avg-fan rows
+    ).localCheckpoint()
     exact = knn_bruteforce(queries, e, k=_K).select(
         "query_id", "neighbor_id"
     )
