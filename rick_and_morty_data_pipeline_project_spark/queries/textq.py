@@ -555,6 +555,194 @@ FROM conf
 """
 
 
+# ---------------------------------------------------------------------------
+# LSH banding-parameter sweep (r12 continuation — the dedup twin of
+# knn_ivf_probe_frontier): recall/precision of EVERY banding of the
+# 8-hash MinHash signature against exact 3-gram Jaccard ≥ 0.7 truth,
+# in one relation.  band_size s ∈ {1,2,4,8} ⇒ (8/s bands of s rows):
+# the collision probability 1−(1−J^s)^(8/s) walks the full S-curve
+# from recall-greedy (8×1) to precision-greedy (1×8) — this is THE
+# table a 100 TB dedup deployment reads to pick its banding before
+# trusting LSH.  One pass: signatures are computed once, every config
+# emits its band keys into ONE exploded relation (15 rows/doc), one
+# self-join covers all four configs (the s#b key prefix keeps configs
+# from colliding), and the exact-truth pair set is computed once and
+# crossed with the 4-row config relation for the per-config confusion.
+
+_BANDING_SIZES = (1, 2, 4, 8)
+
+
+def dedup_lsh_banding_frontier(spark, sf_dir):
+    """(band_size, n_bands, n_truth, n_candidates, tp, fn, fp, recall,
+    precision) for every banding of the 8-hash signature — the
+    recall/precision/cost frontier of MinHash LSH (module comment
+    above)."""
+    from rick_and_morty_data_pipeline_project_spark.operators.dedup import (
+        minhash_signatures,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(
+        d, "doc_id", "text", num_hashes=8, shingle_k=3
+    )
+    structs = []
+    for s in _BANDING_SIZES:
+        for b in range(8 // s):
+            structs.append(
+                F.struct(
+                    F.lit(s).alias("band_size"),
+                    F.concat_ws(
+                        "|",
+                        F.lit(f"{s}#{b}"),
+                        *[F.col("sig")[b * s + j] for j in range(s)],
+                    ).alias("band"),
+                )
+            )
+    banded = sigs.select(
+        "doc_id", F.explode(F.array(*structs)).alias("_b")
+    ).select("doc_id", F.col("_b.band_size").alias("band_size"), F.col("_b.band").alias("band"))
+    a = banded.select(
+        "band_size", "band", F.col("doc_id").alias("id_a")
+    )
+    b_ = banded.select(
+        "band_size", "band", F.col("doc_id").alias("id_b")
+    )
+    cand = (
+        a.join(b_, ["band_size", "band"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("band_size", "id_a", "id_b")
+        .dropDuplicates(["band_size", "id_a", "id_b"])
+        .withColumn("_c", F.lit(1))
+    )
+    truth = (
+        ngram_jaccard_pairs(
+            d.withColumn("_blk", F.lit(1)),
+            "doc_id",
+            "text",
+            "_blk",
+            shingle_k=3,
+            threshold=0.7,
+        )
+        .select("id_a", "id_b")
+        .withColumn("_t", F.lit(1))
+        # feeds the cross with all four configs — materialize the
+        # posting join once (the multi-consumer pattern)
+        .localCheckpoint()
+    )
+    cfgs = spark.createDataFrame(
+        [(s,) for s in _BANDING_SIZES], "band_size int"
+    )
+    truth4 = truth.crossJoin(F.broadcast(cfgs)).select(
+        "band_size", "id_a", "id_b", "_t"
+    )
+    conf = (
+        truth4.join(cand, ["band_size", "id_a", "id_b"], "full_outer")
+        .groupBy("band_size")
+        .agg(
+            F.count(
+                F.when(F.col("_t").isNotNull() & F.col("_c").isNotNull(), 1)
+            ).alias("tp"),
+            F.count(
+                F.when(F.col("_t").isNotNull() & F.col("_c").isNull(), 1)
+            ).alias("fn"),
+            F.count(
+                F.when(F.col("_t").isNull() & F.col("_c").isNotNull(), 1)
+            ).alias("fp"),
+        )
+    )
+    return conf.select(
+        "band_size",
+        (F.lit(8) / F.col("band_size")).cast("long").alias("n_bands"),
+        (F.col("tp") + F.col("fn")).alias("n_truth"),
+        (F.col("tp") + F.col("fp")).alias("n_candidates"),
+        "tp",
+        "fn",
+        "fp",
+        F.when(
+            F.col("tp") + F.col("fn") > 0,
+            F.round(
+                F.col("tp").cast("double") / (F.col("tp") + F.col("fn")), 6
+            ),
+        ).alias("recall"),
+        F.when(
+            F.col("tp") + F.col("fp") > 0,
+            F.round(
+                F.col("tp").cast("double") / (F.col("tp") + F.col("fp")), 6
+            ),
+        ).alias("precision"),
+    )
+
+
+def _banding_frontier_sql() -> str:
+    cfg_rows = ", ".join(
+        f"({s}, {b})" for s in _BANDING_SIZES for b in range(8 // s)
+    )
+    return f"""
+WITH shingled AS ({_SHINGLES_SQL}),
+sigs AS (SELECT doc_id, {_SIG_ARRAY_SQL} AS sig FROM shingled),
+cfgs(s, b) AS (VALUES {cfg_rows}),
+banded_all AS (
+  SELECT doc_id, c.s AS band_size,
+         CAST(c.s AS VARCHAR) || '#' || CAST(c.b AS VARCHAR) || '|' ||
+           array_to_string(sig[c.s*c.b + 1 : c.s*c.b + c.s], '|') AS band
+  FROM sigs, cfgs c
+),
+cand AS (
+  SELECT DISTINCT a.band_size, a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded_all a JOIN banded_all b
+    ON a.band = b.band AND a.band_size = b.band_size
+   AND a.doc_id < b.doc_id
+),
+tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+sets AS (
+  SELECT doc_id, list_distinct(
+    CASE WHEN len(toks) >= 3
+         THEN list_transform(generate_series(1, len(toks) - 2),
+                             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+         ELSE [array_to_string(toks, ' ')] END) AS s
+  FROM tok
+),
+posting AS (
+  SELECT doc_id, n, sh FROM (
+    SELECT doc_id, len(s) AS n, unnest(s) AS sh FROM sets)
+),
+truth AS (
+  SELECT id_a, id_b FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(count(*) AS DOUBLE) AS c,
+           any_value(a.n) AS na, any_value(b.n) AS nb
+    FROM posting a JOIN posting b
+      ON a.sh = b.sh AND a.doc_id < b.doc_id
+    GROUP BY 1, 2)
+  WHERE c / (na + nb - c) >= 0.7
+),
+truth4 AS (
+  SELECT s.s AS band_size, t.id_a, t.id_b
+  FROM truth t, (SELECT DISTINCT s FROM cfgs) s
+),
+conf AS (
+  SELECT COALESCE(t.band_size, c.band_size) AS band_size,
+    COUNT(CASE WHEN t.id_a IS NOT NULL AND c.id_a IS NOT NULL THEN 1 END)
+      AS tp,
+    COUNT(CASE WHEN t.id_a IS NOT NULL AND c.id_a IS NULL THEN 1 END) AS fn,
+    COUNT(CASE WHEN t.id_a IS NULL AND c.id_a IS NOT NULL THEN 1 END) AS fp
+  FROM truth4 t FULL OUTER JOIN cand c
+    ON t.band_size = c.band_size AND t.id_a = c.id_a AND t.id_b = c.id_b
+  GROUP BY 1
+)
+SELECT band_size, CAST(8 / band_size AS BIGINT) AS n_bands,
+       tp + fn AS n_truth, tp + fp AS n_candidates, tp, fn, fp,
+       CASE WHEN tp + fn > 0
+            THEN ROUND(CAST(tp AS DOUBLE) / (tp + fn), 6) END AS recall,
+       CASE WHEN tp + fp > 0
+            THEN ROUND(CAST(tp AS DOUBLE) / (tp + fp), 6) END AS precision
+FROM conf
+"""
+
+
+BANDING_FRONTIER_SQL = _banding_frontier_sql()
+
+
 _KCORE_K = 2
 
 
@@ -3940,6 +4128,9 @@ QUERIES: dict[str, Q] = {
     "graph_triangle_count": Q(graph_triangle_count, GRAPH_TRIANGLES_SQL),
     "graph_kcore_peel": Q(graph_kcore_peel, GRAPH_KCORE_SQL),
     "dedup_lsh_recall_audit": Q(dedup_lsh_recall_audit, DEDUP_LSH_RECALL_SQL),
+    "dedup_lsh_banding_frontier": Q(
+        dedup_lsh_banding_frontier, BANDING_FRONTIER_SQL
+    ),
     "dedup_ngram_jaccard": Q(dedup_ngram_jaccard, DEDUP_JACCARD_SQL),
     "dedup_jaccard_prefix_join": Q(
         dedup_jaccard_prefix_join, DEDUP_JACCARD_PREFIX_SQL

@@ -750,3 +750,30 @@ def test_winnowing_guarantee_and_density(spark):
     # density: selected fingerprints well below the shingle count
     n_shingles_0 = len(docs[0][1].split()) - 2
     assert len(by_doc[0]) < n_shingles_0
+
+
+def test_lsh_banding_frontier_s_curve(spark):
+    """The banding sweep's structural invariants: recall is monotone
+    NON-INCREASING in band_size (fewer, wider bands = stricter), false
+    positives monotone non-increasing, the truth-set size identical
+    across configs (it is banding-independent), and every candidate
+    count bounded below by tp."""
+    from rick_and_morty_data_pipeline_project_spark.queries.textq import (
+        dedup_lsh_banding_frontier,
+    )
+    from tests.conftest import SF_ORACLE
+
+    rows = sorted(
+        dedup_lsh_banding_frontier(spark, SF_ORACLE).collect(),
+        key=lambda r: r["band_size"],
+    )
+    assert [r["band_size"] for r in rows] == [1, 2, 4, 8]
+    assert [r["n_bands"] for r in rows] == [8, 4, 2, 1]
+    recalls = [r["recall"] for r in rows]
+    fps = [r["fp"] for r in rows]
+    assert recalls == sorted(recalls, reverse=True)
+    assert fps == sorted(fps, reverse=True)
+    assert len({r["n_truth"] for r in rows}) == 1
+    for r in rows:
+        assert r["n_candidates"] >= r["tp"]
+        assert r["tp"] + r["fn"] == r["n_truth"]
