@@ -743,6 +743,142 @@ FROM conf
 BANDING_FRONTIER_SQL = _banding_frontier_sql()
 
 
+# ---------------------------------------------------------------------------
+# Dedup threshold sweep (r12 continuation — the third decision table:
+# tier frontier = "which index", banding sweep = "which banding", this
+# = "how aggressive"): pair counts, removal counts and corpus
+# retention at every Jaccard threshold 10..90%, from ONE posting join.
+# (The driver corpus is bimodal — near-dups cluster at J ≈ 1.0 with a
+# thin J ≈ 0.1 shelf — so the sweep also documents THAT: a flat
+# 50..90 row block is the corpus's signature, not a bug.)
+# The threshold predicate is pure INTEGER arithmetic
+# (100·c ≥ pct·(|A|+|B|−c)) so no float edge can flip a pair between
+# engines — the r12 sf0.1 sweep's lesson applied at birth.  Removal
+# rule: drop every doc having a near-dup with a SMALLER doc_id (the
+# relational keep-first form — deterministic, one aggregate, an upper
+# bound on sequential greedy removal; the CC-based treatment lives in
+# dedup_minhash_clusters / dedup_semantic_clusters).
+
+_DEDUP_SWEEP_PCTS = (10, 30, 50, 70, 90)
+
+
+def dedup_threshold_frontier(spark, sf_dir):
+    """(threshold_pct, n_pairs, n_docs_removed, n_docs, retention) for
+    Jaccard thresholds 10..90% — the aggressiveness dial a curation
+    pipeline reads to pick its dedup threshold (module comment
+    above)."""
+    from rick_and_morty_data_pipeline_project_spark.operators.dedup import (
+        _ngram_cooccurrence,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    # one posting join covers every threshold: the 0.1 length filter
+    # is lossless for all swept thresholds (J ≥ 0.1 ⇒ ratio ≥ 0.1)
+    co = _ngram_cooccurrence(
+        d.withColumn("_blk", F.lit(1)),
+        "doc_id",
+        "text",
+        "_blk",
+        3,
+        size_ratio_min=0.1,
+    ).localCheckpoint()
+    px = co.select(
+        "id_a",
+        "id_b",
+        "_c",
+        "_na",
+        "_nb",
+        F.explode(
+            F.array(*[F.lit(p) for p in _DEDUP_SWEEP_PCTS])
+        ).alias("threshold_pct"),
+    ).filter(
+        F.lit(100) * F.col("_c")
+        >= F.col("threshold_pct")
+        * (F.col("_na") + F.col("_nb") - F.col("_c"))
+    )
+    stats = px.groupBy("threshold_pct").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.countDistinct("id_b").cast("long").alias("n_docs_removed"),
+    )
+    trange = spark.createDataFrame(
+        [(p,) for p in _DEDUP_SWEEP_PCTS], "threshold_pct int"
+    )
+    ndocs = d.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    return (
+        trange.join(stats, "threshold_pct", "left")
+        .crossJoin(F.broadcast(ndocs))
+        .select(
+            "threshold_pct",
+            F.coalesce(F.col("n_pairs"), F.lit(0)).cast("long").alias(
+                "n_pairs"
+            ),
+            F.coalesce(F.col("n_docs_removed"), F.lit(0))
+            .cast("long")
+            .alias("n_docs_removed"),
+            "n_docs",
+            F.round(
+                F.lit(1.0)
+                - F.coalesce(F.col("n_docs_removed"), F.lit(0)).cast(
+                    "double"
+                )
+                / F.col("n_docs"),
+                6,
+            ).alias("retention"),
+        )
+    )
+
+
+def _threshold_frontier_sql() -> str:
+    pcts = ", ".join(f"({p})" for p in _DEDUP_SWEEP_PCTS)
+    return f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+sets AS (
+  SELECT doc_id, list_distinct(
+    CASE WHEN len(toks) >= 3
+         THEN list_transform(generate_series(1, len(toks) - 2),
+                             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+         ELSE [array_to_string(toks, ' ')] END) AS s
+  FROM tok
+),
+posting AS (
+  SELECT doc_id, n, sh FROM (
+    SELECT doc_id, len(s) AS n, unnest(s) AS sh FROM sets)
+),
+co AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(count(*) AS BIGINT) AS c,
+         CAST(any_value(a.n) AS BIGINT) AS na,
+         CAST(any_value(b.n) AS BIGINT) AS nb
+  FROM posting a JOIN posting b
+    ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pcts(threshold_pct) AS (VALUES {pcts}),
+px AS (
+  SELECT p.threshold_pct, co.id_a, co.id_b
+  FROM co, pcts p
+  WHERE 100 * co.c >= p.threshold_pct * (co.na + co.nb - co.c)
+),
+stats AS (
+  SELECT threshold_pct,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(count(DISTINCT id_b) AS BIGINT) AS n_docs_removed
+  FROM px GROUP BY 1
+),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+SELECT p.threshold_pct,
+       CAST(coalesce(s.n_pairs, 0) AS BIGINT) AS n_pairs,
+       CAST(coalesce(s.n_docs_removed, 0) AS BIGINT) AS n_docs_removed,
+       nd.n_docs,
+       round(1.0 - CAST(coalesce(s.n_docs_removed, 0) AS DOUBLE)
+                   / nd.n_docs, 6) AS retention
+FROM pcts p LEFT JOIN stats s ON s.threshold_pct = p.threshold_pct, nd
+"""
+
+
+THRESHOLD_FRONTIER_SQL = _threshold_frontier_sql()
+
+
 _KCORE_K = 2
 
 
@@ -4130,6 +4266,9 @@ QUERIES: dict[str, Q] = {
     "dedup_lsh_recall_audit": Q(dedup_lsh_recall_audit, DEDUP_LSH_RECALL_SQL),
     "dedup_lsh_banding_frontier": Q(
         dedup_lsh_banding_frontier, BANDING_FRONTIER_SQL
+    ),
+    "dedup_threshold_frontier": Q(
+        dedup_threshold_frontier, THRESHOLD_FRONTIER_SQL
     ),
     "dedup_ngram_jaccard": Q(dedup_ngram_jaccard, DEDUP_JACCARD_SQL),
     "dedup_jaccard_prefix_join": Q(

@@ -777,3 +777,30 @@ def test_lsh_banding_frontier_s_curve(spark):
     for r in rows:
         assert r["n_candidates"] >= r["tp"]
         assert r["tp"] + r["fn"] == r["n_truth"]
+
+
+def test_threshold_frontier_monotone(spark):
+    """Raising the threshold can only shrink the pair set and the
+    removal set (pure integer predicate, so the containment is exact),
+    retention is its complement, and n_docs is constant."""
+    from rick_and_morty_data_pipeline_project_spark.queries.textq import (
+        dedup_threshold_frontier,
+    )
+    from tests.conftest import SF_ORACLE
+
+    rows = sorted(
+        dedup_threshold_frontier(spark, SF_ORACLE).collect(),
+        key=lambda r: r["threshold_pct"],
+    )
+    assert [r["threshold_pct"] for r in rows] == [10, 30, 50, 70, 90]
+    pairs = [r["n_pairs"] for r in rows]
+    removed = [r["n_docs_removed"] for r in rows]
+    assert pairs == sorted(pairs, reverse=True)
+    assert removed == sorted(removed, reverse=True)
+    assert len({r["n_docs"] for r in rows}) == 1
+    for r in rows:
+        assert r["n_docs_removed"] <= r["n_pairs"] or r["n_pairs"] == 0
+        assert abs(
+            r["retention"]
+            - round(1.0 - r["n_docs_removed"] / r["n_docs"], 6)
+        ) < 1e-12
