@@ -879,6 +879,112 @@ FROM pcts p LEFT JOIN stats s ON s.threshold_pct = p.threshold_pct, nd
 THRESHOLD_FRONTIER_SQL = _threshold_frontier_sql()
 
 
+# ---------------------------------------------------------------------------
+# Quality-filter threshold sweep (r12 continuation — the fourth
+# decision table: "how strict a quality gate").  The distilled linear
+# classifier's 6-dp-rounded sigmoid score (driver-proven identical
+# across engines in text_quality_classifier) is compared against every
+# operating threshold 50..90% in one scan: documents kept, token
+# retention (the number that actually prices a training run), both as
+# exact integer sums divided once — no rounding anywhere downstream of
+# the proven score, so no tie surface exists.  Thresholds enter as
+# pct/100.0 (IEEE division is correctly rounded, so both engines
+# compare against the identical double).
+
+_QUALITY_SWEEP_PCTS = (50, 60, 70, 80, 90)
+
+
+def text_quality_threshold_frontier(spark, sf_dir):
+    """(threshold_pct, n_kept, n_docs, keep_rate, tokens_kept,
+    tokens_total, token_retention) for classifier-score thresholds
+    50..90% — the strictness dial of the model-based quality filter
+    (module comment above)."""
+    d = t(spark, sf_dir, "documents")
+    scored = d.select(
+        quality_classifier_score("text").alias("q"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("_ntok"),
+    )
+    px = scored.select(
+        "q",
+        "_ntok",
+        F.explode(
+            F.array(*[F.lit(p) for p in _QUALITY_SWEEP_PCTS])
+        ).alias("threshold_pct"),
+    )
+    kept = F.col("q") >= F.col("threshold_pct").cast("double") / F.lit(
+        100.0
+    )
+    stats = px.groupBy("threshold_pct").agg(
+        F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.sum(F.when(kept, F.col("_ntok")).otherwise(0))
+        .cast("long")
+        .alias("tokens_kept"),
+    )
+    tot = scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_ntok").cast("long").alias("tokens_total"),
+    )
+    return stats.crossJoin(F.broadcast(tot)).select(
+        "threshold_pct",
+        "n_kept",
+        "n_docs",
+        (F.col("n_kept").cast("double") / F.col("n_docs")).alias(
+            "keep_rate"
+        ),
+        "tokens_kept",
+        "tokens_total",
+        (
+            F.col("tokens_kept").cast("double") / F.col("tokens_total")
+        ).alias("token_retention"),
+    )
+
+
+def _quality_frontier_sql() -> str:
+    pcts = ", ".join(f"({p})" for p in _QUALITY_SWEEP_PCTS)
+    return f"""
+WITH feats AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a')))
+           / len(string_split(text, ' ')) AS stop_ratio,
+         len(list_distinct(string_split(text, ' ')))
+           / len(string_split(text, ' ')) AS distinct_ratio,
+         length(replace(text, ' ', ''))
+           / len(string_split(text, ' ')) AS mean_tok_len
+  FROM documents
+),
+scored AS (
+  SELECT round(1.0 / (1.0 + exp(-({QUALITY_CLF_W[0]!r}
+           + {QUALITY_CLF_W[1]!r} * ln(CAST(n_tokens AS DOUBLE) + 1.0)
+           + {QUALITY_CLF_W[2]!r} * stop_ratio
+           + {QUALITY_CLF_W[3]!r} * distinct_ratio
+           + {QUALITY_CLF_W[4]!r} * mean_tok_len))), 6) AS q,
+         CAST(n_tokens AS BIGINT) AS ntok
+  FROM feats
+),
+pcts(threshold_pct) AS (VALUES {pcts}),
+stats AS (
+  SELECT p.threshold_pct,
+         CAST(sum(CASE WHEN s.q >= p.threshold_pct / 100.0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         CAST(sum(CASE WHEN s.q >= p.threshold_pct / 100.0
+                       THEN s.ntok ELSE 0 END) AS BIGINT) AS tokens_kept
+  FROM scored s, pcts p
+  GROUP BY 1
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(ntok) AS BIGINT) AS tokens_total FROM scored)
+SELECT s.threshold_pct, s.n_kept, t.n_docs,
+       CAST(s.n_kept AS DOUBLE) / t.n_docs AS keep_rate,
+       s.tokens_kept, t.tokens_total,
+       CAST(s.tokens_kept AS DOUBLE) / t.tokens_total AS token_retention
+FROM stats s, tot t
+"""
+
+
+QUALITY_FRONTIER_SQL = _quality_frontier_sql()
+
+
 _KCORE_K = 2
 
 
@@ -4269,6 +4375,9 @@ QUERIES: dict[str, Q] = {
     ),
     "dedup_threshold_frontier": Q(
         dedup_threshold_frontier, THRESHOLD_FRONTIER_SQL
+    ),
+    "text_quality_threshold_frontier": Q(
+        text_quality_threshold_frontier, QUALITY_FRONTIER_SQL
     ),
     "dedup_ngram_jaccard": Q(dedup_ngram_jaccard, DEDUP_JACCARD_SQL),
     "dedup_jaccard_prefix_join": Q(
