@@ -773,7 +773,11 @@ def dedup_threshold_frontier(spark, sf_dir):
 
     d = t(spark, sf_dir, "documents")
     # one posting join covers every threshold: the 0.1 length filter
-    # is lossless for all swept thresholds (J ≥ 0.1 ⇒ ratio ≥ 0.1)
+    # is lossless for all swept thresholds (J ≥ 0.1 ⇒ ratio ≥ 0.1).
+    # NO materialization of co — it is pair-relation-sized (the J ≈ 0
+    # noise dominates it), and it has a single consumer anyway; a
+    # localCheckpoint here OOMed the ×20 documents tier by caching
+    # hundreds of millions of noise pairs (tools/scale20_r12_sweeps).
     co = _ngram_cooccurrence(
         d.withColumn("_blk", F.lit(1)),
         "doc_id",
@@ -781,8 +785,18 @@ def dedup_threshold_frontier(spark, sf_dir):
         "_blk",
         3,
         size_ratio_min=0.1,
-    ).localCheckpoint()
-    px = co.select(
+    )
+    # prune with the WEAKEST swept threshold BEFORE the 5× fan-out:
+    # lossless (every kept pair satisfies pct=10), and it drops the
+    # J ≈ 0 noise majority so the explode multiplies only qualifying
+    # pairs — the difference between streaming 5×|noise| rows and
+    # 5×|near-dups| at scale
+    weakest = min(_DEDUP_SWEEP_PCTS)
+    qual = co.filter(
+        F.lit(100) * F.col("_c")
+        >= F.lit(weakest) * (F.col("_na") + F.col("_nb") - F.col("_c"))
+    )
+    px = qual.select(
         "id_a",
         "id_b",
         "_c",
