@@ -804,3 +804,56 @@ def test_threshold_frontier_monotone(spark):
             r["retention"]
             - round(1.0 - r["n_docs_removed"] / r["n_docs"], 6)
         ) < 1e-12
+
+
+def test_prefix_cooccurrence_equals_full_join(spark):
+    """ngram_prefix_cooccurrence must return EXACTLY the pairs (with
+    exact counts) that the full posting co-occurrence join yields after
+    the same integer Jaccard predicate — the prefix filter is a pure
+    candidate-space optimization, never a semantics change (r12 verdict
+    item 4).  Exercised at the frontier's own operating point (k=3,
+    pct=10) and at a tight threshold on a corpus WITH near-dups, plus a
+    no-dup corpus where the result must be empty-but-equal."""
+    from rick_and_morty_data_pipeline_project_spark.operators.dedup import (
+        _ngram_cooccurrence,
+    )
+    from rick_and_morty_data_pipeline_project_spark.operators.setjoin import (
+        ngram_prefix_cooccurrence,
+    )
+
+    def full_join_reference(df, pct, k):
+        co = _ngram_cooccurrence(
+            df.withColumn("_blk", F.lit(1)), "doc_id", "text", "_blk", k
+        )
+        return co.filter(
+            F.lit(100) * F.col("_c")
+            >= F.lit(pct) * (F.col("_na") + F.col("_nb") - F.col("_c"))
+        )
+
+    corpus = _near_dup_corpus(spark)
+    for pct, k in ((10, 3), (70, 3), (50, 2)):
+        got = sorted(
+            ngram_prefix_cooccurrence(
+                corpus, "doc_id", "text", shingle_k=k, threshold_pct=pct
+            ).collect()
+        )
+        want = sorted(full_join_reference(corpus, pct, k).collect())
+        assert got == want, f"pct={pct} k={k}: {len(got)} vs {len(want)}"
+        if pct == 10:
+            assert len(got) >= 20  # the near-dup corpus must qualify
+
+    # degenerate: single-token docs (shingle fallback path) and exact
+    # twins — prefix length is 1, twins must still collide
+    tiny = spark.createDataFrame(
+        [(1, "solo"), (2, "solo"), (3, "other words here")],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        ngram_prefix_cooccurrence(
+            tiny, "doc_id", "text", shingle_k=3, threshold_pct=10
+        ).collect()
+    )
+    want = sorted(full_join_reference(tiny, 10, 3).collect())
+    assert got == want and any(
+        (r.id_a, r.id_b) == (1, 2) for r in got
+    )
