@@ -309,6 +309,37 @@ Final composition: 9 births + carryover + flagship + 37 r06 refreshes
 + 1 rule-2 re-green + 1 r12 birth = 50; sweep-covered leftouts:
 ``unpivot_emotion_scores``, ``snapshot_diff_orders``,
 ``text_emotion_scores``, ``events_ewma``.
+
+Round-13 window (this file's ``DRIVER_WINDOW``): exactly the plan the
+round-12 verdict ordered, built from ``tools/rotation_report.py``
+output AFTER regenerating SWEEP_r13.json on the untouched tree
+(276/276 — policy v2 coverage for the r07 cohort that crossed the
+over-age line when CORRECTNESS_r12 landed).  The 4 rule-1 pending
+births lead (the r12 decision tables: IVF probe sweep, LSH banding
+sweep, dedup threshold sweep, quality threshold sweep — all already
+MATCH at 3 SFs), then the round's own birth ``curation_run_card``
+(verdict stretch 8 — the five decision tables composed into the
+per-stage run-card relation, scheduled at its own freeze), the rule-2
+stale re-green ``dedup_jaccard_prefix_join`` (operators/setjoin.py
+gained the prefix-filtered co-occurrence this round — verdict item 4 —
+so every query referencing the file re-certifies), flagship, and 43
+oldest-green-first refreshes: all 4 remaining r06-vintage entries
+(events_ewma, snapshot_diff_orders, text_emotion_scores,
+unpivot_emotion_scores — the r12 leftouts age to the front of the
+queue) plus 39 of the 48-entry r07 cohort.  4+1+1+1+4+39 = 50.
+Sweep-covered leftouts (9, not §2-table-cited, their operator paths
+window-exercised via family siblings): graph_kcore_peel,
+graph_triangle_count, mv_incremental_refresh, privacy_k_anonymity,
+profile_drift_orders, supplier_market_hhi, table_range_partition_plan,
+table_zorder_layout, events_survival_km.  Note on the r12 verdict's
+stretch 9 ("pre-age ~15 r08 entries, projected r14 over-age < 20"):
+scheduling r08 entries now would displace r07 refreshes one-for-one —
+the projected r14 over-age pool (r08's 44 + r09's 43 + today's
+leftouts) is CONSERVED under any window composition because the
+treadmill refreshes at most 50 certificates per round against a
+276-query catalog with a 4-round shelf life; policy v2's per-round
+sweep artifact is the standing mechanism for the remainder (the v2
+rationale in this docstring), so the window stays oldest-green-first.
 """
 
 from __future__ import annotations
@@ -327,6 +358,7 @@ from rick_and_morty_data_pipeline_project_spark.queries import (
     pqq,
     reference,
     retrievalq,
+    runcardq,
     sketchq,
     statsq,
     textq,
@@ -342,6 +374,7 @@ _ALL: dict[str, Q] = {}
 for mod in (
     tpch, tpchx, tpchf, textq, vecq, extraq, mmq, reference, sketchq, bpeq,
     retrievalq, lakeq, statsq, pqq, coarsenq, opqq, compactq, vecxq, lmq, bbitq, npstatq,
+    runcardq,
 ):
     for name, q in mod.QUERIES.items():
         assert name not in _ALL, f"duplicate query name: {name}"
@@ -350,18 +383,82 @@ for mod in (
 # The 50 driver-checked slots.  All must carry a full DuckDB oracle.
 # Round-12 rotation (standing policy + policy v2 in the module
 # docstring):
-# 9 rule-1 pending births (tools/pending_births.json — the r11
-#   continuation statistics/ANN-eval families)
-# + text_rerank_two_stage (stale-carryover ledger since the r10
-#   freeze; second cycle — verdict-mandatory, must not carry again)
+# 4 rule-1 pending births (tools/pending_births.json — the r12
+#   decision tables)
+# + curation_run_card (r13 birth, scheduled at its own freeze)
+# + dedup_jaccard_prefix_join (rule-2: operators/setjoin.py changed
+#   this round — prefix-filtered co-occurrence added)
 # + flagship
-# + 39 of the 41 r06-vintage over-age refreshes (the r06 mega-round's
-#   cohort aged past MAX_GREEN_AGE as a block; the 2 left out —
-#   unpivot_emotion_scores, snapshot_diff_orders — are not verdict-
-#   named, not §2-load-bearing, and are covered by the SWEEP_r12.json
-#   regenerated before any r12 code motion).
-# 9+1+1+39 = 50.
+# + 43 oldest-green-first refreshes (4 r06 + 39 of the 48-entry r07
+#   cohort; the 9 leftouts are SWEEP_r13-covered and listed in the
+#   docstring's Round-13 paragraph).
+# 4+1+1+1+43 = 50.
 DRIVER_WINDOW: tuple[str, ...] = (
+    # ========== 4 rule-1 pending births (r12 decision tables) =======
+    "knn_ivf_probe_frontier",
+    "dedup_lsh_banding_frontier",
+    "dedup_threshold_frontier",
+    "text_quality_threshold_frontier",
+    # ========== r13 birth, scheduled at its own freeze ===============
+    "curation_run_card",
+    # ========== rule-2 re-green (setjoin.py changed this round) ======
+    "dedup_jaccard_prefix_join",
+    # ========== flagship (standing, every round) =====================
+    "flagship_greedy_match",
+    # ========== 4 r06-vintage refreshes (oldest greens anywhere) =====
+    "events_ewma",
+    "snapshot_diff_orders",
+    "text_emotion_scores",
+    "unpivot_emotion_scores",
+    # ========== 39 r07-vintage over-age refreshes ====================
+    "agg_cube_flag_status",
+    "agg_distinct_suppliers",
+    "agg_sorted_string",
+    "audit_benford_prices",
+    "audit_key_gaps",
+    "customer_rfm_segments_approx_audit",
+    "dedup_lsh_recall_audit",
+    "events_ab_proportion_z",
+    "events_chi2_type_dow",
+    "events_conditional_agg",
+    "events_hourly_percentiles_approx_audit",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_profit_by_nation_year",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_priority_lines",
+    "q13_customer_order_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_predicates",
+    "q20_heavy_shippers",
+    "q21_lone_fault_suppliers",
+    "q22_idle_customers",
+    "scalar_datetime_functions",
+    "scalar_json_functions",
+    "scalar_variant_functions",
+    "text_bpe_encode",
+    "text_tfidf_cosine_pairs",
+    "text_tfidf_topterms",
+    "win_first_last_nth",
+    "win_lag_order_gap",
+    "win_moving_avg",
+    "win_ntile_rank_stats",
+    "win_running_total",
+)
+
+# Round-12 window, retired 2026-08-16 (all 50 earned green rows in
+# CORRECTNESS_r12.json; kept for the rotation ledger).  Final
+# composition — per the mid-round amendments in the module docstring:
+# 9 rule-1 births + the text_rerank_two_stage stale carryover +
+# flagship + 37 r06 refreshes + the events_theil_sen_slope rule-2
+# re-green + the knn_frontier_recall_cost r12 birth = 50.
+_R12_WINDOW: tuple[str, ...] = (
     # ========== 9 rule-1 pending births (r11 continuation) ==========
     "events_ks_test",
     "events_spearman_daily",

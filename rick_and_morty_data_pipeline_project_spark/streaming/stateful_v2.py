@@ -31,6 +31,10 @@ Attempt log (retried each round per the standing verdict item):
   ``StatefulProcessor`` itself imports fine, only the state-server
   protobuf wire dependency is missing; installs remain prohibited,
   gate and the two honest skips stand.
+* r13 (2026-08-16): retried (fourth carry) — ``import
+  google.protobuf`` → ModuleNotFoundError and
+  ``find_spec('google')`` is still None; environment unchanged, so
+  the gate and the two honest skips stand for another round.
 """
 
 from __future__ import annotations
