@@ -322,7 +322,10 @@ MATCH at 3 SFs), then the round's own birth ``curation_run_card``
 per-stage run-card relation, scheduled at its own freeze), the rule-2
 stale re-green ``dedup_jaccard_prefix_join`` (operators/setjoin.py
 gained the prefix-filtered co-occurrence this round — verdict item 4 —
-so every query referencing the file re-certifies), flagship, and 43
+so every query referencing the file re-certifies; the frontier itself
+ultimately landed on the exact-duplicate collapse instead after the
+prefix hypothesis was measured and rejected at the 10% threshold —
+see PERFORMANCE.md's r13 negative result), flagship, and 43
 oldest-green-first refreshes: all 4 remaining r06-vintage entries
 (events_ewma, snapshot_diff_orders, text_emotion_scores,
 unpivot_emotion_scores — the r12 leftouts age to the front of the

@@ -767,32 +767,77 @@ def dedup_threshold_frontier(spark, sf_dir):
     Jaccard thresholds 10..90% — the aggressiveness dial a curation
     pipeline reads to pick its dedup threshold (module comment
     above)."""
-    from rick_and_morty_data_pipeline_project_spark.operators.setjoin import (
-        ngram_prefix_cooccurrence,
+    from rick_and_morty_data_pipeline_project_spark.operators.dedup import (
+        _ngram_cooccurrence,
     )
 
     d = t(spark, sf_dir, "documents")
-    # candidate generation is the PPJoin prefix filter at the WEAKEST
-    # swept threshold (r12 verdict item 4): the old full posting
-    # co-occurrence join paid to aggregate every J ≈ 0 noise pair
-    # sharing one shingle (~the whole 27.9× wall at ×20 documents);
-    # the prefix filter never collides on each document's head
-    # shingles, and only surviving candidates are exactly verified.
-    # Lossless for the sweep: every output pair of the 5× fan-out
-    # satisfies pct=10, and ngram_prefix_cooccurrence applies exactly
-    # that integer predicate (100·c ≥ 10·(|A|+|B|−c)) after an exact
-    # intersection count — same tokenization, same arithmetic, so the
-    # DuckDB oracle is unchanged.
-    weakest = min(_DEDUP_SWEEP_PCTS)
-    qual = ngram_prefix_cooccurrence(
-        d, "doc_id", "text", shingle_k=3, threshold_pct=weakest
+    # EXACT-DUPLICATE COLLAPSE before the quadratic stage (r13; the
+    # curation-pipeline ordering — exact dedup, THEN near-dedup):
+    # identical texts have identical shingle sets, so Jaccard is
+    # constant on duplicate-group pairs and every doc-level count
+    # expands combinatorially from group-level ones.  The quadratic
+    # co-occurrence stage then runs on |distinct texts|, not |docs| —
+    # on a 20×-tiled corpus (every doc has 19 exact twins, the shape
+    # real corpora explode in) that is a 400× smaller pair space.
+    # The r12-verdict prefix-filter hypothesis was MEASURED and
+    # rejected for this query: at the weakest swept threshold (10%)
+    # the PPJoin prefix keeps ~90% of every doc's shingles, and on a
+    # dense shared vocabulary (sf0.1: 27k distinct shingles, mean
+    # df ≈ 48) the candidate set exploded to ~25M pairs at ×5 docs
+    # while the exact verify re-paid each pair × its shingle count —
+    # the aggregate-once co-occurrence join IS the right shape at low
+    # thresholds (PERFORMANCE.md "negative result", r13); the prefix
+    # operator remains the scale path for HIGH-threshold joins
+    # (operators/setjoin.py).
+    #
+    # Doc-level ⇒ group-level identities (g = group size, rep id =
+    # group MIN doc_id; proven in tests/test_dedup_similarity.py):
+    #   n_pairs(t)        = Σ_{qual pairs} g_a·g_b + Σ_G C(g,2)
+    #     (within-group pairs have J = 1 ≥ every swept t)
+    #   n_docs_removed(t) = (n_docs − n_groups)            [non-minima]
+    #                     + |{G seen as id_b in qual(t)}|  [group minima
+    #       removed iff a qualifying neighbor group has a smaller min —
+    #       id_a < id_b on rep ids IS the min comparison]
+    groups = (
+        d.groupBy("text")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("_g"),
+        )
+        .localCheckpoint()
     )
-    px = qual.select(
+    co = _ngram_cooccurrence(
+        groups.withColumn("_blk", F.lit(1)),
+        "doc_id",
+        "text",
+        "_blk",
+        3,
+        size_ratio_min=0.1,
+    )
+    # prune with the WEAKEST swept threshold BEFORE the 5× fan-out
+    # (lossless: every kept pair satisfies pct=10)
+    weakest = min(_DEDUP_SWEEP_PCTS)
+    qual = co.filter(
+        F.lit(100) * F.col("_c")
+        >= F.lit(weakest) * (F.col("_na") + F.col("_nb") - F.col("_c"))
+    )
+    gsz = groups.select("doc_id", "_g")
+    qualg = qual.join(
+        gsz.select(F.col("doc_id").alias("id_a"), F.col("_g").alias("_ga")),
+        "id_a",
+    ).join(
+        gsz.select(F.col("doc_id").alias("id_b"), F.col("_g").alias("_gb")),
+        "id_b",
+    )
+    px = qualg.select(
         "id_a",
         "id_b",
         "_c",
         "_na",
         "_nb",
+        "_ga",
+        "_gb",
         F.explode(
             F.array(*[F.lit(p) for p in _DEDUP_SWEEP_PCTS])
         ).alias("threshold_pct"),
@@ -802,30 +847,40 @@ def dedup_threshold_frontier(spark, sf_dir):
         * (F.col("_na") + F.col("_nb") - F.col("_c"))
     )
     stats = px.groupBy("threshold_pct").agg(
-        F.count(F.lit(1)).cast("long").alias("n_pairs"),
-        F.countDistinct("id_b").cast("long").alias("n_docs_removed"),
+        F.sum(F.col("_ga") * F.col("_gb")).cast("long").alias("_xpairs"),
+        F.countDistinct("id_b").cast("long").alias("_gremoved"),
     )
     trange = spark.createDataFrame(
         [(p,) for p in _DEDUP_SWEEP_PCTS], "threshold_pct int"
     )
-    ndocs = d.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    # group-level constants: docs, groups, within-group (J=1) pairs and
+    # non-minimum members — all exact integers from ONE tiny aggregate
+    gstats = groups.agg(
+        F.sum("_g").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("_ngroups"),
+        F.sum(F.expr("_g * (_g - 1) DIV 2")).cast("long").alias("_wpairs"),
+    )
     return (
         trange.join(stats, "threshold_pct", "left")
-        .crossJoin(F.broadcast(ndocs))
+        .crossJoin(F.broadcast(gstats))
         .select(
             "threshold_pct",
-            F.coalesce(F.col("n_pairs"), F.lit(0)).cast("long").alias(
-                "n_pairs"
-            ),
-            F.coalesce(F.col("n_docs_removed"), F.lit(0))
-            .cast("long")
-            .alias("n_docs_removed"),
+            (
+                F.coalesce(F.col("_xpairs"), F.lit(0)) + F.col("_wpairs")
+            ).cast("long").alias("n_pairs"),
+            (
+                F.coalesce(F.col("_gremoved"), F.lit(0))
+                + F.col("n_docs")
+                - F.col("_ngroups")
+            ).cast("long").alias("n_docs_removed"),
             "n_docs",
             F.round(
                 F.lit(1.0)
-                - F.coalesce(F.col("n_docs_removed"), F.lit(0)).cast(
-                    "double"
-                )
+                - (
+                    F.coalesce(F.col("_gremoved"), F.lit(0))
+                    + F.col("n_docs")
+                    - F.col("_ngroups")
+                ).cast("double")
                 / F.col("n_docs"),
                 6,
             ).alias("retention"),

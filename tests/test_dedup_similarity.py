@@ -857,3 +857,72 @@ def test_prefix_cooccurrence_equals_full_join(spark):
     assert got == want and any(
         (r.id_a, r.id_b) == (1, 2) for r in got
     )
+
+
+def test_threshold_frontier_group_expansion_equals_doc_level(spark, tmp_path):
+    """The r13 exact-duplicate collapse inside dedup_threshold_frontier
+    must reproduce the DOC-LEVEL counts exactly on a corpus where the
+    expansion actually bites: exact-dup groups of varying size, cross-
+    group near-dups, and an isolated doc.  Reference = the straight
+    doc-level formulation (one posting join over ALL docs + per-
+    threshold predicate), computed in Python from first principles."""
+    from rick_and_morty_data_pipeline_project_spark.queries.textq import (
+        _DEDUP_SWEEP_PCTS,
+        dedup_threshold_frontier,
+    )
+
+    base = [
+        "alpha beta gamma delta epsilon zeta eta theta",           # A
+        "alpha beta gamma delta epsilon zeta eta iota",            # B ~ A
+        "kappa mu nu xi omicron pi rho sigma tau upsilon",         # C
+        "completely different words entirely here now",            # D
+    ]
+    # groups: A×3 twins (ids 0,10,20), B×2 (ids 1,11), C×2 (ids 2,12),
+    # D×1 (id 3) — minima interleaved so the id_b counting is exercised
+    rows = []
+    for rep, (txt, copies) in enumerate(
+        zip(base, (3, 2, 2, 1))
+    ):
+        for c in range(copies):
+            rows.append((rep + 10 * c, txt))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out_dir = str(tmp_path / "docs")
+    df.write.parquet(out_dir + "/documents.parquet")
+
+    got = {
+        r["threshold_pct"]: r
+        for r in dedup_threshold_frontier(spark, str(tmp_path / "docs")).collect()
+    }
+
+    # ---- doc-level reference in plain Python ----
+    def shingles(txt, k=3):
+        toks = txt.split(" ")
+        if len(toks) >= k:
+            return {
+                " ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)
+            }
+        return {" ".join(toks)}
+
+    sh = {i: shingles(t_) for i, t_ in rows}
+    ids = sorted(sh)
+    n_docs = len(ids)
+    for pct in _DEDUP_SWEEP_PCTS:
+        pairs = []
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                c = len(sh[a] & sh[b])
+                if c == 0:
+                    continue
+                na, nb = len(sh[a]), len(sh[b])
+                if 100 * c >= pct * (na + nb - c):
+                    pairs.append((a, b))
+        removed = {b for _, b in pairs}
+        r = got[pct]
+        assert r["n_pairs"] == len(pairs), (pct, r["n_pairs"], len(pairs))
+        assert r["n_docs_removed"] == len(removed), (
+            pct, r["n_docs_removed"], len(removed)
+        )
+        assert r["n_docs"] == n_docs
+        assert abs(
+            r["retention"] - round(1.0 - len(removed) / n_docs, 6)
+        ) == 0

@@ -530,6 +530,34 @@ def main() -> None:
         )
         print(f"  {n} (r{newest_green[n]:02d}){mark}")
 
+    # --project-next: the NEXT round's over-age wave, assuming the
+    # current window lands green (r12 verdict stretch 9 asked for this
+    # number; note the conservation law — scheduling cohort X instead
+    # of cohort Y displaces refreshes one-for-one, so the projected
+    # total is invariant under window composition: the treadmill
+    # refreshes ≤ 50 certificates/round against len(oracled) queries
+    # with a MAX_GREEN_AGE shelf life, and policy v2's per-round sweep
+    # artifact covers the arithmetic remainder by design).
+    if "--project-next" in sys.argv:
+        ng = dict(newest_green)
+        for n in DRIVER_WINDOW:
+            ng[n] = max_round + 1
+        nxt = sorted(
+            (n for n in oracled
+             if n in ng and (max_round + 1 - ng[n]) > MAX_GREEN_AGE),
+            key=lambda n: (ng[n], n),
+        )
+        floor_n = max(0, len(oracled) - 50 * MAX_GREEN_AGE)
+        print(f"\nprojected over-age at r{max_round + 2:02d}-start "
+              f"(assuming the r{max_round + 1:02d} window lands green): "
+              f"{len(nxt)}")
+        print(f"  (steady-state floor for {len(oracled)} oracled / "
+              f"50-slot window / {MAX_GREEN_AGE}-round shelf: "
+              f"≥ {floor_n} — sweep coverage is the standing mechanism "
+              f"for this remainder, policy v2)")
+        for n in nxt:
+            print(f"  {n} (r{ng[n]:02d})")
+
     if carryover:
         print(f"\nstale-carryover (changed at a freeze while unscheduled; "
               f"must re-earn a driver row): {len(carryover)}")
