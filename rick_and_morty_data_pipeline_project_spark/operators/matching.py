@@ -112,12 +112,29 @@ def greedy_match_without_replacement(
         cand_lists[emo].sort(key=lambda r: (-r[emo], r[right_id]))
 
     claimed: set = set()
+    # per-emotion head index: the leading run of claimed entries in a
+    # prefix list never unclaims, so each scan may start past it.  With
+    # the early-exit stage-1 scan below this keeps the replay ~O(n·k1)
+    # instead of the O(n²) a full-list comprehension per iteration
+    # costs once n_left reaches the tens of thousands (measured r13:
+    # the ×100 left-rows tier needs this; ×1/×10 results identical).
+    heads: dict[str, int] = {emo: 0 for emo in needed}
     out_rows: list[tuple] = []
     for row in left_rows:
         top, second = top2_by_left[row[left_id]]
         # stage 1: top-k1 unclaimed by `top` (list is already in
         # (desc top, asc id) order); stage 2: best of those by `second`
-        stage1 = [r for r in cand_lists[top] if r[right_id] not in claimed][:k1]
+        lst = cand_lists[top]
+        h = heads[top]
+        while h < len(lst) and lst[h][right_id] in claimed:
+            h += 1
+        heads[top] = h
+        stage1 = []
+        for r in lst[h:]:
+            if r[right_id] not in claimed:
+                stage1.append(r)
+                if len(stage1) == k1:
+                    break
         if not stage1:
             continue
         b = min(stage1, key=lambda r: (-r[second], r[right_id]))

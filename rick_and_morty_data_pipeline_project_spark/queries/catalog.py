@@ -325,16 +325,19 @@ gained the prefix-filtered co-occurrence this round — verdict item 4 —
 so every query referencing the file re-certifies; the frontier itself
 ultimately landed on the exact-duplicate collapse instead after the
 prefix hypothesis was measured and rejected at the 10% threshold —
-see PERFORMANCE.md's r13 negative result), flagship, and 43
-oldest-green-first refreshes: all 4 remaining r06-vintage entries
-(events_ewma, snapshot_diff_orders, text_emotion_scores,
-unpivot_emotion_scores — the r12 leftouts age to the front of the
-queue) plus 39 of the 48-entry r07 cohort.  4+1+1+1+4+39 = 50.
-Sweep-covered leftouts (9, not §2-table-cited, their operator paths
-window-exercised via family siblings): graph_kcore_peel,
-graph_triangle_count, mv_incremental_refresh, privacy_k_anonymity,
-profile_drift_orders, supplier_market_hhi, table_range_partition_plan,
-table_zorder_layout, events_survival_km.  Note on the r12 verdict's
+see PERFORMANCE.md's r13 negative result), flagship, the rule-2
+re-green ``flagship_best_match_with_replacement`` (mid-round
+amendment: operators/matching.py gained the head-pointer early-exit
+the ×100 left-rows tier needed), and 42 oldest-green-first refreshes:
+all 4 remaining r06-vintage entries (events_ewma,
+snapshot_diff_orders, text_emotion_scores, unpivot_emotion_scores —
+the r12 leftouts age to the front of the queue) plus 38 of the
+48-entry r07 cohort.  4+1+1+1+1+4+38 = 50.  Sweep-covered leftouts
+(10, not §2-table-cited, their operator paths window-exercised via
+family siblings): graph_kcore_peel, graph_triangle_count,
+mv_incremental_refresh, privacy_k_anonymity, profile_drift_orders,
+supplier_market_hhi, table_range_partition_plan, table_zorder_layout,
+events_survival_km, and (amendment) agg_sorted_string.  Note on the r12 verdict's
 stretch 9 ("pre-age ~15 r08 entries, projected r14 over-age < 20"):
 scheduling r08 entries now would displace r07 refreshes one-for-one —
 the projected r14 over-age pool (r08's 44 + r09's 43 + today's
@@ -392,10 +395,12 @@ for mod in (
 # + dedup_jaccard_prefix_join (rule-2: operators/setjoin.py changed
 #   this round — prefix-filtered co-occurrence added)
 # + flagship
-# + 43 oldest-green-first refreshes (4 r06 + 39 of the 48-entry r07
-#   cohort; the 9 leftouts are SWEEP_r13-covered and listed in the
+# + flagship_best_match_with_replacement (rule-2: operators/matching.py
+#   gained the head-pointer early-exit — mid-round amendment)
+# + 42 oldest-green-first refreshes (4 r06 + 38 of the 48-entry r07
+#   cohort; the 10 leftouts are SWEEP_r13-covered and listed in the
 #   docstring's Round-13 paragraph).
-# 4+1+1+1+43 = 50.
+# 4+1+1+1+1+42 = 50.
 DRIVER_WINDOW: tuple[str, ...] = (
     # ========== 4 rule-1 pending births (r12 decision tables) =======
     "knn_ivf_probe_frontier",
@@ -408,6 +413,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_jaccard_prefix_join",
     # ========== flagship (standing, every round) =====================
     "flagship_greedy_match",
+    # ========== rule-2 re-green (mid-round amendment): the ×100
+    # left-rows tier needed a head-pointer early-exit in the greedy
+    # replay loop (operators/matching.py — semantics pinned identical
+    # by tests/test_matching.py's Python oracle), so both queries
+    # referencing the file re-certify; displaces the r07 refresh
+    # agg_sorted_string into the sweep-covered leftouts ===============
+    "flagship_best_match_with_replacement",
     # ========== 4 r06-vintage refreshes (oldest greens anywhere) =====
     "events_ewma",
     "snapshot_diff_orders",
@@ -416,7 +428,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # ========== 39 r07-vintage over-age refreshes ====================
     "agg_cube_flag_status",
     "agg_distinct_suppliers",
-    "agg_sorted_string",
     "audit_benford_prices",
     "audit_key_gaps",
     "customer_rfm_segments_approx_audit",
