@@ -129,8 +129,9 @@ ANNOTATED = {
     "knn_frontier_recall_cost": "recall-vs-cost Pareto frontier (r12): ELEVEN pipelines in one plan — the matrix's 7 recall arms (each the variant's own catalog plan, unchanged) plus 4 candidate-count stages that reuse the operators' bucket/cell expressions (bucket equi-joins and the broadcast cell join count pairs without materializing them); the 6-row metric relation is localCheckpointed so the output branch and the Pareto dominance self-join reuse ONE execution of all arms; the dominance join itself is a 6×6 nested loop over integers — cost is the sum of the arms ONCE by design, the per-arm plans are the scale story",
     "knn_ivf_probe_frontier": "IVF probe-sweep tuning curve (r12 continuation): each (query, neighbor) pair carries exactly ONE probe rank (one cell per corpus vector), so the candidate sets at all 8 probe levels come from scoring each pair once and fanning it to its qualifying levels — the explode multiplies the |queries|-bounded pair relation, never the corpus; centroid literals inlined, probes broadcast into the cell equi-join (knn_ivf's own shape), per-level heap rank; the 8-row lag window is unpartitioned by design (bounded by the n_cells literal)",
     "dedup_lsh_banding_frontier": "LSH banding-parameter sweep (r12 continuation): signatures computed ONCE (pure narrow map — no shuffle), all four configs' band keys emitted into one exploded relation (15 rows/doc, the s#b prefix isolates configs), ONE band-keyed self-join covers every config (cost = per-config bucket collisions, never n-squared), truth posting-join computed once and localCheckpointed before the 4-way config cross; the full-outer confusion groups by config — the whole S-curve for one signature pass + one truth pass",
-    "dedup_threshold_frontier": "dedup threshold sweep (r12 continuation): ONE posting co-occurrence join (localCheckpointed) covers all five thresholds — the per-threshold predicate is pure integer arithmetic (100c >= pct(|A|+|B|-c)), so the fan-out multiplies the pair relation and no float edge can flip a pair; removal rule is the relational keep-first (drop docs with a smaller-id near-dup) — one distinct aggregate, no iteration",
+    "dedup_threshold_frontier": "dedup threshold sweep (r12, reworked r13): EXACT-DUPLICATE COLLAPSE first (groupBy text -> min-id rep + group size, localCheckpointed) so the ONE posting co-occurrence join runs on distinct texts only — on exact-twin-heavy corpora (the 100 TB shape) the quadratic stage shrinks by the dup factor squared (x20 tier: 90.3 s -> 2.4 s); the per-threshold predicate stays pure integer arithmetic (100c >= pct(|A|+|B|-c)) over the group-pair fan-out, and doc-level counts come back by combinatorial expansion (sum g_a*g_b + C(g,2) within; removals = non-minima + qualifying id_b minima) — no float edge, no iteration",
     "text_quality_threshold_frontier": "quality-filter threshold sweep (r12 continuation): one narrow corpus scan computes the distilled classifier's proven 6-dp score, the 5-threshold fan-out multiplies that scan's output (never re-featurizes), and everything downstream is exact integer sums divided once — zero shuffle beyond the 5-group aggregate, no rounding after the proven score so no tie surface",
+    "curation_run_card": "curation run card (r13): the five decision tables composed into one relation — each component keeps its own audited plan unchanged (the card adds a ~30-row unionByName + ONE 5-partition row_number window on top), so the card's cost model is exactly the sum of the five component tables; selection is rank-1 per stage over (meets_target DESC, cost ASC, unique config) — nothing new shuffles at scale",
     "knn_hubness_audit": "hubness audit (r11): the graph stage is the audited GEMM mapInPandas plan; downstream is a count aggregate, a corpus left join, and TWO integer aggregates (histogram + power sums) — the skewness comes from exact integers, no float accumulation anywhere",
     "knn_ndcg_label_eval": "nDCG@5 label eval (r11): exact arm is the audited broadcast top-k; the label joins touch k·|queries| rows (query labels broadcast); the metric stage is one integer SUM (the bit pattern) plus literal CASE lookups — no float summation, no log in the plan",
     "events_ks_test": "two-sample KS (r11): one value-keyed aggregate over the two samples, one |distinct-values|-bounded cumulative window (the documented Mann-Whitney shape), one integer MAX — D leaves integer arithmetic only in the final projection",
