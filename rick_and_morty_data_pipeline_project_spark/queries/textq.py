@@ -582,8 +582,30 @@ def dedup_lsh_banding_frontier(spark, sf_dir):
     )
 
     d = t(spark, sf_dir, "documents")
+    # EXACT-DUPLICATE COLLAPSE (r13, same identity family as
+    # dedup_threshold_frontier): identical texts ⇒ identical shingle
+    # sets ⇒ identical MinHash signatures ⇒ the pair is an LSH
+    # candidate at EVERY banding and a truth pair (J = 1 ≥ 0.7), so
+    # within-group doc pairs contribute C(g,2) to tp at every
+    # band_size and nothing to fn/fp; cross-group doc pairs inherit
+    # the rep pair's (cand, truth) classification with weight g_a·g_b.
+    # Both the signature/banding self-join AND the exact-truth posting
+    # join then run on |distinct texts| — on exact-twin-heavy corpora
+    # the quadratic stages shrink by the dup factor squared.  The
+    # expansion identities are pinned against a doc-level Python
+    # reference in tests/test_dedup_similarity.py; the oracle stays the
+    # doc-level SQL.
+    groups = (
+        d.groupBy("text")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("_g"),
+        )
+        .localCheckpoint()
+    )
+    gsz = groups.select("doc_id", "_g")
     sigs = minhash_signatures(
-        d, "doc_id", "text", num_hashes=8, shingle_k=3
+        groups, "doc_id", "text", num_hashes=8, shingle_k=3
     )
     structs = []
     for s in _BANDING_SIZES:
@@ -607,24 +629,44 @@ def dedup_lsh_banding_frontier(spark, sf_dir):
     b_ = banded.select(
         "band_size", "band", F.col("doc_id").alias("id_b")
     )
-    cand = (
+    # group-pair weight = g_a·g_b doc pairs represented by a rep pair
+    def _weighted(df, wname):
+        return (
+            df.join(
+                gsz.select(
+                    F.col("doc_id").alias("id_a"), F.col("_g").alias("_ga")
+                ),
+                "id_a",
+            )
+            .join(
+                gsz.select(
+                    F.col("doc_id").alias("id_b"), F.col("_g").alias("_gb")
+                ),
+                "id_b",
+            )
+            .withColumn(wname, (F.col("_ga") * F.col("_gb")).cast("long"))
+            .drop("_ga", "_gb")
+        )
+
+    cand = _weighted(
         a.join(b_, ["band_size", "band"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("band_size", "id_a", "id_b")
-        .dropDuplicates(["band_size", "id_a", "id_b"])
-        .withColumn("_c", F.lit(1))
+        .dropDuplicates(["band_size", "id_a", "id_b"]),
+        "_c",
     )
     truth = (
-        ngram_jaccard_pairs(
-            d.withColumn("_blk", F.lit(1)),
-            "doc_id",
-            "text",
-            "_blk",
-            shingle_k=3,
-            threshold=0.7,
+        _weighted(
+            ngram_jaccard_pairs(
+                groups.withColumn("_blk", F.lit(1)),
+                "doc_id",
+                "text",
+                "_blk",
+                shingle_k=3,
+                threshold=0.7,
+            ).select("id_a", "id_b"),
+            "_t",
         )
-        .select("id_a", "id_b")
-        .withColumn("_t", F.lit(1))
         # feeds the cross with all four configs — materialize the
         # posting join once (the multi-consumer pattern)
         .localCheckpoint()
@@ -635,19 +677,58 @@ def dedup_lsh_banding_frontier(spark, sf_dir):
     truth4 = truth.crossJoin(F.broadcast(cfgs)).select(
         "band_size", "id_a", "id_b", "_t"
     )
-    conf = (
+    # within-group doc pairs: truth AND candidate at every banding
+    wpairs = groups.agg(
+        F.sum(F.expr("_g * (_g - 1) DIV 2")).cast("long").alias("_wp")
+    )
+    conf_agg = (
         truth4.join(cand, ["band_size", "id_a", "id_b"], "full_outer")
         .groupBy("band_size")
         .agg(
-            F.count(
-                F.when(F.col("_t").isNotNull() & F.col("_c").isNotNull(), 1)
-            ).alias("tp"),
-            F.count(
-                F.when(F.col("_t").isNotNull() & F.col("_c").isNull(), 1)
-            ).alias("fn"),
-            F.count(
-                F.when(F.col("_t").isNull() & F.col("_c").isNotNull(), 1)
-            ).alias("fp"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("_t").isNotNull() & F.col("_c").isNotNull(),
+                        F.col("_t"),
+                    )
+                ),
+                F.lit(0),
+            ).cast("long").alias("_tpx"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("_t").isNotNull() & F.col("_c").isNull(),
+                        F.col("_t"),
+                    )
+                ),
+                F.lit(0),
+            ).cast("long").alias("_fnx"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("_t").isNull() & F.col("_c").isNotNull(),
+                        F.col("_c"),
+                    )
+                ),
+                F.lit(0),
+            ).cast("long").alias("_fpx"),
+        )
+    )
+    # anchor on the 4-config relation: the doc-level confusion emits a
+    # band_size row iff a truth OR candidate DOC pair exists at that
+    # size — twins alone (truth+cand at every size) must keep all 4
+    # rows even when no group-rep pair qualifies
+    conf = (
+        cfgs.join(conf_agg, "band_size", "left")
+        .crossJoin(F.broadcast(wpairs))
+        .filter(F.col("_fnx").isNotNull() | (F.col("_wp") > 0))
+        .select(
+            "band_size",
+            (
+                F.coalesce(F.col("_tpx"), F.lit(0)) + F.col("_wp")
+            ).cast("long").alias("tp"),
+            F.coalesce(F.col("_fnx"), F.lit(0)).cast("long").alias("fn"),
+            F.coalesce(F.col("_fpx"), F.lit(0)).cast("long").alias("fp"),
         )
     )
     return conf.select(

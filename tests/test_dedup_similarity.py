@@ -926,3 +926,89 @@ def test_threshold_frontier_group_expansion_equals_doc_level(spark, tmp_path):
         assert abs(
             r["retention"] - round(1.0 - len(removed) / n_docs, 6)
         ) == 0
+
+
+def test_banding_frontier_group_expansion_equals_doc_level(spark, tmp_path):
+    """The r13 exact-duplicate collapse inside dedup_lsh_banding_frontier
+    must reproduce DOC-LEVEL confusion counts exactly: within-group doc
+    pairs are truth (J = 1 ≥ 0.7) AND candidates at every banding
+    (identical texts ⇒ identical signatures ⇒ every band collides), and
+    cross-group pairs expand with weight g_a·g_b.  Reference = the
+    doc-level formulation computed directly: signatures/bands via the
+    production operator on the FULL doc table, truth via exact Jaccard
+    in Python."""
+    from rick_and_morty_data_pipeline_project_spark.operators.dedup import (
+        minhash_signatures,
+    )
+    from rick_and_morty_data_pipeline_project_spark.queries.textq import (
+        _BANDING_SIZES,
+        dedup_lsh_banding_frontier,
+    )
+
+    base = [
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "alpha beta gamma delta epsilon zeta eta iota",
+        "kappa mu nu xi omicron pi rho sigma tau upsilon",
+        "totally unrelated filler words occupying this line",
+    ]
+    rows = []
+    for rep, (txt, copies) in enumerate(zip(base, (3, 2, 2, 1))):
+        for c in range(copies):
+            rows.append((rep + 10 * c, txt))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.write.parquet(str(tmp_path / "docs" / "documents.parquet"))
+
+    got = {
+        r["band_size"]: r
+        for r in dedup_lsh_banding_frontier(
+            spark, str(tmp_path / "docs")
+        ).collect()
+    }
+
+    # doc-level reference: bands from the production signatures over
+    # ALL docs (no collapse), truth from exact shingle Jaccard
+    sig = {
+        r["doc_id"]: list(r["sig"])
+        for r in minhash_signatures(
+            df, "doc_id", "text", num_hashes=8, shingle_k=3
+        ).collect()
+    }
+
+    def shingles(txt, k=3):
+        toks = txt.split(" ")
+        if len(toks) >= k:
+            return {
+                " ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)
+            }
+        return {" ".join(toks)}
+
+    sh = {i: shingles(t_) for i, t_ in rows}
+    ids = sorted(sh)
+    truth = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            c = len(sh[a] & sh[b])
+            if c and c / (len(sh[a]) + len(sh[b]) - c) >= 0.7:
+                truth.add((a, b))
+    for s in _BANDING_SIZES:
+        cand = set()
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                for blk in range(8 // s):
+                    if (
+                        sig[a][blk * s : blk * s + s]
+                        == sig[b][blk * s : blk * s + s]
+                    ):
+                        cand.add((a, b))
+                        break
+        tp = len(truth & cand)
+        fn = len(truth - cand)
+        fp = len(cand - truth)
+        if not truth and not cand:
+            assert s not in got
+            continue
+        r = got[s]
+        assert (r["tp"], r["fn"], r["fp"]) == (tp, fn, fp), (
+            s, (r["tp"], r["fn"], r["fp"]), (tp, fn, fp)
+        )
+        assert r["n_truth"] == tp + fn and r["n_candidates"] == tp + fp
