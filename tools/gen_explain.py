@@ -128,7 +128,7 @@ ANNOTATED = {
     "knn_cosine_sq8": "SQ8 scalar-quantized ANN (r11): train stats are ONE partial+final aggregate broadcast as a 1-row relation into the code/decode projection (zero corpus shuffle on the encode path); the ADC candidate stage is BroadcastNestedLoopJoin with the 10 queries built-side over the 64-byte-per-vector code scan; WindowGroupLimit heap pushdown on BOTH the shortlist and final ranks — the corpus's only Exchange is fan_out's local round-robin",
     "knn_frontier_recall_cost": "recall-vs-cost Pareto frontier (r12): ELEVEN pipelines in one plan — the matrix's 7 recall arms (each the variant's own catalog plan, unchanged) plus 4 candidate-count stages that reuse the operators' bucket/cell expressions (bucket equi-joins and the broadcast cell join count pairs without materializing them); the 6-row metric relation is localCheckpointed so the output branch and the Pareto dominance self-join reuse ONE execution of all arms; the dominance join itself is a 6×6 nested loop over integers — cost is the sum of the arms ONCE by design, the per-arm plans are the scale story",
     "knn_ivf_probe_frontier": "IVF probe-sweep tuning curve (r12 continuation): each (query, neighbor) pair carries exactly ONE probe rank (one cell per corpus vector), so the candidate sets at all 8 probe levels come from scoring each pair once and fanning it to its qualifying levels — the explode multiplies the |queries|-bounded pair relation, never the corpus; centroid literals inlined, probes broadcast into the cell equi-join (knn_ivf's own shape), per-level heap rank; the 8-row lag window is unpartitioned by design (bounded by the n_cells literal)",
-    "dedup_lsh_banding_frontier": "LSH banding-parameter sweep (r12 continuation): signatures computed ONCE (pure narrow map — no shuffle), all four configs' band keys emitted into one exploded relation (15 rows/doc, the s#b prefix isolates configs), ONE band-keyed self-join covers every config (cost = per-config bucket collisions, never n-squared), truth posting-join computed once and localCheckpointed before the 4-way config cross; the full-outer confusion groups by config — the whole S-curve for one signature pass + one truth pass",
+    "dedup_lsh_banding_frontier": "LSH banding-parameter sweep (r12, collapsed r13): EXACT-DUPLICATE COLLAPSE first (groupBy text, localCheckpointed) so signatures, the ONE band-keyed multi-config self-join AND the truth posting-join all run on distinct texts (x20 tier 65.8 s -> 3.1 s); cross-group doc pairs expand with weight g_a*g_b, within-group pairs add C(g,2) to tp at every band_size, and the full-outer confusion is anchored on the 4-config spine — the whole S-curve for one signature pass + one truth pass over distinct texts",
     "dedup_threshold_frontier": "dedup threshold sweep (r12, reworked r13): EXACT-DUPLICATE COLLAPSE first (groupBy text -> min-id rep + group size, localCheckpointed) so the ONE posting co-occurrence join runs on distinct texts only — on exact-twin-heavy corpora (the 100 TB shape) the quadratic stage shrinks by the dup factor squared (x20 tier: 90.3 s -> 2.4 s); the per-threshold predicate stays pure integer arithmetic (100c >= pct(|A|+|B|-c)) over the group-pair fan-out, and doc-level counts come back by combinatorial expansion (sum g_a*g_b + C(g,2) within; removals = non-minima + qualifying id_b minima) — no float edge, no iteration",
     "text_quality_threshold_frontier": "quality-filter threshold sweep (r12 continuation): one narrow corpus scan computes the distilled classifier's proven 6-dp score, the 5-threshold fan-out multiplies that scan's output (never re-featurizes), and everything downstream is exact integer sums divided once — zero shuffle beyond the 5-group aggregate, no rounding after the proven score so no tie surface",
     "curation_run_card": "curation run card (r13): the five decision tables composed into one relation — each component keeps its own audited plan unchanged (the card adds a ~30-row unionByName + ONE 5-partition row_number window on top), so the card's cost model is exactly the sum of the five component tables; selection is rank-1 per stage over (meets_target DESC, cost ASC, unique config) — nothing new shuffles at scale",
