@@ -292,6 +292,58 @@ GROUP BY 1
 
 
 # --------------------------------------------------------------------------
+def dedup_dup_factor_profile(spark, sf_dir):
+    """(group_size, n_groups, n_docs, doc_share) — the histogram of
+    EXACT-duplicate group sizes (r13 continuation).  This is THE
+    statistic that prices the exact-duplicate collapse the r13
+    frontiers run on: a corpus whose doc mass sits in group_size > 1
+    rows shrinks its quadratic near-dup stages by the dup factor
+    squared, while an all-singletons profile says the collapse is one
+    cheap groupBy of pure insurance.  One text-keyed aggregate + one
+    histogram aggregate over the |distinct group sizes| relation;
+    doc_share is an integer ratio divided once and rounded — exact in
+    both engines."""
+    d = t(spark, sf_dir, "documents")
+    g = d.groupBy("text").agg(
+        F.count(F.lit(1)).cast("long").alias("group_size")
+    )
+    prof = g.groupBy("group_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups")
+    ).withColumn(
+        "n_docs", (F.col("group_size") * F.col("n_groups")).cast("long")
+    )
+    tot = prof.agg(F.sum("n_docs").cast("long").alias("_total"))
+    return (
+        prof.crossJoin(F.broadcast(tot))
+        .select(
+            "group_size",
+            "n_groups",
+            "n_docs",
+            F.round(
+                F.col("n_docs").cast("double") / F.col("_total"), 6
+            ).alias("doc_share"),
+        )
+    )
+
+
+DUP_FACTOR_SQL = """
+WITH g AS (
+  SELECT CAST(count(*) AS BIGINT) AS group_size FROM documents GROUP BY text
+),
+p AS (
+  SELECT group_size,
+         CAST(count(*) AS BIGINT) AS n_groups,
+         CAST(group_size * count(*) AS BIGINT) AS n_docs
+  FROM g GROUP BY 1
+),
+t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM p)
+SELECT p.group_size, p.n_groups, p.n_docs,
+       round(CAST(p.n_docs AS DOUBLE) / t.total, 6) AS doc_share
+FROM p, t
+"""
+
+
+# --------------------------------------------------------------------------
 def dedup_minhash_signatures(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     sigs = minhash_signatures(d, "doc_id", "text", num_hashes=8, shingle_k=3)
@@ -4504,6 +4556,12 @@ QUERIES: dict[str, Q] = {
     "text_emotion_by_source": Q(text_emotion_by_source, TEXT_EMO_SOURCE_SQL),
     "text_filter_topk": Q(text_filter_topk, TEXT_FILTER_TOPK_SQL),
     "dedup_exact_stats": Q(dedup_exact_stats, DEDUP_EXACT_SQL),
+    "dedup_dup_factor_profile": Q(
+        dedup_dup_factor_profile,
+        DUP_FACTOR_SQL,
+        "histogram of exact-duplicate group sizes — the dup-factor"
+        " statistic that prices the r13 collapse strategy",
+    ),
     "dedup_minhash_signatures": Q(dedup_minhash_signatures, DEDUP_MINHASH_SQL),
     "dedup_minhash_lsh_candidates": Q(
         dedup_minhash_lsh_candidates, DEDUP_LSH_SQL

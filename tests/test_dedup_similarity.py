@@ -1012,3 +1012,31 @@ def test_banding_frontier_group_expansion_equals_doc_level(spark, tmp_path):
             s, (r["tp"], r["fn"], r["fp"]), (tp, fn, fp)
         )
         assert r["n_truth"] == tp + fn and r["n_candidates"] == tp + fp
+
+
+def test_dup_factor_profile_counts(spark, tmp_path):
+    """Histogram of exact-duplicate group sizes on crafted groups:
+    3+2+2+1 copies of four texts ⇒ rows (3,1,3), (2,2,4), (1,1,1) with
+    doc shares out of 8."""
+    from rick_and_morty_data_pipeline_project_spark.queries.textq import (
+        dedup_dup_factor_profile,
+    )
+
+    rows = []
+    for rep, copies in enumerate((3, 2, 2, 1)):
+        for c in range(copies):
+            rows.append((rep + 10 * c, f"text number {rep} body"))
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(tmp_path / "docs" / "documents.parquet")
+    )
+    got = {
+        r["group_size"]: (r["n_groups"], r["n_docs"], r["doc_share"])
+        for r in dedup_dup_factor_profile(
+            spark, str(tmp_path / "docs")
+        ).collect()
+    }
+    assert got == {
+        3: (1, 3, round(3 / 8, 6)),
+        2: (2, 4, round(4 / 8, 6)),
+        1: (1, 1, round(1 / 8, 6)),
+    }
