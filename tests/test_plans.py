@@ -1505,3 +1505,17 @@ def test_kmv_set_ops_joins_are_hash_joinable(spark):
     tree = plan.split("\n\n")[0]
     assert "BroadcastNestedLoopJoin" not in tree, tree
     assert "BroadcastHashJoin" in tree, tree
+
+
+def test_collapsed_frontiers_scan_corpus_once(spark):
+    """The r13 exact-duplicate collapse localCheckpoints the (text,
+    rep-id, group-size) relation, so the ENTIRE frontier pipeline —
+    posting/band self-joins, size lookups, scalar aggregates — must
+    read that materialization (Scan ExistingRDD) and never re-scan the
+    documents parquet: the corpus is touched exactly once per query,
+    the property that matters when `documents` is 100 TB."""
+    for name in ("dedup_threshold_frontier", "dedup_lsh_banding_frontier"):
+        plan = formatted_plan(QUERIES[name].fn(spark, SF_SMALL))
+        assert "Scan parquet" not in plan, (name, "re-scans the corpus")
+        assert plan.count("Scan ExistingRDD") >= 2, (
+            name, "checkpoint not multi-consumed")
