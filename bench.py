@@ -29,22 +29,22 @@ QUIET_LOAD_MAX = 3.0
 # carried IN the artifact so a reviewer of a contended recording can
 # compare like-for-like without hunting through PERFORMANCE.md.
 # Updated whenever the builder re-measures on a quiet host.
-# r12 re-measure (the r11 verdict's item 3): three --require-quiet
-# runs of identical battery code at pre-loads 0.14/0.26/2.82 →
-# 11.583/13.269/13.960; the min is recorded.  11.583 at a truly idle
-# moment is the BEST measurement of the post-r8 host era — better
-# than the r11 narrative quiet run (12.129 at 0.86) and within 2% of
-# the r8-era 11.796 previously annotated as an unreproducible host
-# mode.  The 20% spread across the three same-day, same-code runs IS
-# the documented host envelope; the r8 annotation stays below for
-# history.
+# r13 re-measure: three --require-quiet runs of identical battery
+# code at pre-loads 0.06/0.23/1.27 → 13.748/12.574/10.599; the min is
+# recorded.  10.599 is the best measurement of ANY era — 8.5% under
+# the r12 reference (11.583) and 10% under the r8-era host mode
+# (11.796) — on battery code that did not change this round, so it
+# extends the documented host envelope downward rather than marking a
+# code speedup.  The r12 reference and the r8 annotation stay below
+# for history; same-day spreads of ~20-30% across identical code
+# remain the documented envelope.
 BUILDER_QUIET_REFERENCE = {
-    "value": 11.583,
-    "host_load_1m_pre": 0.14,
-    "recorded": "2026-08-16 (round 12; --require-quiet protocol, "
-    "quiet_host true; same-day same-code runs 13.269 at 0.26 and "
-    "13.960 at 2.82 — a 20% spread that IS the host envelope; this "
-    "run sits within 2% of the r8-era 11.796 host mode)",
+    "value": 10.599,
+    "host_load_1m_pre": 1.27,
+    "recorded": "2026-08-16 (round 13; --require-quiet protocol, "
+    "quiet_host true; same-day same-code runs 12.574 at 0.23 and "
+    "13.748 at 0.06 — the ~30% spread on identical code IS the host "
+    "envelope; prior reference: 11.583 at 0.14, round 12)",
     "historical_host_mode": {
         "value": 11.796,
         "host_load_1m_pre": 0.03,
