@@ -542,10 +542,15 @@ def main() -> None:
         ng = dict(newest_green)
         for n in DRIVER_WINDOW:
             ng[n] = max_round + 1
+        # Never-certified oracled queries are MAXIMALLY stale — treat a
+        # missing newest_green as round 0 so they surface in the
+        # projection instead of being silently dropped (they are also
+        # rule-1 debt, reported above, but the projected wave should
+        # not under-count them).
         nxt = sorted(
             (n for n in oracled
-             if n in ng and (max_round + 1 - ng[n]) > MAX_GREEN_AGE),
-            key=lambda n: (ng[n], n),
+             if (max_round + 1 - ng.get(n, 0)) > MAX_GREEN_AGE),
+            key=lambda n: (ng.get(n, 0), n),
         )
         floor_n = max(0, len(oracled) - 50 * MAX_GREEN_AGE)
         print(f"\nprojected over-age at r{max_round + 2:02d}-start "
@@ -556,7 +561,8 @@ def main() -> None:
               f"≥ {floor_n} — sweep coverage is the standing mechanism "
               f"for this remainder, policy v2)")
         for n in nxt:
-            print(f"  {n} (r{ng[n]:02d})")
+            tag = (f"r{ng[n]:02d}" if n in ng else "never-certified")
+            print(f"  {n} ({tag})")
 
     if carryover:
         print(f"\nstale-carryover (changed at a freeze while unscheduled; "
