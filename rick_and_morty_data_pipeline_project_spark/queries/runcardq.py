@@ -60,12 +60,28 @@ def curation_run_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rick_and_morty_data_pipeline_project_spark.queries.textq import (
         dedup_lsh_banding_frontier,
         dedup_threshold_frontier,
+        shared_dedup_relations,
         text_quality_threshold_frontier,
     )
     from rick_and_morty_data_pipeline_project_spark.queries.vecxq import (
         knn_frontier_recall_cost,
         knn_ivf_probe_frontier,
+        shared_knn_relations,
     )
+
+    # r14 (r13 verdict item 5): the card's cost used to be the plain
+    # SUM of the five audited arms because each arm re-derived its
+    # inputs from scratch.  The two dedup arms now share ONE
+    # collapse-gated (doc_id, text, _g) relation and ONE weakest-
+    # threshold co-occurrence materialization (the banding truth set
+    # is its J ≥ 0.7 subset), and the two vector arms share the exact
+    # brute-force top-k and the coarse-quantizer centroid collect.
+    # Each arm's plan below the share points is unchanged — the
+    # decision tables the card ranks stay bit-identical to the
+    # standalone, driver-certified queries (pinned in
+    # tests/test_runcard.py).
+    dshared = shared_dedup_relations(spark, sf_dir)
+    vshared = shared_knn_relations(spark, sf_dir)
 
     def norm(df, stage, config, quality, cost, target_min):
         return df.select(
@@ -83,7 +99,7 @@ def curation_run_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     ann = norm(
-        knn_frontier_recall_cost(spark, sf_dir),
+        knn_frontier_recall_cost(spark, sf_dir, _shared=vshared),
         "ann_index",
         F.col("variant"),
         F.col("mean_recall"),
@@ -91,7 +107,7 @@ def curation_run_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         ANN_RECALL_MIN,
     )
     probe = norm(
-        knn_ivf_probe_frontier(spark, sf_dir),
+        knn_ivf_probe_frontier(spark, sf_dir, _shared=vshared),
         "ivf_probes",
         F.col("n_probe"),
         F.col("mean_recall"),
@@ -99,7 +115,7 @@ def curation_run_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         PROBE_RECALL_MIN,
     )
     band = norm(
-        dedup_lsh_banding_frontier(spark, sf_dir),
+        dedup_lsh_banding_frontier(spark, sf_dir, _shared=dshared),
         "lsh_banding",
         F.concat(
             F.col("n_bands").cast("string"),
@@ -113,7 +129,7 @@ def curation_run_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggressiveness preference: LOWER threshold removes more, so the
     # threshold itself is the rank cost
     thresh = norm(
-        dedup_threshold_frontier(spark, sf_dir),
+        dedup_threshold_frontier(spark, sf_dir, _shared=dshared),
         "dedup_threshold",
         F.col("threshold_pct"),
         F.col("retention"),

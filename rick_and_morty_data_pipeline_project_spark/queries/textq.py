@@ -608,6 +608,110 @@ FROM conf
 
 
 # ---------------------------------------------------------------------------
+# Profile-gated exact-duplicate collapse (r14; r13 verdict item 4).
+# The r13 collapse made the two dedup frontiers run their quadratic
+# stages on |distinct texts| — a dup-factor² win on twin-heavy corpora
+# — but paid an unconditional full-width groupBy(text) (+ checkpoint)
+# of ~2 s/query on the all-singleton sf0.1 base.  The gate prices that
+# insurance with ONE cheap probe before choosing a plan, the same
+# bounded single-row-collect dispatch shape as sample_source_mixture's
+# window/salted-top-k gate:
+#
+#   count(*) vs count(DISTINCT xxhash64(text))
+#
+# shuffles 8-byte hashes with map-side partial aggregation instead of
+# full document texts.  BOTH branches are exact — the direct path IS
+# the doc-level oracle semantics, and the collapse path equals it by
+# the r13 expansion identities — so the gate is a pure cost decision:
+# the collapse pays a linear full-width groupBy(text) to shrink the
+# quadratic pair stages by (n/h)², which only pays when a material
+# fraction of the doc mass is collapsible.  The dispatch requires
+# ≥ 5% collapsible rows (n − h ≥ 0.05·h): the ×20/×100 tiled tiers
+# (dup factor 20+) collapse, while a stray handful of twins (sf0.1
+# ships 8 in 5000) keeps the cheap direct plan.  xxhash64 collisions
+# between DIFFERENT texts only inflate the apparent dup count —
+# conservative toward the collapse branch, never toward missing one.
+# Path equivalence on dup-heavy input is pinned by forcing both
+# branches in tests/test_dedup_similarity.py (the
+# sample_source_mixture bit-identity precedent).
+
+_COLLAPSE_MIN_DUP_SHARE = 0.05
+
+
+def _dup_collapse_gate(d, force=None):
+    """(groups, collapsed): ``groups`` is one row per distinct text
+    ``(doc_id = group-min, text, _g = group size)`` when collapsed,
+    else the corpus itself with ``_g = 1`` (module comment above).
+    ``force``: ``"collapse"`` / ``"direct"`` skip the probe (tests +
+    multi-arm consumers that already ran it)."""
+    if force is None:
+        probe = d.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct(F.xxhash64("text")).alias("h"),
+        ).collect()[0]
+        collapsed = (probe["n"] - probe["h"]) >= (
+            _COLLAPSE_MIN_DUP_SHARE * probe["h"]
+        )
+    else:
+        collapsed = force == "collapse"
+    if not collapsed:
+        return (
+            d.select(
+                "doc_id", "text", F.lit(1).cast("long").alias("_g")
+            ),
+            False,
+        )
+    return (
+        d.groupBy("text")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("_g"),
+        )
+        .localCheckpoint(),
+        True,
+    )
+
+
+def shared_dedup_relations(spark, sf_dir, dup_path=None):
+    """(groups, collapsed, co) built ONCE for multi-arm consumers —
+    the run-card composition runs BOTH dedup frontiers, and before r14
+    each independently re-scanned and re-shingled the same corpus.
+    ``co`` is the weakest-threshold QUALIFYING co-occurrence relation
+    (id_a, id_b, _c, _na, _nb), i.e. pairs with J ≥ the weakest swept
+    threshold: the threshold sweep consumes it directly and the
+    banding frontier's exact-truth set is its J ≥ 0.7 subset (a pair
+    with J ≥ 0.7 has size ratio ≥ 0.7, so the 0.1 length-filter
+    pruning loses nothing).  The J-filter is applied BEFORE the
+    localCheckpoint — the raw co-occurrence relation (every pair
+    sharing ≥ 1 shingle) is orders of magnitude larger than the
+    qualifying set and must never be materialized (measured: 5× the
+    whole card's wall when it was)."""
+    from rick_and_morty_data_pipeline_project_spark.operators.dedup import (
+        _ngram_cooccurrence,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    groups, collapsed = _dup_collapse_gate(d, force=dup_path)
+    weakest = min(_DEDUP_SWEEP_PCTS)
+    co = (
+        _ngram_cooccurrence(
+            groups.withColumn("_blk", F.lit(1)),
+            "doc_id",
+            "text",
+            "_blk",
+            3,
+            size_ratio_min=weakest / 100.0,
+        )
+        .filter(
+            F.lit(100) * F.col("_c")
+            >= F.lit(weakest) * (F.col("_na") + F.col("_nb") - F.col("_c"))
+        )
+        .localCheckpoint()
+    )
+    return groups, collapsed, co
+
+
+# ---------------------------------------------------------------------------
 # LSH banding-parameter sweep (r12 continuation — the dedup twin of
 # knn_ivf_probe_frontier): recall/precision of EVERY banding of the
 # 8-hash MinHash signature against exact 3-gram Jaccard ≥ 0.7 truth,
@@ -624,18 +728,22 @@ FROM conf
 _BANDING_SIZES = (1, 2, 4, 8)
 
 
-def dedup_lsh_banding_frontier(spark, sf_dir):
+def dedup_lsh_banding_frontier(spark, sf_dir, dup_path=None, _shared=None):
     """(band_size, n_bands, n_truth, n_candidates, tp, fn, fp, recall,
     precision) for every banding of the 8-hash signature — the
     recall/precision/cost frontier of MinHash LSH (module comment
-    above)."""
+    above).
+
+    ``dup_path`` forces the collapse gate's branch (tests pin both
+    branches bit-identical); ``_shared`` is the
+    :func:`shared_dedup_relations` triple when the run card amortizes
+    the corpus scan/shingle across both dedup arms."""
     from rick_and_morty_data_pipeline_project_spark.operators.dedup import (
         minhash_signatures,
     )
 
-    d = t(spark, sf_dir, "documents")
-    # EXACT-DUPLICATE COLLAPSE (r13, same identity family as
-    # dedup_threshold_frontier): identical texts ⇒ identical shingle
+    # EXACT-DUPLICATE COLLAPSE (r13, profile-gated r14 — gate comment
+    # above _dup_collapse_gate): identical texts ⇒ identical shingle
     # sets ⇒ identical MinHash signatures ⇒ the pair is an LSH
     # candidate at EVERY banding and a truth pair (J = 1 ≥ 0.7), so
     # within-group doc pairs contribute C(g,2) to tp at every
@@ -647,14 +755,12 @@ def dedup_lsh_banding_frontier(spark, sf_dir):
     # expansion identities are pinned against a doc-level Python
     # reference in tests/test_dedup_similarity.py; the oracle stays the
     # doc-level SQL.
-    groups = (
-        d.groupBy("text")
-        .agg(
-            F.min("doc_id").alias("doc_id"),
-            F.count(F.lit(1)).alias("_g"),
-        )
-        .localCheckpoint()
-    )
+    if _shared is not None:
+        groups, collapsed, co = _shared
+    else:
+        d = t(spark, sf_dir, "documents")
+        groups, collapsed = _dup_collapse_gate(d, force=dup_path)
+        co = None
     gsz = groups.select("doc_id", "_g")
     sigs = minhash_signatures(
         groups, "doc_id", "text", num_hashes=8, shingle_k=3
@@ -682,7 +788,11 @@ def dedup_lsh_banding_frontier(spark, sf_dir):
         "band_size", "band", F.col("doc_id").alias("id_b")
     )
     # group-pair weight = g_a·g_b doc pairs represented by a rep pair
+    # (all-singleton direct path: every weight is literally 1 — the
+    # two join stages vanish from the plan instead of multiplying by 1)
     def _weighted(df, wname):
+        if not collapsed:
+            return df.withColumn(wname, F.lit(1).cast("long"))
         return (
             df.join(
                 gsz.select(
@@ -707,18 +817,35 @@ def dedup_lsh_banding_frontier(spark, sf_dir):
         .dropDuplicates(["band_size", "id_a", "id_b"]),
         "_c",
     )
-    truth = (
-        _weighted(
-            ngram_jaccard_pairs(
-                groups.withColumn("_blk", F.lit(1)),
-                "doc_id",
-                "text",
-                "_blk",
-                shingle_k=3,
-                threshold=0.7,
-            ).select("id_a", "id_b"),
-            "_t",
+    if co is not None:
+        # shared co-occurrence (run-card mode): the J ≥ 0.7 truth set
+        # is a pure filter over the already-materialized weakest-
+        # threshold relation — same float expression as
+        # ngram_jaccard_pairs, so the pair set is identical and the
+        # posting join is not paid a second time.
+        tpairs = (
+            co.select(
+                "id_a",
+                "id_b",
+                (
+                    F.col("_c")
+                    / (F.col("_na") + F.col("_nb") - F.col("_c"))
+                ).alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= 0.7)
+            .select("id_a", "id_b")
         )
+    else:
+        tpairs = ngram_jaccard_pairs(
+            groups.withColumn("_blk", F.lit(1)),
+            "doc_id",
+            "text",
+            "_blk",
+            shingle_k=3,
+            threshold=0.7,
+        ).select("id_a", "id_b")
+    truth = (
+        _weighted(tpairs, "_t")
         # feeds the cross with all four configs — materialize the
         # posting join once (the multi-consumer pattern)
         .localCheckpoint()
@@ -895,16 +1022,20 @@ BANDING_FRONTIER_SQL = _banding_frontier_sql()
 _DEDUP_SWEEP_PCTS = (10, 30, 50, 70, 90)
 
 
-def dedup_threshold_frontier(spark, sf_dir):
+def dedup_threshold_frontier(spark, sf_dir, dup_path=None, _shared=None):
     """(threshold_pct, n_pairs, n_docs_removed, n_docs, retention) for
     Jaccard thresholds 10..90% — the aggressiveness dial a curation
     pipeline reads to pick its dedup threshold (module comment
-    above)."""
+    above).
+
+    ``dup_path`` forces the collapse gate's branch (tests pin both
+    branches bit-identical); ``_shared`` is the
+    :func:`shared_dedup_relations` triple when the run card amortizes
+    the corpus scan/shingle across both dedup arms."""
     from rick_and_morty_data_pipeline_project_spark.operators.dedup import (
         _ngram_cooccurrence,
     )
 
-    d = t(spark, sf_dir, "documents")
     # EXACT-DUPLICATE COLLAPSE before the quadratic stage (r13; the
     # curation-pipeline ordering — exact dedup, THEN near-dedup):
     # identical texts have identical shingle sets, so Jaccard is
@@ -932,22 +1063,23 @@ def dedup_threshold_frontier(spark, sf_dir):
     #                     + |{G seen as id_b in qual(t)}|  [group minima
     #       removed iff a qualifying neighbor group has a smaller min —
     #       id_a < id_b on rep ids IS the min comparison]
-    groups = (
-        d.groupBy("text")
-        .agg(
-            F.min("doc_id").alias("doc_id"),
-            F.count(F.lit(1)).alias("_g"),
+    # (r14: the collapse is now PROFILE-GATED — _dup_collapse_gate's
+    # module comment — so dup-free corpora skip the text groupBy and
+    # the weighting joins entirely, while the identities above keep
+    # the two branches bit-identical.)
+    if _shared is not None:
+        groups, collapsed, co = _shared
+    else:
+        d = t(spark, sf_dir, "documents")
+        groups, collapsed = _dup_collapse_gate(d, force=dup_path)
+        co = _ngram_cooccurrence(
+            groups.withColumn("_blk", F.lit(1)),
+            "doc_id",
+            "text",
+            "_blk",
+            3,
+            size_ratio_min=min(_DEDUP_SWEEP_PCTS) / 100.0,
         )
-        .localCheckpoint()
-    )
-    co = _ngram_cooccurrence(
-        groups.withColumn("_blk", F.lit(1)),
-        "doc_id",
-        "text",
-        "_blk",
-        3,
-        size_ratio_min=0.1,
-    )
     # prune with the WEAKEST swept threshold BEFORE the 5× fan-out
     # (lossless: every kept pair satisfies pct=10)
     weakest = min(_DEDUP_SWEEP_PCTS)
@@ -956,13 +1088,24 @@ def dedup_threshold_frontier(spark, sf_dir):
         >= F.lit(weakest) * (F.col("_na") + F.col("_nb") - F.col("_c"))
     )
     gsz = groups.select("doc_id", "_g")
-    qualg = qual.join(
-        gsz.select(F.col("doc_id").alias("id_a"), F.col("_g").alias("_ga")),
-        "id_a",
-    ).join(
-        gsz.select(F.col("doc_id").alias("id_b"), F.col("_g").alias("_gb")),
-        "id_b",
-    )
+    if collapsed:
+        qualg = qual.join(
+            gsz.select(
+                F.col("doc_id").alias("id_a"), F.col("_g").alias("_ga")
+            ),
+            "id_a",
+        ).join(
+            gsz.select(
+                F.col("doc_id").alias("id_b"), F.col("_g").alias("_gb")
+            ),
+            "id_b",
+        )
+    else:
+        # direct path: every group is a singleton, so the weights are
+        # literally 1 and the two re-joins vanish from the plan
+        qualg = qual.withColumn(
+            "_ga", F.lit(1).cast("long")
+        ).withColumn("_gb", F.lit(1).cast("long"))
     px = qualg.select(
         "id_a",
         "id_b",

@@ -1134,13 +1134,45 @@ _FRONT_IVFB_SHORT = 30  # knn_ivf_binary's shortlist
 _FRONT_SHORT = 50  # binary / sq8 shortlist
 
 
-def knn_frontier_recall_cost(spark, sf_dir):
+def shared_knn_relations(spark, sf_dir):
+    """(exact, cents_lit) built ONCE for multi-arm consumers — the
+    run-card composition runs BOTH vector decision tables
+    (knn_frontier_recall_cost and knn_ivf_probe_frontier), and before
+    r14 each independently recomputed the brute-force exact top-k AND
+    collected the head-id coarse-quantizer centroids.  ``exact`` is
+    localCheckpointed (it anchors recall in both tables); ``cents_lit``
+    is the centroid literal — one driver collect instead of two."""
+    from rick_and_morty_data_pipeline_project_spark.operators.similarity import (
+        centroids_literal,
+        head_centroid_pairs,
+        knn_bruteforce,
+    )
+
+    e = t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    exact = (
+        knn_bruteforce(queries, e, k=_K)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint()
+    )
+    cent_pairs = head_centroid_pairs(e, "vec_id", "embedding", 8)
+    cents_lit = centroids_literal(
+        cent_pairs, e.schema["vec_id"].dataType.simpleString()
+    )
+    return exact, cents_lit
+
+
+def knn_frontier_recall_cost(spark, sf_dir, _shared=None):
     """(variant, mean_recall, cand_pairs, bytes_per_cand,
     rerank_pairs, cost_bytes, on_frontier) — one row per
     candidate-restricting ANN variant; see the cost-model comment
     above.  Recall arms are the knn_recall_matrix pipelines; candidate
     counts reuse the operators' own bucket/cell expressions so the
-    cost column counts what the variants actually score."""
+    cost column counts what the variants actually score.
+
+    ``_shared`` is the :func:`shared_knn_relations` pair when the run
+    card amortizes the exact top-k + coarse-quantizer collect across
+    both vector decision tables."""
     from rick_and_morty_data_pipeline_project_spark.functions.vectors import (
         dot_col,
     )
@@ -1165,7 +1197,9 @@ def knn_frontier_recall_cost(spark, sf_dir):
 
     # ---- recall arms (the matrix's variants, means only) ----
     exact = (
-        knn_bruteforce(queries, e, k=_K)
+        _shared[0]
+        if _shared is not None
+        else knn_bruteforce(queries, e, k=_K)
         .select("query_id", "neighbor_id")
         .localCheckpoint()
     )
@@ -1254,10 +1288,13 @@ def knn_frontier_recall_cost(spark, sf_dir):
     # ivf / ivf_binary: probed-cell memberships under the shared
     # head-id coarse quantizer (identical pair count for both tiers);
     # per-query counts also bound ivf_binary's exact rerank
-    cent_pairs = head_centroid_pairs(e, "vec_id", "embedding", 8)
-    cents_lit = centroids_literal(
-        cent_pairs, e.schema["vec_id"].dataType.simpleString()
-    )
+    if _shared is not None:
+        cents_lit = _shared[1]
+    else:
+        cent_pairs = head_centroid_pairs(e, "vec_id", "embedding", 8)
+        cents_lit = centroids_literal(
+            cent_pairs, e.schema["vec_id"].dataType.simpleString()
+        )
     nc = _normalized(e, "vec_id", "embedding", "_id", "_nv")
     nq = _normalized(queries, "vec_id", "embedding", "_id", "_nv")
 
@@ -1505,12 +1542,16 @@ FRONTIER_SQL = _build_frontier_sql()
 # never the corpus.
 
 
-def knn_ivf_probe_frontier(spark, sf_dir):
+def knn_ivf_probe_frontier(spark, sf_dir, _shared=None):
     """(n_probe, cand_pairs, n_hits, mean_recall, marginal_recall)
     for n_probe = 1..8 under the shared head-id coarse quantizer —
     the recall-vs-probes tuning curve an IVF deployment reads to pick
     its operating point.  marginal_recall is the recall bought by the
-    p-th probe (lag difference; identical IEEE ops both engines)."""
+    p-th probe (lag difference; identical IEEE ops both engines).
+
+    ``_shared`` is the :func:`shared_knn_relations` pair when the run
+    card amortizes the exact top-k + coarse-quantizer collect across
+    both vector decision tables."""
     from rick_and_morty_data_pipeline_project_spark.functions.vectors import (
         dot_col,
     )
@@ -1526,10 +1567,13 @@ def knn_ivf_probe_frontier(spark, sf_dir):
     queries = e.filter(F.col("vec_id") < 10)
     n_cells = 8
 
-    cent_pairs = head_centroid_pairs(e, "vec_id", "embedding", n_cells)
-    cents_lit = centroids_literal(
-        cent_pairs, e.schema["vec_id"].dataType.simpleString()
-    )
+    if _shared is not None:
+        cents_lit = _shared[1]
+    else:
+        cent_pairs = head_centroid_pairs(e, "vec_id", "embedding", n_cells)
+        cents_lit = centroids_literal(
+            cent_pairs, e.schema["vec_id"].dataType.simpleString()
+        )
     nc = _normalized(e, "vec_id", "embedding", "_id", "_nv")
     nq = _normalized(queries, "vec_id", "embedding", "_id", "_nv")
 
@@ -1579,8 +1623,12 @@ def knn_ivf_probe_frontier(spark, sf_dir):
     # scoring pipeline executes once per branch (the knn_recall_matrix
     # multi-consumer lesson); the relation is |queries|·N·avg-fan rows
     ).localCheckpoint()
-    exact = knn_bruteforce(queries, e, k=_K).select(
-        "query_id", "neighbor_id"
+    exact = (
+        _shared[0]
+        if _shared is not None
+        else knn_bruteforce(queries, e, k=_K).select(
+            "query_id", "neighbor_id"
+        )
     )
     w = Window.partitionBy("n_probe", "query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")

@@ -859,13 +859,54 @@ def test_prefix_cooccurrence_equals_full_join(spark):
     )
 
 
+def test_dup_collapse_gate_dispatch(spark):
+    """The r14 profile gate (textq._dup_collapse_gate) must route a
+    dup-heavy corpus to the collapse branch and a (near-)dup-free one
+    to the direct branch — the ≥ 5% collapsible-mass margin means a
+    stray handful of twins (the sf0.1 shape: 8 in 5000) stays on the
+    cheap direct plan, while tiled corpora (every doc has 19 twins)
+    collapse."""
+    from rick_and_morty_data_pipeline_project_spark.queries.textq import (
+        _dup_collapse_gate,
+    )
+
+    singles = spark.createDataFrame(
+        [(i, f"unique text number {i} with words") for i in range(40)],
+        "doc_id long, text string",
+    )
+    g, collapsed = _dup_collapse_gate(singles)
+    assert not collapsed and g.count() == 40
+
+    # 40 docs, 2 distinct texts — 95% collapsible
+    twins = spark.createDataFrame(
+        [(i, f"twin text {i % 2}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    g, collapsed = _dup_collapse_gate(twins)
+    assert collapsed and g.count() == 2
+    # group stats: rep id is the group min, _g the group size
+    stats = {r["doc_id"]: r["_g"] for r in g.collect()}
+    assert stats == {0: 20, 1: 20}
+
+    # just-below-margin: 40 docs, 1 twin pair (2.5% < 5%) stays direct
+    near = spark.createDataFrame(
+        [(i, f"text {min(i, 38)}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    _, collapsed = _dup_collapse_gate(near)
+    assert not collapsed
+
+
 def test_threshold_frontier_group_expansion_equals_doc_level(spark, tmp_path):
     """The r13 exact-duplicate collapse inside dedup_threshold_frontier
     must reproduce the DOC-LEVEL counts exactly on a corpus where the
     expansion actually bites: exact-dup groups of varying size, cross-
     group near-dups, and an isolated doc.  Reference = the straight
     doc-level formulation (one posting join over ALL docs + per-
-    threshold predicate), computed in Python from first principles."""
+    threshold predicate), computed in Python from first principles.
+    r14: BOTH gate branches (forced) are asserted against the same
+    reference — the profile gate is a pure cost decision, so collapse
+    and direct must be bit-identical even on dup-heavy input."""
     from rick_and_morty_data_pipeline_project_spark.queries.textq import (
         _DEDUP_SWEEP_PCTS,
         dedup_threshold_frontier,
@@ -889,9 +930,23 @@ def test_threshold_frontier_group_expansion_equals_doc_level(spark, tmp_path):
     out_dir = str(tmp_path / "docs")
     df.write.parquet(out_dir + "/documents.parquet")
 
+    per_path = [
+        {
+            r["threshold_pct"]: tuple(r)
+            for r in dedup_threshold_frontier(
+                spark, str(tmp_path / "docs"), dup_path=path
+            ).collect()
+        }
+        for path in (None, "collapse", "direct")
+    ]
+    assert per_path[0] == per_path[1] == per_path[2], (
+        "gate branches diverge"
+    )
     got = {
         r["threshold_pct"]: r
-        for r in dedup_threshold_frontier(spark, str(tmp_path / "docs")).collect()
+        for r in dedup_threshold_frontier(
+            spark, str(tmp_path / "docs")
+        ).collect()
     }
 
     # ---- doc-level reference in plain Python ----
@@ -958,6 +1013,18 @@ def test_banding_frontier_group_expansion_equals_doc_level(spark, tmp_path):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     df.write.parquet(str(tmp_path / "docs" / "documents.parquet"))
 
+    per_path = [
+        {
+            r["band_size"]: tuple(r)
+            for r in dedup_lsh_banding_frontier(
+                spark, str(tmp_path / "docs"), dup_path=path
+            ).collect()
+        }
+        for path in (None, "collapse", "direct")
+    ]
+    assert per_path[0] == per_path[1] == per_path[2], (
+        "gate branches diverge"
+    )
     got = {
         r["band_size"]: r
         for r in dedup_lsh_banding_frontier(

@@ -1508,14 +1508,29 @@ def test_kmv_set_ops_joins_are_hash_joinable(spark):
 
 
 def test_collapsed_frontiers_scan_corpus_once(spark):
-    """The r13 exact-duplicate collapse localCheckpoints the (text,
-    rep-id, group-size) relation, so the ENTIRE frontier pipeline —
+    """On the COLLAPSE branch (r13) the frontier localCheckpoints the
+    (text, rep-id, group-size) relation, so the ENTIRE pipeline —
     posting/band self-joins, size lookups, scalar aggregates — must
     read that materialization (Scan ExistingRDD) and never re-scan the
-    documents parquet: the corpus is touched exactly once per query,
-    the property that matters when `documents` is 100 TB."""
+    documents parquet: a dup-heavy corpus is touched exactly once per
+    query, the property that matters when `documents` is 100 TB.  On
+    the r14 gated DIRECT branch (dup-free corpus) the trade inverts:
+    materializing ~|corpus| distinct texts would cost more than
+    re-reading a column-pruned parquet scan, so the plan must read
+    parquet and contain NO checkpoint scan."""
     for name in ("dedup_threshold_frontier", "dedup_lsh_banding_frontier"):
-        plan = formatted_plan(QUERIES[name].fn(spark, SF_SMALL))
+        plan = formatted_plan(
+            QUERIES[name].fn(spark, SF_SMALL, dup_path="collapse")
+        )
         assert "Scan parquet" not in plan, (name, "re-scans the corpus")
         assert plan.count("Scan ExistingRDD") >= 2, (
             name, "checkpoint not multi-consumed")
+        # direct branch: the corpus stays a (column-pruned) parquet
+        # scan — no full-width text groupBy materialization.  (Scan
+        # ExistingRDD still appears for the tiny literal config spines
+        # and the banding truth checkpoint, so parquet presence is the
+        # discriminating property.)
+        direct = formatted_plan(
+            QUERIES[name].fn(spark, SF_SMALL, dup_path="direct")
+        )
+        assert "Scan parquet" in direct, (name, "direct path lost the scan")
