@@ -137,15 +137,41 @@ def ngram_prefix_cooccurrence(
     (Xiao et al. WWW'08, public method) instead of the full posting
     co-occurrence join.
 
-    Why this exists (r12 verdict item 4): threshold-sweep consumers
-    like ``dedup_threshold_frontier`` only ever read pairs with
-    J ≥ min(swept thresholds), yet the full co-occurrence join pays to
-    AGGREGATE every pair sharing even one shingle — at 20× documents
-    that J ≈ 0 noise mass was ~the whole 27.9× wall.  Prefix filtering
-    removes each document's ⌈t·n⌉−1 most-frequent shingles from the
-    INDEX side (rarest-first global order), so the head shingles whose
-    df² dominates the collision mass generate no candidates, and only
-    surviving candidate pairs are exactly verified.
+    STATUS (r14): LIBRARY-ONLY, formally adjudicated — no catalog
+    query consumes this operator, by measurement (COVERAGE.md
+    §"Library-only operators — FROZEN at 1"; pinned in
+    tests/test_dedup_similarity.py).  Born as the r12 verdict-item-4
+    hypothesis for the threshold sweep; measured and REJECTED twice:
+
+    * r13, threshold 10% (the sweep's weakest): the prefix keeps ~90%
+      of every document's shingles, candidates exploded to ~25M pairs
+      at ×5 docs, ×20 killed at 16 min (PERFORMANCE.md "negative
+      result"); the exact-duplicate collapse won instead.
+    * r14, the HIGH-threshold region this docstring used to claim as
+      the win path: at sf0.1, k=3/70% ran 6.61 s vs 2.54 s for the
+      aggregate-once co-occurrence join + filter, and k=5/60%
+      (a genuinely sparse vocabulary: 238k distinct shingles, max
+      df = 4) ran 4.13 s vs 2.88 s.  When the vocabulary is sparse the
+      full join's collision mass is already tiny, and when it is dense
+      the operator's fixed stages (posting checkpoint, df window, two
+      verify joins) dominate — on every corpus/threshold reachable
+      from this testdata the simple join wins.
+
+    The win region that keeps the operator in the library: a
+    Zipf-headed shingle distribution at a corpus scale where
+    Σ_s df(s)² dwarfs the qualifying-pair count AND the threshold is
+    high enough to exclude the head shingles from every prefix — the
+    published PPJoin setting (Xiao WWW'08 §6 wins on DBLP/TREC at
+    t ≥ 0.8).  That shape is real at web scale but not constructible
+    from the bounded-vocabulary synthetic corpus here, so the operator
+    stays exact-contract-tested (equality vs the full join) and
+    unconsumed rather than wired to a query it would slow down.
+
+    Mechanism: prefix filtering removes each document's ⌈t·n⌉−1
+    most-frequent shingles from the INDEX side (rarest-first global
+    order), so the head shingles whose df² dominates the collision
+    mass generate no candidates, and only surviving candidate pairs
+    are exactly verified.
 
     Exactness: any pair with J ≥ t shares ≥ ⌈t·max(|A|,|B|)⌉ ≥ 1
     shingles beyond either document's excluded head (pigeonhole on the

@@ -806,6 +806,53 @@ def test_threshold_frontier_monotone(spark):
         ) < 1e-12
 
 
+def test_library_only_setjoin_operator_frozen():
+    """Pin of the LIBRARY-ONLY adjudication (COVERAGE.md §"Library-only
+    operators — FROZEN at 1", r14): ngram_prefix_cooccurrence is fully
+    implemented and exact-contract-tested (test below) but consumed by
+    NO catalog query, because measurement rejected every reachable
+    consumer twice — r13 at the 10% sweep threshold (candidate
+    explosion) and r14 at the high-threshold region (fixed-stage
+    overhead; numbers in the operator docstring and PERFORMANCE.md).
+    Promoting it to a consumer — or adding more unconsumed operators —
+    must update BOTH the COVERAGE.md table and this frozen set in the
+    same change, so dead code can never accrete silently."""
+    import glob
+    import os
+
+    import rick_and_morty_data_pipeline_project_spark.operators.setjoin as sj
+
+    frozen = {"ngram_prefix_cooccurrence"}
+    assert hasattr(sj, "ngram_prefix_cooccurrence")
+
+    qdir = os.path.join(os.path.dirname(sj.__file__), "..", "queries")
+    consumers = {
+        name
+        for path in glob.glob(os.path.join(qdir, "*.py"))
+        for name in frozen
+        if name in open(path, encoding="utf-8").read()
+    }
+    assert consumers == set(), (
+        f"frozen library-only operator gained a catalog consumer: "
+        f"{consumers} — update COVERAGE.md and this pin together"
+    )
+    # every OTHER public setjoin operator must have a catalog consumer
+    # (the invariant the adjudication protects)
+    public = {
+        n
+        for n in dir(sj)
+        if not n.startswith("_")
+        and callable(getattr(sj, n))
+        and getattr(getattr(sj, n), "__module__", "") == sj.__name__
+    }
+    for name in sorted(public - frozen):
+        used = any(
+            name in open(p, encoding="utf-8").read()
+            for p in glob.glob(os.path.join(qdir, "*.py"))
+        )
+        assert used, f"{name} has no catalog consumer and is not frozen"
+
+
 def test_prefix_cooccurrence_equals_full_join(spark):
     """ngram_prefix_cooccurrence must return EXACTLY the pairs (with
     exact counts) that the full posting co-occurrence join yields after
