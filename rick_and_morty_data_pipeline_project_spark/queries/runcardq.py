@@ -52,11 +52,34 @@ BANDING_RECALL_MIN = 0.90
 DEDUP_RETENTION_MIN = 0.95
 QUALITY_TOKEN_RETENTION_MIN = 0.50
 
+# What-if policy points (r14, r13 verdict stretch 9): the targets the
+# parameterized twin sweeps per stage — each stage's standing target
+# sits in the middle of its sweep so the card's chosen row is always
+# one of the twin's rows.  Tuple order is (lenient, standing, strict).
+WHATIF_TARGETS: dict[str, tuple[float, ...]] = {
+    "ann_index": (0.40, ANN_RECALL_MIN, 0.80),
+    "ivf_probes": (0.60, PROBE_RECALL_MIN, 0.99),
+    "lsh_banding": (0.60, BANDING_RECALL_MIN, 0.99),
+    "dedup_threshold": (0.80, DEDUP_RETENTION_MIN, 0.99),
+    "quality_threshold": (0.25, QUALITY_TOKEN_RETENTION_MIN, 0.75),
+}
 
-def curation_run_card(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(stage, config, quality_value, cost_value, meets_target) — one
-    row per pipeline stage, the config each stage's policy selects
-    from its decision table (module comment above)."""
+
+def _norm_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ~33-row normalized (stage, config, quality_value,
+    cost_value) relation underlying BOTH the run card and its what-if
+    twin — every row of every decision table, mapped onto one schema.
+
+    r14 (r13 verdict item 5): this used to cost the plain SUM of the
+    five audited arms because each arm re-derived its inputs from
+    scratch.  The two dedup arms now share ONE collapse-gated
+    (doc_id, text, _g) relation and ONE weakest-threshold
+    co-occurrence materialization (the banding truth set is its
+    J ≥ 0.7 subset), and the two vector arms share the exact
+    brute-force top-k and the coarse-quantizer centroid collect.
+    Each arm's plan below the share points is unchanged — the
+    decision tables stay bit-identical to the standalone,
+    driver-certified queries (pinned in tests/test_runcard.py)."""
     from rick_and_morty_data_pipeline_project_spark.queries.textq import (
         dedup_lsh_banding_frontier,
         dedup_threshold_frontier,
@@ -69,33 +92,15 @@ def curation_run_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         shared_knn_relations,
     )
 
-    # r14 (r13 verdict item 5): the card's cost used to be the plain
-    # SUM of the five audited arms because each arm re-derived its
-    # inputs from scratch.  The two dedup arms now share ONE
-    # collapse-gated (doc_id, text, _g) relation and ONE weakest-
-    # threshold co-occurrence materialization (the banding truth set
-    # is its J ≥ 0.7 subset), and the two vector arms share the exact
-    # brute-force top-k and the coarse-quantizer centroid collect.
-    # Each arm's plan below the share points is unchanged — the
-    # decision tables the card ranks stay bit-identical to the
-    # standalone, driver-certified queries (pinned in
-    # tests/test_runcard.py).
     dshared = shared_dedup_relations(spark, sf_dir)
     vshared = shared_knn_relations(spark, sf_dir)
 
-    def norm(df, stage, config, quality, cost, target_min):
+    def norm(df, stage, config, quality, cost):
         return df.select(
             F.lit(stage).alias("stage"),
             config.cast("string").alias("config"),
             quality.cast("double").alias("quality_value"),
             cost.cast("double").alias("cost_value"),
-            # NULL quality (e.g. undefined recall on an empty truth
-            # set) must read as "does not meet" — when().otherwise(0)
-            # sends NULL conditions to the 0 branch, same as SQL CASE.
-            F.when(quality >= F.lit(target_min), 1)
-            .otherwise(0)
-            .cast("int")
-            .alias("meets_target"),
         )
 
     ann = norm(
@@ -104,7 +109,6 @@ def curation_run_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("variant"),
         F.col("mean_recall"),
         F.col("cost_bytes"),
-        ANN_RECALL_MIN,
     )
     probe = norm(
         knn_ivf_probe_frontier(spark, sf_dir, _shared=vshared),
@@ -112,7 +116,6 @@ def curation_run_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_probe"),
         F.col("mean_recall"),
         F.col("cand_pairs"),
-        PROBE_RECALL_MIN,
     )
     band = norm(
         dedup_lsh_banding_frontier(spark, sf_dir, _shared=dshared),
@@ -124,7 +127,6 @@ def curation_run_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("recall"),
         F.col("n_candidates"),
-        BANDING_RECALL_MIN,
     )
     # aggressiveness preference: LOWER threshold removes more, so the
     # threshold itself is the rank cost
@@ -134,7 +136,6 @@ def curation_run_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("threshold_pct"),
         F.col("retention"),
         F.col("threshold_pct"),
-        DEDUP_RETENTION_MIN,
     )
     # strictness preference: HIGHER threshold filters harder, so rank
     # cost is the complement
@@ -144,19 +145,85 @@ def curation_run_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("threshold_pct"),
         F.col("token_retention"),
         F.lit(100) - F.col("threshold_pct"),
-        QUALITY_TOKEN_RETENTION_MIN,
     )
 
-    union = ann.unionByName(probe).unionByName(band).unionByName(
+    return ann.unionByName(probe).unionByName(band).unionByName(
         thresh
     ).unionByName(qual)
-    w = Window.partitionBy("stage").orderBy(
+
+
+def _pick(union: DataFrame, keys: list[str]) -> DataFrame:
+    """One chosen row per key group: meets_target DESC, cost ASC,
+    config ASC — NULL quality (e.g. undefined recall on an empty truth
+    set) reads as "does not meet" via when().otherwise(0), same as SQL
+    CASE."""
+    w = Window.partitionBy(*keys).orderBy(
         F.desc("meets_target"), F.asc("cost_value"), F.asc("config")
     )
     return (
         union.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
+    )
+
+
+def curation_run_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(stage, config, quality_value, cost_value, meets_target) — one
+    row per pipeline stage, the config each stage's policy selects
+    from its decision table (module comment above)."""
+    targets = {s: t[1] for s, t in WHATIF_TARGETS.items()}
+    tgt = F.when(
+        F.col("stage") == "ann_index", F.lit(targets["ann_index"])
+    )
+    for s in (
+        "ivf_probes", "lsh_banding", "dedup_threshold",
+        "quality_threshold",
+    ):
+        tgt = tgt.when(F.col("stage") == s, F.lit(targets[s]))
+    union = _norm_union(spark, sf_dir).withColumn(
+        "meets_target",
+        F.when(F.col("quality_value") >= tgt, 1).otherwise(0).cast("int"),
+    )
+    return _pick(union, ["stage"])
+
+
+def curation_run_card_whatif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(stage, target_min, config, quality_value, cost_value,
+    meets_target) — the run card as a DECISION SURFACE (r13 verdict
+    stretch 9): every stage's chosen config at each of its three
+    policy points (lenient / standing / strict, WHATIF_TARGETS), so an
+    operator reads how the selection MOVES as the target tightens
+    instead of a single hard-coded operating point.  One extra
+    broadcast fan-out (3 rows/stage) over the same ~33-row normalized
+    relation the card ranks — the five component pipelines run once.
+
+    The standing-target rows reproduce the card's selection exactly
+    (pinned in tests/test_runcard.py)."""
+    pts = spark.createDataFrame(
+        [(s, t) for s, ts in sorted(WHATIF_TARGETS.items()) for t in ts],
+        "stage string, target_min double",
+    )
+    union = (
+        _norm_union(spark, sf_dir)
+        # localCheckpoint: the 33-row relation feeds the 3-point
+        # fan-out; without it every policy point would re-execute the
+        # five component pipelines (the multi-consumer pattern)
+        .localCheckpoint()
+        .join(F.broadcast(pts), "stage")
+        .withColumn(
+            "meets_target",
+            F.when(F.col("quality_value") >= F.col("target_min"), 1)
+            .otherwise(0)
+            .cast("int"),
+        )
+    )
+    return _pick(union, ["stage", "target_min"]).select(
+        "stage",
+        "target_min",
+        "config",
+        "quality_value",
+        "cost_value",
+        "meets_target",
     )
 
 
@@ -222,6 +289,77 @@ FROM ranked WHERE rn = 1
 
 RUN_CARD_SQL = _run_card_sql()
 
+
+def _whatif_sql() -> str:
+    from rick_and_morty_data_pipeline_project_spark.queries.textq import (
+        BANDING_FRONTIER_SQL,
+        QUALITY_FRONTIER_SQL,
+        THRESHOLD_FRONTIER_SQL,
+    )
+    from rick_and_morty_data_pipeline_project_spark.queries.vecxq import (
+        FRONTIER_SQL,
+        PROBE_FRONTIER_SQL,
+    )
+
+    # the SAME python float literals the Spark plan broadcasts —
+    # repr() keeps the double bit pattern identical in both engines
+    pts = ", ".join(
+        f"('{s}', {t!r})"
+        for s, ts in sorted(WHATIF_TARGETS.items())
+        for t in ts
+    )
+    return f"""
+WITH ann_t AS (SELECT * FROM ({FRONTIER_SQL})),
+probe_t AS (SELECT * FROM ({PROBE_FRONTIER_SQL})),
+band_t AS (SELECT * FROM ({BANDING_FRONTIER_SQL})),
+thresh_t AS (SELECT * FROM ({THRESHOLD_FRONTIER_SQL})),
+qual_t AS (SELECT * FROM ({QUALITY_FRONTIER_SQL})),
+norm AS (
+  SELECT 'ann_index' AS stage, CAST(variant AS VARCHAR) AS config,
+         CAST(mean_recall AS DOUBLE) AS quality_value,
+         CAST(cost_bytes AS DOUBLE) AS cost_value
+  FROM ann_t
+  UNION ALL
+  SELECT 'ivf_probes', CAST(n_probe AS VARCHAR),
+         CAST(mean_recall AS DOUBLE), CAST(cand_pairs AS DOUBLE)
+  FROM probe_t
+  UNION ALL
+  SELECT 'lsh_banding',
+         CAST(n_bands AS VARCHAR) || 'x' || CAST(band_size AS VARCHAR),
+         CAST(recall AS DOUBLE), CAST(n_candidates AS DOUBLE)
+  FROM band_t
+  UNION ALL
+  SELECT 'dedup_threshold', CAST(threshold_pct AS VARCHAR),
+         CAST(retention AS DOUBLE), CAST(threshold_pct AS DOUBLE)
+  FROM thresh_t
+  UNION ALL
+  SELECT 'quality_threshold', CAST(threshold_pct AS VARCHAR),
+         CAST(token_retention AS DOUBLE),
+         CAST(100 - threshold_pct AS DOUBLE)
+  FROM qual_t
+),
+pts(stage, target_min) AS (VALUES {pts}),
+j AS (
+  SELECT n.stage, CAST(p.target_min AS DOUBLE) AS target_min,
+         n.config, n.quality_value, n.cost_value,
+         CASE WHEN n.quality_value >= p.target_min THEN 1 ELSE 0 END
+           AS meets_target
+  FROM norm n JOIN pts p ON n.stage = p.stage
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY stage, target_min
+             ORDER BY meets_target DESC, cost_value ASC, config ASC)
+           AS rn
+  FROM j
+)
+SELECT stage, target_min, config, quality_value, cost_value,
+       CAST(meets_target AS INT) AS meets_target
+FROM ranked WHERE rn = 1
+"""
+
+
+WHATIF_SQL = _whatif_sql()
+
 QUERIES = {
     "curation_run_card": Q(
         curation_run_card,
@@ -229,5 +367,12 @@ QUERIES = {
         "compose the five decision tables into the per-stage"
         " (config, quality, cost) run card a curation deployment"
         " signs off",
+    ),
+    "curation_run_card_whatif": Q(
+        curation_run_card_whatif,
+        WHATIF_SQL,
+        "the run card as a decision surface: each stage's chosen"
+        " config at three policy points (lenient/standing/strict),"
+        " from one execution of the five component pipelines",
     ),
 }

@@ -35,6 +35,10 @@ Attempt log (retried each round per the standing verdict item):
   google.protobuf`` → ModuleNotFoundError and
   ``find_spec('google')`` is still None; environment unchanged, so
   the gate and the two honest skips stand for another round.
+* r14 (2026-08-16): retried (fifth carry) — ``import
+  google.protobuf`` → ModuleNotFoundError (``google`` namespace
+  package absent); installs remain prohibited, gate and the two
+  honest skips stand.
 """
 
 from __future__ import annotations

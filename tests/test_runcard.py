@@ -52,6 +52,35 @@ def test_vector_arms_shared_equals_standalone(spark):
         ), fn.__name__
 
 
+def test_whatif_standing_points_reproduce_the_card(spark):
+    """Every stage's standing target sits in the middle of its what-if
+    sweep (WHATIF_TARGETS), so the twin's standing-point rows must BE
+    the card's selection — config, quality, cost and meets_target all
+    equal.  Pins the refactor that made both queries rank the same
+    _norm_union relation."""
+    from rick_and_morty_data_pipeline_project_spark.queries.runcardq import (
+        WHATIF_TARGETS,
+        curation_run_card,
+        curation_run_card_whatif,
+    )
+
+    card = {r["stage"]: r for r in curation_run_card(spark, SF_SMALL).collect()}
+    standing = {s: ts[1] for s, ts in WHATIF_TARGETS.items()}
+    twin = curation_run_card_whatif(spark, SF_SMALL).collect()
+    assert len(twin) == 15  # 5 stages x 3 policy points
+    mid = [r for r in twin if r["target_min"] == standing[r["stage"]]]
+    assert len(mid) == 5
+    for r in mid:
+        c = card[r["stage"]]
+        assert (
+            r["config"], r["quality_value"], r["cost_value"],
+            r["meets_target"],
+        ) == (
+            c["config"], c["quality_value"], c["cost_value"],
+            c["meets_target"],
+        ), r["stage"]
+
+
 def test_run_card_selects_one_row_per_stage(spark):
     from rick_and_morty_data_pipeline_project_spark.queries.runcardq import (
         curation_run_card,
