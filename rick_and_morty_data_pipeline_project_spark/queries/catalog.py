@@ -346,6 +346,33 @@ treadmill refreshes at most 50 certificates per round against a
 276-query catalog with a 4-round shelf life; policy v2's per-round
 sweep artifact is the standing mechanism for the remainder (the v2
 rationale in this docstring), so the window stays oldest-green-first.
+
+Round-14 window (this file's ``DRIVER_WINDOW``): exactly the plan the
+round-13 verdict ordered, built from ``tools/rotation_report.py``
+output AFTER regenerating SWEEP_r14.json on the untouched tree
+(278/278 — policy v2 coverage for the 53-entry wave, 44 r08 entries +
+10 r07/r06 leftouts, that crossed the over-age line when
+CORRECTNESS_r13 landed).  The 2 rule-1 births lead:
+``dedup_dup_factor_profile`` (the sole pending birth from
+``tools/pending_births.json``, MATCH at 3 SFs since late r13) and
+``curation_run_card_whatif`` (this round's birth — verdict stretch 9,
+the card as a decision surface).  Then the 6 rule-2 re-greens for the
+files changed this round: the profile-gated exact-duplicate collapse
+(verdict item 4) stales ``dedup_lsh_banding_frontier`` and
+``dedup_threshold_frontier``; the run-card shared inputs (verdict
+item 5) stale ``knn_frontier_recall_cost``, ``knn_ivf_probe_frontier``
+and ``curation_run_card``; the library-only adjudication of
+``ngram_prefix_cooccurrence`` (verdict item 3, option c — docstring +
+COVERAGE.md frozen set + test pin) stales ``dedup_jaccard_prefix_join``
+through operators/setjoin.py.  Then flagship, the 10 r07 sweep-covered
+leftouts (they age to the front of the queue), and 31 of the 43-entry
+r08 cohort.  2+6+1+10+31 = 50.  Sweep-covered leftouts (12, all
+hash-green in SWEEP_r14.json; family siblings window-exercise their
+operator paths): set_ops_customers, sketch_heavy_hitters_audit,
+sort_limit_top_orders, subquery_scalar_exists, text_emotion_by_source,
+text_pii_redact, text_quantile_filter, text_quantile_filter_approx,
+text_rolling_fingerprint, text_token_stats, topk_salted_segment_orders,
+win_range_frame.
 """
 
 from __future__ import annotations
@@ -387,21 +414,84 @@ for mod in (
         _ALL[name] = q
 
 # The 50 driver-checked slots.  All must carry a full DuckDB oracle.
-# Round-12 rotation (standing policy + policy v2 in the module
+# Round-14 rotation (standing policy + policy v2 in the module
 # docstring):
-# 4 rule-1 pending births (tools/pending_births.json — the r12
-#   decision tables)
-# + curation_run_card (r13 birth, scheduled at its own freeze)
-# + dedup_jaccard_prefix_join (rule-2: operators/setjoin.py changed
-#   this round — prefix-filtered co-occurrence added)
+# 2 rule-1 births (dedup_dup_factor_profile — the pending birth from
+#   tools/pending_births.json — and this round's curation_run_card_whatif)
+# + 6 rule-2 re-greens (textq.py's profile-gated collapse stales both
+#   dedup frontiers; vecxq.py's shared-input params stale both vector
+#   frontiers; runcardq.py's _norm_union refactor stales the card;
+#   setjoin.py's adjudication docstring stales the prefix join)
 # + flagship
-# + flagship_best_match_with_replacement (rule-2: operators/matching.py
-#   gained the head-pointer early-exit — mid-round amendment)
-# + 42 oldest-green-first refreshes (4 r06 + 38 of the 48-entry r07
-#   cohort; the 10 leftouts are SWEEP_r13-covered and listed in the
-#   docstring's Round-13 paragraph).
-# 4+1+1+1+1+42 = 50.
+# + 41 oldest-green-first refreshes (the 10 r07 sweep-covered leftouts
+#   age to the front, then 31 of the 43-entry r08 cohort; the 12
+#   leftouts are SWEEP_r14-covered and listed in the docstring's
+#   Round-14 paragraph).
+# 2+6+1+41 = 50.
 DRIVER_WINDOW: tuple[str, ...] = (
+    # ========== 2 rule-1 births =====================================
+    "dedup_dup_factor_profile",
+    "curation_run_card_whatif",
+    # ========== 6 rule-2 re-greens (files changed this round) =======
+    "curation_run_card",
+    "dedup_jaccard_prefix_join",
+    "dedup_lsh_banding_frontier",
+    "dedup_threshold_frontier",
+    "knn_frontier_recall_cost",
+    "knn_ivf_probe_frontier",
+    # ========== flagship (standing, every round) =====================
+    "flagship_greedy_match",
+    # ========== 10 r07-vintage refreshes (oldest greens anywhere) ===
+    "agg_sorted_string",
+    "events_survival_km",
+    "graph_kcore_peel",
+    "graph_triangle_count",
+    "mv_incremental_refresh",
+    "privacy_k_anonymity",
+    "profile_drift_orders",
+    "supplier_market_hhi",
+    "table_range_partition_plan",
+    "table_zorder_layout",
+    # ========== 31 r08-vintage over-age refreshes ===================
+    "agg_exact_distinct",
+    "agg_grouping_sets",
+    "agg_macro_avg_rounded",
+    "agg_percentiles",
+    "agg_rollup_region_nation",
+    "array_functions",
+    "audit_row_constraints",
+    "audit_table_checksum",
+    "basket_part_affinity",
+    "customer_rfm_segments",
+    "decontaminate_ngram_overlap",
+    "dedup_embedding_cosine",
+    "dedup_minhash_estimate_audit",
+    "dedup_semantic_clusters",
+    "dedup_simhash",
+    "embedding_norms",
+    "events_hourly_rollup",
+    "join_asof_click_error",
+    "join_interval_bucketized",
+    "join_on_expression",
+    "join_pit_segment_revenue",
+    "join_range_user_window",
+    "join_self_lineitem_pairs",
+    "join_semi_customers_with_open_orders",
+    "pivot_event_type_by_day",
+    "q2_scan_filter_project",
+    "sample_source_mixture",
+    "scalar_math_functions",
+    "scalar_null_conditional",
+    "scalar_regex_functions",
+    "sessionize_events",
+)
+
+# Round-13 window, retired 2026-08-16 (all 50 earned green rows in
+# CORRECTNESS_r13.json; kept for the rotation ledger).  Final
+# composition: 4 rule-1 births (r12 decision tables) + the
+# curation_run_card r13 birth + 2 rule-2 re-greens (setjoin.py,
+# matching.py) + flagship + 4 r06 + 38 r07 refreshes = 50.
+_R13_WINDOW: tuple[str, ...] = (
     # ========== 4 rule-1 pending births (r12 decision tables) =======
     "knn_ivf_probe_frontier",
     "dedup_lsh_banding_frontier",
@@ -425,7 +515,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "snapshot_diff_orders",
     "text_emotion_scores",
     "unpivot_emotion_scores",
-    # ========== 39 r07-vintage over-age refreshes ====================
+    # ========== 38 r07-vintage over-age refreshes ====================
     "agg_cube_flag_status",
     "agg_distinct_suppliers",
     "audit_benford_prices",
@@ -465,6 +555,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "win_ntile_rank_stats",
     "win_running_total",
 )
+
 
 # Round-12 window, retired 2026-08-16 (all 50 earned green rows in
 # CORRECTNESS_r12.json; kept for the rotation ledger).  Final
