@@ -105,9 +105,13 @@ def greedy_match_without_replacement(
     prefix_rows = per_emotion_topk_prefixes(
         right.select(*cand_cols), needed, right_id, depth
     ).collect()
+    # Row → dict ONCE: pyspark Row string-key access walks the field
+    # list per lookup, and the replay below touches candidate fields
+    # ~n·k1 times — the O(total rows) conversion here keeps the hot
+    # loop on plain dict gets (measured r14: part of the ×1000 fix).
     cand_lists: dict[str, list] = {emo: [] for emo in needed}
     for r in prefix_rows:
-        cand_lists[r["_prefix_emotion"]].append(r)
+        cand_lists[r["_prefix_emotion"]].append(r.asDict())
     for emo in needed:
         cand_lists[emo].sort(key=lambda r: (-r[emo], r[right_id]))
 
@@ -125,16 +129,23 @@ def greedy_match_without_replacement(
         # stage 1: top-k1 unclaimed by `top` (list is already in
         # (desc top, asc id) order); stage 2: best of those by `second`
         lst = cand_lists[top]
+        n_lst = len(lst)
         h = heads[top]
-        while h < len(lst) and lst[h][right_id] in claimed:
+        while h < n_lst and lst[h][right_id] in claimed:
             h += 1
         heads[top] = h
+        # index scan, NEVER a lst[h:] slice: the slice copies the
+        # remainder of the prefix list per iteration — O(n²) pointer
+        # copies that were invisible inside the ×100 wall (67 s) and
+        # became the whole wall at ×1000 (500k left rows: >1 h in the
+        # copy alone, measured r14 before this fix)
         stage1 = []
-        for r in lst[h:]:
+        i = h
+        while i < n_lst and len(stage1) < k1:
+            r = lst[i]
             if r[right_id] not in claimed:
                 stage1.append(r)
-                if len(stage1) == k1:
-                    break
+            i += 1
         if not stage1:
             continue
         b = min(stage1, key=lambda r: (-r[second], r[right_id]))

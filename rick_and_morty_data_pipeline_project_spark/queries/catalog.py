@@ -364,11 +364,18 @@ item 5) stale ``knn_frontier_recall_cost``, ``knn_ivf_probe_frontier``
 and ``curation_run_card``; the library-only adjudication of
 ``ngram_prefix_cooccurrence`` (verdict item 3, option c — docstring +
 COVERAGE.md frozen set + test pin) stales ``dedup_jaccard_prefix_join``
-through operators/setjoin.py.  Then flagship, the 10 r07 sweep-covered
-leftouts (they age to the front of the queue), and 31 of the 43-entry
-r08 cohort.  2+6+1+10+31 = 50.  Sweep-covered leftouts (12, all
-hash-green in SWEEP_r14.json; family siblings window-exercise their
-operator paths): set_ops_customers, sketch_heavy_hitters_audit,
+through operators/setjoin.py.  Then flagship, the rule-2 re-green
+``flagship_best_match_with_replacement`` (mid-round amendment: the
+×1000 left-rows tier exposed an O(n²) list-slice copy in the greedy
+replay — operators/matching.py gained an index scan, semantics pinned
+identical by tests/test_matching.py's Python oracle — so both queries
+referencing the file re-certify; displaces the r08 refresh
+sessionize_events into the sweep-covered leftouts), the 10 r07
+sweep-covered leftouts (they age to the front of the queue), and 30
+of the 43-entry r08 cohort.  2+6+1+1+10+30 = 50.  Sweep-covered
+leftouts (13, all hash-green in SWEEP_r14.json; family siblings
+window-exercise their operator paths): sessionize_events,
+set_ops_customers, sketch_heavy_hitters_audit,
 sort_limit_top_orders, subquery_scalar_exists, text_emotion_by_source,
 text_pii_redact, text_quantile_filter, text_quantile_filter_approx,
 text_rolling_fingerprint, text_token_stats, topk_salted_segment_orders,
@@ -423,11 +430,13 @@ for mod in (
 #   frontiers; runcardq.py's _norm_union refactor stales the card;
 #   setjoin.py's adjudication docstring stales the prefix join)
 # + flagship
-# + 41 oldest-green-first refreshes (the 10 r07 sweep-covered leftouts
-#   age to the front, then 31 of the 43-entry r08 cohort; the 12
+# + flagship_best_match_with_replacement (rule-2, mid-round amendment:
+#   operators/matching.py — the ×1000 tier's O(n²) slice-copy fix)
+# + 40 oldest-green-first refreshes (the 10 r07 sweep-covered leftouts
+#   age to the front, then 30 of the 43-entry r08 cohort; the 13
 #   leftouts are SWEEP_r14-covered and listed in the docstring's
 #   Round-14 paragraph).
-# 2+6+1+41 = 50.
+# 2+6+1+1+40 = 50.
 DRIVER_WINDOW: tuple[str, ...] = (
     # ========== 2 rule-1 births =====================================
     "dedup_dup_factor_profile",
@@ -441,6 +450,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "knn_ivf_probe_frontier",
     # ========== flagship (standing, every round) =====================
     "flagship_greedy_match",
+    # ========== rule-2 re-green (mid-round amendment): the ×1000
+    # left-rows tier exposed an O(n²) list-slice copy in the greedy
+    # replay (operators/matching.py — semantics pinned identical by
+    # tests/test_matching.py's Python oracle), so both queries
+    # referencing the file re-certify; displaces the r08 refresh
+    # sessionize_events into the sweep-covered leftouts ===============
+    "flagship_best_match_with_replacement",
     # ========== 10 r07-vintage refreshes (oldest greens anywhere) ===
     "agg_sorted_string",
     "events_survival_km",
@@ -452,7 +468,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "supplier_market_hhi",
     "table_range_partition_plan",
     "table_zorder_layout",
-    # ========== 31 r08-vintage over-age refreshes ===================
+    # ========== 30 r08-vintage over-age refreshes ===================
     "agg_exact_distinct",
     "agg_grouping_sets",
     "agg_macro_avg_rounded",
@@ -483,7 +499,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "scalar_math_functions",
     "scalar_null_conditional",
     "scalar_regex_functions",
-    "sessionize_events",
 )
 
 # Round-13 window, retired 2026-08-16 (all 50 earned green rows in

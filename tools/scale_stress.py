@@ -122,14 +122,21 @@ def _scale_embeddings(spark, base, out_dir, mult):
 def _scale_documents(spark, base, out_dir, mult):
     from pyspark.sql import functions as F
 
+    # crossJoin with a broadcast multiplier range, NOT an N-way union:
+    # at mult=1000 the unionByName form built a 1000-child plan whose
+    # single-threaded scan straggled >20 min; the fan-out form is one
+    # scan × a 1000-row broadcast (same rows, same disjoint id ranges)
     d = spark.read.parquet(f"{base}/documents.parquet")
-    tiles = [
-        d.withColumn("doc_id", F.col("doc_id") + i * 1_000_000_000)
-        for i in range(mult)
-    ]
-    df = tiles[0]
-    for t_ in tiles[1:]:
-        df = df.unionByName(t_)
+    tiles = F.broadcast(
+        spark.range(mult).select(F.col("id").alias("_tile"))
+    )
+    df = (
+        d.crossJoin(tiles)
+        .withColumn(
+            "doc_id", F.col("doc_id") + F.col("_tile") * F.lit(1_000_000_000)
+        )
+        .drop("_tile")
+    )
     df.repartition(32).write.mode("overwrite").parquet(
         f"{out_dir}/documents.parquet"
     )
