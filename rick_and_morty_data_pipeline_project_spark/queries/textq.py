@@ -1051,9 +1051,10 @@ def dedup_threshold_frontier(spark, sf_dir, dup_path=None, _shared=None):
     # df ≈ 48) the candidate set exploded to ~25M pairs at ×5 docs
     # while the exact verify re-paid each pair × its shingle count —
     # the aggregate-once co-occurrence join IS the right shape at low
-    # thresholds (PERFORMANCE.md "negative result", r13); the prefix
-    # operator remains the scale path for HIGH-threshold joins
-    # (operators/setjoin.py).
+    # thresholds (PERFORMANCE.md "negative result", r13).  The r14
+    # high-threshold measurement rejected the prefix operator there
+    # too — it is adjudicated LIBRARY-ONLY (operators/setjoin.py
+    # docstring; COVERAGE.md frozen set).
     #
     # Doc-level ⇒ group-level identities (g = group size, rep id =
     # group MIN doc_id; proven in tests/test_dedup_similarity.py):

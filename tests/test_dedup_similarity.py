@@ -819,18 +819,29 @@ def test_library_only_setjoin_operator_frozen():
     same change, so dead code can never accrete silently."""
     import glob
     import os
+    import re
 
     import rick_and_morty_data_pipeline_project_spark.operators.setjoin as sj
 
     frozen = {"ngram_prefix_cooccurrence"}
     assert hasattr(sj, "ngram_prefix_cooccurrence")
 
+    def consumes(src: str, name: str) -> bool:
+        # a CALL or an IMPORT is consumption; a prose/docstring mention
+        # (e.g. the catalog's rotation history) is not
+        return bool(
+            re.search(rf"\b{name}\s*\(", src)
+            or re.search(rf"import\s+{name}\b", src)
+            or re.search(rf"^\s*{name},\s*$", src, re.M)
+        )
+
     qdir = os.path.join(os.path.dirname(sj.__file__), "..", "queries")
+    qsrcs = [
+        open(p, encoding="utf-8").read()
+        for p in glob.glob(os.path.join(qdir, "*.py"))
+    ]
     consumers = {
-        name
-        for path in glob.glob(os.path.join(qdir, "*.py"))
-        for name in frozen
-        if name in open(path, encoding="utf-8").read()
+        name for name in frozen if any(consumes(s, name) for s in qsrcs)
     }
     assert consumers == set(), (
         f"frozen library-only operator gained a catalog consumer: "
@@ -846,11 +857,9 @@ def test_library_only_setjoin_operator_frozen():
         and getattr(getattr(sj, n), "__module__", "") == sj.__name__
     }
     for name in sorted(public - frozen):
-        used = any(
-            name in open(p, encoding="utf-8").read()
-            for p in glob.glob(os.path.join(qdir, "*.py"))
+        assert any(consumes(s, name) for s in qsrcs), (
+            f"{name} has no catalog consumer and is not frozen"
         )
-        assert used, f"{name} has no catalog consumer and is not frozen"
 
 
 def test_prefix_cooccurrence_equals_full_join(spark):
