@@ -92,8 +92,15 @@ def _norm_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         shared_knn_relations,
     )
 
-    dshared = shared_dedup_relations(spark, sf_dir)
-    vshared = shared_knn_relations(spark, sf_dir)
+    # CONCURRENT arm construction (r14): every localCheckpoint inside
+    # an arm is a BLOCKING driver action, so building the arms
+    # sequentially serializes their materialization jobs (measured:
+    # the card's 24 s wall was ≈ the sum of the checkpoint jobs).
+    # Submitting the constructions from threads lets the Spark
+    # scheduler overlap them — a documented multi-job pattern; the
+    # checkpointed contents are order-independent, so the relation is
+    # bit-identical (tests/test_runcard.py pins arm-by-arm equality).
+    from concurrent.futures import ThreadPoolExecutor
 
     def norm(df, stage, config, quality, cost):
         return df.select(
@@ -103,49 +110,72 @@ def _norm_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             cost.cast("double").alias("cost_value"),
         )
 
-    ann = norm(
-        knn_frontier_recall_cost(spark, sf_dir, _shared=vshared),
-        "ann_index",
-        F.col("variant"),
-        F.col("mean_recall"),
-        F.col("cost_bytes"),
-    )
-    probe = norm(
-        knn_ivf_probe_frontier(spark, sf_dir, _shared=vshared),
-        "ivf_probes",
-        F.col("n_probe"),
-        F.col("mean_recall"),
-        F.col("cand_pairs"),
-    )
-    band = norm(
-        dedup_lsh_banding_frontier(spark, sf_dir, _shared=dshared),
-        "lsh_banding",
-        F.concat(
-            F.col("n_bands").cast("string"),
-            F.lit("x"),
-            F.col("band_size").cast("string"),
-        ),
-        F.col("recall"),
-        F.col("n_candidates"),
-    )
-    # aggressiveness preference: LOWER threshold removes more, so the
-    # threshold itself is the rank cost
-    thresh = norm(
-        dedup_threshold_frontier(spark, sf_dir, _shared=dshared),
-        "dedup_threshold",
-        F.col("threshold_pct"),
-        F.col("retention"),
-        F.col("threshold_pct"),
-    )
-    # strictness preference: HIGHER threshold filters harder, so rank
-    # cost is the complement
-    qual = norm(
-        text_quality_threshold_frontier(spark, sf_dir),
-        "quality_threshold",
-        F.col("threshold_pct"),
-        F.col("token_retention"),
-        F.lit(100) - F.col("threshold_pct"),
-    )
+    def build_ann(vshared):
+        return norm(
+            knn_frontier_recall_cost(spark, sf_dir, _shared=vshared),
+            "ann_index",
+            F.col("variant"),
+            F.col("mean_recall"),
+            F.col("cost_bytes"),
+        )
+
+    def build_probe(vshared):
+        return norm(
+            knn_ivf_probe_frontier(spark, sf_dir, _shared=vshared),
+            "ivf_probes",
+            F.col("n_probe"),
+            F.col("mean_recall"),
+            F.col("cand_pairs"),
+        )
+
+    def build_band(dshared):
+        return norm(
+            dedup_lsh_banding_frontier(spark, sf_dir, _shared=dshared),
+            "lsh_banding",
+            F.concat(
+                F.col("n_bands").cast("string"),
+                F.lit("x"),
+                F.col("band_size").cast("string"),
+            ),
+            F.col("recall"),
+            F.col("n_candidates"),
+        )
+
+    def build_thresh(dshared):
+        # aggressiveness preference: LOWER threshold removes more, so
+        # the threshold itself is the rank cost
+        return norm(
+            dedup_threshold_frontier(spark, sf_dir, _shared=dshared),
+            "dedup_threshold",
+            F.col("threshold_pct"),
+            F.col("retention"),
+            F.col("threshold_pct"),
+        )
+
+    def build_quality():
+        # strictness preference: HIGHER threshold filters harder, so
+        # rank cost is the complement
+        return norm(
+            text_quality_threshold_frontier(spark, sf_dir),
+            "quality_threshold",
+            F.col("threshold_pct"),
+            F.col("token_retention"),
+            F.lit(100) - F.col("threshold_pct"),
+        )
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        f_dshared = pool.submit(shared_dedup_relations, spark, sf_dir)
+        f_vshared = pool.submit(shared_knn_relations, spark, sf_dir)
+        f_qual = pool.submit(build_quality)
+        dshared = f_dshared.result()
+        vshared = f_vshared.result()
+        f_ann = pool.submit(build_ann, vshared)
+        f_probe = pool.submit(build_probe, vshared)
+        f_band = pool.submit(build_band, dshared)
+        f_thresh = pool.submit(build_thresh, dshared)
+        ann, probe = f_ann.result(), f_probe.result()
+        band, thresh = f_band.result(), f_thresh.result()
+        qual = f_qual.result()
 
     return ann.unionByName(probe).unionByName(band).unionByName(
         thresh
