@@ -187,7 +187,20 @@ def best_match_with_replacement(
     (top, second) pair.  Winner columns are prefixed ``matched_``.
     """
     emotions = emotions or EMOTIONS
-    pairs = left.select("top_emotion", "second_emotion").distinct()
+    # The (top, second) pair domain is the ≤ |emotions|·(|emotions|−1)
+    # ordered product — a LITERAL relation, not a fact derived from
+    # ``left``.  Enumerating it replaces the old
+    # ``left.select(...).distinct()`` (a full scan + shuffle of the
+    # left side at any scale — at 100 TB a whole extra pass over the
+    # episodes fact) with a 30-row local relation.  Output is
+    # bit-identical: winners computed for pairs no left row carries are
+    # simply never matched by the final LEFT join (parity proven
+    # row-exact at sf0.1 and by the driver oracle at 3 SFs), and the
+    # stage-2 window grows only to the fixed 30·k1 bound.
+    pairs = left.sparkSession.createDataFrame(
+        [(a, b) for a in emotions for b in emotions if a != b],
+        "top_emotion string, second_emotion string",
+    )
 
     # Stage 1, scale-safe: WITH replacement there are no exclusions, so
     # the per-pair top-k1 by the pair's top emotion is exactly the
