@@ -133,8 +133,21 @@ def synthesize_real_media(df: DataFrame, id_col: str, text_col: str) -> DataFram
     with filler entropy (header-parse fixtures).  Bytes are derived
     deterministically from md5(text), so the table is stable across
     runs/engines — this is real media, not a fake byte blob."""
-    src = df.select(
-        F.col(id_col).alias("media_id"), F.md5(F.col(text_col)).alias("_h")
+    from rick_and_morty_data_pipeline_project_spark.operators.parallelism import (
+        fan_out,
+    )
+
+    # fan_out BEFORE the codec stage (r14): the JPEG/PNG/WAV encoders
+    # are genuinely expensive per-row Python (measured 4.6 s of encode
+    # CPU for the 833 sf0.1 baseline JPEGs alone), and the local
+    # single-file scan would run them 1-way.  Only the narrow
+    # (media_id, md5-hex) relation crosses the balancing exchange — the
+    # container bytes are produced post-exchange and still never
+    # shuffle; at cluster scale the guard is a no-op.
+    src = fan_out(
+        df.select(
+            F.col(id_col).alias("media_id"), F.md5(F.col(text_col)).alias("_h")
+        )
     )
 
     def batches(it: Iterator):
@@ -713,8 +726,17 @@ def synthesize_mp4_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame
     format: box sizes account for every byte, a standards-conforming
     demuxer walks these files.
     """
-    src = df.select(
-        F.col(id_col).alias("media_id"), F.md5(F.col(text_col)).alias("_h")
+    from rick_and_morty_data_pipeline_project_spark.operators.parallelism import (
+        fan_out,
+    )
+
+    # fan_out for the same reason as synthesize_real_media: per-row
+    # Python box assembly on an otherwise 1-partition local scan; only
+    # (media_id, md5-hex) crosses the exchange, bytes never shuffle.
+    src = fan_out(
+        df.select(
+            F.col(id_col).alias("media_id"), F.md5(F.col(text_col)).alias("_h")
+        )
     )
 
     def batches(it: Iterator):

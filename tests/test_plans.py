@@ -436,15 +436,19 @@ def test_incremental_bloom_sharded_no_dense_bitmap(spark):
 
 
 def test_jpeg_headers_plan_is_narrow(spark):
-    """The JPEG header walk is a pure narrow map: scan → synthesize →
-    filter → MapInPandas, ZERO exchanges — the binary column never
-    crosses a shuffle boundary."""
+    """The JPEG header walk is scan → fan_out balance → synthesize →
+    filter → MapInPandas.  The ONLY exchange allowed is fan_out's
+    round-robin repartition of the narrow (media_id, md5-hex) relation
+    BEFORE the codec stage (r14: the Python encoders ran 1-way on the
+    single-file local scan); the binary column itself never crosses a
+    shuffle boundary — no hash/range exchange anywhere."""
     from rick_and_morty_data_pipeline_project_spark.queries.catalog import _ALL
 
     plan = formatted_plan(
         _ALL["multimodal_jpeg_headers"].fn(spark, SF_SMALL)
     )
-    assert "Exchange" not in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
     # two tree nodes: synthesize + parse (details section repeats them)
     assert len(re.findall(r"MapInPandas \(\d+\)", plan)) == 2, plan
 
@@ -727,7 +731,10 @@ def test_mp4_boxes_plan_is_narrow(spark):
     from rick_and_morty_data_pipeline_project_spark.queries.catalog import _ALL
 
     plan = formatted_plan(_ALL["multimodal_mp4_boxes"].fn(spark, SF_SMALL))
-    assert "Exchange" not in plan, plan
+    # r14: fan_out's round-robin balance of the narrow (id, md5) source
+    # is the one allowed exchange; container bytes still never shuffle
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
     assert len(re.findall(r"MapInPandas \(\d+\)", plan)) == 2, plan
 
 
