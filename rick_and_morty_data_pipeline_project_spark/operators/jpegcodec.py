@@ -136,12 +136,19 @@ class _BitWriter:
             return
         self._acc = (self._acc << nbits) | (value & ((1 << nbits) - 1))
         self._nbits += nbits
-        while self._nbits >= 8:
-            self._nbits -= 8
-            byte = (self._acc >> self._nbits) & 0xFF
-            self._out.append(byte)
-            if byte == 0xFF:  # byte stuffing
-                self._out.append(0x00)
+        if self._nbits >= 8:
+            # bulk flush (r14 perf): extract all whole bytes in ONE
+            # to_bytes + stuff via bytes.replace — byte-identical to
+            # the former per-byte loop (MSB-first order, 0xFF → 0xFF00),
+            # but C-speed for the batched per-block writes
+            rem = self._nbits & 7
+            nbytes = self._nbits >> 3
+            chunk = (self._acc >> rem).to_bytes(nbytes, "big")
+            self._acc &= (1 << rem) - 1
+            self._nbits = rem
+            if b"\xff" in chunk:
+                chunk = chunk.replace(b"\xff", b"\xff\x00")
+            self._out += chunk
 
     def finish(self) -> bytes:
         if self._nbits:
@@ -152,44 +159,81 @@ class _BitWriter:
 
 class _BitReader:
     """Reads the entropy-coded segment, unstuffing 0xFF00; stops at any
-    real marker (0xFF followed by non-zero)."""
+    real marker (0xFF followed by non-zero).
+
+    r14 perf rewrite: the former per-bit reader (one Python call per
+    bit — 2.4M calls per 150 fixture images) is replaced by a one-pass
+    C-level unstuffing of the whole entropy segment up front (bytes.find
+    + slice joins) and a byte-refilled accumulator read in bulk.  Bit
+    order and values are identical; reading past the segment's last bit
+    raises the same "entropy stream truncated" ValueError.  A real
+    marker mid-segment simply terminates the unstuffed buffer, so a
+    malformed stream still fails loudly (as truncation) instead of
+    decoding garbage."""
 
     def __init__(self, data: bytes, pos: int):
-        self._d = data
-        self._pos = pos
+        # unstuff once: every 0xFF00 becomes 0xFF; the first 0xFF
+        # followed by non-zero is a real marker and ends the segment
+        chunks = []
+        i = pos
+        n = len(data)
+        while True:
+            j = data.find(b"\xff", i)
+            if j == -1:
+                chunks.append(data[i:])
+                break
+            if j + 1 >= n:
+                raise ValueError("dangling 0xFF at end of stream")
+            chunks.append(data[i:j])
+            if data[j + 1] == 0x00:
+                chunks.append(b"\xff")
+                i = j + 2
+            else:
+                break  # real marker terminates the entropy segment
+        self._d = b"".join(chunks)
+        self._total_bits = len(self._d) * 8
+        self._bitpos = 0   # bits consumed so far
+        self._bytepos = 0  # next byte to refill from
         self._acc = 0
-        self._nbits = 0
+        self._nbits = 0    # bits currently buffered in _acc
+
+    def _need(self, n: int) -> None:
+        d = self._d
+        while self._nbits < n:
+            if self._bytepos < len(d):
+                self._acc = (self._acc << 8) | d[self._bytepos]
+                self._bytepos += 1
+            else:
+                self._acc <<= 8  # virtual pad, never consumable
+            self._nbits += 8
 
     def read_bit(self) -> int:
-        if self._nbits == 0:
-            if self._pos >= len(self._d):
-                raise ValueError("entropy stream truncated")
-            byte = self._d[self._pos]
-            self._pos += 1
-            if byte == 0xFF:
-                if self._pos >= len(self._d):
-                    raise ValueError("dangling 0xFF at end of stream")
-                marker = self._d[self._pos]
-                if marker == 0x00:
-                    self._pos += 1  # stuffed byte
-                else:
-                    raise ValueError(
-                        f"marker 0xFF{marker:02X} inside entropy data "
-                        "(restart intervals are not supported)"
-                    )
-            self._acc = byte
-            self._nbits = 8
-        self._nbits -= 1
-        return (self._acc >> self._nbits) & 1
+        return self.read_bits(1)
 
     def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
+        if n == 0:
+            return 0
+        if self._bitpos + n > self._total_bits:
+            raise ValueError("entropy stream truncated")
+        if self._nbits < n:
+            self._need(n)
+        self._nbits -= n
+        v = (self._acc >> self._nbits) & ((1 << n) - 1)
+        self._acc &= (1 << self._nbits) - 1
+        self._bitpos += n
         return v
 
-    def end_position(self) -> int:
-        return self._pos
+    def peek16(self) -> int:
+        if self._nbits < 16:
+            self._need(16)
+        return (self._acc >> (self._nbits - 16)) & 0xFFFF
+
+    def skip(self, n: int) -> None:
+        if self._bitpos + n > self._total_bits:
+            raise ValueError("entropy stream truncated")
+        self._nbits -= n
+        self._acc &= (1 << self._nbits) - 1
+        self._bitpos += n
 
 
 def _extend(v: int, size: int) -> int:
@@ -232,15 +276,25 @@ def _encode_block(
     Returns the block's DC coefficient (for the next differential)."""
     coeffs = _C @ (block - 128.0) @ _C.T
     q = np.rint(coeffs / quant).astype(np.int64)
-    zz = q.flat[_ZIGZAG]
+    zz = q.flat[_ZIGZAG].tolist()
+
+    # Accumulate the whole block's bitstream locally and hand the
+    # writer ONE (value, nbits) pair (r14 perf): ~128 write() calls per
+    # block become 1, and the bit sequence is identical by construction
+    # (acc << n | v concatenates MSB-first exactly like per-call writes).
+    acc = 0
+    nacc = 0
 
     dc = int(zz[0])
     diff = dc - prev_dc
     size = _category(diff)
     code, length = _DC_CODES[size]
-    writer.write(code, length)
+    acc = (acc << length) | code
+    nacc += length
     if size:
-        writer.write(diff if diff >= 0 else diff + (1 << size) - 1, size)
+        v = diff if diff >= 0 else diff + (1 << size) - 1
+        acc = (acc << size) | (v & ((1 << size) - 1))
+        nacc += size
 
     run = 0
     last_nz = 0
@@ -248,14 +302,15 @@ def _encode_block(
         if zz[k] != 0:
             last_nz = k
             break
+    zrl_code, zrl_len = _AC_CODES[0xF0]
     for k in range(1, last_nz + 1):
-        v = int(zz[k])
+        v = zz[k]
         if v == 0:
             run += 1
             continue
         while run >= 16:
-            code, length = _AC_CODES[0xF0]  # ZRL
-            writer.write(code, length)
+            acc = (acc << zrl_len) | zrl_code  # ZRL
+            nacc += zrl_len
             run -= 16
         size = _category(v)
         if size > 10:
@@ -264,12 +319,18 @@ def _encode_block(
                 "too fine for this content"
             )
         code, length = _AC_CODES[(run << 4) | size]
-        writer.write(code, length)
-        writer.write(v if v >= 0 else v + (1 << size) - 1, size)
+        acc = (acc << length) | code
+        nacc += length
+        if v < 0:
+            v = v + (1 << size) - 1
+        acc = (acc << size) | (v & ((1 << size) - 1))
+        nacc += size
         run = 0
     if last_nz != 63:
         code, length = _AC_CODES[0x00]  # EOB
-        writer.write(code, length)
+        acc = (acc << length) | code
+        nacc += length
+    writer.write(acc, nacc)
     return dc
 
 
@@ -355,26 +416,46 @@ def encode_baseline_jpeg(
 # --------------------------------------------------------------------------
 
 
+# flat 2^16 peek-lookup tables are identical for identical (bits,
+# symbols) definitions — the fixture corpus uses one fixed table set —
+# so cache them per definition instead of rebuilding per image.  This
+# caches STATIC Huffman code tables (pure functions of the DHT bytes),
+# never query data or results.
+_HUFF_LUT_CACHE: dict[tuple, list] = {}
+
+
 class _HuffTable:
+    """Canonical Huffman decoder via a flat 16-bit peek table (r14 perf
+    rewrite): decode = one 16-bit peek + one list index + one skip,
+    instead of up to 16 per-bit reads and dict probes.  Decoded symbols
+    and consumed bit counts are identical to the canonical walk."""
+
     def __init__(self, bits, symbols):
-        self.lookup: dict[tuple[int, int], int] = {}
-        code = 0
-        k = 0
-        for length in range(1, 17):
-            for _ in range(bits[length - 1]):
-                self.lookup[(length, code)] = symbols[k]
-                code += 1
-                k += 1
-            code <<= 1
+        key = (tuple(bits), tuple(symbols))
+        lut = _HUFF_LUT_CACHE.get(key)
+        if lut is None:
+            lut = [None] * 65536
+            code = 0
+            k = 0
+            for length in range(1, 17):
+                for _ in range(bits[length - 1]):
+                    start = code << (16 - length)
+                    lut[start : start + (1 << (16 - length))] = [
+                        (symbols[k], length)
+                    ] * (1 << (16 - length))
+                    code += 1
+                    k += 1
+                code <<= 1
+            _HUFF_LUT_CACHE[key] = lut
+        self._lut = lut
 
     def decode(self, reader: _BitReader) -> int:
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | reader.read_bit()
-            sym = self.lookup.get((length, code))
-            if sym is not None:
-                return sym
-        raise ValueError("invalid Huffman code in entropy stream")
+        hit = self._lut[reader.peek16()]
+        if hit is None:
+            raise ValueError("invalid Huffman code in entropy stream")
+        sym, length = hit
+        reader.skip(length)
+        return sym
 
 
 def decode_baseline_jpeg(content: bytes) -> tuple[int, int, np.ndarray]:
@@ -480,30 +561,111 @@ def decode_baseline_jpeg(content: bytes) -> tuple[int, int, np.ndarray]:
     ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
     planes = np.zeros((3, ph, pw), dtype=np.float64)
     prev_dc = [0, 0, 0]
+
+    # Hot entropy loop with the bit state in LOCAL variables (r14 perf:
+    # the method-call form spent ~60% of decode in peek/skip/read_bits
+    # call overhead).  Same unstuffed buffer, same symbol/value
+    # sequence, same truncation error — only call overhead removed.
+    d = reader._d
+    dlen = len(d)
+    total_bits = reader._total_bits
+    acc = 0
+    nbits = 0
+    bytepos = 0
+    bitpos = 0
+    comp_lut = [
+        (dc_tables[dc_id]._lut, ac_tables[ac_id]._lut,
+         quants[frame_comps[ci][1]].flat[_ZIGZAG].copy())
+        for ci, (cid, dc_id, ac_id) in enumerate(scan_comps)
+    ]
+    ncomp = len(comp_lut)
     for by in range(0, ph, 8):
         for bx in range(0, pw, 8):
-            for ci, (cid, dc_id, ac_id) in enumerate(scan_comps):
-                quant = quants[frame_comps[ci][1]]
-                zz = np.zeros(64, dtype=np.int64)
-                size = dc_tables[dc_id].decode(reader)
-                prev_dc[ci] += _extend(reader.read_bits(size), size)
+            for ci in range(ncomp):
+                dc_lut, ac_lut, dequant = comp_lut[ci]
+                zz = [0] * 64
+                # --- DC symbol
+                while nbits < 16:
+                    if bytepos < dlen:
+                        acc = (acc << 8) | d[bytepos]
+                        bytepos += 1
+                    else:
+                        acc <<= 8
+                    nbits += 8
+                hit = dc_lut[(acc >> (nbits - 16)) & 0xFFFF]
+                if hit is None:
+                    raise ValueError("invalid Huffman code in entropy stream")
+                size, length = hit
+                bitpos += length + size
+                if bitpos > total_bits:
+                    raise ValueError("entropy stream truncated")
+                nbits -= length
+                if size:
+                    while nbits < size:
+                        if bytepos < dlen:
+                            acc = (acc << 8) | d[bytepos]
+                            bytepos += 1
+                        else:
+                            acc <<= 8
+                        nbits += 8
+                    nbits -= size
+                    v = (acc >> nbits) & ((1 << size) - 1)
+                    if v < (1 << (size - 1)):
+                        v = v - (1 << size) + 1
+                    prev_dc[ci] += v
+                acc &= (1 << nbits) - 1
                 zz[0] = prev_dc[ci]
                 k = 1
                 while k < 64:
-                    sym = ac_tables[ac_id].decode(reader)
+                    # --- AC symbol
+                    while nbits < 16:
+                        if bytepos < dlen:
+                            acc = (acc << 8) | d[bytepos]
+                            bytepos += 1
+                        else:
+                            acc <<= 8
+                        nbits += 8
+                    hit = ac_lut[(acc >> (nbits - 16)) & 0xFFFF]
+                    if hit is None:
+                        raise ValueError(
+                            "invalid Huffman code in entropy stream"
+                        )
+                    sym, length = hit
+                    nbits -= length
+                    acc &= (1 << nbits) - 1
+                    bitpos += length
+                    if bitpos > total_bits:
+                        raise ValueError("entropy stream truncated")
                     if sym == 0x00:  # EOB
                         break
                     if sym == 0xF0:  # ZRL
                         k += 16
                         continue
-                    run, size = sym >> 4, sym & 0x0F
+                    run = sym >> 4
+                    size = sym & 0x0F
                     k += run
                     if k > 63:
                         raise ValueError("AC run past block end")
-                    zz[k] = _extend(reader.read_bits(size), size)
+                    if size:
+                        bitpos += size
+                        if bitpos > total_bits:
+                            raise ValueError("entropy stream truncated")
+                        while nbits < size:
+                            if bytepos < dlen:
+                                acc = (acc << 8) | d[bytepos]
+                                bytepos += 1
+                            else:
+                                acc <<= 8
+                            nbits += 8
+                        nbits -= size
+                        v = (acc >> nbits) & ((1 << size) - 1)
+                        acc &= (1 << nbits) - 1
+                        if v < (1 << (size - 1)):
+                            v = v - (1 << size) + 1
+                        zz[k] = v
                     k += 1
                 coeffs = np.zeros(64, dtype=np.float64)
-                coeffs[_ZIGZAG] = zz * quant.flat[_ZIGZAG]
+                coeffs[_ZIGZAG] = np.array(zz, dtype=np.int64) * dequant
                 block = _C.T @ coeffs.reshape(8, 8) @ _C + 128.0
                 planes[ci, by : by + 8, bx : bx + 8] = block
 
