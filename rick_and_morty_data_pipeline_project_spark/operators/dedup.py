@@ -682,7 +682,11 @@ def incremental_dedup_bloom(
         bitmap = [0] * n_words
         for r in word_bits.collect():
             bitmap[int(r["w"])] = int(r["b"])
-        bm = F.array(*[F.lit(w) for w in bitmap])
+        from rick_and_morty_data_pipeline_project_spark.functions.litjson import (
+            array_lit,
+        )
+
+        bm = array_lit(bitmap, "bigint")
     else:
         # densify sparse (w, b) rows into ONE array row engine-side:
         # global agg always yields exactly one row (empty corpus →

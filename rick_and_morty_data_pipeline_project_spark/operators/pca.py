@@ -190,7 +190,11 @@ def pca_project(
     ):
         if whiten:
             w = w / np.sqrt(max(lam, 1e-12))
-        lit_w = F.array(*[F.lit(float(x)) for x in w])
+        from rick_and_morty_data_pipeline_project_spark.functions.litjson import (
+            array_lit,
+        )
+
+        lit_w = array_lit([float(x) for x in w])
         score = dot_col(F.col(vec_col), lit_w) - F.lit(
             float(np.dot(model.mean, w))
         )

@@ -42,6 +42,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from rick_and_morty_data_pipeline_project_spark.functions.litjson import (
+    array2d_lit,
+)
+
 
 def _subspaces(dim: int, m: int) -> List[tuple]:
     if dim % m != 0:
@@ -209,12 +213,9 @@ def pq_topk(
     for qid, qvec in queries:
         q = np.asarray(qvec, dtype=np.float64)
         lut = adc_lut(books, spans, q)
-        lut_col = F.array(
-            *[
-                F.array(*[F.lit(float(x)) for x in row])
-                for row in lut
-            ]
-        )
+        # single from_json literal (functions/litjson): the nested-lit
+        # form cost m×k_star (2048) py4j calls + tree nodes PER QUERY
+        lut_col = array2d_lit(lut)
         scored = codes_df.select(
             F.lit(qid).alias("query_id"),
             id_col,
@@ -373,12 +374,8 @@ def ivf_pq_topk(
         luts = {cell: adc_lut(books, spans, q - C[cell]) for cell in probed}
 
         def lut_col(cell):
-            return F.array(
-                *[
-                    F.array(*[F.lit(float(x)) for x in row])
-                    for row in luts[cell]
-                ]
-            )
+            # single from_json literal per probed cell (see pq_topk)
+            return array2d_lit(luts[cell])
 
         expr = None
         for cell in probed:

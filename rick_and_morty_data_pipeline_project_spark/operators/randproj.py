@@ -55,10 +55,14 @@ def jl_project_cols(
     """One UNROUNDED float64 projection column per output dimension:
     ``sqrt(3/d_out) * Σ x_i · r_ji`` with the engine-wide left-fold dot
     (functions/vectors.py) so the oracle replays it bit-for-bit."""
+    from rick_and_morty_data_pipeline_project_spark.functions.litjson import (
+        array_lit,
+    )
+
     scale = jl_scale(len(matrix))
     return [
         F.lit(scale)
-        * dot_col(vec_col, F.array(*[F.lit(float(x)) for x in row]))
+        * dot_col(vec_col, array_lit([float(x) for x in row]))
         for row in matrix
     ]
 

@@ -233,7 +233,32 @@ def centroids_literal(cent_pairs: list[tuple], id_type: str):
     """Inline ``(cell_id, unit centroid)`` pairs as an array-of-structs
     literal — the quantizer is broadcast-sized by definition, so cell
     assignment downstream is a NARROW per-row expression with zero
-    corpus shuffle."""
+    corpus shuffle.
+
+    r14 perf: built as ONE ``from_json`` over a single string literal
+    instead of n_cells×(dim+1) nested ``F.lit`` calls — the old form
+    paid ~512 py4j round-trips plus Catalyst analysis of a 512-node
+    tree on EVERY query construction (measured: 0.53 s of
+    knn_cosine_ivf's build time).  The optimizer constant-folds the
+    foldable ``from_json`` into the identical array<struct> literal, so
+    the executed plan — and every float bit (json.dumps emits
+    shortest-round-trip reprs) — is unchanged; knn_ivf output proven
+    row-exact.  Non-finite values can't round-trip through JSON, so
+    they fall back to the nested-literal form (never hit by unit
+    centroids; defensive only)."""
+    import json as _json
+    import math as _math
+
+    if all(
+        _math.isfinite(x) for _, cvec in cent_pairs for x in cvec
+    ):
+        payload = _json.dumps(
+            [{"cell_id": cid, "cent": list(cvec)} for cid, cvec in cent_pairs]
+        )
+        return F.from_json(
+            F.lit(payload),
+            f"array<struct<cell_id:{id_type},cent:array<double>>>",
+        )
     return F.array(
         *[
             F.struct(
@@ -356,10 +381,18 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
 
 
 def lsh_bucket_col(vec_col, planes: list[list[float]]):
-    """Sign-bit bucket string for a vector column given frozen planes."""
+    """Sign-bit bucket string for a vector column given frozen planes.
+
+    Plane literals are single from_json nodes (functions/litjson —
+    r14: the nested-F.lit form cost 384 py4j calls + tree nodes per
+    bucket expression); values and the executed plan are unchanged."""
+    from rick_and_morty_data_pipeline_project_spark.functions.litjson import (
+        array_lit,
+    )
+
     bits = []
     for plane in planes:
-        arr = F.array(*[F.lit(float(x)) for x in plane])
+        arr = array_lit([float(x) for x in plane])
         dot = F.aggregate(
             F.zip_with(vec_col, arr, lambda x, y: x.cast("double") * y),
             F.lit(0.0),
