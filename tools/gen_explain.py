@@ -39,7 +39,7 @@ ANNOTATED = {
     "text_char_entropy": "character entropy: one narrow pass of JVM higher-order functions, no shuffle",
     "scd2_customer_segments": "SCD2: broadcast update join + unions over one dimension read — no repeated scans per branch family",
     "dedup_incremental_bloom_sharded": "sharded Bloom (m=2^43): distinct-fingerprint probes equi-join the SPARSE word relation — no dense bitmap row, no broadcast giant; verdicts join back per fingerprint; the one remaining exact join resolves all-bits candidates",
-    "multimodal_jpeg_headers": "byte-level JPEG header walk: scan → filter → one Arrow-batched MapInPandas, ZERO exchanges — the binary column never shuffles, only 7-column metadata leaves the stage",
+    "multimodal_jpeg_headers": "byte-level JPEG header walk: scan → fan_out balance of the narrow (id, md5) source (r14: the Python codec stage ran 1-way on the single-file scan; at cluster scale the balance is a no-op) → synthesize → filter → Arrow-batched MapInPandas — the binary column never shuffles, only 7-column metadata leaves the stage",
     "text_quality_classifier": "distilled linear classifier inference: one narrow scan, ZERO exchanges — features/sigmoid/verdict all JVM-side (higher-order-function lambdas sit outside codegen but never touch Python)",
     "text_remove_boilerplate": "C4-style span removal: span-count agg shuffle + per-doc rebuild shuffle (the count relation joins back broadcast locally; at scale it is a third span-keyed shuffle) — whole documents never shuffle",
     "text_gopher_rules": "Gopher rule battery: one narrow scan, zero exchanges, per-rule flags as codegen'd expressions",
@@ -55,7 +55,7 @@ ANNOTATED = {
     "sketch_kmv_set_ops": "KMV set ops (r9): per-type sketches via the salted two-stage top-k; the only non-equi join is the |types|-squared pair enumeration (materialized once); every join touching the distinct relation or sketch rows is a broadcast HASH join — the OR-of-equalities nested-loop formulation is pinned out",
     "events_holt_forecast": "Holt smoothing (r9): map-combined daily aggregate, per-key ordered-list collect, one aggregate() fold — no window, no Python, no global sort; the sequential recursion lives in the fold, not a driver loop",
     "events_rolling_dau_hll_audit": "rolling-DAU audit: sketch arm shuffles 7×|days| fixed-size states (cardinality-independent); exact arm explodes the distinct pair set (audit-only); both meet on a |days|-row join",
-    "multimodal_jpeg_decode_audit": "JPEG pixel-decode audit: synthesize and decode are Arrow-batched MapInPandas stages; the pre-encode material check joins doc text back by id (broadcast at this SF; a co-partitioned self-join at scale — audit-only cost); the binary column never shuffles, only the 4-column verdict leaves the final stage",
+    "multimodal_jpeg_decode_audit": "JPEG pixel-decode audit: synthesize and decode are Arrow-batched MapInPandas stages over the fan_out-balanced narrow source (r14); the pre-encode material check joins doc text back by id (broadcast at this SF; a co-partitioned self-join at scale — audit-only cost); the binary column never shuffles, only the 4-column verdict leaves the final stage",
     "sketch_cms_accuracy_audit": "CMS audit: one map-combinable count_min_sketch aggregate (fixed ~100 KB state), driver decode, Arrow-batched probe over the REDUCED distinct-item relation; N rides a one-row crossJoin — raw events scanned once per arm, never per item",
     "agg_approx_distinct_audit": "approx-agg audit: production aggregate (approx_count_distinct + percentile_approx + exact distinct in ONE groupBy) plus a broadcast join-back rank count — the percentile guarantee checked by counted ranks, one extra scan, audit-only",
     "events_hourly_percentiles_approx_audit": "grouped-percentile audit: production sketch aggregate per (hour, type) + ONE broadcast join-back rank count covering both p50 and p95 (3 bounded scans, never a per-quantile rescan); booleans pinned TRUE by the oracle",
@@ -99,7 +99,7 @@ ANNOTATED = {
     "audit_referential_integrity": "referential-integrity audit: one scan per child table for ALL its FK edges (parents left-join into the same pass; per-edge orphan conditions are conditional counts in one aggregate) — 12 scans total vs 21 for the per-edge anti-join form",
     "lineitem_corr_matrix": "correlation matrix: ONE map-combinable global aggregate carries all 15 exact decimal sums (single reduce of ~15 numbers at any corpus size); pairwise r is closed-form double arithmetic on that one row; no join, no window",
     "snapshot_diff_orders": "snapshot diff: one key-co-partitioned full-outer SortMergeJoin, change classification in the join projection (null-safe struct compare), map-combinable class counts — no row leaves its key partition, no second pass",
-    "multimodal_mp4_boxes": "ISO-BMFF container audit: synthesize and box-walk are two Arrow-batched MapInPandas stages over one scan, ZERO exchanges — container bytes never shuffle, only the 8-column metadata result leaves the stage",
+    "multimodal_mp4_boxes": "ISO-BMFF container audit: synthesize and box-walk are two Arrow-batched MapInPandas stages over one scan with fan_out's narrow-source balance in front (r14; no-op at cluster scale) — container bytes never shuffle, only the 8-column metadata result leaves the stage",
     "table_range_partition_plan": "range-partition planner: the rank window runs over the bounded 1/16 content-hash SAMPLE only; cuts broadcast as one array row (BroadcastNestedLoopJoin); the full table is bucketed by a narrow codegen expression — no rangepartitioning exchange, no global sort",
     "profile_drift_orders": "profile drift: both snapshot profiles and their deltas from ONE conditional-aggregate pass (expand for exact distincts) — no join of profile rows, no second scan",
     "graph_triangle_count": "triangle census: zero parquet scans — the LSH edge list is localCheckpoint-ed once and the degree pass plus both closure joins read the materialized RDD (the naive 5-way self-join recomputes the LSH pipeline per branch)",
