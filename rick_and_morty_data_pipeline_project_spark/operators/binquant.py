@@ -349,10 +349,20 @@ def knn_lsh_multiprobe(
     )
 
     n_planes = len(planes)
+    # explode(array(bucket)) emits the same single bucket per corpus
+    # row, but the Generate is a predicate-pushdown barrier: without
+    # it, the bucket equi-join makes InferFiltersFromConstraints infer
+    # isnotnull(bucket), substitute the n_planes interpreted plane-dot
+    # CASEs into it, and push that below the fan_out exchange onto the
+    # 1-task local scan — a serialized double evaluation of the whole
+    # bucket pipeline (r15; the same disease InferFiltersFromGenerate
+    # caused in r14, this time from join constraints).
     c = fan_out(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv_raw"),
-        lsh_bucket_col(F.col(vec_col), planes).alias("bucket"),
+        F.explode(
+            F.array(lsh_bucket_col(F.col(vec_col), planes))
+        ).alias("bucket"),
     )
     qbase = queries.select(
         F.col(id_col).alias("query_id"),

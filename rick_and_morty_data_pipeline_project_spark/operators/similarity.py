@@ -442,7 +442,12 @@ def knn_lsh(
         )
 
     q = with_buckets(queries, "query_id")
-    c = with_buckets(corpus, "neighbor_id")
+    # fan_out (r15, guide §2.6): the bucket column is n_tables×n_planes
+    # interpreted 64-dim folds per corpus row; on the unsplittable
+    # single-file local scan that all ran on one task.  Candidates are
+    # dropDuplicates-ed and the final window is fully tie-broken, so
+    # the balancing exchange cannot change a row.
+    c = with_buckets(fan_out(corpus), "neighbor_id")
     cand = (
         q.join(c, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))

@@ -3714,25 +3714,53 @@ def text_tfidf_cosine_pairs(spark, sf_dir):
     # Bounded shape probes (limit caps the result set; one pass each
     # over the already-checkpointed weight relation, nothing touches
     # the raw corpus again).
-    terms = [
-        r["term"]
-        for r in w.select("term")
-        .distinct()
-        .orderBy("term")
-        .limit(_TFIDF_DENSE_VOCAB_CAP + 1)
-        .collect()
-    ]
-    dense_ok = len(terms) <= _TFIDF_DENSE_VOCAB_CAP
-    if dense_ok:
-        dense_ok = (
-            w.select("doc_id").distinct().limit(_TFIDF_DENSE_DOC_CAP + 1).count()
-            <= _TFIDF_DENSE_DOC_CAP
+    # the three probe jobs are independent reads of the checkpointed
+    # weight relation — submit them concurrently (guide §2.6) instead
+    # of serializing three driver actions
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_terms = pool.submit(
+            lambda: [
+                r["term"]
+                for r in w.select("term")
+                .distinct()
+                .orderBy("term")
+                .limit(_TFIDF_DENSE_VOCAB_CAP + 1)
+                .collect()
+            ]
         )
+        f_ndocs = pool.submit(
+            lambda: w.select("doc_id")
+            .distinct()
+            .limit(_TFIDF_DENSE_DOC_CAP + 1)
+            .count()
+        )
+        f_maxw = pool.submit(lambda: w.agg(F.max("w")).first()[0])
+        terms = f_terms.result()
+        n_docs_capped = f_ndocs.result()
+        maxw = f_maxw.result()
+    dense_ok = (
+        len(terms) <= _TFIDF_DENSE_VOCAB_CAP
+        and n_docs_capped <= _TFIDF_DENSE_DOC_CAP
+    )
     if dense_ok:
+        # r15: on the dense path the exact verify runs as an unrolled
+        # int64-micros dot over the dense vectors (no posting join, no
+        # shuffle); an overflow guard falls back to the posting verify.
+        out = _tfidf_dense_exact_verify(w, na, nb, terms, maxw)
+        if out is not None:
+            return out
         cand = _tfidf_dense_candidates(w, na, nb, terms)
     else:
         cand = _tfidf_prefix_candidates(w, norms)
+    return _tfidf_posting_verify(w, na, nb, cand)
 
+
+def _tfidf_posting_verify(w, na, nb, cand):
+    """The decimal-exact posting verify: candidates joined back to the
+    weight relation, one exact DECIMAL(38,12) dot aggregate per pair
+    (order-independent), cosine division + round as one double op."""
     wa = w.select(
         F.col("doc_id").alias("id_a"), "term", F.col("w").alias("_wa")
     )
@@ -3747,6 +3775,95 @@ def text_tfidf_cosine_pairs(spark, sf_dir):
     )
     return (
         dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("_dot") / (F.col("_na") * F.col("_nb")), 6).alias(
+                "cosine"
+            ),
+        )
+        .filter(F.col("cosine") >= 0.8)
+    )
+
+
+def _tfidf_dense_exact_verify(w, na, nb, terms, maxw):
+    """Dense-path exact verify WITHOUT the posting join (r15, guide
+    §2.4 — remove the shuffle outright): the weights are DECIMAL(18,6),
+    so each is an exact int64 count of micro-units (w·10⁶); the pair
+    dot Σ wa·wb is then an exact int64 sum of products whose value,
+    rescaled by the exact decimal literal 10⁻¹², is the IDENTICAL
+    rational the posting verify's DECIMAL(38,12) aggregate produces —
+    same double after the cast, same cosine bit (proven pairwise-equal
+    over all 445k sf0.1 survivors and pinned in
+    tests/test_text_extra.py).
+
+    Shape: the narrow double-prefilter BNLJ runs exactly as before and
+    is localCheckpointed (the barrier also keeps the huge prefilter
+    expression and the dot tail in separate codegen stages — fusing
+    them measured 5x slower than the two-stage form); survivors then
+    broadcast-join the per-doc dense micros vectors and evaluate one
+    unrolled codegen'd int64 dot each.  Replaces a Σ|pair terms| row
+    shuffle + decimal hash aggregate with |survivors| narrow rows.
+
+    Returns None when the int64 bound cannot be guaranteed (measured
+    max|w| too large for n_terms products to stay under 2⁶² — never at
+    the shipped SFs, where the margin is >10³); callers then keep the
+    decimal posting verify.
+    """
+    import functools
+    import operator
+
+    if maxw is None:
+        return None
+    max_micros = int(maxw.scaleb(6)) + 1
+    if len(terms) * max_micros * max_micros >= (1 << 62):
+        return None
+
+    n = len(terms)
+    dl = (
+        w.groupBy("doc_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("term", "w"))
+            ).alias("_m")
+        )
+        .select(
+            "doc_id",
+            *[
+                F.coalesce(
+                    (F.element_at(F.col("_m"), F.lit(t)) * F.lit(1000000))
+                    .cast("long"),
+                    F.lit(0).cast("long"),
+                ).alias(f"_d{i}")
+                for i, t in enumerate(terms)
+            ],
+        )
+    )
+    da = dl.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"_d{i}").alias(f"_da{i}") for i in range(n)],
+    )
+    db = dl.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"_d{i}").alias(f"_db{i}") for i in range(n)],
+    )
+    dot_long = functools.reduce(
+        operator.add,
+        [F.col(f"_da{i}") * F.col(f"_db{i}") for i in range(n)],
+    )
+    # exact rescale: int64 sum → DECIMAL(20,0) → ×10⁻¹² (DECIMAL(34,12),
+    # no precision loss) → the same double the decimal aggregate casts to
+    dot_dbl = (
+        dot_long.cast("decimal(20,0)")
+        * F.lit("0.000000000001").cast("decimal(13,12)")
+    ).cast("double")
+    cand = _tfidf_dense_candidates(w, na, nb, terms).localCheckpoint()
+    return (
+        cand.join(F.broadcast(da), "id_a")
+        .join(F.broadcast(db), "id_b")
+        .select("id_a", "id_b", dot_dbl.alias("_dot"))
+        .join(na, "id_a")
         .join(nb, "id_b")
         .select(
             "id_a",

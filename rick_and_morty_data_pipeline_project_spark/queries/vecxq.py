@@ -25,6 +25,9 @@ from rick_and_morty_data_pipeline_project_spark.operators.binquant import (
     knn_binary,
     knn_lsh_multiprobe,
 )
+from rick_and_morty_data_pipeline_project_spark.operators.parallelism import (
+    fan_out,
+)
 from rick_and_morty_data_pipeline_project_spark.operators.randproj import (
     jl_matrix,
     jl_scale,
@@ -498,27 +501,54 @@ def knn_recall_matrix(spark, sf_dir):
 
     e = t(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 10)
-    exact = knn_bruteforce(queries, e, k=_K).select(
-        "query_id", "neighbor_id"
+
+    # CONCURRENT arm construction + materialization (r15, guide §2.6 —
+    # the run-card pattern; see knn_frontier_recall_cost): the exact
+    # arm is checkpointed ONCE (it used to be re-inlined — and
+    # re-executed — inside all six variant arms of the single union
+    # job), every variant is built in a thread (py4j + eager analysis
+    # overlap), and each 10-row arm aggregate materializes as its own
+    # concurrent job.  Checkpointed contents are order-independent, so
+    # the matrix is bit-identical.
+    from concurrent.futures import ThreadPoolExecutor
+
+    # max_workers invariant: the 7 prerequisite tasks (exact + 6
+    # variant builds) are all submitted BEFORE any dependent arm task,
+    # so with 8 workers no dependent can starve its prerequisite.
+    pool = ThreadPoolExecutor(max_workers=8)
+    f_exact = pool.submit(
+        lambda: knn_bruteforce(queries, e, k=_K)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint()
     )
-    variants = {
-        "lsh": knn_lsh(queries, e, k=_K, dim=_DIM, n_planes=6),
-        "lsh_multiprobe": knn_lsh_multiprobe(queries, e, _MP_TABLE, k=_K),
-        "ivf": knn_ivf(queries, e, k=_K, n_cells=8, n_probe=2),
-        "binary": knn_binary(queries, e, dim=_DIM, k=_K, shortlist=_SHORTLIST),
-        "ivf_binary": knn_ivf_binary(
+    variant_builders = {
+        "lsh": lambda: knn_lsh(queries, e, k=_K, dim=_DIM, n_planes=6),
+        "lsh_multiprobe": lambda: knn_lsh_multiprobe(
+            queries, e, _MP_TABLE, k=_K
+        ),
+        "ivf": lambda: knn_ivf(queries, e, k=_K, n_cells=8, n_probe=2),
+        "binary": lambda: knn_binary(
+            queries, e, dim=_DIM, k=_K, shortlist=_SHORTLIST
+        ),
+        "ivf_binary": lambda: knn_ivf_binary(
             queries, e, dim=_DIM, k=_K, n_cells=8, n_probe=2,
             shortlist=_IVFB_SHORTLIST,
         ),
-        "sq8": knn_sq8(queries, e, dim=_DIM, k=_K, shortlist=_SQ_SHORTLIST),
+        "sq8": lambda: knn_sq8(
+            queries, e, dim=_DIM, k=_K, shortlist=_SQ_SHORTLIST
+        ),
     }
-    arms = []
-    for name, df in variants.items():
-        v = df.select(
+    variant_futs = {
+        name: pool.submit(b) for name, b in variant_builders.items()
+    }
+
+    def build_arm(name):
+        v = variant_futs[name].result().select(
             "query_id", "neighbor_id", F.lit(1).alias("_hit")
         )
-        arm = (
-            exact.join(v, ["query_id", "neighbor_id"], "left")
+        return (
+            f_exact.result()
+            .join(v, ["query_id", "neighbor_id"], "left")
             .groupBy("query_id")
             .agg(F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hits"))
             .select(
@@ -527,16 +557,19 @@ def knn_recall_matrix(spark, sf_dir):
                 F.col("n_hits").cast("long").alias("n_hits"),
                 (F.col("n_hits") / F.lit(float(_K))).alias("recall"),
             )
+            .localCheckpoint()
         )
-        arms.append(arm)
+
+    arm_futs = [pool.submit(build_arm, name) for name in variant_builders]
+    arms = [f.result() for f in arm_futs]
+    pool.shutdown(wait=True)
     out = arms[0]
     for arm in arms[1:]:
         out = out.unionByName(arm)
-    # localCheckpoint: the 60-row matrix feeds the output rows AND the
-    # means AND the CI replicate join — without it Spark re-executes
-    # all six ANN arm pipelines once per branch (r11 review; the
-    # repo's multi-consumer pattern, see pqq/statsq)
-    out = out.localCheckpoint()
+    # the 60-row matrix feeds the output rows AND the means AND the CI
+    # replicate join — the arms above are already materialized, so the
+    # three consumers re-read checkpoints instead of re-running the six
+    # ANN pipelines (r11 review; the repo's multi-consumer pattern)
 
     # ---- deterministic bootstrap CI over the per-query recalls ----
     # Replicate sums use integer n_hits (exact), divided once by
@@ -1195,40 +1228,67 @@ def knn_frontier_recall_cost(spark, sf_dir, _shared=None):
     e = t(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 10)
 
+    # CONCURRENT arm construction + materialization (r15, guide §2.6 —
+    # the run-card pattern): this builder's wall time was dominated by
+    # SERIAL driver work — six variant pipelines built one after
+    # another (py4j + eager analysis per DataFrame op), then one giant
+    # union materialized in a single job whose AQE stage waves
+    # serialize the arm tails.  Building every variant in a thread and
+    # eagerly checkpointing each ONE-ROW hit/count aggregate
+    # concurrently lets the scheduler overlap all of it; checkpointed
+    # contents are order-independent, so the relation is bit-identical.
+    from concurrent.futures import ThreadPoolExecutor
+
+    # max_workers invariant: the 7 prerequisite tasks (exact + 6
+    # variant builds) are all submitted BEFORE any dependent hit-arm
+    # task, so with 8 workers every prerequisite is running before a
+    # dependent can block on it — no thread-starvation deadlock.
+    pool = ThreadPoolExecutor(max_workers=8)
+
     # ---- recall arms (the matrix's variants, means only) ----
-    exact = (
-        _shared[0]
-        if _shared is not None
-        else knn_bruteforce(queries, e, k=_K)
-        .select("query_id", "neighbor_id")
-        .localCheckpoint()
-    )
-    variants = {
-        "lsh": knn_lsh(queries, e, k=_K, dim=_DIM, n_planes=6),
-        "lsh_multiprobe": knn_lsh_multiprobe(queries, e, _MP_TABLE, k=_K),
-        "ivf": knn_ivf(queries, e, k=_K, n_cells=8, n_probe=2),
-        "binary": knn_binary(
+    if _shared is not None:
+        f_exact = pool.submit(lambda: _shared[0])
+    else:
+        f_exact = pool.submit(
+            lambda: knn_bruteforce(queries, e, k=_K)
+            .select("query_id", "neighbor_id")
+            .localCheckpoint()
+        )
+    variant_builders = {
+        "lsh": lambda: knn_lsh(queries, e, k=_K, dim=_DIM, n_planes=6),
+        "lsh_multiprobe": lambda: knn_lsh_multiprobe(
+            queries, e, _MP_TABLE, k=_K
+        ),
+        "ivf": lambda: knn_ivf(queries, e, k=_K, n_cells=8, n_probe=2),
+        "binary": lambda: knn_binary(
             queries, e, dim=_DIM, k=_K, shortlist=_SHORTLIST
         ),
-        "ivf_binary": knn_ivf_binary(
+        "ivf_binary": lambda: knn_ivf_binary(
             queries, e, dim=_DIM, k=_K, n_cells=8, n_probe=2,
             shortlist=_IVFB_SHORTLIST,
         ),
-        "sq8": knn_sq8(queries, e, dim=_DIM, k=_K, shortlist=_SQ_SHORTLIST),
+        "sq8": lambda: knn_sq8(
+            queries, e, dim=_DIM, k=_K, shortlist=_SQ_SHORTLIST
+        ),
     }
-    hit_arms = []
-    for name, df in variants.items():
-        hit_arms.append(
-            exact.join(
+    variant_futs = {
+        name: pool.submit(b) for name, b in variant_builders.items()
+    }
+
+    def hit_arm(name):
+        df = variant_futs[name].result()
+        return (
+            f_exact.result()
+            .join(
                 df.select("query_id", "neighbor_id"),
                 ["query_id", "neighbor_id"],
             )
             .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
             .select(F.lit(name).alias("variant"), "n_hits")
+            .localCheckpoint()
         )
-    hits = hit_arms[0]
-    for arm in hit_arms[1:]:
-        hits = hits.unionByName(arm)
+
+    hit_futs = [pool.submit(hit_arm, name) for name in variant_builders]
 
     # ---- candidate-stage counts ----
     # corpus size (full-scan tiers touch every non-self vector)
@@ -1253,9 +1313,14 @@ def knn_frontier_recall_cost(spark, sf_dir, _shared=None):
             F.col("vec_id").alias(out_id), F.explode(keys).alias("bucket")
         )
 
+    # fan_out (r15, guide §2.6): the corpus-side bucket/assignment
+    # expressions below are interpreted higher-order vector folds; on
+    # the unsplittable single-file local scan they ran on ONE task
+    # while 31 cores idled.  Count semantics are aggregates over
+    # unordered pairs, so the balancing exchange cannot change a row.
     lsh_tot = (
         with_buckets(queries, "query_id")
-        .join(with_buckets(e, "neighbor_id"), "bucket")
+        .join(with_buckets(fan_out(e), "neighbor_id"), "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
         .dropDuplicates()
@@ -1265,9 +1330,16 @@ def knn_frontier_recall_cost(spark, sf_dir, _shared=None):
     # multiprobe: probe-string hits against the one-bucket corpus
     # (structurally unique pairs — no distinct needed, mirroring the
     # operator's no-dedup plan)
-    cb = e.select(
+    # explode(array(bucket)) = the same one bucket per row, but the
+    # Generate blocks the join-constraint isnotnull(bucket) from being
+    # substituted (6 interpreted plane dots) and pushed below the
+    # fan_out exchange onto the 1-task scan — see the cells comment in
+    # knn_ivf_probe_frontier.
+    cb = fan_out(e).select(
         F.col("vec_id").alias("neighbor_id"),
-        lsh_bucket_col(F.col("embedding"), _MP_TABLE).alias("bucket"),
+        F.explode(
+            F.array(lsh_bucket_col(F.col("embedding"), _MP_TABLE))
+        ).alias("bucket"),
     )
     qp = queries.select(
         F.col("vec_id").alias("query_id"),
@@ -1295,7 +1367,7 @@ def knn_frontier_recall_cost(spark, sf_dir, _shared=None):
         cents_lit = centroids_literal(
             cent_pairs, e.schema["vec_id"].dataType.simpleString()
         )
-    nc = _normalized(e, "vec_id", "embedding", "_id", "_nv")
+    nc = _normalized(fan_out(e), "vec_id", "embedding", "_id", "_nv")
     nq = _normalized(queries, "vec_id", "embedding", "_id", "_nv")
 
     def cellof(df, out_id, nprobe):
@@ -1324,6 +1396,21 @@ def knn_frontier_recall_cost(spark, sf_dir, _shared=None):
         .cast("long")
         .alias("_rer"),
     )
+
+    # materialize the one-row count relations concurrently with the
+    # hit arms (each is an independent job; contents order-free)
+    f_lsh_tot = pool.submit(lsh_tot.localCheckpoint)
+    f_mp_tot = pool.submit(mp_tot.localCheckpoint)
+    f_ivf_tot = pool.submit(ivf_tot.localCheckpoint)
+    f_ncorp = pool.submit(ncorp.localCheckpoint)
+
+    hit_arms = [f.result() for f in hit_futs]
+    hits = hit_arms[0]
+    for arm in hit_arms[1:]:
+        hits = hits.unionByName(arm)
+    lsh_tot, mp_tot = f_lsh_tot.result(), f_mp_tot.result()
+    ivf_tot, ncorp = f_ivf_tot.result(), f_ncorp.result()
+    pool.shutdown(wait=True)
 
     # ---- per-variant cost rows ----
     def _lits(b, r):
@@ -1574,7 +1661,11 @@ def knn_ivf_probe_frontier(spark, sf_dir, _shared=None):
         cents_lit = centroids_literal(
             cent_pairs, e.schema["vec_id"].dataType.simpleString()
         )
-    nc = _normalized(e, "vec_id", "embedding", "_id", "_nv")
+    # fan_out (r15, guide §2.6): the corpus cell assignment below is an
+    # interpreted 8-centroid fold + comparator sort per row — on the
+    # 1-task local scan it serialized the whole px materialization onto
+    # one core (measured 8.2 s of this query's 9.1 s construct).
+    nc = _normalized(fan_out(e), "vec_id", "embedding", "_id", "_nv")
     nq = _normalized(queries, "vec_id", "embedding", "_id", "_nv")
 
     def simsort(df):
@@ -1587,11 +1678,22 @@ def knn_ivf_probe_frontier(spark, sf_dir, _shared=None):
         )
         return F.array_sort(sims, cell_sim_cmp)
 
+    # cell_id is derived through an explode-of-slice(…,1,1) rather than
+    # element_at(…,1) — identical value (the sorted array is a
+    # non-empty constant-length transform, so the 1-slice explodes to
+    # exactly one row per input row), but the Generate is a predicate-
+    # pushdown BARRIER: joining on a scalar-projected cell_id made
+    # InferFiltersFromConstraints infer isnotnull(cell_id), substitute
+    # the whole 8-centroid assignment expression into it, and push it
+    # below the fan_out exchange onto the 1-task scan (measured: 8.6 s
+    # of this query's construct was that single-task double
+    # evaluation; the operator knn_ivf was immune for exactly this
+    # reason — its assignment explodes).  Guide §2.4/§7.2.
     cells = nc.select(
         F.col("_id").alias("neighbor_id"),
         F.col("_nv").alias("_cv"),
-        F.element_at(simsort(nc), 1)["cell_id"].alias("cell_id"),
-    )
+        F.explode(F.slice(simsort(nc), 1, 1)).alias("_c"),
+    ).select("neighbor_id", "_cv", F.col("_c.cell_id").alias("cell_id"))
     probes = nq.select(
         F.col("_id").alias("query_id"),
         F.col("_nv").alias("_qv"),

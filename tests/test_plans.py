@@ -873,15 +873,36 @@ def test_bpe_encode_stays_jvm_and_type_relation_sized(spark):
 
 def test_tfidf_cosine_dense_path_on_bounded_shape(spark):
     """When BOTH probes pass (vocab ≤ 256, docs ≤ 8192 — the test
-    corpus) the cosine pair join takes the constant-work dense path:
-    a BroadcastNestedLoopJoin whose total pair count is capped by the
-    doc gate, with the unrolled double dot fused in its filter."""
+    corpus) the cosine pairs take the two-stage dense-exact path (r15):
+    the gated BroadcastNestedLoopJoin prefilter runs at CONSTRUCT time
+    into a localCheckpoint, and the returned plan joins the
+    checkpointed survivors back to the dense micros vectors with
+    broadcast hash joins — no posting join on term, no pair-keyed
+    shuffle, no parquet re-scan."""
+    from pyspark.sql import functions as F
+
+    from rick_and_morty_data_pipeline_project_spark.queries import textq
     from rick_and_morty_data_pipeline_project_spark.queries.catalog import _ALL
 
     plan = formatted_plan(_ALL["text_tfidf_cosine_pairs"].fn(spark, SF_SMALL))
-    assert "BroadcastNestedLoopJoin" in plan, plan
+    # the pair-quadratic prefilter already ran into the checkpoint:
+    # nothing quadratic — and no pair-keyed aggregation shuffle — may
+    # survive in the returned verify plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "hashpartitioning(id_a" not in plan, plan
     # the weight relation is checkpointed: no parquet re-scan anywhere
     assert "Scan parquet" not in plan, plan
+    # the construct-time candidate stage is still the gated BNLJ with
+    # the unrolled double dot fused in its filter
+    w, norms = textq._tfidf_weight_relation(spark, SF_SMALL)
+    na = norms.select(F.col("doc_id").alias("id_a"), F.col("norm").alias("_na"))
+    nb = norms.select(F.col("doc_id").alias("id_b"), F.col("norm").alias("_nb"))
+    terms = [r["term"] for r in w.select("term").distinct().orderBy("term").collect()]
+    cand_plan = formatted_plan(
+        textq._tfidf_dense_candidates(w, na, nb, terms)
+    )
+    assert "BroadcastNestedLoopJoin" in cand_plan, cand_plan
 
 
 def test_tfidf_cosine_prefix_path_never_all_pairs(spark, monkeypatch):
