@@ -828,23 +828,34 @@ def dedup_embedding_cosine(spark, sf_dir):
         "vec_id", "label", F.col("embedding").alias("v")
     )
     normed = e.select("vec_id", "label", norm2_col(F.col("v")).alias("_n"), "v")
-    e = normed.select(
+    nv = normed.select(
         "vec_id",
-        "label",
         F.transform("v", lambda x: x.cast("double") / F.col("_n")).alias("nv"),
     )
-    a = e.alias("a")
-    b = e.alias("b")
-    cos = F.round(dot_col(F.col("a.nv"), F.col("b.nv")), 6)
-    return (
+    # r15 (guide §8: decide with small rows, attach the payload last):
+    # the label self-join used to carry BOTH 64-float vectors through a
+    # hashpartitioning(label) exchange, collapsing the quadratic dot
+    # stage onto |labels| tasks (the guide's low-cardinality blocking
+    # pitfall).  Enumerate the pair IDs narrow, rebalance them across
+    # all cores, then attach each side's unit vector by broadcast
+    # equi-join and evaluate the identical fold dot in parallel —
+    # row-exact vs the old plan (same dot, same round, same filter),
+    # measured 2.62x interleaved at sf0.1.
+    ids = e.select("vec_id", "label")
+    a = ids.select(F.col("vec_id").alias("id_a"), "label")
+    b = ids.select(F.col("vec_id").alias("id_b"), "label")
+    pairs = (
         a.join(b, "label")
-        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            "label",
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            cos.alias("cosine"),
-        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    nva = nv.select(F.col("vec_id").alias("id_a"), F.col("nv").alias("_nva"))
+    nvb = nv.select(F.col("vec_id").alias("id_b"), F.col("nv").alias("_nvb"))
+    cos = F.round(dot_col(F.col("_nva"), F.col("_nvb")), 6)
+    return (
+        pairs.join(F.broadcast(nva), "id_a")
+        .join(F.broadcast(nvb), "id_b")
+        .select("label", "id_a", "id_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= 0.2)
     )
 

@@ -3795,8 +3795,7 @@ def _tfidf_dense_exact_verify(w, na, nb, terms, maxw):
     rescaled by the exact decimal literal 10⁻¹², is the IDENTICAL
     rational the posting verify's DECIMAL(38,12) aggregate produces —
     same double after the cast, same cosine bit (proven pairwise-equal
-    over all 445k sf0.1 survivors and pinned in
-    tests/test_text_extra.py).
+    over all 445k sf0.1 survivors and pinned in tests/test_textq.py).
 
     Shape: the narrow double-prefilter BNLJ runs exactly as before and
     is localCheckpointed (the barrier also keeps the huge prefilter
